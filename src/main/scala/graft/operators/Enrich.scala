@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join-based enrichment operators (SURVEY §2.3: J1, J2, J3, J5, U2).
+  *
+  * All reference joins are equi-joins against dimension-sized right
+  * sides (≤10k rows in the reference); each is explicitly
+  * `broadcast()` so the 100 TB fact side never shuffles for them.
+  * Catalyst auto-broadcasts under the threshold, but the hint makes
+  * the intent explicit and survives a mis-estimated dim size.
+  */
+object Enrich {
+
+  /** J2: left join fact × category dim on the product code (reference
+    * `análise_produtos_clientes.py:162-167`,
+    * `manipulacao-analise-comercial.py:502-509`).
+    *
+    * Like the reference's pandas merge, a duplicate dim key fans out —
+    * preserved by design (SURVEY §7 hard-part 5); call
+    * [[dedupeByKey]] on the dim first if that is not wanted.
+    */
+  def joinCategorias(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String = "codigo_produto",
+      dimCols: Seq[String] = Seq("negocio", "grupo", "subgrupo")): DataFrame =
+    fact.join(broadcast(dim.select((key +: dimCols).map(col): _*)), Seq(key), "left")
+
+  /** J1: inner join fact × ABC classification on the client key
+    * (reference APC:180, MAC:35-41).
+    */
+  def joinAbc(fact: DataFrame, abc: DataFrame, key: String = "cliente"): DataFrame =
+    fact.join(broadcast(abc), Seq(key), "inner")
+
+  /** J5: left join × ABC with default row on miss — class 'C', zeros
+    * (reference MAC:337-348 hand-rolled lookup with default).
+    */
+  def joinAbcWithDefault(fact: DataFrame, abc: DataFrame, key: String = "cliente"): DataFrame =
+    fact.join(broadcast(abc), Seq(key), "left")
+      .withColumn("abc", coalesce(col("abc"), lit("C")))
+      .withColumn("valor_total_orcado", coalesce(col("valor_total_orcado"), lit(0.0)))
+
+  /** J3 helper: keep exactly one row per key, by explicit order —
+    * pandas `drop_duplicates` keeps the first row in frame order
+    * (reference APC:109); Spark needs the order spelled out
+    * (SURVEY §7 hard-part 1).
+    */
+  def dedupeByKey(df: DataFrame, key: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(orderBy.map(col): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J3: attach one (uf, cidade) per client via right-side dedup then
+    * left join (reference APC:109).
+    */
+  def joinClienteGeo(df: DataFrame, fact: DataFrame): DataFrame = {
+    val geo = dedupeByKey(
+      fact.select("cliente", "uf", "cidade", "rid"),
+      Seq("cliente"), Seq("rid")).drop("rid")
+    df.join(broadcast(geo), Seq("cliente"), "left")
+  }
+
+  /** U2: coverage diagnostic — distinct fact keys missing from the dim
+    * (reference MAC:746-755 set-difference). Left-anti join keeps the
+    * fact side distributed; the distinct collapses it first so the
+    * anti-join probes at key cardinality.
+    */
+  def missingFromDim(fact: DataFrame, dim: DataFrame, key: String = "codigo_produto"): DataFrame =
+    fact.select(key).distinct()
+      .join(broadcast(dim.select(key).distinct()), Seq(key), "left_anti")
+}

@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders over the driver-generated Parquet test data plus the
+  * two logical views the reference workload runs on: the commercial
+  * fact table (`analise_comercial`) and the product-category dimension
+  * (`classificacao_produtos`).
+  *
+  * The reference consumes two Excel sheets (reference:
+  * `Manipulação de Dataframes/análise_produtos_clientes.py:37,150`);
+  * here the same logical schemas are synthesized from the TPC-H-ish
+  * parquet tables per FIXTURES.md §4 (adapted: this data set's `part`
+  * has no `p_mfgr` and `customer` has no `c_address`).
+  *
+  * Scale notes: the fact view is three equi-joins. `nation` is tiny and
+  * broadcast; `customer`/`orders`/`lineitem` at 100 TB would be bucketed
+  * on their keys so the joins co-locate — on unbucketed data AQE picks
+  * shuffle-hash/sort-merge. Column pruning + filter pushdown reach the
+  * parquet scans because everything below is pure `select`/`filter`.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The commercial fact table (one row = one proposal/quote line).
+    * Schema contract: FIXTURES.md §1; reference schema evidence
+    * SURVEY.md §1.2.
+    *
+    * `rid` is a synthetic unique row id used only as a deterministic
+    * tie-break for order-sensitive operators (SURVEY §7 hard-part 1);
+    * the reference relies on pandas frame order instead.
+    */
+  def analiseComercial(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir).select(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_discount", "l_returnflag")
+    val o = orders(spark, dir).select(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val c = customer(spark, dir).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val n = nation(spark, dir).select("n_nationkey", "n_name")
+    val p = part(spark, dir).select("p_partkey", "p_name")
+
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(p, l("l_partkey") === p("p_partkey"), "left")
+      .select(
+        col("c_custkey").cast("string").as("cliente"),
+        col("c_name").as("nome_cliente"),
+        col("n_name").as("uf"),
+        col("c_mktsegment").as("cidade"),
+        col("l_partkey").cast("string").as("codigo_produto"),
+        col("p_name").as("descricao_produto"),
+        col("o_orderdate").cast("date").as("dt_entrada"),
+        col("l_extendedprice").as("valor_orcado"),
+        col("o_orderpriority").as("consultor_interno"),
+        col("l_discount").as("prob_fech"),
+        // nullable-ized per FIXTURES.md §4: 'N' → null models the
+        // often-empty "Motivo Não Venda" (reference APC:215).
+        nullif(col("l_returnflag"), lit("N")).as("motivo_nao_venda"),
+        when(col("o_orderstatus") === "P", lit("PENDENTE"))
+          .otherwise(col("o_orderstatus")).as("status_processo"),
+        col("o_totalprice").as("valor_proposta"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("rid"))
+  }
+
+  /** SQL text of the same fact view, for the DuckDB oracle. Kept next
+    * to the Spark definition so the two can never drift apart.
+    */
+  val analiseComercialSql: String =
+    """SELECT CAST(c.c_custkey AS VARCHAR) AS cliente,
+      |       c.c_name AS nome_cliente,
+      |       n.n_name AS uf,
+      |       c.c_mktsegment AS cidade,
+      |       CAST(l.l_partkey AS VARCHAR) AS codigo_produto,
+      |       p.p_name AS descricao_produto,
+      |       CAST(o.o_orderdate AS DATE) AS dt_entrada,
+      |       l.l_extendedprice AS valor_orcado,
+      |       o.o_orderpriority AS consultor_interno,
+      |       l.l_discount AS prob_fech,
+      |       NULLIF(l.l_returnflag, 'N') AS motivo_nao_venda,
+      |       CASE WHEN o.o_orderstatus = 'P' THEN 'PENDENTE' ELSE o.o_orderstatus END AS status_processo,
+      |       o.o_totalprice AS valor_proposta,
+      |       l.l_orderkey * 100 + l.l_linenumber AS rid
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
+
+  /** Product-category dimension (FIXTURES.md §2): hierarchy
+    * negocio ⊃ grupo ⊃ subgrupo synthesized from `part` columns.
+    */
+  def classificacaoProdutos(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").cast("string").as("codigo_produto"),
+      col("p_name").as("descricao"),
+      col("p_type").as("negocio"),
+      concat(col("p_type"), lit(" "), col("p_brand")).as("grupo"),
+      concat(col("p_brand"), lit("#"), (col("p_size") % 5).cast("string")).as("subgrupo"),
+      col("p_brand").as("fabricante"))
+
+  val classificacaoProdutosSql: String =
+    """SELECT CAST(p_partkey AS VARCHAR) AS codigo_produto,
+      |       p_name AS descricao,
+      |       p_type AS negocio,
+      |       p_type || ' ' || p_brand AS grupo,
+      |       p_brand || '#' || CAST(p_size % 5 AS VARCHAR) AS subgrupo,
+      |       p_brand AS fabricante
+      |FROM part""".stripMargin
+}
