@@ -16,20 +16,7 @@ import graft.sources.Tables
   * between engines (SURVEY §7 hard-part 3).
   */
 object Queries {
-
-  final case class QueryDef(
-      name: String,
-      run: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
-
-  /** Prefix an oracle body with the shared fact/dim CTEs. */
-  def withViews(body: String): String =
-    s"""WITH fact AS (
-       |${Tables.analiseComercialSql}
-       |), dim AS (
-       |${Tables.classificacaoProdutosSql}
-       |)
-       |$body""".stripMargin
+  import QueryDef.withViews
 
   // ---------------------------------------------------------------- core
 
@@ -107,7 +94,9 @@ object Queries {
       """SELECT rid, cliente, ROUND(valor_orcado, 2) AS valor_orcado
         |FROM fact ORDER BY valor_orcado DESC, rid ASC LIMIT 100""".stripMargin)))
 
-  val all: Seq[QueryDef] = Seq(q1Agg, qAbc, qBetween, qJoinDim, qTopK)
+  val all: Seq[QueryDef] =
+    Seq(q1Agg, qAbc, qBetween, qJoinDim, qTopK) ++
+      graft.queries.ParityQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

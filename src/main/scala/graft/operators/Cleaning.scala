@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Schema-tolerant cleaning utilities (SURVEY §2.2 F6-F9, §2.8 C1-C6,
+  * §2.2 P6, §2.4 A14).
+  *
+  * The reference embeds these in its loaders
+  * (`manipulacao-analise-comercial.py:519-605`); here they are pure
+  * DataFrame → DataFrame functions. All of them are narrow
+  * (no shuffle) except [[dropDuplicatesOrdered]], whose window shuffle
+  * is on the dedup key — at 100 TB that is the same shuffle a
+  * `dropDuplicates` would do, with determinism added for free.
+  */
+object Cleaning {
+
+  /** F8: drop auto-generated `Unnamed*` columns (reference MAC:569). */
+  def dropUnnamedColumns(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.startsWith("Unnamed")): _*)
+
+  /** F9: strip pandas' `.1`/`.2` duplicate suffixes when the base name
+    * is free (reference MAC:574-584).
+    */
+  def renameDedupSuffixes(df: DataFrame): DataFrame = {
+    val suffix = """^(.*)\.\d+$""".r
+    df.columns.foldLeft(df) { (d, c) =>
+      c match {
+        case suffix(base) if !d.columns.contains(base) => d.withColumnRenamed(c, base)
+        case _ => d
+      }
+    }
+  }
+
+  /** P6: add expected-but-missing columns as empty strings (reference
+    * MAC:990-992, MAC:1085-1088).
+    */
+  def addMissingColumns(df: DataFrame, expected: Seq[String]): DataFrame =
+    expected.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit("")))
+
+  /** C1: parse dates with `errors='coerce'` semantics — unparseable →
+    * null (reference APC:261, MAC:270). `to_date` already nulls on
+    * failure under the default ANSI-off policy.
+    */
+  def toDateCoerce(df: DataFrame, cols: Seq[String], fmt: Option[String] = None): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, fmt.fold(expr(s"try_to_date(`$c`)"))(f => expr(s"try_to_date(`$c`, '$f')"))))
+
+  /** C3: numeric coercion — bad input → null (reference APC:100).
+    * `try_cast` keeps coerce semantics under Spark 4's ANSI-on default.
+    */
+  def toNumericCoerce(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)")))
+
+  /** C4: validity check — count of non-null values that do NOT parse as
+    * numeric (reference MAC:540-543 uses errors='raise' as a probe).
+    */
+  def nonNumericCount(df: DataFrame, c: String): Long =
+    df.filter(col(c).isNotNull && expr(s"try_cast(`$c` AS DOUBLE)").isNull).count()
+
+  /** F6: drop rows where ALL of the essential columns are null
+    * (reference MAC:590).
+    */
+  def dropAllNull(df: DataFrame, essential: Seq[String]): DataFrame =
+    df.na.drop("all", essential)
+
+  /** C6: fill numeric defaults (reference MAC:593-597 fillna(0)). */
+  def fillZeros(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.fill(0.0, cols)
+
+  /** F7: drop duplicates on a key, keeping the FIRST row in an explicit
+    * order — pandas keeps first in frame order (reference MAC:604-605,
+    * APC:109); Spark's `dropDuplicates` keeps an arbitrary row, so the
+    * order must be spelled out (SURVEY §7 hard-part 1).
+    */
+  def dropDuplicatesOrdered(df: DataFrame, key: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** A14 + diagnostics: one-row report with row count and per-column
+    * null counts (reference `diagnosticar_dados` MAC:519-557).
+    * Single aggregate pass — no per-column jobs.
+    */
+  def diagnose(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val nullCounts = cols.map(c =>
+      sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+    df.agg(count(lit(1)).as("n_rows"), nullCounts: _*)
+  }
+}

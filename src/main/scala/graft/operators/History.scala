@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Grouped ordered history collection — the most complex operator in
+  * the reference (SURVEY §2.4 A8/A9/A10, §2.5 W5).
+  *
+  * Reference: per (subgrupo, codigo_produto, cliente) group, sort rows
+  * by entry date and emit the per-group history as lists, plus the last
+  * date and the consultant on the last row
+  * (`análise_produtos_clientes.py:273-298`,
+  * `manipulacao-analise-comercial.py:53-83` and `:314-389`).
+  *
+  * Spark-first shape: ONE shuffle (the groupBy), map-side partial
+  * `collect_list`, then all ordering/unzipping happens on the collected
+  * array with codegen'd array expressions:
+  *
+  *   sort_array(collect_list(struct(dt, rid, ...)))
+  *
+  * Struct comparison is lexicographic, so leading (dt, rid) gives a
+  * deterministic total order inside each group — stronger than the
+  * reference, whose order is whatever pandas' sort left (SURVEY §7
+  * hard-part 1). The reference's batched loop + gc (MAC:302-393) is
+  * exactly what Tungsten spill does for free.
+  *
+  * Scale: per-group state is the group's history array. Group keys are
+  * (product, client) pairs — at 100 TB this is many small groups, not
+  * few huge ones, so `collect_list` is safe; a pathological key would
+  * be handled with AQE skew-split plus a
+  * `TypedImperativeAggregate` bounded-memory variant (SURVEY §2.9).
+  */
+object History {
+
+  /** A9: build the history table. Expects the fact enriched with dim
+    * columns (J2) and a unique `rid` tie-break column.
+    */
+  def historico(
+      enriched: DataFrame,
+      keys: Seq[String] = Seq("subgrupo", "codigo_produto", "cliente"),
+      dateFmt: String = "dd/MM/yyyy"): DataFrame = {
+    // Sort key is the FULL tuple: `rid` alone is not unique in the
+    // test data (duplicate (orderkey, linenumber) pairs exist), and a
+    // partial key would leave tied rows in nondeterministic order.
+    // motivo is empty-coalesced BEFORE the sort so null-ordering
+    // differences between engines cannot matter (C9).
+    val hist = sort_array(collect_list(struct(
+      col("dt_entrada"), col("rid"), col("prob_fech"),
+      coalesce(col("motivo_nao_venda"), lit("")).as("motivo_nao_venda"),
+      col("consultor_interno"))))
+
+    enriched
+      .filter(col("dt_entrada").isNotNull) // reference re-parses + range-filters first (APC:261-267)
+      .groupBy(keys.map(col): _*)
+      .agg(hist.as("h"), count(lit(1)).as("n_propostas"))
+      .select(
+        keys.map(col) ++ Seq(
+          col("n_propostas"),
+          expr(s"transform(h, x -> date_format(x.dt_entrada, '$dateFmt'))").as("datas_entrada"),
+          expr("transform(h, x -> x.prob_fech)").as("probs_fech"),
+          expr("transform(h, x -> x.motivo_nao_venda)").as("motivos_nao_venda"),
+          date_format(expr("element_at(h, -1).dt_entrada"), dateFmt).as("ultima_data"),
+          // A8 argmax: consultant on the max-(dt, rid) row — last element
+          // of the sorted struct array (reference idxmax APC:296, MAC:79-81).
+          expr("element_at(h, -1).consultor_interno").as("ultimo_consultor")): _*)
+  }
+
+  /** A10: collapse a list to its single value when uniform, else join
+    * to a display string (reference `primeiro_elemento` APC:233-243 +
+    * formatter APC:311, MAC:714-720). Returns a string column — Spark
+    * columns cannot hold scalar-or-list mixes (SURVEY §7 hard-part 2).
+    */
+  def collapseIfUniform(arrayCol: String, sep: String = ", "): org.apache.spark.sql.Column =
+    when(size(array_distinct(col(arrayCol))) === 1, element_at(col(arrayCol), 1))
+      .otherwise(array_join(col(arrayCol), sep))
+}

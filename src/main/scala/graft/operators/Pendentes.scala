@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Weekly pending-proposals pipeline (SURVEY §2 S5/U1/F1/P5/A4-A6;
+  * reference `analise_pendentes.py`).
+  *
+  * The reference reads N weekly snapshot files newest-first, filters
+  * each to `Status Processo == 'PENDENTE'`, tags provenance, and
+  * concatenates (AP:29-49). Spark-first: filter BEFORE union so the
+  * predicate pushes into each file scan, then `unionByName` with
+  * missing-column tolerance for ragged weeks (pandas concat aligns by
+  * name). Union is no barrier in Spark — partitions of all inputs just
+  * coexist; nothing shuffles until a downstream agg.
+  */
+object Pendentes {
+
+  /** S5+F1+P5+U1: per-snapshot filter + provenance tag + by-name union.
+    * @param snapshots (tag, frame) pairs, e.g. ("Semana Atual", df0),
+    *                  ("Semana -1", df1), ... Frames missing the status
+    *                  column are skipped, like the reference (AP:43-44).
+    */
+  def unionSemanas(
+      snapshots: Seq[(String, DataFrame)],
+      statusCol: String = "status_processo",
+      statusValue: String = "PENDENTE"): DataFrame = {
+    val tagged = snapshots.collect {
+      case (tag, df) if df.columns.contains(statusCol) =>
+        df.filter(col(statusCol) === statusValue)
+          .withColumn("semana", lit(tag))
+    }
+    require(tagged.nonEmpty, "no snapshot carries the status column")
+    tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** A4+A5+A6: dashboard metrics — row count, distinct weeks, total
+    * proposal value (reference AP:80-88). One aggregate pass.
+    */
+  def metrics(df: DataFrame, valorCol: String = "valor_proposta"): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_pendentes"),
+      countDistinct(col("semana")).as("n_semanas"),
+      round(sum(col(valorCol)), 2).as("valor_total_propostas"))
+
+  /** A12: distinct weeks, sorted (reference AP:95). */
+  def semanas(df: DataFrame): DataFrame =
+    df.select("semana").distinct().orderBy("semana")
+
+  /** F2: restrict to one week (reference AP:100-101). */
+  def filterSemana(df: DataFrame, semana: String): DataFrame =
+    df.filter(col("semana") === semana)
+}

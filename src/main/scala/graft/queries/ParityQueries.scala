@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.{withAbc, withViews}
+import graft.operators._
+import graft.sources.Tables
+
+/** Queries covering the reference-parity operator inventory
+  * (SURVEY.md §2). Names carry the §2 IDs they exercise.
+  */
+object ParityQueries {
+
+  /** P1-P5: projection, drop, rename, literal tag. */
+  val projectRename = QueryDef(
+    "p1_p5_project_rename_tag",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey").cast("string").as("cliente"),
+          col("c_name").as("nome_cliente"),
+          lit("Semana Atual").as("semana")),
+    Some("""SELECT CAST(c_custkey AS VARCHAR) AS cliente, c_name AS nome_cliente,
+           |       'Semana Atual' AS semana FROM customer""".stripMargin))
+
+  /** F1+F2: equality filter on status (reference AP:35). */
+  val filterPendente = QueryDef(
+    "f1_f2_filter_eq",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir)
+        .filter(col("status_processo") === "PENDENTE")
+        .groupBy("uf")
+        .agg(count(lit(1)).as("n_pendentes"),
+          round(sum("valor_proposta"), 2).as("valor_total_propostas")),
+    Some(withViews(
+      """SELECT uf, COUNT(*) AS n_pendentes,
+        |       ROUND(SUM(valor_proposta), 2) AS valor_total_propostas
+        |FROM fact WHERE status_processo = 'PENDENTE' GROUP BY uf""".stripMargin)))
+
+  /** F3: conjunctive filter with 'Todos' wildcard (reference MAC:416-432). */
+  val filtrarWildcard = QueryDef(
+    "f3_filtrar_wildcard",
+    (s, dir) => {
+      val enriched = Enrich.joinCategorias(
+        Tables.analiseComercial(s, dir), Tables.classificacaoProdutos(s, dir))
+      Views.filtrar(enriched, Map(
+          "negocio" -> "ECONOMY", "uf" -> "Todos", "status_processo" -> "PENDENTE"))
+        .groupBy("grupo")
+        .agg(count(lit(1)).as("n_linhas"))
+    },
+    Some(withViews(
+      """SELECT d.grupo, COUNT(*) AS n_linhas
+        |FROM fact f LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
+        |WHERE d.negocio = 'ECONOMY' AND f.status_processo = 'PENDENTE'
+        |GROUP BY d.grupo""".stripMargin)))
+
+  /** F6: drop rows whose essential columns are ALL null (reference MAC:590). */
+  val dropAllNull = QueryDef(
+    "f6_drop_all_null",
+    (s, dir) => {
+      val withNulls = Tables.analiseComercial(s, dir)
+        .withColumn("consultor_opt", nullif(col("consultor_interno"), lit("3-MEDIUM")))
+      Cleaning.dropAllNull(withNulls, Seq("motivo_nao_venda", "consultor_opt"))
+        .select("rid", "motivo_nao_venda", "consultor_opt")
+    },
+    Some(withViews(
+      """SELECT rid, motivo_nao_venda, consultor_opt FROM (
+        |  SELECT rid, motivo_nao_venda,
+        |         NULLIF(consultor_interno, '3-MEDIUM') AS consultor_opt
+        |  FROM fact
+        |) WHERE NOT (motivo_nao_venda IS NULL AND consultor_opt IS NULL)""".stripMargin)))
+
+  /** F7: keep-first dedup on a key with explicit order (reference MAC:604-605). */
+  val dropDupOrdered = QueryDef(
+    "f7_dropdup_ordered",
+    (s, dir) =>
+      Cleaning.dropDuplicatesOrdered(
+          Tables.analiseComercial(s, dir),
+          Seq("cliente", "codigo_produto", "dt_entrada"), Seq(col("rid")))
+        .select("rid", "cliente", "codigo_produto", "dt_entrada"),
+    Some(withViews(
+      """SELECT rid, cliente, codigo_produto, dt_entrada FROM fact
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY cliente, codigo_produto, dt_entrada
+        |                           ORDER BY rid) = 1""".stripMargin)))
+
+  /** J1: inner join fact × ABC classification (reference APC:180). */
+  val innerJoinAbc = QueryDef(
+    "j1_inner_join_abc",
+    (s, dir) => {
+      val fact = Tables.analiseComercial(s, dir)
+      Enrich.joinAbc(fact.select("cliente", "valor_orcado"),
+          Abc.classify(fact).select("cliente", "abc"))
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_linhas"),
+          round(sum("valor_orcado"), 2).as("valor_total"))
+    },
+    Some(withAbc(
+      """SELECT a.abc, COUNT(*) AS n_linhas, ROUND(SUM(f.valor_orcado), 2) AS valor_total
+        |FROM fact f JOIN abc a ON f.cliente = a.cliente
+        |GROUP BY a.abc""".stripMargin)))
+
+  /** J3: left join with right-side keep-first dedup (reference APC:109). */
+  val leftJoinDedup = QueryDef(
+    "j3_left_join_dedup",
+    (s, dir) => {
+      val fact = Tables.analiseComercial(s, dir)
+      Enrich.joinClienteGeo(fact.select("cliente").distinct(), fact)
+    },
+    Some(withViews(
+      """SELECT cliente, MIN_BY(uf, rid) AS uf, MIN_BY(cidade, rid) AS cidade
+        |FROM fact GROUP BY cliente""".stripMargin)))
+
+  /** J5: left join with default row on miss (reference MAC:337-348). */
+  val leftJoinDefault = QueryDef(
+    "j5_left_join_default",
+    (s, dir) => {
+      val fact = Tables.analiseComercial(s, dir)
+      val abcA = Abc.classify(fact)
+        .filter(col("abc") === "A")
+        .select("cliente", "abc", "valor_total_orcado")
+      Enrich.joinAbcWithDefault(fact.select("cliente").distinct(), abcA)
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_clientes"),
+          round(sum("valor_total_orcado"), 2).as("valor_total"))
+    },
+    Some(withAbc(
+      """SELECT COALESCE(a.abc, 'C') AS abc, COUNT(*) AS n_clientes,
+        |       ROUND(SUM(COALESCE(a.valor_total_orcado, 0.0)), 2) AS valor_total
+        |FROM (SELECT DISTINCT cliente FROM fact) f
+        |LEFT JOIN (SELECT * FROM abc WHERE abc = 'A') a ON f.cliente = a.cliente
+        |GROUP BY COALESCE(a.abc, 'C')""".stripMargin)))
+
+  /** A3: 3-key group with first-by-explicit-order descriptors (reference APC:187-198). */
+  val groupbyFirst = QueryDef(
+    "a3_groupby_first",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir)
+        .groupBy("dt_entrada", "codigo_produto", "cliente")
+        .agg(
+          min_by(col("uf"), col("rid")).as("uf"),
+          min_by(col("consultor_interno"), col("rid")).as("consultor_interno"),
+          count(lit(1)).as("n_linhas")),
+    Some(withViews(
+      """SELECT dt_entrada, codigo_produto, cliente,
+        |       MIN_BY(uf, rid) AS uf, MIN_BY(consultor_interno, rid) AS consultor_interno,
+        |       COUNT(*) AS n_linhas
+        |FROM fact GROUP BY dt_entrada, codigo_produto, cliente""".stripMargin)))
+
+  /** A7+A8: group max date + argmax consultant with deterministic
+    * tie-break (reference APC:294-296, MAC:79-81).
+    */
+  val argmax = QueryDef(
+    "a7_a8_argmax",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir)
+        .groupBy("cliente")
+        .agg(
+          max("dt_entrada").as("ultima_data"),
+          expr("element_at(sort_array(collect_list(struct(dt_entrada, rid, consultor_interno))), -1).consultor_interno")
+            .as("ultimo_consultor")),
+    Some(withViews(
+      """SELECT cliente, MAX(dt_entrada) AS ultima_data,
+        |       (LIST(consultor_interno ORDER BY dt_entrada, rid))[-1] AS ultimo_consultor
+        |FROM fact GROUP BY cliente""".stripMargin)))
+
+  /** A9+W5: grouped ordered history collection — the reference's
+    * flagship operator (APC:273-298, MAC:314-389).
+    */
+  val historico = QueryDef(
+    "a9_historico",
+    (s, dir) =>
+      History.historico(Enrich.joinCategorias(
+        Tables.analiseComercial(s, dir), Tables.classificacaoProdutos(s, dir))),
+    Some(withViews(
+      """SELECT subgrupo, codigo_produto, cliente, COUNT(*) AS n_propostas,
+        |       LIST(strftime(dt_entrada, '%d/%m/%Y')
+        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS datas_entrada,
+        |       LIST(prob_fech
+        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS probs_fech,
+        |       LIST(motivo_nn
+        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS motivos_nao_venda,
+        |       strftime(MAX(dt_entrada), '%d/%m/%Y') AS ultima_data,
+        |       (LIST(consultor_interno
+        |             ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno))[-1] AS ultimo_consultor
+        |FROM (
+        |  SELECT f.*, COALESCE(f.motivo_nao_venda, '') AS motivo_nn, d.subgrupo FROM fact f
+        |  LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
+        |) WHERE dt_entrada IS NOT NULL
+        |GROUP BY subgrupo, codigo_produto, cliente""".stripMargin)))
+
+  /** A10+C10: collapse uniform list to scalar, else join for display
+    * (reference APC:233-243, APC:311).
+    */
+  val collapseUniform = QueryDef(
+    "a10_c10_collapse_uniform",
+    (s, dir) => {
+      val hist = History.historico(Enrich.joinCategorias(
+        Tables.analiseComercial(s, dir), Tables.classificacaoProdutos(s, dir)))
+      hist.select(
+        col("subgrupo"), col("codigo_produto"), col("cliente"),
+        History.collapseIfUniform("motivos_nao_venda").as("motivo_display"),
+        Views.joinList(col("datas_entrada"), "; ").as("datas_display"))
+    },
+    Some(withViews(
+      """SELECT subgrupo, codigo_produto, cliente,
+        |       CASE WHEN len(list_distinct(motivos)) = 1 THEN motivos[1]
+        |            ELSE array_to_string(motivos, ', ') END AS motivo_display,
+        |       array_to_string(datas, '; ') AS datas_display
+        |FROM (
+        |  SELECT subgrupo, codigo_produto, cliente,
+        |         LIST(motivo_nn
+        |              ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS motivos,
+        |         LIST(strftime(dt_entrada, '%d/%m/%Y')
+        |              ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS datas
+        |  FROM (
+        |    SELECT f.*, COALESCE(f.motivo_nao_venda, '') AS motivo_nn, d.subgrupo FROM fact f
+        |    LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
+        |  ) WHERE dt_entrada IS NOT NULL
+        |  GROUP BY subgrupo, codigo_produto, cliente
+        |)""".stripMargin)))
+
+  /** A11: distinct category triples (reference APC:226-228). */
+  val distinctTriples = QueryDef(
+    "a11_distinct_triples",
+    (s, dir) =>
+      Tables.classificacaoProdutos(s, dir)
+        .select("negocio", "grupo", "subgrupo").distinct(),
+    Some(withViews("SELECT DISTINCT negocio, grupo, subgrupo FROM dim")))
+
+  /** A12: distinct values of one column, sorted (reference AP:95). */
+  val distinctSorted = QueryDef(
+    "a12_distinct_sorted",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir)
+        .select("consultor_interno").distinct().orderBy("consultor_interno"),
+    Some(withViews(
+      "SELECT DISTINCT consultor_interno FROM fact ORDER BY consultor_interno")))
+
+  /** A4+A5+A6+A13+A14: global metrics in one aggregate pass (reference
+    * AP:80-88, MAC:617-619, MAC:531, MAC:1093-1097).
+    */
+  val metrics = QueryDef(
+    "a4_a6_a13_a14_metrics",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir).agg(
+        count(lit(1)).as("n_linhas"),
+        countDistinct(col("cliente")).as("n_clientes"),
+        countDistinct(col("codigo_produto")).as("n_produtos"),
+        round(sum("valor_orcado"), 2).as("valor_total_orcado"),
+        min("dt_entrada").as("dt_min"),
+        max("dt_entrada").as("dt_max"),
+        sum(col("motivo_nao_venda").isNull.cast("long")).as("nulls_motivo")),
+    Some(withViews(
+      """SELECT COUNT(*) AS n_linhas,
+        |       COUNT(DISTINCT cliente) AS n_clientes,
+        |       COUNT(DISTINCT codigo_produto) AS n_produtos,
+        |       ROUND(SUM(valor_orcado), 2) AS valor_total_orcado,
+        |       MIN(dt_entrada) AS dt_min, MAX(dt_entrada) AS dt_max,
+        |       CAST(SUM(CASE WHEN motivo_nao_venda IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_motivo
+        |FROM fact""".stripMargin)))
+
+  /** U1+S5: weekly-snapshot union with per-file filter + provenance tag
+    * (reference AP:29-49); snapshots simulated by order-year splits.
+    */
+  val unionSemanas = QueryDef(
+    "u1_s5_union_semanas",
+    (s, dir) => {
+      val fact = Tables.analiseComercial(s, dir)
+      val snaps = Seq("1995", "1996", "1997").map(y =>
+        s"Semana $y" -> fact.filter(year(col("dt_entrada")) === y.toInt))
+      Pendentes.unionSemanas(snaps)
+        .groupBy("semana")
+        .agg(count(lit(1)).as("n_pendentes"),
+          round(sum("valor_proposta"), 2).as("valor_total_propostas"))
+    },
+    Some(withViews(
+      """SELECT semana, COUNT(*) AS n_pendentes,
+        |       ROUND(SUM(valor_proposta), 2) AS valor_total_propostas
+        |FROM (
+        |  SELECT 'Semana 1995' AS semana, * FROM fact
+        |    WHERE year(dt_entrada) = 1995 AND status_processo = 'PENDENTE'
+        |  UNION ALL
+        |  SELECT 'Semana 1996' AS semana, * FROM fact
+        |    WHERE year(dt_entrada) = 1996 AND status_processo = 'PENDENTE'
+        |  UNION ALL
+        |  SELECT 'Semana 1997' AS semana, * FROM fact
+        |    WHERE year(dt_entrada) = 1997 AND status_processo = 'PENDENTE'
+        |) GROUP BY semana""".stripMargin)))
+
+  /** U2: key-set difference — fact products missing from a restricted
+    * dim (reference MAC:746-755).
+    */
+  val missingFromDim = QueryDef(
+    "u2_missing_from_dim",
+    (s, dir) =>
+      Enrich.missingFromDim(
+        Tables.analiseComercial(s, dir),
+        Tables.classificacaoProdutos(s, dir).filter(col("negocio") =!= "ECONOMY")),
+    Some(withViews(
+      """SELECT DISTINCT codigo_produto FROM fact
+        |EXCEPT
+        |SELECT codigo_produto FROM dim WHERE negocio <> 'ECONOMY'""".stripMargin)))
+
+  /** O4: pagination over an explicit total order (reference MAC:511-516). */
+  val paginate = QueryDef(
+    "o4_paginate",
+    (s, dir) =>
+      Views.paginar(
+          Tables.analiseComercial(s, dir)
+            .select(col("rid"), col("cliente"), round(col("valor_orcado"), 2).as("valor_orcado")),
+          page = 3, perPage = 50, order = Seq(col("valor_orcado").desc, col("rid").asc)),
+    Some(withViews(
+      """SELECT rid, cliente, valor_orcado FROM (
+        |  SELECT rid, cliente, ROUND(valor_orcado, 2) AS valor_orcado,
+        |         ROW_NUMBER() OVER (ORDER BY ROUND(valor_orcado, 2) DESC, rid ASC) AS rn
+        |  FROM fact
+        |) WHERE rn > 100 AND rn <= 150""".stripMargin)))
+
+  /** C1+C2: date parse (coerce → null) and render round-trip
+    * (reference APC:210, APC:261, MAC:270).
+    */
+  val dates = QueryDef(
+    "c1_c2_dates",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir).select(
+        col("rid"),
+        date_format(col("dt_entrada"), "dd/MM/yyyy").as("dt_br"),
+        date_format(col("dt_entrada"), "yyyy-MM-dd").as("dt_iso"),
+        to_date(date_format(col("dt_entrada"), "dd/MM/yyyy"), "dd/MM/yyyy").as("dt_roundtrip"),
+        // try_to_date: coerce semantics under Spark 4's ANSI-on default
+        expr("try_to_date(motivo_nao_venda)").as("dt_coerce_fail")),
+    Some(withViews(
+      """SELECT rid,
+        |       strftime(dt_entrada, '%d/%m/%Y') AS dt_br,
+        |       strftime(dt_entrada, '%Y-%m-%d') AS dt_iso,
+        |       CAST(strptime(strftime(dt_entrada, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS dt_roundtrip,
+        |       TRY_CAST(motivo_nao_venda AS DATE) AS dt_coerce_fail
+        |FROM fact""".stripMargin)))
+
+  /** C7+C8: currency and percent display formatting (reference APC:122,
+    * APC:126-127). Grouping built from exact integer cents on both
+    * sides — DuckDB cannot thousand-separate floats, and
+    * float-formatting rules differ between engines.
+    */
+  val formats = QueryDef(
+    "c7_c8_format",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir)
+        .withColumn("cents", floor(col("valor_orcado") * 100 + 0.5).cast("long"))
+        .select(
+          col("rid"),
+          concat(lit("R$ "),
+            format_number(expr("cents DIV 100"), 0),
+            lit("."),
+            lpad((col("cents") % 100).cast("string"), 2, "0")).as("valor_fmt"),
+          concat(
+            format_string("%.1f", round(col("prob_fech") * 100, 1)),
+            lit("%")).as("prob_fmt")),
+    Some(withViews(
+      """SELECT rid,
+        |       'R$ ' || format('{:,}', cents // 100) || '.' ||
+        |         lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS valor_fmt,
+        |       printf('%.1f', ROUND(prob_fech * 100, 1)) || '%' AS prob_fmt
+        |FROM (SELECT rid, prob_fech,
+        |             CAST(floor(valor_orcado * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM fact)""".stripMargin)))
+
+  /** S3/S4: source structure probe — column inventory of a table. */
+  val describeSource = QueryDef(
+    "s3_s4_describe_source",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).columns.toSeq.toDF("column_name")
+    },
+    Some("SELECT column_name FROM (DESCRIBE SELECT * FROM lineitem)"))
+
+  val all: Seq[QueryDef] = Seq(
+    projectRename, filterPendente, filtrarWildcard, dropAllNull, dropDupOrdered,
+    innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
+    historico, collapseUniform, distinctTriples, distinctSorted, metrics,
+    unionSemanas, missingFromDim, paginate, dates, formats, describeSource)
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class CleaningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dropUnnamedColumns removes pandas artifact columns (F8)") {
+    val df = Seq((1, "a", "x")).toDF("id", "Unnamed: 0", "v")
+    assert(Cleaning.dropUnnamedColumns(df).columns.toSeq == Seq("id", "v"))
+  }
+
+  test("renameDedupSuffixes strips .N when base name is free (F9)") {
+    val df = Seq((1, 2, 3)).toDF("a", "b.1", "a.1")
+    // b.1 -> b (free); a.1 stays (a exists)
+    assert(Cleaning.renameDedupSuffixes(df).columns.toSeq == Seq("a", "b", "a.1"))
+  }
+
+  test("addMissingColumns fills absent expected columns with '' (P6)") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val out = Cleaning.addMissingColumns(df, Seq("b", "c"))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(out.select("c").as[String].head() == "")
+  }
+
+  test("toDateCoerce nulls unparseable input (C1)") {
+    val df = Seq("1996-03-05", "not a date", "").toDF("d")
+    val out = Cleaning.toDateCoerce(df, Seq("d")).select("d").collect()
+    assert(out.map(r => Option(r.get(0)).map(_.toString)).toSeq ==
+      Seq(Some("1996-03-05"), None, None))
+  }
+
+  test("toNumericCoerce nulls bad numbers; nonNumericCount counts them (C3/C4)") {
+    val df = Seq("1.5", "abc", "2").toDF("v")
+    assert(Cleaning.nonNumericCount(df, "v") == 1)
+    val out = Cleaning.toNumericCoerce(df, Seq("v")).as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(1.5), None, Some(2.0)))
+  }
+
+  test("dropDuplicatesOrdered keeps first row by explicit order (F7)") {
+    val df = Seq(("k", 2, "second"), ("k", 1, "first"), ("j", 9, "only"))
+      .toDF("key", "ord", "val")
+    val out = Cleaning.dropDuplicatesOrdered(df, Seq("key"), Seq(col("ord")))
+      .select("key", "val").as[(String, String)].collect().toMap
+    assert(out == Map("k" -> "first", "j" -> "only"))
+  }
+
+  test("diagnose reports row count and per-column nulls in one pass (A14)") {
+    val df = Seq((Some(1), Option.empty[String]), (None, Some("x")), (Some(3), None))
+      .toDF("a", "b")
+    val r = Cleaning.diagnose(df, Seq("a", "b")).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1 && r.getLong(2) == 2)
+  }
+}
+
+class HistorySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def enriched = Seq(
+    ("S1", "P1", "C1", "1996-02-01", 101L, 0.5, null.asInstanceOf[String], "ana"),
+    ("S1", "P1", "C1", "1996-01-01", 100L, 0.2, "price", "bob"),
+    ("S1", "P1", "C1", "1996-03-01", 102L, 0.9, "stock", "cat"),
+    ("S2", "P2", "C2", "1996-01-15", 200L, 0.1, null.asInstanceOf[String], "dan"))
+    .toDF("subgrupo", "codigo_produto", "cliente", "dt_s", "rid", "prob_fech",
+      "motivo_nao_venda", "consultor_interno")
+    .withColumn("dt_entrada", to_date(col("dt_s")))
+
+  test("historico collects per-group lists ordered by date (A9)") {
+    val h = History.historico(enriched).filter($"cliente" === "C1").collect()(0)
+    assert(h.getAs[scala.collection.Seq[String]]("datas_entrada").toSeq ==
+      Seq("01/01/1996", "01/02/1996", "01/03/1996"))
+    assert(h.getAs[scala.collection.Seq[Double]]("probs_fech").toSeq == Seq(0.2, 0.5, 0.9))
+    assert(h.getAs[scala.collection.Seq[String]]("motivos_nao_venda").toSeq ==
+      Seq("price", "", "stock"))
+    assert(h.getAs[String]("ultima_data") == "01/03/1996")
+    assert(h.getAs[String]("ultimo_consultor") == "cat")
+    assert(h.getAs[Long]("n_propostas") == 3)
+  }
+
+  test("collapseIfUniform collapses single-valued lists, joins mixed (A10)") {
+    val df = Seq((Seq("a", "a"), Seq("x", "y"))).toDF("uni", "mix")
+    val r = df.select(
+      History.collapseIfUniform("uni").as("u"),
+      History.collapseIfUniform("mix").as("m")).as[(String, String)].head()
+    assert(r == ("a", "x, y"))
+  }
+}
+
+class PendentesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unionSemanas filters, tags, unions by name; skips status-less files (S5/U1/F1/P5)") {
+    val w0 = Seq(("PENDENTE", 10.0), ("GANHO", 5.0)).toDF("status_processo", "valor_proposta")
+    val w1 = Seq(("PENDENTE", 20.0)).toDF("status_processo", "valor_proposta")
+    val broken = Seq(1).toDF("other")
+    val out = Pendentes.unionSemanas(
+      Seq("Semana Atual" -> w0, "Semana -1" -> w1, "Semana -2" -> broken))
+    assert(out.count() == 2)
+    assert(out.select("semana").distinct().as[String].collect().toSet ==
+      Set("Semana Atual", "Semana -1"))
+    val m = Pendentes.metrics(out).collect()(0)
+    assert(m.getLong(0) == 2 && m.getLong(1) == 2 && m.getDouble(2) == 30.0)
+  }
+
+  test("unionSemanas tolerates ragged schemas across weeks (U1)") {
+    val w0 = Seq(("PENDENTE", 1.0, "x")).toDF("status_processo", "valor_proposta", "extra")
+    val w1 = Seq(("PENDENTE", 2.0)).toDF("status_processo", "valor_proposta")
+    val out = Pendentes.unionSemanas(Seq("a" -> w0, "b" -> w1))
+    assert(out.count() == 2 && out.columns.contains("extra"))
+  }
+}
+
+class ViewsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(("n1", "g1", 1), ("n1", "g2", 2), ("n2", "g1", 3))
+    .toDF("negocio", "grupo", "v")
+
+  test("filtrar applies equality predicates, 'Todos' skips (F3)") {
+    assert(Views.filtrar(df, Map("negocio" -> "n1", "grupo" -> "Todos")).count() == 2)
+    assert(Views.filtrar(df, Map("negocio" -> "n1", "grupo" -> "g2")).count() == 1)
+    assert(Views.filtrar(df, Map("negocio" -> "Todos")).count() == 3)
+  }
+
+  test("paginar returns the requested page in total order (O4)") {
+    val page2 = Views.paginar(df, page = 2, perPage = 2, order = Seq(col("v").asc))
+      .select("v").as[Int].collect().toSeq
+    assert(page2 == Seq(3))
+  }
+
+  test("formatCurrency/formatPercent render like the reference (C7/C8)") {
+    val r = Seq((1234567.891, 12.345)).toDF("m", "p")
+      .select(Views.formatCurrency(col("m")), Views.formatPercent(col("p")))
+      .as[(String, String)].head()
+    assert(r == ("R$ 1,234,567.89", "12.35%"))
+    val n = Seq((Option.empty[Double], Option.empty[Double])).toDF("m", "p")
+      .select(Views.formatCurrency(col("m")), Views.formatPercent(col("p")))
+      .as[(String, String)].head()
+    assert(n == ("", ""))
+  }
+
+  test("sqlOn registers a temp view and runs SQL (exec() replacement)") {
+    val out = Views.sqlOn(spark, df, "t", "SELECT negocio, SUM(v) AS s FROM t GROUP BY negocio")
+    assert(out.count() == 2)
+  }
+}

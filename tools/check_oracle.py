@@ -10,6 +10,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -20,8 +21,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify everything (arrays -> json) for a stable sort + compare
     out = pd.DataFrame()
+    def norm(v):
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        return json.dumps(v, default=str, sort_keys=True)
     for c in df.columns:
-        out[c] = df[c].map(lambda v: json.dumps(v, default=str, sort_keys=True))
+        out[c] = df[c].map(norm)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 
