@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with` / `aggregate`) — no
+  * UDFs, so whole-stage codegen spans the similarity pipelines.
+  *
+  * All arithmetic is widened to double FIRST (float accumulation both
+  * loses precision and diverges from any double-based oracle), and the
+  * fold is an explicit left-to-right `aggregate`, giving a defined
+  * summation order.
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = c.cast("array<double>")
+
+  /** Dot product: left-fold of elementwise products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 for zero vectors rather than NaN. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Sign-bit LSH bucket from the first `nBits` coordinates: bit j set
+    * iff v[j] >= 0. Axis-aligned hyperplanes are a valid (if simple)
+    * LSH family for cosine distance; deterministic with no stored
+    * random planes, so the bucketing reproduces everywhere — the
+    * property that matters for a distributed build where every
+    * executor must agree on bucket ids.
+    */
+  def signBucket(a: Column, nBits: Int = 8): Column =
+    aggregate(
+      zip_with(
+        slice(d(a), 1, nBits),
+        expr(s"sequence(0, ${nBits - 1})"),
+        (x, j) => when(x >= 0.0, shiftleft(lit(1L), j.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every method here avoids the O(n²) all-pairs trap —
+  * exact dedup is a hash groupBy; MinHash/SimHash reduce candidate
+  * generation to an equi-join on band/bucket keys, which Spark
+  * executes as a shuffle join on the (small) candidate space rather
+  * than a cross join. Only candidates get the exact verification.
+  *
+  * Hashing is md5-based (not Spark's murmur/xxhash) so signatures are
+  * engine-portable — any system with md5 reproduces the same buckets,
+  * which is what lets the DuckDB oracle (and any future backfill
+  * engine) agree bit-for-bit.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup groups: one row per distinct normalized text, with
+    * the representative (minimum) id and the member count. Keep the
+    * representative by joining back on `fingerprint`.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  // ---------------------------------------------------------- shingles
+
+  /** Distinct k-word shingles. Empty array when fewer than k tokens. */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, k)))))
+      .otherwise(expr("array()").cast("array<string>"))
+
+  /** Distinct character n-grams. Empty array for short strings. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => substring(text, lit(0), lit(0)).substr(i, lit(n)))))
+      .otherwise(expr("array()").cast("array<string>"))
+
+  /** Jaccard similarity of two pre-distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** MinHash signature: for seed i, the minimum md5(i ++ ":" ++ s) over
+    * the shingle set — min over a uniform 128-bit hex string is
+    * equivalent to min over a uniform integer, and stays portable.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => md5(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: the signature split into `bands` contiguous bands
+    * of `rows` entries, each hashed to one key. Docs sharing ANY band
+    * key become candidate pairs.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), md5(concat_ws("|", slice(sig, b * rows + 1, rows))).as("key")))
+
+  /** Candidate near-duplicate pairs via MinHash+LSH, verified with
+    * word-shingle Jaccard >= `threshold`. Returns (id_a, id_b, jac)
+    * with id_a < id_b.
+    *
+    * Plan shape: per-doc signature (narrow) → explode bands (×bands) →
+    * self equi-join on the band key (shuffle on key, no cross join) →
+    * distinct pairs → exact verify. At 100 TB the join input is
+    * |docs|×bands rows of (key, id) — the heavy text/shingle columns
+    * are re-attached only for the surviving candidates.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.4): DataFrame = {
+    val rows = numHashes / bands
+    val withShingles = docs.select(
+      col(idCol).as("id"),
+      wordShingles(TextAnalysis.tokens(lower(col(textCol))), shingleK).as("sh"))
+    val banded = withShingles
+      .select(col("id"), explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    cand
+      .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 60-bit SimHash over the token multiset: per-bit majority vote of
+    * md5-derived token hashes (15 hex chars = 60 bits keeps the value
+    * positive in a signed 64-bit integer). Near-duplicates differ in
+    * few bits; pair candidates come from exact-matching any of the
+    * `bands` bit-slices (each 60/bands bits), hamming-verified after.
+    */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks,
+      t => expr("x -> x").isNotNull.cast("int") * lit(0) match { case _ => t }) // placeholder
+    simhashFromTokens(toks)
+  }
+
+  private def simhashFromTokens(toks: Column): Column = {
+    // token hashes once, then 60 per-bit majority folds
+    val e =
+      """aggregate(
+        |  transform(sequence(0, 59), j ->
+        |    CASE WHEN aggregate(__hs, cast(0 as bigint),
+        |                        (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1
+        |                                             THEN 1 ELSE -1 END) > 0
+        |         THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
+        |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin
+    new Column(null) // replaced below
+  }
+
+  /** Bit-slice keys for SimHash banding. */
+  def simhashBandKeys(sim: Column, bands: Int = 4, bitsPerBand: Int = 15): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        (shiftright(sim, b * bitsPerBand) % shiftleft(lit(1L), bitsPerBand)).as("key")))
+}

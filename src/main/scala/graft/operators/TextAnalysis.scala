@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language identification, quality
+  * scoring, and document fingerprinting.
+  *
+  * Everything is a pure Column expression (codegen'd, no UDFs), so
+  * the whole text pipeline runs inside one WholeStageCodegen span and
+  * scales embarrassingly — per-row work, zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count, whitespace definition. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** Token count, BPE-ish regex definition: alnum runs and individual
+    * punctuation marks each count as one token (a cheap stand-in for a
+    * real subword tokenizer, which would be a dictionary broadcast).
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Stopword sets for the n-gram language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"))
+
+  /** Per-language stopword hit count (duplicates counted). */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*)))
+
+  /** Language-ID: argmax of stopword hits with a fixed precedence
+    * order on ties (en > es > de > fr > zh); 'und' when nothing hits.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = Seq("en", "es", "de", "fr", "zh").map(l => l -> stopwordHits(toks, l))
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Heuristic quality score in [0, 1]: mixes length saturation,
+    * stopword density, and punctuation penalty — the standard cheap
+    * pre-filter in web-scale corpus cleaning.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("double")
+    val lenScore = least(n / 100.0, lit(1.0))
+    val stopScore = least(stopwordHits(toks, "en").cast("double") / greatest(n, lit(1.0)) * 5.0, lit(1.0))
+    val punct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val punctPenalty = least(punct / greatest(length(text).cast("double"), lit(1.0)) * 10.0, lit(1.0))
+    round(lenScore * 0.4 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.3, 6)
+  }
+
+  /** Document fingerprint: md5 of the case-folded, whitespace-collapsed
+    * text. The canonical exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
