@@ -39,7 +39,7 @@ object VectorFunctions {
     aggregate(
       zip_with(
         slice(d(a), 1, nBits),
-        expr(s"sequence(0, ${nBits - 1})"),
-        (x, j) => when(x >= 0.0, shiftleft(lit(1L), j.cast("int"))).otherwise(lit(0L))),
+        array((0 until nBits).map(j => lit(1L << j)): _*),
+        (x, p) => when(x >= 0.0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
 }

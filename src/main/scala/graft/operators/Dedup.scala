@@ -36,7 +36,7 @@ object Dedup {
     when(size(toks) >= k,
       array_distinct(transform(
         sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, k)))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(expr("array()").cast("array<string>"))
 
   /** Distinct character n-grams. Empty array for short strings. */
@@ -44,7 +44,7 @@ object Dedup {
     when(length(text) >= n,
       array_distinct(transform(
         sequence(lit(1), length(text) - (n - 1)),
-        i => substring(text, lit(0), lit(0)).substr(i, lit(n)))))
+        i => text.substr(i, lit(n)))))
       .otherwise(expr("array()").cast("array<string>"))
 
   /** Jaccard similarity of two pre-distinct shingle arrays. */
@@ -72,7 +72,7 @@ object Dedup {
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), md5(concat_ws("|", slice(sig, b * rows + 1, rows))).as("key")))
+      b => struct(b.as("band"), md5(concat_ws("|", slice(sig, b * rows + 1, lit(rows)))).as("key")))
 
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with
     * word-shingle Jaccard >= `threshold`. Returns (id_a, id_b, jac)
@@ -121,28 +121,42 @@ object Dedup {
     * few bits; pair candidates come from exact-matching any of the
     * `bands` bit-slices (each 60/bands bits), hamming-verified after.
     */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(toks,
-      t => expr("x -> x").isNotNull.cast("int") * lit(0) match { case _ => t }) // placeholder
-    simhashFromTokens(toks)
+  /** 60-bit token hashes: first 15 hex chars of md5 parsed as a bigint
+    * (60 bits keeps the value positive in a signed 64-bit integer, and
+    * md5 keeps it portable across engines — DuckDB reproduces it with
+    * the same substring+from-hex pipeline).
+    */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("bigint"))
+
+  /** Adds `outCol` = 60-bit SimHash of the token-array column
+    * `toksCol`. One SQL higher-order-function expression over a
+    * precomputed token-hash array: hashes are computed once (one array
+    * pass), then the per-bit majority vote folds over them per bit.
+    * Everything stays a codegen'd Column expression — no UDF, no
+    * shuffle; SimHash is embarrassingly parallel per row.
+    */
+  def withSimhash(df: DataFrame, toksCol: String, outCol: String): DataFrame = {
+    val hs = outCol + "__hs"
+    df.withColumn(hs, tokenHashes(col(toksCol)))
+      .withColumn(outCol, expr(
+        s"""aggregate(
+           |  transform(sequence(0, 59), j ->
+           |    CASE WHEN aggregate(`$hs`, cast(0 as bigint),
+           |                        (acc, h) -> acc + CASE WHEN (shiftright(h, j) % 2) = 1
+           |                                             THEN 1 ELSE -1 END) > 0
+           |         THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
+           |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
+      .drop(hs)
   }
 
-  private def simhashFromTokens(toks: Column): Column = {
-    // token hashes once, then 60 per-bit majority folds
-    val e =
-      """aggregate(
-        |  transform(sequence(0, 59), j ->
-        |    CASE WHEN aggregate(__hs, cast(0 as bigint),
-        |                        (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1
-        |                                             THEN 1 ELSE -1 END) > 0
-        |         THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
-        |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin
-    new Column(null) // replaced below
-  }
-
-  /** Bit-slice keys for SimHash banding. */
+  /** Bit-slice keys for SimHash banding: `bands` keys of `bitsPerBand`
+    * bits each; docs sharing any key are candidate pairs. Unrolled on
+    * the Scala side so each shift amount is a literal.
+    */
   def simhashBandKeys(sim: Column, bands: Int = 4, bitsPerBand: Int = 15): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        (shiftright(sim, b * bitsPerBand) % shiftleft(lit(1L), bitsPerBand)).as("key")))
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(sim, b * bitsPerBand) % lit(1L << bitsPerBand)).as("key"))
+    }: _*)
 }
