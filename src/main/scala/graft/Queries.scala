@@ -96,7 +96,8 @@ object Queries {
 
   val all: Seq[QueryDef] =
     Seq(q1Agg, qAbc, qBetween, qJoinDim, qTopK) ++
-      graft.queries.ParityQueries.all
+      graft.queries.ParityQueries.all ++
+      graft.queries.PipelineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

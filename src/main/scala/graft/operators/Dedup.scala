@@ -91,11 +91,24 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4): DataFrame =
+    pairsFromShingles(
+      docs.select(
+        col(idCol).as("id"),
+        wordShingles(TextAnalysis.tokens(lower(col(textCol))), shingleK).as("sh")),
+      numHashes, bands, threshold)
+
+  /** The shingle-agnostic MinHash+LSH pairing pipeline: takes any
+    * `(id, sh: array<string>)` frame (word shingles, char n-grams, …)
+    * and returns verified near-dup pairs. See [[minhashPairs]] for the
+    * plan-shape notes.
+    */
+  def pairsFromShingles(
+      withShingles: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
     val rows = numHashes / bands
-    val withShingles = docs.select(
-      col(idCol).as("id"),
-      wordShingles(TextAnalysis.tokens(lower(col(textCol))), shingleK).as("sh"))
     val banded = withShingles
       .select(col("id"), explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -159,4 +172,33 @@ object Dedup {
       struct(lit(b).as("band"),
         (shiftright(sim, b * bitsPerBand) % lit(1L << bitsPerBand)).as("key"))
     }: _*)
+
+  /** SimHash near-dup pairs: per-doc 60-bit SimHash → explode bit-slice
+    * band keys → self equi-join on (band, key) → Hamming-distance
+    * verify. Same no-cross-join plan shape as [[pairsFromShingles]],
+    * with an integer signature instead of a shingle set — the cheapest
+    * of the near-dup families (one bigint per doc survives the shuffle).
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 6,
+      bands: Int = 4,
+      bitsPerBand: Int = 15): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+    val withSim = withSimhash(base, "toks", "sim").select("id", "sim")
+    val banded = withSim
+      .select(col("id"), col("sim"),
+        explode(simhashBandKeys(col("sim"), bands, bitsPerBand)).as("bk"))
+      .select(col("id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

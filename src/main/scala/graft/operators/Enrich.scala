@@ -31,15 +31,22 @@ object Enrich {
 
   /** J1: inner join fact × ABC classification on the client key
     * (reference APC:180, MAC:35-41).
+    *
+    * No broadcast hint: the ABC side has CLIENT cardinality
+    * (thousands-millions, unlike the ≤10k category dim), so a forced
+    * broadcast would OOM the driver at the 100 TB tier. AQE picks
+    * broadcast automatically when the classified frame happens to be
+    * small, and falls back to a shuffle join when it is not.
     */
   def joinAbc(fact: DataFrame, abc: DataFrame, key: String = "cliente"): DataFrame =
-    fact.join(broadcast(abc), Seq(key), "inner")
+    fact.join(abc, Seq(key), "inner")
 
   /** J5: left join × ABC with default row on miss — class 'C', zeros
     * (reference MAC:337-348 hand-rolled lookup with default).
+    * Client-cardinality right side: no forced broadcast, same as J1.
     */
   def joinAbcWithDefault(fact: DataFrame, abc: DataFrame, key: String = "cliente"): DataFrame =
-    fact.join(broadcast(abc), Seq(key), "left")
+    fact.join(abc, Seq(key), "left")
       .withColumn("abc", coalesce(col("abc"), lit("C")))
       .withColumn("valor_total_orcado", coalesce(col("valor_total_orcado"), lit(0.0)))
 

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *
+  *   - [[bruteForceTopK]] — exact cosine top-k. The QUERY side is
+  *     broadcast (queries are few), the corpus side streams: the plan
+  *     is BroadcastNestedLoopJoin over corpus partitions followed by a
+  *     per-query top-k window on the (|Q| × k)-bounded candidate set.
+  *     At 100 TB the corpus never shuffles — each executor scores its
+  *     partitions against the broadcast queries and emits only local
+  *     winners; this is the correctness baseline and the right plan
+  *     when |Q| is small.
+  *   - [[bucketedPairs]] — the scale path for all-pairs near-dup: a
+  *     deterministic sign-bit LSH bucket per vector, then a self
+  *     EQUI-join on the bucket id (shuffle on bucket, no cross join),
+  *     cosine-verifying only same-bucket candidates. An IVF variant
+  *     would replace the bucket fn with nearest-centroid; the plan
+  *     shape (equi-join on a coarse key) is identical.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector. `queries` and `corpus`
+    * both expose (`idCol`, `vecCol`); ids are assumed distinct across
+    * the union. Ranking uses the ROUNDED cosine (6 dp) with the
+    * neighbor id as tie-break so results are reproducible across
+    * engines and runs.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorFunctions.cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Embedding-cosine near-dup pairs: same sign-bucket → candidate,
+    * verified at `minCosine` on the rounded value. Returns
+    * (id_a, id_b, cos) with id_a < id_b.
+    */
+  def bucketedPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBits: Int = 8,
+      minCosine: Double = 0.2): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.signBucket(col(vecCol), nBits).as("bucket"))
+    e.as("a")
+      .join(e.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(VectorFunctions.cosine(col("a.vec"), col("b.vec")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

@@ -30,14 +30,17 @@ object Views {
   /** O4: pagination (reference `paginar_dataframe` MAC:511-516).
     * Requires an explicit total order to be meaningful on a distributed
     * engine; pandas pages over frame order.
-    * Implemented as row_number over the order — a global window, but it
-    * runs on whatever small frame the UI is paging, post-aggregation.
+    *
+    * Scale shape: `orderBy + offset + limit` plans as a top-(page ×
+    * perPage) TakeOrdered — each partition contributes at most
+    * page×perPage candidate rows, no partition-less window, no global
+    * sort of the input. Sane for the UI-pagination access pattern
+    * (small page numbers); deep random seeks should use a keyset
+    * (`WHERE order_key > last_seen LIMIT n`) instead.
     */
   def paginar(df: DataFrame, page: Int, perPage: Int, order: Seq[Column]): DataFrame = {
     val lo = (page - 1) * perPage
-    df.withColumn("__rn", row_number().over(Window.orderBy(order: _*)))
-      .filter(col("__rn") > lo && col("__rn") <= lo + perPage)
-      .drop("__rn")
+    df.orderBy(order: _*).offset(lo).limit(perPage)
   }
 
   /** C7: currency display format "R$ 1,234.56" (reference APC:122,

@@ -149,6 +149,12 @@ object ParityQueries {
 
   /** A7+A8: group max date + argmax consultant with deterministic
     * tie-break (reference APC:294-296, MAC:79-81).
+    *
+    * `max_by` over the full (date, rid, consultant) struct keeps
+    * constant state per group — unlike collecting the history into an
+    * aggregation buffer, this survives a hot client with millions of
+    * rows at the 100 TB tier. The struct tie-break makes the answer
+    * deterministic even where `rid` collides.
     */
   val argmax = QueryDef(
     "a7_a8_argmax",
@@ -157,11 +163,12 @@ object ParityQueries {
         .groupBy("cliente")
         .agg(
           max("dt_entrada").as("ultima_data"),
-          expr("element_at(sort_array(collect_list(struct(dt_entrada, rid, consultor_interno))), -1).consultor_interno")
+          max_by(col("consultor_interno"),
+            struct(col("dt_entrada"), col("rid"), col("consultor_interno")))
             .as("ultimo_consultor")),
     Some(withViews(
       """SELECT cliente, MAX(dt_entrada) AS ultima_data,
-        |       (LIST(consultor_interno ORDER BY dt_entrada, rid))[-1] AS ultimo_consultor
+        |       (LIST(consultor_interno ORDER BY dt_entrada, rid, consultor_interno))[-1] AS ultimo_consultor
         |FROM fact GROUP BY cliente""".stripMargin)))
 
   /** A9+W5: grouped ordered history collection — the reference's
@@ -366,6 +373,85 @@ object ParityQueries {
         |             CAST(floor(valor_orcado * 100 + 0.5) AS BIGINT) AS cents
         |      FROM fact)""".stripMargin)))
 
+  /** C3+C4+C6: numeric coerce (bad → null), validity probe, and
+    * fillna(0) over a synthesized messy string column (reference
+    * APC:100, MAC:540-543, MAC:593-597). The raw strings are built from
+    * exact integer cents so both engines format identically.
+    */
+  val coerceFill = QueryDef(
+    "c3_c4_c6_coerce_fill",
+    (s, dir) => {
+      val messy = Tables.analiseComercial(s, dir)
+        .withColumn("cents", floor(col("valor_orcado") * 100 + 0.5).cast("long"))
+        .select(
+          col("rid"),
+          when(col("rid") % 5 === 0, lit("not-a-number"))
+            .when(col("rid") % 5 === 1, lit(null).cast("string"))
+            .otherwise(concat(expr("cents DIV 100").cast("string"), lit("."),
+              lpad((col("cents") % 100).cast("string"), 2, "0"))).as("raw_valor"))
+      val coerced = Cleaning.toNumericCoerce(
+          messy.withColumn("valor_num", col("raw_valor")), Seq("valor_num"))
+        .withColumn("is_invalid",
+          (col("raw_valor").isNotNull && col("valor_num").isNull).cast("long"))
+      Cleaning.fillZeros(coerced, Seq("valor_num")).agg(
+        count(lit(1)).as("n_linhas"),
+        sum("is_invalid").as("n_invalid"),
+        sum(when(col("valor_num") === 0.0, 1L).otherwise(0L)).as("n_zero_filled"),
+        round(sum("valor_num"), 2).as("soma_valores"))
+    },
+    Some(withViews(
+      """SELECT COUNT(*) AS n_linhas,
+        |       CAST(SUM(CASE WHEN raw_valor IS NOT NULL AND TRY_CAST(raw_valor AS DOUBLE) IS NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+        |       CAST(SUM(CASE WHEN COALESCE(TRY_CAST(raw_valor AS DOUBLE), 0.0) = 0.0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_filled,
+        |       ROUND(SUM(COALESCE(TRY_CAST(raw_valor AS DOUBLE), 0.0)), 2) AS soma_valores
+        |FROM (
+        |  SELECT rid, CASE WHEN rid % 5 = 0 THEN 'not-a-number'
+        |                   WHEN rid % 5 = 1 THEN NULL
+        |                   ELSE CAST(cents // 100 AS VARCHAR) || '.' ||
+        |                        lpad(CAST(cents % 100 AS VARCHAR), 2, '0') END AS raw_valor
+        |  FROM (SELECT rid, CAST(floor(valor_orcado * 100 + 0.5) AS BIGINT) AS cents FROM fact)
+        |)""".stripMargin)))
+
+  /** F8+F9+P6: drop `Unnamed*` columns, strip `.N` dedup suffixes, add
+    * expected-but-missing columns as empty (reference MAC:569,
+    * MAC:574-584, MAC:990-992).
+    */
+  val schemaAlign = QueryDef(
+    "f8_f9_p6_schema_align",
+    (s, dir) => {
+      val messy = Tables.analiseComercial(s, dir).select(
+        col("rid"),
+        col("cliente").as("Unnamed: 0"),
+        col("uf").as("uf.1"),
+        col("valor_orcado").as("valor.2"))
+      val cleaned = Cleaning.addMissingColumns(
+        Cleaning.renameDedupSuffixes(Cleaning.dropUnnamedColumns(messy)),
+        Seq("observacao"))
+      cleaned.select(col("rid"), col("uf"),
+        round(col("valor"), 2).as("valor"), col("observacao"))
+    },
+    Some(withViews(
+      """SELECT rid, uf, ROUND(valor_orcado, 2) AS valor, '' AS observacao
+        |FROM fact""".stripMargin)))
+
+  /** O2: parametric sort (reference MAC:434-437) + O3 limit — top
+    * states by total value (sums are distinct, so the cut is
+    * deterministic).
+    */
+  val sortParam = QueryDef(
+    "o2_sort_param",
+    (s, dir) =>
+      Views.ordenar(
+        Tables.analiseComercial(s, dir)
+          .groupBy("uf")
+          .agg(round(sum("valor_orcado"), 2).as("valor_total")),
+        "valor_total", ascending = false).limit(10),
+    Some(withViews(
+      """SELECT uf, ROUND(SUM(valor_orcado), 2) AS valor_total
+        |FROM fact GROUP BY uf ORDER BY valor_total DESC LIMIT 10""".stripMargin)))
+
   /** S3/S4: source structure probe — column inventory of a table. */
   val describeSource = QueryDef(
     "s3_s4_describe_source",
@@ -379,5 +465,6 @@ object ParityQueries {
     projectRename, filterPendente, filtrarWildcard, dropAllNull, dropDupOrdered,
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, collapseUniform, distinctTriples, distinctSorted, metrics,
-    unionSemanas, missingFromDim, paginate, dates, formats, describeSource)
+    unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
+    coerceFill, schemaAlign, sortParam)
 }

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.operators._
+import graft.sources.Tables
+
+/** Queries for the LLM-training-data pipeline operators (builder brief:
+  * dedup, similarity search, text analysis) over the driver's
+  * `documents` and `embeddings` tables, each with a DuckDB oracle.
+  *
+  * The oracle SQL re-derives every hash/signature from first principles
+  * (md5 + list comprehensions) rather than trusting the Spark output —
+  * which is exactly why all hashing in [[Dedup]]/[[TextAnalysis]] is
+  * md5-based instead of Spark-internal murmur/xxhash.
+  */
+object PipelineQueries {
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup: one row per distinct normalized text. */
+  val dedupExact = QueryDef(
+    "dedup_exact",
+    (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id"),
+    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           |       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+           |FROM documents GROUP BY 1""".stripMargin))
+
+  /** Shared DuckDB MinHash+LSH pipeline over a pluggable shingle
+    * expression (mirrors [[Dedup.pairsFromShingles]]: 16 hashes,
+    * 4 bands × 4 rows).
+    */
+  private def minhashOracle(shinglesSql: String, threshold: Double): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id AS id, $shinglesSql AS sh FROM documents
+       |),
+       |sig AS (
+       |  SELECT id,
+       |         [list_min([md5(CAST(i AS VARCHAR) || ':' || s) FOR s IN sh]) FOR i IN generate_series(0, 15)] AS sg
+       |  FROM docs
+       |),
+       |banded AS (
+       |  SELECT id, b AS band, md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+       |         CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
+       |           - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS u
+       |  FROM cand JOIN docs sa ON cand.id_a = sa.id JOIN docs sb ON cand.id_b = sb.id
+       |)
+       |SELECT id_a, id_b, jac FROM (
+       |  SELECT id_a, id_b, ROUND(CASE WHEN u = 0 THEN 0.0 ELSE inter / u END, 6) AS jac
+       |  FROM verified
+       |) WHERE jac >= $threshold""".stripMargin
+
+  /** Near-dup via MinHash+LSH over 3-word shingles. */
+  val dedupMinhash = QueryDef(
+    "dedup_minhash",
+    (s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4),
+    Some(minhashOracle(
+      """CASE WHEN len(toks) >= 3
+        |     THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+        |                         FOR i IN generate_series(0, len(toks) - 3)])
+        |     ELSE [] END""".stripMargin
+        .replace("toks", "string_split_regex(trim(lower(text)), '\\s+')"),
+      0.4)))
+
+  /** Near-dup via MinHash+LSH over character 5-grams (n-gram Jaccard). */
+  val dedupNgram = QueryDef(
+    "dedup_ngram",
+    (s, dir) =>
+      Dedup.pairsFromShingles(
+        Tables.documents(s, dir).select(
+          col("doc_id").as("id"),
+          Dedup.charShingles(lower(col("text")), 5).as("sh")),
+        numHashes = 16, bands = 4, threshold = 0.5),
+    Some(minhashOracle(
+      """CASE WHEN length(lower(text)) >= 5
+        |     THEN list_distinct([substr(lower(text), i, 5)
+        |                         FOR i IN generate_series(1, length(lower(text)) - 4)])
+        |     ELSE [] END""".stripMargin,
+      0.5)))
+
+  /** Near-dup via SimHash bit-slice banding + Hamming verify. */
+  val dedupSimhash = QueryDef(
+    "dedup_simhash",
+    (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 6, bands = 4, bitsPerBand = 15),
+    Some("""WITH hs AS (
+           |  SELECT doc_id AS id,
+           |         [('0x' || substr(md5(t), 1, 15))::BIGINT
+           |          FOR t IN string_split_regex(trim(lower(text)), '\s+')] AS hashes
+           |  FROM documents
+           |),
+           |sim AS (
+           |  SELECT id,
+           |         CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END
+           |                                            FOR h IN hashes]) > 0
+           |                             THEN (1::BIGINT << j) ELSE 0::BIGINT END
+           |                        FOR j IN generate_series(0, 59)]) AS BIGINT) AS sim
+           |  FROM hs
+           |),
+           |banded AS (
+           |  SELECT id, sim, b AS band, (sim >> (b * 15)) % (1::BIGINT << 15) AS key
+           |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+           |)
+           |SELECT id_a, id_b, hamming FROM (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |         CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+           |) WHERE hamming <= 6""".stripMargin))
+
+  // ----------------------------------------------------- text analysis
+
+  /** Token counts (whitespace + BPE-ish regex) and the exact-dedup
+    * fingerprint, per document.
+    */
+  val textStats = QueryDef(
+    "text_stats",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextAnalysis.tokenCountRegex(col("text")).as("n_tokens_re"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        length(col("text")).as("n_chars_actual")),
+    Some("""SELECT doc_id,
+           |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens_ws,
+           |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens_re,
+           |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           |       CAST(length(text) AS INT) AS n_chars_actual
+           |FROM documents""".stripMargin))
+
+  private def stopSql(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Language-ID confusion matrix: heuristic prediction vs the labeled
+    * `lang` column. The oracle re-implements the argmax WITH the same
+    * tie precedence (en > es > de > fr > zh).
+    */
+  val textLangid = QueryDef(
+    "text_langid",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs")),
+    Some(s"""WITH scored AS (
+            |  SELECT lang,
+            |         len(list_filter(toks, x -> x IN ${stopSql("en")})) AS s_en,
+            |         len(list_filter(toks, x -> x IN ${stopSql("es")})) AS s_es,
+            |         len(list_filter(toks, x -> x IN ${stopSql("de")})) AS s_de,
+            |         len(list_filter(toks, x -> x IN ${stopSql("fr")})) AS s_fr,
+            |         len(list_filter(toks, x -> x IN ${stopSql("zh")})) AS s_zh
+            |  FROM (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+            |)
+            |SELECT lang, lang_pred, COUNT(*) AS n_docs FROM (
+            |  SELECT lang,
+            |         CASE WHEN m = 0 THEN 'und'
+            |              WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+            |              WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
+            |              ELSE 'zh' END AS lang_pred
+            |  FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM scored)
+            |) GROUP BY lang, lang_pred""".stripMargin))
+
+  /** Per-document heuristic quality score. */
+  val textQuality = QueryDef(
+    "text_quality",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+    Some(s"""SELECT doc_id,
+            |       ROUND(
+            |         least(n / 100.0, 1.0) * 0.4 +
+            |         least(CAST(len(list_filter(toks, x -> x IN ${stopSql("en")})) AS DOUBLE)
+            |               / greatest(n, 1.0) * 5.0, 1.0) * 0.3 +
+            |         (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+            |                      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3,
+            |         6) AS quality
+            |FROM (
+            |  SELECT doc_id, text, toks, CAST(len(toks) AS DOUBLE) AS n
+            |  FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            |        FROM documents)
+            |)""".stripMargin))
+
+  // -------------------------------------------------------- similarity
+
+  /** DuckDB cosine mirroring [[graft.functions.VectorFunctions.cosine]]
+    * exactly: dot, then sqrt of each norm, then the product — same IEEE
+    * op order, so the 6-dp rounding agrees bit-for-bit.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+       |     ELSE list_dot_product($a, $b)
+       |          / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
+
+  /** Brute-force exact cosine top-10 for the first 10 vectors. */
+  val annTopK = QueryDef(
+    "ann_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 10)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+            |scored AS (
+            |  SELECT q_id, e.vec_id AS n_id, ROUND(${cosSql("qv", "v")}, 6) AS cos
+            |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id
+            |)
+            |SELECT q_id, n_id, cos FROM scored
+            |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10""".stripMargin))
+
+  /** Bucketed (sign-bit LSH) embedding near-dup pairs — the scale path:
+    * equi-join on the bucket id, no cross join.
+    */
+  val annBucketed = QueryDef(
+    "ann_lsh_bucket",
+    (s, dir) =>
+      Similarity.bucketedPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", nBits = 8, minCosine = 0.2),
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v,
+            |         CAST(list_sum([CASE WHEN embedding[j] >= 0 THEN (1::BIGINT << (j-1)) ELSE 0::BIGINT END
+            |                        FOR j IN generate_series(1, 8)]) AS BIGINT) AS bucket
+            |  FROM embeddings
+            |)
+            |SELECT id_a, id_b, cos FROM (
+            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |         ROUND(${cosSql("a.v", "b.v")}, 6) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            |) WHERE cos >= 0.2""".stripMargin))
+
+  // ----------------------------------------------------------- events
+
+  /** JSON props surface: parse `events.props`, extract a typed field,
+    * aggregate by event type (no analog in the reference — SURVEY §2.8
+    * notes "no JSON"; brief-mandated scope).
+    */
+  val eventsJson = QueryDef(
+    "events_json_props",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("k").as("sum_k"),
+          round(sum("value"), 2).as("sum_value")),
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+           |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           |       ROUND(SUM(value), 2) AS sum_value
+           |FROM events GROUP BY event_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
+    textStats, textLangid, textQuality,
+    annTopK, annBucketed, eventsJson)
+}

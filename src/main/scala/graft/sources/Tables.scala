@@ -32,7 +32,18 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's reader rejects by default; the legacy conf maps it to a
+    * bigint of epoch nanos. [[eventsTs]] re-derives a proper timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+
+  /** Epoch-nanos bigint → timestamp (microsecond precision). */
+  def eventsTs(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros((nanos / 1000L).cast("long"))
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
