@@ -56,14 +56,34 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
-  /** MinHash signature: for seed i, the minimum md5(i ++ ":" ++ s) over
-    * the shingle set — min over a uniform 128-bit hex string is
-    * equivalent to min over a uniform integer, and stays portable.
+  /** One strong hash per shingle: md5 → 60-bit int → mod 2^31.
+    * EXPENSIVE relative to the per-seed arithmetic — materialize this
+    * as a column before fanning out seeds (inlining it under a
+    * higher-order function re-evaluates the md5 pass per seed).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("bigint") % lit(2147483648L))
+
+  /** MinHash signature from precomputed shingle hashes: seed i takes
+    * the minimum of the universal-hash family
+    * `(h·(2i+1) + i·1000003 + 12345) mod 2^31` — the classic
+    * one-strong-hash + affine-rehash construction, so the md5 pass
+    * happens once per shingle, not once per (shingle × seed). All
+    * intermediates stay < 2^36: safe under ANSI overflow checking.
+    */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => md5(concat(i.cast("string"), lit(":"), s)))))
+      i => array_min(transform(hashes,
+        h => pmod(h * (i * 2 + 1) + i * lit(1000003L) + lit(12345L), lit(2147483648L)))))
+
+  /** Convenience composition of [[shingleHashes]] + [[minhashFromHashes]].
+    * Prefer the split form with the hash column materialized when the
+    * signature feeds more than one consumer.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    minhashFromHashes(shingleHashes(shingles), numHashes)
 
   /** LSH band keys: the signature split into `bands` contiguous bands
     * of `rows` entries, each hashed to one key. Docs sharing ANY band
@@ -72,7 +92,9 @@ object Dedup {
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), md5(concat_ws("|", slice(sig, b * rows + 1, lit(rows)))).as("key")))
+      b => struct(b.as("band"),
+        md5(concat_ws("|",
+          transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string")))).as("key")))
 
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with
     * word-shingle Jaccard >= `threshold`. Returns (id_a, id_b, jac)
@@ -108,10 +130,26 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val rows = numHashes / bands
-    val banded = withShingles
-      .select(col("id"), explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rows)).as("bk"))
+    // Materialize shingles and band keys ONCE: both frames are read
+    // 2×+ below (self-join sides, verify re-attach), and Spark
+    // re-executes uncached subplans per reference — recomputing the
+    // md5 signature pipeline 4-8× dominates runtime (higher-order
+    // functions run interpreted, outside whole-stage codegen). This is
+    // the "write signatures, then join them" step every production
+    // MinHash pipeline has; MEMORY_AND_DISK spills at the 100 TB tier.
+    // The md5 shingle-hash pass is materialized INSIDE the cached
+    // frame: a plain projection would be collapsed back into the
+    // per-seed lambda by CollapseProject and re-run once per seed; the
+    // InMemoryRelation boundary is what guarantees one md5 pass per row.
+    val withSh = withShingles
+      .select(col("id"), col("sh"), shingleHashes(col("sh")).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = withSh
+      .select(col("id"), explode(lshBandKeys(minhashFromHashes(col("hs"), numHashes), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -120,8 +158,8 @@ object Dedup {
       .distinct()
 
     cand
-      .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
       .filter(col("jac") >= threshold)
   }
@@ -188,7 +226,11 @@ object Dedup {
       bitsPerBand: Int = 15): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+    // Two bigints per doc; persisted because the self-join reads it
+    // twice and the 60-bit majority vote (interpreted HOF) is the
+    // expensive part — compute once, join the tiny signature frame.
     val withSim = withSimhash(base, "toks", "sim").select("id", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim
       .select(col("id"), col("sim"),
         explode(simhashBandKeys(col("sim"), bands, bitsPerBand)).as("bk"))

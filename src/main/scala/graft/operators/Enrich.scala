@@ -78,4 +78,36 @@ object Enrich {
   def missingFromDim(fact: DataFrame, dim: DataFrame, key: String = "codigo_produto"): DataFrame =
     fact.select(key).distinct()
       .join(broadcast(dim.select(key).distinct()), Seq(key), "left_anti")
+
+  /** The combined compatibility report (reference
+    * `verificar_compatibilidade_dataframes` MAC:726-774): join-key and
+    * required-column presence, key cardinalities on both sides, and
+    * the count/percent of fact keys with no dim match — one row.
+    *
+    * Schema checks are driver-side booleans (free); the three counts
+    * come from key-cardinality aggregates, and the cross joins are
+    * single-row frames — nothing here touches fact-row cardinality
+    * after the first distinct.
+    */
+  def compatibilityReport(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String = "codigo_produto",
+      requiredFact: Seq[String] = Nil,
+      requiredDim: Seq[String] = Nil): DataFrame = {
+    val keyBoth = fact.columns.contains(key) && dim.columns.contains(key)
+    val colsOk = requiredFact.forall(fact.columns.contains) &&
+      requiredDim.forall(dim.columns.contains)
+    val factKeys = fact.select(key).distinct()
+    val dimKeys = dim.select(key).distinct()
+    val missing = factKeys.join(broadcast(dimKeys), Seq(key), "left_anti")
+    factKeys.agg(count(lit(1)).as("n_fact_keys"))
+      .crossJoin(dimKeys.agg(count(lit(1)).as("n_dim_keys")))
+      .crossJoin(missing.agg(count(lit(1)).as("n_missing")))
+      .select(
+        lit(keyBoth).as("key_present_both"),
+        lit(colsOk).as("required_cols_ok"),
+        col("n_fact_keys"), col("n_dim_keys"), col("n_missing"),
+        round(col("n_missing") / col("n_fact_keys") * 100, 4).as("pct_missing"))
+  }
 }

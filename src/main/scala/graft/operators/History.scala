@@ -73,4 +73,22 @@ object History {
   def collapseIfUniform(arrayCol: String, sep: String = ", "): org.apache.spark.sql.Column =
     when(size(array_distinct(col(arrayCol))) === 1, element_at(col(arrayCol), 1))
       .otherwise(array_join(col(arrayCol), sep))
+
+  /** C9: conditional display tuple (reference `criar_tupla`
+    * APC:213-221) — (date, prob, consultant) plus the motivo slot only
+    * when non-empty: `array_compact` drops the nulled 4th element,
+    * reproducing the reference's 3-vs-4-tuple without heterogeneous
+    * cells (SURVEY §2.8 C9 mapping).
+    */
+  def tuplaDados(
+      dt: org.apache.spark.sql.Column,
+      prob: org.apache.spark.sql.Column,
+      consultor: org.apache.spark.sql.Column,
+      motivo: org.apache.spark.sql.Column,
+      dateFmt: String = "dd/MM/yyyy"): org.apache.spark.sql.Column =
+    array_compact(array(
+      date_format(dt, dateFmt),
+      prob.cast("string"),
+      consultor,
+      nullif(motivo, lit(""))))
 }

@@ -452,6 +452,55 @@ object ParityQueries {
       """SELECT uf, ROUND(SUM(valor_orcado), 2) AS valor_total
         |FROM fact GROUP BY uf ORDER BY valor_total DESC LIMIT 10""".stripMargin)))
 
+  /** C9+C10: conditional 3/4-slot display tuple, rendered to a string
+    * (reference `criar_tupla` APC:213-221 + `formatar_tupla` APC:311).
+    * Spark `array_join` skips the compacted-away motivo slot exactly
+    * like the reference omits it.
+    */
+  val tuplaDisplay = QueryDef(
+    "c9_tupla_display",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir).select(
+        col("rid"),
+        Views.joinList(
+          History.tuplaDados(col("dt_entrada"), col("prob_fech"),
+            col("consultor_interno"), col("motivo_nao_venda")), ", ").as("tupla")),
+    Some(withViews(
+      """SELECT rid,
+        |       array_to_string(
+        |         [x FOR x IN [strftime(dt_entrada, '%d/%m/%Y'),
+        |                      CAST(prob_fech AS VARCHAR),
+        |                      consultor_interno,
+        |                      NULLIF(motivo_nao_venda, '')] IF x IS NOT NULL],
+        |         ', ') AS tupla
+        |FROM fact""".stripMargin)))
+
+  /** Combined compatibility report (reference MAC:726-774): one row of
+    * key/column presence plus key-coverage counts against a restricted
+    * dim (so the missing set is non-empty).
+    */
+  val compatReport = QueryDef(
+    "compat_report",
+    (s, dir) =>
+      Enrich.compatibilityReport(
+        Tables.analiseComercial(s, dir),
+        Tables.classificacaoProdutos(s, dir).filter(col("negocio") =!= "ECONOMY"),
+        key = "codigo_produto",
+        requiredFact = Seq("cliente", "valor_orcado", "dt_entrada"),
+        requiredDim = Seq("negocio", "grupo", "subgrupo")),
+    Some(withViews(
+      """SELECT TRUE AS key_present_both, TRUE AS required_cols_ok,
+        |       n_fact_keys, n_dim_keys, n_missing,
+        |       ROUND(n_missing / n_fact_keys * 100, 4) AS pct_missing
+        |FROM (
+        |  SELECT (SELECT COUNT(DISTINCT codigo_produto) FROM fact) AS n_fact_keys,
+        |         (SELECT COUNT(DISTINCT codigo_produto) FROM dim WHERE negocio <> 'ECONOMY') AS n_dim_keys,
+        |         (SELECT COUNT(*) FROM (
+        |            SELECT DISTINCT codigo_produto FROM fact
+        |            EXCEPT
+        |            SELECT codigo_produto FROM dim WHERE negocio <> 'ECONOMY')) AS n_missing
+        |)""".stripMargin)))
+
   /** S3/S4: source structure probe — column inventory of a table. */
   val describeSource = QueryDef(
     "s3_s4_describe_source",
@@ -466,5 +515,5 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, schemaAlign, sortParam)
+    coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport)
 }

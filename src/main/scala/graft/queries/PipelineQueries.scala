@@ -29,8 +29,8 @@ object PipelineQueries {
            |FROM documents GROUP BY 1""".stripMargin))
 
   /** Shared DuckDB MinHash+LSH pipeline over a pluggable shingle
-    * expression (mirrors [[Dedup.pairsFromShingles]]: 16 hashes,
-    * 4 bands × 4 rows).
+    * expression (mirrors [[Dedup.pairsFromShingles]]: 16 hashes from
+    * one md5 per shingle + the affine rehash family, 4 bands × 4 rows).
     */
   private def minhashOracle(shinglesSql: String, threshold: Double): String =
     s"""WITH docs AS (
@@ -38,7 +38,9 @@ object PipelineQueries {
        |),
        |sig AS (
        |  SELECT id,
-       |         [list_min([md5(CAST(i AS VARCHAR) || ':' || s) FOR s IN sh]) FOR i IN generate_series(0, 15)] AS sg
+       |         [list_min([(h * (2*i + 1) + i * 1000003 + 12345) % 2147483648
+       |                    FOR h IN [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483648 FOR s IN sh]])
+       |          FOR i IN generate_series(0, 15)] AS sg
        |  FROM docs
        |),
        |banded AS (
@@ -265,8 +267,56 @@ object PipelineQueries {
            |       ROUND(SUM(value), 2) AS sum_value
            |FROM events GROUP BY event_type""".stripMargin))
 
+  // ------------------------------------------------------- multimodal
+
+  /** Multimodal plumbing, oracle-checkable half: the synthetic media
+    * table's binary payload construction and typed metadata. (The
+    * decode stub itself is unit-tested; [[mmDecode]] is the rows-only
+    * end-to-end.)
+    */
+  val mmMediaMeta = QueryDef(
+    "mm_media_meta",
+    (s, dir) =>
+      Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("n_bytes"),
+          hex(substring(col("payload"), 1, 8)).as("head_hex"),
+          col("width"), col("height"), col("n_frames")),
+    Some("""SELECT doc_id AS media_id,
+           |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+           |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           |       CAST(length(chain) / 2 AS INT) AS n_bytes,
+           |       upper(substr(chain, 1, 16)) AS head_hex,
+           |       CAST((doc_id % 4) * 160 + 320 AS INT) AS width,
+           |       CAST((doc_id % 3) * 120 + 240 AS INT) AS height,
+           |       CAST((doc_id % 8) + 1 AS INT) AS n_frames
+           |FROM (
+           |  SELECT doc_id, md5('0:' || text) || md5('1:' || text) ||
+           |                 md5('2:' || text) || md5('3:' || text) AS chain
+           |  FROM documents
+           |)""".stripMargin))
+
+  /** Multimodal end-to-end: synthetic media → batched decode
+    * (mapPartitions, the mapInPandas analog) → per-kind feature
+    * aggregate. No SQL oracle (the decode stub is JVM-side); the
+    * driver records the rows-only check, and MultimodalSpec pins the
+    * stub's exact output.
+    */
+  val mmDecode = QueryDef(
+    "mm_decode_features",
+    (s, dir) => {
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+      val items = media.as[MediaItem](org.apache.spark.sql.Encoders.product[MediaItem])
+      Multimodal.decodeFeatures(items, batchSize = 64).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_items"),
+          sum("n_bytes").as("total_bytes"),
+          round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
     textStats, textLangid, textQuality,
-    annTopK, annBucketed, eventsJson)
+    annTopK, annBucketed, eventsJson, mmMediaMeta, mmDecode)
 }

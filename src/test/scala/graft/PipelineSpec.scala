@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators._
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("languageId ties resolve with fixed precedence en > es > de > fr > zh") {
+    // 'que' is both es and fr; 'en' is es ('en' list? no — es list has 'en').
+    // One es-hit and one fr-hit => tie at 1; es wins over fr by precedence.
+    val tie = Seq("que nada").toDF("text")
+      .select(TextAnalysis.languageId(col("text"))).as[String].head()
+    assert(tie == "es" || tie == "fr") // 'que' in both lists; precedence picks es
+    assert(tie == "es")
+
+    // en beats everything on a tie
+    val enTie = Seq("the la").toDF("text")
+      .select(TextAnalysis.languageId(col("text"))).as[String].head()
+    assert(enTie == "en")
+
+    // no hits => und
+    val und = Seq("xyzzy plugh").toDF("text")
+      .select(TextAnalysis.languageId(col("text"))).as[String].head()
+    assert(und == "und")
+  }
+
+  test("fingerprint is case/whitespace-insensitive (exact-dedup key)") {
+    val fps = Seq("Hello  World", "hello world", "HELLO\tWORLD ").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[String].collect().toSet
+    assert(fps.size == 1)
+  }
+
+  test("token counts: whitespace vs regex definitions") {
+    val r = Seq("Hello, world! 42").toDF("text")
+      .select(TextAnalysis.tokenCountWs(col("text")),
+        TextAnalysis.tokenCountRegex(col("text")))
+      .as[(Int, Int)].head()
+    assert(r._1 == 3) // ["Hello,", "world!", "42"]
+    assert(r._2 == 5) // ["hello", ",", "world", "!", "42"]
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("charShingles builds real n-grams of the text (round-1 bug regression)") {
+    val sh = Seq("abcdef").toDF("t")
+      .select(Dedup.charShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("abc", "bcd", "cde", "def"))
+  }
+
+  test("wordShingles: k-grams, distinct, empty when short") {
+    val df = Seq((Seq("a", "b", "c", "a", "b", "c"), 1), (Seq("a"), 2)).toDF("toks", "id")
+    val sh = df.orderBy("id").select(Dedup.wordShingles(col("toks"), 2)).as[Seq[String]].collect()
+    assert(sh(0).toSet == Set("a b", "b c", "c a"))
+    assert(sh(1).isEmpty)
+  }
+
+  test("jaccard of identical sets is 1, disjoint 0, empty-vs-empty 0") {
+    val df = Seq((Seq("x", "y"), Seq("x", "y")), (Seq("x"), Seq("y")), (Seq.empty[String], Seq.empty[String]))
+      .toDF("a", "b")
+    val j = df.select(Dedup.jaccard(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(j == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("withSimhash: identical token sets get identical hashes; disjoint differ") {
+    val df = Seq((1L, Seq("spark", "scala", "data")), (2L, Seq("spark", "scala", "data")),
+      (3L, Seq("completely", "different", "words"))).toDF("id", "toks")
+    val sims = Dedup.withSimhash(df, "toks", "sim")
+      .select("id", "sim").as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+    assert(sims.values.forall(_ >= 0L)) // 60-bit => positive in signed 64
+  }
+
+  test("exactGroups: one group per normalized text with min id and count") {
+    val df = Seq((1L, "A  b"), (2L, "a b"), (3L, "other")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, "text", "doc_id")
+      .select("keep_id", "n_docs").as[(Long, Long)].collect().toSet
+    assert(g == Set((1L, 2L), (3L, 1L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: orthogonal 0, parallel 1, zero-vector 0 (not NaN)") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(2f, 4f)),
+      (Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    val c = df.select(round(VectorFunctions.cosine(col("a"), col("b")), 9)).as[Double].collect().toSeq
+    assert(c == Seq(0.0, 1.0, 0.0))
+  }
+
+  test("signBucket: deterministic bit per sign of leading coords") {
+    val df = Seq(Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f, 99f)).toDF("v")
+    // bits 0,2,4,6 set => 0b01010101 = 85
+    assert(df.select(VectorFunctions.signBucket(col("v"), 8)).as[Long].head() == 85L)
+  }
+
+  test("bruteForceTopK returns k nearest by rounded cosine with id tie-break") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 2)
+      .select("n_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 3L))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stubDecoder: L1-normalized 16-bin byte histogram") {
+    val f = Multimodal.stubDecoder(Array[Byte](0, 1, 15, 16, -1)) // bins 0,0,0,1,15
+    assert(f.length == 16)
+    assert(f(0) == 0.6f && f(1) == 0.2f && f(15) == 0.2f)
+    assert(math.abs(f.sum - 1.0f) < 1e-6)
+  }
+
+  test("decodeFeatures preserves ids and byte counts through batching") {
+    val media = Multimodal.syntheticMedia(
+      Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", blocks = 2)
+    val items = media.as[MediaItem]
+    val out = Multimodal.decodeFeatures(items, batchSize = 2).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.n_bytes == 32)) // 2 md5 blocks = 32 bytes
+    assert(out.map(_.media_id).toSet == Set(0L, 1L, 2L))
+    assert(out.forall(f => math.abs(f.features.sum - 1.0f) < 1e-5))
+    // determinism: same payload -> same features
+    val again = Multimodal.decodeFeatures(items, batchSize = 1).collect()
+    assert(out.sortBy(_.media_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
+  }
+
+  test("frameSample slices every k-th frame of the payload") {
+    val df = Seq((Array.range(0, 12).map(_.toByte), 6)).toDF("payload", "n_frames")
+    val frames = df.select(Multimodal.frameSample(col("payload"), col("n_frames"),
+      frameBytes = 2, everyK = 2)).as[Seq[Array[Byte]]].head()
+    assert(frames.length == 3) // frames 0, 2, 4
+    assert(frames(0).toSeq == Seq[Byte](0, 1))
+    assert(frames(1).toSeq == Seq[Byte](4, 5))
+    assert(frames(2).toSeq == Seq[Byte](8, 9))
+  }
+
+  test("resizeStub shrinks metadata to maxSide, flags resized") {
+    val df = Seq((800, 600), (320, 240)).toDF("width", "height")
+    val out = Multimodal.resizeStub(df, maxSide = 400)
+      .select("width", "height", "resized").as[(Int, Int, Boolean)].collect().toSeq
+    assert(out.contains((400, 300, true)))
+    assert(out.contains((320, 240, false)))
+  }
+}
+
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saveFactByYear writes year partitions and round-trips (S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val fact = Seq(("1995-03-01", 10.0), ("1996-07-01", 20.0), ("1996-08-01", 30.0))
+      .toDF("dt_entrada", "valor").withColumn("dt_entrada", to_date(col("dt_entrada")))
+    sources.Sink.saveFactByYear(fact, s"$dir/fact")
+    val back = spark.read.parquet(s"$dir/fact")
+    assert(back.count() == 3)
+    assert(back.select("ano").distinct().as[Int].collect().toSet == Set(1995, 1996))
+    val dirs = new java.io.File(s"$dir/fact").listFiles().map(_.getName).filter(_.startsWith("ano="))
+    assert(dirs.toSet == Set("ano=1995", "ano=1996"))
+  }
+
+  test("saveTimestamped uses the injected clock in the path (S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val p = sources.Sink.saveTimestamped(Seq(1, 2).toDF("x"), dir, "export",
+      clock = () => "20260101_000000")
+    assert(p == s"$dir/export_20260101_000000")
+    assert(spark.read.parquet(p).count() == 2)
+  }
+}
+
+class ViewsPaginationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("paginar returns the requested page of the explicit order (O4)") {
+    val df = (1 to 100).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    val page3 = Views.paginar(df, page = 3, perPage = 10, order = Seq(col("id").asc))
+      .select("id").as[Long].collect().toSeq
+    assert(page3 == (21L to 30L))
+  }
+
+  test("paginar past the end returns empty") {
+    val df = (1 to 5).map(i => (i, s"r$i")).toDF("id", "v")
+    assert(Views.paginar(df, page = 3, perPage = 5, order = Seq(col("id"))).count() == 0)
+  }
+
+  test("tuplaDados omits empty motivo (C9: 3- vs 4-slot)") {
+    val df = Seq(("1996-01-02", 0.5, "Ana", "lost"), ("1996-01-03", 0.25, "Bob", ""))
+      .toDF("dt", "prob", "cons", "motivo")
+      .withColumn("dt", to_date(col("dt")))
+    val t = df.select(History.tuplaDados(col("dt"), col("prob"), col("cons"), col("motivo")))
+      .as[Seq[String]].collect().toSeq
+    assert(t(0) == Seq("02/01/1996", "0.5", "Ana", "lost"))
+    assert(t(1) == Seq("03/01/1996", "0.25", "Bob"))
+  }
+}
