@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.10 — optional in the
+  * reference, which processes weekly snapshot FILES in a manual
+  * micro-batch loop, `analise_pendentes.py:29-48`).
+  *
+  * Scale notes: the file source scales by `maxFilesPerTrigger`;
+  * stateful operators below are keyed (user/session), so state is
+  * hash-partitioned across executors and bounded by watermark /
+  * timeout eviction — the two knobs that keep 100 TB-scale streams
+  * from accumulating unbounded state.
+  */
+object StreamingOps {
+
+  /** The weekly-union pipeline as a stream: watch a directory of
+    * snapshot parquet files; tag each row with its source file
+    * (provenance, = the reference's `Semana` column) and keep only
+    * PENDENTE rows. Filter runs before any stateful op, so the
+    * pushed-down predicate prunes at the scan exactly like batch.
+    */
+  def pendentesStream(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      statusCol: String = "status_processo"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .filter(col(statusCol) === "PENDENTE")
+      .withColumn("semana",
+        regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1))
+
+  /** Watermarked sliding-window event counts: the canonical streaming
+    * aggregation. Late rows beyond the watermark are dropped and the
+    * per-window state is evicted once the watermark passes — bounded
+    * state by construction.
+    */
+  def eventCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** Per-user session state for [[sessionize]]. */
+  final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+
+  /** Emitted when a session closes (timeout) or on stream end. */
+  final case class SessionSummary(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** Input row shape for [[sessionize]]. */
+  final case class UserEvent(userId: Long, tsMillis: Long, value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: accumulate per-user
+    * activity, emit a summary when the user goes quiet for
+    * `gapMillis` (processing-time timeout). The state per key is three
+    * numbers — constant-size, the shape that scales.
+    */
+  def sessionize(
+      events: Dataset[UserEvent],
+      gapMillis: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionSummary]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, s.nEvents, s.totalValue))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = rows.foldLeft(prev)((acc, e) =>
+              SessionState(acc.nEvents + 1, acc.totalValue + e.value,
+                math.max(acc.lastTs, e.tsMillis)))
+            state.update(next)
+            state.setTimeoutDuration(gapMillis)
+            Iterator.empty
+          }
+      }
+  }
+}
