@@ -1,7 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+
+/** Kernel output row: one doc's distinct shingles + MinHash signature
+  * (empty signature when the doc is too short to shingle).
+  */
+final case class DocShingles(id: Long, sh: Seq[String], sg: Seq[Long])
+
+/** Candidate pair with both shingle sets attached, for the verify step. */
+final case class CandPair(id_a: Long, id_b: Long, sh_a: Seq[String], sh_b: Seq[String])
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -106,6 +114,95 @@ object Dedup {
     * |docs|×bands rows of (key, id) — the heavy text/shingle columns
     * are re-attached only for the surviving candidates.
     */
+  // ------------------------------------------------ JVM signature kernel
+  //
+  // The shingle→hash→signature stage is pure per-row compute, but
+  // Spark higher-order functions run INTERPRETED (outside whole-stage
+  // codegen) and nested lambdas re-evaluate their argument expressions
+  // per outer element — measured 5-20× slowdowns. So the hot kernel is
+  // a typed mapPartitions (the brief's option (d), justified by
+  // measurement); semantics are IDENTICAL to the Column expressions
+  // above (md5-based, engine-portable — the DuckDB oracle reproduces
+  // every value), pinned by DedupSpec's kernel-vs-Column tests. The
+  // distributed structure — band equi-join, verify join — stays
+  // declarative.
+
+  /** Spark `trim` semantics: strips ' ' only (Java `trim` also strips
+    * control chars — a divergence the oracle would see).
+    */
+  private def trimSpaces(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  private def lowerRoot(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** JVM mirror of [[wordShingles]] ∘ [[TextAnalysis.tokens]] ∘ lower. */
+  private[operators] def wordShinglesJvm(text: String, k: Int): Array[String] = {
+    val toks = trimSpaces(lowerRoot(text)).split("\\s+")
+    if (toks.length < k) Array.empty
+    else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** JVM mirror of [[charShingles]] ∘ lower. */
+  private[operators] def charShinglesJvm(text: String, n: Int): Array[String] = {
+    val t = lowerRoot(text)
+    if (t.length < n) Array.empty
+    else Array.tabulate(t.length - n + 1)(i => t.substring(i, i + n)).distinct
+  }
+
+  /** One doc's signature from its shingles: md5 → 60-bit → mod 2^31,
+    * then the per-seed affine family — bit-identical to
+    * [[shingleHashes]] + [[minhashFromHashes]].
+    */
+  private def signature(
+      sh: Array[String], numHashes: Int,
+      md: java.security.MessageDigest): Array[Long] = {
+    if (sh.isEmpty) return Array.empty
+    val hs = sh.map { s =>
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 } // 64 bits
+      (h >>> 4) % 2147483648L // top 60 bits = first 15 hex chars
+    }
+    Array.tabulate(numHashes) { i =>
+      var min = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (hs(j) * (2 * i + 1) + i * 1000003L + 12345L) % 2147483648L
+        if (v < min) min = v
+        j += 1
+      }
+      min
+    }
+  }
+
+  /** Per-doc shingles + MinHash signature in ONE narrow JVM pass.
+    * `mode` is "word" (k-word shingles of the lowered text) or "char"
+    * (character n-grams).
+    */
+  def shingleSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mode: String,
+      k: Int,
+      numHashes: Int): DataFrame = {
+    val in = docs.select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    in.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, text) =>
+        val sh =
+          if (mode == "word") wordShinglesJvm(text, k) else charShinglesJvm(text, k)
+        DocShingles(id, sh.toSeq, signature(sh, numHashes, md).toSeq)
+      }
+    }(Encoders.product[DocShingles]).toDF()
+  }
+
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
@@ -114,11 +211,60 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.4): DataFrame =
-    pairsFromShingles(
-      docs.select(
-        col(idCol).as("id"),
-        wordShingles(TextAnalysis.tokens(lower(col(textCol))), shingleK).as("sh")),
-      numHashes, bands, threshold)
+    minhashPairsKernel(docs, idCol, textCol, "word", shingleK, numHashes, bands, threshold)
+
+  /** MinHash+LSH near-dup pairs with the JVM signature kernel and a
+    * JVM set-intersection verify; candidate generation and the verify
+    * re-attach remain declarative joins. See [[minhashPairs]] for the
+    * plan-shape notes.
+    */
+  def minhashPairsKernel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mode: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val rows = numHashes / bands
+    // Signatures materialized once; read by banding + both verify sides.
+    val sigs = shingleSignatures(docs, idCol, textCol, mode, k, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col("id"), explode(lshBandKeys(col("sg"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val joined = cand
+      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .as[CandPair](Encoders.product[CandPair])
+
+    // Set-intersection verify in the JVM: interpreted array_intersect
+    // over large shingle arrays was the second-largest cost at sf0.1.
+    // Rounding mirrors Spark's round() (BigDecimal HALF_UP).
+    val verified = joined.mapPartitions { it =>
+      it.map { p =>
+        val setA = p.sh_a.toSet
+        var inter = 0
+        p.sh_b.foreach(s => if (setA.contains(s)) inter += 1)
+        val union = p.sh_a.size.toDouble + p.sh_b.size.toDouble - inter
+        val jac = if (union == 0.0) 0.0 else inter / union
+        (p.id_a, p.id_b,
+          BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      .toDF("id_a", "id_b", "jac")
+    verified.filter(col("jac") >= threshold)
+  }
 
   /** The shingle-agnostic MinHash+LSH pairing pipeline: takes any
     * `(id, sh: array<string>)` frame (word shingles, char n-grams, …)
@@ -180,24 +326,31 @@ object Dedup {
   def tokenHashes(toks: Column): Column =
     transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("bigint"))
 
+  /** The 60-bit SimHash fold over a token-hash array column: per-bit
+    * majority vote, one SQL higher-order-function expression. The
+    * input column MUST be a materialized attribute (cached or shuffled
+    * boundary below it): the fold references it once per bit, and an
+    * inlined [[tokenHashes]] expression would re-run its md5 pass 60×
+    * per row (CollapseProject merges plain projections into lambdas).
+    */
+  def simhashFromHashCol(hsCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 59), j ->
+       |    CASE WHEN aggregate(`$hsCol`, cast(0 as bigint),
+       |                        (acc, h) -> acc + CASE WHEN (shiftright(h, j) % 2) = 1
+       |                                             THEN 1 ELSE -1 END) > 0
+       |         THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
+       |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin)
+
   /** Adds `outCol` = 60-bit SimHash of the token-array column
-    * `toksCol`. One SQL higher-order-function expression over a
-    * precomputed token-hash array: hashes are computed once (one array
-    * pass), then the per-bit majority vote folds over them per bit.
-    * Everything stays a codegen'd Column expression — no UDF, no
-    * shuffle; SimHash is embarrassingly parallel per row.
+    * `toksCol`. Convenience form for small frames/tests; production
+    * pipelines ([[simhashPairs]]) put a persist boundary between the
+    * hash pass and the fold — see [[simhashFromHashCol]].
     */
   def withSimhash(df: DataFrame, toksCol: String, outCol: String): DataFrame = {
     val hs = outCol + "__hs"
     df.withColumn(hs, tokenHashes(col(toksCol)))
-      .withColumn(outCol, expr(
-        s"""aggregate(
-           |  transform(sequence(0, 59), j ->
-           |    CASE WHEN aggregate(`$hs`, cast(0 as bigint),
-           |                        (acc, h) -> acc + CASE WHEN (shiftright(h, j) % 2) = 1
-           |                                             THEN 1 ELSE -1 END) > 0
-           |         THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
-           |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
+      .withColumn(outCol, simhashFromHashCol(hs))
       .drop(hs)
   }
 
@@ -224,13 +377,16 @@ object Dedup {
       maxHamming: Int = 6,
       bands: Int = 4,
       bitsPerBand: Int = 15): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-      TextAnalysis.tokens(lower(col(textCol))).as("toks"))
-    // Two bigints per doc; persisted because the self-join reads it
-    // twice and the 60-bit majority vote (interpreted HOF) is the
-    // expensive part — compute once, join the tiny signature frame.
-    val withSim = withSimhash(base, "toks", "sim").select("id", "sim")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.storage.StorageLevel
+    // md5 token hashes materialized behind a cache boundary so the
+    // 60-bit fold reads an attribute (one md5 pass per row, not 60);
+    // the signature frame is persisted because the self-join reads it
+    // twice and the majority vote (interpreted HOF) is the hot part.
+    val withHs = docs.select(col(idCol).as("id"),
+        tokenHashes(TextAnalysis.tokens(lower(col(textCol)))).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withSim = withHs.select(col("id"), simhashFromHashCol("hs").as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = withSim
       .select(col("id"), col("sim"),
         explode(simhashBandKeys(col("sim"), bands, bitsPerBand)).as("bk"))

@@ -81,11 +81,8 @@ object PipelineQueries {
   val dedupNgram = QueryDef(
     "dedup_ngram",
     (s, dir) =>
-      Dedup.pairsFromShingles(
-        Tables.documents(s, dir).select(
-          col("doc_id").as("id"),
-          Dedup.charShingles(lower(col("text")), 5).as("sh")),
-        numHashes = 16, bands = 4, threshold = 0.5),
+      Dedup.minhashPairsKernel(Tables.documents(s, dir), "doc_id", "text",
+        mode = "char", k = 5, numHashes = 16, bands = 4, threshold = 0.5),
     Some(minhashOracle(
       """CASE WHEN length(lower(text)) >= 5
         |     THEN list_distinct([substr(lower(text), i, 5)

@@ -79,6 +79,34 @@ class DedupSpec extends AnyFunSuite {
     assert(sims.values.forall(_ >= 0L)) // 60-bit => positive in signed 64
   }
 
+  test("JVM signature kernel is bit-identical to the Column expressions") {
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  Mixed CASE   with   spaces  "), (3L, "ab"), (4L, "短 文 本 测 试"))
+    val df = texts.toDF("doc_id", "text")
+
+    for (mode <- Seq("word", "char")) {
+      val k = if (mode == "word") 3 else 5
+      val shCol = if (mode == "word")
+        Dedup.wordShingles(TextAnalysis.tokens(lower(col("text"))), k)
+      else Dedup.charShingles(lower(col("text")), k)
+      val columnar = df.select(col("doc_id"), shCol.as("sh"))
+        .select(col("doc_id"), col("sh"),
+          Dedup.minhashFromHashes(Dedup.shingleHashes(col("sh")), 16).as("sg"))
+        .as[(Long, Seq[String], Seq[Option[Long]])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val kernel = Dedup.shingleSignatures(df, "doc_id", "text", mode, k, 16)
+        .as[(Long, Seq[String], Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      for (id <- texts.map(_._1)) {
+        assert(kernel(id)._1 == columnar(id)._1, s"$mode shingles for doc $id")
+        // Column path yields [null x 16] for empty shingles, kernel [].
+        if (kernel(id)._1.nonEmpty)
+          assert(kernel(id)._2 == columnar(id)._2.flatten, s"$mode signature for doc $id")
+        else assert(kernel(id)._2.isEmpty)
+      }
+    }
+  }
+
   test("exactGroups: one group per normalized text with min id and count") {
     val df = Seq((1L, "A  b"), (2L, "a b"), (3L, "other")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "text", "doc_id")
