@@ -50,6 +50,54 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** IVF-style cell assignment: nearest centroid by ROUNDED cosine
+    * (6 dp) with lowest-centroid-id tie-break, so assignments
+    * reproduce across engines and runs. `centroids` is a small frame
+    * (`c_id`, `c_vec`) — a deterministic sample or k-means output —
+    * broadcast against the corpus; the corpus itself never shuffles
+    * for the assignment.
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("c_vec"))))
+      .select(col("id"), col("vec"), col("c_id"),
+        round(VectorFunctions.cosine(col("vec"), col("c_vec")), 6).as("sim"))
+      .groupBy("id")
+      .agg(
+        max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
+        first(col("vec")).as("vec"))
+
+  /** IVF ANN (nprobe = 1): assign corpus and queries to cells, search
+    * each query only within its cell — the candidate join is an
+    * EQUI-join on the cell id. The recall/cost trade is the centroid
+    * count; a multi-probe variant would explode the top-p cells per
+    * query before the same join.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val ca = ivfAssign(corpus, centroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qa = ivfAssign(queries, centroids, idCol, vecCol)
+    val scored = qa.select(col("id").as("q_id"), col("vec").as("q_vec"), col("cell"))
+      .join(ca.select(col("id").as("n_id"), col("vec").as("n_vec"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("cell"),
+        round(VectorFunctions.cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Embedding-cosine near-dup pairs: same sign-bucket → candidate,
     * verified at `minCosine` on the rounded value. Returns
     * (id_a, id_b, cos) with id_a < id_b.

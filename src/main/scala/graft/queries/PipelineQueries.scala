@@ -242,6 +242,38 @@ object PipelineQueries {
             |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             |) WHERE cos >= 0.2""".stripMargin))
 
+  /** IVF ANN (nprobe=1) with deterministic centroids (the first 8
+    * vectors): assign every vector to its nearest centroid, search each
+    * query only inside its cell. The oracle recomputes assignment and
+    * ranking with the same rounded-cosine + id tie-breaks.
+    */
+  val annIvf = QueryDef(
+    "ann_ivf_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb, centroids,
+        "vec_id", "embedding", k = 5)
+        .select("q_id", "n_id", "cell", "cos")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+            |assign AS (
+            |  SELECT vec_id, v, c_id AS cell FROM (
+            |    SELECT e.vec_id, e.v, c.c_id,
+            |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+            |    FROM e CROSS JOIN c
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+            |)
+            |SELECT q_id, n_id, cell, cos FROM (
+            |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.cell,
+            |         ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
+            |  FROM (SELECT * FROM assign WHERE vec_id >= 10 AND vec_id < 20) q
+            |  JOIN assign n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+            |) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 5""".stripMargin))
+
   // ----------------------------------------------------------- events
 
   /** JSON props surface: parse `events.props`, extract a typed field,
@@ -315,5 +347,5 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
     textStats, textLangid, textQuality,
-    annTopK, annBucketed, eventsJson, mmMediaMeta, mmDecode)
+    annTopK, annBucketed, annIvf, eventsJson, mmMediaMeta, mmDecode)
 }

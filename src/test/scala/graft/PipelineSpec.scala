@@ -145,6 +145,62 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class LoadSkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("load infers format from extension; csv honors the header flag (S1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_load").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.csv(s"$dir/t.csv")
+    Seq((3, "c")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    assert(sources.Load.load(spark, s"$dir/t.parquet").count() == 1)
+    assert(sources.Load.load(spark, s"$dir/t.csv", headerRow = false).count() == 2)
+    intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.xlsx"))
+  }
+
+  test("requireColumns passes valid frames and names the missing ones") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    assert(sources.Load.requireColumns(df, Seq("a", "b")) eq df)
+    val e = intercept[IllegalArgumentException](
+      sources.Load.requireColumns(df, Seq("a", "zz", "ww")))
+    assert(e.getMessage.contains("zz") && e.getMessage.contains("ww"))
+  }
+
+  test("describe lists name/type/nullability per column (S3/S4)") {
+    val out = sources.Load.describe(spark, Seq((1L, "x")).toDF("id", "v"))
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(out == Seq(("id", "bigint", false), ("v", "string", true)))
+  }
+
+  test("saltedJoin equals the plain join for inner and left") {
+    val large = (1 to 100).map(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0, "zero"), (1, "one"), (99, "unmatched")).toDF("k", "name")
+    for (how <- Seq("inner", "left")) {
+      val plain = large.join(small, Seq("k"), how)
+        .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+      val salted = operators.Skew.saltedJoin(large, small, Seq("k"), salts = 4, how)
+        .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+      assert(salted == plain, how)
+    }
+  }
+
+  test("keyHistogram ranks hot keys first") {
+    val df = (Seq.fill(10)(1) ++ Seq.fill(3)(2) ++ Seq(3)).map(k => (k, "x")).toDF("k", "v")
+    val top = operators.Skew.keyHistogram(df, Seq("k")).as[(Int, Long)].collect().toSeq
+    assert(top == Seq((1, 10L), (2, 3L), (3, 1L)))
+  }
+
+  test("ivfAssign picks the nearest centroid with id tie-break") {
+    val corpus = Seq(
+      (10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)), (12L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("c_id", "c_vec")
+    val cells = operators.Similarity.ivfAssign(corpus, centroids, "vec_id", "embedding")
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells == Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
