@@ -344,8 +344,24 @@ object PipelineQueries {
     },
     None)
 
+  /** Event-time bucketing over the nanos-precision `ts`: daily event
+    * counts per type. Exercises the nanos→timestamp derivation
+    * ([[Tables.eventsTs]]); DuckDB reads the TIMESTAMP(NANOS) column
+    * natively, so agreement proves the conversion.
+    */
+  val eventsDaily = QueryDef(
+    "events_daily",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(to_date(Tables.eventsTs(col("ts"))).as("dia"), col("event_type"), col("value"))
+        .groupBy("dia", "event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value")),
+    Some("""SELECT CAST(ts AS DATE) AS dia, event_type,
+           |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
     textStats, textLangid, textQuality,
-    annTopK, annBucketed, annIvf, eventsJson, mmMediaMeta, mmDecode)
+    annTopK, annBucketed, annIvf, eventsJson, eventsDaily, mmMediaMeta, mmDecode)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale-critical physical-plan
+  * properties the round-1 review flagged, pinned so they cannot
+  * silently regress. These assert on the executed plan of the real
+  * registered queries over sf0.001.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("o4_paginate plans as TakeOrdered with offset, not a global window") {
+    val p = plan("o4_paginate")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(p.contains("offset=100"), p.take(500))
+    assert(!p.contains("Window"), "no partition-less window over the fact")
+  }
+
+  test("a7_a8_argmax uses constant-state max_by, not collect_list") {
+    val p = plan("a7_a8_argmax")
+    assert(p.contains("max_by"))
+    assert(!p.contains("collect_list"))
+  }
+
+  test("near-dup and ANN candidate generation never cross-joins the corpus") {
+    // ann_cosine_topk intentionally broadcast-cross-joins the tiny QUERY
+    // side; the corpus-sized self-joins must all be equi-joins.
+    for (q <- Seq("dedup_minhash", "dedup_simhash", "ann_lsh_bucket")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("fact-view scans prune columns and push predicates") {
+    val p = plan("f4_date_between")
+    assert(p.contains("PushedFilters: [IsNotNull"), "pushdown reaches the scans")
+    // lineitem scan must not read all 16 columns for this 5-column query
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(_.split(",").length <= 8),
+      s"a scan reads too many columns: $readSchemas")
+  }
+
+  test("category-dim join broadcasts the dim side (J2)") {
+    val p = plan("j2_left_join_dim")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("joinAbc carries no forced broadcast hint; joinCategorias does (by design)") {
+    import spark.implicits._
+    val fact = Seq(("c1", "p1", 1.0)).toDF("cliente", "codigo_produto", "v")
+    val abc = Seq(("c1", "A")).toDF("cliente", "abc")
+    val dim = Seq(("p1", "n", "g", "s")).toDF("codigo_produto", "negocio", "grupo", "subgrupo")
+    // client-cardinality side: AQE decides (no hint in the logical plan)
+    assert(!operators.Enrich.joinAbc(fact, abc)
+      .queryExecution.logical.toString.toLowerCase.contains("hint"))
+    // dimension side: explicit broadcast is intended
+    assert(operators.Enrich.joinCategorias(fact, dim)
+      .queryExecution.logical.toString.toLowerCase.contains("hint"))
+  }
+}
