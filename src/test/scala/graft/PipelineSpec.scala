@@ -288,6 +288,12 @@ class ViewsPaginationSpec extends AnyFunSuite {
     assert(Views.paginar(df, page = 3, perPage = 5, order = Seq(col("id"))).count() == 0)
   }
 
+  test("sqlOn registers the frame and runs SQL against it (exec() replacement)") {
+    val out = Views.sqlOn(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      "t_sqlon", "SELECT count(*) AS n FROM t_sqlon WHERE id > 1")
+    assert(out.as[Long].head() == 1L)
+  }
+
   test("tuplaDados omits empty motivo (C9: 3- vs 4-slot)") {
     val df = Seq(("1996-01-02", 0.5, "Ana", "lost"), ("1996-01-03", 0.25, "Bob", ""))
       .toDF("dt", "prob", "cons", "motivo")
