@@ -15,6 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Persist shared inputs once — every query's identical subplan hits
+    // the plan cache instead of rebuilding the 5-way fact join.
+    try {
+      import graft.sources.Tables
+      Seq(Tables.analiseComercial(spark, sfDir),
+        Tables.classificacaoProdutos(spark, sfDir),
+        Tables.documents(spark, sfDir),
+        Tables.embeddings(spark, sfDir))
+        .foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count())
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] input warmup failed (continuing): ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

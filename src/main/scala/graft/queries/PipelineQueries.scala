@@ -344,6 +344,22 @@ object PipelineQueries {
     },
     None)
 
+  /** Deterministic hash-based train/test split (10% test) with
+    * per-(split, lang) balance counts. Hash-based membership is
+    * engine-portable — the oracle reproduces the exact split, which no
+    * RNG-based sample can offer.
+    */
+  val sampleSplit = QueryDef(
+    "sample_split",
+    (s, dir) =>
+      Sampling.strataCounts(
+        Sampling.trainTestSplit(Tables.documents(s, dir), "doc_id", testPct = 10),
+        Seq("split", "lang")),
+    Some("""SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+           |            THEN 'test' ELSE 'train' END AS split,
+           |       lang, COUNT(*) AS n_rows
+           |FROM documents GROUP BY 1, 2""".stripMargin))
+
   /** Event-time bucketing over the nanos-precision `ts`: daily event
     * counts per type. Exercises the nanos→timestamp derivation
     * ([[Tables.eventsTs]]); DuckDB reads the TIMESTAMP(NANOS) column
@@ -363,5 +379,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
     textStats, textLangid, textQuality,
-    annTopK, annBucketed, annIvf, eventsJson, eventsDaily, mmMediaMeta, mmDecode)
+    annTopK, annBucketed, annIvf, eventsJson, eventsDaily,
+    sampleSplit, mmMediaMeta, mmDecode)
 }

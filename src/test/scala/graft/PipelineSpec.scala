@@ -190,6 +190,19 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(top == Seq((1, 10L), (2, 3L), (3, 1L)))
   }
 
+  test("trainTestSplit is deterministic, exhaustive, and ~testPct sized") {
+    val df = (1L to 1000L).toDF("id")
+    val s1 = operators.Sampling.trainTestSplit(df, "id", 10)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val s2 = operators.Sampling.trainTestSplit(df, "id", 10)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(s1 == s2)                          // rerun-stable
+    assert(s1.values.sum == 1000)             // exhaustive partition
+    assert(s1("test") > 50 && s1("test") < 200) // ~10% of 1000
+    // sample == the test half of the split
+    assert(operators.Sampling.deterministicSample(df, "id", 10).count() == s1("test"))
+  }
+
   test("ivfAssign picks the nearest centroid with id tie-break") {
     val corpus = Seq(
       (10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)), (12L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
