@@ -22,10 +22,25 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 for zero vectors rather than NaN. */
+  /** Cosine similarity; 0 for zero vectors rather than NaN. Reference
+    * implementation in pure Column functions — interpreted (HOFs are
+    * outside codegen); [[cosineFast]] is the hot-path twin.
+    */
   def cosine(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Codegen'd cosine over `array<float>` columns — same semantics as
+    * [[cosine]] (equivalence pinned by PlansSpec), ~order-of-magnitude
+    * faster in the brute-force scoring loop. Backed by
+    * [[graft.plans.CosineSimilarityExpr]]; also exposed to SQL as
+    * `graft_cosine` via [[graft.plans.GraftExtensions]].
+    */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarityExpr}
+    ColumnBridge.column(CosineSimilarityExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Sign-bit LSH bucket from the first `nBits` coordinates: bit j set

@@ -43,7 +43,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(VectorFunctions.cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+        round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -65,7 +65,7 @@ object Similarity {
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(centroids.select(col("c_id"), col("c_vec"))))
       .select(col("id"), col("vec"), col("c_id"),
-        round(VectorFunctions.cosine(col("vec"), col("c_vec")), 6).as("sim"))
+        round(VectorFunctions.cosineFast(col("vec"), col("c_vec")), 6).as("sim"))
       .groupBy("id")
       .agg(
         max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
@@ -91,7 +91,7 @@ object Similarity {
       .join(ca.select(col("id").as("n_id"), col("vec").as("n_vec"), col("cell")), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("cell"),
-        round(VectorFunctions.cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+        round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -113,7 +113,7 @@ object Similarity {
     e.as("a")
       .join(e.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(VectorFunctions.cosine(col("a.vec"), col("b.vec")), 6).as("cos"))
+        round(VectorFunctions.cosineFast(col("a.vec"), col("b.vec")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

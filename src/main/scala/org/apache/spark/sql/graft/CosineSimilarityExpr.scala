@@ -1,0 +1,115 @@
+// Lives under org.apache.spark.sql because the Expression-extension
+// surface (AbstractDataType, ExpressionUtils) is private[sql] — the
+// standard placement for third-party Catalyst expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Column ⇄ Expression bridge for code outside the sql package. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Native codegen'd cosine similarity over two `array<float>` columns.
+  *
+  * Why a custom Expression: the Column-function version
+  * ([[graft.functions.VectorFunctions.cosine]] — `zip_with` +
+  * `aggregate`) is correct but runs INTERPRETED: Spark higher-order
+  * functions sit outside whole-stage codegen and allocate a lambda
+  * frame per element. For brute-force scoring — |corpus| × |queries|
+  * cosines at the 100 TB tier — the inner loop is the whole cost, so
+  * this is the one place the brief's preference order lands on "(b) a
+  * custom Catalyst Expression with doGenCode".
+  *
+  * Semantics are IDENTICAL to the HOF version (same left-to-right
+  * double accumulation, zero-denominator → 0.0, any null element →
+  * null), so the DuckDB oracle agrees bit-for-bit; equivalence is
+  * pinned by PlansSpec.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    while (i < nx) { if (x.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < ny) { if (y.isNullAt(i)) return null; i += 1 }
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    val n = math.min(nx, ny)
+    i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      i += 1
+    }
+    i = 0
+    while (i < nx) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
+    i = 0
+    while (i < ny) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v")
+      val denom = ctx.freshName("denom")
+      val hasNull = ctx.freshName("hasNull")
+      s"""
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $a.numElements() && !$hasNull; $i++) {
+         |  if ($a.isNullAt($i)) $hasNull = true;
+         |}
+         |for (int $i = 0; $i < $b.numElements() && !$hasNull; $i++) {
+         |  if ($b.isNullAt($i)) $hasNull = true;
+         |}
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    double $v = (double) $a.getFloat($i); $na += $v * $v;
+         |  }
+         |  for (int $i = 0; $i < $b.numElements(); $i++) {
+         |    double $v = (double) $b.getFloat($i); $nb += $v * $v;
+         |  }
+         |  double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |}
+       """.stripMargin
+    })
+}

@@ -53,6 +53,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("cosineFast (codegen Expression) matches the HOF cosine bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val vecs = Seq(
+      (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
+      (Seq(0f, 0f, 0f), Seq(1f, 1f, 1f)),           // zero vector -> 0.0
+      (Seq(-1.5f, 2.25f, 0.125f), Seq(3.5f, -0.75f, 9f)),
+      (Seq(1e-30f, 1e30f, 1f), Seq(1e30f, 1e-30f, 1f))).toDF("a", "b")
+    val rows = vecs.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("hof"),
+      VectorFunctions.cosineFast(col("a"), col("b")).as("gen"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (hof, gen) => assert(hof == gen, s"$hof != $gen") }
+  }
+
+  test("graft_cosine is callable from SQL after registration") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((Seq(1f, 0f), Seq(1f, 0f))).toDF("a", "b").createOrReplaceTempView("v_cos")
+    val r = spark.sql("SELECT graft_cosine(a, b) AS c FROM v_cos").as[Double].head()
+    assert(r == 1.0)
+  }
+
   test("joinAbc carries no forced broadcast hint; joinCategorias does (by design)") {
     import spark.implicits._
     val fact = Seq(("c1", "p1", 1.0)).toDF("cliente", "codigo_produto", "v")
