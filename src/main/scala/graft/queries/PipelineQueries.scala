@@ -276,16 +276,20 @@ object PipelineQueries {
 
   // ----------------------------------------------------------- events
 
-  /** JSON props surface: parse `events.props`, extract a typed field,
-    * aggregate by event type (no analog in the reference — SURVEY §2.8
-    * notes "no JSON"; brief-mandated scope).
+  /** JSON props surface: parse `events.props` with a typed schema
+    * (`from_json` — schema-on-read, malformed rows → null, exactly the
+    * coerce posture of the rest of the engine), aggregate by event
+    * type. No analog in the reference (SURVEY §2.8 notes "no JSON");
+    * brief-mandated scope.
     */
   val eventsJson = QueryDef(
     "events_json_props",
     (s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"),
           col("value"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
