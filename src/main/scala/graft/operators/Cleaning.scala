@@ -80,6 +80,24 @@ object Cleaning {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Join-key normalization (SURVEY §7 hard-part 5): the reference's
+    * dimension carries keys with trailing whitespace
+    * (`'CEBD01035-00 '` — `Classificação Produtos (3).xlsx`), which
+    * silently breaks equi-joins. Trim at load, join on the normalized
+    * key.
+    */
+  def normalizeKeys(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+
+  /** Accent folding for Portuguese text keys/names — a fixed
+    * `translate` table (codegen'd, engine-portable: DuckDB reproduces
+    * it with the same `translate` call, unlike locale-dependent
+    * collators).
+    */
+  private val accented = "áàâãäéèêëíìîïóòôõöúùûüçñÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑ"
+  private val plain = "aaaaaeeeeiiiiooooouuuucnAAAAAEEEEIIIIOOOOOUUUUCN"
+  def stripAccents(c: Column): Column = translate(c, accented, plain)
+
   /** A14 + diagnostics: one-row report with row count and per-column
     * null counts (reference `diagnosticar_dados` MAC:519-557).
     * Single aggregate pass — no per-column jobs.

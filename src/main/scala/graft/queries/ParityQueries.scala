@@ -501,6 +501,33 @@ object ParityQueries {
         |            SELECT codigo_produto FROM dim WHERE negocio <> 'ECONOMY')) AS n_missing
         |)""".stripMargin)))
 
+  /** Key normalization + accent folding (SURVEY §7 hard-part 5): keys
+    * padded with whitespace still join after [[Cleaning.normalizeKeys]];
+    * accented names fold to ASCII identically in both engines.
+    */
+  val normalizeKeys = QueryDef(
+    "c_normalize_keys",
+    (s, dir) => {
+      val messy = Tables.analiseComercial(s, dir).select(
+        col("rid"),
+        concat(lit(" "), col("codigo_produto"), lit("  ")).as("codigo_produto"),
+        concat(lit("João Ação Élite "), col("uf")).as("nome_raw"))
+      Cleaning.normalizeKeys(messy, Seq("codigo_produto"))
+        .join(Tables.classificacaoProdutos(s, dir).select("codigo_produto", "negocio"),
+          Seq("codigo_produto"), "left")
+        .groupBy("negocio")
+        .agg(count(lit(1)).as("n_linhas"),
+          countDistinct(Cleaning.stripAccents(col("nome_raw"))).as("n_nomes_ascii"))
+    },
+    Some(withViews(
+      s"""SELECT d.negocio, COUNT(*) AS n_linhas,
+         |       COUNT(DISTINCT translate('João Ação Élite ' || f.uf,
+         |         'áàâãäéèêëíìîïóòôõöúùûüçñÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑ',
+         |         'aaaaaeeeeiiiiooooouuuucnAAAAAEEEEIIIIOOOOOUUUUCN')) AS n_nomes_ascii
+         |FROM (SELECT rid, trim(' ' || codigo_produto || '  ') AS codigo_produto, uf FROM fact) f
+         |LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
+         |GROUP BY d.negocio""".stripMargin)))
+
   /** S3/S4: source structure probe — column inventory of a table. */
   val describeSource = QueryDef(
     "s3_s4_describe_source",
@@ -515,5 +542,5 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport)
+    coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys)
 }

@@ -301,6 +301,14 @@ class ViewsPaginationSpec extends AnyFunSuite {
     assert(Views.paginar(df, page = 3, perPage = 5, order = Seq(col("id"))).count() == 0)
   }
 
+  test("normalizeKeys trims the reference's dirty-key hazard; stripAccents folds pt-BR") {
+    val df = Seq(("CEBD01035-00 ", "Ação José Àqüela")).toDF("k", "n")
+    val out = operators.Cleaning.normalizeKeys(df, Seq("k"))
+      .select(col("k"), operators.Cleaning.stripAccents(col("n")))
+      .as[(String, String)].head()
+    assert(out == ("CEBD01035-00", "Acao Jose Aquela"))
+  }
+
   test("sqlOn registers the frame and runs SQL against it (exec() replacement)") {
     val out = Views.sqlOn(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"),
       "t_sqlon", "SELECT count(*) AS n FROM t_sqlon WHERE id > 1")
