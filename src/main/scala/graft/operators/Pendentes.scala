@@ -50,4 +50,19 @@ object Pendentes {
   /** F2: restrict to one week (reference AP:100-101). */
   def filterSemana(df: DataFrame, semana: String): DataFrame =
     df.filter(col("semana") === semana)
+
+  /** Week-over-week change of the pending totals (extension — the
+    * reference displays per-week metrics side by side, AP:95-105, but
+    * never computes the delta). Runs on the per-week AGGREGATE (a
+    * handful of rows), so the partition-less lag window is free.
+    */
+  def deltaSemanas(unioned: DataFrame, valorCol: String = "valor_proposta"): DataFrame = {
+    val perWeek = unioned.groupBy("semana")
+      .agg(count(lit(1)).as("n_pendentes"),
+        round(sum(col(valorCol)), 2).as("valor_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("semana"))
+    perWeek
+      .withColumn("delta_n", col("n_pendentes") - lag("n_pendentes", 1).over(w))
+      .withColumn("delta_valor", round(col("valor_total") - lag("valor_total", 1).over(w), 2))
+  }
 }

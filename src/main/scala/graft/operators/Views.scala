@@ -43,6 +43,19 @@ object Views {
     df.orderBy(order: _*).offset(lo).limit(perPage)
   }
 
+  /** Top-k rows per group by an explicit order (absent from the
+    * reference — SURVEY §2.6 notes "no top-k-per-group" — but a
+    * first-class ask of any analytics surface). The window is
+    * partitioned by the group keys, so it scales: each group ranks
+    * independently, no global sort.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** C7: currency display format "R$ 1,234.56" (reference APC:122,
     * MAC:621 use US-style separators via `"R$ {:,.2f}"`); null → "".
     */

@@ -528,6 +528,75 @@ object ParityQueries {
          |LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
          |GROUP BY d.negocio""".stripMargin)))
 
+  /** Top-3 products per state by total value (extension: top-k per
+    * group — SURVEY §2.6 notes the reference lacks it). Tie-broken by
+    * product code for determinism.
+    */
+  val topKGroup = QueryDef(
+    "w_topk_per_group",
+    (s, dir) => {
+      val perProduct = Tables.analiseComercial(s, dir)
+        .groupBy("uf", "codigo_produto")
+        .agg(round(sum("valor_orcado"), 2).as("valor_total"))
+      Views.topKPerGroup(perProduct, Seq("uf"),
+        Seq(col("valor_total").desc, col("codigo_produto").asc), k = 3)
+    },
+    Some(withViews(
+      """SELECT uf, codigo_produto, valor_total FROM (
+        |  SELECT uf, codigo_produto, ROUND(SUM(valor_orcado), 2) AS valor_total
+        |  FROM fact GROUP BY uf, codigo_produto
+        |) QUALIFY ROW_NUMBER() OVER (PARTITION BY uf
+        |                             ORDER BY valor_total DESC, codigo_produto ASC) <= 3""".stripMargin)))
+
+  /** Status-mix pivot per state (extension; the reference renders the
+    * same mix as Streamlit metrics). Explicit pivot values keep the
+    * output schema static — the scalable form (no extra distinct pass,
+    * deterministic columns).
+    */
+  val pivotStatus = QueryDef(
+    "w_pivot_status",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir)
+        .groupBy("uf")
+        .pivot("status_processo", Seq("PENDENTE", "F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("PENDENTE", "F", "O")),
+    Some(withViews(
+      """SELECT uf,
+        |       CAST(SUM(CASE WHEN status_processo = 'PENDENTE' THEN 1 ELSE 0 END) AS BIGINT) AS PENDENTE,
+        |       CAST(SUM(CASE WHEN status_processo = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |       CAST(SUM(CASE WHEN status_processo = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+        |FROM fact GROUP BY uf""".stripMargin)))
+
+  /** Week-over-week pending delta (extension: lead/lag — absent from
+    * the reference per SURVEY §2.5).
+    */
+  val deltaSemanas = QueryDef(
+    "u_delta_semanas",
+    (s, dir) => {
+      val fact = Tables.analiseComercial(s, dir)
+      val snaps = Seq("1995", "1996", "1997").map(y =>
+        s"Semana $y" -> fact.filter(year(col("dt_entrada")) === y.toInt))
+      Pendentes.deltaSemanas(Pendentes.unionSemanas(snaps))
+    },
+    Some(withViews(
+      """SELECT semana, n_pendentes, valor_total,
+        |       n_pendentes - LAG(n_pendentes, 1) OVER (ORDER BY semana) AS delta_n,
+        |       ROUND(valor_total - LAG(valor_total, 1) OVER (ORDER BY semana), 2) AS delta_valor
+        |FROM (
+        |  SELECT semana, COUNT(*) AS n_pendentes, ROUND(SUM(valor_proposta), 2) AS valor_total
+        |  FROM (
+        |    SELECT 'Semana 1995' AS semana, * FROM fact
+        |      WHERE year(dt_entrada) = 1995 AND status_processo = 'PENDENTE'
+        |    UNION ALL
+        |    SELECT 'Semana 1996' AS semana, * FROM fact
+        |      WHERE year(dt_entrada) = 1996 AND status_processo = 'PENDENTE'
+        |    UNION ALL
+        |    SELECT 'Semana 1997' AS semana, * FROM fact
+        |      WHERE year(dt_entrada) = 1997 AND status_processo = 'PENDENTE'
+        |  ) GROUP BY semana
+        |)""".stripMargin)))
+
   /** S3/S4: source structure probe — column inventory of a table. */
   val describeSource = QueryDef(
     "s3_s4_describe_source",
@@ -542,5 +611,6 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys)
+    coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    topKGroup, pivotStatus, deltaSemanas)
 }
