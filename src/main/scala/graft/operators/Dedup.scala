@@ -310,6 +310,47 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph: each doc in any
+    * pair → (id, cluster_rep) where the representative is the minimum
+    * id in its component. Keep `cluster_rep`, drop the rest — the
+    * final step of every near-dup pipeline.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors'; converges in O(component
+    * diameter) rounds (near-dup components are small and dense, so
+    * typically 2-3). Each round is one shuffle join at EDGE cardinality
+    * — the same schedule GraphX/Pregel would run, without the
+    * dependency. The driver only sees the one-number convergence check
+    * per round, never the data.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("t"), col("label").as("t_label")), Seq("t"))
+        .groupBy(col("s").as("id"))
+        .agg(min("t_label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("cluster_rep"))
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 60-bit SimHash over the token multiset: per-bit majority vote of

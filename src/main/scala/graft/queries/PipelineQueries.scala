@@ -120,6 +120,41 @@ object PipelineQueries {
            |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
            |) WHERE hamming <= 6""".stripMargin))
 
+  /** Near-dup clusters from the MinHash pairs: (doc, representative =
+    * min id in its connected component). The oracle walks the same
+    * graph with a recursive CTE.
+    */
+  val dedupClusters = QueryDef(
+    "dedup_clusters",
+    (s, dir) =>
+      Dedup.dedupClusters(
+        Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4)),
+    Some {
+      val pairsSql = minhashOracle(
+        """CASE WHEN len(toks) >= 3
+          |     THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+          |                         FOR i IN generate_series(0, len(toks) - 3)])
+          |     ELSE [] END""".stripMargin
+          .replace("toks", "string_split_regex(trim(lower(text)), '\\s+')"),
+        0.4)
+      s"""WITH RECURSIVE pairs AS (
+         |$pairsSql
+         |),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS t FROM pairs
+         |  UNION
+         |  SELECT id_b AS s, id_a AS t FROM pairs
+         |),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+         |)
+         |SELECT s AS id, least(s, MIN(t)) AS cluster_rep
+         |FROM reach GROUP BY s""".stripMargin
+    })
+
   // ----------------------------------------------------- text analysis
 
   /** Token counts (whitespace + BPE-ish regex) and the exact-dedup
@@ -381,7 +416,7 @@ object PipelineQueries {
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
+    dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     textStats, textLangid, textQuality,
     annTopK, annBucketed, annIvf, eventsJson, eventsDaily,
     sampleSplit, mmMediaMeta, mmDecode)

@@ -107,6 +107,16 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupClusters: min-label propagation finds connected components") {
+    // chain 1-2-3, pair 10-11, transitive 20-21, 21-22, 20-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("exactGroups: one group per normalized text with min id and count") {
     val df = Seq((1L, "A  b"), (2L, "a b"), (3L, "other")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "text", "doc_id")
