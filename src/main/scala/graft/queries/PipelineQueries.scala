@@ -365,10 +365,11 @@ object PipelineQueries {
            |)""".stripMargin))
 
   /** Multimodal end-to-end: synthetic media → batched decode
-    * (mapPartitions, the mapInPandas analog) → per-kind feature
-    * aggregate. No SQL oracle (the decode stub is JVM-side); the
-    * driver records the rows-only check, and MultimodalSpec pins the
-    * stub's exact output.
+    * (mapPartitions, the mapInPandas analog) → per-item features.
+    * Oracle-checkable even though the decode runs JVM-side: the stub's
+    * 16-bin byte histogram equals counting high-nibble hex chars of
+    * the md5 chain, and count/64 values are exact dyadic rationals in
+    * float AND double — so DuckDB reproduces the features bit-for-bit.
     */
   val mmDecode = QueryDef(
     "mm_decode_features",
@@ -376,12 +377,21 @@ object PipelineQueries {
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
       val items = media.as[MediaItem](org.apache.spark.sql.Encoders.product[MediaItem])
       Multimodal.decodeFeatures(items, batchSize = 64).toDF()
-        .groupBy("kind")
-        .agg(count(lit(1)).as("n_items"),
-          sum("n_bytes").as("total_bytes"),
-          round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("features").cast("array<double>").as("features"))
     },
-    None)
+    Some("""SELECT doc_id AS media_id,
+           |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+           |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           |       CAST(length(chain) / 2 AS INT) AS n_bytes,
+           |       [len(list_filter([substr(chain, 2*i - 1, 1) FOR i IN generate_series(1, 64)],
+           |                        c -> c = d)) / 64.0
+           |        FOR d IN ['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f']] AS features
+           |FROM (
+           |  SELECT doc_id, md5('0:' || text) || md5('1:' || text) ||
+           |                 md5('2:' || text) || md5('3:' || text) AS chain
+           |  FROM documents
+           |)""".stripMargin))
 
   /** Deterministic hash-based train/test split (10% test) with
     * per-(split, lang) balance counts. Hash-based membership is
