@@ -35,6 +35,7 @@ object Bench {
     val shared = Seq(
       Tables.analiseComercial(spark, sfDir),
       Tables.classificacaoProdutos(spark, sfDir),
+      Tables.lineitem(spark, sfDir),
       Tables.documents(spark, sfDir),
       Tables.embeddings(spark, sfDir))
     shared.foreach(_.persist(StorageLevel.MEMORY_AND_DISK).count())
