@@ -24,6 +24,13 @@ final case class CandPair(id_a: Long, id_b: Long, sh_a: Seq[String], sh_b: Seq[S
   * engine-portable — any system with md5 reproduces the same buckets,
   * which is what lets the DuckDB oracle (and any future backfill
   * engine) agree bit-for-bit.
+  *
+  * Caching contract: the pairing operators persist their signature
+  * intermediates (MEMORY_AND_DISK) because each is read 2+ times by
+  * the candidate/verify joins. The cached frames live until the
+  * session ends or the caller clears them — long-lived sessions
+  * running many dedup passes should `spark.catalog.clearCache()`
+  * between batches (and re-warm their own shared inputs).
   */
 object Dedup {
 
@@ -71,7 +78,7 @@ object Dedup {
     */
   def shingleHashes(shingles: Column): Column =
     transform(shingles,
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("bigint") % lit(2147483648L))
+      s => graft.functions.Hashing.md5Bits60(s) % lit(2147483648L))
 
   /** MinHash signature from precomputed shingle hashes: seed i takes
     * the minimum of the universal-hash family
@@ -137,20 +144,32 @@ object Dedup {
     s.substring(a, b)
   }
 
-  private def lowerRoot(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+  /** Mirrors Spark's `lower()`: UTF8String falls back to
+    * default-locale `String.toLowerCase` for non-ASCII — intentionally
+    * NOT Locale.ROOT, so kernel and Column path agree on every JVM.
+    */
+  private def lowerLikeSpark(s: String): String = s.toLowerCase()
 
-  /** JVM mirror of [[wordShingles]] ∘ [[TextAnalysis.tokens]] ∘ lower. */
+  /** JVM mirror of [[wordShingles]] ∘ [[TextAnalysis.tokens]] ∘ lower.
+    * split limit -1 keeps trailing empty tokens, exactly like Spark's
+    * `split(col, "\\s+")` (Java's default limit 0 would drop them and
+    * silently change shingle sets for texts ending in non-space
+    * whitespace).
+    */
   private[operators] def wordShinglesJvm(text: String, k: Int): Array[String] = {
-    val toks = trimSpaces(lowerRoot(text)).split("\\s+")
+    val toks = trimSpaces(lowerLikeSpark(text)).split("\\s+", -1)
     if (toks.length < k) Array.empty
     else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
   }
 
-  /** JVM mirror of [[charShingles]] ∘ lower. */
+  /** JVM mirror of [[charShingles]] ∘ lower. Works on CODEPOINTS, like
+    * Spark's `length`/`substr` (UTF-16 `String.length` would split
+    * surrogate pairs for non-BMP text).
+    */
   private[operators] def charShinglesJvm(text: String, n: Int): Array[String] = {
-    val t = lowerRoot(text)
-    if (t.length < n) Array.empty
-    else Array.tabulate(t.length - n + 1)(i => t.substring(i, i + n)).distinct
+    val cps = lowerLikeSpark(text).codePoints().toArray
+    if (cps.length < n) Array.empty
+    else Array.tabulate(cps.length - n + 1)(i => new String(cps, i, n)).distinct
   }
 
   /** One doc's signature from its shingles: md5 → 60-bit → mod 2^31,
@@ -232,7 +251,13 @@ object Dedup {
     // Signatures materialized once; read by banding + both verify sides.
     val sigs = shingleSignatures(docs, idCol, textCol, mode, k, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Docs too short to shingle have an empty signature; unfiltered
+    // they would all share the same (empty-slice) band keys and the
+    // self-join would emit |shortDocs|² candidates — a quadratic
+    // explosion at web-corpus scale. They can never pass the Jaccard
+    // verify anyway (empty ∩ anything = 0), so drop them up front.
     val banded = sigs
+      .filter(size(col("sg")) > 0)
       .select(col("id"), explode(lshBandKeys(col("sg"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
@@ -292,7 +317,10 @@ object Dedup {
     val withSh = withShingles
       .select(col("id"), col("sh"), shingleHashes(col("sh")).as("hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Empty shingle sets are excluded from banding (they all share the
+    // empty band key — quadratic candidates — and can never verify).
     val banded = withSh
+      .filter(size(col("sh")) > 0)
       .select(col("id"), explode(lshBandKeys(minhashFromHashes(col("hs"), numHashes), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -342,9 +370,12 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // count() (not isEmpty, which short-circuits) so `next` is FULLY
+      // materialized in the cache before its predecessor is dropped —
+      // otherwise each round re-executes the whole lineage chain.
       converged = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old"))
-        .isEmpty
+        .count() == 0
       labels.unpersist()
       labels = next
     }
@@ -365,7 +396,7 @@ object Dedup {
     * the same substring+from-hex pipeline).
     */
   def tokenHashes(toks: Column): Column =
-    transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("bigint"))
+    transform(toks, t => graft.functions.Hashing.md5Bits60(t))
 
   /** The 60-bit SimHash fold over a token-hash array column: per-bit
     * majority vote, one SQL higher-order-function expression. The

@@ -98,6 +98,16 @@ object Enrich {
     val keyBoth = fact.columns.contains(key) && dim.columns.contains(key)
     val colsOk = requiredFact.forall(fact.columns.contains) &&
       requiredDim.forall(dim.columns.contains)
+    if (!keyBoth) {
+      // Without the key on both sides the coverage counts are
+      // undefined; report the failing flag instead of crashing on the
+      // select below (the reference's report path, MAC:732-737).
+      return fact.sparkSession.range(1).select(
+        lit(false).as("key_present_both"),
+        lit(colsOk).as("required_cols_ok"),
+        lit(0L).as("n_fact_keys"), lit(0L).as("n_dim_keys"), lit(0L).as("n_missing"),
+        lit(null).cast("double").as("pct_missing"))
+    }
     val factKeys = fact.select(key).distinct()
     val dimKeys = dim.select(key).distinct()
     val missing = factKeys.join(broadcast(dimKeys), Seq(key), "left_anti")

@@ -15,13 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from the row id: md5 → 60-bit int →
-    * mod. Uniform for any id distribution; portable (DuckDB:
+  /** Stable bucket in [0, buckets) from the row id: the engine's
+    * shared md5-60-bit idiom ([[graft.functions.Hashing]]) mod buckets.
+    * Uniform for any id distribution; portable (DuckDB:
     * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % buckets`).
     */
   def hashBucket(id: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("bigint"),
-      lit(buckets.toLong))
+    graft.functions.Hashing.md5Bucket(id.cast("string"), buckets.toLong)
 
   /** Keep ~`pct`% of rows, deterministically by id. */
   def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame =

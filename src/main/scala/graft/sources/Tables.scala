@@ -41,9 +41,13 @@ object Tables {
     table(spark, dir, "events")
   }
 
-  /** Epoch-nanos bigint → timestamp (microsecond precision). */
+  /** Epoch-nanos bigint → timestamp (microsecond precision). Division
+    * goes through decimal: `Column./` is DOUBLE division, and modern
+    * epoch-nanos (~1.7e18) exceed double's 2^53 exact range — the
+    * naive form is ±1µs off for a large share of rows.
+    */
   def eventsTs(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((nanos / 1000L).cast("long"))
+    timestamp_micros((nanos.cast("decimal(20,0)") / 1000).cast("long"))
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

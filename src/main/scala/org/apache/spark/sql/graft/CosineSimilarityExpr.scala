@@ -48,27 +48,24 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val nx = x.numElements()
-    val ny = y.numElements()
+    val n = x.numElements()
+    // Mismatched lengths -> null, like the HOF version (zip_with pads
+    // the shorter side with null, poisoning the dot product).
+    if (y.numElements() != n) return null
     var i = 0
-    while (i < nx) { if (x.isNullAt(i)) return null; i += 1 }
-    i = 0
-    while (i < ny) { if (y.isNullAt(i)) return null; i += 1 }
+    while (i < n) { if (x.isNullAt(i) || y.isNullAt(i)) return null; i += 1 }
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
-    val n = math.min(nx, ny)
     i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
       i += 1
     }
-    i = 0
-    while (i < nx) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
-    i = 0
-    while (i < ny) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
@@ -80,32 +77,28 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
-      val v = ctx.freshName("v")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
-      val hasNull = ctx.freshName("hasNull")
+      val bad = ctx.freshName("bad")
       s"""
-         |boolean $hasNull = false;
-         |for (int $i = 0; $i < $a.numElements() && !$hasNull; $i++) {
-         |  if ($a.isNullAt($i)) $hasNull = true;
+         |int $n = $a.numElements();
+         |boolean $bad = ($b.numElements() != $n);
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) $bad = true;
          |}
-         |for (int $i = 0; $i < $b.numElements() && !$hasNull; $i++) {
-         |  if ($b.isNullAt($i)) $hasNull = true;
-         |}
-         |if ($hasNull) {
+         |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0;
          |  double $na = 0.0;
          |  double $nb = 0.0;
-         |  int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
-         |  }
-         |  for (int $i = 0; $i < $a.numElements(); $i++) {
-         |    double $v = (double) $a.getFloat($i); $na += $v * $v;
-         |  }
-         |  for (int $i = 0; $i < $b.numElements(); $i++) {
-         |    double $v = (double) $b.getFloat($i); $nb += $v * $v;
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
          |  }
          |  double $denom = Math.sqrt($na) * Math.sqrt($nb);
          |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;

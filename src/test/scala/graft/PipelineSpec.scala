@@ -81,7 +81,9 @@ class DedupSpec extends AnyFunSuite {
 
   test("JVM signature kernel is bit-identical to the Column expressions") {
     val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "  Mixed CASE   with   spaces  "), (3L, "ab"), (4L, "短 文 本 测 试"))
+      (2L, "  Mixed CASE   with   spaces  "), (3L, "ab"), (4L, "短 文 本 测 试"),
+      (5L, "trailing newline text here\n"), // Java split(limit 0) would drop the "" token
+      (6L, "emoji 😀 body with more words")) // non-BMP: codepoint vs UTF-16 slicing
     val df = texts.toDF("doc_id", "text")
 
     for (mode <- Seq("word", "char")) {
@@ -309,6 +311,15 @@ class ViewsPaginationSpec extends AnyFunSuite {
   test("paginar past the end returns empty") {
     val df = (1 to 5).map(i => (i, s"r$i")).toDF("id", "v")
     assert(Views.paginar(df, page = 3, perPage = 5, order = Seq(col("id"))).count() == 0)
+  }
+
+  test("compatibilityReport reports a missing join key instead of crashing") {
+    val fact = Seq((1, "x")).toDF("a", "b") // no codigo_produto
+    val dim = Seq(("p1", "n")).toDF("codigo_produto", "negocio")
+    val r = operators.Enrich.compatibilityReport(fact, dim).collect()(0)
+    assert(r.getBoolean(0) == false) // key_present_both
+    assert(r.getLong(2) == 0L && r.getLong(4) == 0L)
+    assert(r.isNullAt(5)) // pct_missing undefined
   }
 
   test("normalizeKeys trims the reference's dirty-key hazard; stripAccents folds pt-BR") {

@@ -67,6 +67,13 @@ class PlanSpec extends AnyFunSuite {
       VectorFunctions.cosineFast(col("a"), col("b")).as("gen"))
       .as[(Double, Double)].collect()
     rows.foreach { case (hof, gen) => assert(hof == gen, s"$hof != $gen") }
+
+    // mismatched lengths: both paths yield null
+    val mism = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("hof"),
+        VectorFunctions.cosineFast(col("a"), col("b")).as("gen"))
+      .as[(Option[Double], Option[Double])].head()
+    assert(mism == ((None, None)))
   }
 
   test("graft_cosine is callable from SQL after registration") {
