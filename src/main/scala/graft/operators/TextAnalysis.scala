@@ -69,4 +69,40 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial hash of every k-char window of the text:
+    * `h_i = Σ cp(i+j)·B^(k-1-j) mod M` with B=1009, M=2^31 — pure
+    * integer arithmetic over codepoints, so any engine reproduces it
+    * (no md5 needed, and all intermediates stay < 2^62). O(n·k) as a
+    * Column expression; a JVM kernel would make it O(n) with the true
+    * rolling update, the classic trade once profiling demands it.
+    */
+  def rollingHashes(text: Column, k: Int): Column = {
+    val B = 1009L
+    val M = 2147483648L
+    when(length(text) >= k,
+      transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => (0 until k).map(j =>
+          pmod(ascii(text.substr(i + j, lit(1))).cast("bigint") *
+            lit(BigInt(B).modPow(k - 1 - j, M).toLong), lit(M)))
+          .reduce((a, b) => pmod(a + b, lit(M)))))
+      .otherwise(expr("array()").cast("array<bigint>"))
+  }
+
+  /** Winnowed fingerprints (the MOSS scheme): min hash of each window
+    * of `w` consecutive k-gram rolling hashes, deduplicated — a
+    * compact, position-robust document sketch. The input hash array
+    * MUST be a materialized column (cached/shuffled below): the window
+    * min references it once per window, and an inlined
+    * [[rollingHashes]] expression would re-run the O(n·k) pass per
+    * window.
+    */
+  def winnow(hashesCol: Column, w: Int): Column =
+    when(size(hashesCol) >= w,
+      array_distinct(transform(
+        sequence(lit(1), size(hashesCol) - (w - 1)),
+        i => array_min(slice(hashesCol, i, lit(w))))))
+      .otherwise(when(size(hashesCol) > 0, array(array_min(hashesCol)))
+        .otherwise(expr("array()").cast("array<bigint>")))
 }

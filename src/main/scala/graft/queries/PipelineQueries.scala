@@ -229,6 +229,45 @@ object PipelineQueries {
             |        FROM documents)
             |)""".stripMargin))
 
+  /** Winnowed rolling-hash fingerprints (k=5 grams, window 8) per doc:
+    * sketch size and extremes. The hash array is persisted so the
+    * window-min pass reads an attribute (not a re-inlined O(n·k)
+    * expression per window).
+    */
+  val textWinnow = QueryDef(
+    "text_winnow",
+    (s, dir) => {
+      val hs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.rollingHashes(lower(col("text")), 5).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hs.select(col("doc_id"), TextAnalysis.winnow(col("hs"), 8).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
+    },
+    Some("""WITH hs AS (
+           |  SELECT doc_id,
+           |         CASE WHEN length(t) >= 5 THEN
+           |           [ (ascii(substr(t, i, 1))::BIGINT     * 1401804225 % 2147483648 +
+           |              ascii(substr(t, i + 1, 1))::BIGINT * 1027243729 % 2147483648 +
+           |              ascii(substr(t, i + 2, 1))::BIGINT * 1018081    % 2147483648 +
+           |              ascii(substr(t, i + 3, 1))::BIGINT * 1009       % 2147483648 +
+           |              ascii(substr(t, i + 4, 1))::BIGINT) % 2147483648
+           |             FOR i IN generate_series(1, length(t) - 4) ]
+           |         ELSE [] END AS hs
+           |  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+           |),
+           |fps AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(hs) >= 8 THEN
+           |           list_distinct([list_min(hs[i : i + 7]) FOR i IN generate_series(1, len(hs) - 7)])
+           |         WHEN len(hs) > 0 THEN [list_min(hs)]
+           |         ELSE [] END AS fps
+           |  FROM hs
+           |)
+           |SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+           |       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+           |FROM fps""".stripMargin))
+
   // -------------------------------------------------------- similarity
 
   /** DuckDB cosine mirroring [[graft.functions.VectorFunctions.cosine]]
@@ -428,6 +467,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     textStats, textLangid, textQuality,
-    annTopK, annBucketed, annIvf, eventsJson, eventsDaily,
+    textWinnow, annTopK, annBucketed, annIvf, eventsJson, eventsDaily,
     sampleSplit, mmMediaMeta, mmDecode)
 }
