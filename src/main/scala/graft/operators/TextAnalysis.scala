@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+
+/** Kernel output row for [[TextAnalysis.winnowKernel]]. */
+final case class DocFingerprints(doc_id: Long, fps: Seq[Long])
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, token counting, language identification, quality
@@ -105,4 +108,62 @@ object TextAnalysis {
         i => array_min(slice(hashesCol, i, lit(w))))))
       .otherwise(when(size(hashesCol) > 0, array(array_min(hashesCol)))
         .otherwise(expr("array()").cast("array<bigint>")))
+
+  /** [[rollingHashes]] + [[winnow]] in one narrow JVM pass — the hot
+    * path. The Column twins above cost O(n²·k): `substr(i, 1)` seeks
+    * the UTF8String from the start per call and the window-min
+    * re-slices per window; here the hash genuinely ROLLS (O(n)) and
+    * the window min uses a monotone deque (O(n)). Bit-identical to the
+    * Column expressions (same codepoint arithmetic mod 2^31, same
+    * distinct-set output; pinned by a spec test).
+    */
+  def winnowKernel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int): DataFrame = {
+    val B = 1009L
+    val M = 2147483648L
+    val bk1 = BigInt(B).modPow(k - 1, M).toLong
+    val in = docs.select(col(idCol).cast("long").as("_1"), lower(col(textCol)).as("_2"))
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    in.mapPartitions { it =>
+      it.map { case (id, text) =>
+        val cps = text.codePoints().toArray
+        val nH = cps.length - k + 1
+        val fps: Array[Long] =
+          if (nH <= 0) Array.empty
+          else {
+            val hs = new Array[Long](nH)
+            var h = 0L
+            var j = 0
+            while (j < k) { h = (h * B + cps(j)) % M; j += 1 }
+            hs(0) = h
+            var i = 1
+            while (i < nH) {
+              h = ((h + M - cps(i - 1) * bk1 % M) % M * B + cps(i + k - 1)) % M
+              hs(i) = h
+              i += 1
+            }
+            if (nH < w) Array(hs.min)
+            else {
+              // sliding-window min with a monotone index deque
+              val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+              val dq = new java.util.ArrayDeque[Int]()
+              var p = 0
+              while (p < nH) {
+                while (!dq.isEmpty && hs(dq.peekLast()) >= hs(p)) dq.pollLast()
+                dq.addLast(p)
+                if (dq.peekFirst() <= p - w) dq.pollFirst()
+                if (p >= w - 1) out += hs(dq.peekFirst())
+                p += 1
+              }
+              out.toArray
+            }
+          }
+        DocFingerprints(id, fps.toSeq)
+      }
+    }(Encoders.product[DocFingerprints]).toDF()
+  }
 }

@@ -236,14 +236,10 @@ object PipelineQueries {
     */
   val textWinnow = QueryDef(
     "text_winnow",
-    (s, dir) => {
-      val hs = Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.rollingHashes(lower(col("text")), 5).as("hs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      hs.select(col("doc_id"), TextAnalysis.winnow(col("hs"), 8).as("fps"))
+    (s, dir) =>
+      TextAnalysis.winnowKernel(Tables.documents(s, dir), "doc_id", "text", k = 5, w = 8)
         .select(col("doc_id"), size(col("fps")).as("n_fps"),
-          array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
-    },
+          array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max")),
     Some("""WITH hs AS (
            |  SELECT doc_id,
            |         CASE WHEN length(t) >= 5 THEN

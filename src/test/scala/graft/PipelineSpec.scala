@@ -29,6 +29,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(und == "und")
   }
 
+  test("winnowKernel matches the Column rollingHashes+winnow path") {
+    val df = Seq((1L, "The quick brown fox jumps over the lazy dog again and again"),
+      (2L, "short"), (3L, "tiny"), (4L, "abcdefgh"), (5L, "中文字符混合 text 测试串流"))
+      .toDF("doc_id", "text")
+    val columnar = df
+      .select(col("doc_id"), TextAnalysis.rollingHashes(lower(col("text")), 5).as("hs"))
+      .persist()
+    columnar.count()
+    val colFps = columnar
+      .select(col("doc_id"), TextAnalysis.winnow(col("hs"), 8).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val kernel = TextAnalysis.winnowKernel(df, "doc_id", "text", 5, 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    for (id <- 1L to 5L) assert(kernel(id) == colFps(id), s"doc $id")
+    columnar.unpersist()
+  }
+
   test("fingerprint is case/whitespace-insensitive (exact-dedup key)") {
     val fps = Seq("Hello  World", "hello world", "HELLO\tWORLD ").toDF("text")
       .select(TextAnalysis.fingerprint(col("text"))).as[String].collect().toSet
