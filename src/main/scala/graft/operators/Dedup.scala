@@ -144,11 +144,19 @@ object Dedup {
     s.substring(a, b)
   }
 
-  /** Mirrors Spark's `lower()`: UTF8String falls back to
-    * default-locale `String.toLowerCase` for non-ASCII — intentionally
-    * NOT Locale.ROOT, so kernel and Column path agree on every JVM.
+  /** Mirrors Spark's `lower()` exactly (UTF8String.toLowerCase):
+    * full-ASCII strings take a locale-INDEPENDENT fast path; anything
+    * else falls back to default-locale `String.toLowerCase`. Without
+    * the ASCII branch, a tr/az-locale JVM would lower ASCII "I" to the
+    * dotless "ı" here while Spark's fast path yields "i", silently
+    * desynchronizing kernel and Column signatures.
     */
-  private def lowerLikeSpark(s: String): String = s.toLowerCase()
+  private def lowerLikeSpark(s: String): String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) s.toLowerCase(java.util.Locale.ROOT) else s.toLowerCase()
+  }
 
   /** JVM mirror of [[wordShingles]] ∘ [[TextAnalysis.tokens]] ∘ lower.
     * split limit -1 keeps trailing empty tokens, exactly like Spark's

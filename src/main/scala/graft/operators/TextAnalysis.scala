@@ -130,7 +130,9 @@ object TextAnalysis {
       .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
     in.mapPartitions { it =>
       it.map { case (id, text) =>
-        val cps = text.codePoints().toArray
+        // null text -> empty sketch, like the Column twins (their
+        // when(length >= k) falls through on null) and the oracle.
+        val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
         val nH = cps.length - k + 1
         val fps: Array[Long] =
           if (nH <= 0) Array.empty
@@ -148,18 +150,32 @@ object TextAnalysis {
             }
             if (nH < w) Array(hs.min)
             else {
-              // sliding-window min with a monotone index deque
-              val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-              val dq = new java.util.ArrayDeque[Int]()
+              // Sliding-window min with a primitive ring-buffer deque;
+              // global distinct via LongHashSet-free two-step: emit only
+              // when the window min CHANGES (consecutive windows usually
+              // share their min), then a final distinct preserving first
+              // occurrence — allocation stays out of the per-window loop.
+              val emitted = new Array[Long](nH - w + 2)
+              var nEmitted = 0
+              val dq = new Array[Int](nH)
+              var head = 0
+              var tail = 0 // deque is dq[head until tail]
               var p = 0
               while (p < nH) {
-                while (!dq.isEmpty && hs(dq.peekLast()) >= hs(p)) dq.pollLast()
-                dq.addLast(p)
-                if (dq.peekFirst() <= p - w) dq.pollFirst()
-                if (p >= w - 1) out += hs(dq.peekFirst())
+                while (tail > head && hs(dq(tail - 1)) >= hs(p)) tail -= 1
+                dq(tail) = p
+                tail += 1
+                if (dq(head) <= p - w) head += 1
+                if (p >= w - 1) {
+                  val m = hs(dq(head))
+                  if (nEmitted == 0 || emitted(nEmitted - 1) != m) {
+                    emitted(nEmitted) = m
+                    nEmitted += 1
+                  }
+                }
                 p += 1
               }
-              out.toArray
+              java.util.Arrays.copyOf(emitted, nEmitted).distinct
             }
           }
         DocFingerprints(id, fps.toSeq)

@@ -230,9 +230,9 @@ object PipelineQueries {
             |)""".stripMargin))
 
   /** Winnowed rolling-hash fingerprints (k=5 grams, window 8) per doc:
-    * sketch size and extremes. The hash array is persisted so the
-    * window-min pass reads an attribute (not a re-inlined O(n·k)
-    * expression per window).
+    * sketch size and extremes, via the O(n) JVM kernel
+    * ([[TextAnalysis.winnowKernel]] — one narrow pass, no caching; the
+    * Column twins exist for composability and as the semantics spec).
     */
   val textWinnow = QueryDef(
     "text_winnow",

@@ -30,7 +30,7 @@ object ColumnBridge {
   * Semantics are IDENTICAL to the HOF version (same left-to-right
   * double accumulation, zero-denominator → 0.0, any null element →
   * null), so the DuckDB oracle agrees bit-for-bit; equivalence is
-  * pinned by PlansSpec.
+  * pinned by PlanSpec.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
