@@ -243,6 +243,43 @@ class LoadSkewSpec extends AnyFunSuite {
   }
 }
 
+class PendentesApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def unioned = operators.Pendentes.unionSemanas(Seq(
+    "Semana -1" -> Seq(("PENDENTE", 10.0), ("GANHO", 5.0)).toDF("status_processo", "valor_proposta"),
+    "Semana Atual" -> Seq(("PENDENTE", 20.0), ("PENDENTE", 30.0)).toDF("status_processo", "valor_proposta")))
+
+  test("metrics: one-pass count / distinct weeks / total (A4-A6)") {
+    val r = operators.Pendentes.metrics(unioned).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 && r.getDouble(2) == 60.0)
+  }
+
+  test("semanas lists distinct weeks sorted; filterSemana restricts (A12/F2)") {
+    assert(operators.Pendentes.semanas(unioned).as[String].collect().toSeq ==
+      Seq("Semana -1", "Semana Atual"))
+    assert(operators.Pendentes.filterSemana(unioned, "Semana Atual").count() == 2)
+  }
+
+  test("dedupeByKey keeps exactly the first row per key by explicit order (J3)") {
+    val df = Seq(("k1", 2, "late"), ("k1", 1, "early"), ("k2", 5, "only"))
+      .toDF("cliente", "ord", "v")
+    val out = operators.Enrich.dedupeByKey(df, Seq("cliente"), Seq("ord"))
+      .select("cliente", "v").as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "early", "k2" -> "only"))
+  }
+
+  test("formatCurrency/formatPercent render like the reference (C7/C8)") {
+    val r = Seq((1234.5, 0.1234), (Double.NaN, Double.NaN)).toDF("v", "p")
+      .select(Views.formatCurrency(when(isnan(col("v")), lit(null)).otherwise(col("v"))),
+        Views.formatPercent(when(isnan(col("p")), lit(null)).otherwise(col("p") * 100)))
+      .as[(String, String)].collect()
+    assert(r(0) == (("R$ 1,234.50", "12.34%")))
+    assert(r(1) == (("", "")))
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
