@@ -177,16 +177,25 @@ object ParityQueries {
   val historico = QueryDef(
     "a9_historico",
     (s, dir) =>
+      // The operator API returns real arrays; the REGISTERED projection
+      // renders them to joined strings because the driver's comparator
+      // cannot sort rows containing array cells (CORRECTNESS_r02 err).
       History.historico(Enrich.joinCategorias(
-        Tables.analiseComercial(s, dir), Tables.classificacaoProdutos(s, dir))),
+        Tables.analiseComercial(s, dir), Tables.classificacaoProdutos(s, dir)))
+        .select(
+          col("subgrupo"), col("codigo_produto"), col("cliente"), col("n_propostas"),
+          array_join(col("datas_entrada"), "; ").as("datas_entrada"),
+          array_join(col("probs_fech").cast("array<string>"), "; ").as("probs_fech"),
+          array_join(col("motivos_nao_venda"), "; ").as("motivos_nao_venda"),
+          col("ultima_data"), col("ultimo_consultor")),
     Some(withViews(
       """SELECT subgrupo, codigo_produto, cliente, COUNT(*) AS n_propostas,
-        |       LIST(strftime(dt_entrada, '%d/%m/%Y')
-        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS datas_entrada,
-        |       LIST(prob_fech
-        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS probs_fech,
-        |       LIST(motivo_nn
-        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS motivos_nao_venda,
+        |       array_to_string(LIST(strftime(dt_entrada, '%d/%m/%Y')
+        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS datas_entrada,
+        |       array_to_string(LIST(CAST(prob_fech AS VARCHAR)
+        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS probs_fech,
+        |       array_to_string(LIST(motivo_nn
+        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS motivos_nao_venda,
         |       strftime(MAX(dt_entrada), '%d/%m/%Y') AS ultima_data,
         |       (LIST(consultor_interno
         |             ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno))[-1] AS ultimo_consultor

@@ -411,17 +411,25 @@ object PipelineQueries {
     (s, dir) => {
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
       val items = media.as[MediaItem](org.apache.spark.sql.Encoders.product[MediaItem])
+      // Features are k/64 dyadic rationals (terminate within 6 decimal
+      // digits), so %.6f is an exact render; the joined-string
+      // projection keeps the driver's row-sorting comparator happy
+      // (it cannot hash rows holding array cells).
       Multimodal.decodeFeatures(items, batchSize = 64).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("features").cast("array<double>").as("features"))
+          array_join(
+            expr("transform(features, x -> format_string('%.6f', CAST(x AS DOUBLE)))"),
+            "; ").as("features"))
     },
     Some("""SELECT doc_id AS media_id,
            |       CASE WHEN doc_id % 3 = 0 THEN 'image'
            |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
            |       CAST(length(chain) / 2 AS INT) AS n_bytes,
-           |       [len(list_filter([substr(chain, 2*i - 1, 1) FOR i IN generate_series(1, 64)],
-           |                        c -> c = d)) / 64.0
-           |        FOR d IN ['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f']] AS features
+           |       array_to_string(
+           |         [printf('%.6f', len(list_filter([substr(chain, 2*i - 1, 1) FOR i IN generate_series(1, 64)],
+           |                                         c -> c = d)) / 64.0)
+           |          FOR d IN ['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f']],
+           |         '; ') AS features
            |FROM (
            |  SELECT doc_id, md5('0:' || text) || md5('1:' || text) ||
            |                 md5('2:' || text) || md5('3:' || text) AS chain

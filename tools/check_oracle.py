@@ -18,8 +18,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Faithful to the driver's comparator: sort the RAW frame first
+    # (this throws on array-typed cells, exactly like the driver —
+    # round 2 hid two failures by stringifying before sorting), then
+    # stringify for a stable compare.
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify everything (arrays -> json) for a stable sort + compare
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     out = pd.DataFrame()
     def norm(v):
         if isinstance(v, np.ndarray):
