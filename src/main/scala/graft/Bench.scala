@@ -1,12 +1,18 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line for the driver.
+  *
+  * Harness protocol (BASELINE.md §"measurement protocol"): one untimed
+  * warmup pass over every query (absorbs JIT, codegen compilation, and
+  * shuffle-service warmup — round-2 numbers charged ~20 s of JVM warmup
+  * to whichever queries ran first), then `SPARK_GRAFT_BENCH_PASSES`
+  * (default 3) timed passes, reporting the per-query MEDIAN.
   *
   * Harness design (round-1 judge feedback):
   *   - The shared fact/dim views are persisted once up front. Spark's
@@ -17,19 +23,22 @@ import graft.sources.Tables
   *   - The measured action is a `noop`-format write, which fully
   *     consumes every output column. `count()` would let Catalyst
   *     prune the very expressions some queries exist to compute.
+  *   - A query that throws reports -1 (not its elapsed-until-failure
+  *     time) and is listed under "failed", so a partially-broken run
+  *     can't masquerade as a plausible total.
   */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val spark = GraftSession.local(appName = "graft-bench")
 
     // Warm the shared inputs once (plan-cache hit for all queries).
     val shared = Seq(
@@ -40,16 +49,40 @@ object Bench {
       Tables.embeddings(spark, sfDir))
     shared.foreach(_.persist(StorageLevel.MEMORY_AND_DISK).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def timeOne(fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable => Left(String.valueOf(e.getMessage)) }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+
+    queries.foreach { case (name, fn) =>
+      timeOne(fn).left.foreach(m => System.err.println(s"[bench] warmup $name failed: $m"))
+    }
+
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val timings = queries.map { case (name, fn) =>
+      val runs = (1 to passes).flatMap { i =>
+        timeOne(fn) match {
+          case Right(sec) => Some(sec)
+          case Left(m) =>
+            System.err.println(s"[bench] $name pass $i failed: $m")
+            failed += name
+            None
+        }
+      }
+      name -> (if (runs.isEmpty) -1.0 else median(runs))
+    }
+
+    val total = timings.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson}""")
     spark.stop()
   }
 }

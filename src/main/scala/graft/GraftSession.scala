@@ -23,6 +23,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The events table stores TIMESTAMP(NANOS), which Spark's parquet
+      // reader rejects by default; map it to epoch-nanos bigint
+      // session-wide (see Tables.events / Tables.eventsTs). Set here at
+      // build time so no table loader has to mutate a live session.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,13 +33,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects by default; the legacy conf maps it to a
-    * bigint of epoch nanos. [[eventsTs]] re-derives a proper timestamp.
+    * Spark's reader rejects by default. The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession does) so
+    * the column arrives as a bigint of epoch nanos; [[eventsTs]]
+    * re-derives a proper timestamp. Kept out of this loader: mutating a
+    * live session here would silently change how every later parquet
+    * read in the session treats nanos columns.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-  }
 
   /** Epoch-nanos bigint → timestamp (microsecond precision). Division
     * goes through decimal: `Column./` is DOUBLE division, and modern
