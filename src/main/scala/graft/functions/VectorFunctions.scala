@@ -57,4 +57,42 @@ object VectorFunctions {
         array((0 until nBits).map(j => lit(1L << j)): _*),
         (x, p) => when(x >= 0.0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
+
+  /** The coordinate (1-based) that band `b`, bit `j` samples: first 8
+    * hex chars of md5("b:j") as an integer, mod `dim`. Derived from md5
+    * so the DuckDB oracle can recompute the identical plane set; no
+    * stored random state, so every executor (and every engine) agrees.
+    */
+  def planeIndex(b: Int, j: Int, dim: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$b:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(h.substring(0, 8), 16) % dim).toInt + 1
+  }
+
+  /** Multi-band sign LSH keys: `nBands` independent k-bit bucket keys,
+    * band `b`'s bit `j` set iff the md5-sampled coordinate
+    * [[planeIndex]](b, j) is >= 0. Returns
+    * `array<struct<band:int, key:bigint>>` for `explode` + equi-join.
+    *
+    * The indices are resolved DRIVER-side into plain literal
+    * `element_at` comparisons, so the whole expression stays inside
+    * whole-stage codegen (no interpreted HOF lambdas), and each sign
+    * test reads one coordinate — no cross-coordinate float summation
+    * whose order could differ between engines.
+    *
+    * Scale: vs a single `signBucket` (≤ 2^nBits buckets — quadratic
+    * within-bucket blowup at corpus scale), nBands × 2^bitsPerBand
+    * buckets bound each bucket's population, and a true near-dup pair
+    * (cos ≥ ~0.95) still collides in at least one band with high
+    * probability: p_bit = 1 − θ/π ≈ 0.95, recall ≈
+    * 1 − (1 − p_bit^bits)^bands ≈ 0.99 at bits=12, bands=6.
+    */
+  def bandSignKeys(vec: Column, dim: Int, nBands: Int, bitsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      val key = (1 to bitsPerBand).map { j =>
+        when(element_at(vec, planeIndex(b, j, dim)) >= 0.0, lit(1L << (j - 1)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
 }

@@ -18,12 +18,13 @@ import graft.functions.VectorFunctions
   *     partitions against the broadcast queries and emits only local
   *     winners; this is the correctness baseline and the right plan
   *     when |Q| is small.
-  *   - [[bucketedPairs]] — the scale path for all-pairs near-dup: a
-  *     deterministic sign-bit LSH bucket per vector, then a self
-  *     EQUI-join on the bucket id (shuffle on bucket, no cross join),
-  *     cosine-verifying only same-bucket candidates. An IVF variant
-  *     would replace the bucket fn with nearest-centroid; the plan
-  *     shape (equi-join on a coarse key) is identical.
+  *   - [[bucketedPairs]] — the scale path for all-pairs near-dup:
+  *     multi-band sign LSH (nBands independent k-bit keys per vector),
+  *     exploded and self EQUI-joined on (band, key) with no vector
+  *     columns aboard, cosine-verifying only surviving candidates with
+  *     the vectors re-attached by id. An IVF variant would replace the
+  *     key fn with nearest-centroid; the plan shape (equi-join on a
+  *     coarse key) is identical.
   */
 object Similarity {
 
@@ -98,22 +99,49 @@ object Similarity {
       .drop("__rn")
   }
 
-  /** Embedding-cosine near-dup pairs: same sign-bucket → candidate,
-    * verified at `minCosine` on the rounded value. Returns
+  /** Embedding-cosine near-dup pairs via multi-band sign LSH
+    * ([[VectorFunctions.bandSignKeys]]): same (band, key) → candidate,
+    * verified at `minCosine` on the rounded cosine. Returns
     * (id_a, id_b, cos) with id_a < id_b.
+    *
+    * 100 TB shape: the candidate join carries ONLY (id, band, key) —
+    * vectors do NOT ride the candidate shuffle (pinned by PlanSpec);
+    * they are re-attached by id for the surviving pairs alone. Bucket
+    * population is bounded by nBands × 2^bitsPerBand keys (the round-2
+    * single-8-bit-bucket version capped at 256 buckets, which goes
+    * quadratic within buckets at a billion vectors). Vectors shorter
+    * than `dim` (and nulls) are dropped up front: they cannot key every
+    * band and would otherwise pile into a degenerate shared bucket —
+    * same trap as empty MinHash signatures ([[Dedup]]).
     */
   def bucketedPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      nBits: Int = 8,
+      dim: Int = 64,
+      nBands: Int = 6,
+      bitsPerBand: Int = 12,
       minCosine: Double = 0.2): DataFrame = {
-    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      VectorFunctions.signBucket(col(vecCol), nBits).as("bucket"))
-    e.as("a")
-      .join(e.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(VectorFunctions.cosineFast(col("a.vec"), col("b.vec")), 6).as("cos"))
+    val e = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val keys = e.select(
+        col("id"),
+        explode(VectorFunctions.bandSignKeys(col("vec"), dim, nBands, bitsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // A pair colliding in several bands must verify once, not once per
+    // band: distinct at candidate cardinality, before any vector rides.
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosineFast(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

@@ -292,24 +292,40 @@ object PipelineQueries {
             |SELECT q_id, n_id, cos FROM scored
             |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10""".stripMargin))
 
-  /** Bucketed (sign-bit LSH) embedding near-dup pairs — the scale path:
-    * equi-join on the bucket id, no cross join.
+  /** Multi-band sign-LSH embedding near-dup pairs — the scale path:
+    * candidate equi-join on (band, key) with no vector columns aboard,
+    * vectors re-attached by id only for survivors. The oracle
+    * recomputes the identical md5-derived plane set
+    * ([[graft.functions.VectorFunctions.planeIndex]]).
     */
+  private val lshPlanesValues: String =
+    (0 until 6).flatMap(b => (1 to 12).map(j =>
+      s"($b,$j,${graft.functions.VectorFunctions.planeIndex(b, j, 64)})")).mkString(", ")
+
   val annBucketed = QueryDef(
     "ann_lsh_bucket",
     (s, dir) =>
       Similarity.bucketedPairs(
-        Tables.embeddings(s, dir), "vec_id", "embedding", nBits = 8, minCosine = 0.2),
-    Some(s"""WITH e AS (
-            |  SELECT vec_id, embedding::DOUBLE[] AS v,
-            |         CAST(list_sum([CASE WHEN embedding[j] >= 0 THEN (1::BIGINT << (j-1)) ELSE 0::BIGINT END
-            |                        FOR j IN generate_series(1, 8)]) AS BIGINT) AS bucket
-            |  FROM embeddings
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nBands = 6, bitsPerBand = 12, minCosine = 0.2),
+    Some(s"""WITH planes(band, j, idx) AS (VALUES $lshPlanesValues),
+            |e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+            |),
+            |keys AS (
+            |  SELECT e.vec_id, p.band,
+            |         CAST(SUM(CASE WHEN e.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
+            |              AS BIGINT) AS key
+            |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
             |)
             |SELECT id_a, id_b, cos FROM (
-            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            |         ROUND(${cosSql("a.v", "b.v")}, 6) AS cos
-            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            |  SELECT id_a, id_b, ROUND(${cosSql("ea.v", "eb.v")}, 6) AS cos
+            |  FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id
             |) WHERE cos >= 0.2""".stripMargin))
 
   /** IVF ANN (nprobe=1) with deterministic centroids (the first 8

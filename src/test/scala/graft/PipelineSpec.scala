@@ -163,6 +163,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.select(VectorFunctions.signBucket(col("v"), 8)).as[Long].head() == 85L)
   }
 
+  test("bandSignKeys: all-positive=all bits set, all-negative=0, planes in range") {
+    val dim = 8; val bands = 3; val bits = 5
+    for (b <- 0 until bands; j <- 1 to bits) {
+      val idx = VectorFunctions.planeIndex(b, j, dim)
+      assert(idx >= 1 && idx <= dim)
+    }
+    val df = Seq(
+      (1L, Seq.fill(dim)(0.5f)),
+      (2L, Seq.fill(dim)(-0.5f))).toDF("id", "v")
+    val keys = df.select(col("id"),
+        explode(VectorFunctions.bandSignKeys(col("v"), dim, bands, bits)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key")).as[(Long, Int, Long)].collect()
+    assert(keys.count(_._1 == 1L) == bands)
+    assert(keys.filter(_._1 == 1L).forall(_._3 == (1L << bits) - 1)) // every sign bit set
+    assert(keys.filter(_._1 == 2L).forall(_._3 == 0L))
+    assert(keys.map(_._2).distinct.sorted.toSeq == (0 until bands))
+  }
+
   test("bruteForceTopK returns k nearest by rounded cosine with id tie-break") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.1f)))

@@ -37,6 +37,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_lsh_bucket candidate join carries no embedding vectors") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("ann_lsh_bucket")(spark, dir)
+    val candJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "key")) => j
+    }
+    assert(candJoins.nonEmpty, "expected a (band, key) candidate join")
+    candJoins.foreach { j =>
+      val cols = (j.left.output ++ j.right.output).map(_.name)
+      assert(!cols.exists(n => n.contains("vec") || n.contains("embedding")),
+        s"vectors ride the candidate shuffle: $cols")
+    }
+  }
+
   test("fact-view scans prune columns and push predicates") {
     val p = plan("f4_date_between")
     assert(p.contains("PushedFilters: [IsNotNull"), "pushdown reaches the scans")
