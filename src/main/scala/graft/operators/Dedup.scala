@@ -165,6 +165,7 @@ object Dedup {
     * whitespace).
     */
   private[operators] def wordShinglesJvm(text: String, k: Int): Array[String] = {
+    if (text == null) return Array.empty // Column twin yields [] for null text
     val toks = trimSpaces(lowerLikeSpark(text)).split("\\s+", -1)
     if (toks.length < k) Array.empty
     else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
@@ -175,6 +176,7 @@ object Dedup {
     * surrogate pairs for non-BMP text).
     */
   private[operators] def charShinglesJvm(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty // Column twin yields [] for null text
     val cps = lowerLikeSpark(text).codePoints().toArray
     if (cps.length < n) Array.empty
     else Array.tabulate(cps.length - n + 1)(i => new String(cps, i, n)).distinct
@@ -387,6 +389,12 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
+    // The convergence count() above fully materialized the final
+    // `labels`, so the edge frame is no longer needed: drop it now and
+    // leave only the (component-sized) result cached — callers that
+    // keep the session alive can unpersist the returned frame after
+    // consuming it.
+    edges.unpersist()
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 

@@ -43,11 +43,17 @@ object History {
     // test data (duplicate (orderkey, linenumber) pairs exist), and a
     // partial key would leave tied rows in nondeterministic order.
     // motivo is empty-coalesced BEFORE the sort so null-ordering
-    // differences between engines cannot matter (C9).
+    // differences between engines cannot matter (C9). The formatted
+    // date rides as a TRAILING struct field: it is a function of
+    // dt_entrada so the sort order is unchanged, date_format runs once
+    // per row inside codegen (not per element inside an interpreted
+    // post-collect lambda), and the unzip below becomes pure field
+    // extraction.
     val hist = sort_array(collect_list(struct(
       col("dt_entrada"), col("rid"), col("prob_fech"),
       coalesce(col("motivo_nao_venda"), lit("")).as("motivo_nao_venda"),
-      col("consultor_interno"))))
+      col("consultor_interno"),
+      date_format(col("dt_entrada"), dateFmt).as("dt_str"))))
 
     enriched
       .filter(col("dt_entrada").isNotNull) // reference re-parses + range-filters first (APC:261-267)
@@ -56,13 +62,70 @@ object History {
       .select(
         keys.map(col) ++ Seq(
           col("n_propostas"),
-          expr(s"transform(h, x -> date_format(x.dt_entrada, '$dateFmt'))").as("datas_entrada"),
-          expr("transform(h, x -> x.prob_fech)").as("probs_fech"),
-          expr("transform(h, x -> x.motivo_nao_venda)").as("motivos_nao_venda"),
-          date_format(expr("element_at(h, -1).dt_entrada"), dateFmt).as("ultima_data"),
+          // `h.field` on array<struct> is GetArrayStructFields — a
+          // single codegen'd pass per column, vs the interpreted
+          // `transform(h, x -> ...)` lambdas this replaces (round-2
+          // bench: the three transforms + per-element date_format were
+          // most of a9's 31 s at sf0.1).
+          expr("h.dt_str").as("datas_entrada"),
+          expr("h.prob_fech").as("probs_fech"),
+          expr("h.motivo_nao_venda").as("motivos_nao_venda"),
+          expr("element_at(h, -1).dt_str").as("ultima_data"),
           // A8 argmax: consultant on the max-(dt, rid) row — last element
           // of the sorted struct array (reference idxmax APC:296, MAC:79-81).
           expr("element_at(h, -1).consultor_interno").as("ultimo_consultor")): _*)
+  }
+
+  /** A9 bounded-memory fallback (SURVEY §2.9): the same history table,
+    * but each group keeps only the FIRST `maxN` rows of the total
+    * order, plus the true group size and an overflow count.
+    *
+    * Why it exists: [[historico]]'s `collect_list` buffer must hold a
+    * group's whole history in executor memory — fine when (product,
+    * client) keys are many and small, fatal for a pathological hot key
+    * at the 100 TB tier. Here per-group memory is bounded end-to-end:
+    * WindowExec ranks rows with a SPILLABLE external buffer, the
+    * rank filter keeps ≤ maxN rows, and only those reach
+    * `collect_list`. The groupBy reuses the window's hash partitioning
+    * (one shuffle total, same as the uncapped operator).
+    *
+    * `ultima_data`/`ultimo_consultor` stay EXACT (not capped): they
+    * derive from a constant-state `max(struct)` window over the full
+    * group — the A8 argmax semantics survive the cap.
+    */
+  def historicoCapped(
+      enriched: DataFrame,
+      maxN: Int,
+      keys: Seq[String] = Seq("subgrupo", "codigo_produto", "cliente"),
+      dateFmt: String = "dd/MM/yyyy"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = struct(
+      col("dt_entrada"), col("rid"), col("prob_fech"),
+      coalesce(col("motivo_nao_venda"), lit("")).as("motivo_nao_venda"),
+      col("consultor_interno"),
+      date_format(col("dt_entrada"), dateFmt).as("dt_str"))
+    val part = Window.partitionBy(keys.map(col): _*)
+    enriched
+      .filter(col("dt_entrada").isNotNull)
+      .select(keys.map(col) :+ e.as("e"): _*)
+      .withColumn("__rn", row_number().over(part.orderBy(col("e"))))
+      .withColumn("__total", count(lit(1)).over(part))
+      .withColumn("__last", max(col("e")).over(part))
+      .filter(col("__rn") <= maxN)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sort_array(collect_list(col("e"))).as("h"),
+        max("__total").as("n_propostas"),
+        first(col("__last")).as("last"))
+      .select(
+        keys.map(col) ++ Seq(
+          col("n_propostas"),
+          expr("h.dt_str").as("datas_entrada"),
+          expr("h.prob_fech").as("probs_fech"),
+          expr("h.motivo_nao_venda").as("motivos_nao_venda"),
+          col("last.dt_str").as("ultima_data"),
+          col("last.consultor_interno").as("ultimo_consultor"),
+          (col("n_propostas") - size(col("h")).cast("long")).as("n_overflow")): _*)
   }
 
   /** A10: collapse a list to its single value when uniform, else join

@@ -43,9 +43,13 @@ object TextAnalysis {
 
   /** Language-ID: argmax of stopword hits with a fixed precedence
     * order on ties (en > es > de > fr > zh); 'und' when nothing hits.
+    * Null text coalesces to '' FIRST so it deterministically maps to
+    * 'und' — without it every when() condition is null and the verdict
+    * falls through, while a SQL CASE oracle would fall through to its
+    * ELSE arm instead: a latent cross-engine mismatch.
     */
   def languageId(text: Column): Column = {
-    val toks = tokens(lower(text))
+    val toks = tokens(lower(coalesce(text, lit(""))))
     val scores = Seq("en", "es", "de", "fr", "zh").map(l => l -> stopwordHits(toks, l))
     val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), elseCol) =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.QueryDef.{withAbc, withViews}
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Sink, Tables}
 
 /** Queries covering the reference-parity operator inventory
   * (SURVEY.md §2). Names carry the §2 IDs they exercise.
@@ -204,6 +204,56 @@ object ParityQueries {
         |  LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
         |) WHERE dt_entrada IS NOT NULL
         |GROUP BY subgrupo, codigo_produto, cliente""".stripMargin)))
+
+  /** A9 bounded-memory variant ([[History.historicoCapped]]): history
+    * lists capped at the first 5 rows per group, true group size and
+    * overflow count preserved, A8 argmax exact. The oracle replays the
+    * cap with ROW_NUMBER/QUALIFY semantics.
+    */
+  val historicoCapped = QueryDef(
+    "a9_capped_history",
+    (s, dir) =>
+      History.historicoCapped(Enrich.joinCategorias(
+        Tables.analiseComercial(s, dir), Tables.classificacaoProdutos(s, dir)), maxN = 5)
+        .select(
+          col("subgrupo"), col("codigo_produto"), col("cliente"), col("n_propostas"),
+          array_join(col("datas_entrada"), "; ").as("datas_entrada"),
+          array_join(col("probs_fech").cast("array<string>"), "; ").as("probs_fech"),
+          array_join(col("motivos_nao_venda"), "; ").as("motivos_nao_venda"),
+          col("ultima_data"), col("ultimo_consultor"), col("n_overflow")),
+    Some(withViews(
+      // continues withViews' WITH-chain: leading comma, not a new WITH
+      """, enr AS (
+        |  SELECT f.*, COALESCE(f.motivo_nao_venda, '') AS motivo_nn, d.subgrupo FROM fact f
+        |  LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
+        |),
+        |ordered AS (
+        |  SELECT subgrupo, codigo_produto, cliente, dt_entrada, rid, prob_fech, motivo_nn,
+        |         consultor_interno,
+        |         ROW_NUMBER() OVER w AS rn,
+        |         COUNT(*) OVER (PARTITION BY subgrupo, codigo_produto, cliente) AS total,
+        |         FIRST_VALUE(strftime(dt_entrada, '%d/%m/%Y')) OVER wd AS ultima_data,
+        |         FIRST_VALUE(consultor_interno) OVER wd AS ultimo_consultor
+        |  FROM enr WHERE dt_entrada IS NOT NULL
+        |  WINDOW w AS (PARTITION BY subgrupo, codigo_produto, cliente
+        |               ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno),
+        |         wd AS (PARTITION BY subgrupo, codigo_produto, cliente
+        |               ORDER BY dt_entrada DESC, rid DESC, prob_fech DESC, motivo_nn DESC,
+        |                        consultor_interno DESC)
+        |)
+        |SELECT subgrupo, codigo_produto, cliente,
+        |       MAX(total) AS n_propostas,
+        |       array_to_string(LIST(strftime(dt_entrada, '%d/%m/%Y')
+        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS datas_entrada,
+        |       array_to_string(LIST(CAST(prob_fech AS VARCHAR)
+        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS probs_fech,
+        |       array_to_string(LIST(motivo_nn
+        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS motivos_nao_venda,
+        |       ANY_VALUE(ultima_data) AS ultima_data,
+        |       ANY_VALUE(ultimo_consultor) AS ultimo_consultor,
+        |       CAST(MAX(total) - COUNT(*) AS BIGINT) AS n_overflow
+        |FROM ordered WHERE rn <= 5
+        |GROUP BY 1, 2, 3""".stripMargin)))
 
   /** A10+C10: collapse uniform list to scalar, else join for display
     * (reference APC:233-243, APC:311).
@@ -606,6 +656,34 @@ object ParityQueries {
         |  ) GROUP BY semana
         |)""".stripMargin)))
 
+  /** S6+C13: export-sink round-trip. Writes the fact year-partitioned
+    * ([[graft.sources.Sink.saveFactByYear]]) to a C13-shaped
+    * timestamped directory (fixed stamp — the clock is injectable
+    * precisely so pipelines can pin it), reads it back filtered to ONE
+    * year, and aggregates. The oracle computes the same aggregate from
+    * the source tables, so a round-trip that drops, duplicates, or
+    * mistypes rows fails the compare. PlanSpec pins that the re-read
+    * scans only the `ano=1997` directory (PartitionFilters pruning) —
+    * the property that makes the layout worth writing at 100 TB.
+    */
+  val sinkRoundtrip = QueryDef(
+    "s6_c13_sink_roundtrip",
+    (s, dir) => {
+      val path =
+        s"${sys.props("java.io.tmpdir")}/graft_s6_roundtrip/fact_19970101_000000"
+      Sink.saveFactByYear(Tables.analiseComercial(s, dir), path)
+      s.read.parquet(path)
+        .filter(col("ano") === 1997)
+        .groupBy("ano", "status_processo")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("valor_orcado"), 2).as("valor_total"))
+    },
+    Some(withViews(
+      """SELECT CAST(year(dt_entrada) AS INT) AS ano, status_processo,
+        |       COUNT(*) AS n_rows, ROUND(SUM(valor_orcado), 2) AS valor_total
+        |FROM fact WHERE year(dt_entrada) = 1997
+        |GROUP BY 1, 2""".stripMargin)))
+
   /** S3/S4: source structure probe — column inventory of a table. */
   val describeSource = QueryDef(
     "s3_s4_describe_source",
@@ -618,8 +696,8 @@ object ParityQueries {
   val all: Seq[QueryDef] = Seq(
     projectRename, filterPendente, filtrarWildcard, dropAllNull, dropDupOrdered,
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
-    historico, collapseUniform, distinctTriples, distinctSorted, metrics,
+    historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, pivotStatus, deltaSemanas)
+    topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip)
 }

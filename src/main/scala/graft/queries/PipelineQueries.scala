@@ -197,7 +197,7 @@ object PipelineQueries {
             |         len(list_filter(toks, x -> x IN ${stopSql("de")})) AS s_de,
             |         len(list_filter(toks, x -> x IN ${stopSql("fr")})) AS s_fr,
             |         len(list_filter(toks, x -> x IN ${stopSql("zh")})) AS s_zh
-            |  FROM (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+            |  FROM (SELECT lang, string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks FROM documents)
             |)
             |SELECT lang, lang_pred, COUNT(*) AS n_docs FROM (
             |  SELECT lang,

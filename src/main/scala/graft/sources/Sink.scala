@@ -33,11 +33,12 @@ object Sink {
       dir: String,
       prefix: String,
       format: String = "parquet",
+      partitionBy: Seq[String] = Nil,
       clock: () => String = () =>
         java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
           .format(java.time.LocalDateTime.now())): String = {
     val path = s"$dir/${prefix}_${clock()}"
-    save(df, path, format)
+    save(df, path, format, partitionBy)
     path
   }
 

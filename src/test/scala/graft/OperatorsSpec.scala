@@ -82,6 +82,26 @@ class HistorySpec extends AnyFunSuite {
     assert(h.getAs[Long]("n_propostas") == 3)
   }
 
+  test("historicoCapped bounds the lists, keeps exact totals and argmax (A9 fallback)") {
+    val h = History.historicoCapped(enriched, maxN = 2)
+      .filter($"cliente" === "C1").collect()(0)
+    // first-2 of the total order only
+    assert(h.getAs[scala.collection.Seq[String]]("datas_entrada").toSeq ==
+      Seq("01/01/1996", "01/02/1996"))
+    assert(h.getAs[scala.collection.Seq[Double]]("probs_fech").toSeq == Seq(0.2, 0.5))
+    // exact group size, overflow, and UNCAPPED argmax
+    assert(h.getAs[Long]("n_propostas") == 3)
+    assert(h.getAs[Long]("n_overflow") == 1)
+    assert(h.getAs[String]("ultima_data") == "01/03/1996")
+    assert(h.getAs[String]("ultimo_consultor") == "cat")
+
+    // a cap larger than every group degenerates to the uncapped operator
+    val capped = History.historicoCapped(enriched, maxN = 100)
+      .drop("n_overflow").orderBy("cliente").collect().toSeq.map(_.toString)
+    val full = History.historico(enriched).orderBy("cliente").collect().toSeq.map(_.toString)
+    assert(capped == full)
+  }
+
   test("collapseIfUniform collapses single-valued lists, joins mixed (A10)") {
     val df = Seq((Seq("a", "a"), Seq("x", "y"))).toDF("uni", "mix")
     val r = df.select(

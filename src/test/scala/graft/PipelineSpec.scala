@@ -100,7 +100,8 @@ class DedupSpec extends AnyFunSuite {
     val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "  Mixed CASE   with   spaces  "), (3L, "ab"), (4L, "短 文 本 测 试"),
       (5L, "trailing newline text here\n"), // Java split(limit 0) would drop the "" token
-      (6L, "emoji 😀 body with more words")) // non-BMP: codepoint vs UTF-16 slicing
+      (6L, "emoji 😀 body with more words"), // non-BMP: codepoint vs UTF-16 slicing
+      (7L, null.asInstanceOf[String])) // null text: both paths must yield []
     val df = texts.toDF("doc_id", "text")
 
     for (mode <- Seq("word", "char")) {

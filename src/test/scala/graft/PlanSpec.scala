@@ -51,6 +51,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s6 year-partitioned layout prunes partitions on re-read") {
+    val p = plan("s6_c13_sink_roundtrip") // building the df runs the write
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, "re-read scan exposes no PartitionFilters")
+    assert(scan.get.contains("ano"), s"year filter did not reach the partition layer: $scan")
+  }
+
   test("fact-view scans prune columns and push predicates") {
     val p = plan("f4_date_between")
     assert(p.contains("PushedFilters: [IsNotNull"), "pushdown reaches the scans")
