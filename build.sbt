@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: the sf0.1 bench caches the fact view + shuffles and the
+  // sink round-trip query rewrites the whole fact per pass — at 8g the
+  // cached fact was evicted between passes and trivial queries paid a
+  // full 5-way-join rebuild (measured: a12_distinct_sorted 0.7s -> 12s).
+  // The test box has 128 GiB; a real cluster sizes executor memory anyway.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

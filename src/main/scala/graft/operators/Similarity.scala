@@ -72,11 +72,34 @@ object Similarity {
         max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
         first(col("vec")).as("vec"))
 
+  /** Top-`nprobe` cell assignments per vector (multi-probe IVF): the
+    * query side probes its `nprobe` nearest centroids instead of only
+    * the nearest one — the standard recall knob when a true neighbor
+    * sits just across a Voronoi boundary. Same broadcast + ranked
+    * window shape as [[ivfAssign]]; emits one row per (vector, probed
+    * cell).
+    */
+  def ivfAssignProbes(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("c_id").asc)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("c_vec"))))
+      .select(col("id"), col("vec"), col("c_id"),
+        round(VectorFunctions.cosineFast(col("vec"), col("c_vec")), 6).as("sim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nprobe)
+      .select(col("id"), col("vec"), col("c_id").as("cell"))
+  }
+
   /** IVF ANN (nprobe = 1): assign corpus and queries to cells, search
     * each query only within its cell — the candidate join is an
     * EQUI-join on the cell id. The recall/cost trade is the centroid
-    * count; a multi-probe variant would explode the top-p cells per
-    * query before the same join.
+    * count; [[ivfTopKProbed]] widens the query side to the top-p cells
+    * before the same join.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -92,6 +115,34 @@ object Similarity {
       .join(ca.select(col("id").as("n_id"), col("vec").as("n_vec"), col("cell")), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("cell"),
+        round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Multi-probe IVF ANN: each query searches its `nprobe` nearest
+    * cells. The corpus is still assigned once (every vector lives in
+    * exactly one cell, so probing never duplicates a candidate); only
+    * the few query rows fan out ×nprobe. The candidate join stays an
+    * EQUI-join on the cell id — at corpus scale the probe count
+    * multiplies only the (tiny) query side of the shuffle.
+    */
+  def ivfTopKProbed(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val ca = ivfAssign(corpus, centroids, idCol, vecCol)
+    val qa = ivfAssignProbes(queries, centroids, idCol, vecCol, nprobe)
+    val scored = qa.select(col("id").as("q_id"), col("vec").as("q_vec"), col("cell"))
+      .join(ca.select(col("id").as("n_id"), col("vec").as("n_vec"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
         round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("__rn", row_number().over(w))

@@ -360,6 +360,42 @@ object PipelineQueries {
             |  JOIN assign n ON q.cell = n.cell AND n.vec_id <> q.vec_id
             |) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 5""".stripMargin))
 
+  /** Multi-probe IVF (nprobe=2): the recall knob — each query searches
+    * its two nearest cells. The corpus assignment is unchanged, so the
+    * probe only fans out the tiny query side.
+    */
+  val annIvfProbed = QueryDef(
+    "ann_ivf_probe2",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.ivfTopKProbed(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb, centroids,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+            |assign AS (
+            |  SELECT vec_id, v, c_id AS cell FROM (
+            |    SELECT e.vec_id, e.v, c.c_id,
+            |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+            |    FROM e CROSS JOIN c
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+            |),
+            |probes AS (
+            |  SELECT vec_id, v, c_id AS cell FROM (
+            |    SELECT e.vec_id, e.v, c.c_id,
+            |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+            |    FROM e CROSS JOIN c WHERE e.vec_id >= 10 AND e.vec_id < 20
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) <= 2
+            |)
+            |SELECT q_id, n_id, cos FROM (
+            |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+            |         ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
+            |  FROM probes q JOIN assign n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+            |) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 5""".stripMargin))
+
   // ----------------------------------------------------------- events
 
   /** JSON props surface: parse `events.props` with a typed schema
@@ -487,6 +523,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     textStats, textLangid, textQuality,
-    textWinnow, annTopK, annBucketed, annIvf, eventsJson, eventsDaily,
+    textWinnow, annTopK, annBucketed, annIvf, annIvfProbed, eventsJson, eventsDaily,
     sampleSplit, mmMediaMeta, mmDecode)
 }
