@@ -488,6 +488,50 @@ object PipelineQueries {
            |  FROM documents
            |)""".stripMargin))
 
+  /** Frame sampling + resize metadata transforms over the synthetic
+    * media table. Frames are 8-byte payload slices (every 2nd frame),
+    * hex-rendered so the comparator sees strings; the resize stub's
+    * scale arithmetic is mirrored op-for-op (divide, multiply, floor)
+    * so the doubles agree bit-for-bit. DuckDB CAST(double AS INT)
+    * ROUNDS where Spark's cast truncates — both sides floor()
+    * explicitly.
+    */
+  val mmFramesResize = QueryDef(
+    "mm_frames_resize",
+    (s, dir) => {
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.resizeStub(media, maxSide = 400)
+        .select(col("media_id"), col("kind"), col("width"), col("height"), col("resized"),
+          array_join(
+            transform(
+              Multimodal.frameSample(col("payload"), col("n_frames"), frameBytes = 8, everyK = 2),
+              f => hex(f)),
+            "; ").as("frames_hex"))
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id AS media_id,
+           |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+           |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           |         chain,
+           |         CAST((doc_id % 4) * 160 + 320 AS INT) AS width,
+           |         CAST((doc_id % 3) * 120 + 240 AS INT) AS height,
+           |         CAST((doc_id % 8) + 1 AS INT) AS n_frames
+           |  FROM (
+           |    SELECT doc_id, md5('0:' || text) || md5('1:' || text) ||
+           |                   md5('2:' || text) || md5('3:' || text) AS chain
+           |    FROM documents
+           |  )
+           |)
+           |SELECT media_id, kind,
+           |       CAST(floor(width * s) AS INT) AS width,
+           |       CAST(floor(height * s) AS INT) AS height,
+           |       s < 1.0 AS resized,
+           |       array_to_string(
+           |         [upper(substr(chain, 32 * i + 1, 16))
+           |          FOR i IN generate_series(0, greatest((n_frames - 1) // 2, 0))],
+           |         '; ') AS frames_hex
+           |FROM (SELECT *, least(1.0, 400 / CAST(greatest(width, height) AS DOUBLE)) AS s FROM m)""".stripMargin))
+
   /** Deterministic hash-based train/test split (10% test) with
     * per-(split, lang) balance counts. Hash-based membership is
     * engine-portable — the oracle reproduces the exact split, which no
@@ -524,5 +568,5 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     textStats, textLangid, textQuality,
     textWinnow, annTopK, annBucketed, annIvf, annIvfProbed, eventsJson, eventsDaily,
-    sampleSplit, mmMediaMeta, mmDecode)
+    sampleSplit, mmMediaMeta, mmDecode, mmFramesResize)
 }
