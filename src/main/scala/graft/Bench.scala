@@ -8,11 +8,12 @@ import graft.sources.Tables
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line for the driver.
   *
-  * Harness protocol (BASELINE.md §"measurement protocol"): one untimed
-  * warmup pass over every query (absorbs JIT, codegen compilation, and
-  * shuffle-service warmup — round-2 numbers charged ~20 s of JVM warmup
-  * to whichever queries ran first), then `SPARK_GRAFT_BENCH_PASSES`
-  * (default 3) timed passes, reporting the per-query MEDIAN.
+  * Harness protocol (BASELINE.md §"Port benchmark protocol"): one
+  * untimed warmup pass over every query (absorbs JIT, codegen
+  * compilation, and shuffle-service warmup — round-2 numbers charged
+  * ~20 s of JVM warmup to whichever queries ran first), then
+  * `SPARK_GRAFT_BENCH_PASSES` (default 3) timed passes, reporting the
+  * per-query MEDIAN.
   *
   * Harness design (round-1 judge feedback):
   *   - The shared fact/dim views are persisted once up front. Spark's
@@ -23,9 +24,11 @@ import graft.sources.Tables
   *   - The measured action is a `noop`-format write, which fully
   *     consumes every output column. `count()` would let Catalyst
   *     prune the very expressions some queries exist to compute.
-  *   - A query that throws reports -1 (not its elapsed-until-failure
-  *     time) and is listed under "failed", so a partially-broken run
-  *     can't masquerade as a plausible total.
+  *   - A query that throws on ANY timed pass is listed under "failed"
+  *     and EXCLUDED from the total (its value is the median of the
+  *     passes that succeeded, or -1 if none did — never its
+  *     elapsed-until-failure time), so a partially-broken run can't
+  *     masquerade as a plausible total.
   */
 object Bench {
 
@@ -77,7 +80,7 @@ object Bench {
       name -> (if (runs.isEmpty) -1.0 else median(runs))
     }
 
-    val total = timings.collect { case (_, v) if v >= 0 => v }.sum
+    val total = timings.collect { case (n, v) if v >= 0 && !failed.contains(n) => v }.sum
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -5,9 +5,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val spark = GraftSession.local(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
-      appName = "graft-verify")
+    // Same parallelism default as Bench/GraftSession: a correctness run
+    // under a different partition count than the bench could mask
+    // order-nondeterministic expressions.
+    val spark = GraftSession.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     // Persist shared inputs once — every query's identical subplan hits
     // the plan cache instead of rebuilding the 5-way fact join.

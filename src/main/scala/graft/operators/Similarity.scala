@@ -176,10 +176,16 @@ object Similarity {
     val e = corpus
       .filter(col(vecCol).isNotNull && size(col(vecCol)) >= dim)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // Persisted: the candidate self-join reads this frame twice (same
+    // pattern as Dedup's `banded`). The filtered corpus `e` is
+    // deliberately NOT cached — the re-attach joins re-scan the source
+    // with (id, vec) pruning, which at corpus scale beats pinning the
+    // full vector column in storage memory.
     val keys = e.select(
         col("id"),
         explode(VectorFunctions.bandSignKeys(col("vec"), dim, nBands, bitsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // A pair colliding in several bands must verify once, not once per
     // band: distinct at candidate cardinality, before any vector rides.
     val cand = keys.as("a")

@@ -168,7 +168,7 @@ object ParityQueries {
             .as("ultimo_consultor")),
     Some(withViews(
       """SELECT cliente, MAX(dt_entrada) AS ultima_data,
-        |       (LIST(consultor_interno ORDER BY dt_entrada, rid, consultor_interno))[-1] AS ultimo_consultor
+        |       (LIST(consultor_interno ORDER BY dt_entrada NULLS FIRST, rid, consultor_interno NULLS FIRST))[-1] AS ultimo_consultor
         |FROM fact GROUP BY cliente""".stripMargin)))
 
   /** A9+W5: grouped ordered history collection — the reference's
@@ -191,14 +191,14 @@ object ParityQueries {
     Some(withViews(
       """SELECT subgrupo, codigo_produto, cliente, COUNT(*) AS n_propostas,
         |       array_to_string(LIST(strftime(dt_entrada, '%d/%m/%Y')
-        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS datas_entrada,
+        |            ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST), '; ') AS datas_entrada,
         |       array_to_string(LIST(CAST(prob_fech AS VARCHAR)
-        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS probs_fech,
+        |            ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST), '; ') AS probs_fech,
         |       array_to_string(LIST(motivo_nn
-        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS motivos_nao_venda,
+        |            ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST), '; ') AS motivos_nao_venda,
         |       strftime(MAX(dt_entrada), '%d/%m/%Y') AS ultima_data,
         |       (LIST(consultor_interno
-        |             ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno))[-1] AS ultimo_consultor
+        |             ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST))[-1] AS ultimo_consultor
         |FROM (
         |  SELECT f.*, COALESCE(f.motivo_nao_venda, '') AS motivo_nn, d.subgrupo FROM fact f
         |  LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
@@ -236,7 +236,7 @@ object ParityQueries {
         |         FIRST_VALUE(consultor_interno) OVER wd AS ultimo_consultor
         |  FROM enr WHERE dt_entrada IS NOT NULL
         |  WINDOW w AS (PARTITION BY subgrupo, codigo_produto, cliente
-        |               ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno),
+        |               ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST),
         |         wd AS (PARTITION BY subgrupo, codigo_produto, cliente
         |               ORDER BY dt_entrada DESC, rid DESC, prob_fech DESC, motivo_nn DESC,
         |                        consultor_interno DESC)
@@ -244,11 +244,11 @@ object ParityQueries {
         |SELECT subgrupo, codigo_produto, cliente,
         |       MAX(total) AS n_propostas,
         |       array_to_string(LIST(strftime(dt_entrada, '%d/%m/%Y')
-        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS datas_entrada,
+        |            ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST), '; ') AS datas_entrada,
         |       array_to_string(LIST(CAST(prob_fech AS VARCHAR)
-        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS probs_fech,
+        |            ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST), '; ') AS probs_fech,
         |       array_to_string(LIST(motivo_nn
-        |            ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno), '; ') AS motivos_nao_venda,
+        |            ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST), '; ') AS motivos_nao_venda,
         |       ANY_VALUE(ultima_data) AS ultima_data,
         |       ANY_VALUE(ultimo_consultor) AS ultimo_consultor,
         |       CAST(MAX(total) - COUNT(*) AS BIGINT) AS n_overflow
@@ -276,9 +276,9 @@ object ParityQueries {
         |FROM (
         |  SELECT subgrupo, codigo_produto, cliente,
         |         LIST(motivo_nn
-        |              ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS motivos,
+        |              ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST) AS motivos,
         |         LIST(strftime(dt_entrada, '%d/%m/%Y')
-        |              ORDER BY dt_entrada, rid, prob_fech, motivo_nn, consultor_interno) AS datas
+        |              ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST) AS datas
         |  FROM (
         |    SELECT f.*, COALESCE(f.motivo_nao_venda, '') AS motivo_nn, d.subgrupo FROM fact f
         |    LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
@@ -669,8 +669,11 @@ object ParityQueries {
   val sinkRoundtrip = QueryDef(
     "s6_c13_sink_roundtrip",
     (s, dir) => {
+      // Path keyed by the source dir: a PlanSpec run at sf0.001 must not
+      // clobber a concurrent Verify/Bench round-trip at another SF.
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path =
-        s"${sys.props("java.io.tmpdir")}/graft_s6_roundtrip/fact_19970101_000000"
+        s"${sys.props("java.io.tmpdir")}/graft_s6_roundtrip/$dirKey/fact_19970101_000000"
       Sink.saveFactByYear(Tables.analiseComercial(s, dir), path)
       s.read.parquet(path)
         .filter(col("ano") === 1997)

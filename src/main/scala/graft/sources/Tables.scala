@@ -33,15 +33,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects by default. The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession does) so
-    * the column arrives as a bigint of epoch nanos; [[eventsTs]]
-    * re-derives a proper timestamp. Kept out of this loader: mutating a
-    * live session here would silently change how every later parquet
-    * read in the session treats nanos columns.
+    * Spark's reader rejects by default. GraftSession builds sessions
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` so the column
+    * arrives as a bigint of epoch nanos; [[eventsTs]] re-derives a
+    * proper timestamp. For an EXTERNALLY-built session the loader
+    * self-heals by setting the conf at runtime — note this is
+    * SESSION-GLOBAL: every later parquet read of a nanos column in
+    * that session also gets the bigint mapping (there is no per-read
+    * option for it).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
+  }
 
   /** Epoch-nanos bigint → timestamp (microsecond precision). Division
     * goes through decimal: `Column./` is DOUBLE division, and modern
