@@ -229,6 +229,76 @@ object PipelineQueries {
             |        FROM documents)
             |)""".stripMargin))
 
+  /** End-to-end corpus-prep composite — the integration query a
+    * training-data pipeline actually runs: language-ID + quality score
+    * per doc → quality gate (≥ 0.5) → exact dedup (keep min doc_id per
+    * fingerprint) → deterministic train/test split → per-(split, lang)
+    * counts with mean quality. Every stage is one of the already
+    * oracle-proven operators; this row proves they COMPOSE (column
+    * contracts, null posture, determinism) end-to-end. One shuffle per
+    * aggregation boundary: fp-dedup window, then the final group-by —
+    * the scan→score→gate prefix is narrow.
+    */
+  val corpusPrep = QueryDef(
+    "pipeline_corpus_prep",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val deduped = scored.filter(col("quality") >= 0.5)
+        .withColumn("__rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("__rn") === 1).drop("__rn")
+      Sampling.trainTestSplit(deduped, "doc_id", testPct = 10)
+        .groupBy("split", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"), round(avg("quality"), 4).as("avg_quality"))
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, text, toks, CAST(len(toks) AS DOUBLE) AS n
+            |  FROM (SELECT doc_id, text,
+            |               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+            |        FROM documents)
+            |),
+            |scored AS (
+            |  SELECT doc_id,
+            |         CASE WHEN m = 0 THEN 'und'
+            |              WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+            |              WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
+            |              ELSE 'zh' END AS lang_pred,
+            |         quality, fp
+            |  FROM (
+            |    SELECT doc_id, s_en, s_es, s_de, s_fr,
+            |           greatest(s_en, s_es, s_de, s_fr, s_zh) AS m, quality, fp
+            |    FROM (
+            |      SELECT doc_id,
+            |             len(list_filter(toks, x -> x IN ${stopSql("en")})) AS s_en,
+            |             len(list_filter(toks, x -> x IN ${stopSql("es")})) AS s_es,
+            |             len(list_filter(toks, x -> x IN ${stopSql("de")})) AS s_de,
+            |             len(list_filter(toks, x -> x IN ${stopSql("fr")})) AS s_fr,
+            |             len(list_filter(toks, x -> x IN ${stopSql("zh")})) AS s_zh,
+            |             ROUND(
+            |               least(n / 100.0, 1.0) * 0.4 +
+            |               least(CAST(len(list_filter(toks, x -> x IN ${stopSql("en")})) AS DOUBLE)
+            |                     / greatest(n, 1.0) * 5.0, 1.0) * 0.3 +
+            |               (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+            |                            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3,
+            |               6) AS quality,
+            |             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            |      FROM base
+            |    )
+            |  )
+            |),
+            |deduped AS (
+            |  SELECT * FROM (SELECT * FROM scored WHERE quality >= 0.5)
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+            |)
+            |SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+            |            THEN 'test' ELSE 'train' END AS split,
+            |       lang_pred, COUNT(*) AS n_docs, ROUND(AVG(quality), 4) AS avg_quality
+            |FROM deduped GROUP BY 1, 2""".stripMargin))
+
   /** Winnowed rolling-hash fingerprints (k=5 grams, window 8) per doc:
     * sketch size and extremes, via the O(n) JVM kernel
     * ([[TextAnalysis.winnowKernel]] — one narrow pass, no caching; the
@@ -566,7 +636,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
-    textStats, textLangid, textQuality,
+    textStats, textLangid, textQuality, corpusPrep,
     textWinnow, annTopK, annBucketed, annIvf, annIvfProbed, eventsJson, eventsDaily,
     sampleSplit, mmMediaMeta, mmDecode, mmFramesResize)
 }
