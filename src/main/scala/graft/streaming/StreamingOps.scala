@@ -52,6 +52,27 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 
+  /** Streaming exact dedup: fingerprint the text (the SAME
+    * normalization as the batch operator,
+    * [[graft.operators.TextAnalysis.fingerprint]], so batch backfill
+    * and streaming ingest dedup identically), keep the first arrival
+    * per fingerprint, and forget a fingerprint once the watermark
+    * passes — `dropDuplicatesWithinWatermark` bounds the state where a
+    * plain streaming `dropDuplicates` would grow it forever. The state
+    * key is the 32-char fingerprint, hash-partitioned across
+    * executors.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

@@ -58,6 +58,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.get.contains("ano"), s"year filter did not reach the partition layer: $scan")
   }
 
+  test("capped-history and corpus-prep windows are partitioned (no global window)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (q <- Seq("a9_capped_history", "pipeline_corpus_prep")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val wins = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+      assert(wins.nonEmpty, s"$q expected window nodes")
+      wins.foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"$q has a partition-less window: $w"))
+    }
+  }
+
   test("fact-view scans prune columns and push predicates") {
     val p = plan("f4_date_between")
     assert(p.contains("PushedFilters: [IsNotNull"), "pushdown reaches the scans")

@@ -55,6 +55,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("dedupStream keeps first arrival per fingerprint within the watermark") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val dir = Files.createTempDirectory("graft_stream4").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // "A  b" and " a b " normalize to the same fingerprint
+    ms.addData((ts(1), "A  b"), (ts(2), " a b "), (ts(3), "different text"))
+
+    val deduped = StreamingOps.dedupStream(
+      ms.toDF.toDF("ts", "text"), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("dedup_test").select("text").as[String].collect().toSet
+    assert(out == Set("A  b", "different text")) // first arrival wins
+  }
+
   test("sessionize: flatMapGroupsWithState accumulates per-user state") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[StreamingOps.UserEvent]
