@@ -687,6 +687,25 @@ object ParityQueries {
         |FROM fact WHERE year(dt_entrada) = 1997
         |GROUP BY 1, 2""".stripMargin)))
 
+  /** S1 (csv leg): write a dimension as headered CSV via the sink,
+    * read it back through [[graft.sources.Load.load]]'s
+    * extension-dispatch + schema inference, and prove the values
+    * survived the text round-trip. Parquet S1 is exercised by every
+    * other query; this row covers the reference's
+    * tabular-text-file bridge.
+    */
+  val csvRoundtrip = QueryDef(
+    "s1_csv_roundtrip",
+    (s, dir) => {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_s1_csv/$dirKey/nation.csv"
+      Sink.save(Tables.nation(s, dir).select("n_nationkey", "n_name"), path,
+        format = "csv", options = Map("header" -> "true"))
+      graft.sources.Load.load(s, path)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    },
+    Some("SELECT n_nationkey, n_name FROM nation"))
+
   /** S3/S4: source structure probe — column inventory of a table. */
   val describeSource = QueryDef(
     "s3_s4_describe_source",
@@ -702,5 +721,5 @@ object ParityQueries {
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip)
+    topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip)
 }

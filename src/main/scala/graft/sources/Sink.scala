@@ -19,8 +19,9 @@ object Sink {
       path: String,
       format: String = "parquet",
       partitionBy: Seq[String] = Nil,
-      mode: String = "overwrite"): Unit = {
-    val w = df.write.mode(mode).format(format)
+      mode: String = "overwrite",
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(mode).format(format).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
