@@ -669,11 +669,7 @@ object ParityQueries {
   val sinkRoundtrip = QueryDef(
     "s6_c13_sink_roundtrip",
     (s, dir) => {
-      // Path keyed by the source dir: a PlanSpec run at sf0.001 must not
-      // clobber a concurrent Verify/Bench round-trip at another SF.
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path =
-        s"${sys.props("java.io.tmpdir")}/graft_s6_roundtrip/$dirKey/fact_19970101_000000"
+      val path = s"${tmpPath(dir, "graft_s6_roundtrip")}/fact_19970101_000000"
       Sink.saveFactByYear(Tables.analiseComercial(s, dir), path)
       s.read.parquet(path)
         .filter(col("ano") === 1997)
@@ -687,20 +683,31 @@ object ParityQueries {
         |FROM fact WHERE year(dt_entrada) = 1997
         |GROUP BY 1, 2""".stripMargin)))
 
+  /** Temp output root for round-trip queries, keyed by the source dir:
+    * a PlanSpec run at one SF must not clobber a concurrent
+    * Verify/Bench round-trip at another.
+    */
+  private def tmpPath(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/$name/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   /** S1 (csv leg): write a dimension as headered CSV via the sink,
     * read it back through [[graft.sources.Load.load]]'s
     * extension-dispatch + schema inference, and prove the values
     * survived the text round-trip. Parquet S1 is exercised by every
     * other query; this row covers the reference's
-    * tabular-text-file bridge.
+    * tabular-text-file bridge. The writer pins whitespace preservation
+    * (Spark's CSV writer trims by default); note empty strings still
+    * read back as null — a CSV format limit, not a loader bug.
     */
   val csvRoundtrip = QueryDef(
     "s1_csv_roundtrip",
     (s, dir) => {
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_s1_csv/$dirKey/nation.csv"
+      val path = s"${tmpPath(dir, "graft_s1_csv")}/nation.csv"
       Sink.save(Tables.nation(s, dir).select("n_nationkey", "n_name"), path,
-        format = "csv", options = Map("header" -> "true"))
+        format = "csv", options = Map(
+          "header" -> "true",
+          "ignoreLeadingWhiteSpace" -> "false",
+          "ignoreTrailingWhiteSpace" -> "false"))
       graft.sources.Load.load(s, path)
         .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
     },

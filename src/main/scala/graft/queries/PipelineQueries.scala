@@ -179,6 +179,38 @@ object PipelineQueries {
   private def stopSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Shared DuckDB fragments mirroring [[TextAnalysis]] — ONE copy of
+    * the tokenizer, stopword scores, langid argmax, and quality
+    * formula. The per-operator oracles and the corpus-prep composite
+    * all build on these, so a future operator tweak has exactly one
+    * SQL twin to update.
+    */
+  private val docsBaseSql: String =
+    s"""SELECT doc_id, lang, text, toks, CAST(len(toks) AS DOUBLE) AS n
+       |FROM (SELECT doc_id, lang, text,
+       |             string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+       |      FROM documents)""".stripMargin
+
+  private val stopScoresSql: String =
+    Seq("en", "es", "de", "fr", "zh")
+      .map(l => s"len(list_filter(toks, x -> x IN ${stopSql(l)})) AS s_$l")
+      .mkString(", ")
+
+  private val langidCaseSql: String =
+    """CASE WHEN m = 0 THEN 'und'
+      |     WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+      |     WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
+      |     ELSE 'zh' END""".stripMargin
+
+  private val qualityExprSql: String =
+    s"""ROUND(
+       |  least(n / 100.0, 1.0) * 0.4 +
+       |  least(CAST(len(list_filter(toks, x -> x IN ${stopSql("en")})) AS DOUBLE)
+       |        / greatest(n, 1.0) * 5.0, 1.0) * 0.3 +
+       |  (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+       |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3,
+       |  6)""".stripMargin
+
   /** Language-ID confusion matrix: heuristic prediction vs the labeled
     * `lang` column. The oracle re-implements the argmax WITH the same
     * tie precedence (en > es > de > fr > zh).
@@ -190,21 +222,14 @@ object PipelineQueries {
         .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n_docs")),
-    Some(s"""WITH scored AS (
-            |  SELECT lang,
-            |         len(list_filter(toks, x -> x IN ${stopSql("en")})) AS s_en,
-            |         len(list_filter(toks, x -> x IN ${stopSql("es")})) AS s_es,
-            |         len(list_filter(toks, x -> x IN ${stopSql("de")})) AS s_de,
-            |         len(list_filter(toks, x -> x IN ${stopSql("fr")})) AS s_fr,
-            |         len(list_filter(toks, x -> x IN ${stopSql("zh")})) AS s_zh
-            |  FROM (SELECT lang, string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks FROM documents)
+    Some(s"""WITH base AS (
+            |$docsBaseSql
+            |),
+            |scored AS (
+            |  SELECT lang, $stopScoresSql FROM base
             |)
             |SELECT lang, lang_pred, COUNT(*) AS n_docs FROM (
-            |  SELECT lang,
-            |         CASE WHEN m = 0 THEN 'und'
-            |              WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
-            |              WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
-            |              ELSE 'zh' END AS lang_pred
+            |  SELECT lang, $langidCaseSql AS lang_pred
             |  FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM scored)
             |) GROUP BY lang, lang_pred""".stripMargin))
 
@@ -215,19 +240,10 @@ object PipelineQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality")),
-    Some(s"""SELECT doc_id,
-            |       ROUND(
-            |         least(n / 100.0, 1.0) * 0.4 +
-            |         least(CAST(len(list_filter(toks, x -> x IN ${stopSql("en")})) AS DOUBLE)
-            |               / greatest(n, 1.0) * 5.0, 1.0) * 0.3 +
-            |         (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
-            |                      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3,
-            |         6) AS quality
-            |FROM (
-            |  SELECT doc_id, text, toks, CAST(len(toks) AS DOUBLE) AS n
-            |  FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
-            |        FROM documents)
-            |)""".stripMargin))
+    Some(s"""WITH base AS (
+            |$docsBaseSql
+            |)
+            |SELECT doc_id, $qualityExprSql AS quality FROM base""".stripMargin))
 
   /** End-to-end corpus-prep composite — the integration query a
     * training-data pipeline actually runs: language-ID + quality score
@@ -256,39 +272,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), round(avg("quality"), 4).as("avg_quality"))
     },
     Some(s"""WITH base AS (
-            |  SELECT doc_id, text, toks, CAST(len(toks) AS DOUBLE) AS n
-            |  FROM (SELECT doc_id, text,
-            |               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
-            |        FROM documents)
+            |$docsBaseSql
+            |),
+            |scored0 AS (
+            |  SELECT doc_id, $stopScoresSql,
+            |         $qualityExprSql AS quality,
+            |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            |  FROM base
             |),
             |scored AS (
-            |  SELECT doc_id,
-            |         CASE WHEN m = 0 THEN 'und'
-            |              WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
-            |              WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
-            |              ELSE 'zh' END AS lang_pred,
-            |         quality, fp
-            |  FROM (
-            |    SELECT doc_id, s_en, s_es, s_de, s_fr,
-            |           greatest(s_en, s_es, s_de, s_fr, s_zh) AS m, quality, fp
-            |    FROM (
-            |      SELECT doc_id,
-            |             len(list_filter(toks, x -> x IN ${stopSql("en")})) AS s_en,
-            |             len(list_filter(toks, x -> x IN ${stopSql("es")})) AS s_es,
-            |             len(list_filter(toks, x -> x IN ${stopSql("de")})) AS s_de,
-            |             len(list_filter(toks, x -> x IN ${stopSql("fr")})) AS s_fr,
-            |             len(list_filter(toks, x -> x IN ${stopSql("zh")})) AS s_zh,
-            |             ROUND(
-            |               least(n / 100.0, 1.0) * 0.4 +
-            |               least(CAST(len(list_filter(toks, x -> x IN ${stopSql("en")})) AS DOUBLE)
-            |                     / greatest(n, 1.0) * 5.0, 1.0) * 0.3 +
-            |               (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
-            |                            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3,
-            |               6) AS quality,
-            |             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-            |      FROM base
-            |    )
-            |  )
+            |  SELECT doc_id, $langidCaseSql AS lang_pred, quality, fp
+            |  FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM scored0)
             |),
             |deduped AS (
             |  SELECT * FROM (SELECT * FROM scored WHERE quality >= 0.5)
