@@ -683,6 +683,28 @@ object ParityQueries {
         |FROM fact WHERE year(dt_entrada) = 1997
         |GROUP BY 1, 2""".stripMargin)))
 
+  /** Salted-join semantics proof: [[Skew.saltedJoin]] must be
+    * row-identical to the plain join it replaces — the oracle IS the
+    * plain SQL join, so any salt-induced row loss/duplication fails
+    * the compare. (The salt's value is load-spreading, which the
+    * oracle cannot see; the row-identity contract is what it can.)
+    */
+  val saltedSkewJoin = QueryDef(
+    "j_salted_skew",
+    (s, dir) =>
+      Skew.saltedJoin(
+        Tables.analiseComercial(s, dir),
+        Tables.classificacaoProdutos(s, dir).select("codigo_produto", "negocio"),
+        Seq("codigo_produto"), salts = 8, how = "left")
+        .groupBy("negocio")
+        .agg(count(lit(1)).as("n_linhas"), round(sum("valor_orcado"), 2).as("valor_total")),
+    Some(withViews(
+      """SELECT d.negocio, COUNT(*) AS n_linhas,
+        |       ROUND(SUM(f.valor_orcado), 2) AS valor_total
+        |FROM fact f LEFT JOIN (SELECT codigo_produto, negocio FROM dim) d
+        |  ON f.codigo_produto = d.codigo_produto
+        |GROUP BY d.negocio""".stripMargin)))
+
   /** Temp output root for round-trip queries, keyed by the source dir:
     * a PlanSpec run at one SF must not clobber a concurrent
     * Verify/Bench round-trip at another.
@@ -728,5 +750,5 @@ object ParityQueries {
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip)
+    topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip, saltedSkewJoin)
 }
