@@ -735,6 +735,21 @@ object ParityQueries {
     },
     Some("SELECT n_nationkey, n_name FROM nation"))
 
+  /** S1 (json leg): same round-trip as [[csvRoundtrip]] through the
+    * JSON branch of the extension dispatch — with this row all three
+    * `Load.load` branches (parquet: every query, csv, json) are
+    * oracle-proven.
+    */
+  val jsonRoundtrip = QueryDef(
+    "s1_json_roundtrip",
+    (s, dir) => {
+      val path = s"${tmpPath(dir, "graft_s1_json")}/region.json"
+      Sink.save(Tables.region(s, dir).select("r_regionkey", "r_name"), path, format = "json")
+      graft.sources.Load.load(s, path)
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+    },
+    Some("SELECT r_regionkey, r_name FROM region"))
+
   /** S3/S4: source structure probe — column inventory of a table. */
   val describeSource = QueryDef(
     "s3_s4_describe_source",
@@ -750,5 +765,6 @@ object ParityQueries {
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip, saltedSkewJoin)
+    topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
+    saltedSkewJoin)
 }
