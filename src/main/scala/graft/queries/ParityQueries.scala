@@ -705,6 +705,24 @@ object ParityQueries {
         |  ON f.codigo_produto = d.codigo_produto
         |GROUP BY d.negocio""".stripMargin)))
 
+  /** Dynamic-SQL escape hatch ([[Views.sqlOn]] — the safe replacement
+    * for the reference's `exec()` of user-typed Python, MAC:1048-1058):
+    * register the fact as a view, run user SQL against it. The oracle
+    * runs the equivalent SQL directly, proving the round-trip through
+    * the temp-view registration changes nothing.
+    */
+  val sqlEscapeHatch = QueryDef(
+    "v_sql_escape_hatch",
+    (s, dir) =>
+      Views.sqlOn(s, Tables.analiseComercial(s, dir), "fact_user_view",
+        """SELECT uf, status_processo, COUNT(*) AS n_rows,
+          |       ROUND(SUM(valor_proposta), 2) AS valor_total
+          |FROM fact_user_view GROUP BY uf, status_processo""".stripMargin),
+    Some(withViews(
+      """SELECT uf, status_processo, COUNT(*) AS n_rows,
+        |       ROUND(SUM(valor_proposta), 2) AS valor_total
+        |FROM fact GROUP BY uf, status_processo""".stripMargin)))
+
   /** Temp output root for round-trip queries, keyed by the source dir:
     * a PlanSpec run at one SF must not clobber a concurrent
     * Verify/Bench round-trip at another.
@@ -766,5 +784,5 @@ object ParityQueries {
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
-    saltedSkewJoin)
+    saltedSkewJoin, sqlEscapeHatch)
 }
