@@ -58,20 +58,33 @@ object VectorFunctions {
         (x, p) => when(x >= 0.0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
 
-  /** The coordinate (1-based) that band `b`, bit `j` samples: first 8
-    * hex chars of md5("b:j") as an integer, mod `dim`. Derived from md5
-    * so the DuckDB oracle can recompute the identical plane set; no
-    * stored random state, so every executor (and every engine) agrees.
+  /** The 1-based coordinates band `b` samples: md5("b:1"), md5("b:2"),
+    * … (first 8 hex chars as an integer, mod `dim`), keeping the first
+    * `bits` DISTINCT indices — sampling WITHOUT replacement, so a
+    * band's key really carries `bits` independent sign tests. (With
+    * replacement, at dim=64/bits=12 a band expects 1-2 duplicate
+    * coordinates, silently lowering its effective bits below the
+    * documented recall estimate.) Derived from md5 so the DuckDB
+    * oracle can recompute the identical plane set; no stored random
+    * state, so every executor (and every engine) agrees.
     */
-  def planeIndex(b: Int, j: Int, dim: Int): Int = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$b:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(h.substring(0, 8), 16) % dim).toInt + 1
+  def planeIndices(b: Int, bits: Int, dim: Int): Seq[Int] = {
+    require(bits <= dim,
+      s"bitsPerBand=$bits needs $bits distinct coordinates but dim=$dim")
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var j = 1
+    while (seen.size < bits) {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      seen += (java.lang.Long.parseLong(h.substring(0, 8), 16) % dim).toInt + 1
+      j += 1
+    }
+    seen.toSeq
   }
 
   /** Multi-band sign LSH keys: `nBands` independent k-bit bucket keys,
-    * band `b`'s bit `j` set iff the md5-sampled coordinate
-    * [[planeIndex]](b, j) is >= 0. Returns
+    * band `b`'s bit `i` set iff the md5-sampled coordinate
+    * [[planeIndices]](b, bits, dim)(i) is >= 0. Returns
     * `array<struct<band:int, key:bigint>>` for `explode` + equi-join.
     *
     * The indices are resolved DRIVER-side into plain literal
@@ -85,13 +98,16 @@ object VectorFunctions {
     * buckets bound each bucket's population, and a true near-dup pair
     * (cos ≥ ~0.95) still collides in at least one band with high
     * probability: p_bit = 1 − θ/π ≈ 0.95, recall ≈
-    * 1 − (1 − p_bit^bits)^bands ≈ 0.99 at bits=12, bands=6.
+    * 1 − (1 − p_bit^bits)^bands ≈ 0.99 at bits=12, bands=6. The
+    * within-band coordinates are distinct ([[planeIndices]]), so
+    * p_bit^bits holds per band; bands may still share a coordinate,
+    * which only correlates bands (recall estimate stays conservative
+    * at these sizes).
     */
   def bandSignKeys(vec: Column, dim: Int, nBands: Int, bitsPerBand: Int): Column =
     array((0 until nBands).map { b =>
-      val key = (1 to bitsPerBand).map { j =>
-        when(element_at(vec, planeIndex(b, j, dim)) >= 0.0, lit(1L << (j - 1)))
-          .otherwise(lit(0L))
+      val key = planeIndices(b, bitsPerBand, dim).zipWithIndex.map { case (idx, i) =>
+        when(element_at(vec, idx) >= 0.0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("key"))
     }: _*)

@@ -11,12 +11,14 @@ import graft.functions.VectorFunctions
   * Two tiers, per the standard ANN playbook:
   *
   *   - [[bruteForceTopK]] — exact cosine top-k. The QUERY side is
-  *     broadcast (queries are few), the corpus side streams: the plan
-  *     is BroadcastNestedLoopJoin over corpus partitions followed by a
-  *     per-query top-k window on the (|Q| × k)-bounded candidate set.
-  *     At 100 TB the corpus never shuffles — each executor scores its
-  *     partitions against the broadcast queries and emits only local
-  *     winners; this is the correctness baseline and the right plan
+  *     broadcast (queries are few), the corpus side streams through a
+  *     BroadcastNestedLoopJoin, and the per-query top-k is a BOUNDED
+  *     AGGREGATE ([[graft.functions.TopK.smallestK]]): the map side
+  *     keeps a k-heap per query, so only ≤ |partitions| × k × |Q| heap
+  *     entries ride the shuffle and nothing ever sorts more than k
+  *     elements. At 100 TB the corpus never shuffles and no single
+  *     task ever sees more than |partitions| × k candidate rows per
+  *     query; this is the correctness baseline and the right plan
   *     when |Q| is small.
   *   - [[bucketedPairs]] — the scale path for all-pairs near-dup:
   *     multi-band sign LSH (nBands independent k-bit keys per vector),
@@ -33,6 +35,15 @@ object Similarity {
     * the union. Ranking uses the ROUNDED cosine (6 dp) with the
     * neighbor id as tie-break so results are reproducible across
     * engines and runs.
+    *
+    * Plan shape (pinned by PlanSpec): scoring stays map-side against
+    * the broadcast query frame; the ranking is a partial-merged
+    * `collect_top_k` aggregate on `struct(-cos, n_id)` — NOT a
+    * `row_number` window, which would shuffle the full |C| × |Q|
+    * scored set onto |Q| reducers and sort |C| rows per query on one
+    * task. Null cosines (mismatched/short vectors) are filtered before
+    * ranking: a desc window ranks them last, a smallest-k heap on the
+    * negated key would rank them first.
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -45,10 +56,15 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+      .filter(col("cos").isNotNull)
+    // Smallest-k of (-cos, n_id asc) == cos desc with n_id tie-break.
+    // Double negation is bit-exact, so `cos` round-trips unchanged.
+    scored
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.smallestK(
+        struct((-col("cos")).as("nc"), col("n_id").as("n_id")), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.n_id").as("n_id"), (-col("t.nc")).as("cos"))
   }
 
   /** IVF-style cell assignment: nearest centroid by ROUNDED cosine
@@ -108,8 +124,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // Note: the corpus assignment is consumed exactly once (the cell
+    // equi-join), so there is nothing to cache here — a persist would
+    // only leak a corpus-sized entry for the session's lifetime.
     val ca = ivfAssign(corpus, centroids, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qa = ivfAssign(queries, centroids, idCol, vecCol)
     val scored = qa.select(col("id").as("q_id"), col("vec").as("q_vec"), col("cell"))
       .join(ca.select(col("id").as("n_id"), col("vec").as("n_vec"), col("cell")), Seq("cell"))
@@ -150,6 +168,51 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** ANN quality measurement: recall of an approximate top-k result
+    * against the exact ground truth — THE number an IVF/LSH user tunes
+    * nprobe / centroid count / bands by. Both inputs expose
+    * (`q_id`, `n_id`); ground truth is assumed to hold exactly k rows
+    * per query (the [[bruteForceTopK]] contract).
+    *
+    * Output: one row per query (n_hits = |approx ∩ truth|, recall =
+    * n_hits / k) plus one corpus-wide summary row with `q_id = -1`
+    * (mean recall; exact because every query contributes the same k).
+    * The -1 sentinel instead of a rollup NULL keeps the key column
+    * non-nullable for downstream equality joins.
+    *
+    * Scale: one shuffle at |Q| × k cardinality (the grouped union),
+    * then a rollup at |Q| — both bounded by the query set, never the
+    * corpus.
+    */
+  def recallVsTruth(groundTruth: DataFrame, approx: DataFrame): DataFrame = {
+    // Both inputs usually derive from the SAME corpus lineage (exact
+    // and approximate top-k over one embeddings table). A direct join
+    // would be a self-join that Spark rejects as ambiguous after
+    // relation dedup (even with re-aliased columns), so the
+    // intersection is computed join-free: tag each side, UNION, group
+    // on (q_id, n_id) — a pair is a hit when both sides contributed —
+    // and keep only truth rows (recall's denominator; extra approx
+    // rows are not misses).
+    val t = groundTruth.select(col("q_id"), col("n_id"),
+      lit(1L).as("__t"), lit(0L).as("__a"))
+    val a = approx.select(col("q_id"), col("n_id"),
+      lit(0L).as("__t"), lit(1L).as("__a"))
+    // groupBy/rollup take Column args, NOT string names: the string
+    // overloads resolve via Dataset.col, which attaches __dataset_id
+    // metadata — and over this shared-lineage tree that metadata makes
+    // DetectAmbiguousSelfJoin reject the (legitimate) plan.
+    t.unionByName(a)
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(max(col("__t")).as("__in_t"), max(col("__a")).as("__in_a"))
+      .filter(col("__in_t") === 1L)
+      .select(col("q_id"), (col("__in_t") * col("__in_a")).as("__hit"))
+      .rollup(col("q_id"))
+      .agg(
+        sum(col("__hit")).cast("bigint").as("n_hits"),
+        round(sum(col("__hit")) / count(lit(1)), 4).as("recall"))
+      .select(coalesce(col("q_id"), lit(-1L)).as("q_id"), col("n_hits"), col("recall"))
+  }
+
   /** Embedding-cosine near-dup pairs via multi-band sign LSH
     * ([[VectorFunctions.bandSignKeys]]): same (band, key) → candidate,
     * verified at `minCosine` on the rounded cosine. Returns
@@ -163,7 +226,16 @@ object Similarity {
     * quadratic within buckets at a billion vectors). Vectors shorter
     * than `dim` (and nulls) are dropped up front: they cannot key every
     * band and would otherwise pile into a degenerate shared bucket —
-    * same trap as empty MinHash signatures ([[Dedup]]).
+    * same trap as empty MinHash signatures ([[Dedup]]). The drop is
+    * NOT silent: the banding pass observes `n_keyed` / `n_dropped_short`
+    * under the metric name `graft.bucketedPairs` (read them with a
+    * `QueryExecutionListener` — free, no extra pass).
+    *
+    * Lifecycle: EAGER. The band-key frame is persisted for the
+    * candidate self-join, the result is persisted and materialized,
+    * and the key cache is released before returning — so the ONE
+    * cache entry that outlives the call is the (pair-cardinality)
+    * returned frame, and the caller holds its unpersist() handle.
     */
   def bucketedPairs(
       corpus: DataFrame,
@@ -173,15 +245,45 @@ object Similarity {
       nBands: Int = 6,
       bitsPerBand: Int = 12,
       minCosine: Double = 0.2): DataFrame = {
-    val e = corpus
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= dim)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val (keys, pairs) =
+      bucketedPairsLazy(corpus, idCol, vecCol, dim, nBands, bitsPerBand, minCosine)
+    val result = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count() (not isEmpty — it short-circuits) fully materializes the
+    // result, after which the band-key cache is dead weight: release it
+    // here rather than leaking it for the session's lifetime.
+    result.count()
+    keys.unpersist()
+    result
+  }
+
+  /** Lazy plan builder behind [[bucketedPairs]], exposed so plan-shape
+    * tests can pin the candidate join BEFORE the eager wrapper hides it
+    * inside an InMemoryRelation. Returns (bandKeys, pairs); `bandKeys`
+    * is already persist-marked (the self-join reads it twice) and the
+    * caller owns its unpersist.
+    */
+  private[graft] def bucketedPairsLazy(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nBands: Int,
+      bitsPerBand: Int,
+      minCosine: Double): (DataFrame, DataFrame) = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // Persisted: the candidate self-join reads this frame twice (same
-    // pattern as Dedup's `banded`). The filtered corpus `e` is
+    // pattern as Dedup's `banded`). The corpus projection `e` is
     // deliberately NOT cached — the re-attach joins re-scan the source
     // with (id, vec) pruning, which at corpus scale beats pinning the
     // full vector column in storage memory.
-    val keys = e.select(
+    val keys = e
+      .observe("graft.bucketedPairs",
+        sum(when(col("vec").isNull || size(col("vec")) < dim, 1L).otherwise(0L))
+          .as("n_dropped_short"),
+        sum(when(col("vec").isNull || size(col("vec")) < dim, 0L).otherwise(1L))
+          .as("n_keyed"))
+      .filter(col("vec").isNotNull && size(col("vec")) >= dim)
+      .select(
         col("id"),
         explode(VectorFunctions.bandSignKeys(col("vec"), dim, nBands, bitsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -194,11 +296,12 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(e.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
       .join(e.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosineFast(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
+    (keys, pairs)
   }
 }

@@ -238,8 +238,8 @@ object ParityQueries {
         |  WINDOW w AS (PARTITION BY subgrupo, codigo_produto, cliente
         |               ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST),
         |         wd AS (PARTITION BY subgrupo, codigo_produto, cliente
-        |               ORDER BY dt_entrada DESC, rid DESC, prob_fech DESC, motivo_nn DESC,
-        |                        consultor_interno DESC)
+        |               ORDER BY dt_entrada DESC, rid DESC, prob_fech DESC NULLS LAST,
+        |                        motivo_nn DESC, consultor_interno DESC NULLS LAST)
         |)
         |SELECT subgrupo, codigo_produto, cliente,
         |       MAX(total) AS n_propostas,

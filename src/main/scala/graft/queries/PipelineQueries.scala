@@ -360,11 +360,16 @@ object PipelineQueries {
     * candidate equi-join on (band, key) with no vector columns aboard,
     * vectors re-attached by id only for survivors. The oracle
     * recomputes the identical md5-derived plane set
-    * ([[graft.functions.VectorFunctions.planeIndex]]).
+    * ([[graft.functions.VectorFunctions.planeIndices]] — the VALUES
+    * list below is generated from the same function, so the two
+    * engines cannot drift).
     */
   private val lshPlanesValues: String =
-    (0 until 6).flatMap(b => (1 to 12).map(j =>
-      s"($b,$j,${graft.functions.VectorFunctions.planeIndex(b, j, 64)})")).mkString(", ")
+    (0 until 6).flatMap { b =>
+      graft.functions.VectorFunctions.planeIndices(b, 12, 64).zipWithIndex.map {
+        case (idx, i) => s"($b,${i + 1},$idx)"
+      }
+    }.mkString(", ")
 
   val annBucketed = QueryDef(
     "ann_lsh_bucket",
@@ -459,6 +464,64 @@ object PipelineQueries {
             |         ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
             |  FROM probes q JOIN assign n ON q.cell = n.cell AND n.vec_id <> q.vec_id
             |) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 5""".stripMargin))
+
+  /** ANN recall vs exact ground truth ([[Similarity.recallVsTruth]]):
+    * multi-probe IVF (k=10, nprobe=2, same deterministic centroids as
+    * `ann_ivf_*`) measured against brute-force top-10 — per-query
+    * recall plus the corpus-wide mean in the `q_id = -1` row. This is
+    * the tuning number the other `ann_*` rows are blind to: they prove
+    * the algorithms compute what they claim, this measures how much
+    * quality the approximation trades away.
+    */
+  val annRecall = QueryDef(
+    "ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfTopKProbed(
+        queries, emb, centroids, "vec_id", "embedding", k = 10, nprobe = 2)
+      Similarity.recallVsTruth(gt, approx)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+            |gt AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+            |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+            |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |),
+            |assign AS (
+            |  SELECT vec_id, v, c_id AS cell FROM (
+            |    SELECT e.vec_id, e.v, c.c_id,
+            |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+            |    FROM e CROSS JOIN c
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+            |),
+            |probes AS (
+            |  SELECT vec_id, v, c_id AS cell FROM (
+            |    SELECT e.vec_id, e.v, c.c_id,
+            |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+            |    FROM e CROSS JOIN c WHERE e.vec_id >= 10 AND e.vec_id < 20
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) <= 2
+            |),
+            |approx AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+            |           ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
+            |    FROM probes q JOIN assign n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |)
+            |SELECT COALESCE(q_id, -1) AS q_id,
+            |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+            |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+            |FROM (
+            |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+            |) GROUP BY ROLLUP(q_id)""".stripMargin))
 
   // ----------------------------------------------------------- events
 
@@ -631,6 +694,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     textStats, textLangid, textQuality, corpusPrep,
-    textWinnow, annTopK, annBucketed, annIvf, annIvfProbed, eventsJson, eventsDaily,
+    textWinnow, annTopK, annBucketed, annIvf, annIvfProbed, annRecall, eventsJson, eventsDaily,
     sampleSplit, mmMediaMeta, mmDecode, mmFramesResize)
 }

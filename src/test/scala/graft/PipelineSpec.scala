@@ -166,9 +166,11 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("bandSignKeys: all-positive=all bits set, all-negative=0, planes in range") {
     val dim = 8; val bands = 3; val bits = 5
-    for (b <- 0 until bands; j <- 1 to bits) {
-      val idx = VectorFunctions.planeIndex(b, j, dim)
-      assert(idx >= 1 && idx <= dim)
+    for (b <- 0 until bands) {
+      val idxs = VectorFunctions.planeIndices(b, bits, dim)
+      assert(idxs.forall(i => i >= 1 && i <= dim))
+      assert(idxs.distinct.size == bits, s"band $b sampled with replacement: $idxs")
+      assert(idxs.size == bits)
     }
     val df = Seq(
       (1L, Seq.fill(dim)(0.5f)),
@@ -180,6 +182,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(keys.filter(_._1 == 1L).forall(_._3 == (1L << bits) - 1)) // every sign bit set
     assert(keys.filter(_._1 == 2L).forall(_._3 == 0L))
     assert(keys.map(_._2).distinct.sorted.toSeq == (0 until bands))
+  }
+
+  test("bucketedPairs observes short-vector drops (no silent caps) and still pairs the rest") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft.bucketedPairs").foreach(r => seen = Some(r))
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val corpus = Seq(
+        (1L, Seq(1f, 1f, 1f, 1f)),
+        (2L, Seq(1f, 1f, 1f, 0.9f)),
+        (3L, Seq(1f, 1f)), // too short for dim=4 -> dropped, observed
+        (4L, null.asInstanceOf[Seq[Float]])) // null -> dropped, observed
+        .toDF("vec_id", "embedding")
+      val pairs = Similarity.bucketedPairs(corpus, "vec_id", "embedding",
+        dim = 4, nBands = 2, bitsPerBand = 2, minCosine = 0.5)
+      val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)))
+      // bucketedPairs is eager, so the metric fired during the call;
+      // the listener bus is async -> poll briefly.
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.isDefined, "graft.bucketedPairs metrics never arrived")
+      val m = seen.get
+      assert(m.getAs[Long]("n_dropped_short") == 2L, m.toString)
+      assert(m.getAs[Long]("n_keyed") == 2L, m.toString)
+      pairs.unpersist()
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("recallVsTruth survives shared-lineage inputs and scores hits/misses") {
+    // gt and approx deliberately derive from the SAME frame — the
+    // registered ann_recall query does too (both top-k runs read one
+    // embeddings table), and a naive join formulation fails analysis
+    // as an ambiguous self-join only at that point. Spec-level repro
+    // so `sbt test` catches it, not just the driver's Verify run.
+    val base = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 13L), (3L, 14L))
+      .toDF("q_id", "n_id")
+    val gt = base                                  // truth: all 6 pairs
+    val approx = base.filter(col("n_id") =!= 12L)  // missed (2,12)
+    val got = Similarity.recallVsTruth(gt, approx)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 2L, 1.0),
+      (-1L, 5L, 0.8333))) // mean over 6 truth rows, rounded to 4 dp
+  }
+
+  test("ann_recall registered query runs end-to-end at sf0.001") {
+    val df = graft.SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    val summary = df.filter(_._1 == -1L)
+    assert(summary.length == 1, s"missing q_id=-1 summary row: ${df.mkString(",")}")
+    assert(df.forall { case (_, hits, rec) => hits >= 0 && rec >= 0.0 && rec <= 1.0 })
+    assert(df.length > 1, "no per-query rows")
   }
 
   test("bruteForceTopK returns k nearest by rounded cosine with id tie-break") {

@@ -27,28 +27,73 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list"))
   }
 
+  // ann_lsh_bucket's registered form is EAGER (bucketedPairs persists +
+  // materializes its result), so its visible plan is just the cache
+  // read — plan pins run on the lazy builder, the same code path.
+  private def lshPairsLazy() = graft.operators.Similarity.bucketedPairsLazy(
+    graft.sources.Tables.embeddings(spark, dir), "vec_id", "embedding",
+    dim = 64, nBands = 6, bitsPerBand = 12, minCosine = 0.2)
+
   test("near-dup and ANN candidate generation never cross-joins the corpus") {
     // ann_cosine_topk intentionally broadcast-cross-joins the tiny QUERY
     // side; the corpus-sized self-joins must all be equi-joins.
-    for (q <- Seq("dedup_minhash", "dedup_simhash", "ann_lsh_bucket")) {
+    for (q <- Seq("dedup_minhash", "dedup_simhash")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
+    val (keys, pairs) = lshPairsLazy()
+    try {
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), "ann_lsh pairs have a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), "ann_lsh pairs have a nested-loop join")
+    } finally keys.unpersist()
+  }
+
+  test("ann_cosine_topk ranks via bounded partial-merged top-k aggregate, not a window") {
+    val p = plan("ann_cosine_topk")
+    // A row_number window here would shuffle the full |C|x|Q| scored set
+    // onto |Q| reducers and sort |C| rows per query on a single task.
+    assert(!p.contains("Window"), "per-query window sort is back:\n" + p.take(800))
+    assert(p.contains("partial_collect_top_k"),
+      "map-side bounded k-heap (partial aggregation) missing:\n" + p.take(800))
+    assert(p.contains("ObjectHashAggregate"))
+  }
+
+  test("TopK.smallestK/largestK match sort-and-slice semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 5.0, "e"), (1, 7.0, "a"), (1, 7.0, "b"), (1, 2.0, "z"), (1, 9.0, "m"),
+      (2, 1.0, "q")).toDF("g", "x", "id")
+    val top = df.groupBy("g")
+      .agg(graft.functions.TopK.smallestK(struct((-col("x")).as("nx"), col("id")), 3).as("t"))
+      .select(col("g"), explode(col("t")).as("t"))
+      .select(col("g"), col("t.id").as("id"), (-col("t.nx")).as("x"))
+      .as[(Int, String, Double)].collect().toSet
+    // g=1: x desc, id asc -> (9.0,m), (7.0,a), (7.0,b); g=2: its single row
+    assert(top == Set((1, "m", 9.0), (1, "a", 7.0), (1, "b", 7.0), (2, "q", 1.0)))
+    val bottom = df.groupBy("g")
+      .agg(graft.functions.TopK.smallestK(struct(col("x"), col("id")), 2).as("t"))
+      .select(col("g"), explode(col("t")).as("t"))
+      .select(col("g"), col("t.id").as("id"), col("t.x").as("x"))
+      .as[(Int, String, Double)].collect().toSet
+    assert(bottom == Set((1, "z", 2.0), (1, "e", 5.0), (2, "q", 1.0)))
   }
 
   test("ann_lsh_bucket candidate join carries no embedding vectors") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    val df = SparkEntry.queries("ann_lsh_bucket")(spark, dir)
-    val candJoins = df.queryExecution.optimizedPlan.collect {
-      case j: Join if j.condition.exists(_.references.exists(_.name == "key")) => j
-    }
-    assert(candJoins.nonEmpty, "expected a (band, key) candidate join")
-    candJoins.foreach { j =>
-      val cols = (j.left.output ++ j.right.output).map(_.name)
-      assert(!cols.exists(n => n.contains("vec") || n.contains("embedding")),
-        s"vectors ride the candidate shuffle: $cols")
-    }
+    val (keys, pairs) = lshPairsLazy()
+    try {
+      val candJoins = pairs.queryExecution.optimizedPlan.collect {
+        case j: Join if j.condition.exists(_.references.exists(_.name == "key")) => j
+      }
+      assert(candJoins.nonEmpty, "expected a (band, key) candidate join")
+      candJoins.foreach { j =>
+        val cols = (j.left.output ++ j.right.output).map(_.name)
+        assert(!cols.exists(n => n.contains("vec") || n.contains("embedding")),
+          s"vectors ride the candidate shuffle: $cols")
+      }
+    } finally keys.unpersist()
   }
 
   test("s6 year-partitioned layout prunes partitions on re-read") {
