@@ -26,21 +26,48 @@ object Skew {
     * task retries re-produce the same salt per row, which speculative
     * execution and exactly-once sinks require.
     *
-    * `how` supports the fact-side-preserving joins ("inner", "left");
-    * right/full would need the salt on the other side.
+    * All four outer-ness variants are supported. "inner"/"left" run
+    * directly on the salted machinery. "right"/"full" cannot — a
+    * small-side row is replicated `salts` times, so a naive outer join
+    * would emit `salts` null-extended copies of every unmatched small
+    * row. They are composed instead: the salted "inner"/"left" core
+    * plus a null-extended union of the unmatched small rows, found by
+    * anti-joining `small` against the DISTINCT large keys. That
+    * distinct is a shuffle at KEY cardinality with map-side partial
+    * aggregation — the hot keys salting exists for are exactly the
+    * ones that collapse in the partial — so the outer extension never
+    * touches the skewed fan-out path.
     */
   def saltedJoin(
       large: DataFrame,
       small: DataFrame,
       key: Seq[String],
       salts: Int,
-      how: String = "inner"): DataFrame = {
-    require(how == "inner" || how == "left", s"saltedJoin supports inner/left, got $how")
-    val saltArr = array((0 until salts).map(lit): _*)
-    val smallSalted = small.withColumn("__salt", explode(saltArr))
-    val largeSalted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(salts)).cast("int"))
-    largeSalted.join(smallSalted, key :+ "__salt", how).drop("__salt")
+      how: String = "inner"): DataFrame = how match {
+    case "inner" | "left" =>
+      val saltArr = array((0 until salts).map(lit): _*)
+      val smallSalted = small.withColumn("__salt", explode(saltArr))
+      val largeSalted = large.withColumn("__salt",
+        pmod(xxhash64(large.columns.map(col): _*), lit(salts)).cast("int"))
+      largeSalted.join(smallSalted, key :+ "__salt", how).drop("__salt")
+    case "right" | "full" =>
+      // Preserved-large half: full keeps unmatched large rows (left),
+      // right drops them (inner). Unmatched-small half is shared.
+      val base = saltedJoin(large, small, key, salts,
+        if (how == "full") "left" else "inner")
+      val unmatchedSmall = small.join(
+        large.select(key.map(col): _*).distinct(), key, "left_anti")
+      // Null keys never equi-match, so null-key small rows fall out of
+      // the anti-join as unmatched — same as a plain outer join.
+      val extended = unmatchedSmall.select(
+        key.map(col) ++
+          large.columns.filterNot(key.contains).map(c =>
+            lit(null).cast(large.schema(c).dataType).as(c)) ++
+          small.columns.filterNot(key.contains).map(col): _*)
+      base.unionByName(extended)
+    case other =>
+      throw new IllegalArgumentException(
+        s"saltedJoin supports inner/left/right/full, got $other")
   }
 
   /** Diagnostic: rows per key, descending — the quick way to see

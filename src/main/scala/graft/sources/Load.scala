@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Generic loaders + load-time schema validation (SURVEY §2.1 S1-S4,
   * §1.1 "schema system").
@@ -19,13 +20,40 @@ object Load {
     * header inference; pass `headerRow = false` for headerless files
     * (the reference's `header=None` preview mode, MAC:174).
     */
-  def load(spark: SparkSession, path: String, headerRow: Boolean = true): DataFrame = {
+  def load(spark: SparkSession, path: String, headerRow: Boolean = true): DataFrame =
+    load(spark, path, schema = None, headerRow = headerRow)
+
+  /** S1 with an EXPLICIT schema — the 100 TB posture. Schema inference
+    * on text formats is a FULL extra pass over the data before the real
+    * read (CSV scans every file; JSON samples per
+    * `spark.sql.sources.json.samplingRatio`, 1.0 = everything by
+    * default). With `schema` supplied no inference job runs at all: the
+    * read plans straight against the declared types, malformed cells
+    * arriving as null (Spark's default PERMISSIVE mode) exactly like
+    * the C3 `try_cast` coercions. Parquet carries its own schema, but
+    * the explicit one is still applied as the read schema
+    * (projection + type check) for cross-format consistency.
+    */
+  def load(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    load(spark, path, schema = Some(schema), headerRow = true)
+
+  def load(
+      spark: SparkSession,
+      path: String,
+      schema: Option[StructType],
+      headerRow: Boolean): DataFrame = {
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+    def reader = schema.foldLeft(spark.read)(_ schema _)
     ext match {
-      case "parquet" => spark.read.parquet(path)
+      case "parquet" => reader.parquet(path)
       case "csv" =>
-        spark.read.option("header", headerRow.toString).option("inferSchema", "true").csv(path)
-      case "json" => spark.read.json(path)
+        // inferSchema only when no schema was given: inference is a
+        // full extra scan of every input file.
+        schema.fold(
+          spark.read.option("header", headerRow.toString)
+            .option("inferSchema", "true").csv(path))(
+          s => spark.read.option("header", headerRow.toString).schema(s).csv(path))
+      case "json" => reader.json(path)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported extension '.$other' (want .parquet/.csv/.json): $path")

@@ -73,6 +73,60 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming NEAR-dup dedup (SimHash LSH): the streaming counterpart
+    * of [[graft.operators.Dedup.simhashPairs]], dropping documents that
+    * are near-duplicates of an earlier arrival — not just byte-equal
+    * ones like [[dedupStream]].
+    *
+    * Signature parity by construction: the SimHash column is computed
+    * by the SAME [[graft.operators.Dedup.withSimhash]] over the same
+    * `tokens(lower(text))` normalization as batch, so a batch backfill
+    * and the streaming ingest agree bit-for-bit on every signature
+    * (spec-pinned). Pipeline: signature → explode the
+    * [[graft.operators.Dedup.simhashBandKeys]] bit-slices →
+    * `dropDuplicatesWithinWatermark` keyed on (band, key) — a doc
+    * colliding with an earlier doc in a band loses that band row — →
+    * windowed per-doc count keeps only docs with ALL `bands` rows
+    * surviving. Any band collision (≈ small Hamming distance) within
+    * the watermark ⇒ dropped.
+    *
+    * Emits (window, id, text, simhash) in APPEND mode once the
+    * watermark passes the window — the two stateful ops chain under
+    * Spark's multiple-stateful-operator support, each with
+    * watermark-bounded state (state cardinality: live band keys +
+    * live windows, never corpus-sized). Caveats, both conservative
+    * (over-drop) and documented: two near-dups in ONE micro-batch can
+    * split band wins so both drop; a pair straddling a window boundary
+    * still dedups (band state spans windows), but a doc's own band
+    * rows never split (same event time ⇒ same window).
+    */
+  def nearDupStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermark: String = "1 hour",
+      windowLen: String = "10 minutes",
+      bands: Int = 4,
+      bitsPerBand: Int = 15): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val sig = Dedup.withSimhash(
+      docs.select(col(idCol), col(tsCol), col(textCol))
+        .withColumn("__toks", TextAnalysis.tokens(lower(col(textCol)))),
+      "__toks", "simhash").drop("__toks")
+    sig
+      .select(col(idCol), col(tsCol), col(textCol), col("simhash"),
+        explode(Dedup.simhashBandKeys(col("simhash"), bands, bitsPerBand)).as("bk"))
+      .select(col(idCol), col(tsCol), col(textCol), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("band", "key")
+      .groupBy(window(col(tsCol), windowLen), col(idCol), col(textCol), col("simhash"))
+      .agg(count(lit(1)).as("__n_bands"))
+      .filter(col("__n_bands") === bands)
+      .select(col("window"), col(idCol), col(textCol), col("simhash"))
+  }
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

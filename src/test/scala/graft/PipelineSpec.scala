@@ -268,6 +268,46 @@ class LoadSkewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.xlsx"))
   }
 
+  test("explicit-schema load runs NO inference job and types the columns (S1 at scale)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_load_schema").toString
+    Seq((1, "a", 2.5), (2, "b", 3.5)).toDF("id", "v", "x")
+      .write.option("header", "true").csv(s"$dir/t.csv")
+    Seq((1, "a")).toDF("id", "v").write.json(s"$dir/t.json")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("x", DoubleType)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // With a schema: constructing the frame is pure planning — the
+      // inference pre-pass (a real Spark job for CSV and JSON) is gone.
+      val csv = sources.Load.load(spark, s"$dir/t.csv", schema)
+      val json = sources.Load.load(spark, s"$dir/t.json",
+        StructType(schema.fields.take(2)))
+      // The listener bus is async (and private); give stray events a
+      // beat to land before asserting none arrived.
+      Thread.sleep(1000)
+      assert(jobs.get() == 0, s"schema-supplied load still ran ${jobs.get()} inference job(s)")
+      assert(csv.schema == schema)
+      // ...and the data actually reads with the declared types.
+      assert(csv.as[(Long, String, Double)].collect().toSet ==
+        Set((1L, "a", 2.5), (2L, "b", 3.5)))
+      assert(json.as[(Long, String)].collect().toSet == Set((1L, "a")))
+      // Control: the inference path DOES run pre-pass jobs. (collect()
+      // above already bumped the counter; snapshot around the load.)
+      val before = jobs.get()
+      sources.Load.load(spark, s"$dir/t.csv")
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (jobs.get() == before && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs.get() > before, "expected the inferSchema default to run an inference job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("requireColumns passes valid frames and names the missing ones") {
     val df = Seq((1, "x")).toDF("a", "b")
     assert(sources.Load.requireColumns(df, Seq("a", "b")) eq df)
@@ -282,10 +322,10 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(out == Seq(("id", "bigint", false), ("v", "string", true)))
   }
 
-  test("saltedJoin equals the plain join for inner and left") {
+  test("saltedJoin equals the plain join for inner, left, right, and full") {
     val large = (1 to 100).map(i => (i % 3, i)).toDF("k", "v")
     val small = Seq((0, "zero"), (1, "one"), (99, "unmatched")).toDF("k", "name")
-    for (how <- Seq("inner", "left")) {
+    for (how <- Seq("inner", "left", "right", "full")) {
       val plain = large.join(small, Seq("k"), how)
         .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
       val salted = operators.Skew.saltedJoin(large, small, Seq("k"), salts = 4, how)

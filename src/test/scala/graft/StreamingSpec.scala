@@ -73,6 +73,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set("A  b", "different text")) // first arrival wins
   }
 
+  test("nearDupStream drops a SimHash near-dup (not exact dup) within the watermark") {
+    import graft.operators.{Dedup, TextAnalysis}
+    implicit val sql = spark.sqlContext
+    // Near-dup needs HIGH token-vote margins so one changed word flips
+    // only a few SimHash bits: repeat the base sentence, change one
+    // word in one repetition (hamming 7, exactly 1 shared band).
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet green hills of early summer "
+    val t1 = base * 4
+    val t2 = base * 3 + base.replace("dog", "cat")
+    val t3 = "completely unrelated database systems research covering query optimization join algorithms and storage engines"
+
+    // Batch-side preconditions, via the SAME code the stream uses:
+    // t2 is a NEAR dup of t1 (different fingerprint, >=1 shared band),
+    // t3 shares no band with either.
+    val sigs = Dedup.withSimhash(
+      Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+        .withColumn("toks", TextAnalysis.tokens(lower(col("text")))),
+      "toks", "sim")
+      .select(col("doc_id"), col("sim"),
+        col("sim") /* keep */).select("doc_id", "sim")
+      .as[(Long, Long)].collect().toMap
+    val fps = Seq(t1, t2, t3).map(t => Seq(t).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[String].head())
+    assert(fps.distinct.size == 3, "texts must not be exact dups")
+    def bandKeys(sim: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => (b, (sim >> (b * 15)) % (1L << 15))).toSet
+    assert(bandKeys(sigs(1L)).intersect(bandKeys(sigs(2L))).nonEmpty,
+      s"t1/t2 must collide in a band: ${sigs(1L).toBinaryString} vs ${sigs(2L).toBinaryString}")
+    assert(bandKeys(sigs(3L)).intersect(bandKeys(sigs(1L)) ++ bandKeys(sigs(2L))).isEmpty,
+      "t3 must be novel")
+
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val dir = Files.createTempDirectory("graft_stream5").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val out = StreamingOps.nearDupStream(
+      ms.toDF.toDF("ts", "doc_id", "text"),
+      watermark = "10 minutes", windowLen = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      ms.addData((ts(10, 0), 1L, t1))
+      q.processAllAvailable()
+      ms.addData((ts(10, 2), 2L, t2), (ts(10, 3), 3L, t3))
+      q.processAllAvailable()
+      // Push the watermark past the earlier windows so append emits.
+      ms.addData((ts(11, 0), 99L, "watermark pusher row"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_test")
+        .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+      assert(rows.contains(1L), s"first arrival must survive: $rows")
+      assert(rows.contains(3L), s"novel doc must survive: $rows")
+      assert(!rows.contains(2L), s"near-dup must be dropped: $rows")
+      // Batch/stream signature parity, bit for bit.
+      assert(rows(1L) == sigs(1L) && rows(3L) == sigs(3L))
+    } finally q.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState accumulates per-user state") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[StreamingOps.UserEvent]
