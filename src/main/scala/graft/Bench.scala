@@ -29,6 +29,19 @@ import graft.sources.Tables
   *     passes that succeeded, or -1 if none did — never its
   *     elapsed-until-failure time), so a partially-broken run can't
   *     masquerade as a plausible total.
+  *
+  * Warm-intermediate caveat (known, accepted): a few operators persist
+  * INTERNAL frames (bucketedPairs' band keys + result, simhashPairs'
+  * signatures, dedupClusters' rounds). Spark's CacheManager dedups by
+  * canonicalized plan, so timed passes 1..N reuse the warmup pass's
+  * cached intermediates and those queries measure warm-cache cost, not
+  * cold recompute. This is deliberate — a production dedup service
+  * holds exactly these signatures warm, and clearCache() between
+  * passes would also evict the shared fact-view caches the harness
+  * warms BY DESIGN — but it means `dedup_*`/`ann_lsh_bucket` medians
+  * are lower bounds on cold-start cost. Cold numbers, when needed:
+  * run with SPARK_GRAFT_BENCH_PASSES=1 and take the warmup pass's
+  * stderr timings instead.
   */
 object Bench {
 
@@ -63,7 +76,13 @@ object Bench {
     }
 
     queries.foreach { case (name, fn) =>
-      timeOne(fn).left.foreach(m => System.err.println(s"[bench] warmup $name failed: $m"))
+      // Warmup timings go to stderr: they are the COLD numbers for the
+      // queries whose internal persists make timed passes warm (see
+      // the warm-intermediate caveat above).
+      timeOne(fn) match {
+        case Right(sec) => System.err.println(f"[bench] warmup $name $sec%.3f s (cold)")
+        case Left(m)    => System.err.println(s"[bench] warmup $name failed: $m")
+      }
     }
 
     val failed = scala.collection.mutable.LinkedHashSet[String]()

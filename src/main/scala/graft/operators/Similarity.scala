@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -59,12 +58,7 @@ object Similarity {
       .filter(col("cos").isNotNull)
     // Smallest-k of (-cos, n_id asc) == cos desc with n_id tie-break.
     // Double negation is bit-exact, so `cos` round-trips unchanged.
-    scored
-      .groupBy("q_id")
-      .agg(graft.functions.TopK.smallestK(
-        struct((-col("cos")).as("nc"), col("n_id").as("n_id")), k).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.n_id").as("n_id"), (-col("t.nc")).as("cos"))
+    topKByCos(scored, k, carryCell = false)
   }
 
   /** IVF-style cell assignment: nearest centroid by ROUNDED cosine
@@ -91,25 +85,29 @@ object Similarity {
   /** Top-`nprobe` cell assignments per vector (multi-probe IVF): the
     * query side probes its `nprobe` nearest centroids instead of only
     * the nearest one — the standard recall knob when a true neighbor
-    * sits just across a Voronoi boundary. Same broadcast + ranked
-    * window shape as [[ivfAssign]]; emits one row per (vector, probed
-    * cell).
+    * sits just across a Voronoi boundary. Same broadcast scoring as
+    * [[ivfAssign]]; the top-`nprobe` pick is the bounded
+    * [[graft.functions.TopK]] k-heap (map-side partials shrink the
+    * shuffle from |df| × |centroids| scored rows to |df| × nprobe),
+    * not a per-id window. Emits one row per (vector, probed cell).
     */
   def ivfAssignProbes(
       df: DataFrame,
       centroids: DataFrame,
       idCol: String,
       vecCol: String,
-      nprobe: Int): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("c_id").asc)
+      nprobe: Int): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(centroids.select(col("c_id"), col("c_vec"))))
       .select(col("id"), col("vec"), col("c_id"),
         round(VectorFunctions.cosineFast(col("vec"), col("c_vec")), 6).as("sim"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= nprobe)
-      .select(col("id"), col("vec"), col("c_id").as("cell"))
-  }
+      .filter(col("sim").isNotNull)
+      .groupBy(col("id"))
+      .agg(
+        graft.functions.TopK.smallestK(
+          struct((-col("sim")).as("ns"), col("c_id").as("c_id")), nprobe).as("top"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), explode(col("top.c_id")).as("cell"))
 
   /** IVF ANN (nprobe = 1): assign corpus and queries to cells, search
     * each query only within its cell — the candidate join is an
@@ -134,10 +132,11 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("cell"),
         round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+      .filter(col("cos").isNotNull)
+    // Candidates are cell-bounded, but the ranking is still the same
+    // bounded k-heap aggregate as bruteForceTopK — a row_number window
+    // here would sort each query's whole cell on one task.
+    topKByCos(scored, k, carryCell = true)
   }
 
   /** Multi-probe IVF ANN: each query searches its `nprobe` nearest
@@ -162,10 +161,29 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+      .filter(col("cos").isNotNull)
+    topKByCos(scored, k, carryCell = false)
+  }
+
+  /** Shared ranking tail for the top-k searches: k best (cos desc,
+    * n_id asc) per q_id via the bounded-heap [[graft.functions.TopK]]
+    * aggregate — map-side partial k-heaps, merge of heaps on the
+    * reduce side, never a full per-query sort. Input must be
+    * null-cosine-free (a heap on the negated key would rank nulls
+    * FIRST where the window equivalent ranked them last).
+    */
+  private def topKByCos(scored: DataFrame, k: Int, carryCell: Boolean): DataFrame = {
+    val key =
+      if (carryCell) struct((-col("cos")).as("nc"), col("n_id").as("n_id"), col("cell").as("cell"))
+      else struct((-col("cos")).as("nc"), col("n_id").as("n_id"))
+    val cellCols =
+      if (carryCell) Seq(col("t.cell").as("cell")) else Seq.empty
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.smallestK(key, k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(Seq(col("q_id"), col("t.n_id").as("n_id")) ++ cellCols :+
+        (-col("t.nc")).as("cos"): _*)
   }
 
   /** ANN quality measurement: recall of an approximate top-k result

@@ -60,6 +60,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"))
   }
 
+  test("IVF top-k ranks via the bounded aggregate too (no per-query candidate sort)") {
+    // nprobe=1 path: assignment is max_by (no window), ranking is the
+    // k-heap — the whole plan must be window-free.
+    val p1 = plan("ann_ivf_topk")
+    assert(!p1.contains("Window"), "ann_ivf_topk grew a window:\n" + p1.take(800))
+    assert(p1.contains("partial_collect_top_k"))
+    // multi-probe path: the top-nprobe centroid probe AND the
+    // candidate ranking are both bounded aggregates — window-free.
+    val p2 = plan("ann_ivf_probe2")
+    assert(p2.contains("partial_collect_top_k"))
+    val windowNodes = p2.linesIterator.count(_.matches(""".*[+:]-\s*Window\s.*|^\s*Window\s.*"""))
+    assert(windowNodes == 0,
+      s"a ranking reverted to a window ($windowNodes nodes):\n" + p2.take(800))
+  }
+
   test("TopK.smallestK/largestK match sort-and-slice semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
