@@ -30,18 +30,18 @@ import graft.sources.Tables
   *     elapsed-until-failure time), so a partially-broken run can't
   *     masquerade as a plausible total.
   *
-  * Warm-intermediate caveat (known, accepted): a few operators persist
-  * INTERNAL frames (bucketedPairs' band keys + result, simhashPairs'
-  * signatures, dedupClusters' rounds). Spark's CacheManager dedups by
-  * canonicalized plan, so timed passes 1..N reuse the warmup pass's
-  * cached intermediates and those queries measure warm-cache cost, not
-  * cold recompute. This is deliberate — a production dedup service
-  * holds exactly these signatures warm, and clearCache() between
-  * passes would also evict the shared fact-view caches the harness
-  * warms BY DESIGN — but it means `dedup_*`/`ann_lsh_bucket` medians
-  * are lower bounds on cold-start cost. Cold numbers, when needed:
-  * run with SPARK_GRAFT_BENCH_PASSES=1 and take the warmup pass's
-  * stderr timings instead.
+  * Eager-operator note (round 4): the pair pipelines
+  * (`dedup_minhash/ngram/simhash`, `dedup_incr_near`,
+  * `ann_lsh_bucket`) are EAGER with call-scoped internal caches — each
+  * call computes its result into lineage-truncated block storage and
+  * releases every internal cache before returning. Timed passes
+  * therefore measure the honest COLD cost of a full pipeline run
+  * (round-3 medians for these queries were warm-cache lower bounds:
+  * the old lazy operators left their signature caches alive across
+  * passes, which was also the session-lifetime leak the round-3
+  * review flagged). The noop write itself reads the already-
+  * materialized checkpoint blocks; the pipeline cost lands inside the
+  * builder call, still within the timed region.
   */
 object Bench {
 

@@ -26,11 +26,12 @@ final case class CandPair(id_a: Long, id_b: Long, sh_a: Seq[String], sh_b: Seq[S
   * engine) agree bit-for-bit.
   *
   * Caching contract: the pairing operators persist their signature
-  * intermediates (MEMORY_AND_DISK) because each is read 2+ times by
-  * the candidate/verify joins. The cached frames live until the
-  * session ends or the caller clears them — long-lived sessions
-  * running many dedup passes should `spark.catalog.clearCache()`
-  * between batches (and re-warm their own shared inputs).
+  * intermediates (MEMORY_AND_DISK) while they run — each is read 2+
+  * times by the candidate/verify joins — and RELEASE them before
+  * returning (see [[eagerRelease]]): the result is computed eagerly
+  * into lineage-truncated block storage, and the internal caches die
+  * with the call. Long-lived ingest sessions accumulate nothing;
+  * checkpoint blocks free themselves when the returned frame is GC'd.
   */
 object Dedup {
 
@@ -256,6 +257,47 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame = {
+    val (caches, pairs) =
+      minhashPairsKernelLazy(docs, idCol, textCol, mode, k, numHashes, bands, threshold)
+    eagerRelease(caches, pairs)
+  }
+
+  /** Eager cache-lifecycle tail shared by the pair pipelines: compute
+    * the (pair-cardinality) result ONCE into executor block storage via
+    * `localCheckpoint(eager = true)` — which TRUNCATES its lineage —
+    * then release every INTERNAL cache. The lineage cut is
+    * load-bearing: `persist() + count()` then unpersisting the
+    * internals LOOKS equivalent, but CacheManager's cascade=false
+    * recache CLEARS any materialized cache whose plan still references
+    * an unpersisted relation, so the "cached" result would silently
+    * recompute the whole pipeline on every later read — without its
+    * internal caches, i.e. re-shingling each self-join side from
+    * scratch (measured: dedup_ngram 3 s warm → 29 s under that
+    * version of this helper). The checkpointed blocks are freed by
+    * ContextCleaner when the returned frame is garbage-collected, so
+    * callers need no explicit cleanup handle; long-lived ingest
+    * sessions accumulate nothing.
+    */
+  private[graft] def eagerRelease(caches: Seq[DataFrame], pairs: DataFrame): DataFrame = {
+    val result = pairs.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    result
+  }
+
+  /** Lazy plan builder behind [[minhashPairsKernel]], exposed so
+    * plan-shape tests can pin the candidate join before the eager
+    * wrapper hides it in an InMemoryRelation. Returns (internal
+    * persist-marked caches, pairs).
+    */
+  private[graft] def minhashPairsKernelLazy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mode: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val rows = numHashes / bands
     // Signatures materialized once; read by banding + both verify sides.
@@ -298,19 +340,28 @@ object Dedup {
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
       .toDF("id_a", "id_b", "jac")
-    verified.filter(col("jac") >= threshold)
+    (Seq(sigs), verified.filter(col("jac") >= threshold))
   }
 
   /** The shingle-agnostic MinHash+LSH pairing pipeline: takes any
     * `(id, sh: array<string>)` frame (word shingles, char n-grams, …)
     * and returns verified near-dup pairs. See [[minhashPairs]] for the
-    * plan-shape notes.
+    * plan-shape notes. Eager — see [[eagerRelease]].
     */
   def pairsFromShingles(
       withShingles: DataFrame,
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame = {
+    val (caches, pairs) = pairsFromShinglesLazy(withShingles, numHashes, bands, threshold)
+    eagerRelease(caches, pairs)
+  }
+
+  private[graft] def pairsFromShinglesLazy(
+      withShingles: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val rows = numHashes / bands
     // Materialize shingles and band keys ONCE: both frames are read
@@ -341,11 +392,12 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    cand
+    val pairs = cand
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
       .filter(col("jac") >= threshold)
+    (Seq(withSh, banded), pairs)
   }
 
   /** Connected components over a near-dup pair graph: each doc in any
@@ -465,6 +517,18 @@ object Dedup {
       maxHamming: Int = 6,
       bands: Int = 4,
       bitsPerBand: Int = 15): DataFrame = {
+    val (caches, pairs) =
+      simhashPairsLazy(docs, idCol, textCol, maxHamming, bands, bitsPerBand)
+    eagerRelease(caches, pairs)
+  }
+
+  private[graft] def simhashPairsLazy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      bands: Int,
+      bitsPerBand: Int): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     // md5 token hashes materialized behind a cache boundary so the
     // 60-bit fold reads an attribute (one md5 pass per row, not 60);
@@ -479,12 +543,99 @@ object Dedup {
       .select(col("id"), col("sim"),
         explode(simhashBandKeys(col("sim"), bands, bitsPerBand)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
+    val pairs = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    (Seq(withHs, withSim), pairs)
+  }
+
+  // ---------------------------------- incremental (new batch vs corpus)
+
+  /** Incremental EXACT dedup — the arrival-time shape of LLM ingest:
+    * rows of `batch` whose normalized-text fingerprint does not already
+    * appear in `corpus`, with the fingerprint attached for downstream
+    * registration. The standing corpus contributes only its DISTINCT
+    * fingerprint set (map-side partial aggregation shrinks it before
+    * the shuffle; one 32-char key per distinct text), and the match is
+    * a LEFT ANTI hash join on that key — no text payload crosses the
+    * shuffle from either side, and the corpus is never re-joined to
+    * itself. At 100 TB the fingerprint set is the small side and can
+    * be maintained as a bucketed table across ingest runs.
+    */
+  def newAgainstCorpus(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val corpusFps = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+    batch
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("fingerprint"), "left_anti")
+  }
+
+  /** Incremental NEAR-dup: batch rows that SimHash-near-match (hamming
+    * <= `maxHamming`) something already in the corpus, as
+    * `(id_b = batch id, id_c = corpus id, hamming)` pairs. Candidates
+    * come from the same bit-slice band keys as [[simhashPairs]], but
+    * the equi-join runs batch-banded × corpus-banded — arrival-time
+    * dedup never pays a corpus self-join, the candidate space scales
+    * with |batch| (not |corpus|²), and the shuffle carries one bigint
+    * signature + band key per (row × band) from each side. Eager — see
+    * [[eagerRelease]]. Filter `batch` down to
+    * `batch.join(pairs.select("id_b"), ..., "left_anti")` to keep only
+    * genuinely-new docs.
+    */
+  def nearDupsAgainstCorpus(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 6,
+      bands: Int = 4,
+      bitsPerBand: Int = 15): DataFrame = {
+    val (caches, pairs) =
+      nearDupsAgainstCorpusLazy(corpus, batch, idCol, textCol, maxHamming, bands, bitsPerBand)
+    eagerRelease(caches, pairs)
+  }
+
+  private[graft] def nearDupsAgainstCorpusLazy(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      bands: Int,
+      bitsPerBand: Int): (Seq[DataFrame], DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    // Per side: md5 token hashes behind a cache boundary (the majority-
+    // vote fold reads the attribute once per bit — an inlined hash
+    // expression would re-run the md5 pass 60× per row). The sim frames
+    // themselves are each read once, so they need no persist here.
+    def sideSim(df: DataFrame): (DataFrame, DataFrame) = {
+      val withHs = df.select(col(idCol).as("id"),
+          tokenHashes(TextAnalysis.tokens(lower(col(textCol)))).as("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (withHs, withHs.select(col("id"), simhashFromHashCol("hs").as("sim")))
+    }
+    def bandedOf(sim: DataFrame): DataFrame = sim
+      .select(col("id"), col("sim"),
+        explode(simhashBandKeys(col("sim"), bands, bitsPerBand)).as("bk"))
+      .select(col("id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val (hsC, simC) = sideSim(corpus)
+    val (hsB, simB) = sideSim(batch)
+    val pairs = bandedOf(simB).as("b")
+      .join(bandedOf(simC).as("c"),
+        col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+      .select(col("b.id").as("id_b"), col("c.id").as("id_c"),
+        bit_count(col("b.sim").bitwiseXOR(col("c.sim"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    (Seq(hsC, hsB), pairs)
   }
 }

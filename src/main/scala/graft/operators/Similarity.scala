@@ -250,10 +250,12 @@ object Similarity {
     * `QueryExecutionListener` — free, no extra pass).
     *
     * Lifecycle: EAGER. The band-key frame is persisted for the
-    * candidate self-join, the result is persisted and materialized,
-    * and the key cache is released before returning — so the ONE
-    * cache entry that outlives the call is the (pair-cardinality)
-    * returned frame, and the caller holds its unpersist() handle.
+    * candidate self-join, the (pair-cardinality) result is
+    * materialized into lineage-truncated block storage, and the key
+    * cache is released before returning — nothing outlives the call
+    * except the returned frame, whose blocks free themselves on GC
+    * (see [[Dedup.eagerRelease]] for why the lineage cut, not a plain
+    * persist, is what makes releasing the key cache safe).
     */
   def bucketedPairs(
       corpus: DataFrame,
@@ -265,13 +267,7 @@ object Similarity {
       minCosine: Double = 0.2): DataFrame = {
     val (keys, pairs) =
       bucketedPairsLazy(corpus, idCol, vecCol, dim, nBands, bitsPerBand, minCosine)
-    val result = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // count() (not isEmpty — it short-circuits) fully materializes the
-    // result, after which the band-key cache is dead weight: release it
-    // here rather than leaking it for the session's lifetime.
-    result.count()
-    keys.unpersist()
-    result
+    Dedup.eagerRelease(Seq(keys), pairs)
   }
 
   /** Lazy plan builder behind [[bucketedPairs]], exposed so plan-shape

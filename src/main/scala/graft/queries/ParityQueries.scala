@@ -768,6 +768,35 @@ object ParityQueries {
     },
     Some("SELECT r_regionkey, r_name FROM region"))
 
+  /** S1 (explicit-schema leg): the 100 TB read posture, oracle-proven.
+    * Writes a mixed-type (long/string/double) customer slice as CSV,
+    * reads it back through `Load.load(spark, path, schema)` — the
+    * branch that plans straight against the declared types with NO
+    * inference pass (the zero-inference-jobs property is pinned by a
+    * SparkListener spec in LoadSpec; this row proves the VALUES survive
+    * the declared-type text round-trip, doubles included: Spark's CSV
+    * writer emits shortest-round-trip doubles, so double→text→double
+    * is bit-exact).
+    */
+  val schemaRoundtrip = QueryDef(
+    "s1_schema_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = s"${tmpPath(dir, "graft_s1_schema")}/customer.csv"
+      Sink.save(
+        Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal"), path,
+        format = "csv", options = Map(
+          "header" -> "true",
+          "ignoreLeadingWhiteSpace" -> "false",
+          "ignoreTrailingWhiteSpace" -> "false"))
+      val declared = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType)))
+      graft.sources.Load.load(s, path, declared)
+    },
+    Some("SELECT c_custkey, c_name, c_acctbal FROM customer"))
+
   /** S3/S4: source structure probe — column inventory of a table. */
   val describeSource = QueryDef(
     "s3_s4_describe_source",
@@ -784,5 +813,5 @@ object ParityQueries {
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
-    saltedSkewJoin, sqlEscapeHatch)
+    schemaRoundtrip, saltedSkewJoin, sqlEscapeHatch)
 }

@@ -155,6 +155,74 @@ object PipelineQueries {
          |FROM reach GROUP BY s""".stripMargin
     })
 
+  /** Incremental exact dedup ([[Dedup.newAgainstCorpus]]): a synthetic
+    * 80/20 corpus/batch split of `documents` by `doc_id % 10`, keeping
+    * the batch rows whose fingerprint is NOT already in the corpus. The
+    * oracle replays the anti-join as NOT EXISTS on the same md5
+    * fingerprint.
+    */
+  val dedupIncremental = QueryDef(
+    "dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.newAgainstCorpus(
+          docs.filter(col("doc_id") % 10 < 8),
+          docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text")
+        .select(col("doc_id"), col("fingerprint"))
+    },
+    Some("""WITH fp AS (
+           |  SELECT doc_id,
+           |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+           |  FROM documents
+           |)
+           |SELECT b.doc_id, b.fingerprint
+           |FROM fp b
+           |WHERE b.doc_id % 10 >= 8
+           |  AND NOT EXISTS (SELECT 1 FROM fp c
+           |                  WHERE c.doc_id % 10 < 8
+           |                    AND c.fingerprint = b.fingerprint)""".stripMargin))
+
+  /** Incremental near-dup ([[Dedup.nearDupsAgainstCorpus]]): same
+    * 80/20 split, SimHash band-key candidates between batch and corpus
+    * only (never corpus × corpus), Hamming-verified. The oracle reuses
+    * the [[dedupSimhash]] SimHash SQL with the split applied after
+    * banding (equivalent to splitting before — banding is per-row).
+    */
+  val dedupIncrNear = QueryDef(
+    "dedup_incr_near",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDupsAgainstCorpus(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        "doc_id", "text", maxHamming = 6, bands = 4, bitsPerBand = 15)
+    },
+    Some("""WITH hs AS (
+           |  SELECT doc_id AS id,
+           |         [('0x' || substr(md5(t), 1, 15))::BIGINT
+           |          FOR t IN string_split_regex(trim(lower(text)), '\s+')] AS hashes
+           |  FROM documents
+           |),
+           |sim AS (
+           |  SELECT id,
+           |         CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END
+           |                                            FOR h IN hashes]) > 0
+           |                             THEN (1::BIGINT << j) ELSE 0::BIGINT END
+           |                        FOR j IN generate_series(0, 59)]) AS BIGINT) AS sim
+           |  FROM hs
+           |),
+           |banded AS (
+           |  SELECT id, sim, b AS band, (sim >> (b * 15)) % (1::BIGINT << 15) AS key
+           |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+           |)
+           |SELECT id_b, id_c, hamming FROM (
+           |  SELECT DISTINCT b.id AS id_b, c.id AS id_c,
+           |         CAST(bit_count(xor(b.sim, c.sim)) AS INT) AS hamming
+           |  FROM banded b JOIN banded c ON b.band = c.band AND b.key = c.key
+           |  WHERE b.id % 10 >= 8 AND c.id % 10 < 8
+           |) WHERE hamming <= 6""".stripMargin))
+
   // ----------------------------------------------------- text analysis
 
   /** Token counts (whitespace + BPE-ish regex) and the exact-dedup
@@ -680,6 +748,44 @@ object PipelineQueries {
     * ([[Tables.eventsTs]]); DuckDB reads the TIMESTAMP(NANOS) column
     * natively, so agreement proves the conversion.
     */
+  /** As-of join ([[Asof.asofJoin]]): each purchase event picks up the
+    * most recent at-or-before `view` event's value for the same user —
+    * the point-in-time lookup shape (price as of trade, profile as of
+    * click). The right side is pre-aggregated to one row per
+    * (user, ts) per the operator's uniqueness precondition. The join
+    * runs on raw epoch-NANOS bigints (exact), but the matched ts is
+    * EMITTED as truncated epoch-micros: nanos ≈ 1.7e18 exceed double's
+    * 2^53 exact range, and the driver comparator routes nullable int64
+    * through float64 (pandas), where the two engines' values would
+    * round differently. Micros ≈ 1.7e15 survive that path exactly.
+    * The oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    * implementation of the same semantics, not a mirrored formula.
+    */
+  val asofEvents = QueryDef(
+    "j_asof_events",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("view_value"))
+        .select(col("user_id"), col("ts"), col("ts").as("view_ts"), col("view_value"))
+      Asof.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_ts", "view_value"))
+        .select(col("event_id"), col("user_id"), col("purchase_value"),
+          (col("view_ts").cast("decimal(20,0)") / 1000).cast("long").as("view_ts_us"),
+          col("view_value"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts, ROUND(value, 2) AS purchase_value
+           |           FROM events WHERE event_type = 'purchase'),
+           |     v AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS view_value
+           |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+           |SELECT p.event_id, p.user_id, p.purchase_value,
+           |       epoch_us(v.ts) AS view_ts_us, v.view_value
+           |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin))
+
   val eventsDaily = QueryDef(
     "events_daily",
     (s, dir) =>
@@ -693,7 +799,9 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
+    dedupIncremental, dedupIncrNear,
     textStats, textLangid, textQuality, corpusPrep,
     textWinnow, annTopK, annBucketed, annIvf, annIvfProbed, annRecall, eventsJson, eventsDaily,
+    asofEvents,
     sampleSplit, mmMediaMeta, mmDecode, mmFramesResize)
 }

@@ -171,3 +171,39 @@ class ViewsSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 }
+
+class AsofSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asofJoin: latest right at-or-before left ts per key, null when none") {
+    val left = Seq((1L, 10L, "l10"), (1L, 5L, "l5"), (1L, 3L, "l3"), (2L, 7L, "l7"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 4L, "r4"), (1L, 9L, "r9"), (1L, 11L, "r11"), (3L, 1L, "r1"))
+      .toDF("k", "rts", "rv")
+    val out = Asof.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("rv"))
+      .select("tag", "rv").as[(String, Option[String])].collect().toMap
+    assert(out == Map(
+      "l10" -> Some("r9"), // 9 <= 10, not 11
+      "l5" -> Some("r4"),
+      "l3" -> None,        // nothing at or before 3
+      "l7" -> None))       // key 2 has no right rows at all
+  }
+
+  test("asofJoin: right row AT the left ts wins (inclusive tie)") {
+    val left = Seq((1L, 5L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, "exact"), (1L, 2L, "older")).toDF("k", "rts", "rv")
+    val got = Asof.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("rv"))
+      .select("rv").as[String].head()
+    assert(got == "exact")
+  }
+
+  test("asofJoin: rejects right value columns that collide with left names") {
+    val df = Seq((1L, 1L)).toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Asof.asofJoin(df, df.withColumnRenamed("ts", "rts").withColumn("k2", col("k")),
+        Seq("k"), "ts", "rts", Seq("k"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+}

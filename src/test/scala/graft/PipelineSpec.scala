@@ -143,6 +143,30 @@ class DedupSpec extends AnyFunSuite {
       .select("keep_id", "n_docs").as[(Long, Long)].collect().toSet
     assert(g == Set((1L, 2L), (3L, 1L)))
   }
+
+  test("newAgainstCorpus keeps only batch rows whose fingerprint is unseen") {
+    val corpus = Seq((1L, "shared text"), (2L, "corpus only")).toDF("doc_id", "text")
+    // 11 matches corpus doc 1 up to case/whitespace; 12 is genuinely new.
+    val batch = Seq((11L, "  Shared   TEXT "), (12L, "brand new doc")).toDF("doc_id", "text")
+    val kept = Dedup.newAgainstCorpus(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(12L))
+  }
+
+  test("nearDupsAgainstCorpus pairs batch docs with corpus near-matches only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base), (2L, "totally unrelated corpus material here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, base + " ok"), // near-dup of corpus doc 1 (tiny token delta)
+      (12L, "completely different new content with other words entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupsAgainstCorpus(corpus, batch, "doc_id", "text")
+    try {
+      val hits = pairs.select("id_b", "id_c").as[(Long, Long)].collect().toSet
+      assert(hits.contains((11L, 1L)), s"expected (11,1) in $hits")
+      assert(!hits.exists(_._1 == 12L), s"doc 12 must have no corpus match: $hits")
+    } finally pairs.unpersist()
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

@@ -36,18 +36,59 @@ class PlanSpec extends AnyFunSuite {
 
   test("near-dup and ANN candidate generation never cross-joins the corpus") {
     // ann_cosine_topk intentionally broadcast-cross-joins the tiny QUERY
-    // side; the corpus-sized self-joins must all be equi-joins.
-    for (q <- Seq("dedup_minhash", "dedup_simhash")) {
-      val p = plan(q)
+    // side; the corpus-sized self-joins must all be equi-joins. All the
+    // pair pipelines are EAGER now, so pins run on the lazy builders —
+    // the identical plan the eager wrappers materialize.
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val (mhCaches, mhPairs) = graft.operators.Dedup
+      .minhashPairsKernelLazy(docs, "doc_id", "text", "word", 3, 16, 4, 0.4)
+    val (shCaches, shPairs) = graft.operators.Dedup
+      .simhashPairsLazy(docs, "doc_id", "text", 6, 4, 15)
+    val (lshKeys, lshPairs) = lshPairsLazy()
+    val (incCaches, incPairs) = {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Dedup.nearDupsAgainstCorpusLazy(
+        docs.filter(col("doc_id") % 10 < 8), docs.filter(col("doc_id") % 10 >= 8),
+        "doc_id", "text", 6, 4, 15)
+    }
+    val named = Seq(
+      "dedup_minhash" -> mhPairs, "dedup_simhash" -> shPairs, "ann_lsh" -> lshPairs,
+      "dedup_incr_near" -> incPairs)
+    try named.foreach { case (q, pairs) =>
+      val p = pairs.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
-    }
-    val (keys, pairs) = lshPairsLazy()
-    try {
-      val p = pairs.queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"), "ann_lsh pairs have a cartesian product")
-      assert(!p.contains("BroadcastNestedLoopJoin"), "ann_lsh pairs have a nested-loop join")
-    } finally keys.unpersist()
+    } finally (mhCaches ++ shCaches ++ incCaches :+ lshKeys).foreach(_.unpersist())
+  }
+
+  test("eager pair pipelines release their internal caches (only the result survives)") {
+    import org.apache.spark.storage.StorageLevel
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
+    // Lineage must be TRUNCATED (localCheckpoint), not cached-with-
+    // lineage: a persisted result whose plan still referenced the
+    // internal caches would be CLEARED by CacheManager's recache when
+    // they unpersist, and every later read would recompute the whole
+    // pipeline cold (measured 10× on dedup_ngram).
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"eager result must read materialized blocks, not recompute: ${p.take(300)}")
+    // A fresh frame with the same canonical plan as the internal
+    // signature cache resolves through CacheManager: NONE = released.
+    val sigs = graft.operators.Dedup
+      .shingleSignatures(docs, "doc_id", "text", "word", 3, 16)
+    assert(sigs.storageLevel == StorageLevel.NONE,
+      "internal signature cache leaked past the call")
+  }
+
+  test("j_asof_events plans join-free: union + keyed window, no pair blowup") {
+    // The naive as-of formulations plan a range join (BNLJ at worst) or
+    // an argmax over a per-key cross product; the union+carry shape has
+    // NO join node at all — one shuffle on the key, one linear pass.
+    val p = plan("j_asof_events")
+    assert(!p.contains("Join"), s"as-of must not plan a join: ${p.take(400)}")
+    assert(p.contains("Window"), "expected the keyed carry-forward window")
+    assert(p.contains("Union"), "expected the tagged two-side union")
   }
 
   test("ann_cosine_topk ranks via bounded partial-merged top-k aggregate, not a window") {
