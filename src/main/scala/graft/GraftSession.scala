@@ -28,6 +28,10 @@ object GraftSession {
       // session-wide (see Tables.events / Tables.eventsTs). Set here at
       // build time so no table loader has to mutate a live session.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Bucketed saveAsTable ([[graft.sources.Sink.saveBucketed]])
+      // needs a writable warehouse; keep it out of the repo tree.
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

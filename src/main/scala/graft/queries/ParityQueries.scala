@@ -797,6 +797,38 @@ object ParityQueries {
     },
     Some("SELECT c_custkey, c_name, c_acctbal FROM customer"))
 
+  /** S6b: bucketed co-located join ([[Sink.saveBucketed]]). Both join
+    * sides are written bucketed by the join key with the same bucket
+    * count, then joined via `spark.table` — the join itself runs with
+    * NO shuffle on either side (pinned by PlanSpec's exchange-free
+    * assertion; the only exchange left in this query is the one the
+    * post-join aggregation genuinely needs). This is the write-once,
+    * join-many layout that amortizes a 100 TB fact×fact shuffle into
+    * the write path. The oracle replays the same join+agg over the raw
+    * parquet — proving the bucketed layout changes results not at all.
+    */
+  val bucketedJoin = QueryDef(
+    "s6b_bucketed_join",
+    (s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val lt = s"graft_bkt_lineitem_$suffix"
+      val ot = s"graft_bkt_orders_$suffix"
+      Sink.saveBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice"),
+        lt, Seq("l_orderkey"), numBuckets = 8, sortCols = Seq("l_orderkey"))
+      Sink.saveBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        ot, Seq("o_orderkey"), numBuckets = 8, sortCols = Seq("o_orderkey"))
+      s.table(lt)
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("sum_price"))
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n_lines,
+           |       ROUND(SUM(l_extendedprice), 2) AS sum_price
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1""".stripMargin))
+
   /** S3/S4: source structure probe — column inventory of a table. */
   val describeSource = QueryDef(
     "s3_s4_describe_source",
@@ -813,5 +845,5 @@ object ParityQueries {
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
-    schemaRoundtrip, saltedSkewJoin, sqlEscapeHatch)
+    schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch)
 }

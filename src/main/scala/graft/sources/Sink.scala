@@ -48,4 +48,41 @@ object Sink {
     */
   def saveFactByYear(fact: DataFrame, path: String, format: String = "parquet"): Unit =
     save(fact.withColumn("ano", year(col("dt_entrada"))), path, format, partitionBy = Seq("ano"))
+
+  /** Bucketed table write — the co-located-join layout for the 100 TB
+    * tier. Two tables bucketed by their join key with the SAME bucket
+    * count join with NO shuffle on either side (each bucket pair is
+    * joined in place; PlanSpec pins the exchange-free plan), which is
+    * how a fact×fact join that would otherwise shuffle 100 TB twice
+    * per run is paid for ONCE at write time. `sortBy` additionally
+    * orders rows within each bucket file, letting sort-merge joins
+    * skip their sort when files-per-bucket is 1.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable`,
+    * not `save`) — plain `spark.read.parquet` of the same files would
+    * see the data but not the layout. Read back via `spark.table`.
+    */
+  def saveBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      format: String = "parquet"): Unit = {
+    require(bucketCols.nonEmpty, "saveBucketed needs at least one bucket column")
+    // Overwrite must also survive a PREVIOUS session's leftovers: the
+    // in-memory catalog is per-session, so a fresh session sees no
+    // table but CTAS still refuses the orphaned warehouse directory
+    // (LOCATION_ALREADY_EXISTS). Drop both the entry and the location.
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/${tableName.toLowerCase}")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.mode("overwrite").format(format)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
 }

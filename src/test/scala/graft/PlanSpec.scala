@@ -81,6 +81,34 @@ class PlanSpec extends AnyFunSuite {
       "internal signature cache leaked past the call")
   }
 
+  test("bucketed tables join with no shuffle on either side (co-located join)") {
+    // AQE off so the pre-execution plan is final; broadcast off so the
+    // tiny sf0.001 side can't sidestep the bucketed sort-merge path.
+    val s = spark
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Sink.saveBucketed(
+        graft.sources.Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        "graft_bkt_plan_l", Seq("l_orderkey"), 4, Seq("l_orderkey"))
+      graft.sources.Sink.saveBucketed(
+        graft.sources.Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        "graft_bkt_plan_o", Seq("o_orderkey"), 4, Seq("o_orderkey"))
+      val j = s.table("graft_bkt_plan_l")
+        .join(s.table("graft_bkt_plan_o"), col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(400))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side: ${p.take(600)}")
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
   test("j_asof_events plans join-free: union + keyed window, no pair blowup") {
     // The naive as-of formulations plan a range join (BNLJ at worst) or
     // an argmax over a per-key cross product; the union+carry shape has
