@@ -786,6 +786,38 @@ object PipelineQueries {
            |       epoch_us(v.ts) AS view_ts_us, v.view_value
            |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin))
 
+  /** Range join ([[RangeJoin.pointInInterval]]): every click within
+    * ±5 minutes of any error event — no equi key, pure interval
+    * containment, bucketized to a 10-minute-bucket equi-join (PlanSpec
+    * pins the no-BNLJ plan). The whole query runs at MICROSECOND grain
+    * (`ts div 1000` on the Spark side): DuckDB truncates parquet
+    * TIMESTAMP(NANOS) to µs on read (verified against the raw int64
+    * values), so µs is the shared precision where membership and
+    * deltas are bit-identical across both engines. The oracle is
+    * DuckDB's native range join (IEJoin) over timestamp intervals —
+    * an independent implementation.
+    */
+  val rangeEvents = QueryDef(
+    "j_range_events",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val fiveMinUs = 300000000L
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), expr("ts div 1000").as("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), expr("ts div 1000").as("err_us"))
+        .select(col("error_id"), col("err_us"),
+          (col("err_us") - fiveMinUs).as("lo"), (col("err_us") + fiveMinUs).as("hi"))
+      RangeJoin.pointInInterval(clicks, "ts_us", errors, "lo", "hi",
+          bucketWidth = 2 * fiveMinUs)
+        .select(col("click_id"), col("error_id"), (col("ts_us") - col("err_us")).as("delta_us"))
+    },
+    Some("""WITH c AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+           |     e AS (SELECT event_id AS error_id, ts FROM events WHERE event_type = 'error')
+           |SELECT c.click_id, e.error_id, epoch_us(c.ts) - epoch_us(e.ts) AS delta_us
+           |FROM c JOIN e
+           |  ON c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE""".stripMargin))
+
   val eventsDaily = QueryDef(
     "events_daily",
     (s, dir) =>
@@ -802,6 +834,6 @@ object PipelineQueries {
     dedupIncremental, dedupIncrNear,
     textStats, textLangid, textQuality, corpusPrep,
     textWinnow, annTopK, annBucketed, annIvf, annIvfProbed, annRecall, eventsJson, eventsDaily,
-    asofEvents,
+    asofEvents, rangeEvents,
     sampleSplit, mmMediaMeta, mmDecode, mmFramesResize)
 }

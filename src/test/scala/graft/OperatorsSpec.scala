@@ -207,3 +207,28 @@ class AsofSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"))
   }
 }
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pointInInterval: inclusive bounds, bucket-crossing intervals, no dup pairs") {
+    val pts = Seq((1L, 10L), (2L, 25L), (3L, 99L)).toDF("pid", "ts")
+    // [10,20] hits pt 10 (lower bound inclusive); [5,25] spans three
+    // 10-wide buckets and hits both 10 and 25 (upper bound inclusive);
+    // [40,50] hits nothing.
+    val ivs = Seq((100L, 10L, 20L), (200L, 5L, 25L), (300L, 40L, 50L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, "ts", ivs, "lo", "hi", bucketWidth = 10L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(out.size == out.distinct.size, "bucketization must not duplicate pairs")
+    assert(out.toSet == Set((1L, 100L), (1L, 200L), (2L, 200L)))
+  }
+
+  test("pointInInterval rejects colliding column names") {
+    val df = Seq((1L, 2L)).toDF("ts", "lo")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(df, "ts", df.withColumnRenamed("ts", "hi"), "lo", "hi", 10L)
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+}

@@ -109,6 +109,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j_range_events equi-joins on time buckets, not a nested-loop range join") {
+    // A bare BETWEEN join condition plans as BNLJ/cartesian — the
+    // |L|x|R| scan. The bucketized form must join on the bucket id.
+    val p = plan("j_range_events")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("j_asof_events plans join-free: union + keyed window, no pair blowup") {
     // The naive as-of formulations plan a range join (BNLJ at worst) or
     // an argmax over a per-key cross product; the union+carry shape has
