@@ -39,6 +39,15 @@ import org.apache.spark.sql.functions._
   * would depend on shuffle order). To also receive the matched right
   * timestamp, duplicate it into a value column first:
   * `right.withColumn("asof_ts", col(rightTs))`.
+  *
+  * Null caveat (keys AND timestamps): window partitioning groups NULL
+  * keys together, and ascending ordering sorts NULL timestamps first
+  * (right-before-left within the null group) — so a null-keyed or
+  * null-ts left row CAN pick up a null-keyed / null-ts right row,
+  * unlike SQL join equality and `>=`, where null never matches.
+  * Filter null keys/timestamps upstream when strict join semantics
+  * are required (the oracle query runs on non-null keys and
+  * timestamps, where the two semantics agree).
   */
 object Asof {
 
@@ -55,26 +64,35 @@ object Asof {
       s"right value columns collide with left columns: ${clash.mkString(", ")} — alias them first")
 
     // Unioned schema: keys ++ __ts ++ __side ++ __lrow (left row as a
-    // struct, null on right rows) ++ rightVals (null on left rows).
+    // struct, null on right rows) ++ __rrow (right VALUES as ONE
+    // struct, null on left rows). The right values ride as a single
+    // struct so the carry is ATOMIC: per-column last(ignoreNulls)
+    // windows would each skip nulls independently and stitch together
+    // a composite of different right rows whenever a value column is
+    // null (e.g. latest ts paired with an older non-null value) — a
+    // row that never existed. The struct wrapper is non-null for every
+    // right row even when all its fields are null, so ignoreNulls
+    // selects the latest right ROW, nulls and all.
     val lTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__lrow")) ++
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+        struct(left.columns.map(col): _*).as("__lrow"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightVals.map(v => right.schema(v)))).as("__rrow")): _*)
     val rTagged = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__side"),
-        lit(null).cast(lTagged.schema("__lrow").dataType).as("__lrow")) ++
-        rightVals.map(col): _*)
+        lit(null).cast(lTagged.schema("__lrow").dataType).as("__lrow"),
+        struct(rightVals.map(col): _*).as("__rrow")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
       .select(
-        col("__side") :: col("__lrow") ::
-          rightVals.map(v => last(col(v), ignoreNulls = true).over(w).as(v)).toList: _*)
+        col("__side"), col("__lrow"),
+        last(col("__rrow"), ignoreNulls = true).over(w).as("__rrow"))
     carried.filter(col("__side") === 1)
-      .select(col("__lrow.*") +: rightVals.map(col): _*)
+      .select(col("__lrow.*") +: rightVals.map(v => col("__rrow").getField(v).as(v)): _*)
   }
 }

@@ -278,11 +278,14 @@ object Dedup {
     * callers need no explicit cleanup handle; long-lived ingest
     * sessions accumulate nothing.
     */
-  private[graft] def eagerRelease(caches: Seq[DataFrame], pairs: DataFrame): DataFrame = {
-    val result = pairs.localCheckpoint(true)
-    caches.foreach(_.unpersist())
-    result
-  }
+  private[graft] def eagerRelease(caches: Seq[DataFrame], pairs: DataFrame): DataFrame =
+    // finally: a checkpoint that throws (OOM, cancelled job, bad
+    // input) must still release the internal caches, or every failed
+    // call leaks a fresh partially-materialized corpus-sized entry
+    // (fresh kernel closures never canonicalize equal, so CacheManager
+    // can't dedup them) — the exact leak this helper exists to fix.
+    try pairs.localCheckpoint(true)
+    finally caches.foreach(_.unpersist())
 
   /** Lazy plan builder behind [[minhashPairsKernel]], exposed so
     * plan-shape tests can pin the candidate join before the eager

@@ -48,11 +48,11 @@ object Load {
       case "parquet" => reader.parquet(path)
       case "csv" =>
         // inferSchema only when no schema was given: inference is a
-        // full extra scan of every input file.
-        schema.fold(
-          spark.read.option("header", headerRow.toString)
-            .option("inferSchema", "true").csv(path))(
-          s => spark.read.option("header", headerRow.toString).schema(s).csv(path))
+        // full extra scan of every input file (the reader ignores the
+        // option once an explicit schema is set, but keeping it false
+        // there states the intent).
+        reader.option("header", headerRow.toString)
+          .option("inferSchema", schema.isEmpty.toString).csv(path)
       case "json" => reader.json(path)
       case other =>
         throw new IllegalArgumentException(

@@ -76,8 +76,13 @@ object Sink {
     // (LOCATION_ALREADY_EXISTS). Drop both the entry and the location.
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    // Resolve the location the way the catalog itself would (handles
+    // identifier normalization — Locale.ROOT lowercasing — and the
+    // current database's .db subdirectory) instead of string-building
+    // it from the warehouse dir.
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(tableName)
     val loc = new org.apache.hadoop.fs.Path(
-      s"${s.conf.get("spark.sql.warehouse.dir")}/${tableName.toLowerCase}")
+      s.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format(format)

@@ -94,11 +94,26 @@ object StreamingOps {
     * watermark passes the window — the two stateful ops chain under
     * Spark's multiple-stateful-operator support, each with
     * watermark-bounded state (state cardinality: live band keys +
-    * live windows, never corpus-sized). Caveats, both conservative
+    * live windows, never corpus-sized). Caveats, all conservative
     * (over-drop) and documented: two near-dups in ONE micro-batch can
     * split band wins so both drop; a pair straddling a window boundary
     * still dedups (band state spans windows), but a doc's own band
     * rows never split (same event time ⇒ same window).
+    *
+    * CAPACITY — size `bitsPerBand` to the watermark volume. Unlike
+    * batch [[graft.operators.Dedup.simhashPairs]], there is no Hamming
+    * verify after the band match (the dedup state stores keys, not
+    * signatures), so a band-key collision between UNRELATED docs drops
+    * a novel doc. With `n` distinct docs inside one watermark the
+    * false-drop probability is ≈ `bands · n / 2^bitsPerBand`: the
+    * 4×15-bit default holds ~80 docs per watermark at 1% false drops.
+    * Higher volume: shrink the watermark, or move to 2×30-bit bands
+    * (capacity ~5M at 1%, at reduced Hamming reach — a near-dup must
+    * then match 30 consecutive signature bits), or reconcile offline:
+    * the batch pipeline over the emitted stream is the exact
+    * ground truth, and rescues false drops after the fact. The
+    * streaming variant trades precision for bounded state BY DESIGN;
+    * it is the ingest gate, not the system of record.
     */
   def nearDupStream(
       docs: DataFrame,

@@ -198,6 +198,19 @@ class AsofSpec extends AnyFunSuite {
     assert(got == "exact")
   }
 
+  test("asofJoin carries the latest right ROW atomically when value columns are null") {
+    // Per-column ignoreNulls carries would stitch (rts=2's timestamp,
+    // rts=1's value) — a composite row that never existed. The latest
+    // right row must win wholesale, nulls included.
+    val left = Seq((1L, 3L)).toDF("k", "ts")
+    val right = Seq((1L, 1L, Option(10.0)), (1L, 2L, Option.empty[Double]))
+      .toDF("k", "rts", "rv")
+      .select(col("k"), col("rts"), col("rts").as("matched_ts"), col("rv"))
+    val got = Asof.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("matched_ts", "rv"))
+      .select("matched_ts", "rv").as[(Option[Long], Option[Double])].head()
+    assert(got == ((Some(2L), None)), s"latest right row must win atomically, got $got")
+  }
+
   test("asofJoin: rejects right value columns that collide with left names") {
     val df = Seq((1L, 1L)).toDF("k", "ts")
     val e = intercept[IllegalArgumentException] {

@@ -64,21 +64,23 @@ class PlanSpec extends AnyFunSuite {
   test("eager pair pipelines release their internal caches (only the result survives)") {
     import org.apache.spark.storage.StorageLevel
     val docs = graft.sources.Tables.documents(spark, dir)
-    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
+    // Drive eagerRelease with the lazy builder's OWN cache handles —
+    // asserting on these exact frames is what makes the pin
+    // non-vacuous (a fresh frame never canonicalizes equal to the
+    // kernel's mapPartitions closure, so it reads NONE regardless).
+    val (caches, pairsLazy) = graft.operators.Dedup
+      .minhashPairsKernelLazy(docs, "doc_id", "text", "word", 3, 16, 4, 0.4)
+    val result = graft.operators.Dedup.eagerRelease(caches, pairsLazy)
+    caches.foreach(c => assert(c.storageLevel == StorageLevel.NONE,
+      "internal signature cache leaked past the call"))
     // Lineage must be TRUNCATED (localCheckpoint), not cached-with-
     // lineage: a persisted result whose plan still referenced the
     // internal caches would be CLEARED by CacheManager's recache when
     // they unpersist, and every later read would recompute the whole
     // pipeline cold (measured 10× on dedup_ngram).
-    val p = pairs.queryExecution.executedPlan.toString
+    val p = result.queryExecution.executedPlan.toString
     assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
       s"eager result must read materialized blocks, not recompute: ${p.take(300)}")
-    // A fresh frame with the same canonical plan as the internal
-    // signature cache resolves through CacheManager: NONE = released.
-    val sigs = graft.operators.Dedup
-      .shingleSignatures(docs, "doc_id", "text", "word", 3, 16)
-    assert(sigs.storageLevel == StorageLevel.NONE,
-      "internal signature cache leaked past the call")
   }
 
   test("bucketed tables join with no shuffle on either side (co-located join)") {
