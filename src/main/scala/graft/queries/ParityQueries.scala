@@ -607,6 +607,66 @@ object ParityQueries {
         |) QUALIFY ROW_NUMBER() OVER (PARTITION BY uf
         |                             ORDER BY valor_total DESC, codigo_produto ASC) <= 3""".stripMargin)))
 
+  /** Rolling 7-day customer spend (extension: a RANGE-frame window —
+    * time-based, not row-based, so gaps in the order history widen the
+    * frame correctly). Day totals are pre-aggregated first, so the
+    * window input is (customer × active-day) cardinality and the range
+    * frame runs on exact integer epoch-days — the partitioned,
+    * gap-correct shape that survives scale (state per partition is the
+    * 7-day frame, not the history). Both engines compute the identical
+    * integer range frame; sums of 2dp-rounded day totals land far from
+    * rounding boundaries, so the final 2dp round is stable.
+    */
+  val rolling7d = QueryDef(
+    "w_rolling_7d",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+        .groupBy("o_custkey", "d")
+        .agg(round(sum("o_totalprice"), 2).as("day_total"))
+        .withColumn("epoch_day", datediff(col("d"), to_date(lit("1970-01-01"))))
+      val w = Window.partitionBy("o_custkey").orderBy(col("epoch_day"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("sum_7d", round(sum("day_total").over(w), 2))
+        .select("o_custkey", "d", "day_total", "sum_7d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           |         ROUND(SUM(o_totalprice), 2) AS day_total,
+           |         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS epoch_day
+           |  FROM orders GROUP BY 1, 2
+           |)
+           |SELECT o_custkey, d, day_total,
+           |       ROUND(SUM(day_total) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+           |                                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS sum_7d
+           |FROM daily""".stripMargin))
+
+  /** Exact order statistics (extension): PERCENTILE_DISC — the SQL
+    * standard's discrete percentile, which returns an ACTUAL data value
+    * (first value with cumulative distribution >= fraction), so the two
+    * engines match bit-for-bit with no interpolation-rounding hazard.
+    * Scale note: exact percentiles sort each group's values; at the
+    * 100 TB tier switch to `percentile_approx` (deterministic GK
+    * sketch, mergeable map-side) and keep this as the oracle-able
+    * baseline — same pattern as brute-force-vs-IVF in ANN.
+    */
+  val percentiles = QueryDef(
+    "a15_percentile_disc",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99")),
+    Some("""SELECT l_returnflag,
+           |       quantile_disc(l_extendedprice, 0.5) AS p50,
+           |       quantile_disc(l_extendedprice, 0.9) AS p90,
+           |       quantile_disc(l_extendedprice, 0.99) AS p99
+           |FROM lineitem GROUP BY 1""".stripMargin))
+
   /** Status-mix pivot per state (extension; the reference renders the
     * same mix as Streamlit metrics). Explicit pivot values keep the
     * output schema static — the scalable form (no extra distinct pass,
@@ -844,6 +904,6 @@ object ParityQueries {
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
+    topKGroup, rolling7d, percentiles, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch)
 }
