@@ -72,4 +72,60 @@ class PropertySpec extends AnyFunSuite {
         else operators.Pendentes.unionSemanas(tagged).count() == expected
     })
   }
+
+  // Dense key/time domains so collisions, exact-timestamp ties, and
+  // boundary hits occur constantly across the 25 generated datasets.
+  private val asofCaseGen = for {
+    lefts <- Gen.listOf(for {
+      k <- Gen.choose(1L, 4L); ts <- Gen.choose(0L, 30L)
+    } yield (k, ts))
+    rights <- Gen.listOf(for {
+      k <- Gen.choose(1L, 4L); ts <- Gen.choose(0L, 30L)
+    } yield (k, ts))
+  } yield (lefts, rights.distinct) // right unique per (key, ts): the operator's precondition
+
+  test("asofJoin matches the naive latest-at-or-before reference on random data") {
+    run(Prop.forAll(asofCaseGen) { case (lefts, rights) =>
+      val rightRows = rights.map { case (k, rts) => (k, rts, s"v${k}_$rts") }
+      val expected = lefts.map { case (k, ts) =>
+        val matches = rightRows.filter(r => r._1 == k && r._2 <= ts)
+        (k, ts, if (matches.isEmpty) None else Some(matches.maxBy(_._2)._3))
+      }.sorted
+      val got =
+        if (lefts.isEmpty) Seq.empty
+        else graft.operators.Asof.asofJoin(
+            lefts.toDF("k", "ts"), rightRows.toDF("k", "rts", "rv"),
+            Seq("k"), "ts", "rts", Seq("rv"))
+          .select("k", "ts", "rv").as[(Long, Long, Option[String])].collect().toSeq.sorted
+      got == expected
+    })
+  }
+
+  private val rangeCaseGen = for {
+    pts <- Gen.listOf(Gen.choose(0L, 40L))
+    ivs <- Gen.listOf(for {
+      lo <- Gen.choose(0L, 40L); span <- Gen.choose(0L, 12L)
+    } yield (lo, lo + span))
+    w <- Gen.choose(1L, 7L) // bucket width varies vs interval width
+  } yield (pts, ivs, w)
+
+  test("pointInInterval matches the naive all-pairs reference for any bucket width") {
+    run(Prop.forAll(rangeCaseGen) { case (pts, ivs, w) =>
+      val ptRows = pts.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      val ivRows = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      val expected = (for {
+        (pid, ts) <- ptRows; (iid, lo, hi) <- ivRows
+        if lo <= ts && ts <= hi
+      } yield (pid, iid)).toSet
+      val gotSeq =
+        if (ptRows.isEmpty || ivRows.isEmpty) Seq.empty
+        else graft.operators.RangeJoin.pointInInterval(
+            ptRows.toDF("pid", "ts"), "ts", ivRows.toDF("iid", "lo", "hi"), "lo", "hi", w)
+          .select("pid", "iid").as[(Long, Long)].collect().toSeq
+      // pid/iid are unique, so the pair set is the full answer — and
+      // bucketization must produce each pair exactly ONCE (a point has
+      // one bucket), so duplicates are a bug, not a formatting detail.
+      gotSeq.toSet == expected && gotSeq.size == gotSeq.distinct.size
+    })
+  }
 }
