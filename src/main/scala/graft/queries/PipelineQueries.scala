@@ -465,6 +465,81 @@ object PipelineQueries {
             |  FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id
             |) WHERE cos >= 0.2""".stripMargin))
 
+  /** Pair-level recall of the LSH bucketing ([[Similarity.bucketedPairs]])
+    * against brute-force ground truth, on a deterministic 10% subset
+    * (`vec_id % 10 = 0`) — the band/bit tuning number for the near-dup
+    * path, completing what [[annRecall]] does for IVF. The subset keeps
+    * the all-pairs truth cheap in BOTH engines; the truth self-join is
+    * the documented ground-truth exception to the no-cross-join rule
+    * (sampled, bounded — same standing as [[Similarity.bruteForceTopK]]).
+    * COALESCE(-1) keeps the zero-true-pairs case deterministic across
+    * engines (null division differs).
+    *
+    * Reading the number: at sf0.01 this reports ~0.01 — sign-LSH at
+    * 6×12 bits has P(band match) ≈ (1 − θ/π)^12, which is ~0.1% for a
+    * borderline cos = 0.2 pair but →1 as cos →1, so recall against a
+    * LOW-threshold truth set is honestly tiny while planted near-dups
+    * (the thing the operator exists to catch) still collide. That
+    * trade — and how many bits/bands to spend on it — is exactly what
+    * this probe exists to measure.
+    */
+  val annLshRecall = QueryDef(
+    "ann_lsh_recall",
+    (s, dir) => {
+      val sub = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+      val lsh = Similarity.bucketedPairs(sub, "vec_id", "embedding",
+        dim = 64, nBands = 6, bitsPerBand = 12, minCosine = 0.2)
+      val e = sub.filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val truth = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(graft.functions.VectorFunctions.cosineFast(col("a.vec"), col("b.vec")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.2)
+      truth.join(lsh.select(col("id_a"), col("id_b"), lit(1).as("hit")),
+          Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"),
+          // per-row coalesce BEFORE the sum: an all-miss join leaves
+          // every hit null, and sum(null) ≠ the oracle's CASE-sum 0
+          coalesce(
+            round(sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 4),
+            lit(-1.0)).as("recall"))
+    },
+    Some(s"""WITH planes(band, j, idx) AS (VALUES $lshPlanesValues),
+            |e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |  WHERE embedding IS NOT NULL AND len(embedding) >= 64 AND vec_id % 10 = 0
+            |),
+            |keys AS (
+            |  SELECT e.vec_id, p.band,
+            |         CAST(SUM(CASE WHEN e.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
+            |              AS BIGINT) AS key
+            |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            |),
+            |lsh AS (
+            |  SELECT id_a, id_b FROM (
+            |    SELECT id_a, id_b, ROUND(${cosSql("ea.v", "eb.v")}, 6) AS cos
+            |    FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id
+            |  ) WHERE cos >= 0.2
+            |),
+            |truth AS (
+            |  SELECT id_a, id_b FROM (
+            |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |           ROUND(${cosSql("a.v", "b.v")}, 6) AS cos
+            |    FROM e a JOIN e b ON a.vec_id < b.vec_id
+            |  ) WHERE cos >= 0.2
+            |)
+            |SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+            |       CAST(COALESCE(SUM(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found,
+            |       COALESCE(ROUND(SUM(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4), -1.0) AS recall
+            |FROM truth t LEFT JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b""".stripMargin))
+
   /** IVF ANN (nprobe=1) with deterministic centroids (the first 8
     * vectors): assign every vector to its nearest centroid, search each
     * query only inside its cell. The oracle recomputes assignment and
@@ -833,7 +908,8 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrNear,
     textStats, textLangid, textQuality, corpusPrep,
-    textWinnow, annTopK, annBucketed, annIvf, annIvfProbed, annRecall, eventsJson, eventsDaily,
+    textWinnow, annTopK, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
+    eventsJson, eventsDaily,
     asofEvents, rangeEvents,
     sampleSplit, mmMediaMeta, mmDecode, mmFramesResize)
 }
