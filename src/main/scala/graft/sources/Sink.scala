@@ -49,6 +49,54 @@ object Sink {
   def saveFactByYear(fact: DataFrame, path: String, format: String = "parquet"): Unit =
     save(fact.withColumn("ano", year(col("dt_entrada"))), path, format, partitionBy = Seq("ano"))
 
+  /** Compact a parquet directory's small files: read, size the output
+    * partition count from the actual on-disk bytes, rewrite, swap.
+    * The small-files problem is the classic failure mode of
+    * incremental ingest at scale — each micro-batch writes a file per
+    * task, a year of 5-minute batches is ~10⁵ writes, and every
+    * subsequent read pays a task (and a namenode/listing entry) per
+    * file. Compaction pays one rewrite to make all future scans cheap.
+    *
+    * `shuffle = false` (default) uses `coalesce` — narrow, no shuffle,
+    * but output file sizes inherit input skew (a coalesced partition is
+    * a union of input files). `shuffle = true` uses `repartition` for
+    * evenly sized output at the cost of one full shuffle. The rewrite
+    * goes to a sibling `<path>__compact` directory first and swaps in
+    * only after the write succeeds (readers of `path` see old or new,
+    * never a half-written mix; the swap itself is not atomic — gate it
+    * with the table-metadata layer at the production tier).
+    *
+    * Flat directories only: compact a partitioned table one partition
+    * directory at a time (each partition is itself a flat dir — and
+    * per-partition compaction is also the right unit of parallelism
+    * and retry at scale).
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      shuffle: Boolean = false): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val before = dataFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val sized = if (shuffle) df.repartition(n) else df.coalesce(n)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    sized.write.mode("overwrite").parquet(tmp.toString)
+    val after = dataFiles(tmp).size
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    (before.size, after)
+  }
+
   /** Bucketed table write — the co-located-join layout for the 100 TB
     * tier. Two tables bucketed by their join key with the SAME bucket
     * count join with NO shuffle on either side (each bucket pair is

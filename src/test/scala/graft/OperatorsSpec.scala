@@ -245,3 +245,19 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"))
   }
 }
+
+class CompactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compact merges small files and preserves the data exactly") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_compact_test"
+    val rows = (1L to 1000L).map(i => (i, s"row_$i"))
+    rows.toDF("id", "s").repartition(16).write.mode("overwrite").parquet(dir)
+    val (before, after) = graft.sources.Sink.compact(spark, dir)
+    assert(before == 16, s"expected 16 input files, saw $before")
+    assert(after < before, s"compaction must reduce file count: $before -> $after")
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == rows, "compaction must not change the data")
+  }
+}
