@@ -231,6 +231,77 @@ object Similarity {
       .select(coalesce(col("q_id"), lit(-1L)).as("q_id"), col("n_hits"), col("recall"))
   }
 
+  /** Lloyd's k-means over an embedding column — trains the centroids
+    * the IVF paths consume, making the ANN story self-contained:
+    * deterministic seeds → [[kmeansFit]] → [[ivfTopK]]/[[ivfTopKProbed]]
+    * with trained cells. Returns one row per surviving centroid:
+    * (`c_id`, `c_vec` array<double>, `n_members`). Seeds that attract
+    * no members drop out (standard Lloyd), so `c_id`s are stable but
+    * the set can shrink.
+    *
+    * Determinism (the engine-portability contract the oracle holds us
+    * to): assignment is the rounded-6dp cosine with lowest-centroid-id
+    * tie-break (same rule as [[ivfAssign]]); the new centroid mean is
+    * computed EXACTLY — each coordinate rounds to 6 dp, sums as
+    * decimal(18,6) (no float accumulation-order drift), and the mean
+    * re-rounds to 6 dp — so two engines (or two partitionings of the
+    * same cluster) produce bit-identical centroids. That is why this
+    * uses the interpreted double-path [[VectorFunctions.cosine]], not
+    * [[VectorFunctions.cosineFast]]: iteration ≥ 2 centroids are
+    * array<double>, and the float Expression would silently insert a
+    * lossy double→float cast on one side only.
+    *
+    * Scale: per iteration, one broadcast crossJoin (corpus × k, narrow)
+    * + a corpus-cardinality argmax shuffle + a mean aggregate whose
+    * map-side partials collapse to ≤ k × dim rows per task before the
+    * shuffle. Standard practice at the 100 TB tier — and what this API
+    * expects — is to TRAIN on a deterministic hash-sample
+    * ([[Sampling]]) and run the one full-corpus assignment pass with
+    * [[ivfAssign]] afterwards; MLlib's driver-resident-centroid trick
+    * would remove the argmax shuffle at the cost of a collect per
+    * iteration, which this library's no-collect posture declines.
+    */
+  def kmeansFit(
+      corpus: DataFrame,
+      init: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    var cents = init.select(col("c_id").cast("long").as("c_id"),
+      col("c_vec").cast("array<double>").as("c_vec"))
+    var result: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = c
+        .crossJoin(broadcast(cents))
+        .select(col("id"), col("vec"), col("c_id"),
+          round(VectorFunctions.cosine(col("vec"), col("c_vec")), 6).as("sim"))
+        .groupBy("id")
+        .agg(
+          max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
+          first(col("vec")).as("vec"))
+      // Elementwise mean, exactly: round(6dp) -> decimal sum -> /count
+      // -> round(6dp). count(*) per (cell, pos) IS the member count
+      // (every member contributes one value to every coordinate).
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), (col("pos") + 1).as("pos"))
+        .agg(
+          round(sum(round(col("col"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("m"),
+          count(lit(1)).as("n_members"))
+      result = means
+        .groupBy(col("cell").as("c_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            t => t.getField("m")).as("c_vec"),
+          max(col("n_members")).as("n_members"))
+      cents = result.select(col("c_id"), col("c_vec"))
+    }
+    result
+  }
+
   /** Embedding-cosine near-dup pairs via multi-band sign LSH
     * ([[VectorFunctions.bandSignKeys]]): same (band, key) → candidate,
     * verified at `minCosine` on the rounded cosine. Returns

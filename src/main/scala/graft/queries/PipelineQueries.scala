@@ -666,6 +666,59 @@ object PipelineQueries {
             |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
             |) GROUP BY ROLLUP(q_id)""".stripMargin))
 
+  /** k-means centroid training ([[Similarity.kmeansFit]]): 2 Lloyd
+    * iterations from the same deterministic seeds the `ann_ivf_*`
+    * queries use (vec_id < 8), emitted one row per (cell, coordinate)
+    * so the driver compares scalar columns (arrays are projected out,
+    * like `a9_historico`). The oracle unrolls both iterations as CTEs
+    * with the identical rounded-cosine assignment and exact
+    * decimal-summed means — bit-equality across engines is the whole
+    * point of the 6-dp round → decimal(18,6) sum → 6-dp round mean
+    * contract documented on the operator.
+    */
+  val annKmeans = QueryDef(
+    "ann_kmeans",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      val init = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.kmeansFit(emb, init, "vec_id", "embedding", iters = 2)
+        .select(col("c_id").as("cell"), col("n_members"), posexplode(col("c_vec")))
+        .select(col("cell"), (col("pos") + 1).as("pos"), col("col").as("m"),
+          col("n_members"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+            |),
+            |pos AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS p),
+            |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+            |a1 AS (
+            |  SELECT vec_id, v, c_id AS cell FROM (
+            |    SELECT e.vec_id, e.v, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+            |    FROM e CROSS JOIN c0 c
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+            |),
+            |m1 AS (
+            |  SELECT cell, p,
+            |         ROUND(CAST(SUM(CAST(ROUND(v[p], 6) AS DECIMAL(18,6))) AS DOUBLE)
+            |               / COUNT(*), 6) AS m
+            |  FROM a1 CROSS JOIN pos GROUP BY cell, p
+            |),
+            |c1 AS (SELECT cell AS c_id, LIST(m ORDER BY p) AS cv FROM m1 GROUP BY cell),
+            |a2 AS (
+            |  SELECT vec_id, v, c_id AS cell FROM (
+            |    SELECT e.vec_id, e.v, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+            |    FROM e CROSS JOIN c1 c
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+            |)
+            |SELECT cell, p AS pos,
+            |       ROUND(CAST(SUM(CAST(ROUND(v[p], 6) AS DECIMAL(18,6))) AS DOUBLE)
+            |             / COUNT(*), 6) AS m,
+            |       COUNT(*) AS n_members
+            |FROM a2 CROSS JOIN pos GROUP BY cell, p""".stripMargin))
+
   // ----------------------------------------------------------- events
 
   /** JSON props surface: parse `events.props` with a typed schema
@@ -909,6 +962,7 @@ object PipelineQueries {
     dedupIncremental, dedupIncrNear,
     textStats, textLangid, textQuality, corpusPrep,
     textWinnow, annTopK, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
+    annKmeans,
     eventsJson, eventsDaily,
     asofEvents, rangeEvents,
     sampleSplit, mmMediaMeta, mmDecode, mmFramesResize)

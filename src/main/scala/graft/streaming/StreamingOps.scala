@@ -142,6 +142,20 @@ object StreamingOps {
       .select(col("window"), col(idCol), col(textCol), col("simhash"))
   }
 
+  /** Stream-static enrich join: left-join each micro-batch of the
+    * stream against a static dimension frame, broadcast so the stream
+    * side never shuffles. Stream-static equi-joins are STATELESS in
+    * Structured Streaming — no watermark, no state store; each
+    * micro-batch joins the static side as of that batch, and a
+    * file-backed static frame is re-read per batch, so a
+    * slowly-changing dim is picked up without restarting the query.
+    * Batch twin: [[graft.operators.Enrich.joinCategorias]] (same key,
+    * same left-join semantics), so enriching in-flight and backfilling
+    * at rest produce identical rows.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

@@ -259,6 +259,39 @@ class SimilaritySpec extends AnyFunSuite {
       (-1L, 5L, 0.8333))) // mean over 6 truth rows, rounded to 4 dp
   }
 
+  test("kmeansFit converges to exact cluster means with deterministic rounding") {
+    // Two well-separated direction clusters; one seed in each. After
+    // one Lloyd step the centroids are the (exactly computed) cluster
+    // means; the second iteration reassigns identically, so iters=2
+    // must reproduce the same centroids — a fixed point.
+    val corpus = Seq(
+      (10L, Seq(1f, 0.1f)), (11L, Seq(1f, -0.1f)), (12L, Seq(0.9f, 0f)),
+      (20L, Seq(0.1f, 1f)), (21L, Seq(-0.1f, 1f)), (22L, Seq(0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val init = corpus.filter(col("vec_id").isin(10L, 20L))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val fit = Similarity.kmeansFit(corpus, init, "vec_id", "embedding", iters = 2)
+      .select("c_id", "c_vec", "n_members")
+      .as[(Long, Seq[Double], Long)].collect().sortBy(_._1)
+    assert(fit.map(_._1).toSeq == Seq(10L, 20L))
+    assert(fit.forall(_._3 == 3L))
+    // mean x of cluster A: (1 + 1 + 0.9)/3 -> 0.966667 at 6 dp; y: 0.0
+    assert(fit(0)._2 == Seq(0.966667, 0.0), fit(0)._2.toString)
+    assert(fit(1)._2 == Seq(0.0, 0.966667), fit(1)._2.toString)
+  }
+
+  test("kmeansFit drops seeds that attract no members") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0.02f)))
+      .toDF("vec_id", "embedding")
+    // Seed 7 is the opposite direction of everything -> empty cell.
+    val init = Seq(
+      (5L, Seq(1f, 0.01f)), (7L, Seq(-1f, 0f)))
+      .toDF("c_id", "c_vec")
+    val fit = Similarity.kmeansFit(corpus, init, "vec_id", "embedding", iters = 1)
+    assert(fit.select("c_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("ann_recall registered query runs end-to-end at sf0.001") {
     val df = graft.SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Double)].collect()

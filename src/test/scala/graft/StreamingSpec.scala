@@ -130,6 +130,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichStream: stream-static left join enriches batches, keeps unmatched rows") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, Double)]
+    val dir = Files.createTempDirectory("graft_stream6").toString
+    val dim = Seq(("P1", "FERRAMENTAS"), ("P2", "QUIMICOS")).toDF("codigo_produto", "grupo")
+    ms.addData(("P1", 10.0), ("P9", 5.0))
+
+    val enriched = StreamingOps.enrichStream(
+      ms.toDF.toDF("codigo_produto", "valor"), dim, "codigo_produto")
+    val q = enriched.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(("P2", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("enrich_test")
+      .select("codigo_produto", "valor", "grupo").collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      ("P1", 10.0, Some("FERRAMENTAS")),
+      ("P9", 5.0, None), // left join: unmatched stream rows survive
+      ("P2", 7.0, Some("QUIMICOS"))))
+  }
+
   test("sessionize: flatMapGroupsWithState accumulates per-user state") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[StreamingOps.UserEvent]
