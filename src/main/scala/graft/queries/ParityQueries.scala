@@ -667,6 +667,69 @@ object ParityQueries {
            |       quantile_disc(l_extendedprice, 0.99) AS p99
            |FROM lineitem GROUP BY 1""".stripMargin))
 
+  /** Mergeable-sketch scale path for the exact aggregates
+    * ([[percentiles]], the metrics count-distincts): HLL++
+    * `approx_count_distinct` and `percentile_approx`, oracle-checked AS
+    * ERROR BOUNDS. The sketch values themselves are engine-specific
+    * (DuckDB has no HLL++/quantile-summary twin), so the registered
+    * columns are the EXACT values plus booleans asserting each sketch
+    * landed inside its documented envelope; the oracle recomputes the
+    * exact values and pins the booleans TRUE. rsd=0.02 is checked at
+    * ±10% (5σ); accuracy=10000 at 1% of the value range (rank error
+    * ~n/10000 ≪ that here). The bound check — not the raw sketch — is
+    * what stays deterministic: HLL registers are per-value maxima
+    * (merge-order-free), and any quantile-summary merge-order jitter
+    * is absorbed by the envelope. These are THE 100 TB substitutes for
+    * exact count-distinct / percentile_disc: both sketches merge
+    * associatively, so map-side partials shrink the shuffle to one
+    * sketch per partition where the exact forms move every value.
+    */
+  val approxSketches = QueryDef(
+    "a16_approx_sketches",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          count_distinct(col("l_partkey")).as("nd_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("__nd_approx"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__p50_approx"),
+          min("l_extendedprice").as("__lo"),
+          max("l_extendedprice").as("__hi"))
+        .select(
+          col("nd_exact"),
+          (abs(col("__nd_approx") - col("nd_exact")) <= col("nd_exact") * 0.1).as("nd_ok"),
+          col("p50_exact"),
+          (abs(col("__p50_approx") - col("p50_exact")) <= (col("__hi") - col("__lo")) * 0.01)
+            .as("p50_ok")),
+    Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_exact, TRUE AS nd_ok,
+           |       quantile_disc(l_extendedprice, 0.5) AS p50_exact, TRUE AS p50_ok
+           |FROM lineitem""".stripMargin))
+
+  /** Hierarchical totals in one pass: ROLLUP over (uf, cidade) — the
+    * multi-level aggregate the reference builds with separate
+    * groupby calls per level (state tab + city tab + grand total).
+    * One shuffle computes all three levels; rollup keys surface as
+    * the `__TOTAL__` sentinel (not NULL) so the key columns stay
+    * non-nullable for downstream equality joins — same convention as
+    * `ann_recall`'s q_id = -1 summary row.
+    */
+  val rollupGeo = QueryDef(
+    "a17_rollup_geo",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir)
+        .rollup(col("uf"), col("cidade"))
+        .agg(count(lit(1)).as("n_linhas"), round(sum("valor_orcado"), 2).as("valor_total"))
+        .select(
+          coalesce(col("uf"), lit("__TOTAL__")).as("uf"),
+          coalesce(col("cidade"), lit("__TOTAL__")).as("cidade"),
+          col("n_linhas"), col("valor_total")),
+    Some(withViews(
+      """SELECT COALESCE(uf, '__TOTAL__') AS uf,
+        |       COALESCE(cidade, '__TOTAL__') AS cidade,
+        |       COUNT(*) AS n_linhas,
+        |       ROUND(SUM(valor_orcado), 2) AS valor_total
+        |FROM fact GROUP BY ROLLUP(uf, cidade)""".stripMargin)))
+
   /** Status-mix pivot per state (extension; the reference renders the
     * same mix as Streamlit metrics). Explicit pivot values keep the
     * output schema static — the scalable form (no extra distinct pass,
@@ -904,6 +967,7 @@ object ParityQueries {
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, rolling7d, percentiles, pivotStatus, deltaSemanas, sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
+    topKGroup, rolling7d, percentiles, approxSketches, rollupGeo, pivotStatus, deltaSemanas,
+    sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch)
 }

@@ -244,6 +244,30 @@ object PipelineQueries {
            |       CAST(length(text) AS INT) AS n_chars_actual
            |FROM documents""".stripMargin))
 
+  /** Corpus vocabulary head: explode the whitespace tokens, count,
+    * top-20 with (count desc, word asc) tie-break — the canonical
+    * explode → re-aggregate shape. Scale: the groupBy's map-side
+    * partials collapse each task to its distinct-word count before the
+    * shuffle, and the top-20 is TakeOrdered (per-partition heads +
+    * driver merge), never a global sort of the vocabulary.
+    */
+  val textTopWords = QueryDef(
+    "text_topk_words",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(20),
+    Some("""WITH w AS (
+           |  SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS word
+           |  FROM documents
+           |)
+           |SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
+           |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
+
   private def stopSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -946,6 +970,61 @@ object PipelineQueries {
            |FROM c JOIN e
            |  ON c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE""".stripMargin))
 
+  /** Batch sessionization — the oracle-checkable twin of the streaming
+    * [[graft.streaming.StreamingOps.sessionize]]: per-user event-time
+    * sessions split at >30-minute gaps, via the classic gaps-and-islands
+    * shape (lag → new-session flag → running sum → group). Both windows
+    * and the final aggregate share the user_id partitioning, so the
+    * whole query is ONE shuffle on user_id and each task walks one
+    * user's timeline linearly — the batch-backfill counterpart to the
+    * streaming operator's constant-size per-key state. Ordering is
+    * (ts_us, event_id) so same-microsecond events split sessions
+    * identically in both engines. µs grain for the same reason as
+    * `j_asof_events`: DuckDB truncates TIMESTAMP(NANOS) to µs on read.
+    */
+  val eventsSessionize = QueryDef(
+    "events_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 1800000000L // 30 min
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"), col("value"))
+        .withColumn("new_sess",
+          when(lag(col("ts_us"), 1).over(w).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_no",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_no")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+           |),
+           |f AS (
+           |  SELECT user_id, event_id, ts_us, value,
+           |         CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+           |              WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1
+           |              ELSE 0 END AS new_sess
+           |  FROM e
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+           |),
+           |s AS (
+           |  SELECT user_id, ts_us, value,
+           |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |              AS BIGINT) AS session_no
+           |  FROM f
+           |)
+           |SELECT user_id, session_no, COUNT(*) AS n_events,
+           |       MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+           |       ROUND(SUM(value), 2) AS sum_value
+           |FROM s GROUP BY user_id, session_no""".stripMargin))
+
   val eventsDaily = QueryDef(
     "events_daily",
     (s, dir) =>
@@ -960,10 +1039,10 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrNear,
-    textStats, textLangid, textQuality, corpusPrep,
+    textStats, textLangid, textQuality, textTopWords, corpusPrep,
     textWinnow, annTopK, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
-    eventsJson, eventsDaily,
+    eventsJson, eventsDaily, eventsSessionize,
     asofEvents, rangeEvents,
     sampleSplit, mmMediaMeta, mmDecode, mmFramesResize)
 }

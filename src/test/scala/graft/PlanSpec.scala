@@ -154,6 +154,18 @@ class PlanSpec extends AnyFunSuite {
       s"a ranking reverted to a window ($windowNodes nodes):\n" + p2.take(800))
   }
 
+  test("ann_kmeans assigns via max_by and aggregates means with map-side partials") {
+    val p = plan("ann_kmeans")
+    // Assignment is the broadcast argmax (same shape as ivfAssign) and
+    // the elementwise mean is a hash aggregate whose partials collapse
+    // to <= k x dim rows per task BEFORE the shuffle — a window (or a
+    // partial-less agg) here would move corpus-cardinality data.
+    assert(!p.contains("Window"), "kmeans grew a window:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("max_by"), "assignment argmax missing:\n" + p.take(800))
+    assert(p.contains("partial_sum"), "mean aggregate lost map-side partials:\n" + p.take(800))
+  }
+
   test("TopK.smallestK/largestK match sort-and-slice semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
