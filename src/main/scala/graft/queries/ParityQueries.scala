@@ -686,21 +686,35 @@ object ParityQueries {
     */
   val approxSketches = QueryDef(
     "a16_approx_sketches",
-    (s, dir) =>
-      Tables.lineitem(s, dir)
-        .agg(
-          count_distinct(col("l_partkey")).as("nd_exact"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("__nd_approx"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_exact"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__p50_approx"),
-          min("l_extendedprice").as("__lo"),
-          max("l_extendedprice").as("__hi"))
+    (s, dir) => {
+      // THREE separate single-row aggregates, combined by a 1×1×1
+      // crossJoin — deliberately NOT one agg(...) call: mixing a
+      // DISTINCT aggregate with the exact percentile forces an Expand
+      // (row multiplication per aggregate group) whose entire output
+      // funnels into ONE partial-less sort-aggregate task — measured
+      // 270 s at sf0.1 vs ~2 s split (and at 100 TB it simply never
+      // finishes). Split, each piece keeps its best plan: the
+      // count-distinct is a two-phase hash aggregate, the sketches are
+      // mergeable map-side partials, and the exact percentile's
+      // TypedImperative buffers merge from per-partition partials.
+      // Three column-pruned scans beat one Expand by construction.
+      val li = Tables.lineitem(s, dir)
+      val nd = li.agg(count_distinct(col("l_partkey")).as("nd_exact"))
+      val sk = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("__nd_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__p50_approx"),
+        min("l_extendedprice").as("__lo"),
+        max("l_extendedprice").as("__hi"))
+      val pd = li.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_exact"))
+      nd.crossJoin(sk).crossJoin(pd)
         .select(
           col("nd_exact"),
           (abs(col("__nd_approx") - col("nd_exact")) <= col("nd_exact") * 0.1).as("nd_ok"),
           col("p50_exact"),
           (abs(col("__p50_approx") - col("p50_exact")) <= (col("__hi") - col("__lo")) * 0.01)
-            .as("p50_ok")),
+            .as("p50_ok"))
+    },
     Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_exact, TRUE AS nd_ok,
            |       quantile_disc(l_extendedprice, 0.5) AS p50_exact, TRUE AS p50_ok
            |FROM lineitem""".stripMargin))

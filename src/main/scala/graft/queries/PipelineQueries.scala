@@ -337,6 +337,76 @@ object PipelineQueries {
             |)
             |SELECT doc_id, $qualityExprSql AS quality FROM base""".stripMargin))
 
+  /** Near-dup collapse with quality-weighted representative selection —
+    * what production dedup actually ships to training: each near-dup
+    * cluster keeps its highest-quality member (tie → lowest doc_id),
+    * singletons pass through, `n_merged` records the collapse factor.
+    * Composes three already-proven pieces (MinHash pairs → connected
+    * components → quality score) and pins that the SELECTION is
+    * deterministic cross-engine, not just the clustering. Scale: the
+    * rep pick is a max_by aggregate at cluster cardinality after one
+    * corpus-sized left join on doc_id — never a window over the corpus.
+    */
+  val dedupKeepBest = QueryDef(
+    "dedup_keep_best",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dedupClusters(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4))
+      docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("grp"))
+        .groupBy("grp")
+        .agg(
+          max_by(
+            struct(col("doc_id").as("doc_id"), col("quality").as("quality")),
+            struct(col("quality"), (col("doc_id") * -1).as("tb"))).as("best"),
+          count(lit(1)).as("n_merged"))
+        .select(col("best.doc_id").as("doc_id"),
+          col("best.quality").as("quality"), col("n_merged"))
+    },
+    Some {
+      val pairsSql = minhashOracle(
+        """CASE WHEN len(toks) >= 3
+          |     THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+          |                         FOR i IN generate_series(0, len(toks) - 3)])
+          |     ELSE [] END""".stripMargin
+          .replace("toks", "string_split_regex(trim(lower(text)), '\\s+')"),
+        0.4)
+      s"""WITH RECURSIVE pairs AS (
+         |$pairsSql
+         |),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS t FROM pairs
+         |  UNION
+         |  SELECT id_b AS s, id_a AS t FROM pairs
+         |),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+         |),
+         |clusters AS (
+         |  SELECT s AS id, least(s, MIN(t)) AS cluster_rep FROM reach GROUP BY s
+         |),
+         |base AS (
+         |$docsBaseSql
+         |),
+         |q AS (SELECT doc_id, $qualityExprSql AS quality FROM base),
+         |g AS (
+         |  SELECT q.doc_id, q.quality, COALESCE(c.cluster_rep, q.doc_id) AS grp
+         |  FROM q LEFT JOIN clusters c ON q.doc_id = c.id
+         |)
+         |SELECT doc_id, quality, n_merged FROM (
+         |  SELECT doc_id, quality,
+         |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY quality DESC, doc_id ASC) AS rn,
+         |         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_merged
+         |  FROM g
+         |) WHERE rn = 1""".stripMargin
+    })
+
   /** End-to-end corpus-prep composite — the integration query a
     * training-data pipeline actually runs: language-ID + quality score
     * per doc → quality gate (≥ 0.5) → exact dedup (keep min doc_id per
@@ -1038,7 +1108,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
-    dedupIncremental, dedupIncrNear,
+    dedupKeepBest, dedupIncremental, dedupIncrNear,
     textStats, textLangid, textQuality, textTopWords, corpusPrep,
     textWinnow, annTopK, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
