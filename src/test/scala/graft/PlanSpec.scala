@@ -166,6 +166,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "mean aggregate lost map-side partials:\n" + p.take(800))
   }
 
+  test("a16_approx_sketches never plans an Expand (the distinct+percentile funnel)") {
+    // Mixing a DISTINCT aggregate with the exact percentile in ONE agg
+    // plans Expand -> partial-less single-task sort aggregate: measured
+    // 270 s at sf0.1, unbounded at scale. The split three-aggregate
+    // form must stay Expand-free with map-side partials.
+    val p = plan("a16_approx_sketches")
+    assert(!p.contains("Expand"), "the Expand funnel is back:\n" + p.take(800))
+    assert(p.contains("partial_"), "sketch aggregates lost map-side partials:\n" + p.take(800))
+  }
+
+  test("events_sessionize windows are keyed by user_id (no partition-less window)") {
+    val p = plan("events_sessionize")
+    assert(p.contains("windowspecdefinition(user_id#"),
+      "sessionize window lost its user_id partitioning:\n" + p.take(800))
+    assert(!p.contains("windowspecdefinition(ts_us#"),
+      "unexpected partition-less window over the event stream:\n" + p.take(800))
+  }
+
   test("TopK.smallestK/largestK match sort-and-slice semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
