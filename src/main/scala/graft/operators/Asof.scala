@@ -76,7 +76,7 @@ object Asof {
     val lTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__lrow"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow"),
         lit(null).cast(org.apache.spark.sql.types.StructType(
           rightVals.map(v => right.schema(v)))).as("__rrow")): _*)
     val rTagged = right.select(

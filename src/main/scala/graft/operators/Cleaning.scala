@@ -18,7 +18,7 @@ object Cleaning {
 
   /** F8: drop auto-generated `Unnamed*` columns (reference MAC:569). */
   def dropUnnamedColumns(df: DataFrame): DataFrame =
-    df.drop(df.columns.filter(_.startsWith("Unnamed")): _*)
+    df.drop(df.columns.toIndexedSeq.filter(_.startsWith("Unnamed")): _*)
 
   /** F9: strip pandas' `.1`/`.2` duplicate suffixes when the base name
     * is free (reference MAC:574-584).

@@ -48,7 +48,7 @@ object Skew {
       val saltArr = array((0 until salts).map(lit): _*)
       val smallSalted = small.withColumn("__salt", explode(saltArr))
       val largeSalted = large.withColumn("__salt",
-        pmod(xxhash64(large.columns.map(col): _*), lit(salts)).cast("int"))
+        pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
       largeSalted.join(smallSalted, key :+ "__salt", how).drop("__salt")
     case "right" | "full" =>
       // Preserved-large half: full keeps unmatched large rows (left),
