@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full 5-way-join rebuild (measured: a12_distinct_sorted 0.7s -> 12s).
   // The test box has 128 GiB; a real cluster sizes executor memory anyway.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 77 queries × whole-stage codegen generates a lot of nmethods; the
+  // 240m default leaves little headroom before the JIT stops compiling
+  // and hot interpreted-eval loops (ObjectHashAggregate update) run
+  // 20×+ slower. Cheap insurance for a single-JVM 32-thread bench.
+  "-XX:ReservedCodeCacheSize=512m",
 )

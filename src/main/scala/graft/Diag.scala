@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.Tables
+
+/** Bench diagnostics: reproduces the harness environment (same session,
+  * same shared-view persists) and reports, for each named query, the
+  * per-stage task counts and executor run time of a cold and a warm
+  * execution, plus the executed plan. Exists because round 4's bench
+  * timed out with a single-task aggregation funnel on the a9 family
+  * that only appears under the harness's cached views (VERDICT r4
+  * "What's wrong" #1/#2) — this main is the evidence-capture tool.
+  *
+  * Usage: sbt "runMain graft.Diag a9_historico a10_c10_collapse_uniform"
+  * (SPARK_GRAFT_SF_DIR selects the scale, default sf0.1).
+  */
+object Diag {
+
+  private final case class StageRow(
+      id: Int, tasks: Int, runMs: Long, cpuMs: Long, gcMs: Long,
+      spill: Long, shufWrite: Long, name: String)
+
+  private final class StageLog extends SparkListener {
+    val rows = new scala.collection.mutable.ArrayBuffer[StageRow]
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val m = si.taskMetrics
+      rows += StageRow(si.stageId, si.numTasks, m.executorRunTime,
+        m.executorCpuTime / 1000000, m.jvmGCTime,
+        m.memoryBytesSpilled, m.shuffleWriteMetrics.bytesWritten,
+        si.name.linesIterator.nextOption().getOrElse(""))
+    }
+    def drain(): Seq[StageRow] = { val r = rows.toSeq; rows.clear(); r }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("a9_historico")
+    val spark = GraftSession.local(appName = "graft-diag")
+    // Mirror Bench's warm-view spread unless explicitly disabled
+    // (SPARK_GRAFT_DIAG_SPREAD=0 reproduces the round-4 funnel).
+    if (sys.env.getOrElse("SPARK_GRAFT_DIAG_SPREAD", "1") != "0")
+      spark.conf.set("graft.load.repartition",
+        spark.sparkContext.defaultParallelism.toString)
+    sys.env.get("SPARK_GRAFT_DIAG_FALLBACK").foreach(v =>
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v))
+    val log = new StageLog
+    spark.sparkContext.addSparkListener(log)
+
+    val shared = Seq(
+      "fact" -> Tables.analiseComercial(spark, sfDir),
+      "dim" -> Tables.classificacaoProdutos(spark, sfDir),
+      "lineitem" -> Tables.lineitem(spark, sfDir),
+      "documents" -> Tables.documents(spark, sfDir),
+      "embeddings" -> Tables.embeddings(spark, sfDir))
+    shared.foreach { case (label, df) =>
+      df.persist(StorageLevel.MEMORY_AND_DISK).count()
+      println(f"[diag] cached view $label%-10s partitions=${df.rdd.getNumPartitions}")
+    }
+    log.drain()
+
+    def runOnce(name: String, tag: String, explain: Boolean): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // let the async listener bus drain before reading stage rows
+      println(f"[diag] $name $tag wall=$sec%.2f s")
+      log.drain().foreach { r =>
+        println(f"[diag]   stage ${r.id}%3d tasks=${r.tasks}%4d run=${r.runMs / 1000.0}%8.2f s cpu=${r.cpuMs / 1000.0}%8.2f s gc=${r.gcMs / 1000.0}%7.2f s spill=${r.spill / 1048576}%6d MB shufW=${r.shufWrite / 1048576}%6d MB  ${r.name}")
+      }
+      if (explain) println(df.queryExecution.executedPlan.toString.take(8000))
+      val mf = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      import scala.jdk.CollectionConverters._
+      mf.asScala.filter(_.getName.toLowerCase.contains("code")).foreach { p =>
+        println(f"[diag]   pool ${p.getName}: used=${p.getUsage.getUsed / 1048576} MB max=${p.getUsage.getMax / 1048576} MB")
+      }
+      val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+      println(s"[diag]   totalCompilationTime=${comp.getTotalCompilationTime} ms")
+    }
+
+    names.foreach { n => runOnce(n, "COLD", explain = true); runOnce(n, "WARM", explain = false) }
+    spark.stop()
+  }
+}

@@ -22,6 +22,20 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // ObjectHashAggregate (collect_list/collect_set/percentile — the
+      // a9 history family) falls back to sort-based aggregation after
+      // 128 distinct keys per task. For the history workload that is
+      // every task (59k groups at sf0.1), and the fallback routes every
+      // row through an UnsafeKVExternalSorter: measured on the a9
+      // flagship, 179 s of GC + 390 s CPU in one stage vs 2 s GC / 16 s
+      // CPU on the hash path (Diag.scala, round 5). 64k keys keeps the
+      // hash path for real partition sizes while preserving the
+      // fallback for pathological ones: the hash map holds one
+      // PARTITION's group buffers — with spread/AQE-sized partitions
+      // (≤ a few hundred MB) that is bounded by the partition itself,
+      // and a genuinely hot key is what [[graft.operators.History]]'s
+      // capped variant and AQE skew handling are for.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       // The events table stores TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects by default; map it to epoch-nanos bigint

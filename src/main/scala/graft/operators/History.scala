@@ -45,20 +45,27 @@ object History {
     // motivo is empty-coalesced BEFORE the sort so null-ordering
     // differences between engines cannot matter (C9). The formatted
     // date rides as a TRAILING struct field: it is a function of
-    // dt_entrada so the sort order is unchanged, date_format runs once
-    // per row inside codegen (not per element inside an interpreted
-    // post-collect lambda), and the unzip below becomes pure field
-    // extraction.
-    val hist = sort_array(collect_list(struct(
-      col("dt_entrada"), col("rid"), col("prob_fech"),
-      coalesce(col("motivo_nao_venda"), lit("")).as("motivo_nao_venda"),
-      col("consultor_interno"),
-      date_format(col("dt_entrada"), dateFmt).as("dt_str"))))
-
+    // dt_entrada so the sort order is unchanged, and the unzip below
+    // becomes pure field extraction.
+    //
+    // The struct is built in a SELECT below the groupBy, not inline in
+    // the aggregate: ObjectHashAggregate's update loop evaluates its
+    // input expressions INTERPRETED (no whole-stage codegen), so an
+    // inline struct(…, date_format(…)) runs six interpreted evals +
+    // a formatter per row on the megamorphic Expression.eval path —
+    // round-5 profiling caught exactly this (`Collect.update ←
+    // CreateNamedStruct.eval` burning a core). As a projected column
+    // the struct is assembled once per row inside codegen and the
+    // aggregate's input is a single bound reference.
     enriched
       .filter(col("dt_entrada").isNotNull) // reference re-parses + range-filters first (APC:261-267)
+      .select(keys.map(col) :+ struct(
+        col("dt_entrada"), col("rid"), col("prob_fech"),
+        coalesce(col("motivo_nao_venda"), lit("")).as("motivo_nao_venda"),
+        col("consultor_interno"),
+        date_format(col("dt_entrada"), dateFmt).as("dt_str")).as("e"): _*)
       .groupBy(keys.map(col): _*)
-      .agg(hist.as("h"), count(lit(1)).as("n_propostas"))
+      .agg(sort_array(collect_list(col("e"))).as("h"), count(lit(1)).as("n_propostas"))
       .select(
         keys.map(col) ++ Seq(
           col("n_propostas"),

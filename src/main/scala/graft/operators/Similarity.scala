@@ -74,7 +74,11 @@ object Similarity {
       idCol: String,
       vecCol: String): DataFrame =
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(centroids.select(col("c_id"), col("c_vec"))))
+      .crossJoin(broadcast(centroids.select(col("c_id"),
+        // float32 is the scoring precision everywhere in this module;
+        // the cast lets [[kmeansFit]]'s double centroids (and a
+        // parquet round-trip of them) feed search directly.
+        col("c_vec").cast("array<float>").as("c_vec"))))
       .select(col("id"), col("vec"), col("c_id"),
         round(VectorFunctions.cosineFast(col("vec"), col("c_vec")), 6).as("sim"))
       .groupBy("id")
@@ -98,7 +102,8 @@ object Similarity {
       vecCol: String,
       nprobe: Int): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(centroids.select(col("c_id"), col("c_vec"))))
+      .crossJoin(broadcast(centroids.select(col("c_id"),
+        col("c_vec").cast("array<float>").as("c_vec"))))
       .select(col("id"), col("vec"), col("c_id"),
         round(VectorFunctions.cosineFast(col("vec"), col("c_vec")), 6).as("sim"))
       .filter(col("sim").isNotNull)
@@ -254,12 +259,26 @@ object Similarity {
     * Scale: per iteration, one broadcast crossJoin (corpus × k, narrow)
     * + a corpus-cardinality argmax shuffle + a mean aggregate whose
     * map-side partials collapse to ≤ k × dim rows per task before the
-    * shuffle. Standard practice at the 100 TB tier — and what this API
-    * expects — is to TRAIN on a deterministic hash-sample
-    * ([[Sampling]]) and run the one full-corpus assignment pass with
-    * [[ivfAssign]] afterwards; MLlib's driver-resident-centroid trick
-    * would remove the argmax shuffle at the cost of a collect per
-    * iteration, which this library's no-collect posture declines.
+    * shuffle. The projected corpus is persisted for the loop (released
+    * before return) and each iteration's centroid frame is
+    * `localCheckpoint`ed — k × dim rows, cheap — so iteration i never
+    * re-executes iterations 1..i-1 and the plan tree stays
+    * iteration-count-independent (round-4 review: the unchecked loop
+    * was O(iters²) corpus passes). Standard practice at the 100 TB
+    * tier — and what this API expects — is to TRAIN on a deterministic
+    * hash-sample ([[Sampling]]) and run the one full-corpus assignment
+    * pass with [[ivfAssign]] afterwards; MLlib's
+    * driver-resident-centroid trick would remove the argmax shuffle at
+    * the cost of a collect per iteration, which this library's
+    * no-collect posture declines.
+    *
+    * Contract: `init` must expose exactly (`c_id`, `c_vec`) — it is a
+    * centroid frame (e.g. a [[Sampling]] pick renamed, or a previous
+    * fit's output), not a corpus, so it does not take idCol/vecCol.
+    * Null vectors are dropped before assignment; ragged vector lengths
+    * FAIL FAST per cell (`raise_error` when a cell's per-coordinate
+    * member counts disagree — a silent ragged corpus would otherwise
+    * divide tail coordinates by fewer members).
     */
   def kmeansFit(
       corpus: DataFrame,
@@ -268,38 +287,73 @@ object Similarity {
       vecCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    require(Seq("c_id", "c_vec").forall(init.columns.contains),
+      s"kmeansFit: init must expose (c_id, c_vec); got (${init.columns.mkString(", ")})")
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = init.select(col("c_id").cast("long").as("c_id"),
       col("c_vec").cast("array<double>").as("c_vec"))
     var result: DataFrame = null
     for (_ <- 1 to iters) {
-      val assigned = c
-        .crossJoin(broadcast(cents))
-        .select(col("id"), col("vec"), col("c_id"),
-          round(VectorFunctions.cosine(col("vec"), col("c_vec")), 6).as("sim"))
-        .groupBy("id")
-        .agg(
-          max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
-          first(col("vec")).as("vec"))
-      // Elementwise mean, exactly: round(6dp) -> decimal sum -> /count
-      // -> round(6dp). count(*) per (cell, pos) IS the member count
-      // (every member contributes one value to every coordinate).
-      val means = assigned
-        .select(col("cell"), posexplode(col("vec")))
-        .groupBy(col("cell"), (col("pos") + 1).as("pos"))
-        .agg(
-          round(sum(round(col("col"), 6).cast("decimal(18,6)")).cast("double") /
-            count(lit(1)), 6).as("m"),
-          count(lit(1)).as("n_members"))
-      result = means
-        .groupBy(col("cell").as("c_id"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            t => t.getField("m")).as("c_vec"),
-          max(col("n_members")).as("n_members"))
+      result = lloydIteration(c, cents)
+        // k × dim rows: the eager checkpoint (one job per iteration —
+        // Lloyd is inherently one corpus pass per iteration) cuts
+        // lineage so the next iteration's broadcast does not re-execute
+        // this one, and the returned frame reads tiny checkpoint blocks
+        // instead of replaying the last assignment.
+        .localCheckpoint(true)
       cents = result.select(col("c_id"), col("c_vec"))
     }
+    c.unpersist(false)
     result
+  }
+
+  /** One Lloyd step as a lazy plan: broadcast-argmax assignment +
+    * exact decimal per-coordinate means + the ragged-length guard.
+    * Package-private so plan-shape tests can pin the iteration's
+    * physical plan BEFORE [[kmeansFit]]'s per-iteration checkpoint
+    * hides it behind an RDD scan.
+    */
+  private[graft] def lloydIteration(c: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = c
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("vec"), col("c_id"),
+        round(VectorFunctions.cosine(col("vec"), col("c_vec")), 6).as("sim"))
+      .groupBy("id")
+      .agg(
+        max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
+        first(col("vec")).as("vec"))
+    // Elementwise mean, exactly: round(6dp) -> decimal sum -> /count
+    // -> round(6dp). count(*) per (cell, pos) IS the member count
+    // (every member contributes one value to every coordinate).
+    val means = assigned
+      .select(col("cell"), posexplode(col("vec")))
+      .groupBy(col("cell"), (col("pos") + 1).as("pos"))
+      .agg(
+        round(sum(round(col("col"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("m"),
+        count(lit(1)).as("n_members"))
+    means
+      .groupBy(col("cell").as("c_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          t => t.getField("m")).as("c_vec"),
+        max(col("n_members")).as("n_max"),
+        min(col("n_members")).as("n_min"))
+      .select(col("c_id"), col("c_vec"),
+        // Ragged guard: if any coordinate of a cell saw fewer members
+        // than another, some member vector was shorter than the rest —
+        // the mean would be silently wrong. Fail loudly instead.
+        when(col("n_min") =!= col("n_max"),
+          raise_error(concat(
+            lit("kmeansFit: ragged vector lengths in cell "),
+            col("c_id").cast("string"),
+            lit(" (per-coordinate member counts "),
+            col("n_min").cast("string"), lit(".."),
+            col("n_max").cast("string"), lit(")"))))
+          .otherwise(col("n_max")).as("n_members"))
   }
 
   /** Embedding-cosine near-dup pairs via multi-band sign LSH

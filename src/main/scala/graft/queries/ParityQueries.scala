@@ -667,6 +667,29 @@ object ParityQueries {
            |       quantile_disc(l_extendedprice, 0.99) AS p99
            |FROM lineitem GROUP BY 1""".stripMargin))
 
+  /** Sketch twin of [[percentiles]] at the SAME grouping, so the bench
+    * reports the exact-vs-sketch cost ratio as a measured number
+    * (round-4 ask #5) instead of a docstring claim. No oracle ON
+    * PURPOSE: quantile-summary outputs are engine-specific (DuckDB has
+    * no GK/KLL twin), so the driver records the weaker rows-only
+    * check — the VALUE envelope is already oracle-pinned by
+    * `a16_approx_sketches`; this row exists to be timed. At the
+    * 100 TB tier this is the percentile you actually run: the sketch
+    * merges associatively, so map-side partials shrink the shuffle to
+    * one summary per partition where percentile_disc moves and sorts
+    * every value.
+    */
+  val percentilesApprox = QueryDef(
+    "a15_percentile_approx",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99")),
+    None)
+
   /** Mergeable-sketch scale path for the exact aggregates
     * ([[percentiles]], the metrics count-distincts): HLL++
     * `approx_count_distinct` and `percentile_approx`, oracle-checked AS
@@ -981,7 +1004,7 @@ object ParityQueries {
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, rolling7d, percentiles, approxSketches, rollupGeo, pivotStatus, deltaSemanas,
+    topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, pivotStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch)
 }

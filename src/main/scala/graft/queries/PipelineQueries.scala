@@ -223,6 +223,123 @@ object PipelineQueries {
            |  WHERE b.id % 10 >= 8 AND c.id % 10 < 8
            |) WHERE hamming <= 6""".stripMargin))
 
+  /** Incremental cluster assignment ([[Dedup.assignToClusters]]): the
+    * 80/20 corpus/batch split again — standing clusters from the
+    * corpus's SimHash pairs (singleton corpus docs assigned to
+    * themselves), batch docs folded in via within-batch pairs +
+    * batch-vs-corpus pairs, WITHOUT re-running CC over the corpus.
+    * The oracle replays the whole rule: corpus CC by recursive CTE
+    * (the [[dedupClusters]] pattern), batch-only CC by a second
+    * recursive CTE, then component-level adoption of the minimum
+    * matched standing rep.
+    */
+  val dedupIncrAssign = QueryDef(
+    "dedup_incr_assign",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 10 < 8)
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+      val cc = Dedup.dedupClusters(
+        Dedup.simhashPairs(corpus, "doc_id", "text",
+          maxHamming = 6, bands = 4, bitsPerBand = 15))
+      val existing = corpus.select(col("doc_id").as("id"))
+        .join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
+      val bPairs = Dedup.simhashPairs(batch, "doc_id", "text",
+          maxHamming = 6, bands = 4, bitsPerBand = 15)
+        .select(col("id_a"), col("id_b"))
+      val xPairs = Dedup.nearDupsAgainstCorpus(corpus, batch, "doc_id", "text",
+          maxHamming = 6, bands = 4, bitsPerBand = 15)
+        .select(col("id_b").as("id_a"), col("id_c").as("id_b"))
+      Dedup.assignToClusters(bPairs.union(xPairs), existing)
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+    },
+    Some("""WITH RECURSIVE hs AS (
+           |  SELECT doc_id AS id,
+           |         [('0x' || substr(md5(t), 1, 15))::BIGINT
+           |          FOR t IN string_split_regex(trim(lower(text)), '\s+')] AS hashes
+           |  FROM documents
+           |),
+           |sim AS (
+           |  SELECT id,
+           |         CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END
+           |                                            FOR h IN hashes]) > 0
+           |                             THEN (1::BIGINT << j) ELSE 0::BIGINT END
+           |                        FOR j IN generate_series(0, 59)]) AS BIGINT) AS sim
+           |  FROM hs
+           |),
+           |banded AS (
+           |  SELECT id, sim, b AS band, (sim >> (b * 15)) % (1::BIGINT << 15) AS key
+           |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+           |),
+           |pair AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+           |    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+           |  ) WHERE hamming <= 6
+           |),
+           |cedges AS (
+           |  SELECT id_a AS s, id_b AS t FROM pair WHERE id_a % 10 < 8 AND id_b % 10 < 8
+           |  UNION
+           |  SELECT id_b AS s, id_a AS t FROM pair WHERE id_a % 10 < 8 AND id_b % 10 < 8
+           |),
+           |creach(s, t) AS (
+           |  SELECT s, t FROM cedges
+           |  UNION
+           |  SELECT r.s, e.t FROM creach r JOIN cedges e ON r.t = e.s
+           |),
+           |clabel AS (
+           |  SELECT s AS id, least(s, MIN(t)) AS rep FROM creach GROUP BY s
+           |),
+           |existing AS (
+           |  SELECT d.doc_id AS id, COALESCE(c.rep, d.doc_id) AS rep
+           |  FROM documents d LEFT JOIN clabel c ON d.doc_id = c.id
+           |  WHERE d.doc_id % 10 < 8
+           |),
+           |bedges AS (
+           |  SELECT id_a AS s, id_b AS t FROM pair WHERE id_a % 10 >= 8 AND id_b % 10 >= 8
+           |  UNION
+           |  SELECT id_b AS s, id_a AS t FROM pair WHERE id_a % 10 >= 8 AND id_b % 10 >= 8
+           |),
+           |breach(s, t) AS (
+           |  SELECT s, t FROM bedges
+           |  UNION
+           |  SELECT r.s, e.t FROM breach r JOIN bedges e ON r.t = e.s
+           |),
+           |blabel AS (
+           |  SELECT s AS id, least(s, MIN(t)) AS comp FROM breach GROUP BY s
+           |),
+           |adoptions AS (
+           |  SELECT p.id_a AS id, e.rep FROM pair p JOIN existing e ON p.id_b = e.id
+           |  WHERE p.id_a % 10 >= 8
+           |  UNION ALL
+           |  SELECT p.id_b AS id, e.rep FROM pair p JOIN existing e ON p.id_a = e.id
+           |  WHERE p.id_b % 10 >= 8
+           |),
+           |allbatch AS (
+           |  -- explicit DISTINCT: inside a WITH RECURSIVE block this
+           |  -- DuckDB version evaluates non-recursive CTE UNIONs as
+           |  -- UNION ALL (verified minimal repro), so a bare UNION
+           |  -- here leaks duplicate ids into the final join
+           |  SELECT DISTINCT id FROM (
+           |    SELECT s AS id FROM bedges
+           |    UNION ALL
+           |    SELECT id FROM adoptions
+           |  )
+           |),
+           |withcomp AS (
+           |  SELECT a.id, COALESCE(b.comp, a.id) AS comp
+           |  FROM allbatch a LEFT JOIN blabel b ON a.id = b.id
+           |),
+           |compadopt AS (
+           |  SELECT w.comp, MIN(a.rep) AS adopted
+           |  FROM withcomp w LEFT JOIN adoptions a ON w.id = a.id
+           |  GROUP BY w.comp
+           |)
+           |SELECT w.id AS doc_id, COALESCE(c.adopted, w.comp) AS cluster_rep
+           |FROM withcomp w JOIN compadopt c ON w.comp = c.comp""".stripMargin))
+
   // ----------------------------------------------------- text analysis
 
   /** Token counts (whitespace + BPE-ish regex) and the exact-dedup
@@ -1108,7 +1225,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
-    dedupKeepBest, dedupIncremental, dedupIncrNear,
+    dedupKeepBest, dedupIncremental, dedupIncrNear, dedupIncrAssign,
     textStats, textLangid, textQuality, textTopWords, corpusPrep,
     textWinnow, annTopK, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,

@@ -54,10 +54,51 @@ object Load {
         reader.option("header", headerRow.toString)
           .option("inferSchema", schema.isEmpty.toString).csv(path)
       case "json" => reader.json(path)
+      case "xlsx" | "xls" =>
+        // The reference's ONLY input format (pd.read_excel — AP:12,
+        // APC:37, APC:150, MAC:210). Excel is not a Spark-native
+        // source and the offline jar set carries no spark-excel
+        // bridge, so instead of the generic unsupported-extension
+        // error a porting user gets the actionable migration path.
+        throw new IllegalArgumentException(
+          s"Excel input is not supported in this deployment (no spark-excel " +
+            s"plugin on the classpath): $path. Convert the workbook to CSV " +
+            "(one file per sheet, e.g. `ssconvert -S book.xlsx sheet-%s.csv` " +
+            "or Save As from any spreadsheet tool) and load the .csv with " +
+            "this same Load.load — header handling and explicit schemas " +
+            "work identically. With a spark-excel jar installed, " +
+            "spark.read.format(\"excel\").option(\"dataAddress\", \"'Sheet1'!A1\") " +
+            "replaces this branch.")
       case other =>
         throw new IllegalArgumentException(
           s"unsupported extension '.$other' (want .parquet/.csv/.json): $path")
     }
+  }
+
+  /** Load an ANN index saved by [[Sink.saveIndex]]: the model frame
+    * plus the hyperparameter sidecar it is only valid under. A fresh
+    * session calling this gets bit-identical search results to the
+    * session that trained the index (centroid doubles round-trip
+    * exactly through parquet; the params say how to band/assign).
+    */
+  def loadIndex(
+      spark: SparkSession,
+      path: String): (DataFrame, Map[String, String]) = {
+    val df = spark.read.parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path, "_index_params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // The sidecar is a flat string→string object written by saveIndex;
+    // parse with the matching minimal grammar instead of pulling a
+    // JSON dependency into the library.
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    val params = entry.findAllMatchIn(txt)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    (df, params)
   }
 
   /** Names from `required` that the frame is missing. */

@@ -97,6 +97,37 @@ object Sink {
     (before.size, after)
   }
 
+  /** Persist a trained ANN index so it survives the session — the
+    * write-once posture [[saveBucketed]] establishes for joins,
+    * extended to the ANN story (round-4 "What's missing" #3: trained
+    * centroids and banding params were recomputed per session).
+    *
+    * `index` is the small model frame (k-means centroids from
+    * [[graft.operators.Similarity.kmeansFit]]: k × dim rows; or any
+    * other frame-shaped index artifact) written as plain parquet;
+    * `params` are the scalar hyperparameters the index is only valid
+    * under (e.g. `dim`, `nBands`, `bitsPerBand`, `metric`) written as
+    * a `_index_params.json` sidecar INSIDE the directory — the
+    * underscore prefix keeps every Spark file reader ignoring it, so
+    * the directory still reads as a normal parquet table. Searching
+    * with mismatched params is the classic silent-recall-loss bug;
+    * persisting them next to the vectors makes the contract explicit
+    * and lets [[Load.loadIndex]] hand both back.
+    */
+  def saveIndex(index: DataFrame, path: String, params: Map[String, String]): Unit = {
+    save(index, path)
+    val spark = index.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, "_index_params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Bucketed table write — the co-located-join layout for the 100 TB
     * tier. Two tables bucketed by their join key with the SAME bucket
     * count join with NO shuffle on either side (each bucket pair is

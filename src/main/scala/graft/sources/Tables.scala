@@ -25,7 +25,41 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  /** Conf-gated spread of a freshly-loaded frame across the cluster.
+    *
+    * Why it exists: the local test parquet files hold ONE row group
+    * each, and a row group is Spark's minimum scan-split unit — so
+    * every scan here yields exactly one non-empty partition no matter
+    * what `maxPartitionBytes` says, and (the fact view being pure
+    * broadcast joins, shuffle-free) everything up to the first
+    * exchange runs on ONE core of 32. Round-4's bench timeout was
+    * exactly this: the a9 family's map-side `collect_list` over the
+    * cached single-partition fact burned 160 CPU-seconds on one task
+    * (Diag.scala evidence: partial-agg stage tasks=3, one 160 s task,
+    * machine idle).
+    *
+    * The knob lives HERE, inside the loaders, and not in the bench
+    * harness, because Spark's CacheManager substitutes a cached view
+    * only into plans whose canonicalized subtree MATCHES — a
+    * `repartition` applied only at persist time would make every
+    * query's un-repartitioned plan a cache miss and silently rebuild
+    * the join per query. With the conf set, the persisted view and
+    * every query build the identical (repartitioned) plan.
+    *
+    * Default 0 = no-op: a real deployment reads multi-row-group files
+    * whose scans parallelize naturally, and a blanket repartition
+    * there would be a pointless full shuffle. Only the warm-bench
+    * session sets it (`graft.load.repartition` = core count) — the
+    * moral equivalent of the fact table living pre-spread across a
+    * production cluster's executors.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val n = spark.conf.get("graft.load.repartition", "0").toInt
+    if (n > 0) df.repartition(n) else df
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, table(spark, dir, "lineitem"))
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
@@ -45,7 +79,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    spread(spark, table(spark, dir, "events"))
   }
 
   /** Epoch-nanos bigint → timestamp (microsecond precision). Division
@@ -55,8 +89,10 @@ object Tables {
     */
   def eventsTs(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     timestamp_micros((nanos.cast("decimal(20,0)") / 1000).cast("long"))
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, table(spark, dir, "embeddings"))
 
   /** The commercial fact table (one row = one proposal/quote line).
     * Schema contract: FIXTURES.md §1; reference schema evidence

@@ -145,12 +145,17 @@ object StreamingOps {
   /** Stream-static enrich join: left-join each micro-batch of the
     * stream against a static dimension frame, broadcast so the stream
     * side never shuffles. Stream-static equi-joins are STATELESS in
-    * Structured Streaming — no watermark, no state store; each
-    * micro-batch joins the static side as of that batch, and a
-    * file-backed static frame is re-read per batch, so a
-    * slowly-changing dim is picked up without restarting the query.
-    * Batch twin: [[graft.operators.Enrich.joinCategorias]] (same key,
-    * same left-join semantics), so enriching in-flight and backfilling
+    * Structured Streaming — no watermark, no state store. NOTE the
+    * dimension is effectively PINNED at query start for plain file
+    * sources (this repo's parquet dims): the static side's file
+    * listing is cached in its InMemoryFileIndex, so part files
+    * appended or rewritten mid-query are NOT picked up. Live
+    * slowly-changing-dimension updates need either
+    * `spark.catalog.refreshByPath(dimPath)` between batches (e.g.
+    * from `foreachBatch`) or a table format that versions its file
+    * list (Delta/Iceberg). Batch twin:
+    * [[graft.operators.Enrich.joinCategorias]] (same key, same
+    * left-join semantics), so enriching in-flight and backfilling
     * at rest produce identical rows.
     */
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =

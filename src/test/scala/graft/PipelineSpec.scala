@@ -137,6 +137,47 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("assignToClusters matches a full recompute on a non-bridging batch") {
+    // Corpus ids 1-6: clusters {1,2}, {3,4}; 5, 6 singletons. Batch ids
+    // 10-15 (arrival order: all > any standing rep). Batch pairs:
+    //   10—2        -> adopts rep 1
+    //   11—12, 12—3 -> component {11,12} adopts rep 3 (transitively:
+    //                  11 never touched the corpus itself)
+    //   13—14       -> unmatched component, keeps min batch id 13
+    //   15—5        -> adopts the SINGLETON corpus doc's rep (5) —
+    //                  exercises the existing-covers-singletons contract
+    val corpusPairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val corpusIds = (1L to 6L).toDF("id")
+    val existing = corpusIds
+      .join(Dedup.dedupClusters(corpusPairs), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
+    val batchPairs = Seq(
+      (10L, 2L), (11L, 12L), (12L, 3L), (13L, 14L), (15L, 5L))
+      .toDF("id_a", "id_b")
+    val incr = Dedup.assignToClusters(batchPairs, existing)
+      .as[(Long, Long)].collect().toMap
+    // Ground truth: global CC over ALL pairs, restricted to batch ids.
+    val full = Dedup.dedupClusters(corpusPairs.union(batchPairs))
+      .as[(Long, Long)].collect().toMap
+      .filter { case (id, _) => id >= 10L }
+    assert(incr == full, s"incremental $incr != full recompute $full")
+    assert(incr == Map(10L -> 1L, 11L -> 3L, 12L -> 3L, 13L -> 13L,
+      14L -> 13L, 15L -> 5L))
+  }
+
+  test("assignToClusters: a bridging doc adopts the min rep without merging") {
+    // Doc 20 matches both standing clusters (reps 1 and 3): it adopts
+    // min(1, 3) = 1; the standing assignment itself is immutable here —
+    // the documented divergence from a full recompute (which would
+    // merge 1 and 3). Corpus-×-corpus pairs in the input are ignored.
+    val existing = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "cluster_rep")
+    val pairs = Seq((20L, 2L), (20L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.assignToClusters(pairs, existing)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(20L -> 1L), out.toString)
+  }
+
   test("exactGroups: one group per normalized text with min id and count") {
     val df = Seq((1L, "A  b"), (2L, "a b"), (3L, "other")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "text", "doc_id")
@@ -280,6 +321,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fit(1)._2 == Seq(0.0, 0.966667), fit(1)._2.toString)
   }
 
+  test("kmeansFit keeps plan size iteration-independent and rejects bad inputs") {
+    // Round-4 review: each Lloyd iteration nested the full prior plan,
+    // so iters=i re-executed all i-1 assignments (O(iters²) corpus
+    // passes). The per-iteration localCheckpoint cuts that: the
+    // returned plan must be the same (small) size at iters=1 and
+    // iters=5, and the fixed point must still hold.
+    val corpus = Seq(
+      (10L, Seq(1f, 0.1f)), (11L, Seq(1f, -0.1f)), (12L, Seq(0.9f, 0f)),
+      (20L, Seq(0.1f, 1f)), (21L, Seq(-0.1f, 1f)), (22L, Seq(0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val init = corpus.filter(col("vec_id").isin(10L, 20L))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    def planLen(iters: Int) = {
+      val fit = Similarity.kmeansFit(corpus, init, "vec_id", "embedding", iters)
+      (fit.queryExecution.analyzed.treeString.length,
+        fit.select("c_id", "c_vec").as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq)
+    }
+    val (len1, r1) = planLen(1)
+    val (len5, r5) = planLen(5)
+    assert(r1 == r5, "iterating past the fixed point changed the centroids")
+    assert(len5 <= len1 * 2,
+      s"plan grew with iteration count: iters=1 -> $len1 chars, iters=5 -> $len5")
+
+    // Contract errors are loud, not unresolved-column mysteries:
+    val badInit = init.withColumnRenamed("c_vec", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(corpus, badInit, "vec_id", "embedding", 1)
+    }
+    assert(e.getMessage.contains("c_vec"), e.getMessage)
+
+    // Ragged vector lengths fail fast instead of producing wrong means.
+    val ragged = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.kmeansFit(ragged, Seq((5L, Seq(1f, 0.01f))).toDF("c_id", "c_vec"),
+        "vec_id", "embedding", 1).collect()
+    }
+    assert(err.getMessage.contains("ragged"), err.getMessage)
+  }
+
   test("kmeansFit drops seeds that attract no members") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(1f, 0.02f)))
@@ -322,7 +402,38 @@ class LoadSkewSpec extends AnyFunSuite {
     Seq((3, "c")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
     assert(sources.Load.load(spark, s"$dir/t.parquet").count() == 1)
     assert(sources.Load.load(spark, s"$dir/t.csv", headerRow = false).count() == 2)
-    intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.xlsx"))
+    // Excel (the reference's only input format) is environment-blocked:
+    // the error must be the GUIDED one naming the CSV migration path,
+    // not the generic unsupported-extension message.
+    val e = intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.xlsx"))
+    assert(e.getMessage.contains("spark-excel") && e.getMessage.contains("CSV"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.txt"))
+    assert(e2.getMessage.contains("unsupported extension"), e2.getMessage)
+  }
+
+  test("ANN index round-trips through saveIndex/loadIndex bit-identically") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val init = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val fitted = Similarity.kmeansFit(emb.filter(col("embedding").isNotNull),
+      init, "vec_id", "embedding", iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_index").toString + "/ivf"
+    val params = Map("metric" -> "cosine", "trained_iters" -> "2",
+      "note" -> "escape \"check\" \\ here")
+    graft.sources.Sink.saveIndex(fitted, dir, params)
+    val (loaded, gotParams) = graft.sources.Load.loadIndex(spark, dir)
+    assert(gotParams == params, gotParams.toString)
+    // Search with the loaded centroids must be bit-identical to
+    // searching with the in-session ones (the restartability contract).
+    def search(cents: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKProbed(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 15), emb,
+        cents.select(col("c_id"), col("c_vec")),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(search(fitted) == search(loaded))
   }
 
   test("explicit-schema load runs NO inference job and types the columns (S1 at scale)") {

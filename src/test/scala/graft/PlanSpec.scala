@@ -155,15 +155,33 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ann_kmeans assigns via max_by and aggregates means with map-side partials") {
-    val p = plan("ann_kmeans")
-    // Assignment is the broadcast argmax (same shape as ivfAssign) and
-    // the elementwise mean is a hash aggregate whose partials collapse
-    // to <= k x dim rows per task BEFORE the shuffle — a window (or a
-    // partial-less agg) here would move corpus-cardinality data.
+    // The registered query's FINAL plan is an RDD scan — kmeansFit
+    // checkpoints each Lloyd iteration so the plan tree stays
+    // iteration-count-independent (round-4 review #3). The shape worth
+    // pinning is therefore the per-iteration plan, exposed via
+    // lloydIteration: assignment is the broadcast argmax (same shape
+    // as ivfAssign) and the elementwise mean is a hash aggregate whose
+    // partials collapse to <= k x dim rows per task BEFORE the
+    // shuffle — a window (or a partial-less agg) here would move
+    // corpus-cardinality data.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+    val init = emb.limit(4)
+      .select(col("id").as("c_id"), col("vec").as("c_vec"))
+    val p = graft.operators.Similarity.lloydIteration(emb, init)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), "kmeans grew a window:\n" + p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(400))
     assert(p.contains("max_by"), "assignment argmax missing:\n" + p.take(800))
     assert(p.contains("partial_sum"), "mean aggregate lost map-side partials:\n" + p.take(800))
+    // And the registered query's final plan must BE the checkpoint scan
+    // (lineage actually cut, not just intended).
+    val reg = plan("ann_kmeans")
+    assert(reg.contains("ExistingRDD"),
+      "ann_kmeans no longer reads checkpointed blocks — lineage uncut:\n" + reg.take(800))
   }
 
   test("a16_approx_sketches never plans an Expand (the distinct+percentile funnel)") {
