@@ -40,8 +40,15 @@ import graft.sources.Tables
   * quiet machine is not a bench"): `SPARK_GRAFT_BENCH_BUDGET_SEC`
   * (default 480) bounds the run so a stolen/slow host degrades to a
   * PARSED artifact instead of the driver's rc=124. Degradation order:
-  *   1. warmup pass — skipped for remaining queries once half the
-  *      budget is gone (they warm up inside their first timed pass);
+  *   1. warmup pass — skipped for remaining queries once a THIRD of
+  *      the budget is gone, or immediately once any single warmup
+  *      costs over budget/10 (the degraded-host signature: this VM's
+  *      hypervisor intermittently stalls the guest in all-core
+  *      kernel-time reclaim storms that report ZERO steal; a trivial
+  *      query then runs 10-90× long and the warmup tour would eat the
+  *      wall the timed passes need). Skipped queries warm up inside
+  *      their first timed pass, which the median then discards
+  *      whenever a later pass exists.
   *   2. timed passes ≥ 2 — skipped once the budget is exhausted
   *      (median falls back to the single completed pass).
   * Every query ALWAYS gets at least one timed pass — the budget can
@@ -97,17 +104,32 @@ object Bench {
 
     val demoted = scala.collection.mutable.LinkedHashMap[String, String]()
     val warmupSkipped = scala.collection.mutable.HashSet[String]()
+    // Degraded-host breaker: this VM's hypervisor intermittently
+    // stalls the guest (virtio-balloon reclaim — all-core kernel-time
+    // storms where a 1 s query takes 90 s; zero steal reported, so a
+    // steal check can't see it). One warmup blowing 10% of the whole
+    // budget is that signature — finishing the warmup tour would burn
+    // the wall the timed passes need, so stop warming and let the
+    // remaining queries warm inside their first timed pass (which the
+    // median already discards when a later pass exists).
+    var hostDegraded = false
 
     queries.foreach { case (name, fn) =>
       // Warmup timings go to stderr: they are the COLD numbers for the
       // queries whose internal persists make timed passes warm (see
       // the warm-intermediate caveat above).
-      if (elapsed > budgetSec / 2) {
+      if (hostDegraded || elapsed > budgetSec / 3) {
         warmupSkipped += name
         demoted.getOrElseUpdate(name, "warmup_skipped")
         System.err.println(s"[bench] warmup $name skipped (budget)")
       } else timeOne(fn) match {
-        case Right(sec) => System.err.println(f"[bench] warmup $name $sec%.3f s (cold)")
+        case Right(sec) =>
+          System.err.println(f"[bench] warmup $name $sec%.3f s (cold)")
+          if (sec > budgetSec / 10) {
+            hostDegraded = true
+            System.err.println(s"[bench] warmup cost breaker tripped at $name; " +
+              "remaining queries warm up inside their first timed pass")
+          }
         case Left(m)    => System.err.println(s"[bench] warmup $name failed: $m")
       }
     }

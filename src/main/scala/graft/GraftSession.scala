@@ -47,6 +47,19 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
+      // Spark renders a plan-description string EAGERLY on the
+      // execution thread for every query start and every AQE re-plan —
+      // even with the UI off — and the default "formatted" mode runs
+      // ExplainUtils.processPlan: per-node regex work, repeated once
+      // per PATH through shared subtrees. On checkpoint-heavy DAG
+      // plans this went pathological (round-5 profiling: 1,890 CPU-s
+      // inside ExplainUtils under one label-propagation test before
+      // dedupClusters was flattened; the round-5 bench's residual
+      // driver-bound stalls — dedup_ngram 710 s with 32 executors
+      // idle — share the same single-driver-thread signature).
+      // "simple" keeps the event contract and costs one cheap
+      // treeString; nothing in this library reads the description.
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
