@@ -40,4 +40,48 @@ object Sampling {
     */
   def strataCounts(df: DataFrame, strata: Seq[String]): DataFrame =
     df.groupBy(strata.map(col): _*).agg(count(lit(1)).as("n_rows"))
+
+  /** Deterministic per-stratum sampling: keep ~`pctByStratum(s)`% of
+    * stratum `s` (fallback `defaultPct`). The rate table is driver-side
+    * CONFIG, not data, so it compiles to a codegen'd CASE — a pure
+    * narrow filter with no join and no shuffle; at 100 TB this costs
+    * exactly one scan. Membership is the same md5 idiom as
+    * [[deterministicSample]]: a row keeps or drops identically across
+    * runs, engines, and cluster sizes, and the strata stay NESTED as
+    * rates change (lowering 20% → 10% drops a subset, never reshuffles).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      pctByStratum: Map[String, Int],
+      defaultPct: Int): DataFrame = {
+    val rate = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (acc, (k, pct)) => when(col(stratumCol) === lit(k), lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 100) < rate)
+  }
+
+  /** Class-balanced downsampling: every stratum is cut to ~the size of
+    * the SMALLEST stratum — the standard rebalance before training on
+    * skewed label/language/source distributions. Two passes by nature
+    * (a balance rate needs the cardinalities): one stratum-cardinality
+    * count aggregate, then one filtered scan with the counts broadcast
+    * back. The keep test is EXACT integer arithmetic,
+    * `bucket(id) * n_stratum < n_min * 1e6` over a 1e6-bucket md5 hash
+    * — no double rounding at any scale, so the oracle reproduces
+    * membership bit-for-bit. Nothing shuffles the fact side; the only
+    * wide op is the tiny count aggregate.
+    */
+  def balancedDownsample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    val buckets = 1000000L
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__n_min"))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .crossJoin(broadcast(minN))
+      .filter(
+        graft.functions.Hashing.md5Bucket(col(idCol).cast("string"), buckets) * col("__n") <
+          col("__n_min") * lit(buckets))
+      .drop("__n", "__n_min")
+  }
 }

@@ -1082,6 +1082,27 @@ object PipelineQueries {
            |       lang, COUNT(*) AS n_rows
            |FROM documents GROUP BY 1, 2""".stripMargin))
 
+  /** Class-balanced downsample ([[Sampling.balancedDownsample]]): every
+    * language stratum cut to ~the smallest stratum's size before
+    * training — the standard rebalance for skewed label/language
+    * distributions. Registered as the per-lang counts AFTER balancing
+    * so the oracle pins exact hash-membership (integer-arithmetic keep
+    * test, no double rounding), not just the sizes.
+    */
+  val sampleBalanced = QueryDef(
+    "sample_balanced",
+    (s, dir) =>
+      Sampling.strataCounts(
+        Sampling.balancedDownsample(Tables.documents(s, dir), "doc_id", "lang"),
+        Seq("lang")),
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+           |     m AS (SELECT MIN(n) AS n_min FROM c)
+           |SELECT d.lang, COUNT(*) AS n_rows
+           |FROM documents d JOIN c USING (lang) CROSS JOIN m
+           |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 * c.n
+           |      < m.n_min * 1000000
+           |GROUP BY 1""".stripMargin))
+
   /** Event-time bucketing over the nanos-precision `ts`: daily event
     * counts per type. Exercises the nanos→timestamp derivation
     * ([[Tables.eventsTs]]); DuckDB reads the TIMESTAMP(NANOS) column
@@ -1231,5 +1252,5 @@ object PipelineQueries {
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,
     asofEvents, rangeEvents,
-    sampleSplit, mmMediaMeta, mmDecode, mmFramesResize)
+    sampleSplit, sampleBalanced, mmMediaMeta, mmDecode, mmFramesResize)
 }

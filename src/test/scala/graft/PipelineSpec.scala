@@ -521,6 +521,38 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(operators.Sampling.deterministicSample(df, "id", 10).count() == s1("test"))
   }
 
+  test("stratifiedSample applies per-stratum rates with nested membership") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "big" else "small"))
+      .toDF("id", "stratum")
+    val keep20 = operators.Sampling
+      .stratifiedSample(df, "id", "stratum", Map("big" -> 20), defaultPct = 100)
+    val keep10 = operators.Sampling
+      .stratifiedSample(df, "id", "stratum", Map("big" -> 10), defaultPct = 100)
+    val by20 = keep20.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(by20("small") == 1000)                      // default 100% untouched
+    assert(by20("big") > 120 && by20("big") < 280)     // ~20% of 1000
+    // Lowering a rate drops a SUBSET — membership is nested, never
+    // reshuffled (the property that makes rate changes resumable).
+    val ids20 = keep20.filter($"stratum" === "big").select("id").as[Long].collect().toSet
+    val ids10 = keep10.filter($"stratum" === "big").select("id").as[Long].collect().toSet
+    assert(ids10.subsetOf(ids20) && ids10.size < ids20.size)
+  }
+
+  test("balancedDownsample cuts every stratum to ~the smallest") {
+    val df = ((1L to 1600L).map(i => (i, "en")) ++ (2001L to 2200L).map(i => (i, "pt")))
+      .toDF("id", "lang")
+    val out = operators.Sampling.balancedDownsample(df, "id", "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // Smallest stratum keeps everything (its rate is n_min/n = 1:
+    // bucket * 200 < 200 * 1e6 holds for every bucket).
+    assert(out("pt") == 200)
+    assert(out("en") > 120 && out("en") < 280)      // ~200 of 1600
+    // Deterministic: rerun identical.
+    val again = operators.Sampling.balancedDownsample(df, "id", "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(out == again)
+  }
+
   test("ivfAssign picks the nearest centroid with id tie-break") {
     val corpus = Seq(
       (10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)), (12L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
