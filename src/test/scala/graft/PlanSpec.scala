@@ -21,6 +21,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "no partition-less window over the fact")
   }
 
+  test("stratifiedSample is a pure narrow filter; balancedDownsample broadcasts its counts") {
+    // Per-stratum rates compile to a CASE inside a Filter — no join
+    // anywhere in the plan, so the 100 TB cost is exactly one scan.
+    val strat = graft.operators.Sampling.stratifiedSample(
+      graft.sources.Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 10), defaultPct = 50)
+      .queryExecution.executedPlan.toString
+    assert(!strat.contains("Join"), strat.take(800))
+    // The balance rate needs cardinalities, but the corpus side must
+    // only ever meet them as BROADCAST builds — a shuffled (sort-merge)
+    // join of the fact against its own counts would be the scale bug.
+    val bal = graft.operators.Sampling.balancedDownsample(
+      graft.sources.Tables.documents(spark, dir), "doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(bal.contains("BroadcastHashJoin") || bal.contains("BroadcastNestedLoopJoin"),
+      bal.take(800))
+    assert(!bal.contains("SortMergeJoin"), bal.take(800))
+  }
+
   test("a7_a8_argmax uses constant-state max_by, not collect_list") {
     val p = plan("a7_a8_argmax")
     assert(p.contains("max_by"))
