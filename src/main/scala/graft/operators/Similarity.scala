@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -44,6 +44,30 @@ object Similarity {
     * ranking: a desc window ranks them last, a smallest-k heap on the
     * negated key would rank them first.
     */
+  /** Metadata-filtered exact top-k: search only the corpus rows that
+    * pass `corpusPredicate` ("nearest neighbors among docs with
+    * lang = 'en' / license = permissive / quality > 0.8" — the shape
+    * every retrieval-augmented pipeline needs). This is PRE-filtering:
+    * the predicate restricts the corpus BEFORE scoring, so every query
+    * still gets its true k nearest within the allowed set. The naive
+    * alternative — post-filtering a top-k result — silently returns
+    * fewer than k rows and MISSES allowed neighbors that ranked below
+    * the disallowed ones; with a selective predicate its recall decays
+    * toward zero. At scale the predicate is a plain Catalyst filter:
+    * it pushes into the corpus scan (or its id-join with the metadata
+    * table), so the restricted corpus never materializes. For large
+    * corpora compose the same way with the IVF path: filter, then
+    * [[ivfTopKProbed]] — cells stay valid under any subset.
+    */
+  def filteredTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      corpusPredicate: Column,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame =
+    bruteForceTopK(queries, corpus.filter(corpusPredicate), idCol, vecCol, k)
+
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,

@@ -635,6 +635,37 @@ object PipelineQueries {
             |SELECT q_id, n_id, cos FROM scored
             |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10""".stripMargin))
 
+  /** Metadata-filtered search ([[Similarity.filteredTopK]]): top-5
+    * neighbors among ENGLISH documents only, for the first 10 query
+    * vectors. Pre-filter semantics on purpose — each query gets its
+    * true k nearest within the allowed subset, where post-filtering a
+    * plain top-k would drop below k and miss allowed neighbors ranked
+    * under disallowed ones. The corpus predicate rides a doc_id
+    * equi-join with the metadata table (bucketable at scale; the
+    * filter pushes into the documents scan).
+    */
+  val annFiltered = QueryDef(
+    "ann_filtered",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.join(
+        Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+      Similarity.filteredTopK(
+        emb.filter(col("vec_id") < 10), corpus, col("lang") === "en",
+        "vec_id", "embedding", k = 5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+            |c AS (SELECT e.vec_id, e.v FROM e
+            |      JOIN documents d ON e.vec_id = d.doc_id AND d.lang = 'en'),
+            |scored AS (
+            |  SELECT q_id, c.vec_id AS n_id, ROUND(${cosSql("qv", "c.v")}, 6) AS cos
+            |  FROM q CROSS JOIN c WHERE c.vec_id <> q_id
+            |)
+            |SELECT q_id, n_id, cos FROM scored
+            |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 5""".stripMargin))
+
   /** Multi-band sign-LSH embedding near-dup pairs — the scale path:
     * candidate equi-join on (band, key) with no vector columns aboard,
     * vectors re-attached by id only for survivors. The oracle
@@ -1248,7 +1279,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupIncrNear, dedupIncrAssign,
     textStats, textLangid, textQuality, textTopWords, corpusPrep,
-    textWinnow, annTopK, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
+    textWinnow, annTopK, annFiltered, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,
     asofEvents, rangeEvents,
