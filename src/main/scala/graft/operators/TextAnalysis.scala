@@ -186,4 +186,47 @@ object TextAnalysis {
       }
     }(Encoders.product[DocFingerprints]).toDF()
   }
+
+  /** Per-document key terms by TF-IDF: the k highest
+    * `tf * ln(n_docs / df)` terms per doc (whitespace tokens,
+    * lowercased), ties broken by term so results reproduce anywhere.
+    *
+    * Shape at scale — every step is distributive:
+    *   1. explode → (doc, term) counts: map-side-combined hash
+    *      aggregate, one shuffle on (doc, term);
+    *   2. document frequency: second hash aggregate over the
+    *      (doc, term) frame — counts ROWS, which ARE distinct docs
+    *      per term (no count-distinct Expand);
+    *   3. n_docs: 1-row aggregate, broadcast crossJoin;
+    *   4. the per-doc cut is the bounded [[graft.functions.TopK]]
+    *      k-heap on `struct(-tfidf, term)` — never a corpus-wide
+    *      window sort.
+    * The tf×df join is a term-key equi-join (both sides shuffle once;
+    * at 100 TB the term dictionary is Zipf-shaped, which AQE skew
+    * handling absorbs — or pre-filter stopwords for a hard cap).
+    *
+    * Scores are ROUNDED to 6 dp and ranked on the rounded value:
+    * `ln` is not correctly-rounded IEEE (libms differ in the last
+    * ulp), so ranking on raw doubles could flip near-equal terms
+    * across engines; 6-dp rounding collapses those to exact ties,
+    * which the term tie-break then orders identically everywhere.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(coalesce(col(textCol), lit(""))))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopK.smallestK(
+        struct((-col("tfidf")).as("nt"), col("term").as("term")), k).as("top"))
+      .select(col("doc_id"), explode(col("top")).as("t"))
+      .select(col("doc_id"), col("t.term").as("term"), (-col("t.nt")).as("tfidf"))
+  }
 }

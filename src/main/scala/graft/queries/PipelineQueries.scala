@@ -385,6 +385,27 @@ object PipelineQueries {
            |SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
            |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Per-doc key terms by TF-IDF ([[TextAnalysis.tfidfTopTerms]]):
+    * top-3 `tf * ln(n_docs/df)` terms per document, rounded scores
+    * ranked with term tie-break (see the operator scaladoc for why
+    * ranking on ROUNDED scores is the cross-engine-safe choice).
+    */
+  val textTfidf = QueryDef(
+    "text_tfidf",
+    (s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3),
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS term
+           |  FROM documents
+           |), tt AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2
+           |), d AS (SELECT term, COUNT(*) AS df FROM tt GROUP BY 1),
+           |   n AS (SELECT COUNT(*) AS n_docs FROM documents)
+           |SELECT doc_id, term, ROUND(tf * ln(n_docs / df), 6) AS tfidf
+           |FROM tt JOIN d USING (term) CROSS JOIN n
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) <= 3""".stripMargin))
+
   private def stopSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1278,7 +1299,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupIncrNear, dedupIncrAssign,
-    textStats, textLangid, textQuality, textTopWords, corpusPrep,
+    textStats, textLangid, textQuality, textTopWords, textTfidf, corpusPrep,
     textWinnow, annTopK, annFiltered, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,

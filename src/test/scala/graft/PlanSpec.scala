@@ -40,6 +40,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!bal.contains("SortMergeJoin"), bal.take(800))
   }
 
+  test("text_tfidf ranks per-doc terms via the bounded aggregate, no Expand, no window") {
+    val p = plan("text_tfidf")
+    assert(p.contains("collect_top_k"), p.take(800))
+    assert(!p.contains("Expand"), "df-counting must not plan a count-distinct Expand")
+    assert(!p.contains("Window"), "per-doc cut must be the k-heap, not a window sort")
+  }
+
   test("a7_a8_argmax uses constant-state max_by, not collect_list") {
     val p = plan("a7_a8_argmax")
     assert(p.contains("max_by"))
