@@ -107,4 +107,42 @@ object Cleaning {
       sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
     df.agg(count(lit(1)).as("n_rows"), nullCounts: _*)
   }
+
+  /** Tukey IQR outlier filter: keep rows whose `valueCol` lies within
+    * `[q1 - k*iqr, q3 + k*iqr]` of their group — the standard robust
+    * trim before aggregating noisy numeric columns (z-scores need a
+    * mean/stddev the outliers themselves corrupt; quartiles don't).
+    *
+    * The quartiles are EXACT `percentile_disc` (actual data values, no
+    * interpolation), so the fence arithmetic is a handful of IEEE ops
+    * on values both engines read identically from parquet — fully
+    * oracle-able, unlike stddev-based trims whose sums are
+    * float-order-dependent. Two passes by nature (a fence needs the
+    * distribution): one group-cardinality quartile aggregate —
+    * per-group sort of the group's values, the documented
+    * `percentile_disc` cost; sketch fences via `percentile_approx`
+    * the same way at the 100 TB tier — then one filtered scan with
+    * the fences broadcast back. Null values never pass the fence
+    * comparison and are dropped (pre-clean with [[fillZero]]/[[
+    * coerceNumeric]] first if they should survive).
+    */
+  def iqrFilter(
+      df: DataFrame,
+      valueCol: String,
+      byCols: Seq[String],
+      k: Double = 1.5): DataFrame = {
+    val q1c = expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY $valueCol)").as("__q1")
+    val q3c = expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY $valueCol)").as("__q3")
+    val fences = (if (byCols.isEmpty) df.agg(q1c, q3c)
+                  else df.groupBy(byCols.map(col): _*).agg(q1c, q3c))
+      .select(byCols.map(col) ++ Seq(
+        (col("__q1") - lit(k) * (col("__q3") - col("__q1"))).as("__lo"),
+        (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("__hi")): _*)
+    val joined =
+      if (byCols.isEmpty) df.crossJoin(broadcast(fences))
+      else df.join(broadcast(fences), byCols)
+    joined
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

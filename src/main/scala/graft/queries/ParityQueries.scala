@@ -437,6 +437,38 @@ object ParityQueries {
     * APC:100, MAC:540-543, MAC:593-597). The raw strings are built from
     * exact integer cents so both engines format identically.
     */
+  /** Tukey IQR trim ([[Cleaning.iqrFilter]]): per-flag robust outlier
+    * fence on `l_extendedprice`, reported as kept-count + kept-range
+    * per group (count/min/max are order-independent, so the compare
+    * dodges float-sum accumulation-order drift). The quartiles are
+    * exact `percentile_disc` data values — parity with DuckDB's
+    * `quantile_disc` is already pinned by `a15_percentile_disc` on
+    * this same column.
+    */
+  val iqrTrim = QueryDef(
+    "c_iqr_trim",
+    (s, dir) =>
+      graft.operators.Cleaning.iqrFilter(
+          Tables.lineitem(s, dir), "l_extendedprice", Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          min(col("l_extendedprice")).as("min_kept"),
+          max(col("l_extendedprice")).as("max_kept")),
+    Some("""WITH f AS (
+           |  SELECT l_returnflag,
+           |         quantile_disc(l_extendedprice, 0.25) AS q1,
+           |         quantile_disc(l_extendedprice, 0.75) AS q3
+           |  FROM lineitem GROUP BY 1
+           |)
+           |SELECT l.l_returnflag, COUNT(*) AS n_kept,
+           |       MIN(l_extendedprice) AS min_kept,
+           |       MAX(l_extendedprice) AS max_kept
+           |FROM lineitem l JOIN f USING (l_returnflag)
+           |WHERE l_extendedprice >= q1 - 1.5 * (q3 - q1)
+           |  AND l_extendedprice <= q3 + 1.5 * (q3 - q1)
+           |GROUP BY 1""".stripMargin))
+
   val coerceFill = QueryDef(
     "c3_c4_c6_coerce_fill",
     (s, dir) => {
@@ -1003,7 +1035,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, iqrTrim, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, pivotStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch)
