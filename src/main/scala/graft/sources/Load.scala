@@ -37,6 +37,24 @@ object Load {
   def load(spark: SparkSession, path: String, schema: StructType): DataFrame =
     load(spark, path, schema = Some(schema), headerRow = true)
 
+  /** Schema-evolution read of a parquet directory whose part files
+    * were written under DRIFTING schemas (an ingest pipeline that
+    * gained a column mid-stream — the steady state of any long-lived
+    * 100 TB table). Plain `spark.read.parquet` takes one random
+    * footer's schema, silently DROPPING columns absent from it;
+    * `mergeSchema` reconciles the union of every footer (by-name, with
+    * nulls where a file predates a column) so no data is lost.
+    *
+    * Cost note, and why this is not the default `load`: the merge
+    * reads every file's footer up front — at large file counts that is
+    * a real driver-side listing+merge cost. Pay it on the ingest/
+    * compaction hop, then write the reconciled table once
+    * ([[Sink.compact]]) and read it cheaply forever; or pin the
+    * union schema explicitly via `load(spark, path, schema)`.
+    */
+  def loadEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def load(
       spark: SparkSession,
       path: String,

@@ -436,6 +436,19 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(search(fitted) == search(loaded))
   }
 
+  test("loadEvolved reconciles drifted part-file schemas; plain read drops the late column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = sources.Load.loadEvolved(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    // The pre-drift file surfaces the late column as null, not an error.
+    assert(rows == Map(1L -> None, 2L -> Some(9.5)))
+  }
+
   test("explicit-schema load runs NO inference job and types the columns (S1 at scale)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import org.apache.spark.sql.types._

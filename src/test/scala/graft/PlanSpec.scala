@@ -40,6 +40,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!bal.contains("SortMergeJoin"), bal.take(800))
   }
 
+  test("c_iqr_trim broadcasts its fences and keeps the fact side shuffle-free to the filter") {
+    val p = plan("c_iqr_trim")
+    assert(p.contains("percentile_disc"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "fences must come back as a broadcast build")
+    assert(!p.contains("SortMergeJoin"), "fact x fences must not plan a shuffled join")
+    assert(!p.contains("Window"), "fences are an aggregate, not a per-row window")
+  }
+
   test("text_tfidf ranks per-doc terms via the bounded aggregate, no Expand, no window") {
     val p = plan("text_tfidf")
     assert(p.contains("collect_top_k"), p.take(800))
