@@ -138,10 +138,13 @@ object Bench {
     val timings = queries.map { case (name, fn) =>
       val runs = (1 to passes).flatMap { i =>
         if (i > 1 && elapsed > budgetSec) {
-          demoted.put(name, demoted.get(name) match {
-            case Some("warmup_skipped") => "warmup_skipped+single_pass"
-            case _                      => "single_pass"
-          })
+          // Derived from warmupSkipped (not from the previous demotion
+          // string) so a third skipped pass can't overwrite the
+          // warmup_skipped marker — the artifact must keep saying when
+          // a reported number is a COLD first pass.
+          demoted.put(name,
+            if (warmupSkipped.contains(name)) "warmup_skipped+single_pass"
+            else "single_pass")
           None
         } else timeOne(fn) match {
           case Right(sec) => Some(sec)

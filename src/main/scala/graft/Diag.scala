@@ -63,8 +63,14 @@ object Diag {
     log.drain()
 
     def runOnce(name: String, tag: String, explain: Boolean): Unit = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // The builder call is INSIDE the timed region, matching Bench's
+      // timeOne: the eager pipelines (dedup_*, ann_lsh_*) do their
+      // work in the builder and only hand the noop write their
+      // already-checkpointed result — timing from after the builder
+      // would report ~0 s for exactly the queries this tool exists
+      // to diagnose.
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500) // let the async listener bus drain before reading stage rows

@@ -122,9 +122,11 @@ object Cleaning {
     * per-group sort of the group's values, the documented
     * `percentile_disc` cost; sketch fences via `percentile_approx`
     * the same way at the 100 TB tier — then one filtered scan with
-    * the fences broadcast back. Null values never pass the fence
+    * the fences broadcast back. Null VALUES never pass the fence
     * comparison and are dropped (pre-clean with [[fillZero]]/[[
-    * coerceNumeric]] first if they should survive).
+    * coerceNumeric]] first if they should survive); null GROUP KEYS
+    * are a real group — the fence join is null-safe (`<=>`), so
+    * null-keyed inliers survive like any others.
     */
   def iqrFilter(
       df: DataFrame,
@@ -140,7 +142,14 @@ object Cleaning {
         (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("__hi")): _*)
     val joined =
       if (byCols.isEmpty) df.crossJoin(broadcast(fences))
-      else df.join(broadcast(fences), byCols)
+      else {
+        // Null-safe equi-join: groupBy computed a fence for the
+        // null-key group, and a plain USING join would silently drop
+        // every null-keyed row — data loss masquerading as cleaning.
+        val fr = byCols.foldLeft(fences)((acc, c) => acc.withColumnRenamed(c, s"__k_$c"))
+        val cond = byCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+        df.join(broadcast(fr), cond).drop(byCols.map(c => s"__k_$c"): _*)
+      }
     joined
       .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
       .drop("__lo", "__hi")

@@ -452,13 +452,19 @@ object Dedup {
       converged = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old"))
         .count() == 0
-      labels.unpersist()
+      // The superseded round's CHECKPOINT blocks are freed directly
+      // (Dataset.unpersist would be a no-op here: it only clears
+      // CacheManager entries, and checkpoint blocks are RDD-level —
+      // without this, a long CC run holds rounds × label-size blocks
+      // hostage to driver GC timing). `next` is materialized and the
+      // convergence check above has read both sides, so nothing
+      // references the old round's blocks anymore.
+      org.apache.spark.sql.graft.CheckpointBlocks.release(labels)
       labels = next
     }
-    // Superseded label rounds and the edge frame release their blocks
-    // here (checkpoint blocks also free on GC — the explicit unpersist
-    // just makes release deterministic for session-long callers).
-    edges.unpersist()
+    // The loop no longer reads the edge frame; the final labels'
+    // blocks stay — the returned frame reads them.
+    org.apache.spark.sql.graft.CheckpointBlocks.release(edges)
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
@@ -700,21 +706,32 @@ object Dedup {
       .select(col("id_a").as("id"), col("rep_b").as("rep"))
       .union(classified.filter(col("rep_b").isNull && col("rep_a").isNotNull)
         .select(col("id_b").as("id"), col("rep_a").as("rep")))
-    // Batch-only components (min-id labels); docs with no batch edge
-    // are their own singleton component.
-    val comps = dedupClusters(bb)
-    val allBatch = bb.select(col("id_a").as("id"))
-      .union(bb.select(col("id_b").as("id")))
-      .union(adoptions.select(col("id")))
-      .distinct()
-    val withComp = allBatch
-      .join(comps.select(col("id"), col("cluster_rep").as("comp")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    val compAdopt = withComp.join(adoptions, Seq("id"), "left")
-      .groupBy(col("comp"))
-      .agg(min(col("rep")).as("adopted"))
-    val result = withComp.join(compAdopt, Seq("comp"))
-      .select(col("id"), coalesce(col("adopted"), col("comp")).as("cluster_rep"))
-    eagerRelease(Seq(classified, comps), result)
+    // The CC below runs EAGER jobs, so the guard must already cover it:
+    // a failure mid-CC would otherwise leak the persisted `classified`
+    // for the session lifetime (the partially-materialized-entry leak
+    // eagerRelease exists to prevent — but eagerRelease only guards
+    // the final checkpoint, which hasn't started yet at that point).
+    try {
+      // Batch-only components (min-id labels); docs with no batch edge
+      // are their own singleton component.
+      val comps = dedupClusters(bb)
+      val allBatch = bb.select(col("id_a").as("id"))
+        .union(bb.select(col("id_b").as("id")))
+        .union(adoptions.select(col("id")))
+        .distinct()
+      val withComp = allBatch
+        .join(comps.select(col("id"), col("cluster_rep").as("comp")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      val compAdopt = withComp.join(adoptions, Seq("id"), "left")
+        .groupBy(col("comp"))
+        .agg(min(col("rep")).as("adopted"))
+      val result = withComp.join(compAdopt, Seq("comp"))
+        .select(col("id"), coalesce(col("adopted"), col("comp")).as("cluster_rep"))
+      // comps' storage is CHECKPOINT blocks (the CC labels), which
+      // Dataset.unpersist cannot free — release them directly once the
+      // result checkpoint has materialized.
+      try result.localCheckpoint(true)
+      finally org.apache.spark.sql.graft.CheckpointBlocks.release(comps)
+    } finally classified.unpersist()
   }
 }

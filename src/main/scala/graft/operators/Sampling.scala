@@ -76,9 +76,14 @@ object Sampling {
   def balancedDownsample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
     val buckets = 1000000L
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-    val minN = counts.agg(min(col("__n")).as("__n_min"))
-    df.join(broadcast(counts), Seq(stratumCol))
-      .crossJoin(broadcast(minN))
+    // The global min rides the SAME tiny counts frame via an
+    // unpartitioned window — counts is stratum-cardinality, so the
+    // single-task window is a few rows, while a separate
+    // `counts.agg(min)` frame would re-execute the corpus aggregation
+    // a second time (a third full scan of `df`).
+    val fences = counts.withColumn("__n_min",
+      min(col("__n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    df.join(broadcast(fences), Seq(stratumCol))
       .filter(
         graft.functions.Hashing.md5Bucket(col(idCol).cast("string"), buckets) * col("__n") <
           col("__n_min") * lit(buckets))

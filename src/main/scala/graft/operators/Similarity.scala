@@ -320,17 +320,26 @@ object Similarity {
     var cents = init.select(col("c_id").cast("long").as("c_id"),
       col("c_vec").cast("array<double>").as("c_vec"))
     var result: DataFrame = null
-    for (_ <- 1 to iters) {
-      result = lloydIteration(c, cents)
-        // k × dim rows: the eager checkpoint (one job per iteration —
-        // Lloyd is inherently one corpus pass per iteration) cuts
-        // lineage so the next iteration's broadcast does not re-execute
-        // this one, and the returned frame reads tiny checkpoint blocks
-        // instead of replaying the last assignment.
-        .localCheckpoint(true)
-      cents = result.select(col("c_id"), col("c_vec"))
-    }
-    c.unpersist(false)
+    // finally: the ragged-vector raise_error below makes mid-loop
+    // failure a DESIGNED path — without the guard every failed fit
+    // leaks the corpus-sized cache entry for the session lifetime.
+    try {
+      for (_ <- 1 to iters) {
+        val next = lloydIteration(c, cents)
+          // k × dim rows: the eager checkpoint (one job per iteration —
+          // Lloyd is inherently one corpus pass per iteration) cuts
+          // lineage so the next iteration's broadcast does not
+          // re-execute this one, and the returned frame reads tiny
+          // checkpoint blocks instead of replaying the last assignment.
+          .localCheckpoint(true)
+        // The superseded iteration's checkpoint blocks free directly
+        // (Dataset.unpersist can't touch them); tiny, but a
+        // many-iteration fit shouldn't wait on driver GC.
+        if (result != null) org.apache.spark.sql.graft.CheckpointBlocks.release(result)
+        result = next
+        cents = result.select(col("c_id"), col("c_vec"))
+      }
+    } finally c.unpersist(false)
     result
   }
 

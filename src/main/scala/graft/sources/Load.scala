@@ -109,13 +109,22 @@ object Load {
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    // The sidecar is a flat string→string object written by saveIndex;
-    // parse with the matching minimal grammar instead of pulling a
-    // JSON dependency into the library.
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-    val params = entry.findAllMatchIn(txt)
-      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    // Strict parse (json4s ships on every Spark classpath): a
+    // truncated or malformed sidecar must fail LOUDLY here — handing
+    // back a silently-partial params map is exactly the
+    // mismatched-hyperparameter recall-loss bug the sidecar exists to
+    // prevent.
+    import org.json4s.{JObject, JString}
+    val params = org.json4s.jackson.JsonMethods.parse(txt) match {
+      case JObject(fields) =>
+        fields.map {
+          case (k, JString(v)) => k -> v
+          case (k, other) => throw new IllegalStateException(
+            s"loadIndex: non-string value for param '$k' in $p: $other")
+        }.toMap
+      case other => throw new IllegalStateException(
+        s"loadIndex: $p is not a JSON object: $other")
+    }
     (df, params)
   }
 

@@ -551,6 +551,19 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(ids10.subsetOf(ids20) && ids10.size < ids20.size)
   }
 
+  test("iqrFilter trims outliers per group and keeps null-keyed groups") {
+    val rows = (1L to 100L).map(v => (Some("a"), v.toDouble)) ++
+      Seq((Some("a"), 10000.0)) ++                      // the outlier
+      (1L to 50L).map(v => (None: Option[String], v.toDouble))
+    val df = rows.toDF("grp", "v")
+    val out = operators.Cleaning.iqrFilter(df, "v", Seq("grp"))
+    val byGrp = out.groupBy("grp").count().as[(Option[String], Long)].collect().toMap
+    assert(byGrp(Some("a")) == 100, "inliers kept, the 10000.0 outlier fenced out")
+    // The null key is a real group: a null-unsafe fence join would
+    // silently drop all 50 of these inliers.
+    assert(byGrp(None) == 50)
+  }
+
   test("balancedDownsample cuts every stratum to ~the smallest") {
     val df = ((1L to 1600L).map(i => (i, "en")) ++ (2001L to 2200L).map(i => (i, "pt")))
       .toDF("id", "lang")
