@@ -343,6 +343,27 @@ object Similarity {
     result
   }
 
+  /** Deterministic k-seed selection for [[kmeansFit]]: the k corpus
+    * vectors with the smallest md5 hash of their id — a uniform
+    * pseudo-random pick that reproduces across runs, engines, and
+    * partitionings (the library-wide [[graft.functions.Hashing]]
+    * idiom), emitted under the exact (`c_id`, `c_vec`) contract
+    * `kmeansFit`'s init requires. The pick is an `orderBy().limit(k)`
+    * — Spark plans TakeOrdered (per-partition bounded heaps merged on
+    * the driver), never a full corpus sort. For sharper seeds on
+    * clustered data, k-means++ style spreading can be layered on; the
+    * hash pick is the scale-safe, zero-iteration default.
+    */
+  def kmeansInit(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec"),
+        graft.functions.Hashing.md5Bits60(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"), col("c_id"))
+      .limit(k)
+      .drop("__h")
+  }
+
   /** One Lloyd step as a lazy plan: broadcast-argmax assignment +
     * exact decimal per-coordinate means + the ragged-length guard.
     * Package-private so plan-shape tests can pin the iteration's

@@ -579,6 +579,20 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(out == again)
   }
 
+  test("kmeansInit picks k deterministic seeds that feed kmeansFit directly") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("embedding").isNotNull)
+    val s1 = operators.Similarity.kmeansInit(emb, "vec_id", "embedding", k = 4)
+    val s2 = operators.Similarity.kmeansInit(emb, "vec_id", "embedding", k = 4)
+    val ids1 = s1.select("c_id").as[Long].collect().toSeq
+    assert(ids1.length == 4 && ids1 == s2.select("c_id").as[Long].collect().toSeq)
+    // TakeOrdered, not a global sort of the corpus.
+    assert(s1.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // The schema contract chains straight into a fit.
+    val fitted = operators.Similarity.kmeansFit(emb, s1, "vec_id", "embedding", iters = 1)
+    assert(fitted.count() >= 1)
+  }
+
   test("ivfAssign picks the nearest centroid with id tie-break") {
     val corpus = Seq(
       (10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)), (12L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
