@@ -120,7 +120,7 @@ object Bench {
       // the warm-intermediate caveat above).
       if (hostDegraded || elapsed > budgetSec / 3) {
         warmupSkipped += name
-        demoted.getOrElseUpdate(name, "warmup_skipped")
+        demoted.put(name, "warmup_skipped")
         System.err.println(s"[bench] warmup $name skipped (budget)")
       } else timeOne(fn) match {
         case Right(sec) =>

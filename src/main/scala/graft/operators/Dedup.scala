@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBlocks
 
 /** Kernel output row: one doc's distinct shingles + MinHash signature
   * (empty signature when the doc is too short to shingle).
@@ -459,12 +460,12 @@ object Dedup {
       // hostage to driver GC timing). `next` is materialized and the
       // convergence check above has read both sides, so nothing
       // references the old round's blocks anymore.
-      org.apache.spark.sql.graft.CheckpointBlocks.release(labels)
+      CheckpointBlocks.release(labels)
       labels = next
     }
     // The loop no longer reads the edge frame; the final labels'
     // blocks stay — the returned frame reads them.
-    org.apache.spark.sql.graft.CheckpointBlocks.release(edges)
+    CheckpointBlocks.release(edges)
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
@@ -731,7 +732,7 @@ object Dedup {
       // Dataset.unpersist cannot free — release them directly once the
       // result checkpoint has materialized.
       try result.localCheckpoint(true)
-      finally org.apache.spark.sql.graft.CheckpointBlocks.release(comps)
+      finally CheckpointBlocks.release(comps)
     } finally classified.unpersist()
   }
 }

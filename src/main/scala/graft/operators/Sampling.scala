@@ -74,7 +74,7 @@ object Sampling {
     * wide op is the tiny count aggregate.
     */
   def balancedDownsample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
-    val buckets = 1000000L
+    val buckets = 1000000
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
     // The global min rides the SAME tiny counts frame via an
     // unpartitioned window — counts is stratum-cardinality, so the
@@ -84,9 +84,8 @@ object Sampling {
     val fences = counts.withColumn("__n_min",
       min(col("__n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
     df.join(broadcast(fences), Seq(stratumCol))
-      .filter(
-        graft.functions.Hashing.md5Bucket(col(idCol).cast("string"), buckets) * col("__n") <
-          col("__n_min") * lit(buckets))
+      .filter(hashBucket(col(idCol), buckets) * col("__n") <
+        col("__n_min") * lit(buckets.toLong))
       .drop("__n", "__n_min")
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBlocks
 
 import graft.functions.VectorFunctions
 
@@ -44,6 +45,23 @@ object Similarity {
     * ranking: a desc window ranks them last, a smallest-k heap on the
     * negated key would rank them first.
     */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
+      .filter(col("cos").isNotNull)
+    // Smallest-k of (-cos, n_id asc) == cos desc with n_id tie-break.
+    // Double negation is bit-exact, so `cos` round-trips unchanged.
+    topKByCos(scored, k, carryCell = false)
+  }
+
   /** Metadata-filtered exact top-k: search only the corpus rows that
     * pass `corpusPredicate` ("nearest neighbors among docs with
     * lang = 'en' / license = permissive / quality > 0.8" — the shape
@@ -67,23 +85,6 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame =
     bruteForceTopK(queries, corpus.filter(corpusPredicate), idCol, vecCol, k)
-
-  def bruteForceTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
-      .filter(col("cos").isNotNull)
-    // Smallest-k of (-cos, n_id asc) == cos desc with n_id tie-break.
-    // Double negation is bit-exact, so `cos` round-trips unchanged.
-    topKByCos(scored, k, carryCell = false)
-  }
 
   /** IVF-style cell assignment: nearest centroid by ROUNDED cosine
     * (6 dp) with lowest-centroid-id tie-break, so assignments
@@ -335,7 +336,7 @@ object Similarity {
         // The superseded iteration's checkpoint blocks free directly
         // (Dataset.unpersist can't touch them); tiny, but a
         // many-iteration fit shouldn't wait on driver GC.
-        if (result != null) org.apache.spark.sql.graft.CheckpointBlocks.release(result)
+        if (result != null) CheckpointBlocks.release(result)
         result = next
         cents = result.select(col("c_id"), col("c_vec"))
       }
