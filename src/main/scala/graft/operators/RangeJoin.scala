@@ -57,4 +57,48 @@ object RangeJoin {
       .filter(col(tsCol).between(col(loCol), col(hiCol)))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join — the two-sided sibling of
+    * [[pointInInterval]]: sessions × outages, shifts × incidents,
+    * reads × gene regions when both carry extent. Overlap is the
+    * closed-interval test `l.lo <= r.hi && r.lo <= l.hi`.
+    *
+    * Same bucketing shape (both sides explode onto the buckets they
+    * touch, equi-join on bucket id, exact test post-join) with one
+    * extra subtlety the point case doesn't have: an overlapping pair
+    * shares EVERY bucket their overlap spans, so a naive bucket join
+    * emits it multiple times. Instead of a distinct pass (a full
+    * shuffle of the output), each pair is emitted only in its
+    * CANONICAL bucket — the bucket where the overlap starts,
+    * `greatest(l.lo, r.lo) div bucketWidth`, which both sides
+    * necessarily exploded onto. Exactly-once output, no dedup
+    * shuffle, bit-identical to the nested-loop semantics.
+    *
+    * Same preconditions as [[pointInInterval]]: disjoint column
+    * names, `lo <= hi`, non-negative domain, and `bucketWidth` near
+    * the typical interval width.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lloCol: String,
+      lhiCol: String,
+      right: DataFrame,
+      rloCol: String,
+      rhiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"left/right column names collide: ${clash.mkString(", ")} — alias them first")
+
+    val lb = left.withColumn("__bucket",
+      explode(sequence(expr(s"`$lloCol` div $bucketWidth"), expr(s"`$lhiCol` div $bucketWidth"))))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(expr(s"`$rloCol` div $bucketWidth"), expr(s"`$rhiCol` div $bucketWidth"))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(lloCol) <= col(rhiCol) && col(rloCol) <= col(lhiCol))
+      .filter(col("__bucket") ===
+        expr(s"greatest(`$lloCol`, `$rloCol`) div $bucketWidth"))
+      .drop("__bucket")
+  }
 }

@@ -1230,6 +1230,48 @@ object PipelineQueries {
            |FROM c JOIN e
            |  ON c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE""".stripMargin))
 
+  /** Interval-overlap join ([[RangeJoin.intervalOverlap]]): per-user
+    * hourly view-activity intervals × error-incident windows (±5 min)
+    * — "whose browsing hour overlapped an incident". Exactly-once via
+    * the canonical overlap-start bucket; oracle is DuckDB's native
+    * IEJoin on the raw inequality — an independent implementation of
+    * the same semantics. µs grain throughout (nanos exceed double's
+    * exact range on the driver-compare path; DuckDB truncates
+    * TIMESTAMP(NANOS) to µs on read anyway).
+    */
+  val overlapEvents = QueryDef(
+    "j_overlap_events",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val fiveMinUs = 300000000L
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .groupBy(col("user_id"), expr("ts_us div 3600000000").as("hr"))
+        .agg(min(col("ts_us")).as("v_lo"), max(col("ts_us")).as("v_hi"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          (expr("ts div 1000") - fiveMinUs).as("e_lo"),
+          (expr("ts div 1000") + fiveMinUs).as("e_hi"))
+      RangeJoin.intervalOverlap(views, "v_lo", "v_hi", incidents, "e_lo", "e_hi",
+          bucketWidth = 2 * fiveMinUs)
+        .select(col("user_id"), col("hr"), col("error_id"),
+          (least(col("v_hi"), col("e_hi")) - greatest(col("v_lo"), col("e_lo")))
+            .as("overlap_us"))
+    },
+    Some("""WITH v AS (
+           |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+           |         MIN(epoch_us(ts)) AS v_lo, MAX(epoch_us(ts)) AS v_hi
+           |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+           |), e AS (
+           |  SELECT event_id AS error_id,
+           |         epoch_us(ts) - 300000000 AS e_lo,
+           |         epoch_us(ts) + 300000000 AS e_hi
+           |  FROM events WHERE event_type = 'error'
+           |)
+           |SELECT v.user_id, v.hr, e.error_id,
+           |       LEAST(v_hi, e_hi) - GREATEST(v_lo, e_lo) AS overlap_us
+           |FROM v JOIN e ON v.v_lo <= e.e_hi AND e.e_lo <= v.v_hi""".stripMargin))
+
   /** Batch sessionization — the oracle-checkable twin of the streaming
     * [[graft.streaming.StreamingOps.sessionize]]: per-user event-time
     * sessions split at >30-minute gaps, via the classic gaps-and-islands
@@ -1303,6 +1345,6 @@ object PipelineQueries {
     textWinnow, annTopK, annFiltered, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,
-    asofEvents, rangeEvents,
+    asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleBalanced, mmMediaMeta, mmDecode, mmFramesResize)
 }

@@ -244,6 +244,20 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("intervalOverlap: exactly-once across shared buckets, inclusive overlap test") {
+    // [5,35] × [25,45] overlap on [25,35], sharing buckets 2 and 3 —
+    // the canonical-bucket rule must emit the pair ONCE. [0,9] × [9,12]
+    // touch only at the boundary point 9 (closed intervals: a match).
+    // [50,60] overlaps nothing on the other side.
+    val l = Seq((1L, 5L, 35L), (2L, 0L, 9L), (3L, 50L, 60L)).toDF("lid", "l_lo", "l_hi")
+    val r = Seq((100L, 25L, 45L), (200L, 9L, 12L)).toDF("rid", "r_lo", "r_hi")
+    val out = RangeJoin.intervalOverlap(l, "l_lo", "l_hi", r, "r_lo", "r_hi", bucketWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(out.size == out.distinct.size, "canonical bucket must dedupe multi-bucket pairs")
+    assert(out.toSet == Set((1L, 100L), (2L, 200L), (1L, 200L)))
+    // (1,200): [5,35] × [9,12] overlap on [9,12] — also exactly once.
+  }
 }
 
 class CompactSpec extends AnyFunSuite {

@@ -153,6 +153,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
+  test("j_overlap_events equi-joins on buckets too (interval x interval, no BNLJ)") {
+    val p = plan("j_overlap_events")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("j_asof_events plans join-free: union + keyed window, no pair blowup") {
     // The naive as-of formulations plan a range join (BNLJ at worst) or
     // an argmax over a per-key cross product; the union+carry shape has
