@@ -296,6 +296,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("driver contract: every oracle names a registered query; names unique") {
+    // The driver resolves oracleSql keys against queries — a typo'd or
+    // stale oracle key would silently become an orphan check. A query
+    // WITHOUT an oracle is legal (rows-only check), but must stay the
+    // documented exception list, not silent drift.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).mkString(", ")}")
+    assert((q -- o) == Set("a15_percentile_approx"),
+      s"unexpected rows-only queries: ${(q -- o).mkString(", ")}")
+  }
+
   test("fact-view scans prune columns and push predicates") {
     val p = plan("f4_date_between")
     assert(p.contains("PushedFilters: [IsNotNull"), "pushdown reaches the scans")
