@@ -52,6 +52,33 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 
+  /** Windowed trending terms over a document stream: tokenize (the
+    * SAME whitespace+lower normalization as every batch text operator,
+    * [[graft.operators.TextAnalysis.tokens]], so a batch backfill
+    * counts identically), explode, and count per (window, term) under
+    * a watermark. State is live-windows × live-vocabulary, watermark-
+    * bounded. Emits the full (window, term, n) counts: the top-k CUT
+    * deliberately happens downstream (`foreachBatch` per completed
+    * window, or the batch twin `text_topk_words` over the sink) —
+    * ranking after a streaming aggregate is a second stateful
+    * aggregation Structured Streaming doesn't chain in append mode,
+    * and a completed window is final once the watermark passes, so
+    * ranking it as a batch loses nothing.
+    */
+  def trendingTerms(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(graft.operators.TextAnalysis.tokens(
+        lower(coalesce(col(textCol), lit(""))))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(window(col(tsCol), windowLen), col("term"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming exact dedup: fingerprint the text (the SAME
     * normalization as the batch operator,
     * [[graft.operators.TextAnalysis.fingerprint]], so batch backfill

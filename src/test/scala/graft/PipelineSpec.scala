@@ -178,6 +178,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(20L -> 1L), out.toString)
   }
 
+  test("incremental ingest loop: standing clusters persist, fold a batch, re-persist") {
+    // The operational loop the incremental operators exist for:
+    // standing assignment on disk -> load -> assign a new batch
+    // against it -> union the result back -> persist. Round-trips
+    // through parquet so the loop crosses session boundaries.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val standing0 = (1L to 6L).toDF("id")
+      .join(Dedup.dedupClusters(Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
+    graft.sources.Sink.save(standing0, s"$dir/clusters")
+    val loaded = spark.read.parquet(s"$dir/clusters")
+    // Batch: 10 matched corpus doc 2 (cluster rep 1); 11 only touches
+    // 10 via a batch edge — transitive adoption through the component.
+    val assigned = Dedup.assignToClusters(
+      Seq((10L, 2L), (11L, 10L)).toDF("id_a", "id_b"), loaded)
+    graft.sources.Sink.save(loaded.union(assigned), s"$dir/clusters_v2")
+    val reread = spark.read.parquet(s"$dir/clusters_v2")
+      .as[(Long, Long)].collect().toMap
+    assert(reread == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L,
+      6L -> 6L, 10L -> 1L, 11L -> 1L))
+  }
+
   test("exactGroups: one group per normalized text with min id and count") {
     val df = Seq((1L, "A  b"), (2L, "a b"), (3L, "other")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "text", "doc_id")

@@ -55,6 +55,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("trendingTerms counts tokens per window with batch-parity tokenization") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val dir = Files.createTempDirectory("graft_stream_tt").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    ms.addData(
+      (ts(5), "Spark spark  runs"),   // double space + case: one 'spark' x2
+      (ts(10), "spark wins"),
+      (ts(40), "later window"))       // lands in the 10:30 window
+
+    val terms = StreamingOps.trendingTerms(
+      ms.toDF.toDF("ts", "text"), windowLen = "30 minutes")
+    val q = terms.writeStream.format("memory").queryName("trending_test")
+      .outputMode("complete").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("trending_test")
+      .select(col("window.start").cast("string"), col("term"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "spark", 3L),
+      ("2024-01-01 10:00:00", "runs", 1L),
+      ("2024-01-01 10:00:00", "wins", 1L),
+      ("2024-01-01 10:30:00", "later", 1L),
+      ("2024-01-01 10:30:00", "window", 1L)))
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
