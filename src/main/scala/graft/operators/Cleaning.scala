@@ -132,7 +132,36 @@ object Cleaning {
       df: DataFrame,
       valueCol: String,
       byCols: Seq[String],
-      k: Double = 1.5): DataFrame = {
+      k: Double = 1.5): DataFrame =
+    withIqrFences(df, valueCol, byCols, k)
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+
+  /** Winsorize instead of trim: values outside the same Tukey fences
+    * as [[iqrFilter]] are CLAMPED to the fence, so every row survives
+    * with its other columns intact — the variant to reach for when
+    * downstream needs a constant row count (feature matrices, paired
+    * metrics) and an extreme value should saturate rather than delete
+    * the record. Same fences, same two-pass cost, same null-key
+    * semantics; null values stay null (clamping has nothing to clamp).
+    */
+  def iqrClamp(
+      df: DataFrame,
+      valueCol: String,
+      byCols: Seq[String],
+      k: Double = 1.5): DataFrame =
+    withIqrFences(df, valueCol, byCols, k)
+      .withColumn(valueCol, least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+
+  /** Shared fence computation for [[iqrFilter]]/[[iqrClamp]]: the
+    * input frame with `__lo`/`__hi` fence columns attached per group.
+    */
+  private def withIqrFences(
+      df: DataFrame,
+      valueCol: String,
+      byCols: Seq[String],
+      k: Double): DataFrame = {
     val q1c = expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY $valueCol)").as("__q1")
     val q3c = expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY $valueCol)").as("__q3")
     val fences = (if (byCols.isEmpty) df.agg(q1c, q3c)
@@ -140,18 +169,14 @@ object Cleaning {
       .select(byCols.map(col) ++ Seq(
         (col("__q1") - lit(k) * (col("__q3") - col("__q1"))).as("__lo"),
         (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("__hi")): _*)
-    val joined =
-      if (byCols.isEmpty) df.crossJoin(broadcast(fences))
-      else {
-        // Null-safe equi-join: groupBy computed a fence for the
-        // null-key group, and a plain USING join would silently drop
-        // every null-keyed row — data loss masquerading as cleaning.
-        val fr = byCols.foldLeft(fences)((acc, c) => acc.withColumnRenamed(c, s"__k_$c"))
-        val cond = byCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
-        df.join(broadcast(fr), cond).drop(byCols.map(c => s"__k_$c"): _*)
-      }
-    joined
-      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
-      .drop("__lo", "__hi")
+    if (byCols.isEmpty) df.crossJoin(broadcast(fences))
+    else {
+      // Null-safe equi-join: groupBy computed a fence for the
+      // null-key group, and a plain USING join would silently drop
+      // every null-keyed row — data loss masquerading as cleaning.
+      val fr = byCols.foldLeft(fences)((acc, c) => acc.withColumnRenamed(c, s"__k_$c"))
+      val cond = byCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      df.join(broadcast(fr), cond).drop(byCols.map(c => s"__k_$c"): _*)
+    }
   }
 }

@@ -585,6 +585,12 @@ class LoadSkewSpec extends AnyFunSuite {
     // The null key is a real group: a null-unsafe fence join would
     // silently drop all 50 of these inliers.
     assert(byGrp(None) == 50)
+    // The winsorize twin keeps every row and clamps the outlier to the
+    // upper fence instead of dropping it.
+    val clamped = operators.Cleaning.iqrClamp(df, "v", Seq("grp"))
+    assert(clamped.count() == df.count())
+    val maxA = clamped.filter($"grp" === "a").agg(max($"v")).as[Double].head()
+    assert(maxA < 10000.0 && maxA > 100.0, s"outlier should clamp to the fence, got $maxA")
   }
 
   test("balancedDownsample cuts every stratum to ~the smallest") {
