@@ -154,6 +154,53 @@ object Cleaning {
       .withColumn(valueCol, least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
 
+  /** Equal-frequency (quantile) binning — the `pd.qcut` shape for
+    * feature discretization: adds `bucketCol` in 1..nBuckets from the
+    * group's own distribution. Cut points are EXACT `percentile_disc`
+    * data values at i/nBuckets, broadcast back, and assignment is
+    * pure codegen'd comparison: `1 + Σ (value > cut_i)` — a row
+    * lands above exactly the cuts it exceeds.
+    *
+    * Deliberate contract difference from pandas qcut, documented
+    * rather than hidden: assignment is BY VALUE, not by rank, so
+    * ties at a cut all land in the lower bucket together (pandas
+    * splits positionally, which no distributed engine can reproduce
+    * without a global total order). Buckets are therefore
+    * approximately equal-frequency with all equal values
+    * co-bucketed — the property feature pipelines actually need.
+    * Same two-pass cost and null-safe group join as [[iqrFilter]];
+    * null values get a null bucket.
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      valueCol: String,
+      byCols: Seq[String],
+      nBuckets: Int,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val cutNames = (1 until nBuckets).map(i => s"__c$i")
+    val cutAggs = (1 until nBuckets).map { i =>
+      val p = i.toDouble / nBuckets
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valueCol)").as(s"__c$i")
+    }
+    val cuts = if (byCols.isEmpty) df.agg(cutAggs.head, cutAggs.tail: _*)
+               else df.groupBy(byCols.map(col): _*).agg(cutAggs.head, cutAggs.tail: _*)
+    val joined =
+      if (byCols.isEmpty) df.crossJoin(broadcast(cuts))
+      else {
+        val cr = byCols.foldLeft(cuts)((acc, c) => acc.withColumnRenamed(c, s"__k_$c"))
+        val cond = byCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+        df.join(broadcast(cr), cond).drop(byCols.map(c => s"__k_$c"): _*)
+      }
+    joined
+      .withColumn(bucketCol,
+        when(col(valueCol).isNull, lit(null).cast("int"))
+          .otherwise(cutNames.foldLeft(lit(1)) { (acc, c) =>
+            acc + (col(valueCol) > col(c)).cast("int")
+          }))
+      .drop(cutNames: _*)
+  }
+
   /** Shared fence computation for [[iqrFilter]]/[[iqrClamp]]: the
     * input frame with `__lo`/`__hi` fence columns attached per group.
     */

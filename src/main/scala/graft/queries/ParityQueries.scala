@@ -469,6 +469,40 @@ object ParityQueries {
            |  AND l_extendedprice <= q3 + 1.5 * (q3 - q1)
            |GROUP BY 1""".stripMargin))
 
+  /** Quantile binning ([[Cleaning.quantileBuckets]]): per-flag
+    * quartile buckets of `l_extendedprice`, reported as per-bucket
+    * counts + bucket value ranges (order-independent stats). The
+    * oracle rebuilds the same by-value assignment from
+    * `quantile_disc` cuts — parity of the cuts themselves is already
+    * pinned by `a15_percentile_disc`.
+    */
+  val qcutBins = QueryDef(
+    "c_qcut_bins",
+    (s, dir) =>
+      graft.operators.Cleaning.quantileBuckets(
+          Tables.lineitem(s, dir), "l_extendedprice", Seq("l_returnflag"), nBuckets = 4)
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("lo_val"),
+          max(col("l_extendedprice")).as("hi_val")),
+    Some("""WITH c AS (
+           |  SELECT l_returnflag,
+           |         quantile_disc(l_extendedprice, 0.25) AS c1,
+           |         quantile_disc(l_extendedprice, 0.50) AS c2,
+           |         quantile_disc(l_extendedprice, 0.75) AS c3
+           |  FROM lineitem GROUP BY 1
+           |)
+           |SELECT l.l_returnflag,
+           |       1 + CAST(l_extendedprice > c1 AS INT)
+           |         + CAST(l_extendedprice > c2 AS INT)
+           |         + CAST(l_extendedprice > c3 AS INT) AS bucket,
+           |       COUNT(*) AS n_rows,
+           |       MIN(l_extendedprice) AS lo_val,
+           |       MAX(l_extendedprice) AS hi_val
+           |FROM lineitem l JOIN c USING (l_returnflag)
+           |GROUP BY 1, 2""".stripMargin))
+
   val coerceFill = QueryDef(
     "c3_c4_c6_coerce_fill",
     (s, dir) => {
@@ -1035,7 +1069,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, iqrTrim, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, iqrTrim, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, pivotStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch)
