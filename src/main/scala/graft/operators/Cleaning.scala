@@ -149,10 +149,22 @@ object Cleaning {
       df: DataFrame,
       valueCol: String,
       byCols: Seq[String],
-      k: Double = 1.5): DataFrame =
+      k: Double = 1.5): DataFrame = {
+    // Spark's greatest/least SKIP nulls (null only when all inputs
+    // are), so the bare clamp would rewrite a null value as the lower
+    // fence — fabricated data; the explicit guard keeps nulls null.
+    // The cast keeps the column's declared type: fence arithmetic
+    // promotes decimals to double, and a drop-in twin of iqrFilter
+    // must not drift the schema (a clamped-to-fence value rounds to
+    // the column's own scale; original values round-trip exactly).
+    val origType = df.schema(valueCol).dataType
     withIqrFences(df, valueCol, byCols, k)
-      .withColumn(valueCol, least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .withColumn(valueCol,
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi")))
+          .cast(origType))
       .drop("__lo", "__hi")
+  }
 
   /** Equal-frequency (quantile) binning — the `pd.qcut` shape for
     * feature discretization: adds `bucketCol` in 1..nBuckets from the
@@ -185,14 +197,7 @@ object Cleaning {
     }
     val cuts = if (byCols.isEmpty) df.agg(cutAggs.head, cutAggs.tail: _*)
                else df.groupBy(byCols.map(col): _*).agg(cutAggs.head, cutAggs.tail: _*)
-    val joined =
-      if (byCols.isEmpty) df.crossJoin(broadcast(cuts))
-      else {
-        val cr = byCols.foldLeft(cuts)((acc, c) => acc.withColumnRenamed(c, s"__k_$c"))
-        val cond = byCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
-        df.join(broadcast(cr), cond).drop(byCols.map(c => s"__k_$c"): _*)
-      }
-    joined
+    joinGroupStats(df, cuts, byCols)
       .withColumn(bucketCol,
         when(col(valueCol).isNull, lit(null).cast("int"))
           .otherwise(cutNames.foldLeft(lit(1)) { (acc, c) =>
@@ -216,14 +221,26 @@ object Cleaning {
       .select(byCols.map(col) ++ Seq(
         (col("__q1") - lit(k) * (col("__q3") - col("__q1"))).as("__lo"),
         (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("__hi")): _*)
-    if (byCols.isEmpty) df.crossJoin(broadcast(fences))
-    else {
-      // Null-safe equi-join: groupBy computed a fence for the
-      // null-key group, and a plain USING join would silently drop
-      // every null-keyed row — data loss masquerading as cleaning.
-      val fr = byCols.foldLeft(fences)((acc, c) => acc.withColumnRenamed(c, s"__k_$c"))
-      val cond = byCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
-      df.join(broadcast(fr), cond).drop(byCols.map(c => s"__k_$c"): _*)
-    }
+    joinGroupStats(df, fences, byCols)
   }
+
+  /** Broadcast a tiny per-group statistics frame back onto its source:
+    * the shared join-back for [[withIqrFences]]/[[quantileBuckets]]
+    * (and any future group-stat operator). NULL-SAFE on the group
+    * keys (`<=>`): the groupBy that built `stats` computed a row for
+    * the null-key group, and a plain USING join would silently drop
+    * every null-keyed source row — data loss masquerading as
+    * cleaning. With empty `byCols`, `stats` is one global row and the
+    * join is a broadcast crossJoin.
+    */
+  private def joinGroupStats(
+      df: DataFrame,
+      stats: DataFrame,
+      byCols: Seq[String]): DataFrame =
+    if (byCols.isEmpty) df.crossJoin(broadcast(stats))
+    else {
+      val sr = byCols.foldLeft(stats)((acc, c) => acc.withColumnRenamed(c, s"__k_$c"))
+      val cond = byCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      df.join(broadcast(sr), cond).drop(byCols.map(c => s"__k_$c"): _*)
+    }
 }

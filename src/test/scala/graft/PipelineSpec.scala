@@ -587,10 +587,16 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(byGrp(None) == 50)
     // The winsorize twin keeps every row and clamps the outlier to the
     // upper fence instead of dropping it.
-    val clamped = operators.Cleaning.iqrClamp(df, "v", Seq("grp"))
-    assert(clamped.count() == df.count())
+    val withNull = df.union(Seq((Some("a"), Option.empty[Double])).toDF("grp", "v"))
+    val clamped = operators.Cleaning.iqrClamp(withNull, "v", Seq("grp"))
+    assert(clamped.count() == withNull.count())
     val maxA = clamped.filter($"grp" === "a").agg(max($"v")).as[Double].head()
     assert(maxA < 10000.0 && maxA > 100.0, s"outlier should clamp to the fence, got $maxA")
+    // Null values STAY null (greatest/least skip nulls — without the
+    // guard the null row would exit holding the lower fence).
+    assert(clamped.filter($"v".isNull).count() == 1)
+    // The column keeps its declared type (fence arithmetic is double).
+    assert(clamped.schema("v").dataType == withNull.schema("v").dataType)
   }
 
   test("balancedDownsample cuts every stratum to ~the smallest") {
