@@ -27,6 +27,23 @@ object Views {
   def ordenar(df: DataFrame, c: String, ascending: Boolean): DataFrame =
     df.orderBy(if (ascending) col(c).asc else col(c).desc)
 
+  /** Wide → long reshape (`pandas.melt` / SQL UNPIVOT) — the inverse
+    * of the status pivot: each input row becomes one output row per
+    * value column, keyed by `idCols` plus the source column's name.
+    * Spark plans this as an Expand (row multiplication ×
+    * |valueCols|) — a NARROW op, no shuffle; the value columns must
+    * share (or coerce to) one common type, which unpivot enforces
+    * with a clear error rather than silently stringifying. Nulls are
+    * kept, matching pandas melt.
+    */
+  def melt(
+      df: DataFrame,
+      idCols: Seq[String],
+      valueCols: Seq[String],
+      varName: String = "variable",
+      valueName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, varName, valueName)
+
   /** O4: pagination (reference `paginar_dataframe` MAC:511-516).
     * Requires an explicit total order to be meaningful on a distributed
     * engine; pandas pages over frame order.

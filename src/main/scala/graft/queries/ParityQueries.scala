@@ -853,6 +853,35 @@ object ParityQueries {
         |       CAST(SUM(CASE WHEN status_processo = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
         |FROM fact GROUP BY uf""".stripMargin)))
 
+  /** Pivot → melt round-trip ([[Views.melt]]): the status pivot
+    * reshaped back to long form — one (uf, status, n) row per cell,
+    * INCLUDING the zero-filled cells the pivot materialized (which a
+    * direct group-by would omit; the oracle's UNION ALL over the pivot
+    * CTE reproduces exactly that). Proves the wide↔long pair inverts.
+    */
+  val meltStatus = QueryDef(
+    "w_melt_status",
+    (s, dir) =>
+      Views.melt(
+        Tables.analiseComercial(s, dir)
+          .groupBy("uf")
+          .pivot("status_processo", Seq("PENDENTE", "F", "O"))
+          .agg(count(lit(1)))
+          .na.fill(0, Seq("PENDENTE", "F", "O")),
+        idCols = Seq("uf"), valueCols = Seq("PENDENTE", "F", "O"),
+        varName = "status_processo", valueName = "n"),
+    Some(withViews(
+      """, p AS (
+        |  SELECT uf,
+        |         CAST(SUM(CASE WHEN status_processo = 'PENDENTE' THEN 1 ELSE 0 END) AS BIGINT) AS pend,
+        |         CAST(SUM(CASE WHEN status_processo = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+        |         CAST(SUM(CASE WHEN status_processo = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o
+        |  FROM fact GROUP BY uf
+        |)
+        |SELECT uf, 'PENDENTE' AS status_processo, pend AS n FROM p
+        |UNION ALL SELECT uf, 'F', f FROM p
+        |UNION ALL SELECT uf, 'O', o FROM p""".stripMargin)))
+
   /** Week-over-week pending delta (extension: lead/lag — absent from
     * the reference per SURVEY §2.5).
     */
@@ -1070,7 +1099,7 @@ object ParityQueries {
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, iqrTrim, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, pivotStatus, deltaSemanas,
+    topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch)
 }
