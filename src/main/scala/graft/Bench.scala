@@ -169,8 +169,24 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val demotedJson = demoted.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"wall_sec":$elapsed%.1f}""")
+    val resultJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"wall_sec":$elapsed%.1f}"""
+    // The driver captures a BOUNDED tail of stdout; with 86+ queries the
+    // one-line JSON outgrew it and round 5's official artifact lost its
+    // first ~10 medians to head-truncation (parsed: null). The file copy
+    // is the durable machine-readable record; stdout stays the protocol
+    // line. Written BEFORE the println so a broken pipe can't lose both.
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_result.json"))
+    try {
+      Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(outFile,
+        (resultJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] result written to $outFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(resultJson)
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Schema-tolerant cleaning utilities (SURVEY §2.2 F6-F9, §2.8 C1-C6,
   * §2.2 P6, §2.4 A14).
@@ -154,14 +155,27 @@ object Cleaning {
     // are), so the bare clamp would rewrite a null value as the lower
     // fence — fabricated data; the explicit guard keeps nulls null.
     // The cast keeps the column's declared type: fence arithmetic
-    // promotes decimals to double, and a drop-in twin of iqrFilter
-    // must not drift the schema (a clamped-to-fence value rounds to
-    // the column's own scale; original values round-trip exactly).
+    // promotes to double, and a drop-in twin of iqrFilter must not
+    // drift the schema. For INTEGRAL columns the fences themselves
+    // are snapped inward first (ceil(lo), floor(hi)) — a bare
+    // double→int cast truncates toward zero, so a value clamped to a
+    // fractional fence could land strictly OUTSIDE the fence and
+    // disagree with iqrFilter at the boundary. An integer v satisfies
+    // lo <= v <= hi iff ceil(lo) <= v <= floor(hi), so the snapped
+    // clamp agrees with iqrFilter exactly (and the interval is never
+    // empty: q1/q3 are integral data values inside both fences). For
+    // decimal columns the cast rounds HALF_UP at the column's scale.
     val origType = df.schema(valueCol).dataType
+    val integral = origType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val lo = if (integral) ceil(col("__lo")) else col("__lo")
+    val hi = if (integral) floor(col("__hi")) else col("__hi")
     withIqrFences(df, valueCol, byCols, k)
       .withColumn(valueCol,
         when(col(valueCol).isNull, lit(null))
-          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi")))
+          .otherwise(least(greatest(col(valueCol), lo), hi))
           .cast(origType))
       .drop("__lo", "__hi")
   }

@@ -265,7 +265,7 @@ object Dedup {
 
   /** Eager cache-lifecycle tail shared by the pair pipelines: compute
     * the (pair-cardinality) result ONCE into executor block storage via
-    * `localCheckpoint(eager = true)` — which TRUNCATES its lineage —
+    * an eager [[CheckpointBlocks.cut]] — which TRUNCATES its lineage —
     * then release every INTERNAL cache. The lineage cut is
     * load-bearing: `persist() + count()` then unpersisting the
     * internals LOOKS equivalent, but CacheManager's cascade=false
@@ -285,7 +285,7 @@ object Dedup {
     // call leaks a fresh partially-materialized corpus-sized entry
     // (fresh kernel closures never canonicalize equal, so CacheManager
     // can't dedup them) — the exact leak this helper exists to fix.
-    try pairs.localCheckpoint(true)
+    try CheckpointBlocks.cut(pairs)
     finally caches.foreach(_.unpersist())
 
   /** Lazy plan builder behind [[minhashPairsKernel]], exposed so
@@ -418,7 +418,9 @@ object Dedup {
     * per round, never the data.
     */
   def dedupClusters(pairs: DataFrame): DataFrame = {
-    // Each round's label frame is localCheckpoint'ed, not persisted:
+    // Each round's label frame is lineage-cut (CheckpointBlocks.cut;
+    // reliable checkpoint on clusters with a checkpoint dir, local
+    // checkpoint in single-JVM mode), not persisted:
     // a persist keeps the blocks hot but the LOGICAL plan still nests
     // one join deeper per round, and because the label frame is
     // referenced twice per round (nbrMin + convergence check) the
@@ -431,23 +433,23 @@ object Dedup {
     // to a scan, so every round's plan — and every downstream
     // consumer's — stays constant-size. Same medicine as
     // [[Similarity.kmeansFit]]'s per-iteration cut.
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
-      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    val edges = CheckpointBlocks.cut(
+      pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+        .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+        .distinct())
+    var labels = CheckpointBlocks.cut(
+      edges.select(col("s").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var converged = false
     while (!converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("t"), col("label").as("t_label")), Seq("t"))
         .groupBy(col("s").as("id"))
         .agg(min("t_label").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val next = CheckpointBlocks.cut(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
       // Both sides of the convergence check read checkpointed blocks,
       // so this join is label-cardinality work, no lineage replay.
       converged = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
@@ -731,7 +733,7 @@ object Dedup {
       // comps' storage is CHECKPOINT blocks (the CC labels), which
       // Dataset.unpersist cannot free — release them directly once the
       // result checkpoint has materialized.
-      try result.localCheckpoint(true)
+      try CheckpointBlocks.cut(result)
       finally CheckpointBlocks.release(comps)
     } finally classified.unpersist()
   }

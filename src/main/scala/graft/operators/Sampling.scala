@@ -83,9 +83,15 @@ object Sampling {
     // a second time (a third full scan of `df`).
     val fences = counts.withColumn("__n_min",
       min(col("__n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-    df.join(broadcast(fences), Seq(stratumCol))
+      .withColumnRenamed(stratumCol, "__stratum")
+    // NULL-SAFE join back (<=>, like Cleaning.joinGroupStats): the
+    // groupBy above computed a count for the null stratum, and a plain
+    // USING join would silently drop every null-stratum row — the
+    // "data loss masquerading as cleaning" failure, and inconsistent
+    // with stratifiedSample, where a null stratum gets defaultPct.
+    df.join(broadcast(fences), col(stratumCol) <=> col("__stratum"))
       .filter(hashBucket(col(idCol), buckets) * col("__n") <
         col("__n_min") * lit(buckets.toLong))
-      .drop("__n", "__n_min")
+      .drop("__stratum", "__n", "__n_min")
   }
 }

@@ -326,13 +326,13 @@ object Similarity {
     // leaks the corpus-sized cache entry for the session lifetime.
     try {
       for (_ <- 1 to iters) {
-        val next = lloydIteration(c, cents)
-          // k × dim rows: the eager checkpoint (one job per iteration —
-          // Lloyd is inherently one corpus pass per iteration) cuts
-          // lineage so the next iteration's broadcast does not
-          // re-execute this one, and the returned frame reads tiny
-          // checkpoint blocks instead of replaying the last assignment.
-          .localCheckpoint(true)
+        // k × dim rows: the eager lineage cut (one job per iteration —
+        // Lloyd is inherently one corpus pass per iteration) means the
+        // next iteration's broadcast does not re-execute this one, and
+        // the returned frame reads tiny checkpoint blocks instead of
+        // replaying the last assignment. Reliable on clusters with a
+        // checkpoint dir, local otherwise — see CheckpointBlocks.cut.
+        val next = CheckpointBlocks.cut(lloydIteration(c, cents))
         // The superseded iteration's checkpoint blocks free directly
         // (Dataset.unpersist can't touch them); tiny, but a
         // many-iteration fit shouldn't wait on driver GC.

@@ -119,10 +119,14 @@ object Sink {
     val spark = index.sparkSession
     val p = new org.apache.hadoop.fs.Path(path, "_index_params.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val json = params.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-      .mkString("{", ",", "}")
+    // Serialized with json4s (same library loadIndex parses with):
+    // hand-rolled escaping covered only backslash and quote, so a
+    // param value holding a newline/tab/control char wrote invalid
+    // JSON that loadIndex's strict parse rejected — at LOAD time,
+    // after the index was already saved.
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JObject(params.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> (org.json4s.JString(v): org.json4s.JValue) }.toList))
     val out = fs.create(p, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -3,30 +3,70 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
 
-/** Deterministic release of `localCheckpoint` block storage.
+/** Lineage cuts and deterministic block release for the iterative
+  * operators (label-propagation rounds, Lloyd iterations, eager pair
+  * pipelines).
+  *
+  * == Cut strategy: reliable vs local ==
+  *
+  * [[cut]] truncates a frame's lineage by materializing it. TWO
+  * mechanisms, gated on whether the session has a checkpoint
+  * directory:
+  *
+  *   - `sc.setCheckpointDir` SET → `df.checkpoint(eager = true)`:
+  *     blocks land in the (typically HDFS/object-store) checkpoint
+  *     dir and survive executor loss — the posture a multi-executor
+  *     cluster needs, because a LOCAL checkpoint's blocks are
+  *     executor-resident with lineage truncated, so losing any
+  *     executor mid- or post-loop fails the job permanently (no
+  *     recompute path).
+  *   - UNSET (single-JVM / local mode) → `df.localCheckpoint(true)`:
+  *     no durable storage needed where executor loss means JVM death
+  *     anyway, and no filesystem round-trip per iteration.
+  *
+  * Cluster deployments should `sc.setCheckpointDir` once at session
+  * start; every iterative graft operator then becomes
+  * executor-loss-tolerant with no further change. (Reliable-checkpoint
+  * FILES are cleaned by Spark's ContextCleaner when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; [[release]]
+  * below frees only block-manager storage and never deletes files.)
+  *
+  * == Release ==
   *
   * `Dataset.unpersist` only removes CacheManager entries; the blocks
   * behind an eager `localCheckpoint` are RDD-level persisted and
   * untouched by it — they normally free only when the ContextCleaner
-  * garbage-collects the underlying RDD. Iterative operators
-  * (label-propagation rounds, Lloyd iterations) supersede a
-  * checkpointed frame every round, and a long-lived session should
+  * garbage-collects the underlying RDD. Iterative operators supersede
+  * a checkpointed frame every round, and a long-lived session should
   * not hold round-count × frame-size blocks hostage to driver GC
-  * timing. This helper walks the frame's analyzed plan for the
-  * [[LogicalRDD]] leaves a checkpoint compiles to and unpersists
-  * their RDDs directly (non-blocking).
+  * timing. [[release]] walks the frame's analyzed plan for the
+  * [[LogicalRDD]] leaf a checkpoint compiles to and unpersists its
+  * RDD directly (non-blocking).
   *
   * Only call it on frames whose blocks no further computation reads —
   * i.e. after every downstream consumer has either materialized
-  * (checkpointed) or finished. Releasing early does not corrupt
-  * results (the RDD would recompute), but for a checkpoint the
-  * recompute lineage is the checkpoint itself, so a released-too-soon
-  * frame fails loudly rather than silently recomputing.
+  * (checkpointed) or finished. For a LOCAL checkpoint the recompute
+  * lineage is the checkpoint itself, so a released-too-soon frame
+  * fails loudly rather than silently recomputing. GUARD: release is
+  * restricted to single-leaf frames (the shape every call site has —
+  * one checkpointed round). On a frame COMPOSED from several
+  * checkpointed inputs it would free blocks still referenced by live
+  * sibling frames, so that shape is rejected loudly instead.
   */
 object CheckpointBlocks {
-  def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(false)
-      case _              => ()
-    }
+
+  /** Materialize `df` and truncate its lineage — reliable checkpoint
+    * when the session has a checkpoint dir, local checkpoint otherwise.
+    */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  def release(df: DataFrame): Unit = {
+    val leaves = df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr }
+    require(leaves.length <= 1,
+      s"CheckpointBlocks.release expects a single checkpointed leaf, found ${leaves.length}: " +
+        "releasing a multi-leaf frame would free blocks still referenced by sibling frames")
+    leaves.foreach(_.rdd.unpersist(false))
+  }
 }
