@@ -1,10 +1,19 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Extra args beyond (sfDir, outDir) are query names: when present,
+  * only those queries run and only their oracle SQL is dumped — the
+  * local spot-check path (e.g. the 10 heaviest queries at sf0.1)
+  * without paying the full 87-query tour. The driver passes exactly
+  * two args, so its behavior is unchanged. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only = args.drop(2).toSet
+    def selected(name: String): Boolean = only.isEmpty || only.contains(name)
     // Same parallelism default as Bench/GraftSession: a correctness run
     // under a different partition count than the bench could mask
     // order-nondeterministic expressions.
@@ -23,10 +32,12 @@ object Verify {
       System.err.println(s"[verify] input warmup failed (continuing): ${e.getMessage}")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (selected(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +53,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

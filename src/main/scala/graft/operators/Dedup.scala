@@ -418,6 +418,22 @@ object Dedup {
     * per round, never the data.
     */
   def dedupClusters(pairs: DataFrame): DataFrame = {
+    // Small-edge-set fast path (conf graft.dedup.smallEdgeThreshold,
+    // default 1M edges): the iterative schedule below costs ~3 jobs
+    // PER ROUND (join+agg, convergence count, lineage cut) — the right
+    // shape when the edge set is corpus-sized, but pure fixed overhead
+    // when it is a few thousand rows (round 5: dedup_incr_assign spent
+    // 8 s of job launches on a 17-row result). Below the threshold the
+    // whole edge set fits one task, so CC runs as a SINGLE distributed
+    // job: coalesce(1) — narrow, no shuffle — then union-find inside
+    // mapPartitions. Collect-free (the driver sees only the count
+    // guard, which reads the already-checkpointed edge blocks), exact
+    // (union-by-min root ⇒ every root is its component's min id), and
+    // semantics-neutral at scale (big edge sets take the iterative
+    // path unchanged). Long-id frames only — every graft dedup
+    // pipeline keys on bigint ids; other key types use the generic
+    // iterative path.
+    //
     // Each round's label frame is lineage-cut (CheckpointBlocks.cut;
     // reliable checkpoint on clusters with a checkpoint dir, local
     // checkpoint in single-JVM mode), not persisted:
@@ -437,6 +453,40 @@ object Dedup {
       pairs.select(col("id_a").as("s"), col("id_b").as("t"))
         .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
         .distinct())
+    val spark = pairs.sparkSession
+    val smallThreshold = spark.conf
+      .getOption("graft.dedup.smallEdgeThreshold").map(_.toLong).getOrElse(1000000L)
+    val longKeyed = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longKeyed && edges.count() <= smallThreshold) {
+      val small = edges.coalesce(1)
+        .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (s, t) =>
+            if (!parent.contains(s)) parent.update(s, s)
+            if (!parent.contains(t)) parent.update(t, t)
+            val rs = find(s); val rt = find(t)
+            // Attach the larger root under the smaller: the root of
+            // every tree is then the min id of its component.
+            if (rs != rt) { if (rs < rt) parent.update(rt, rs) else parent.update(rs, rt) }
+          }
+          parent.keysIterator.map(id => (id, find(id))).toSeq.iterator
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("id", "cluster_rep")
+      // Cut before releasing the edge blocks the lazy frame reads —
+      // same return contract as the iterative path (single
+      // checkpointed leaf; assignToClusters releases it when done).
+      try return CheckpointBlocks.cut(small)
+      finally CheckpointBlocks.release(edges)
+    }
     var labels = CheckpointBlocks.cut(
       edges.select(col("s").as("id")).distinct()
         .select(col("id"), col("id").as("label")))

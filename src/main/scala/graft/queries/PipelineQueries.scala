@@ -238,20 +238,26 @@ object PipelineQueries {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val corpus = docs.filter(col("doc_id") % 10 < 8)
-      val batch = docs.filter(col("doc_id") % 10 >= 8)
-      val cc = Dedup.dedupClusters(
-        Dedup.simhashPairs(corpus, "doc_id", "text",
-          maxHamming = 6, bands = 4, bitsPerBand = 15))
+      // ONE signature pass + ONE band self-join over all docs, split
+      // by endpoint class after — exactly how the oracle computes it,
+      // and 2.5× less signature work than three separate pipeline
+      // calls (corpus sigs were computed twice, batch sigs twice). In
+      // production the corpus pairs/clusters would be PERSISTED from
+      // the previous ingest run (saveIndex posture); recomputing them
+      // here is the self-contained-demo part, so it should at least
+      // not recompute the raw signatures per call site.
+      // assignToClusters is endpoint-symmetric, so the arbitrary
+      // id_a<id_b orientation of the cross pairs is fine.
+      val allPairs = Dedup.simhashPairs(docs, "doc_id", "text",
+          maxHamming = 6, bands = 4, bitsPerBand = 15)
+        .select(col("id_a"), col("id_b"))
+      val aCorp = col("id_a") % 10 < 8
+      val bCorp = col("id_b") % 10 < 8
+      val cc = Dedup.dedupClusters(allPairs.filter(aCorp && bCorp))
       val existing = corpus.select(col("doc_id").as("id"))
         .join(cc, Seq("id"), "left")
         .select(col("id"), coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
-      val bPairs = Dedup.simhashPairs(batch, "doc_id", "text",
-          maxHamming = 6, bands = 4, bitsPerBand = 15)
-        .select(col("id_a"), col("id_b"))
-      val xPairs = Dedup.nearDupsAgainstCorpus(corpus, batch, "doc_id", "text",
-          maxHamming = 6, bands = 4, bitsPerBand = 15)
-        .select(col("id_b").as("id_a"), col("id_c").as("id_b"))
-      Dedup.assignToClusters(bPairs.union(xPairs), existing)
+      Dedup.assignToClusters(allPairs.filter(!aCorp || !bCorp), existing)
         .select(col("id").as("doc_id"), col("cluster_rep"))
     },
     Some("""WITH RECURSIVE hs AS (
