@@ -229,4 +229,35 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("top")).as("t"))
       .select(col("doc_id"), col("t.term").as("term"), (-col("t.nt")).as("tfidf"))
   }
+
+  /** Batch finisher for windowed trending-term counts — the downstream
+    * ranking stage [[graft.streaming.StreamingOps.trendingTerms]]
+    * deliberately defers (ranking after a streaming aggregate would be
+    * a second stateful aggregation; a completed window is final once
+    * the watermark passes, so ranking it in batch loses nothing).
+    *
+    * Input contract = the stream's output contract: one row per
+    * (window, term) with a count; `windowCol` may be the streaming
+    * `window` struct or any scalar window key (e.g. a day date).
+    * Output: the k most frequent terms per window, ties broken
+    * (count desc, term asc) — deterministic across engines.
+    *
+    * Scale shape: the cut is the bounded [[graft.functions.TopK]]
+    * k-heap keyed by window — map-side partials mean only ≤ k
+    * survivors per (task × window) ride the shuffle, and no task ever
+    * sorts a window's whole vocabulary (a `row_number` window here
+    * would put each window's full term list on one reducer).
+    */
+  def trendingTopK(
+      counts: DataFrame,
+      windowCol: String,
+      termCol: String,
+      nCol: String,
+      k: Int): DataFrame =
+    counts
+      .groupBy(col(windowCol))
+      .agg(graft.functions.TopK.smallestK(
+        struct((-col(nCol)).as("nn"), col(termCol).as("term")), k).as("top"))
+      .select(col(windowCol), explode(col("top")).as("t"))
+      .select(col(windowCol), col("t.term").as(termCol), (-col("t.nn")).as(nCol))
 }

@@ -1093,6 +1093,84 @@ object ParityQueries {
     },
     Some("SELECT column_name FROM (DESCRIBE SELECT * FROM lineitem)"))
 
+  /** EP2 end-to-end composite — the reference's canonical pipeline
+    * (SURVEY §3 EP2: `análise_produtos_clientes.py` top to bottom) as
+    * ONE registered query, proving the proven per-stage operators
+    * compose under a single optimizer pass:
+    *
+    *   1. ABC-classify the fact's clients (W1-W4, `abc_classify`) and
+    *      currency-format each client's total (C7, `c7_c8_format`'s
+    *      exact integer-cents rendering over the ROUND(…, 2)-stabilized
+    *      sum);
+    *   2. J1 inner join fact × ABC on cliente (no broadcast hint —
+    *      client cardinality, AQE decides) + F4 date-range filter,
+    *      pushed below the join to the scan;
+    *   3. J2 broadcast enrich with the category dim;
+    *   4. A9 ordered history per (subgrupo, produto, cliente) — the
+    *      client-level ABC columns ride as functionally-dependent
+    *      group keys (no second join back);
+    *   5. A10/C10 display collapse (uniform motivo list → scalar).
+    *
+    * One pass = scan → [ABC agg + windows at CLIENT cardinality] →
+    * join → one history shuffle; nothing materializes between stages.
+    */
+  val pipelineEp2 = QueryDef(
+    "pipeline_ep2",
+    (s, dir) => {
+      val fact = Tables.analiseComercial(s, dir)
+      val abc = Abc.classify(fact)
+        .withColumn("cents",
+          floor(round(col("valor_total_orcado"), 2) * 100 + 0.5).cast("long"))
+        .select(col("cliente"), col("abc"),
+          concat(lit("R$ "),
+            format_number(expr("cents DIV 100"), 0),
+            lit("."),
+            lpad((col("cents") % 100).cast("string"), 2, "0")).as("valor_cliente_fmt"))
+      val j1 = fact
+        .filter(col("dt_entrada").between(lit("1996-01-01"), lit("1996-12-31")))
+        .join(abc, Seq("cliente"))
+      val enriched = Enrich.joinCategorias(j1, Tables.classificacaoProdutos(s, dir))
+      History.historico(enriched,
+        keys = Seq("subgrupo", "codigo_produto", "cliente", "abc", "valor_cliente_fmt"))
+        .select(
+          col("subgrupo"), col("codigo_produto"), col("cliente"),
+          col("abc"), col("valor_cliente_fmt"), col("n_propostas"),
+          Views.joinList(col("datas_entrada"), "; ").as("datas_display"),
+          History.collapseIfUniform("motivos_nao_venda").as("motivo_display"),
+          col("ultima_data"), col("ultimo_consultor"))
+    },
+    Some(withAbc(
+      // continues withAbc's WITH-chain: leading comma, not a new WITH
+      """, abcv AS (
+        |  SELECT cliente, abc,
+        |         'R$ ' || format('{:,}', cents // 100) || '.' ||
+        |           lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS valor_cliente_fmt
+        |  FROM (SELECT cliente, abc,
+        |               CAST(floor(ROUND(valor_total_orcado, 2) * 100 + 0.5) AS BIGINT) AS cents
+        |        FROM abc)
+        |),
+        |enr AS (
+        |  SELECT f.*, COALESCE(f.motivo_nao_venda, '') AS motivo_nn,
+        |         a.abc, a.valor_cliente_fmt, d.subgrupo
+        |  FROM fact f
+        |  JOIN abcv a ON f.cliente = a.cliente
+        |  LEFT JOIN dim d ON f.codigo_produto = d.codigo_produto
+        |  WHERE f.dt_entrada BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |)
+        |SELECT subgrupo, codigo_produto, cliente, abc, valor_cliente_fmt,
+        |       COUNT(*) AS n_propostas,
+        |       array_to_string(LIST(strftime(dt_entrada, '%d/%m/%Y')
+        |            ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST), '; ') AS datas_display,
+        |       CASE WHEN len(list_distinct(LIST(motivo_nn))) = 1
+        |            THEN (LIST(motivo_nn ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST))[1]
+        |            ELSE array_to_string(LIST(motivo_nn
+        |                 ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST), ', ') END AS motivo_display,
+        |       strftime(MAX(dt_entrada), '%d/%m/%Y') AS ultima_data,
+        |       (LIST(consultor_interno
+        |             ORDER BY dt_entrada, rid, prob_fech NULLS FIRST, motivo_nn, consultor_interno NULLS FIRST))[-1] AS ultimo_consultor
+        |FROM enr WHERE dt_entrada IS NOT NULL
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin)))
+
   val all: Seq[QueryDef] = Seq(
     projectRename, filterPendente, filtrarWildcard, dropAllNull, dropDupOrdered,
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
@@ -1101,5 +1179,5 @@ object ParityQueries {
     coerceFill, iqrTrim, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
-    schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch)
+    schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)
 }

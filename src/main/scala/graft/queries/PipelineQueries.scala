@@ -391,6 +391,51 @@ object PipelineQueries {
            |SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
            |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Trending terms per completed window — the batch finisher closing
+    * the loop [[graft.streaming.StreamingOps.trendingTerms]] opens:
+    * the stream emits (window, term, n) counts and defers the top-k
+    * cut; [[TextAnalysis.trendingTopK]] IS that cut, here registered
+    * over a batch replay of the same shape. Each document borrows its
+    * event's timestamp (doc_id = event_id — the driver data's only
+    * deterministic doc↔time link), windows are 1-day tumbling (= the
+    * window start date), and the cut keeps the 5 most frequent terms
+    * per window, ties (n desc, term asc).
+    *
+    * Scale: tokenize/count is the [[textTopWords]] shape (map-side
+    * combine collapses each task to its distinct (window, term) set
+    * before the shuffle); the cut is the bounded k-heap keyed by
+    * window — never a per-window vocabulary sort (plan-pinned:
+    * `partial_collect_top_k`, no Window node).
+    */
+  val textTrending = QueryDef(
+    "text_trending_topk",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val timed = Tables.events(s, dir)
+        .select(col("event_id").as("doc_id"),
+          to_date(Tables.eventsTs(col("ts"))).as("window_start"))
+        .join(docs, Seq("doc_id"))
+      val counts = timed
+        .select(col("window_start"),
+          explode(TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("window_start", "term")
+        .agg(count(lit(1)).as("n"))
+      TextAnalysis.trendingTopK(counts, "window_start", "term", "n", k = 5)
+    },
+    Some("""WITH timed AS (
+           |  SELECT CAST(e.ts AS DATE) AS window_start, d.text
+           |  FROM events e JOIN documents d ON e.event_id = d.doc_id
+           |), t AS (
+           |  SELECT window_start,
+           |         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS term
+           |  FROM timed
+           |), c AS (
+           |  SELECT window_start, term, COUNT(*) AS n FROM t WHERE term <> '' GROUP BY 1, 2
+           |)
+           |SELECT window_start, term, n FROM c
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY n DESC, term ASC) <= 5""".stripMargin))
+
   /** Per-doc key terms by TF-IDF ([[TextAnalysis.tfidfTopTerms]]):
     * top-3 `tf * ln(n_docs/df)` terms per document, rounded scores
     * ranked with term tie-break (see the operator scaladoc for why
@@ -1347,7 +1392,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupIncrNear, dedupIncrAssign,
-    textStats, textLangid, textQuality, textTopWords, textTfidf, corpusPrep,
+    textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
     textWinnow, annTopK, annFiltered, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,

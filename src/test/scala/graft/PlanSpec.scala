@@ -355,6 +355,102 @@ class PlanSpec extends AnyFunSuite {
     assert(r == 1.0)
   }
 
+  test("graft.load.repartition spreads single-row-group scans; default load is shuffle-free") {
+    // Round-5 root cause #1: the test parquet is one row group per
+    // file, so every scan yields ONE non-empty partition and nothing
+    // downstream of a broadcast-join pipeline ever re-spreads — the
+    // bench sets graft.load.repartition = cores to model a warm
+    // cluster. Pin both sides of the contract: the conf really spreads,
+    // and the default (real multi-row-group deployments) adds no
+    // gratuitous exchange.
+    val old = spark.conf.getOption("graft.load.repartition")
+    try {
+      spark.conf.set("graft.load.repartition", "4")
+      val n = graft.sources.Tables.lineitem(spark, dir).rdd.getNumPartitions
+      assert(n == 4, s"spread produced $n partitions, expected 4")
+      spark.conf.set("graft.load.repartition", "0")
+      val p = graft.sources.Tables.lineitem(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"default load must not shuffle: ${p.take(300)}")
+    } finally spark.conf.set("graft.load.repartition", old.getOrElse("0"))
+  }
+
+  test("a9 history family aggregates on the object-hash path (no sort aggregate)") {
+    // Round-5 root cause #2: ObjectHashAggregate's 128-key default
+    // fallback sent every history task through an
+    // UnsafeKVExternalSorter (measured 179 s GC + 390 s CPU on one
+    // stage); GraftSession raises the threshold to 64k. The planner
+    // choice pinned here is the precondition: collect_list must plan
+    // as ObjectHashAggregate — a SortAggregate node would mean the
+    // hash path was lost entirely (e.g. the conf or the aggregate
+    // expression changed shape).
+    for (q <- Seq("a9_historico", "a9_capped_history", "a10_c10_collapse_uniform")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q lost the object-hash aggregate path:\n${p.take(600)}")
+      assert(!p.contains("SortAggregate"),
+        s"$q plans a sort aggregate:\n${p.take(600)}")
+    }
+  }
+
+  test("iterative loops keep the final plan iteration-count-independent (lineage cut)") {
+    // Round-5 root cause #3: plans that grow per iteration make every
+    // downstream tree traversal (and Spark's eager plan-description
+    // rendering) super-linear. kmeansFit and dedupClusters checkpoint
+    // each round, so the FINAL plan must be a flat checkpoint scan
+    // whose size does not track the iteration count.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+    val init = emb.limit(3).select(col("id").as("c_id"), col("vec").as("c_vec"))
+    def fitPlanLen(iters: Int): Int = graft.operators.Similarity
+      .kmeansFit(emb, init, "id", "vec", iters)
+      .queryExecution.executedPlan.toString.length
+    val f2 = fitPlanLen(2)
+    val f5 = fitPlanLen(5)
+    assert(f2 < 2000 && f5 < 2000, s"kmeansFit plan is not a flat scan: $f2 / $f5 chars")
+    assert(math.abs(f5 - f2) < 200, s"kmeansFit plan grows with iterations: $f2 -> $f5")
+
+    // dedupClusters: force the generic iterative path (threshold 0) on
+    // chains needing different label-propagation round counts.
+    val oldThr = spark.conf.getOption("graft.dedup.smallEdgeThreshold")
+    try {
+      spark.conf.set("graft.dedup.smallEdgeThreshold", "0")
+      import spark.implicits._
+      def ccPlanLen(chainLen: Int): Int = {
+        val pairs = (1L until chainLen)
+          .map(i => (i, i + 1)).toDF("id_a", "id_b")
+        graft.operators.Dedup.dedupClusters(pairs)
+          .queryExecution.executedPlan.toString.length
+      }
+      val c3 = ccPlanLen(3)
+      val c9 = ccPlanLen(9)
+      assert(c3 < 2000 && c9 < 2000, s"dedupClusters plan is not a flat scan: $c3 / $c9")
+      assert(math.abs(c9 - c3) < 200, s"dedupClusters plan grows with rounds: $c3 -> $c9")
+    } finally oldThr match {
+      case Some(v) => spark.conf.set("graft.dedup.smallEdgeThreshold", v)
+      case None => spark.conf.unset("graft.dedup.smallEdgeThreshold")
+    }
+  }
+
+  test("text_trending_topk cuts per-window via the bounded k-heap, not a window sort") {
+    val p = plan("text_trending_topk")
+    assert(p.contains("partial_collect_top_k"),
+      "per-window cut lost map-side bounded partials:\n" + p.take(800))
+    assert(!p.contains("Window"), "per-window ranking reverted to a window sort:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("pipeline_ep2 composes in one pass: broadcast dim, hash-path history, no cartesian") {
+    val p = plan("pipeline_ep2")
+    assert(p.contains("BroadcastHashJoin"), "category dim lost its broadcast:\n" + p.take(800))
+    assert(p.contains("ObjectHashAggregate"), "history lost the hash aggregate:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("joinAbc carries no forced broadcast hint; joinCategorias does (by design)") {
     import spark.implicits._
     val fact = Seq(("c1", "p1", 1.0)).toDF("cliente", "codigo_produto", "v")

@@ -82,6 +82,54 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:30:00", "window", 1L)))
   }
 
+  test("trendingTopK batch finisher ranks the stream's completed windows (D13 loop closed)") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val dir = Files.createTempDirectory("graft_stream_ttk").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val data = Seq(
+      (ts(5), "spark spark runs"),
+      (ts(10), "spark wins wins"),
+      (ts(40), "later window window"))
+    ms.addData(data: _*)
+
+    val terms = StreamingOps.trendingTerms(
+      ms.toDF.toDF("ts", "text"), windowLen = "30 minutes")
+    val q = terms.writeStream.format("memory").queryName("ttk_counts")
+      .outputMode("complete").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // The finisher consumes the stream's output contract directly —
+    // windowCol is the streaming `window` STRUCT, no reshaping.
+    val streamTop = graft.operators.TextAnalysis
+      .trendingTopK(spark.table("ttk_counts"), "window", "term", "n", k = 2)
+      .select(col("window.start").cast("string"), col("term"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    // w1 counts: spark 3, wins 2, runs 1 -> top2 (spark, wins);
+    // w2 counts: window 2, later 1 -> top2 is both.
+    assert(streamTop == Set(
+      ("2024-01-01 10:00:00", "spark", 3L),
+      ("2024-01-01 10:00:00", "wins", 2L),
+      ("2024-01-01 10:30:00", "window", 2L),
+      ("2024-01-01 10:30:00", "later", 1L)))
+
+    // Batch backfill parity: the SAME rows through the batch
+    // tokenize/window/count shape + the same finisher must agree with
+    // the streaming counts exactly (the D13 contract: a batch replay
+    // over the raw stream reproduces the windowed ranking).
+    val batchCounts = data.toDF("ts", "text")
+      .select(window(col("ts"), "30 minutes").as("window"),
+        explode(graft.operators.TextAnalysis.tokens(
+          lower(coalesce(col("text"), lit(""))))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("window", "term").agg(count(lit(1)).as("n"))
+    val batchTop = graft.operators.TextAnalysis
+      .trendingTopK(batchCounts, "window", "term", "n", k = 2)
+      .select(col("window.start").cast("string"), col("term"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(batchTop == streamTop, "batch backfill diverged from the streaming ranking")
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
