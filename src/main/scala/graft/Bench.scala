@@ -77,6 +77,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    // Optional subset for targeted runs (the sf1 scaling-slope tour):
+    // comma-separated tokens; a query runs when its name equals a token
+    // or starts with one. Unset/empty = every registered query (the
+    // driver's protocol run is unchanged).
+    val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "").split(',')
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    def selected(name: String): Boolean =
+      filter.isEmpty || filter.exists(t => name == t || name.startsWith(t))
     val spark = GraftSession.local(appName = "graft-bench")
     val cores = spark.sparkContext.defaultParallelism
     spark.conf.set("graft.load.repartition", cores.toString)
@@ -93,6 +101,7 @@ object Bench {
     shared.foreach(_.persist(StorageLevel.MEMORY_AND_DISK).count())
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
 
     def timeOne(fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()

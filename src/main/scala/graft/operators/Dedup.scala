@@ -650,6 +650,45 @@ object Dedup {
       .join(corpusFps, Seq("fingerprint"), "left_anti")
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct k-word shingles with any document of an
+    * evaluation set, as `(doc_id, eval_id, n_shared)` pairs — the
+    * standard pretraining hygiene step (eval/test material must be
+    * found and excluded from training data, or benchmark numbers are
+    * memorized, not earned; the n-gram-overlap definition follows the
+    * published GPT-3/PaLM appendix methodology).
+    *
+    * Shape at scale — this join is deliberately ASYMMETRIC, unlike the
+    * dedup self-joins: an eval set is thousands of docs against a
+    * corpus of billions, so the eval side's exploded (gram, eval_id)
+    * frame is BROADCAST. The corpus side is one scan: shingle →
+    * explode → broadcast hash join → map-side-combined count per
+    * (doc, eval) pair. One shuffle, sized by the HITS (corpus rows
+    * sharing ≥ 1 gram), not the corpus. If the eval set ever outgrows
+    * broadcast range the same plan downgrades to a shuffled hash join
+    * on the gram key — remove the hint, nothing else changes.
+    *
+    * Filter training data with
+    * `corpus.join(result.select("doc_id").distinct(), Seq(idCol), "left_anti")`.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      minShared: Long = 5): DataFrame = {
+    def grams(df: DataFrame, outId: String): DataFrame = df
+      .select(col(idCol).as(outId),
+        explode(wordShingles(
+          TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))), shingleK)).as("gram"))
+    grams(corpus, "doc_id")
+      .join(broadcast(grams(evalSet, "eval_id")), Seq("gram"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Incremental NEAR-dup: batch rows that SimHash-near-match (hamming
     * <= `maxHamming`) something already in the corpus, as
     * `(id_b = batch id, id_c = corpus id, hamming)` pairs. Candidates

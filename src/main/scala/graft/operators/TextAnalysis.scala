@@ -230,6 +230,146 @@ object TextAnalysis {
       .select(col("doc_id"), col("t.term").as("term"), (-col("t.nt")).as("tfidf"))
   }
 
+  /** PII patterns for [[redactPii]], applied IN ORDER (email → IPv4 →
+    * phone) so overlapping matches resolve identically everywhere.
+    * Every pattern sticks to the regex subset Java's engine and RE2
+    * (DuckDB/Go/Rust scanners) agree on — no lookaround, no backrefs —
+    * so a redaction run is reproducible across the batch engine, the
+    * oracle, and any sidecar tooling.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d{6,14}\\b" -> "<PHONE>")
+
+  /** Redact PII in place: each [[piiPatterns]] match is replaced by its
+    * tag. Pure codegen'd `regexp_replace` chain — per-row work, no
+    * shuffle, scales with the scan. Order matters and is fixed: an
+    * IPv4-looking substring inside an already-redacted email can't
+    * double-fire because earlier replacements run first.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, lit(pat), lit(tag))
+    }
+
+  /** Count of matches for one PII pattern index (for audit columns). */
+  def piiCount(text: Column, idx: Int): Column =
+    size(regexp_extract_all(text, lit(piiPatterns(idx)._1), lit(0)))
+
+  /** Gopher-style repetition stats per document, the standard cheap
+    * repetition filters in web-corpus cleaning (Rae et al. 2021 §A1.1
+    * use duplicate-line and top-n-gram character fractions; this is the
+    * word-level analog for line-less documents):
+    *
+    *   - `dup_word_frac`: fraction of token characters belonging to
+    *     tokens that occur ≥ 2 times in the doc (all occurrences
+    *     counted);
+    *   - `top_bigram_frac`: the largest character share any single
+    *     word bigram covers — max over bigrams of `count · len(bigram)`
+    *     divided by total bigram characters (max of the product, so no
+    *     tie-break is ever needed).
+    *
+    * Shape at scale — the [[tfidfTopTerms]] pattern: explode →
+    * map-side-combined counts keyed by (doc, token) → per-doc ratio
+    * aggregate; two narrow shuffles on doc-keyed data, no window over
+    * the corpus, no per-row quadratic array work. Fractions round to
+    * 6 dp so the ratio compares exactly across engines.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "").as("t"))
+    val words = toks
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        round(
+          coalesce(
+            sum(when(col("cnt") >= 2, col("cnt") * length(col("w"))))
+              .cast("double") /
+              sum(col("cnt") * length(col("w"))).cast("double"),
+            lit(0.0)), 6).as("dup_word_frac"))
+    val bigrams = toks
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+          .otherwise(expr("array()").cast("array<string>"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        round(
+          max(col("cnt") * length(col("g"))).cast("double") /
+            sum(col("cnt") * length(col("g"))).cast("double"), 6).as("top_bigram_frac"))
+    // Total over the input: a doc with no tokens (or no bigram) reports
+    // 0.0 repetition rather than silently dropping out of the frame.
+    toks.select(col("doc_id"))
+      .join(words, Seq("doc_id"), "left")
+      .join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_word_frac"), lit(0.0)).as("dup_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Next-fit sequence packing: assign documents to fixed-capacity
+    * context windows ("sequences") of at most `maxTokens` tokens — the
+    * standard pretraining batching step (docs are concatenated into
+    * training sequences; packing density sets effective throughput).
+    *
+    * Packing is inherently sequential, so the operator makes the
+    * sequential unit EXPLICIT and bounded: docs are packed next-fit in
+    * `idCol` order WITHIN each `bucketCol` group, buckets are
+    * independent and distribute freely. The caller sizes buckets
+    * (e.g. `doc_id DIV 50`, or a date partition) so one bucket's doc
+    * list fits comfortably in task memory — the same contract as any
+    * `collect_list` aggregation. Result is deterministic: a pure fold
+    * over the id-sorted list, independent of partitioning.
+    *
+    * Next-fit semantics: a doc that would overflow the open sequence
+    * starts a new one; a doc larger than `maxTokens` occupies a
+    * sequence alone (it opens one and the next doc always overflows).
+    * Output: (bucket, doc_id, n_tok, seq) with `seq` 0-based per
+    * bucket.
+    *
+    * Shape at scale: ONE map-side-combinable aggregation (sorted
+    * collect per bucket) and a codegen'd higher-order `aggregate` fold
+    * — no iterative jobs, no window over the corpus, no driver
+    * participation.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      bucketCol: String,
+      maxTokens: Long): DataFrame = {
+    val acc0 = struct(
+      expr("array()").cast("array<struct<doc_id:bigint,n_tok:bigint,seq:int>>").as("asgn"),
+      lit(0).as("seq"), lit(0L).as("cur"))
+    val collected = docs
+      .select(col(bucketCol).as("bucket"),
+        struct(col(idCol).cast("long").as("doc_id"),
+          col(nTokCol).cast("long").as("n_tok")).as("d"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+    collected
+      .select(col("bucket"), explode(aggregate(
+        col("ds"), acc0,
+        (acc, d) => {
+          val over = acc.getField("cur") + d.getField("n_tok") > lit(maxTokens) &&
+            acc.getField("cur") > lit(0L)
+          val seq2 = when(over, acc.getField("seq") + 1).otherwise(acc.getField("seq"))
+          val cur2 = when(over, d.getField("n_tok"))
+            .otherwise(acc.getField("cur") + d.getField("n_tok")).cast("bigint")
+          struct(
+            concat(acc.getField("asgn"),
+              array(struct(d.getField("doc_id").as("doc_id"),
+                d.getField("n_tok").as("n_tok"), seq2.cast("int").as("seq")))).as("asgn"),
+            seq2.as("seq"), cur2.as("cur"))
+        },
+        acc => acc.getField("asgn"))).as("a"))
+      .select(col("bucket"), col("a.doc_id").as("doc_id"),
+        col("a.n_tok").as("n_tok"), col("a.seq").as("seq"))
+  }
+
   /** Batch finisher for windowed trending-term counts — the downstream
     * ranking stage [[graft.streaming.StreamingOps.trendingTerms]]
     * deliberately defers (ranking after a streaming aggregate would be

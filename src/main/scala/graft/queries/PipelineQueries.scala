@@ -391,6 +391,155 @@ object PipelineQueries {
            |SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
            |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Benchmark decontamination ([[Dedup.decontaminate]]): corpus docs
+    * (`doc_id % 10 <> 0`) sharing ≥ 5 distinct word 3-grams with any
+    * eval-set doc (`doc_id % 10 = 0`) — the pretraining hygiene join.
+    * At sf0.01 the result is exactly the planted near-dup pairs that
+    * straddle the split (overlaps 23–91) plus nothing from the common-
+    * vocabulary noise floor (≤ 3 shared grams), which is the point of
+    * the threshold. Plan-pinned: the eval side broadcasts.
+    */
+  val dedupDecontaminate = QueryDef(
+    "dedup_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", shingleK = 3, minShared = 5)
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id,
+           |         unnest(CASE WHEN len(toks) >= 3
+           |                THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+           |                                    FOR i IN generate_series(0, len(toks) - 3)])
+           |                ELSE [] END) AS gram
+           |  FROM (SELECT doc_id,
+           |               string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS toks
+           |        FROM documents)
+           |)
+           |SELECT c.doc_id AS doc_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+           |FROM g c JOIN g e ON c.gram = e.gram
+           |WHERE c.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin))
+
+  /** PII redaction ([[TextAnalysis.redactPii]]): deterministic PII is
+    * INJECTED (email when `doc_id % 3 = 0`, IPv4 when `% 5`, E.164
+    * phone when `% 7` — values derived from the id), then the audit
+    * counts and the redacted text are checked hash-exact. Injection is
+    * the honest way to oracle a scrubber over synthetic word-salad
+    * text: without it every count is zero and the regexes are never
+    * exercised on a positive match.
+    */
+  val textRedactPii = QueryDef(
+    "text_redact_pii",
+    (s, dir) => {
+      val t = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("contact user"), col("doc_id"), lit("@example.com "))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7 "))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("call +1555"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" "))).otherwise(lit("")),
+        coalesce(col("text"), lit("")))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.piiCount(t, 0).as("n_emails"),
+        TextAnalysis.piiCount(t, 1).as("n_ips"),
+        TextAnalysis.piiCount(t, 2).as("n_phones"),
+        TextAnalysis.redactPii(t).as("redacted"))
+    },
+    Some("""WITH inj AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 3 = 0 THEN 'contact user' || doc_id || '@example.com ' ELSE '' END ||
+           |         CASE WHEN doc_id % 5 = 0 THEN 'from 10.0.' || (doc_id % 256) || '.7 ' ELSE '' END ||
+           |         CASE WHEN doc_id % 7 = 0 THEN 'call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END ||
+           |         coalesce(text, '') AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |       len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+           |       len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           |       len(regexp_extract_all(t, '\+\d{6,14}\b')) AS n_phones,
+           |       regexp_replace(regexp_replace(regexp_replace(t,
+           |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |         '\+\d{6,14}\b', '<PHONE>', 'g') AS redacted
+           |FROM inj""".stripMargin))
+
+  /** Gopher-style repetition filters ([[TextAnalysis.repetitionStats]]):
+    * duplicated-word character fraction and top-bigram character share
+    * per document — the cheap repetition signals used to drop
+    * boilerplate/spam docs before training.
+    */
+  val textRepetition = QueryDef(
+    "text_repetition",
+    (s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |), wc AS (
+           |  SELECT doc_id, w, COUNT(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2
+           |), wf AS (
+           |  SELECT doc_id,
+           |         ROUND(COALESCE(
+           |           CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(w) END) AS DOUBLE)
+           |             / CAST(SUM(cnt * length(w)) AS DOUBLE), 0.0), 6) AS dup_word_frac
+           |  FROM wc GROUP BY 1
+           |), bgc AS (
+           |  SELECT doc_id, g, COUNT(*) AS cnt
+           |  FROM (SELECT doc_id,
+           |               unnest(CASE WHEN len(t) >= 2
+           |                      THEN [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]
+           |                      ELSE [] END) AS g
+           |        FROM toks) GROUP BY 1, 2
+           |), bf AS (
+           |  SELECT doc_id,
+           |         ROUND(CAST(MAX(cnt * length(g)) AS DOUBLE)
+           |               / CAST(SUM(cnt * length(g)) AS DOUBLE), 6) AS top_bigram_frac
+           |  FROM bgc GROUP BY 1
+           |)
+           |SELECT toks.doc_id,
+           |       COALESCE(wf.dup_word_frac, 0.0) AS dup_word_frac,
+           |       COALESCE(bf.top_bigram_frac, 0.0) AS top_bigram_frac
+           |FROM toks
+           |LEFT JOIN wf ON toks.doc_id = wf.doc_id
+           |LEFT JOIN bf ON toks.doc_id = bf.doc_id""".stripMargin))
+
+  /** Next-fit sequence packing ([[TextAnalysis.packSequences]]): docs
+    * packed into ≤ 256-token training sequences in id order within
+    * 50-doc buckets. The oracle replays the identical fold as a
+    * recursive CTE — packing is a sequential recurrence, which is
+    * exactly why the operator bounds the sequential unit to a bucket.
+    */
+  val textPackSequences = QueryDef(
+    "text_pack_sequences",
+    (s, dir) => {
+      val sized = Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("doc_id DIV 50").as("bucket"),
+        TextAnalysis.tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("n_tok"))
+      TextAnalysis.packSequences(sized, "doc_id", "n_tok", "bucket", maxTokens = 256L)
+    },
+    Some("""WITH RECURSIVE ord AS (
+           |  SELECT doc_id, doc_id // 50 AS bucket,
+           |         len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok,
+           |         row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id) AS rn
+           |  FROM documents
+           |), pack AS (
+           |  SELECT bucket, doc_id, n_tok, rn, 0 AS seq, n_tok AS cur FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.bucket, o.doc_id, o.n_tok, o.rn,
+           |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN p.seq + 1 ELSE p.seq END,
+           |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN o.n_tok ELSE p.cur + o.n_tok END
+           |  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+           |)
+           |SELECT bucket, doc_id, n_tok, seq FROM pack""".stripMargin))
+
   /** Trending terms per completed window — the batch finisher closing
     * the loop [[graft.streaming.StreamingOps.trendingTerms]] opens:
     * the stream emits (window, term, n) counts and defers the top-k
@@ -1392,7 +1541,9 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupIncrNear, dedupIncrAssign,
+    dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
+    textRedactPii, textRepetition, textPackSequences,
     textWinnow, annTopK, annFiltered, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,

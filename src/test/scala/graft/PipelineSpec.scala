@@ -60,6 +60,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r._1 == 3) // ["Hello,", "world!", "42"]
     assert(r._2 == 5) // ["hello", ",", "world", "!", "42"]
   }
+
+  test("redactPii replaces email, IPv4, phone in order; word-boundary guards hold") {
+    val r = Seq(
+      "mail a.b+c@ex-1.co then 10.0.255.7 call +15550123 done",
+      "x1.2.3.4 not an ip; 1.2.3.4b neither; +12345 too short",
+      "plain text").toDF("text")
+      .select(TextAnalysis.redactPii(col("text"))).as[String].collect()
+    assert(r(0) == "mail <EMAIL> then <IP> call <PHONE> done")
+    // embedded in word chars -> \b fails -> untouched; 5-digit phone < 6 min
+    assert(r(1) == "x1.2.3.4 not an ip; 1.2.3.4b neither; +12345 too short")
+    assert(r(2) == "plain text")
+  }
+
+  test("repetitionStats: duplicated-word and top-bigram character fractions") {
+    val r = TextAnalysis.repetitionStats(
+      Seq((1L, "aa bb aa cc"), (2L, "solo"), (3L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    // doc 1: aa occurs 2x -> 4 of 8 token chars dup = 0.5;
+    // bigrams "aa bb","bb aa","aa cc" all cnt 1, len 5 -> 5/15
+    assert(r(0) == ((1L, 0.5, 0.333333)))
+    // one token: no dup, no bigram; null text: total row of zeros
+    assert(r(1) == ((2L, 0.0, 0.0)))
+    assert(r(2) == ((3L, 0.0, 0.0)))
+  }
+
+  test("packSequences: next-fit per bucket in id order, oversized doc isolated") {
+    val docs = Seq(
+      (1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L), (4L, 0L, 300L), (5L, 0L, 50L),
+      (10L, 1L, 256L), (11L, 1L, 1L)).toDF("doc_id", "bucket", "n_tok")
+    val r = TextAnalysis.packSequences(docs, "doc_id", "n_tok", "bucket", 256L)
+      .select(col("bucket"), col("doc_id"), col("seq"))
+      .as[(Long, Long, Int)].collect().toSet
+    // bucket 0: 100+100=200 fits, +100 overflows -> seq1; 300 overflows
+    // (oversized, alone in seq2); 50 overflows the 300 bin -> seq3.
+    // bucket 1: exactly-full 256 stays seq0; next doc overflows -> seq1.
+    assert(r == Set(
+      (0L, 1L, 0), (0L, 2L, 0), (0L, 3L, 1), (0L, 4L, 2), (0L, 5L, 3),
+      (1L, 10L, 0), (1L, 11L, 1)))
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
@@ -230,6 +270,22 @@ class DedupSpec extends AnyFunSuite {
       assert(hits.contains((11L, 1L)), s"expected (11,1) in $hits")
       assert(!hits.exists(_._1 == 12L), s"doc 12 must have no corpus match: $hits")
     } finally pairs.unpersist()
+  }
+
+  test("decontaminate counts distinct shared word k-grams against the eval set") {
+    val evalSet = Seq((100L, "a b c d e f")).toDF("doc_id", "text") // grams: abc bcd cde def
+    val corpus = Seq(
+      (1L, "a b c d e f"),          // all 4 grams shared
+      (2L, "z z a b c z z"),        // only "a b c"
+      (3L, "nothing in common here"),
+      (4L, "a b c d a b c d")       // grams abc,bcd,cda,dab,... distinct-set ∩ = abc,bcd
+    ).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(corpus, evalSet, "doc_id", "text",
+      shingleK = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 2 shares exactly 1 gram (< 2) and doc 3 none — both absent;
+    // doc 4's repeats count ONCE (distinct shingles, so n_shared = 2).
+    assert(r == Set((1L, 100L, 4L), (4L, 100L, 2L)))
   }
 }
 

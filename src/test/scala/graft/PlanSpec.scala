@@ -443,6 +443,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
+  test("dedup_decontaminate broadcasts the eval side; corpus side stays one scan") {
+    val p = plan("dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval-gram side lost its broadcast (corpus would shuffle on gram):\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
+  test("text_redact_pii is a pure codegen projection: no shuffle at all") {
+    val p = plan("text_redact_pii")
+    assert(!p.contains("Exchange"), "redaction must not shuffle:\n" + p.take(600))
+    assert(p.contains("WholeStageCodegen"), p.take(400))
+  }
+
+  test("text_pack_sequences: one bucket aggregation, no window, no cartesian") {
+    val p = plan("text_pack_sequences")
+    assert(p.contains("ObjectHashAggregate"),
+      "bucket collect lost the object-hash path:\n" + p.take(600))
+    assert(!p.contains("Window"), "packing must not window-sort the corpus:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("pipeline_ep2 composes in one pass: broadcast dim, hash-path history, no cartesian") {
     val p = plan("pipeline_ep2")
     assert(p.contains("BroadcastHashJoin"), "category dim lost its broadcast:\n" + p.take(800))
