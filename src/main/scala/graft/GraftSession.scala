@@ -37,6 +37,14 @@ object GraftSession {
       // capped variant and AQE skew handling are for.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
+      // Iterative operators (dedupClusters label propagation, kmeansFit
+      // Lloyd rounds) supersede a reliable checkpoint every round when
+      // a checkpoint dir is set; Spark's default leaves every round's
+      // files on disk for the application lifetime (cleanCheckpoints
+      // defaults to false). With this on, the ContextCleaner deletes a
+      // round's checkpoint files as soon as its RDD is unreachable —
+      // bounding checkpoint storage at O(live frames), not O(rounds).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // The events table stores TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects by default; map it to epoch-nanos bigint
       // session-wide (see Tables.events / Tables.eventsTs). Set here at

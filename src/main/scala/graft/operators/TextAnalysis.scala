@@ -253,9 +253,13 @@ object TextAnalysis {
       regexp_replace(c, lit(pat), lit(tag))
     }
 
-  /** Count of matches for one PII pattern index (for audit columns). */
+  /** Count of matches for one PII pattern index (for audit columns).
+    * Null-safe: NULL text counts as 0 matches — without the coalesce,
+    * non-ANSI `size(NULL)` yields the legacy -1 and an audit over a
+    * nullable column reports negative counts.
+    */
   def piiCount(text: Column, idx: Int): Column =
-    size(regexp_extract_all(text, lit(piiPatterns(idx)._1), lit(0)))
+    size(regexp_extract_all(coalesce(text, lit("")), lit(piiPatterns(idx)._1), lit(0)))
 
   /** Gopher-style repetition stats per document, the standard cheap
     * repetition filters in web-corpus cleaning (Rae et al. 2021 §A1.1

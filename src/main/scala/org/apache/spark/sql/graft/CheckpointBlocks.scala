@@ -2,6 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage cuts and deterministic block release for the iterative
   * operators (label-propagation rounds, Lloyd iterations, eager pair
@@ -26,10 +27,14 @@ import org.apache.spark.sql.execution.LogicalRDD
   *
   * Cluster deployments should `sc.setCheckpointDir` once at session
   * start; every iterative graft operator then becomes
-  * executor-loss-tolerant with no further change. (Reliable-checkpoint
-  * FILES are cleaned by Spark's ContextCleaner when
-  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; [[release]]
-  * below frees only block-manager storage and never deletes files.)
+  * executor-loss-tolerant with no further change. Reliable-checkpoint
+  * FILES are cleaned by Spark's ContextCleaner only when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Spark's
+  * default is FALSE, which would leak rounds × frame-size files for
+  * the application lifetime on iterative loops) — `graft.GraftSession`
+  * sets it; a deployment building its own session must too.
+  * [[release]] below frees only block-manager storage and never
+  * deletes files.
   *
   * == Release ==
   *
@@ -57,10 +62,22 @@ object CheckpointBlocks {
 
   /** Materialize `df` and truncate its lineage — reliable checkpoint
     * when the session has a checkpoint dir, local checkpoint otherwise.
+    *
+    * The reliable path runs TWO jobs over the frame: the eager count
+    * and then the checkpoint-file write (`ReliableCheckpointRDD`
+    * re-executes the full lineage in the write job unless the blocks
+    * are cached), so an unpersisted frame would pay ~2× compute per
+    * round. Persist first — the count job populates the cache, the
+    * write job reads it — and drop the cache once the files are
+    * durable. The local path needs none of this: `localCheckpoint`
+    * persists blocks as its own mechanism.
     */
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint(eager = true)
 
   def release(df: DataFrame): Unit = {
     val leaves = df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr }

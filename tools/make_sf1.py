@@ -89,7 +89,15 @@ def main(out_dir: str) -> None:
           "doc_id + {i} * " + str(SHIFT_DOC) + " AS doc_id, "
           "CASE WHEN {i} = 0 THEN text "
           "     ELSE regexp_replace(text, '(\\S+)', '\\1x{i}', 'g') END AS text, "
-          "lang, source, n_chars")
+          "lang, source, "
+          # n_chars must track the REWRITTEN text: copying it through
+          # would leave a stale precomputed length for copies 1-9 and
+          # skew every length-derived slope (parity vs the oracle would
+          # still hold — both read the same file — but the measurement
+          # axis would be subtly wrong).
+          "CASE WHEN {i} = 0 THEN n_chars "
+          "     ELSE length(regexp_replace(text, '(\\S+)', '\\1x{i}', 'g')) "
+          "END AS n_chars")
     build("embeddings",
           "vec_id + {i} * " + str(SHIFT_VEC) + " AS vec_id, "
           "CASE WHEN {i} = 0 THEN embedding "
