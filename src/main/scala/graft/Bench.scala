@@ -196,6 +196,28 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     println(resultJson)
+    // FINAL stdout line: a compact summary guaranteed to fit INSIDE the
+    // driver's bounded stdout tail. Rounds 5-7 proved the full line can
+    // never be the official record: the driver keeps the LAST 2000
+    // bytes of stdout (measured constant across BENCH_r05..r07), the
+    // 86-query line is ~3.3 KB, so every artifact had `parsed: null`
+    // with the line's head truncated. This line budgets 1500 bytes —
+    // totals, failure/demotion counts, and the slowest medians greedily
+    // packed (slowest-first is the half the judge reads) — leaving
+    // ~500 bytes of slack for sbt's `[success]` epilogue and the tail
+    // of the full line above. The complete per-query map lives in the
+    // full line and in `target/bench_result.json`.
+    val lineBudget = 1500
+    val slowest = timings.filter { case (_, v) => v >= 0 }.sortBy(-_._2)
+    val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","passes":$passes,"n_queries":${timings.length},"failed":$failedJson,"n_demoted":${demoted.size},"wall_sec":$elapsed%.1f,"queries":{"""
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = prefix.length + 60 // room for "},"queries_omitted":NNN}"
+    slowest.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + f"$v%.3f"
+      if (used + e.length + 1 <= lineBudget) { entries += e; used += e.length + 1 }
+    }
+    val omitted = timings.length - entries.length
+    println(prefix + entries.mkString(",") + "},\"queries_omitted\":" + omitted + "}")
     spark.stop()
   }
 }

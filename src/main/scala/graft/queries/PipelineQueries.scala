@@ -928,6 +928,65 @@ object PipelineQueries {
             |  FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id
             |) WHERE cos >= 0.2""".stripMargin))
 
+  /** Embedding-cosine near-dup DEDUP (builder brief §dedup, last
+    * missing modality): the LSH pair generation of [[annBucketed]]
+    * composed with [[Dedup.dedupClusters]]'s connected components —
+    * one row per vector that has at least one near neighbor, labeled
+    * with its component's min id as `cluster_rep`. This is the
+    * embedding analog of `dedup_clusters` (MinHash/Jaccard): candidate
+    * generation is the band/key equi-join (never all-pairs), the CC
+    * walk is batch-bounded with per-round lineage cuts, and at 100 TB
+    * both stages shuffle on keys only (vectors ride a pair-cardinality
+    * re-attach by id). Threshold 0.2 matches [[annBucketed]] — the
+    * synthetic embeddings are random 64-dim vectors, whose cosines
+    * never exceed ~0.6, so 0.2 is this data's "near-dup" regime; real
+    * corpora run the same operator at 0.9+.
+    *
+    * The oracle replays the identical md5-derived plane set and walks
+    * the same graph with a recursive CTE (same shape as
+    * [[dedupClusters]]'s oracle).
+    */
+  val dedupEmbed = QueryDef(
+    "dedup_embed",
+    (s, dir) =>
+      Dedup.dedupClusters(
+        Similarity.bucketedPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, nBands = 6, bitsPerBand = 12, minCosine = 0.2)),
+    Some(s"""WITH RECURSIVE planes(band, j, idx) AS (VALUES $lshPlanesValues),
+            |e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+            |),
+            |keys AS (
+            |  SELECT e.vec_id, p.band,
+            |         CAST(SUM(CASE WHEN e.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
+            |              AS BIGINT) AS key
+            |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            |),
+            |pairs AS (
+            |  SELECT id_a, id_b FROM (
+            |    SELECT id_a, id_b, ROUND(${cosSql("ea.v", "eb.v")}, 6) AS cos
+            |    FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id
+            |  ) WHERE cos >= 0.2
+            |),
+            |edges AS (
+            |  SELECT id_a AS s, id_b AS t FROM pairs
+            |  UNION
+            |  SELECT id_b AS s, id_a AS t FROM pairs
+            |),
+            |reach(s, t) AS (
+            |  SELECT s, t FROM edges
+            |  UNION
+            |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s
+            |)
+            |SELECT s AS id, least(s, MIN(t)) AS cluster_rep
+            |FROM reach GROUP BY s""".stripMargin))
+
   /** Pair-level recall of the LSH bucketing ([[Similarity.bucketedPairs]])
     * against brute-force ground truth, on a deterministic 10% subset
     * (`vec_id % 10 = 0`) — the band/bit tuning number for the near-dup
@@ -1544,7 +1603,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, annTopK, annFiltered, annBucketed, annLshRecall, annIvf, annIvfProbed, annRecall,
+    textWinnow, annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,
     asofEvents, rangeEvents, overlapEvents,

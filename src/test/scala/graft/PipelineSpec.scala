@@ -177,6 +177,24 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dedup_embed composition: identical/perturbed vectors cluster, negated vector doesn't") {
+    // Identical vectors share every LSH band key (cos 1.0); a tiny
+    // perturbation that flips no coordinate sign shares them too; the
+    // negated vector flips every band bit AND sits at cos -1 — it must
+    // survive as a non-member (no row, not a singleton row).
+    val dim = 64
+    val base = (0 until dim).map(i => (i % 7 - 3).toFloat + 0.5f)
+    val df = Seq(
+      (1L, base), (2L, base), (3L, base.map(x => -x)),
+      (4L, base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.dedupClusters(
+      Similarity.bucketedPairs(df, "vec_id", "embedding",
+        dim = dim, nBands = 6, bitsPerBand = 12, minCosine = 0.2))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), out.toString)
+  }
+
   test("assignToClusters matches a full recompute on a non-bridging batch") {
     // Corpus ids 1-6: clusters {1,2}, {3,4}; 5, 6 singletons. Batch ids
     // 10-15 (arrival order: all > any standing rep). Batch pairs:
