@@ -45,10 +45,11 @@ object GraftSession {
       // round's checkpoint files as soon as its RDD is unreachable —
       // bounding checkpoint storage at O(live frames), not O(rounds).
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      // The events table stores TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects by default; map it to epoch-nanos bigint
-      // session-wide (see Tables.events / Tables.eventsTs). Set here at
-      // build time so no table loader has to mutate a live session.
+      // Legacy events testdata stored TIMESTAMP(NANOS), which Spark's
+      // parquet reader rejects by default; map it to epoch-nanos bigint
+      // session-wide so Tables.normalizeTs can canonicalize it. Current
+      // testdata is TIMESTAMP(MICROS) (the conf is a no-op there). Set
+      // at build time so no table loader has to mutate a live session.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Bucketed saveAsTable ([[graft.sources.Sink.saveBucketed]])
       // needs a writable warehouse; keep it out of the repo tree.

@@ -562,7 +562,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val timed = Tables.events(s, dir)
         .select(col("event_id").as("doc_id"),
-          to_date(Tables.eventsTs(col("ts"))).as("window_start"))
+          to_date(col("ts")).as("window_start"))
         .join(docs, Seq("doc_id"))
       val counts = timed
         .select(col("window_start"),
@@ -1414,23 +1414,18 @@ object PipelineQueries {
            |      < m.n_min * 1000000
            |GROUP BY 1""".stripMargin))
 
-  /** Event-time bucketing over the nanos-precision `ts`: daily event
-    * counts per type. Exercises the nanos→timestamp derivation
-    * ([[Tables.eventsTs]]); DuckDB reads the TIMESTAMP(NANOS) column
-    * natively, so agreement proves the conversion.
-    */
   /** As-of join ([[Asof.asofJoin]]): each purchase event picks up the
     * most recent at-or-before `view` event's value for the same user —
     * the point-in-time lookup shape (price as of trade, profile as of
     * click). The right side is pre-aggregated to one row per
     * (user, ts) per the operator's uniqueness precondition. The join
-    * runs on raw epoch-NANOS bigints (exact), but the matched ts is
-    * EMITTED as truncated epoch-micros: nanos ≈ 1.7e18 exceed double's
-    * 2^53 exact range, and the driver comparator routes nullable int64
-    * through float64 (pandas), where the two engines' values would
-    * round differently. Micros ≈ 1.7e15 survive that path exactly.
-    * The oracle is DuckDB's native ASOF LEFT JOIN — an independent
-    * implementation of the same semantics, not a mirrored formula.
+    * runs on the canonical TIMESTAMP_NTZ `ts` ([[Tables.events]]'
+    * contract); the matched ts is EMITTED as epoch-micros bigint
+    * ([[Tables.tsMicros]]) because the driver comparator routes
+    * nullable int64 through float64 (pandas) and micros ≈ 1.7e15 stay
+    * within double's 2^53 exact range. The oracle is DuckDB's native
+    * ASOF LEFT JOIN — an independent implementation of the same
+    * semantics, not a mirrored formula.
     */
   val asofEvents = QueryDef(
     "j_asof_events",
@@ -1446,7 +1441,7 @@ object PipelineQueries {
       Asof.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
           Seq("view_ts", "view_value"))
         .select(col("event_id"), col("user_id"), col("purchase_value"),
-          (col("view_ts").cast("decimal(20,0)") / 1000).cast("long").as("view_ts_us"),
+          Tables.tsMicros(col("view_ts")).as("view_ts_us"),
           col("view_value"))
     },
     Some("""WITH p AS (SELECT event_id, user_id, ts, ROUND(value, 2) AS purchase_value
@@ -1461,9 +1456,8 @@ object PipelineQueries {
     * ±5 minutes of any error event — no equi key, pure interval
     * containment, bucketized to a 10-minute-bucket equi-join (PlanSpec
     * pins the no-BNLJ plan). The whole query runs at MICROSECOND grain
-    * (`ts div 1000` on the Spark side): DuckDB truncates parquet
-    * TIMESTAMP(NANOS) to µs on read (verified against the raw int64
-    * values), so µs is the shared precision where membership and
+    * ([[Tables.tsMicros]] on the Spark side, `epoch_us` in DuckDB) —
+    * the canonical `ts` is already micros-precision, so membership and
     * deltas are bit-identical across both engines. The oracle is
     * DuckDB's native range join (IEJoin) over timestamp intervals —
     * an independent implementation.
@@ -1474,9 +1468,9 @@ object PipelineQueries {
       val ev = Tables.events(s, dir)
       val fiveMinUs = 300000000L
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), expr("ts div 1000").as("ts_us"))
+        .select(col("event_id").as("click_id"), Tables.tsMicros(col("ts")).as("ts_us"))
       val errors = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("error_id"), expr("ts div 1000").as("err_us"))
+        .select(col("event_id").as("error_id"), Tables.tsMicros(col("ts")).as("err_us"))
         .select(col("error_id"), col("err_us"),
           (col("err_us") - fiveMinUs).as("lo"), (col("err_us") + fiveMinUs).as("hi"))
       RangeJoin.pointInInterval(clicks, "ts_us", errors, "lo", "hi",
@@ -1494,9 +1488,8 @@ object PipelineQueries {
     * — "whose browsing hour overlapped an incident". Exactly-once via
     * the canonical overlap-start bucket; oracle is DuckDB's native
     * IEJoin on the raw inequality — an independent implementation of
-    * the same semantics. µs grain throughout (nanos exceed double's
-    * exact range on the driver-compare path; DuckDB truncates
-    * TIMESTAMP(NANOS) to µs on read anyway).
+    * the same semantics. µs grain throughout ([[Tables.tsMicros]] /
+    * DuckDB `epoch_us` over the canonical micros-precision `ts`).
     */
   val overlapEvents = QueryDef(
     "j_overlap_events",
@@ -1504,13 +1497,13 @@ object PipelineQueries {
       val ev = Tables.events(s, dir)
       val fiveMinUs = 300000000L
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .select(col("user_id"), Tables.tsMicros(col("ts")).as("ts_us"))
         .groupBy(col("user_id"), expr("ts_us div 3600000000").as("hr"))
         .agg(min(col("ts_us")).as("v_lo"), max(col("ts_us")).as("v_hi"))
       val incidents = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("error_id"),
-          (expr("ts div 1000") - fiveMinUs).as("e_lo"),
-          (expr("ts div 1000") + fiveMinUs).as("e_hi"))
+          (Tables.tsMicros(col("ts")) - fiveMinUs).as("e_lo"),
+          (Tables.tsMicros(col("ts")) + fiveMinUs).as("e_hi"))
       RangeJoin.intervalOverlap(views, "v_lo", "v_hi", incidents, "e_lo", "e_hi",
           bucketWidth = 2 * fiveMinUs)
         .select(col("user_id"), col("hr"), col("error_id"),
@@ -1540,8 +1533,8 @@ object PipelineQueries {
     * user's timeline linearly — the batch-backfill counterpart to the
     * streaming operator's constant-size per-key state. Ordering is
     * (ts_us, event_id) so same-microsecond events split sessions
-    * identically in both engines. µs grain for the same reason as
-    * `j_asof_events`: DuckDB truncates TIMESTAMP(NANOS) to µs on read.
+    * identically in both engines. µs grain as everywhere in the
+    * events family: [[Tables.tsMicros]] / DuckDB `epoch_us`.
     */
   val eventsSessionize = QueryDef(
     "events_sessionize",
@@ -1550,7 +1543,7 @@ object PipelineQueries {
       val gapUs = 1800000000L // 30 min
       val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"), col("value"))
+        .select(col("user_id"), col("event_id"), Tables.tsMicros(col("ts")).as("ts_us"), col("value"))
         .withColumn("new_sess",
           when(lag(col("ts_us"), 1).over(w).isNull ||
             col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
@@ -1590,7 +1583,7 @@ object PipelineQueries {
     "events_daily",
     (s, dir) =>
       Tables.events(s, dir)
-        .select(to_date(Tables.eventsTs(col("ts"))).as("dia"), col("event_type"), col("value"))
+        .select(to_date(col("ts")).as("dia"), col("event_type"), col("value"))
         .groupBy("dia", "event_type")
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value")),
     Some("""SELECT CAST(ts AS DATE) AS dia, event_type,

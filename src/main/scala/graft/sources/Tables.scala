@@ -66,29 +66,65 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects by default. GraftSession builds sessions
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` so the column
-    * arrives as a bigint of epoch nanos; [[eventsTs]] re-derives a
-    * proper timestamp. For an EXTERNALLY-built session the loader
-    * self-heals by setting the conf at runtime — note this is
-    * SESSION-GLOBAL: every later parquet read of a nanos column in
-    * that session also gets the bigint mapping (there is no per-read
-    * option for it).
+  /** Canonical events loader. The physical encoding of `ts` has
+    * differed across testdata generations — parquet TIMESTAMP(NANOS)
+    * (which Spark reads as an epoch-nanos bigint under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and, since the
+    * round-7 regeneration, parquet TIMESTAMP(MICROS) without timezone
+    * (which Spark reads as TIMESTAMP_NTZ). This loader inspects the
+    * arrived type and normalizes BOTH to one logical contract every
+    * downstream query codes against:
+    *
+    *   `ts` is TIMESTAMP_NTZ at microsecond precision
+    *   (naive wall-clock, exactly what DuckDB's reader also yields —
+    *   so `epoch_us(ts)` oracles agree bit-for-bit).
+    *
+    * The nanos→micros branch divides through decimal: `Column./` is
+    * DOUBLE division and modern epoch-nanos (~1.7e18) exceed double's
+    * 2^53 exact range — the naive form is ±1µs off for a large share
+    * of rows. The session runs UTC ([[graft.GraftSession]]), so the
+    * intermediate TimestampType→NTZ cast is a pure reinterpretation.
+    *
+    * The conf self-heal (nanosAsLong for externally-built sessions) is
+    * kept so legacy TIMESTAMP(NANOS) files stay readable — it is a
+    * no-op on micros files and SESSION-GLOBAL by Spark's design (no
+    * per-read option exists).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spread(spark, table(spark, dir, "events"))
+    spread(spark, normalizeTs(table(spark, dir, "events")))
   }
 
-  /** Epoch-nanos bigint → timestamp (microsecond precision). Division
-    * goes through decimal: `Column./` is DOUBLE division, and modern
-    * epoch-nanos (~1.7e18) exceed double's 2^53 exact range — the
-    * naive form is ±1µs off for a large share of rows.
+  /** Normalize an events-shaped frame's `ts` column to the canonical
+    * TIMESTAMP_NTZ(micros) contract, whatever physical type the reader
+    * produced. Exposed (not private) so the schema-contract test can
+    * drive both branches against synthesized files.
     */
-  def eventsTs(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((nanos.cast("decimal(20,0)") / 1000).cast("long"))
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as epoch-nanos bigint
+        df.withColumn(tsCol,
+          timestamp_micros((col(tsCol).cast("decimal(20,0)") / 1000).cast("long"))
+            .cast("timestamp_ntz"))
+      case TimestampType => // adjusted-to-UTC micros
+        df.withColumn(tsCol, col(tsCol).cast("timestamp_ntz"))
+      case _: TimestampNTZType => df // already canonical
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$tsCol arrived as unsupported type $other; expected " +
+            "TIMESTAMP_NTZ, TIMESTAMP, or epoch-nanos BIGINT")
+    }
+  }
+
+  /** Canonical `ts` (TIMESTAMP_NTZ, micros) → exact epoch-micros
+    * bigint. Matches DuckDB's `epoch_us(ts)` on the same naive data.
+    * Goes through TimestampType (`unix_micros` only accepts it); the
+    * session runs UTC so the NTZ→TZ cast is value-preserving.
+    */
+  def tsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(c.cast("timestamp"))
   def documents(spark: SparkSession, dir: String): DataFrame =
     spread(spark, table(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =

@@ -452,9 +452,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("text_redact_pii is a pure codegen projection: no shuffle at all") {
-    val p = plan("text_redact_pii")
+    val exec = SparkEntry.queries("text_redact_pii")(spark, dir).queryExecution.executedPlan
+    val p = exec.toString
     assert(!p.contains("Exchange"), "redaction must not shuffle:\n" + p.take(600))
-    assert(p.contains("WholeStageCodegen"), p.take(400))
+    // Under explainMode=simple codegen stages print as `*(n)`, not the
+    // literal "WholeStageCodegen" — inspect the plan tree directly.
+    val codegend = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegend.nonEmpty, "projection fell out of whole-stage codegen:\n" + p.take(400))
   }
 
   test("text_pack_sequences: one bucket aggregation, no window, no cartesian") {
