@@ -4,13 +4,25 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CheckpointBlocks
 
-/** Kernel output row: one doc's distinct shingles + MinHash signature
+/** Kernel output row: one doc's distinct HASHED shingles (md5-derived
+  * 60-bit ints — see [[Dedup.shingleHashes]]) + MinHash signature
   * (empty signature when the doc is too short to shingle).
+  *
+  * Hashes, not strings, on purpose: the verify join re-attaches both
+  * sides' shingle sets to every candidate pair, and at corpus scale
+  * that shuffle is the pipeline's dominant byte volume — 8 bytes per
+  * shingle instead of a 5-40 char string is a 3-10× cut, and the
+  * Jaccard set-intersection compares longs instead of strings. Both
+  * engines (Spark and the DuckDB oracle) intersect the SAME md5 hash
+  * sets, so results agree bit-for-bit BY CONSTRUCTION — even a hash
+  * collision (≈|sh|²/2³² per doc, vanishing) changes both identically.
   */
-final case class DocShingles(id: Long, sh: Seq[String], sg: Seq[Long])
+final case class DocShingles(id: Long, sh: Seq[Long], sg: Seq[Long])
 
-/** Candidate pair with both shingle sets attached, for the verify step. */
-final case class CandPair(id_a: Long, id_b: Long, sh_a: Seq[String], sh_b: Seq[String])
+/** Candidate pair with both hashed-shingle sets attached, for the
+  * verify step.
+  */
+final case class CandPair(id_a: Long, id_b: Long, sh_a: Seq[Long], sh_b: Seq[Long])
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -184,21 +196,27 @@ object Dedup {
     else Array.tabulate(cps.length - n + 1)(i => new String(cps, i, n)).distinct
   }
 
-  /** One doc's signature from its shingles: md5 → 60-bit → mod 2^31,
-    * then the per-seed affine family — bit-identical to
-    * [[shingleHashes]] + [[minhashFromHashes]].
+  /** One strong hash per shingle — md5 → 60-bit → mod 2^31,
+    * bit-identical to the [[shingleHashes]] Column twin — DISTINCT'd
+    * after hashing (shingle strings are already distinct; hashing can
+    * only merge, and both engines dedup the hash list the same way).
     */
-  private def signature(
-      sh: Array[String], numHashes: Int,
-      md: java.security.MessageDigest): Array[Long] = {
-    if (sh.isEmpty) return Array.empty
-    val hs = sh.map { s =>
+  private def shingleHashesJvm(
+      sh: Array[String],
+      md: java.security.MessageDigest): Array[Long] =
+    sh.map { s =>
       val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var h = 0L
       var i = 0
       while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 } // 64 bits
       (h >>> 4) % 2147483648L // top 60 bits = first 15 hex chars
-    }
+    }.distinct
+
+  /** One doc's signature from its precomputed shingle hashes: the
+    * per-seed affine family, bit-identical to [[minhashFromHashes]].
+    */
+  private def signatureFromHashes(hs: Array[Long], numHashes: Int): Array[Long] = {
+    if (hs.isEmpty) return Array.empty
     Array.tabulate(numHashes) { i =>
       var min = Long.MaxValue
       var j = 0
@@ -211,9 +229,11 @@ object Dedup {
     }
   }
 
-  /** Per-doc shingles + MinHash signature in ONE narrow JVM pass.
-    * `mode` is "word" (k-word shingles of the lowered text) or "char"
-    * (character n-grams).
+  /** Per-doc hashed shingles + MinHash signature in ONE narrow JVM
+    * pass. `mode` is "word" (k-word shingles of the lowered text) or
+    * "char" (character n-grams). `sh` holds the distinct md5-derived
+    * shingle hashes (see [[DocShingles]]), hashed once and reused for
+    * both the signature and the verify step.
     */
   def shingleSignatures(
       docs: DataFrame,
@@ -229,7 +249,8 @@ object Dedup {
       it.map { case (id, text) =>
         val sh =
           if (mode == "word") wordShinglesJvm(text, k) else charShinglesJvm(text, k)
-        DocShingles(id, sh.toSeq, signature(sh, numHashes, md).toSeq)
+        val hs = shingleHashesJvm(sh, md)
+        DocShingles(id, hs.toSeq, signatureFromHashes(hs, numHashes).toSeq)
       }
     }(Encoders.product[DocShingles]).toDF()
   }
@@ -241,13 +262,15 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.4): DataFrame =
-    minhashPairsKernel(docs, idCol, textCol, "word", shingleK, numHashes, bands, threshold)
+      threshold: Double = 0.4,
+      maxBucket: Int = LshMaxBucket): DataFrame =
+    minhashPairsKernel(docs, idCol, textCol, "word", shingleK, numHashes, bands, threshold,
+      maxBucket)
 
   /** MinHash+LSH near-dup pairs with the JVM signature kernel and a
     * JVM set-intersection verify; candidate generation and the verify
     * re-attach remain declarative joins. See [[minhashPairs]] for the
-    * plan-shape notes.
+    * plan-shape notes and [[capBuckets]] for the hot-bucket guard.
     */
   def minhashPairsKernel(
       docs: DataFrame,
@@ -257,9 +280,11 @@ object Dedup {
       k: Int,
       numHashes: Int,
       bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucket: Int = LshMaxBucket): DataFrame = {
     val (caches, pairs) =
-      minhashPairsKernelLazy(docs, idCol, textCol, mode, k, numHashes, bands, threshold)
+      minhashPairsKernelLazy(docs, idCol, textCol, mode, k, numHashes, bands, threshold,
+        maxBucket)
     eagerRelease(caches, pairs)
   }
 
@@ -293,6 +318,43 @@ object Dedup {
     * wrapper hides it in an InMemoryRelation. Returns (internal
     * persist-marked caches, pairs).
     */
+  /** Default LSH bucket-size cap — see [[capBuckets]]. Interpolated
+    * into the DuckDB oracle SQL (PipelineQueries.minhashOracle) so the
+    * two engines apply the identical cut.
+    */
+  val LshMaxBucket: Int = 2000
+
+  /** Drop every (band, key) bucket holding more than `maxBucket` docs
+    * before the candidate self-join.
+    *
+    * Why this is load-bearing at scale: the self-join emits n·(n−1)/2
+    * pairs PER BUCKET, so one boilerplate-heavy key (license headers,
+    * templated pages — every real web corpus has them) turns the
+    * candidate space quadratic. Measured on the 10× sf1 fixture: a
+    * max bucket of 2,365 docs pushed candidates from 36 k to 40.7 M
+    * (1,136× at 10× data) and dedup_ngram from 5.6 s to 74.8 s. A
+    * band key shared by thousands of docs carries no discriminative
+    * signal — the standard web-dedup posture is to skip it (the docs
+    * remain eligible through their other bands, so genuinely similar
+    * pairs keep bands-1 further chances; a TRUE dup crowd larger than
+    * the cap is exact-dedup's job, which runs before near-dup).
+    *
+    * Cost: one map-side-combinable count over the banded frame, and
+    * the hot-key set (≤ |banded|/cap keys — thousands, not millions)
+    * broadcasts into an anti-join, so the banded frame itself is NOT
+    * re-shuffled. The cut is deterministic (a pure function of the
+    * data), so the DuckDB oracle replays it exactly.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val hot = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket)
+        .select(col("band"), col("key"))
+      banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    }
+
   private[graft] def minhashPairsKernelLazy(
       docs: DataFrame,
       idCol: String,
@@ -301,7 +363,8 @@ object Dedup {
       k: Int,
       numHashes: Int,
       bands: Int,
-      threshold: Double): (Seq[DataFrame], DataFrame) = {
+      threshold: Double,
+      maxBucket: Int = LshMaxBucket): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val rows = numHashes / bands
     // Signatures materialized once; read by banding + both verify sides.
@@ -312,13 +375,18 @@ object Dedup {
     // self-join would emit |shortDocs|² candidates — a quadratic
     // explosion at web-corpus scale. They can never pass the Jaccard
     // verify anyway (empty ∩ anything = 0), so drop them up front.
+    // Persisted: read 3× below (hot-bucket count + both self-join
+    // sides), and each read would otherwise re-run the band-key md5
+    // over the cached signatures.
     val banded = sigs
       .filter(size(col("sg")) > 0)
       .select(col("id"), explode(lshBandKeys(col("sg"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val capped = capBuckets(banded, maxBucket)
 
-    val cand = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    val cand = capped.as("a")
+      .join(capped.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -331,7 +399,9 @@ object Dedup {
 
     // Set-intersection verify in the JVM: interpreted array_intersect
     // over large shingle arrays was the second-largest cost at sf0.1.
-    // Rounding mirrors Spark's round() (BigDecimal HALF_UP).
+    // Operates on the HASHED shingle sets (see [[DocShingles]]) — long
+    // equality, 8-byte shuffle rows. Rounding mirrors Spark's round()
+    // (BigDecimal HALF_UP).
     val verified = joined.mapPartitions { it =>
       it.map { p =>
         val setA = p.sh_a.toSet
@@ -344,7 +414,7 @@ object Dedup {
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
       .toDF("id_a", "id_b", "jac")
-    (Seq(sigs), verified.filter(col("jac") >= threshold))
+    (Seq(sigs, banded), verified.filter(col("jac") >= threshold))
   }
 
   /** The shingle-agnostic MinHash+LSH pairing pipeline: takes any
@@ -356,8 +426,10 @@ object Dedup {
       withShingles: DataFrame,
       numHashes: Int,
       bands: Int,
-      threshold: Double): DataFrame = {
-    val (caches, pairs) = pairsFromShinglesLazy(withShingles, numHashes, bands, threshold)
+      threshold: Double,
+      maxBucket: Int = LshMaxBucket): DataFrame = {
+    val (caches, pairs) =
+      pairsFromShinglesLazy(withShingles, numHashes, bands, threshold, maxBucket)
     eagerRelease(caches, pairs)
   }
 
@@ -365,7 +437,8 @@ object Dedup {
       withShingles: DataFrame,
       numHashes: Int,
       bands: Int,
-      threshold: Double): (Seq[DataFrame], DataFrame) = {
+      threshold: Double,
+      maxBucket: Int = LshMaxBucket): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val rows = numHashes / bands
     // Materialize shingles and band keys ONCE: both frames are read
@@ -389,17 +462,23 @@ object Dedup {
       .select(col("id"), explode(lshBandKeys(minhashFromHashes(col("hs"), numHashes), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val capped = capBuckets(banded, maxBucket)
 
-    val cand = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    val cand = capped.as("a")
+      .join(capped.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
+    // Verify on the distinct HASH sets (not the shingle strings) so
+    // the per-candidate re-attach ships 8-byte longs — identical to
+    // the kernel path's contract; both engines intersect the same md5
+    // hash sets, so agreement is by construction.
+    val hv = withSh.select(col("id"), array_distinct(col("hs")).as("hv"))
     val pairs = cand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+      .join(hv.select(col("id").as("id_a"), col("hv").as("hv_a")), Seq("id_a"))
+      .join(hv.select(col("id").as("id_b"), col("hv").as("hv_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(jaccard(col("hv_a"), col("hv_b")), 6).as("jac"))
       .filter(col("jac") >= threshold)
     (Seq(withSh, banded), pairs)
   }

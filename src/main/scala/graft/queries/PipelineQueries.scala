@@ -29,34 +29,48 @@ object PipelineQueries {
            |FROM documents GROUP BY 1""".stripMargin))
 
   /** Shared DuckDB MinHash+LSH pipeline over a pluggable shingle
-    * expression (mirrors [[Dedup.pairsFromShingles]]: 16 hashes from
-    * one md5 per shingle + the affine rehash family, 4 bands × 4 rows).
+    * expression (mirrors [[Dedup.minhashPairsKernel]]: 16 hashes from
+    * one md5 per shingle + the affine rehash family, 4 bands × 4 rows,
+    * hot buckets over [[Dedup.LshMaxBucket]] dropped, Jaccard verify
+    * over the distinct md5 HASH sets — the same sets the engine
+    * intersects, so agreement is by construction).
     */
   private def minhashOracle(shinglesSql: String, threshold: Double): String =
     s"""WITH docs AS (
        |  SELECT doc_id AS id, $shinglesSql AS sh FROM documents
        |),
+       |hv AS (
+       |  SELECT id, list_distinct([('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483648
+       |                            FOR s IN sh]) AS hv
+       |  FROM docs
+       |),
        |sig AS (
        |  SELECT id,
-       |         [list_min([(h * (2*i + 1) + i * 1000003 + 12345) % 2147483648
-       |                    FOR h IN [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483648 FOR s IN sh]])
+       |         [list_min([(h * (2*i + 1) + i * 1000003 + 12345) % 2147483648 FOR h IN hv])
        |          FOR i IN generate_series(0, 15)] AS sg
-       |  FROM docs
+       |  FROM hv WHERE len(hv) > 0
        |),
        |banded AS (
        |  SELECT id, b AS band, md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
        |),
+       |hot AS (
+       |  SELECT band, key FROM banded GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+       |),
+       |capped AS (
+       |  SELECT id, band, key FROM banded
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = banded.band AND h.key = banded.key)
+       |),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
        |),
        |verified AS (
        |  SELECT id_a, id_b,
-       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
-       |         CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
-       |           - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS u
-       |  FROM cand JOIN docs sa ON cand.id_a = sa.id JOIN docs sb ON cand.id_b = sb.id
+       |         CAST(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE) AS inter,
+       |         CAST(len(sa.hv) AS DOUBLE) + CAST(len(sb.hv) AS DOUBLE)
+       |           - CAST(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE) AS u
+       |  FROM cand JOIN hv sa ON cand.id_a = sa.id JOIN hv sb ON cand.id_b = sb.id
        |)
        |SELECT id_a, id_b, jac FROM (
        |  SELECT id_a, id_b, ROUND(CASE WHEN u = 0 THEN 0.0 ELSE inter / u END, 6) AS jac

@@ -106,6 +106,20 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("LSH bucket cap drops hot buckets; pairs survive under the default cap") {
+    // Six near-identical docs land in the same band buckets (bucket
+    // size 6). With maxBucket=3 every one of their buckets is over cap
+    // → zero candidates → zero pairs. With the default cap they pair.
+    val docs = (1L to 6L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashPairsKernel(docs, "doc_id", "text",
+      mode = "word", k = 3, numHashes = 16, bands = 4, threshold = 0.4, maxBucket = 3)
+    assert(capped.count() == 0L, "over-cap buckets must emit no candidate pairs")
+    val uncapped = Dedup.minhashPairsKernel(docs, "doc_id", "text",
+      mode = "word", k = 3, numHashes = 16, bands = 4, threshold = 0.4)
+    assert(uncapped.count() == 15L, "default cap must leave small buckets untouched")
+  }
+
   test("charShingles builds real n-grams of the text (round-1 bug regression)") {
     val sh = Seq("abcdef").toDF("t")
       .select(Dedup.charShingles(col("t"), 3)).as[Seq[String]].head()
@@ -149,16 +163,19 @@ class DedupSpec extends AnyFunSuite {
       val shCol = if (mode == "word")
         Dedup.wordShingles(TextAnalysis.tokens(lower(col("text"))), k)
       else Dedup.charShingles(lower(col("text")), k)
+      // Kernel `sh` is the DISTINCT md5 hash set (DocShingles contract);
+      // the columnar twin is array_distinct over shingleHashes.
       val columnar = df.select(col("doc_id"), shCol.as("sh"))
-        .select(col("doc_id"), col("sh"),
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingleHashes(col("sh"))).as("hv"),
           Dedup.minhashFromHashes(Dedup.shingleHashes(col("sh")), 16).as("sg"))
-        .as[(Long, Seq[String], Seq[Option[Long]])].collect()
+        .as[(Long, Seq[Option[Long]], Seq[Option[Long]])].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
       val kernel = Dedup.shingleSignatures(df, "doc_id", "text", mode, k, 16)
-        .as[(Long, Seq[String], Seq[Long])].collect()
+        .as[(Long, Seq[Long], Seq[Long])].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
       for (id <- texts.map(_._1)) {
-        assert(kernel(id)._1 == columnar(id)._1, s"$mode shingles for doc $id")
+        assert(kernel(id)._1 == columnar(id)._1.flatten, s"$mode hashed shingles for doc $id")
         // Column path yields [null x 16] for empty shingles, kernel [].
         if (kernel(id)._1.nonEmpty)
           assert(kernel(id)._2 == columnar(id)._2.flatten, s"$mode signature for doc $id")
