@@ -666,9 +666,10 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 6,
       bands: Int = 4,
-      bitsPerBand: Int = 15): DataFrame = {
+      bitsPerBand: Int = 15,
+      maxBucket: Int = LshMaxBucket): DataFrame = {
     val (caches, pairs) =
-      simhashPairsLazy(docs, idCol, textCol, maxHamming, bands, bitsPerBand)
+      simhashPairsLazy(docs, idCol, textCol, maxHamming, bands, bitsPerBand, maxBucket)
     eagerRelease(caches, pairs)
   }
 
@@ -678,7 +679,8 @@ object Dedup {
       textCol: String,
       maxHamming: Int,
       bands: Int,
-      bitsPerBand: Int): (Seq[DataFrame], DataFrame) = {
+      bitsPerBand: Int,
+      maxBucket: Int = LshMaxBucket): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     // md5 token hashes materialized behind a cache boundary so the
     // 60-bit fold reads an attribute (one md5 pass per row, not 60);
@@ -693,8 +695,12 @@ object Dedup {
       .select(col("id"), col("sim"),
         explode(simhashBandKeys(col("sim"), bands, bitsPerBand)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    // Same hot-bucket guard as the MinHash path ([[capBuckets]]): a
+    // bit-slice key shared by thousands of docs (boilerplate) would
+    // make the self-join quadratic in that bucket.
+    val capped = capBuckets(banded, maxBucket)
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
