@@ -404,4 +404,57 @@ object TextAnalysis {
         struct((-col(nCol)).as("nn"), col(termCol).as("term")), k).as("top"))
       .select(col(windowCol), explode(col("top")).as("t"))
       .select(col(windowCol), col("t.term").as(termCol), (-col("t.nn")).as(nCol))
+
+  /** Duplicate token-span detection — the substring-level dedup signal
+    * from "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022): k-token windows at a fixed stride, hashed and
+    * counted across the corpus. Spans appearing in ≥ `minDocs`
+    * distinct documents are the memorization-prone boilerplate
+    * (licenses, navigation chrome, templated passages) that
+    * document-level dedup — exact or near — cannot see, because the
+    * containing documents differ.
+    *
+    * Returns `(span_hash, n_docs, n_total, sample_doc_id)`; recover
+    * the span text or the affected documents by re-deriving spans for
+    * the (tiny) hit set and joining on the hash.
+    *
+    * Scale shape: tokenize → windowed md5 per (doc, position) — all
+    * codegen'd, no kernel — then TWO map-side-combinable aggregates:
+    * (hash, doc) collapses each doc's repeats before the first
+    * shuffle, (hash) counts docs after the second. Only 32-char
+    * hashes cross the wire, never span text; both shuffles carry at
+    * most |docs| × (len/stride) rows, pruned hard by the partial
+    * aggs. No windows, no self-joins — a 100 TB corpus pays two
+    * linear shuffles.
+    *
+    * The stride trades recall for cost exactly as in the paper's
+    * suffix-array approximations: stride s detects any duplicated
+    * passage of ≥ k + s − 1 tokens; stride 1 is exhaustive at s×
+    * the span count.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 10,
+      stride: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val t = tokens(lower(coalesce(col(textCol), lit(""))))
+    val spans = docs
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        explode(
+          when(size(col("t")) >= spanTokens,
+            transform(
+              sequence(lit(1), size(col("t")) - (spanTokens - 1), lit(stride)),
+              i => md5(concat_ws(" ", slice(col("t"), i, lit(spanTokens))))))
+            .otherwise(expr("array()").cast("array<string>"))).as("span_hash"))
+    spans
+      .groupBy(col("span_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_total"),
+        min(col("doc_id")).as("sample_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

@@ -849,6 +849,33 @@ object PipelineQueries {
            |       list_min(fps) AS fp_min, list_max(fps) AS fp_max
            |FROM fps""".stripMargin))
 
+  /** Duplicate token spans ([[TextAnalysis.duplicateSpans]]): 10-token
+    * windows at stride 5 appearing in ≥ 2 distinct documents — the
+    * substring-level boilerplate that document-level dedup can't see.
+    * At sf0.01 the corpus yields ~200 such spans (the planted near-dup
+    * families share passages); the oracle re-derives the same strided
+    * md5 windows in DuckDB.
+    */
+  val textDupSpans = QueryDef(
+    "text_dup_spans",
+    (s, dir) =>
+      TextAnalysis.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        spanTokens = 10, stride = 5, minDocs = 2),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+           |  FROM documents
+           |),
+           |spans AS (
+           |  SELECT doc_id, md5(array_to_string(t[i:i+9], ' ')) AS span_hash
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - 9, 0), 5)) AS i)
+           |),
+           |per_doc AS (
+           |  SELECT span_hash, doc_id, COUNT(*) AS n FROM spans GROUP BY 1, 2
+           |)
+           |SELECT span_hash, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_total,
+           |       MIN(doc_id) AS sample_doc_id
+           |FROM per_doc GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin))
+
   // -------------------------------------------------------- similarity
 
   /** DuckDB cosine mirroring [[graft.functions.VectorFunctions.cosine]]
@@ -1617,7 +1644,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
+    textWinnow, textDupSpans, annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,
     asofEvents, rangeEvents, overlapEvents,

@@ -106,6 +106,22 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("duplicateSpans finds the shared window, skips doc-local repeats and short docs") {
+    import graft.operators.TextAnalysis
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " tail one"),
+      (2L, shared + " other ending here"),
+      (3L, "completely different words " + (1 to 7).map(i => s"x$i").mkString(" ")),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSpans(docs, "doc_id", "text",
+      spanTokens = 10, stride = 5, minDocs = 2)
+      .as[(String, Long, Long, Long)].collect()
+    // Docs 1 and 2 share exactly the one 10-token window at position 1.
+    assert(out.length == 1, out.toSeq.toString)
+    assert(out.head._2 == 2L && out.head._3 == 2L && out.head._4 == 1L)
+  }
+
   test("LSH bucket cap drops hot buckets; pairs survive under the default cap") {
     // Six near-identical docs land in the same band buckets (bucket
     // size 6). With maxBucket=3 every one of their buckets is over cap
