@@ -438,9 +438,26 @@ object TextAnalysis {
       textCol: String,
       spanTokens: Int = 10,
       stride: Int = 5,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2): DataFrame =
+    spanHashes(docs, idCol, textCol, spanTokens, stride)
+      .groupBy(col("span_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_total"),
+        min(col("doc_id")).as("sample_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** The strided-window hash stream behind [[duplicateSpans]] /
+    * [[dupSpanFractions]]: one `(doc_id, span_hash)` row per window.
+    */
+  private def spanHashes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int,
+      stride: Int): DataFrame = {
     val t = tokens(lower(coalesce(col(textCol), lit(""))))
-    val spans = docs
+    docs
       .select(col(idCol).as("doc_id"), t.as("t"))
       .select(col("doc_id"),
         explode(
@@ -449,12 +466,44 @@ object TextAnalysis {
               sequence(lit(1), size(col("t")) - (spanTokens - 1), lit(stride)),
               i => md5(concat_ws(" ", slice(col("t"), i, lit(spanTokens))))))
             .otherwise(expr("array()").cast("array<string>"))).as("span_hash"))
-    spans
+  }
+
+  /** The ACTION half of span-level dedup: per-document fraction of
+    * spans that are corpus-duplicated — the score a cleaning pipeline
+    * thresholds on (drop or trim documents that are mostly shared
+    * boilerplate). Returns `(doc_id, n_spans, n_dup_spans, dup_frac)`
+    * for every document with at least one span; `dup_frac` is rounded
+    * to 6 dp so both engines agree after double division.
+    *
+    * Scale shape: the span stream is aggregated per (hash, doc), the
+    * duplicated-hash set is derived by one more map-side-combinable
+    * aggregate, and membership comes back as a hash-key semi-join —
+    * shuffles are linear in the span stream, and the only frame keyed
+    * by raw hash cardinality carries two longs per hash. No text is
+    * shuffled at any point.
+    */
+  def dupSpanFractions(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 10,
+      stride: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val perDoc = spanHashes(docs, idCol, textCol, spanTokens, stride)
       .groupBy(col("span_hash"), col("doc_id"))
       .agg(count(lit(1)).as("n"))
+    val dupHashes = perDoc
       .groupBy(col("span_hash"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_total"),
-        min(col("doc_id")).as("sample_doc_id"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+      .select(col("span_hash"))
+    perDoc
+      .join(dupHashes.withColumn("is_dup", lit(1L)), Seq("span_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_spans"),
+        sum(when(col("is_dup").isNotNull, col("n")).otherwise(lit(0L))).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 6)
+          .as("dup_frac"))
   }
 }

@@ -876,6 +876,38 @@ object PipelineQueries {
            |       MIN(doc_id) AS sample_doc_id
            |FROM per_doc GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin))
 
+  /** Per-document duplicated-span fraction
+    * ([[TextAnalysis.dupSpanFractions]]) — the score the cleaning step
+    * thresholds on. Only docs with ≥ 1 span appear (short docs have no
+    * signal, not a 0.0 score).
+    */
+  val textDupSpanFrac = QueryDef(
+    "text_dup_span_frac",
+    (s, dir) =>
+      TextAnalysis.dupSpanFractions(Tables.documents(s, dir), "doc_id", "text",
+        spanTokens = 10, stride = 5, minDocs = 2),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+           |  FROM documents
+           |),
+           |spans AS (
+           |  SELECT doc_id, md5(array_to_string(t[i:i+9], ' ')) AS span_hash
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - 9, 0), 5)) AS i)
+           |),
+           |per_doc AS (
+           |  SELECT span_hash, doc_id, COUNT(*) AS n FROM spans GROUP BY 1, 2
+           |),
+           |dup AS (
+           |  SELECT span_hash FROM per_doc GROUP BY 1 HAVING COUNT(*) >= 2
+           |)
+           |SELECT p.doc_id, CAST(SUM(p.n) AS BIGINT) AS n_spans,
+           |       CAST(SUM(CASE WHEN d.span_hash IS NOT NULL THEN p.n ELSE 0 END) AS BIGINT)
+           |         AS n_dup_spans,
+           |       ROUND(SUM(CASE WHEN d.span_hash IS NOT NULL THEN p.n ELSE 0 END)::DOUBLE
+           |             / SUM(p.n)::DOUBLE, 6) AS dup_frac
+           |FROM per_doc p LEFT JOIN dup d USING (span_hash)
+           |GROUP BY 1""".stripMargin))
+
   // -------------------------------------------------------- similarity
 
   /** DuckDB cosine mirroring [[graft.functions.VectorFunctions.cosine]]
@@ -1644,7 +1676,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, textDupSpans, annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
+    textWinnow, textDupSpans, textDupSpanFrac, annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,
     asofEvents, rangeEvents, overlapEvents,

@@ -122,6 +122,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out.head._2 == 2L && out.head._3 == 2L && out.head._4 == 1L)
   }
 
+  test("dupSpanFractions scores shared-span docs 1.0, unique-span docs 0.0, drops short docs") {
+    import graft.operators.TextAnalysis
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " tail one"),
+      (2L, shared + " other ending here"),
+      (3L, "completely different words " + (1 to 7).map(i => s"x$i").mkString(" ")),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanFractions(docs, "doc_id", "text",
+      spanTokens = 10, stride = 5, minDocs = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 1.0)), 2L -> ((1L, 1L, 1.0)), 3L -> ((1L, 0L, 0.0))), out.toString)
+  }
+
   test("LSH bucket cap drops hot buckets; pairs survive under the default cap") {
     // Six near-identical docs land in the same band buckets (bucket
     // size 6). With maxBucket=3 every one of their buckets is over cap
