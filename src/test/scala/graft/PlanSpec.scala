@@ -463,6 +463,20 @@ class PlanSpec extends AnyFunSuite {
     assert(codegend.nonEmpty, "projection fell out of whole-stage codegen:\n" + p.take(400))
   }
 
+  test("text_dup_spans: two hash aggregates, no window, no join at all") {
+    val p = plan("text_dup_spans")
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("Window"), "span counting must not window-sort:\n" + p.take(600))
+    assert(!p.contains("Join"), "detection is pure aggregation — no join:\n" + p.take(600))
+  }
+
+  test("text_dup_span_frac: hash-key join only, no cartesian, no window") {
+    val p = plan("text_dup_span_frac")
+    assert(!p.contains("Window"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("text_pack_sequences: one bucket aggregation, no window, no cartesian") {
     val p = plan("text_pack_sequences")
     assert(p.contains("ObjectHashAggregate"),
