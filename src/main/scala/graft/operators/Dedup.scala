@@ -793,9 +793,11 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 6,
       bands: Int = 4,
-      bitsPerBand: Int = 15): DataFrame = {
+      bitsPerBand: Int = 15,
+      maxBucket: Int = LshMaxBucket): DataFrame = {
     val (caches, pairs) =
-      nearDupsAgainstCorpusLazy(corpus, batch, idCol, textCol, maxHamming, bands, bitsPerBand)
+      nearDupsAgainstCorpusLazy(corpus, batch, idCol, textCol, maxHamming, bands, bitsPerBand,
+        maxBucket)
     eagerRelease(caches, pairs)
   }
 
@@ -806,7 +808,8 @@ object Dedup {
       textCol: String,
       maxHamming: Int,
       bands: Int,
-      bitsPerBand: Int): (Seq[DataFrame], DataFrame) = {
+      bitsPerBand: Int,
+      maxBucket: Int = LshMaxBucket): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     // Per side: md5 token hashes behind a cache boundary (the majority-
     // vote fold reads the attribute once per bit — an inlined hash
@@ -824,14 +827,25 @@ object Dedup {
       .select(col("id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
     val (hsC, simC) = sideSim(corpus)
     val (hsB, simB) = sideSim(batch)
+    // Corpus-side hot-bucket cap ([[capBuckets]]): candidates are
+    // bounded by |batch| × bands × maxBucket instead of |batch| ×
+    // bands × largest-corpus-bucket — the guard that keeps one
+    // boilerplate band key in a billion-doc corpus from multiplying
+    // every matching batch row by millions. The batch side stays
+    // uncapped (it is small by the operator's contract). Persisted:
+    // the cap's bucket count and the join both read it, and the
+    // 60-bit majority-vote fold behind it is the expensive part.
+    val bandedC = bandedOf(simC)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cappedC = capBuckets(bandedC, maxBucket)
     val pairs = bandedOf(simB).as("b")
-      .join(bandedOf(simC).as("c"),
+      .join(cappedC.as("c"),
         col("b.band") === col("c.band") && col("b.key") === col("c.key"))
       .select(col("b.id").as("id_b"), col("c.id").as("id_c"),
         bit_count(col("b.sim").bitwiseXOR(col("c.sim"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    (Seq(hsC, hsB), pairs)
+    (Seq(hsC, hsB, bandedC), pairs)
   }
 
   /** Incremental cluster maintenance: fold a batch's near-dup pairs

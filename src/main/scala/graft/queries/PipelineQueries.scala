@@ -219,10 +219,10 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 10 >= 8),
         "doc_id", "text", maxHamming = 6, bands = 4, bitsPerBand = 15)
     },
-    Some("""WITH hs AS (
+    Some(s"""WITH hs AS (
            |  SELECT doc_id AS id,
            |         [('0x' || substr(md5(t), 1, 15))::BIGINT
-           |          FOR t IN string_split_regex(trim(lower(text)), '\s+')] AS hashes
+           |          FOR t IN string_split_regex(trim(lower(text)), '\\s+')] AS hashes
            |  FROM documents
            |),
            |sim AS (
@@ -236,12 +236,22 @@ object PipelineQueries {
            |banded AS (
            |  SELECT id, sim, b AS band, (sim >> (b * 15)) % (1::BIGINT << 15) AS key
            |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+           |),
+           |corpus_banded AS (
+           |  SELECT id, sim, band, key FROM banded WHERE id % 10 < 8
+           |),
+           |hot AS (
+           |  SELECT band, key FROM corpus_banded GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+           |),
+           |capped_c AS (
+           |  SELECT id, sim, band, key FROM corpus_banded cb
+           |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = cb.band AND h.key = cb.key)
            |)
            |SELECT id_b, id_c, hamming FROM (
            |  SELECT DISTINCT b.id AS id_b, c.id AS id_c,
            |         CAST(bit_count(xor(b.sim, c.sim)) AS INT) AS hamming
-           |  FROM banded b JOIN banded c ON b.band = c.band AND b.key = c.key
-           |  WHERE b.id % 10 >= 8 AND c.id % 10 < 8
+           |  FROM banded b JOIN capped_c c ON b.band = c.band AND b.key = c.key
+           |  WHERE b.id % 10 >= 8
            |) WHERE hamming <= 6""".stripMargin))
 
   /** Incremental cluster assignment ([[Dedup.assignToClusters]]): the
