@@ -345,7 +345,7 @@ object Dedup {
     * re-shuffled. The cut is deterministic (a pure function of the
     * data), so the DuckDB oracle replays it exactly.
     */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+  private[operators] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) banded
     else {
       val hot = banded.groupBy(col("band"), col("key"))

@@ -444,9 +444,10 @@ object Similarity {
       dim: Int = 64,
       nBands: Int = 6,
       bitsPerBand: Int = 12,
-      minCosine: Double = 0.2): DataFrame = {
+      minCosine: Double = 0.2,
+      maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
     val (keys, pairs) =
-      bucketedPairsLazy(corpus, idCol, vecCol, dim, nBands, bitsPerBand, minCosine)
+      bucketedPairsLazy(corpus, idCol, vecCol, dim, nBands, bitsPerBand, minCosine, maxBucket)
     Dedup.eagerRelease(Seq(keys), pairs)
   }
 
@@ -463,7 +464,8 @@ object Similarity {
       dim: Int,
       nBands: Int,
       bitsPerBand: Int,
-      minCosine: Double): (DataFrame, DataFrame) = {
+      minCosine: Double,
+      maxBucket: Int = Dedup.LshMaxBucket): (DataFrame, DataFrame) = {
     val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // Persisted: the candidate self-join reads this frame twice (same
     // pattern as Dedup's `banded`). The corpus projection `e` is
@@ -482,10 +484,14 @@ object Similarity {
         explode(VectorFunctions.bandSignKeys(col("vec"), dim, nBands, bitsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hot-bucket cap ([[Dedup.capBuckets]]): for sign-LSH a hot key is
+    // a dense direction cluster (or the all-zeros region of sparse
+    // vectors) — same quadratic self-join exposure as text LSH.
+    val capped = Dedup.capBuckets(keys, maxBucket)
     // A pair colliding in several bands must verify once, not once per
     // band: distinct at candidate cardinality, before any vector rides.
-    val cand = keys.as("a")
-      .join(keys.as("b"),
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

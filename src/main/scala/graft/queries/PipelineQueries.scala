@@ -1009,9 +1009,16 @@ object PipelineQueries {
             |              AS BIGINT) AS key
             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
             |),
+            |hot AS (
+            |  SELECT band, key FROM keys GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |),
+            |capped AS (
+            |  SELECT vec_id, band, key FROM keys k
+            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |),
             |cand AS (
             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
             |)
             |SELECT id_a, id_b, cos FROM (
             |  SELECT id_a, id_b, ROUND(${cosSql("ea.v", "eb.v")}, 6) AS cos
@@ -1054,9 +1061,16 @@ object PipelineQueries {
             |              AS BIGINT) AS key
             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
             |),
+            |hot AS (
+            |  SELECT band, key FROM keys GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |),
+            |capped AS (
+            |  SELECT vec_id, band, key FROM keys k
+            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |),
             |cand AS (
             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
             |),
             |pairs AS (
             |  SELECT id_a, id_b FROM (
@@ -1130,9 +1144,16 @@ object PipelineQueries {
             |              AS BIGINT) AS key
             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
             |),
+            |hot AS (
+            |  SELECT band, key FROM keys GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |),
+            |capped AS (
+            |  SELECT vec_id, band, key FROM keys k
+            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |),
             |cand AS (
             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
             |),
             |lsh AS (
             |  SELECT id_a, id_b FROM (
