@@ -291,10 +291,10 @@ object PipelineQueries {
       Dedup.assignToClusters(allPairs.filter(!aCorp || !bCorp), existing)
         .select(col("id").as("doc_id"), col("cluster_rep"))
     },
-    Some("""WITH RECURSIVE hs AS (
+    Some(s"""WITH RECURSIVE hs AS (
            |  SELECT doc_id AS id,
            |         [('0x' || substr(md5(t), 1, 15))::BIGINT
-           |          FOR t IN string_split_regex(trim(lower(text)), '\s+')] AS hashes
+           |          FOR t IN string_split_regex(trim(lower(text)), '\\s+')] AS hashes
            |  FROM documents
            |),
            |sim AS (
@@ -309,11 +309,18 @@ object PipelineQueries {
            |  SELECT id, sim, b AS band, (sim >> (b * 15)) % (1::BIGINT << 15) AS key
            |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
            |),
+           |hot AS (
+           |  SELECT band, key FROM banded GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+           |),
+           |capped AS (
+           |  SELECT id, sim, band, key FROM banded cb
+           |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = cb.band AND h.key = cb.key)
+           |),
            |pair AS (
            |  SELECT id_a, id_b FROM (
            |    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            |           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-           |    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+           |    FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
            |  ) WHERE hamming <= 6
            |),
            |cedges AS (
