@@ -192,8 +192,18 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val demotedJson = demoted.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // Per-query statistic kind, explicit in the durable artifact: the
+    // `queries` map mixes medians (normal) with mins (demoted — see the
+    // stat selection above), and a consumer comparing round-over-round
+    // must not average a min against a median without knowing which is
+    // which. `stat_kinds` lists ONLY the non-default entries;
+    // everything absent is `default_stat`.
+    val statKindsJson = timings.collect {
+      case (name, v) if v >= 0 && demoted.contains(name) =>
+        "\"" + name + "\":\"min\""
+    }.mkString("{", ",", "}")
     val resultJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"wall_sec":$elapsed%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"default_stat":"median","stat_kinds":$statKindsJson,"wall_sec":$elapsed%.1f}"""
     // The driver captures a BOUNDED tail of stdout; with 86+ queries the
     // one-line JSON outgrew it and round 5's official artifact lost its
     // first ~10 medians to head-truncation (parsed: null). The file copy

@@ -348,12 +348,42 @@ object Dedup {
   private[operators] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) banded
     else {
+      // Opt-in observability (`graft.lsh.logHotBuckets=true`): the cap
+      // silently changes recall for any pair whose every band key lands
+      // in a dropped bucket, so production runs need a way to SEE when
+      // it is cutting. Gated because the probe is one extra (map-side-
+      // combinable) aggregate job per dedup call — cheap, but not free,
+      // and the default path must stay zero-overhead.
+      if (banded.sparkSession.conf
+            .get("graft.lsh.logHotBuckets", "false") == "true") {
+        val (nHot, maxSize) = hotBucketStats(banded, maxBucket)
+        System.err.println(
+          s"[graft.lsh] hot-bucket cap $maxBucket: dropped $nHot bucket(s), " +
+            s"largest $maxSize doc(s)")
+      }
       val hot = banded.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") > maxBucket)
         .select(col("band"), col("key"))
       banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
     }
+
+  /** (number of buckets over `maxBucket`, size of the largest bucket)
+    * for a banded `(band, key)` frame — the measurement behind the
+    * opt-in [[capBuckets]] logging, exposed so callers (and the unit
+    * test) can audit what the cap would cut without enabling the log.
+    * One map-side-combinable aggregate; the grouped frame is bucket
+    * cardinality, never doc cardinality.
+    */
+  def hotBucketStats(banded: DataFrame, maxBucket: Int): (Long, Long) = {
+    val row = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("n_hot"),
+        max(col("n")).as("max_n"))
+      .head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
 
   private[graft] def minhashPairsKernelLazy(
       docs: DataFrame,

@@ -73,6 +73,67 @@ object Sampling {
     * membership bit-for-bit. Nothing shuffles the fact side; the only
     * wide op is the tiny count aggregate.
     */
+  /** Target-mixture resampling: cut each stratum so the surviving
+    * rows hit the requested mixture `weights` (integer parts, e.g.
+    * `en→5, zh→2, de→1` for 5:2:1) at the LARGEST total size
+    * achievable by downsampling alone — the "data mixture" step every
+    * training pipeline runs before tokenization (so many parts web,
+    * so many parts code, …). Strata not in `weights` (including a
+    * null stratum) are dropped: the mixture spec IS the domain list.
+    *
+    * Math: with integer weights u_s and stratum sizes n_s, the
+    * binding stratum m minimizes n_s/u_s; stratum s then keeps with
+    * probability u_s·(n_m/u_m)/n_s ≤ 1. The keep test is EXACT
+    * integer arithmetic over the md5 bucket —
+    *   bucket(id) · n_s · u_m < u_s · n_m · B
+    * — evaluated in decimal(38,0) (DuckDB: HUGEINT) because at
+    * 100 TB n_s can reach 1e12 and bucket·n_s·u already overflows
+    * int64. No double ever touches membership, so the oracle
+    * reproduces the sample bit-for-bit and membership is stable
+    * across runs, engines, and cluster sizes. The binding-stratum
+    * argmin uses double division only to ORDER a stratum-cardinality
+    * frame (ties broken by stratum name) — same inputs give the same
+    * IEEE doubles on every engine, so the pick is deterministic.
+    *
+    * Shape at scale: one map-side-combinable count over the kept
+    * strata, a TakeOrdered(1) on the stratum-cardinality counts, a
+    * broadcast join back, and one filtered scan — the
+    * [[balancedDownsample]] plan (which is this op with all weights
+    * equal), generalized.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val buckets = 1000000L
+    val u = weights.foldLeft(lit(null).cast("bigint")) {
+      case (acc, (k, w)) => when(col(stratumCol) === lit(k), lit(w.toLong)).otherwise(acc)
+    }
+    val tagged = df.withColumn("__u", u).filter(col("__u").isNotNull)
+    val counts = tagged
+      .groupBy(col(stratumCol).as("__stratum"), col("__u"))
+      .agg(count(lit(1)).as("__n"))
+    val binding = counts
+      .orderBy((col("__n").cast("double") / col("__u")).asc, col("__stratum").asc)
+      .limit(1)
+      .select(col("__n").as("__n_m"), col("__u").as("__u_m"))
+    val dec = "decimal(38,0)"
+    // `tagged` drops its __u before the join — the fence frame carries
+    // the stratum's weight back, and keeping both would make every
+    // col("__u") reference ambiguous.
+    tagged.drop("__u")
+      .join(broadcast(counts.crossJoin(binding)),
+        col(stratumCol) === col("__stratum"))
+      .filter(
+        hashBucket(col(idCol), buckets.toInt).cast(dec) *
+          col("__n").cast(dec) * col("__u_m").cast(dec) <
+          col("__u").cast(dec) * col("__n_m").cast(dec) * lit(buckets).cast(dec))
+      .drop("__stratum", "__u", "__n", "__n_m", "__u_m")
+  }
+
   def balancedDownsample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
     val buckets = 1000000
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))

@@ -468,6 +468,107 @@ object TextAnalysis {
             .otherwise(expr("array()").cast("array<string>"))).as("span_hash"))
   }
 
+  /** Sliding-window document chunking: split each document into
+    * overlapping windows of `chunkTokens` whitespace tokens advancing
+    * by `stride` — the standard pre-embedding / pre-training segmenter
+    * for documents longer than a model's context (RAG chunking, long-
+    * doc inference). Output: one row per chunk,
+    * `(doc_id, chunk_id, start_token, n_tokens, chunk_text)` with
+    * `chunk_id` 1-based in document order and `chunk_text` the tokens
+    * re-joined with single spaces (whitespace runs are normalized by
+    * tokenization — documented, not accidental).
+    *
+    * Window placement: starts 1, 1+stride, … up to the last FULL
+    * window; if tokens remain past the last full window's end, one
+    * extra TAIL-ALIGNED full window (start = n−chunkTokens+1) covers
+    * them — every token lands in ≥1 chunk and no chunk is shorter
+    * than `chunkTokens` except when the whole document is (then the
+    * single chunk is the document). Documents with no tokens emit no
+    * rows.
+    *
+    * Scale shape: pure per-row codegen'd array work — no shuffle, no
+    * join, no window; the operator is a narrow projection and
+    * composes with any downstream embed/dedup stage. Output size is
+    * ~n/stride rows per doc, the caller's knob.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 40,
+      stride: Int = 20): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val t = filter(tokens(coalesce(col(textCol), lit(""))), x => x =!= "")
+    docs
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("s0",
+        sequence(lit(1), greatest(size(col("t")) - (chunkTokens - 1), lit(1)),
+          lit(stride)))
+      .withColumn("starts",
+        when(element_at(col("s0"), -1) + (chunkTokens - 1) < size(col("t")),
+          concat(col("s0"), array(size(col("t")) - (chunkTokens - 1))))
+          .otherwise(col("s0")))
+      .select(col("doc_id"), col("t"), posexplode(col("starts")).as(Seq("pos", "s")))
+      .select(col("doc_id"),
+        (col("pos") + 1).as("chunk_id"),
+        col("s").as("start_token"),
+        least(lit(chunkTokens), size(col("t")) - col("s") + 1).as("n_tokens"),
+        concat_ws(" ", slice(col("t"), col("s"), lit(chunkTokens))).as("chunk_text"))
+  }
+
+  /** Corpus-unigram language-model scoring: per-document mean token
+    * log-probability under an add-one-smoothed unigram model fit on
+    * the corpus itself — the classic cheap "how typical is this
+    * document of the corpus" quality signal (rare-token-heavy docs
+    * score very negative; CCNet-style pipelines threshold on exactly
+    * this shape, with a real LM where affordable).
+    *
+    *   p(t) = (count(t) + 1) / (total_tokens + vocab_size)
+    *   score(d) = Σ_t∈d ln p(t) / |d|
+    *
+    * Output: `(doc_id, n_tokens, avg_logprob)` for every document
+    * with ≥1 token.
+    *
+    * Cross-engine determinism: each term's ln p(t) is rounded to an
+    * INTEGER count of micro-nats BEFORE the per-doc sum (the
+    * [[tfidfTopTerms]] posture — `ln` is not correctly-rounded IEEE
+    * across libms, so rounding must happen where the engines still
+    * agree term-by-term), the per-doc sum is then EXACT bigint
+    * arithmetic, and the mean is the raw double quotient of those
+    * identical integers with NO final rounding — two IEEE divisions
+    * on identical inputs are bit-identical on every engine, whereas a
+    * final `round(x, 6)` of an arbitrary quotient is where Spark's
+    * exact-BigDecimal rounding and a float-multiply rounding diverge
+    * (observed: 2/500 docs off by 1e-6 under that formulation).
+    *
+    * Scale shape: the (doc, term) frame is pre-aggregated per doc
+    * (map-side combinable) so the model join is keyed on DISTINCT
+    * (doc, term) pairs, not token instances; the model itself is one
+    * more map-side-combinable aggregate; totals are a 1-row broadcast.
+    * Shuffles are linear in distinct (doc, term) pairs — no text, no
+    * token instances, cross the wire.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(coalesce(col(textCol), lit(""))))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("m"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("m")).as("c"))
+    val totals = cf.agg(sum(col("c")).as("c_total"), count(lit(1)).as("v"))
+    tf.join(cf, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lp_u",
+        round(log((col("c") + lit(1)).cast("double") /
+          (col("c_total") + col("v")).cast("double")) * lit(1000000.0), 0)
+          .cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        ((sum(col("m") * col("lp_u")).cast("double") /
+          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+  }
+
   /** The ACTION half of span-level dedup: per-document fraction of
     * spans that are corpus-duplicated — the score a cleaning pipeline
     * thresholds on (drop or trim documents that are mostly shared
@@ -477,10 +578,12 @@ object TextAnalysis {
     *
     * Scale shape: the span stream is aggregated per (hash, doc), the
     * duplicated-hash set is derived by one more map-side-combinable
-    * aggregate, and membership comes back as a hash-key semi-join —
-    * shuffles are linear in the span stream, and the only frame keyed
-    * by raw hash cardinality carries two longs per hash. No text is
-    * shuffled at any point.
+    * aggregate, and membership comes back as a hash-key LEFT join
+    * against the dup-hash set with an `is_dup` marker (a semi-join
+    * would drop the non-duplicated spans, which still count toward
+    * `n_spans`) — shuffles are linear in the span stream, and the only
+    * frame keyed by raw hash cardinality carries two longs per hash.
+    * No text is shuffled at any point.
     */
   def dupSpanFractions(
       docs: DataFrame,

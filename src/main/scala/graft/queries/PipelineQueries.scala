@@ -925,6 +925,97 @@ object PipelineQueries {
            |FROM per_doc p LEFT JOIN dup d USING (span_hash)
            |GROUP BY 1""".stripMargin))
 
+  /** Sliding-window chunking ([[TextAnalysis.chunkDocs]]): 40-token
+    * windows advancing by 20 with a tail-aligned final window — the
+    * pre-embedding segmenter. Pure narrow codegen'd array work; the
+    * oracle replays the window placement with DuckDB list slicing.
+    */
+  val textChunks = QueryDef(
+    "text_chunks",
+    (s, dir) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 40, stride = 20),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |spans AS (
+           |  SELECT doc_id, t, len(t) AS n,
+           |         generate_series(1, GREATEST(len(t) - 39, 1), 20) AS s0
+           |  FROM toks WHERE len(t) > 0
+           |),
+           |st AS (
+           |  SELECT doc_id, t, n,
+           |         CASE WHEN s0[-1] + 39 < n THEN list_concat(s0, [n - 39]) ELSE s0 END
+           |           AS starts
+           |  FROM spans
+           |)
+           |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           |       CAST(starts[i] AS INT) AS start_token,
+           |       CAST(LEAST(40, n - starts[i] + 1) AS INT) AS n_tokens,
+           |       array_to_string(t[starts[i]:starts[i] + 39], ' ') AS chunk_text
+           |FROM (SELECT doc_id, t, n, starts,
+           |             unnest(generate_series(1, len(starts))) AS i
+           |      FROM st)""".stripMargin))
+
+  /** Corpus-unigram LM scoring ([[TextAnalysis.unigramLogProb]]):
+    * per-doc mean token log-probability under an add-one-smoothed
+    * unigram model fit on the corpus — the cheap "how typical is this
+    * doc" quality signal. Per-term ln rounded to integer micro-nats
+    * before the exact-bigint sum on both engines; the mean is the raw
+    * quotient of identical integers (no final round — see the
+    * operator's determinism note).
+    */
+  val textLmScore = QueryDef(
+    "text_lm_score",
+    (s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH terms AS (
+           |  SELECT doc_id, t AS term FROM (
+           |    SELECT doc_id,
+           |           unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS t
+           |    FROM documents)
+           |  WHERE t <> ''
+           |),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS m FROM terms GROUP BY 1, 2),
+           |cf AS (SELECT term, SUM(m) AS c FROM tf GROUP BY 1),
+           |tot AS (SELECT SUM(c) AS c_total, COUNT(*) AS v FROM cf)
+           |SELECT tf.doc_id, CAST(SUM(tf.m) AS BIGINT) AS n_tokens,
+           |       (SUM(tf.m * CAST(ROUND(LN((cf.c + 1)::DOUBLE
+           |                                  / (tot.c_total + tot.v)::DOUBLE)
+           |                              * 1000000.0, 0) AS BIGINT))::DOUBLE
+           |        / SUM(tf.m)::DOUBLE) / 1000000.0 AS avg_logprob
+           |FROM tf JOIN cf USING (term) CROSS JOIN tot
+           |GROUP BY 1""".stripMargin))
+
+  /** Target-mixture resampling ([[Sampling.mixtureSample]]): cut the
+    * language strata to a 5:2:1:1:1 en:zh:de:fr:es mixture at the
+    * largest downsample-only size, registered as the per-lang counts
+    * AFTER resampling so the oracle pins exact hash membership (the
+    * keep test is pure integer arithmetic — HUGEINT on the DuckDB
+    * side, decimal(38,0) in Spark).
+    */
+  val sampleMixture = QueryDef(
+    "sample_mixture",
+    (s, dir) =>
+      Sampling.strataCounts(
+        Sampling.mixtureSample(Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 5, "zh" -> 2, "de" -> 1, "fr" -> 1, "es" -> 1)),
+        Seq("lang")),
+    Some("""WITH w(lang, u) AS (VALUES ('en', 5), ('zh', 2), ('de', 1), ('fr', 1), ('es', 1)),
+           |c AS (SELECT d.lang, w.u, COUNT(*) AS n
+           |      FROM documents d JOIN w USING (lang) GROUP BY 1, 2),
+           |m AS (SELECT n AS n_m, u AS u_m FROM c
+           |      ORDER BY n::DOUBLE / u ASC, lang ASC LIMIT 1)
+           |SELECT d.lang, COUNT(*) AS n_rows
+           |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |           % 1000000 AS HUGEINT) * c.n * m.u_m
+           |      < CAST(c.u AS HUGEINT) * m.n_m * 1000000
+           |GROUP BY 1""".stripMargin))
+
   // -------------------------------------------------------- similarity
 
   /** DuckDB cosine mirroring [[graft.functions.VectorFunctions.cosine]]
@@ -1714,9 +1805,10 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, textDupSpans, textDupSpanFrac, annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
+    textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore,
+    annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annKmeans,
     eventsJson, eventsDaily, eventsSessionize,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleBalanced, mmMediaMeta, mmDecode, mmFramesResize)
+    sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize)
 }

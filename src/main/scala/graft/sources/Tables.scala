@@ -88,11 +88,20 @@ object Tables {
     * The conf self-heal (nanosAsLong for externally-built sessions) is
     * kept so legacy TIMESTAMP(NANOS) files stay readable — it is a
     * no-op on micros files and SESSION-GLOBAL by Spark's design (no
-    * per-read option exists).
+    * per-read option exists). The same self-heal pins the session
+    * timezone to UTC: both [[normalizeTs]]'s TimestampType→NTZ cast
+    * and [[tsMicros]]'s NTZ→TimestampType cast are value-preserving
+    * ONLY under UTC — on a non-UTC external session they would shift
+    * wall-clock silently (e.g. `to_date(ts)` landing on the wrong
+    * day) with no error anywhere. [[graft.GraftSession]] already sets
+    * UTC; this line makes the contract hold for sessions built
+    * elsewhere too.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     spread(spark, normalizeTs(table(spark, dir, "events")))
   }
 

@@ -29,6 +29,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(und == "und")
   }
 
+  test("chunkDocs: full windows, tail-aligned last window, short docs (T11)") {
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 4 exact windows
+      (2L, "a b c"),                                   // shorter than one chunk
+      (3L, "   "),                                     // no tokens → no rows
+      (4L, (1 to 45).map(i => s"t$i").mkString(" ")))  // needs the tail window
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(df, "doc_id", "text", chunkTokens = 40, stride = 20)
+      .select("doc_id", "chunk_id", "start_token", "n_tokens", "chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    val byDoc = out.groupBy(_._1)
+    // 100 tokens: starts 1,21,41,61 — last window ends exactly at 100,
+    // so no tail window is added.
+    assert(byDoc(1L).map(_._3).toSeq == Seq(1, 21, 41, 61))
+    assert(byDoc(1L).forall(_._4 == 40))
+    // Whole doc fits in one chunk: the chunk IS the doc.
+    assert(byDoc(2L).toSeq == Seq((2L, 1, 1, 3, "a b c")))
+    // Whitespace-only doc emits nothing.
+    assert(!byDoc.contains(3L))
+    // 45 tokens: one full window [1..40], then the tail-aligned full
+    // window [6..45] so tokens 41–45 are covered — never a short tail.
+    assert(byDoc(4L).map(r => (r._3, r._4)).toSeq == Seq((1, 40), (6, 40)))
+    assert(byDoc(4L).last._5.endsWith("t45"))
+  }
+
+  test("unigramLogProb: add-one smoothed mean logprob, exact micro-nat arithmetic (T13)") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // counts a:2 b:2 c:1, total 5, vocab 3 → p(a)=p(b)=3/8, p(c)=2/8.
+    // Per-term micro-nats: round(ln(3/8)*1e6) = -980829,
+    // round(ln(1/4)*1e6) = -1386294.
+    assert(out(0)._2 == 3 && out(1)._2 == 2)
+    assert(out(0)._3 == -980829.0 / 1e6)
+    assert(out(1)._3 == ((-980829.0 - 1386294.0) / 2) / 1e6)
+  }
+
   test("winnowKernel matches the Column rollingHashes+winnow path") {
     val df = Seq((1L, "The quick brown fox jumps over the lazy dog again and again"),
       (2L, "short"), (3L, "tiny"), (4L, "abcdefgh"), (5L, "中文字符混合 text 测试串流"))
@@ -105,6 +142,22 @@ class TextAnalysisSpec extends AnyFunSuite {
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("hotBucketStats measures what capBuckets would cut (D16 observability)") {
+    import graft.operators.Dedup
+    val banded = Seq((1L, 0, "k1"), (2L, 0, "k1"), (3L, 0, "k1"), (4L, 0, "k2"))
+      .toDF("id", "band", "key")
+    assert(Dedup.hotBucketStats(banded, maxBucket = 2) == ((1L, 3L)))
+    assert(Dedup.hotBucketStats(banded, maxBucket = 5) == ((0L, 3L)))
+    assert(Dedup.hotBucketStats(banded.limit(0), maxBucket = 2) == ((0L, 0L)))
+    // The opt-in log path runs without disturbing results.
+    spark.conf.set("graft.lsh.logHotBuckets", "true")
+    try {
+      val docs = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+        .toDF("doc_id", "text")
+      assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 1)
+    } finally spark.conf.set("graft.lsh.logHotBuckets", "false")
+  }
 
   test("duplicateSpans finds the shared window, skips doc-local repeats and short docs") {
     import graft.operators.TextAnalysis
@@ -734,6 +787,31 @@ class LoadSkewSpec extends AnyFunSuite {
     val again = operators.Sampling.balancedDownsample(df, "id", "lang")
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(out == again)
+  }
+
+  test("mixtureSample hits the target ratio at the binding stratum; off-spec strata drop (SA3)") {
+    val df = ((1L to 1000L).map(i => (i, "en")) ++
+      (5001L to 5300L).map(i => (i, "zh")) ++
+      (9001L to 9100L).map(i => (i, "pt")))
+      .toDF("id", "lang")
+    val out = operators.Sampling
+      .mixtureSample(df, "id", "lang", Map("en" -> 3, "zh" -> 1))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // zh is binding (300/1 < 1000/3): it keeps everything; en is cut
+    // to ~3× zh = ~900; pt is not in the mixture spec → dropped.
+    assert(out("zh") == 300)
+    assert(out("en") > 840 && out("en") < 960)
+    assert(!out.contains("pt"))
+    // Deterministic: rerun identical.
+    val again = operators.Sampling
+      .mixtureSample(df, "id", "lang", Map("en" -> 3, "zh" -> 1))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(out == again)
+    // All weights equal degenerates to balancedDownsample's contract.
+    val eq = operators.Sampling
+      .mixtureSample(df, "id", "lang", Map("en" -> 1, "zh" -> 1))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(eq("zh") == 300 && eq("en") > 240 && eq("en") < 360)
   }
 
   test("kmeansInit picks k deterministic seeds that feed kmeansFit directly") {

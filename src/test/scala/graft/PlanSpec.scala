@@ -483,6 +483,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
+  test("text_chunks is a pure narrow projection: no shuffle, no join, codegen'd") {
+    val exec = SparkEntry.queries("text_chunks")(spark, dir).queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p.take(600))
+    assert(!p.contains("Join"), "chunking is per-row array work — no join:\n" + p.take(400))
+    val codegend = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegend.nonEmpty, "chunking fell out of whole-stage codegen:\n" + p.take(400))
+  }
+
+  test("text_lm_score: hash aggregates + term join, no window, no cartesian") {
+    val p = plan("text_lm_score")
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("Window"), "LM scoring must not window-sort:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    // The 1-row totals frame rides a broadcast, never a shuffle join.
+    assert(p.contains("Broadcast"), "totals must broadcast:\n" + p.take(600))
+  }
+
+  test("sample_mixture: fence frame broadcasts back; corpus side never windows") {
+    val p = plan("sample_mixture")
+    assert(p.contains("BroadcastHashJoin"), "fences must broadcast:\n" + p.take(600))
+    assert(!p.contains("Window"), "no window over the corpus:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must not shuffle for the fence join:\n" + p.take(600))
+  }
+
   test("text_pack_sequences: one bucket aggregation, no window, no cartesian") {
     val p = plan("text_pack_sequences")
     assert(p.contains("ObjectHashAggregate"),
