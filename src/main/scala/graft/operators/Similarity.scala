@@ -216,6 +216,66 @@ object Similarity {
         (-col("t.nc")).as("cos"): _*)
   }
 
+  /** Int8 scalar quantization of an embedding column — the 4× memory
+    * cut that makes billion-vector corpora fit executor RAM (float32
+    * → int8 per coordinate; at 1e9 × 768-dim that is 3 TB → 0.77 TB).
+    * Vectors are L2-normalized FIRST (so quantized dot ≈ cosine),
+    * then each coordinate maps to round-half-up(u_i / scale) with a
+    * per-vector symmetric scale = max|u_i| / 127 — the largest
+    * coordinate always lands on ±127, no codebook to train or ship.
+    *
+    * Determinism (oracle contract): the rounding is an explicit
+    * `floor(x + 0.5)` — identical IEEE ops on every engine, where a
+    * native round() would expose engine tie-rule differences. Zero
+    * vectors are dropped (no direction to quantize; the exact paths
+    * score them 0 anyway). Output: (`id`, `qvec` array<int>, `scale`
+    * double); reconstruct coordinate i as `qvec[i] * scale`.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    df
+      .select(col(idCol).as("id"), vd.as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+      .filter(col("nrm") > 0.0)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      .withColumn("scale",
+        array_max(transform(col("u"), x => abs(x))) / lit(127.0))
+      .select(col("id"),
+        transform(col("u"),
+          x => floor(x / col("scale") + lit(0.5)).cast("int")).as("qvec"),
+        col("scale"))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: the approximate
+    * score is the EXACT integer dot of the quantized coordinates
+    * (bigint — products are ≤ 127², no float accumulation anywhere)
+    * rescaled by the two per-vector scales, ≈ cosine of the unit
+    * originals. Same plan shape as [[bruteForceTopK]]: the quantized
+    * query frame broadcasts, the corpus never shuffles, and the cut
+    * is the bounded [[graft.functions.TopK]] k-heap. Pair with
+    * [[recallVsTruth]] to measure what the 4× compression costs in
+    * recall — the number that decides whether the quantized index is
+    * shippable.
+    */
+  def int8TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = quantizeInt8(queries, idCol, vecCol)
+      .select(col("id").as("q_id"), col("qvec").as("q_q"), col("scale").as("q_s"))
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("id").as("n_id"), col("qvec").as("n_q"), col("scale").as("n_s"))
+    val idot = aggregate(
+      zip_with(col("q_q"), col("n_q"), (x, y) => (x * y).cast("bigint")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(idot.cast("double") * col("q_s") * col("n_s"), 6).as("cos"))
+    topKByCos(scored, k, carryCell = false)
+  }
+
   /** ANN quality measurement: recall of an approximate top-k result
     * against the exact ground truth — THE number an IVF/LSH user tunes
     * nprobe / centroid count / bands by. Both inputs expose

@@ -1397,6 +1397,59 @@ object PipelineQueries {
             |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
             |) GROUP BY ROLLUP(q_id)""".stripMargin))
 
+  /** Int8-quantized search recall ([[Similarity.int8TopK]] vs exact
+    * [[Similarity.bruteForceTopK]]): what the 4× memory compression
+    * costs in top-10 recall for the same query set the other recall
+    * probes use. The quantization (L2-normalize → symmetric per-vector
+    * scale → floor(x+0.5)) and the exact-integer dot are replayed
+    * term-for-term by the oracle — no float accumulates anywhere in
+    * the quantized score except the final two scale multiplies.
+    */
+  val annInt8Recall = QueryDef(
+    "ann_int8_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.int8TopK(queries, emb, "vec_id", "embedding", k = 10)
+      Similarity.recallVsTruth(gt, approx)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |gt AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+            |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+            |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |),
+            |qz AS (
+            |  SELECT vec_id,
+            |         list_transform(u, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv,
+            |         scale
+            |  FROM (
+            |    SELECT vec_id, u, list_max(list_transform(u, x -> abs(x))) / 127.0 AS scale
+            |    FROM (SELECT vec_id,
+            |                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+            |          FROM e WHERE list_dot_product(v, v) > 0)
+            |  )
+            |),
+            |approx AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+            |           ROUND(CAST(list_dot_product(q.qv, n.qv) AS DOUBLE)
+            |                 * q.scale * n.scale, 6) AS cos
+            |    FROM (SELECT * FROM qz WHERE vec_id >= 10 AND vec_id < 20) q
+            |    CROSS JOIN qz n WHERE n.vec_id <> q.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |)
+            |SELECT COALESCE(q_id, -1) AS q_id,
+            |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+            |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+            |FROM (
+            |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+            |) GROUP BY ROLLUP(q_id)""".stripMargin))
+
   /** k-means centroid training ([[Similarity.kmeansFit]]): 2 Lloyd
     * iterations from the same deterministic seeds the `ann_ivf_*`
     * queries use (vec_id < 8), emitted one row per (cell, coordinate)
@@ -1807,7 +1860,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences,
     textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
-    annKmeans,
+    annInt8Recall, annKmeans,
     eventsJson, eventsDaily, eventsSessionize,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize)

@@ -814,6 +814,39 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(eq("zh") == 300 && eq("en") > 240 && eq("en") < 360)
   }
 
+  test("quantizeInt8: ±127 extremes, bounded reconstruction error, zero vectors dropped (N10)") {
+    val df = Seq(
+      (1L, Array(0.6f, -0.8f, 0.0f)),
+      (2L, Array(0.1f, 0.1f, 0.1f)),
+      (3L, Array(0.0f, 0.0f, 0.0f)))         // zero vector → dropped
+      .toDF("vec_id", "embedding")
+    val out = operators.Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    // Largest-|coordinate| always lands on ±127; all codes within range.
+    assert(out.forall(r => r._2.map(math.abs).max == 127))
+    assert(out.forall(r => r._2.forall(q => q >= -127 && q <= 127)))
+    // Reconstruction (q_i * scale) is within half a step of the unit
+    // vector everywhere — the quantizer's defining error bound.
+    for ((_, qv, scale) <- out) {
+      val unitNorm = qv.map(q => q * scale)
+      assert(math.abs(unitNorm.map(x => x * x).sum - 1.0) < 0.02)
+    }
+    // Unit-vector direction survives: doc1's unit vec is (0.6, -0.8, 0).
+    val d1 = out.head._2.map(_ * out.head._3)
+    assert(math.abs(d1(0) - 0.6) <= out.head._3 / 2 + 1e-12)
+    assert(math.abs(d1(1) + 0.8) <= out.head._3 / 2 + 1e-12)
+    // int8TopK ranks the quantized cosine: with these vectors doc2 is
+    // equidistant-ish, just assert the search returns k rows per query
+    // and is deterministic.
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 3)
+    val r1 = operators.Similarity.int8TopK(q, emb, "vec_id", "embedding", k = 5)
+    assert(r1.groupBy("q_id").count().as[(Long, Long)].collect().forall(_._2 == 5))
+    val r2 = operators.Similarity.int8TopK(q, emb, "vec_id", "embedding", k = 5)
+    assert(r1.collect().toSet == r2.collect().toSet)
+  }
+
   test("kmeansInit picks k deterministic seeds that feed kmeansFit directly") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("embedding").isNotNull)

@@ -512,6 +512,16 @@ class PlanSpec extends AnyFunSuite {
       "corpus must not shuffle for the fence join:\n" + p.take(600))
   }
 
+  test("ann_int8_recall: quantized search broadcasts queries, no corpus window sort") {
+    val p = plan("ann_int8_recall")
+    assert(p.contains("Broadcast"), "query side must broadcast:\n" + p.take(600))
+    assert(!p.contains("Window"),
+      "top-k must stay on the bounded k-heap, not a window sort:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("ObjectHashAggregate"),
+      "k-heap aggregate lost the object-hash path:\n" + p.take(600))
+  }
+
   test("text_pack_sequences: one bucket aggregation, no window, no cartesian") {
     val p = plan("text_pack_sequences")
     assert(p.contains("ObjectHashAggregate"),
