@@ -130,6 +130,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchTop == streamTop, "batch backfill diverged from the streaming ranking")
   }
 
+  test("chunkDocs is stream-composable: stateless narrow op, batch parity (T11 streaming)") {
+    // chunkDocs is pure per-row array work (no agg, no window), so it
+    // applies to a streaming frame unchanged — the batch/stream parity
+    // that makes the chunking stage reusable in an ingest stream.
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val dir = Files.createTempDirectory("graft_stream_chunk").toString
+    val docs = Seq((1L, (1 to 45).map(i => s"t$i").mkString(" ")), (2L, "a b c"))
+    ms.addData(docs: _*)
+    val chunked = graft.operators.TextAnalysis.chunkDocs(
+      ms.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 40, stride = 20)
+    val q = chunked.writeStream.format("memory").queryName("chunk_test")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("chunk_test").collect().toSet
+    val batch = graft.operators.TextAnalysis.chunkDocs(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 40, stride = 20).collect().toSet
+    assert(streamed == batch && batch.size == 3)
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
