@@ -238,6 +238,47 @@ object Cleaning {
     joinGroupStats(df, fences, byCols)
   }
 
+  /** Median/MAD robust outlier trim: keep rows with
+    * `|v − median| ≤ k·MAD` of their group — the robust z-score
+    * analog of [[iqrFilter]] for heavy-tailed data. MAD has a 50%
+    * breakdown point where a stddev-based z-score is corrupted by the
+    * very outliers it hunts — and, decisively for this engine's
+    * oracle contract, median and MAD are exact `percentile_disc`
+    * DATA VALUES: the keep test is a handful of IEEE ops on values
+    * both engines read identically from parquet, where stddev's float
+    * sum is accumulation-order-dependent and can never hash-match.
+    * (Fold the 1.4826 normal-consistency factor into `k` if σ-units
+    * matter; the default k=3 is the classic "3 robust sigmas" scale.)
+    *
+    * Cost: two group-cardinality exact-percentile aggregates — the
+    * second over `|v − med|`, which by MAD's definition needs the
+    * first joined back — plus one filtered scan, every stats frame
+    * broadcast (the [[iqrFilter]] posture with one extra pass that is
+    * intrinsic, not accidental). At the 100 TB tier both aggregates
+    * sketch via `percentile_approx` the same way. Null values never
+    * pass the comparison and drop; null group keys are real groups
+    * (null-safe stat joins). A degenerate group (>50% identical
+    * values ⇒ MAD = 0) keeps only rows exactly at the median — the
+    * textbook MAD behavior, documented rather than patched.
+    */
+  def madFilter(
+      df: DataFrame,
+      valueCol: String,
+      byCols: Seq[String],
+      k: Double = 3.0): DataFrame = {
+    val medC = expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)").as("__med")
+    val meds = if (byCols.isEmpty) df.agg(medC)
+               else df.groupBy(byCols.map(col): _*).agg(medC)
+    val withDev = joinGroupStats(df, meds, byCols)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val madC = expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)").as("__mad")
+    val mads = if (byCols.isEmpty) withDev.agg(madC)
+               else withDev.groupBy(byCols.map(col): _*).agg(madC)
+    joinGroupStats(withDev, mads, byCols)
+      .filter(col("__dev") <= lit(k) * col("__mad"))
+      .drop("__med", "__dev", "__mad")
+  }
+
   /** Broadcast a tiny per-group statistics frame back onto its source:
     * the shared join-back for [[withIqrFences]]/[[quantileBuckets]]
     * (and any future group-stat operator). NULL-SAFE on the group

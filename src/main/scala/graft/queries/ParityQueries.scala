@@ -469,6 +469,38 @@ object ParityQueries {
            |  AND l_extendedprice <= q3 + 1.5 * (q3 - q1)
            |GROUP BY 1""".stripMargin))
 
+  /** Median/MAD robust trim ([[Cleaning.madFilter]]): the robust
+    * z-score twin of `c_iqr_trim` — same reporting shape (per-group
+    * survivor count + value range) so the two trims are directly
+    * comparable; the oracle replays median → |v−med| median → keep
+    * test with DuckDB's `quantile_disc`.
+    */
+  val madTrim = QueryDef(
+    "c_mad_trim",
+    (s, dir) =>
+      graft.operators.Cleaning.madFilter(
+          Tables.lineitem(s, dir), "l_extendedprice", Seq("l_returnflag"), k = 3.0)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          min(col("l_extendedprice")).as("min_kept"),
+          max(col("l_extendedprice")).as("max_kept")),
+    Some("""WITH med AS (
+           |  SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med
+           |  FROM lineitem GROUP BY 1
+           |),
+           |mad AS (
+           |  SELECT l.l_returnflag,
+           |         quantile_disc(abs(l_extendedprice - med), 0.5) AS mad
+           |  FROM lineitem l JOIN med USING (l_returnflag) GROUP BY 1
+           |)
+           |SELECT l.l_returnflag, COUNT(*) AS n_kept,
+           |       MIN(l_extendedprice) AS min_kept,
+           |       MAX(l_extendedprice) AS max_kept
+           |FROM lineitem l JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+           |WHERE abs(l_extendedprice - med) <= 3.0 * mad
+           |GROUP BY 1""".stripMargin))
+
   /** Quantile binning ([[Cleaning.quantileBuckets]]): per-flag
     * quartile buckets of `l_extendedprice`, reported as per-bucket
     * counts + bucket value ranges (order-independent stats). The
@@ -1176,7 +1208,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, iqrTrim, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, iqrTrim, madTrim, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)

@@ -1852,6 +1852,46 @@ object PipelineQueries {
            |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Per-user event inter-arrival gaps — the LAG window-function class
+    * (§2.5 notes the reference has none; sessionization uses the same
+    * shape but this registers lag arithmetic directly). Deterministic
+    * order within a user: (ts, event_id) — ties on ts are real in
+    * event data and an unordered lag would be engine-dependent. Gaps
+    * are EXACT epoch-micros bigints; the mean is the raw double
+    * quotient of exact integers (the text_lm_score posture — no final
+    * round to diverge cross-engine). Single-event users report zero
+    * gaps and null mean/max.
+    *
+    * Scale: one shuffle on user_id, linear per-key walk — lag's
+    * partition frame is the per-user event list, never the corpus.
+    */
+  val eventsGaps = QueryDef(
+    "events_gaps",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), Tables.tsMicros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("gap_us")).as("n_gaps"),
+          ((sum(col("gap_us")).cast("double") /
+            count(col("gap_us")).cast("double")) / lit(1000000.0)).as("mean_gap_s"),
+          max(col("gap_us")).as("max_gap_us"))
+    },
+    Some("""WITH g AS (
+           |  SELECT user_id, event_id,
+           |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+           |  FROM events
+           |)
+           |SELECT user_id, COUNT(*) AS n_events,
+           |       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           |       (SUM(gap_us)::DOUBLE / COUNT(gap_us)::DOUBLE) / 1000000.0 AS mean_gap_s,
+           |       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+           |FROM g GROUP BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupIncrNear, dedupIncrAssign,
@@ -1861,7 +1901,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annKmeans,
-    eventsJson, eventsDaily, eventsSessionize,
+    eventsJson, eventsDaily, eventsSessionize, eventsGaps,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize)
 }

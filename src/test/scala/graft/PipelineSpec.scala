@@ -774,6 +774,28 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(clamped.schema("v").dataType == withNull.schema("v").dataType)
   }
 
+  test("madFilter keeps |v-med| <= k*MAD per group; MAD=0 group keeps only the median (C16)") {
+    // group a: median 50, deviations 0..49 -> MAD ~ 25; k=1 keeps |v-50| <= 25.
+    val rows = (1L to 99L).map(v => (Some("a"), v.toDouble)) ++
+      Seq((Some("a"), 100000.0)) ++                 // far outlier
+      Seq.fill(8)((Some("b"), 7.0)) ++ Seq((Some("b"), 1.0), (Some("b"), 99.0)) ++
+      (1L to 50L).map(v => (None: Option[String], v.toDouble))
+    val df = rows.toDF("grp", "v")
+    val out = operators.Cleaning.madFilter(df, "v", Seq("grp"), k = 1.0)
+    val byGrp = out.groupBy("grp").count().as[(Option[String], Long)].collect().toMap
+    // a: med=50 (100 values, disc takes 50th), MAD=med(|v-50|)=25 over
+    // devs {0..50, 99950}: keep 25..75 => 51 rows.
+    assert(byGrp(Some("a")) == 51)
+    // b: >50% of values identical (7.0) => MAD=0 => only exact-median rows.
+    assert(byGrp(Some("b")) == 8)
+    assert(out.filter($"grp" === "b").select("v").as[Double].collect().forall(_ == 7.0))
+    // null group key is a real group, survives the null-safe stat
+    // joins: med=25, MAD=12 -> keep 13..37 = 25 rows.
+    assert(byGrp(None) == 25)
+    // the outlier is gone
+    assert(out.agg(max($"v")).as[Double].head() < 100000.0)
+  }
+
   test("balancedDownsample cuts every stratum to ~the smallest") {
     val df = ((1L to 1600L).map(i => (i, "en")) ++ (2001L to 2200L).map(i => (i, "pt")))
       .toDF("id", "lang")

@@ -512,6 +512,24 @@ class PlanSpec extends AnyFunSuite {
       "corpus must not shuffle for the fence join:\n" + p.take(600))
   }
 
+  test("events_gaps: lag window partitioned by user, never a global window") {
+    val p = plan("events_gaps")
+    assert(p.contains("Window"), p.take(400))
+    // A Window node whose partition spec is empty would print
+    // "windowspecdefinition(ts_us" (no partition column before the
+    // order columns) — the per-user spec must lead with user_id.
+    assert(p.contains("windowspecdefinition(user_id"),
+      "lag must partition by user_id:\n" + p.take(800))
+  }
+
+  test("c_mad_trim: both stat frames broadcast back; no corpus-wide window") {
+    val p = plan("c_mad_trim")
+    assert(p.contains("BroadcastHashJoin"), "stats must broadcast:\n" + p.take(600))
+    assert(!p.contains("Window"), "percentile aggregates, not window sorts:\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "the fact side must not shuffle for stat joins:\n" + p.take(600))
+  }
+
   test("ann_int8_recall: quantized search broadcasts queries, no corpus window sort") {
     val p = plan("ann_int8_recall")
     assert(p.contains("Broadcast"), "query side must broadcast:\n" + p.take(600))
