@@ -990,6 +990,70 @@ object PipelineQueries {
            |FROM tf JOIN cf USING (term) CROSS JOIN tot
            |GROUP BY 1""".stripMargin))
 
+  /** Chunk-granular exact dedup — the RAG/embedding prep composite:
+    * [[TextAnalysis.chunkDocs]] → md5 fingerprint per chunk → keep
+    * the lexicographically-first (doc_id, chunk_id) per fingerprint —
+    * all in ONE optimizer pass (a duplicated document's chunks are
+    * duplicates too; deduping at chunk granularity is what keeps a
+    * vector index from indexing the same passage twice). Reported
+    * per-doc as (n_chunks, n_kept). The canonical-chunk pick is a
+    * `min(struct)` aggregate at fingerprint cardinality; the
+    * membership join is a hash-key join carrying ids only — same
+    * scale shape as `text_dup_span_frac`, never a window over the
+    * corpus.
+    */
+  val chunkPrep = QueryDef(
+    "pipeline_chunk_prep",
+    (s, dir) => {
+      val chunks = TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 40, stride = 20)
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("fp"))
+      val canon = chunks.groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keep"))
+        .select(col("keep.doc_id").as("k_doc"), col("keep.chunk_id").as("k_chunk"))
+        .withColumn("__canon", lit(1L))
+      chunks
+        .join(canon,
+          col("doc_id") === col("k_doc") && col("chunk_id") === col("k_chunk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("__canon"), lit(0L))).cast("bigint").as("n_kept"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |spans AS (
+           |  SELECT doc_id, t, len(t) AS n,
+           |         generate_series(1, GREATEST(len(t) - 39, 1), 20) AS s0
+           |  FROM toks WHERE len(t) > 0
+           |),
+           |st AS (
+           |  SELECT doc_id, t, n,
+           |         CASE WHEN s0[-1] + 39 < n THEN list_concat(s0, [n - 39]) ELSE s0 END
+           |           AS starts
+           |  FROM spans
+           |),
+           |chunks AS (
+           |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           |         md5(array_to_string(t[starts[i]:starts[i] + 39], ' ')) AS fp
+           |  FROM (SELECT doc_id, t, n, starts,
+           |               unnest(generate_series(1, len(starts))) AS i
+           |        FROM st)
+           |),
+           |canon AS (
+           |  SELECT doc_id, chunk_id FROM chunks
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) = 1
+           |)
+           |SELECT f.doc_id, COUNT(*) AS n_chunks,
+           |       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_kept
+           |FROM chunks f LEFT JOIN canon c
+           |  ON f.doc_id = c.doc_id AND f.chunk_id = c.chunk_id
+           |GROUP BY 1""".stripMargin))
+
   /** Target-mixture resampling ([[Sampling.mixtureSample]]): cut the
     * language strata to a 5:2:1:1:1 en:zh:de:fr:es mixture at the
     * largest downsample-only size, registered as the per-lang counts
@@ -1898,7 +1962,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore,
+    textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps,

@@ -512,6 +512,15 @@ class PlanSpec extends AnyFunSuite {
       "corpus must not shuffle for the fence join:\n" + p.take(600))
   }
 
+  test("pipeline_chunk_prep: canonical pick is an aggregate, membership a hash join — no window") {
+    val p = plan("pipeline_chunk_prep")
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("Window"),
+      "canonical-chunk pick must be min(struct), not a window sort:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("events_gaps: lag window partitioned by user, never a global window") {
     val p = plan("events_gaps")
     assert(p.contains("Window"), p.take(400))
