@@ -265,15 +265,22 @@ object Cleaning {
       df: DataFrame,
       valueCol: String,
       byCols: Seq[String],
-      k: Double = 3.0): DataFrame = {
-    val medC = expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)").as("__med")
-    val meds = if (byCols.isEmpty) df.agg(medC)
-               else df.groupBy(byCols.map(col): _*).agg(medC)
+      k: Double = 3.0,
+      approx: Boolean = false): DataFrame = {
+    // The sketch twin (`approx = true`) swaps both exact percentiles
+    // for mergeable `percentile_approx` sketches — map-side partials,
+    // one sketch per partition on the shuffle, no per-group sort: the
+    // 100 TB route (the a15 exact/approx split). Sketch medians are
+    // engine-specific, so the approx path is rows-only at the oracle.
+    def medianOf(c: String): org.apache.spark.sql.Column =
+      if (approx) expr(s"percentile_approx($c, 0.5, 10000)")
+      else expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $c)")
+    val meds = if (byCols.isEmpty) df.agg(medianOf(valueCol).as("__med"))
+               else df.groupBy(byCols.map(col): _*).agg(medianOf(valueCol).as("__med"))
     val withDev = joinGroupStats(df, meds, byCols)
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
-    val madC = expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)").as("__mad")
-    val mads = if (byCols.isEmpty) withDev.agg(madC)
-               else withDev.groupBy(byCols.map(col): _*).agg(madC)
+    val mads = if (byCols.isEmpty) withDev.agg(medianOf("__dev").as("__mad"))
+               else withDev.groupBy(byCols.map(col): _*).agg(medianOf("__dev").as("__mad"))
     joinGroupStats(withDev, mads, byCols)
       .filter(col("__dev") <= lit(k) * col("__mad"))
       .drop("__med", "__dev", "__mad")

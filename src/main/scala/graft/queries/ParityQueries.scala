@@ -501,6 +501,24 @@ object ParityQueries {
            |WHERE abs(l_extendedprice - med) <= 3.0 * mad
            |GROUP BY 1""".stripMargin))
 
+  /** Sketch twin of `c_mad_trim` at the same grouping, registered
+    * separately so exact-vs-approx MAD cost is a measured bench
+    * ratio (the `a15_percentile_disc`/`approx` pattern). Rows-only by
+    * design: `percentile_approx` sketch medians are engine-specific.
+    */
+  val madTrimApprox = QueryDef(
+    "c_mad_trim_approx",
+    (s, dir) =>
+      graft.operators.Cleaning.madFilter(
+          Tables.lineitem(s, dir), "l_extendedprice", Seq("l_returnflag"),
+          k = 3.0, approx = true)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          min(col("l_extendedprice")).as("min_kept"),
+          max(col("l_extendedprice")).as("max_kept")),
+    None)
+
   /** Quantile binning ([[Cleaning.quantileBuckets]]): per-flag
     * quartile buckets of `l_extendedprice`, reported as per-bucket
     * counts + bucket value ranges (order-independent stats). The
@@ -1208,7 +1226,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, iqrTrim, madTrim, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)

@@ -794,6 +794,12 @@ class LoadSkewSpec extends AnyFunSuite {
     assert(byGrp(None) == 25)
     // the outlier is gone
     assert(out.agg(max($"v")).as[Double].head() < 100000.0)
+    // Sketch twin: same shape, far outlier still trimmed (sketch
+    // medians land near the exact ones at this scale), row count
+    // bounded by the input.
+    val ap = operators.Cleaning.madFilter(df, "v", Seq("grp"), k = 1.0, approx = true)
+    assert(ap.count() <= df.count() && ap.count() > 0)
+    assert(ap.agg(max($"v")).as[Double].head() < 100000.0)
   }
 
   test("balancedDownsample cuts every stratum to ~the smallest") {

@@ -310,7 +310,7 @@ class PlanSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).mkString(", ")}")
-    assert((q -- o) == Set("a15_percentile_approx"),
+    assert((q -- o) == Set("a15_percentile_approx", "c_mad_trim_approx"),
       s"unexpected rows-only queries: ${(q -- o).mkString(", ")}")
   }
 
