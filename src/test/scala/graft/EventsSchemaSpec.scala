@@ -38,6 +38,27 @@ class EventsSchemaSpec extends AnyFunSuite {
       s"epoch-micros out of plausible range: $us")
   }
 
+  test("events() self-heals a non-UTC session timezone (NTZ casts are UTC-only)") {
+    // normalizeTs's TimestampType->NTZ cast and tsMicros's NTZ->
+    // TimestampType cast are value-preserving ONLY under UTC; on a
+    // session left at a local timezone they would shift wall-clock
+    // silently (events_daily landing on the wrong day, no error).
+    // events() must pin the conf back, like it pins nanosAsLong.
+    val key = "spark.sql.session.timeZone"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val ev = Tables.events(spark, dir)
+      assert(spark.conf.get(key) == "UTC",
+        "events() must restore the UTC contract on a drifted session")
+      // And the values are the same as a clean-session read.
+      val us = ev.select(min(Tables.tsMicros(col("ts")))).head().getLong(0)
+      val us2 = Tables.events(spark, dir)
+        .select(min(Tables.tsMicros(col("ts")))).head().getLong(0)
+      assert(us == us2)
+    } finally spark.conf.set(key, before)
+  }
+
   test("normalizeTs maps both physical encodings to identical instants") {
     import spark.implicits._
     // One known instant: 2024-03-05 12:34:56.789012 UTC.
