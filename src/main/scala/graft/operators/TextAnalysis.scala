@@ -569,6 +569,54 @@ object TextAnalysis {
           sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
   }
 
+  /** Bigram conditional LM scoring — [[unigramLogProb]]'s sharper
+    * sibling: per-document mean ln p(w2 | w1) under an add-one-
+    * smoothed bigram model fit on the corpus,
+    *
+    *   p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    *
+    * with `c(w1 ·)` the continuation count (positions where w1 is
+    * followed by anything) and `V` the distinct-successor vocabulary.
+    * Word-ORDER-aware where the unigram score is bag-of-words: a doc
+    * of common words in improbable order scores low here and normal
+    * there — the gap between the two scores is itself a signal
+    * (scrambled/templated text). Same cross-engine posture as
+    * [[unigramLogProb]]: per-bigram ln rounded to integer micro-nats,
+    * exact bigint sums, mean emitted as the raw quotient.
+    *
+    * Output: `(doc_id, n_bigrams, avg_logprob)` for docs with ≥2
+    * tokens (a 1-token doc has no bigram evidence — absent, not 0).
+    *
+    * Scale shape: shuffles keyed on distinct (doc, w1, w2) triples
+    * then (w1, w2) / (w1) — all map-side-combinable; the model frames
+    * are vocabulary-cardinality; totals broadcast. No token instances
+    * or text cross the wire.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    val bi = docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val tf = bi.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+    val c2 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    val totals = c2.agg(countDistinct(col("w2")).as("v"))
+    tf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lp_u",
+        round(log((col("c") + lit(1)).cast("double") /
+          (col("ctx") + col("v")).cast("double")) * lit(1000000.0), 0)
+          .cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        ((sum(col("m") * col("lp_u")).cast("double") /
+          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+  }
+
   /** The ACTION half of span-level dedup: per-document fraction of
     * spans that are corpus-duplicated — the score a cleaning pipeline
     * thresholds on (drop or trim documents that are mostly shared

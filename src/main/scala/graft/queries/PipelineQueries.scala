@@ -990,6 +990,38 @@ object PipelineQueries {
            |FROM tf JOIN cf USING (term) CROSS JOIN tot
            |GROUP BY 1""".stripMargin))
 
+  /** Bigram conditional LM scoring ([[TextAnalysis.bigramLogProb]]):
+    * word-order-aware quality signal beside `text_lm_score`'s
+    * bag-of-words — same exact micro-nat / raw-quotient determinism
+    * posture; oracle replays the continuation counts and smoothing.
+    */
+  val textLm2Score = QueryDef(
+    "text_lm2_score",
+    (s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |bi AS (
+           |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+           |  WHERE len(t) >= 2
+           |),
+           |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi GROUP BY 1, 2, 3),
+           |c2 AS (SELECT w1, w2, SUM(m) AS c FROM tf GROUP BY 1, 2),
+           |c1 AS (SELECT w1, SUM(c) AS ctx FROM c2 GROUP BY 1),
+           |tot AS (SELECT COUNT(DISTINCT w2) AS v FROM c2)
+           |SELECT tf.doc_id, CAST(SUM(tf.m) AS BIGINT) AS n_bigrams,
+           |       (SUM(tf.m * CAST(ROUND(LN((c2.c + 1)::DOUBLE
+           |                                  / (c1.ctx + tot.v)::DOUBLE)
+           |                              * 1000000.0, 0) AS BIGINT))::DOUBLE
+           |        / SUM(tf.m)::DOUBLE) / 1000000.0 AS avg_logprob
+           |FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN tot
+           |GROUP BY 1""".stripMargin))
+
   /** Chunk-granular exact dedup — the RAG/embedding prep composite:
     * [[TextAnalysis.chunkDocs]] → md5 fingerprint per chunk → keep
     * the lexicographically-first (doc_id, chunk_id) per fingerprint —
@@ -1962,7 +1994,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps,

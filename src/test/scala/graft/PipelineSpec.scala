@@ -66,6 +66,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1)._3 == ((-980829.0 - 1386294.0) / 2) / 1e6)
   }
 
+  test("bigramLogProb: add-one smoothed conditional logprob, continuation counts (T13b)") {
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // bigrams: doc1 {(a,b)x2, (b,a)}, doc2 {(b,a)} -> c2(a,b)=2,
+    // c2(b,a)=2, ctx(a)=2, ctx(b)=2, V=|{a,b}|=2.
+    // p(b|a)=p(a|b)=(2+1)/(2+2)=0.75; round(ln(.75)*1e6) = -287682.
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))   // 1-token doc absent
+    assert(out(0)._2 == 3 && out(1)._2 == 1)
+    assert(out(0)._3 == -287682.0 / 1e6)
+    assert(out(1)._3 == -287682.0 / 1e6)
+  }
+
   test("winnowKernel matches the Column rollingHashes+winnow path") {
     val df = Seq((1L, "The quick brown fox jumps over the lazy dog again and again"),
       (2L, "short"), (3L, "tiny"), (4L, "abcdefgh"), (5L, "中文字符混合 text 测试串流"))
