@@ -276,6 +276,46 @@ object Similarity {
     topKByCos(scored, k, carryCell = false)
   }
 
+  /** IVF × int8 composed search — the production memory/compute
+    * stack: multi-probe IVF prunes WHICH corpus rows are scored
+    * (compute), int8 quantization shrinks WHAT is stored per row
+    * (4× memory), and the two compose orthogonally because cell
+    * assignment runs on the full-precision vectors at build time
+    * (exactly [[ivfAssign]]'s contract) while only the quantized
+    * codes ride the scoring join. Same bounded k-heap tail as every
+    * search path. Measure the stacked approximation with
+    * [[recallVsTruth]] — IVF's pruning loss and quantization's
+    * scoring loss multiply, and the composed recall is the number a
+    * deployment actually ships with.
+    */
+  def ivfInt8TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val c = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("id").as("n_id"), col("cell"))
+      .join(quantizeInt8(corpus, idCol, vecCol)
+        .select(col("id").as("n_id"), col("qvec").as("n_q"), col("scale").as("n_s")),
+        Seq("n_id"))
+    val q = ivfAssignProbes(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("id").as("q_id"), col("cell"))
+      .join(quantizeInt8(queries, idCol, vecCol)
+        .select(col("id").as("q_id"), col("qvec").as("q_q"), col("scale").as("q_s")),
+        Seq("q_id"))
+    val idot = aggregate(
+      zip_with(col("q_q"), col("n_q"), (x, y) => (x * y).cast("bigint")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(idot.cast("double") * col("q_s") * col("n_s"), 6).as("cos"))
+    topKByCos(scored, k, carryCell = false)
+  }
+
   /** ANN quality measurement: recall of an approximate top-k result
     * against the exact ground truth — THE number an IVF/LSH user tunes
     * nprobe / centroid count / bands by. Both inputs expose

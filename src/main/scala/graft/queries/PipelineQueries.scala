@@ -1546,6 +1546,77 @@ object PipelineQueries {
             |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
             |) GROUP BY ROLLUP(q_id)""".stripMargin))
 
+  /** IVF × int8 stacked recall ([[Similarity.ivfInt8TopK]]): the
+    * composed production path — nprobe=2 IVF pruning times int8
+    * scoring — measured against exact truth with the same fixture as
+    * `ann_recall`/`ann_int8_recall`, so the three numbers read as a
+    * column: IVF-only loss, quantization-only loss, stacked loss.
+    */
+  val annIvfInt8 = QueryDef(
+    "ann_ivf_int8",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfInt8TopK(
+        queries, emb, centroids, "vec_id", "embedding", k = 10, nprobe = 2)
+      Similarity.recallVsTruth(gt, approx)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+            |gt AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+            |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+            |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |),
+            |assign AS (
+            |  SELECT vec_id, c_id AS cell FROM (
+            |    SELECT e.vec_id, c.c_id,
+            |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+            |    FROM e CROSS JOIN c
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+            |),
+            |probes AS (
+            |  SELECT vec_id, c_id AS cell FROM (
+            |    SELECT e.vec_id, c.c_id,
+            |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+            |    FROM e CROSS JOIN c WHERE e.vec_id >= 10 AND e.vec_id < 20
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) <= 2
+            |),
+            |qz AS (
+            |  SELECT vec_id,
+            |         list_transform(u, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv,
+            |         scale
+            |  FROM (
+            |    SELECT vec_id, u, list_max(list_transform(u, x -> abs(x))) / 127.0 AS scale
+            |    FROM (SELECT vec_id,
+            |                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+            |          FROM e WHERE list_dot_product(v, v) > 0)
+            |  )
+            |),
+            |approx AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+            |           ROUND(CAST(list_dot_product(qq.qv, nq.qv) AS DOUBLE)
+            |                 * qq.scale * nq.scale, 6) AS cos
+            |    FROM probes q
+            |    JOIN assign n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+            |    JOIN qz qq ON qq.vec_id = q.vec_id
+            |    JOIN qz nq ON nq.vec_id = n.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |)
+            |SELECT COALESCE(q_id, -1) AS q_id,
+            |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+            |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+            |FROM (
+            |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+            |) GROUP BY ROLLUP(q_id)""".stripMargin))
+
   /** k-means centroid training ([[Similarity.kmeansFit]]): 2 Lloyd
     * iterations from the same deterministic seeds the `ann_ivf_*`
     * queries use (vec_id < 8), emitted one row per (cell, coordinate)
@@ -1996,7 +2067,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences,
     textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
-    annInt8Recall, annKmeans,
+    annInt8Recall, annIvfInt8, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize)

@@ -539,6 +539,15 @@ class PlanSpec extends AnyFunSuite {
       "the fact side must not shuffle for stat joins:\n" + p.take(600))
   }
 
+  test("ann_ivf_int8: cell equi-join carries int8 codes, no corpus window sort") {
+    val p = plan("ann_ivf_int8")
+    assert(!p.contains("Window"),
+      "top-k must stay on the bounded k-heap:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("ObjectHashAggregate"),
+      "k-heap aggregate lost the object-hash path:\n" + p.take(600))
+  }
+
   test("ann_int8_recall: quantized search broadcasts queries, no corpus window sort") {
     val p = plan("ann_int8_recall")
     assert(p.contains("Broadcast"), "query side must broadcast:\n" + p.take(600))
