@@ -2059,6 +2059,50 @@ object PipelineQueries {
            |       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
            |FROM g GROUP BY 1""".stripMargin))
 
+  /** Ordered-step conversion funnel view → click → purchase per user
+    * (the [[Funnel]] operator): stage k reached at the first `steps(k)`
+    * event strictly after stage k-1's time, anchored at the minimum
+    * 'view' time. One shuffle on user_id (sorted-list fold — see the
+    * operator scaladoc for the equivalence proof and the k-cascade
+    * degrade path); the oracle is the independent min-cascade
+    * formulation, so the fold's sequencing semantics are checked
+    * end-to-end, not replayed.
+    */
+  val eventsFunnel = QueryDef(
+    "events_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), Tables.tsMicros(col("ts")).as("ts_us"), col("event_type"))
+      Funnel.stageTimes(ev, Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("stage"),
+          element_at(col("step_us"), 1).as("v_us"),
+          element_at(col("step_us"), 2).as("c_us"),
+          element_at(col("step_us"), 3).as("p_us"))
+    },
+    Some("""WITH v AS (
+           |  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+           |  FROM events WHERE event_type = 'view' GROUP BY 1
+           |), c AS (
+           |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+           |  FROM events e JOIN v ON e.user_id = v.user_id
+           |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+           |  GROUP BY 1
+           |), p AS (
+           |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+           |  FROM events e JOIN c ON e.user_id = c.user_id
+           |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+           |  GROUP BY 1
+           |), u AS (SELECT DISTINCT user_id FROM events)
+           |SELECT u.user_id,
+           |       CAST(CASE WHEN p.p_us IS NOT NULL THEN 3
+           |                 WHEN c.c_us IS NOT NULL THEN 2
+           |                 WHEN v.v_us IS NOT NULL THEN 1
+           |                 ELSE 0 END AS BIGINT) AS stage,
+           |       v.v_us, c.c_us, p.p_us
+           |FROM u LEFT JOIN v ON u.user_id = v.user_id
+           |       LEFT JOIN c ON u.user_id = c.user_id
+           |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupIncrNear, dedupIncrAssign,
@@ -2068,7 +2112,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annIvfInt8, annKmeans,
-    eventsJson, eventsDaily, eventsSessionize, eventsGaps,
+    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize)
 }

@@ -1070,3 +1070,47 @@ class ViewsPaginationSpec extends AnyFunSuite {
     assert(t(1) == Seq("03/01/1996", "0.25", "Bob"))
   }
 }
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "ts_us", "event_type")
+
+  test("stageTimes: min-cascade semantics, strict ordering, out-of-order steps") {
+    val df = ev(
+      // u1: full funnel, with an earlier click (ts=5) BEFORE the first
+      // view (ts=10) that must NOT count; the qualifying click is 20.
+      (1L, 5L, "click"), (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: view only
+      (2L, 10L, "view"), (2L, 5L, "error"),
+      // u3: purchase before any view → stage 0 path beyond view
+      (3L, 1L, "purchase"), (3L, 10L, "view"),
+      // u4: no funnel event types at all
+      (4L, 7L, "signup"),
+      // u5: click at the SAME microsecond as view — strict > excludes it
+      (5L, 10L, "view"), (5L, 10L, "click"), (5L, 11L, "click"))
+    val out = Funnel.stageTimes(df, Seq("view", "click", "purchase"))
+      .select($"user_id", $"stage",
+        element_at($"step_us", 1), element_at($"step_us", 2), element_at($"step_us", 3))
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, Some(10L), Some(20L), Some(30L))))
+    assert(out(2L) == ((2L, 1L, Some(10L), None, None)))
+    assert(out(3L) == ((3L, 1L, Some(10L), None, None)))
+    assert(out(4L) == ((4L, 0L, None, None, None)))
+    assert(out(5L) == ((5L, 2L, Some(10L), Some(11L), None)))
+  }
+
+  test("summary: at-least-stage counts are a non-increasing suffix sum") {
+    val df = ev(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "click"),
+      (3L, 1L, "view"),
+      (4L, 1L, "error"))
+    val st = Funnel.stageTimes(df, Seq("view", "click", "purchase"))
+    val sm = Funnel.summary(st).as[(Long, Long)].collect().toMap
+    assert(sm == Map(3L -> 1L, 2L -> 2L, 1L -> 3L, 0L -> 4L))
+  }
+}

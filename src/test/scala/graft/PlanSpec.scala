@@ -531,6 +531,18 @@ class PlanSpec extends AnyFunSuite {
       "lag must partition by user_id:\n" + p.take(800))
   }
 
+  test("events_funnel: one fold aggregate on user_id — no join, no per-event window") {
+    val p = plan("events_funnel")
+    // The heavy path is the per-user sorted-list fold: an (Object)Hash
+    // aggregate keyed on user_id. A k-step funnel written as k
+    // self-joins would print SortMergeJoin/BroadcastHashJoin here.
+    assert(p.contains("Aggregate"), p.take(600))
+    assert(!p.contains("Join"),
+      "funnel must fold per user, not self-join per step:\n" + p.take(800))
+    assert(!p.contains("Window"),
+      "stage times come from the fold, not per-event windows:\n" + p.take(800))
+  }
+
   test("c_mad_trim: both stat frames broadcast back; no corpus-wide window") {
     val p = plan("c_mad_trim")
     assert(p.contains("BroadcastHashJoin"), "stats must broadcast:\n" + p.take(600))
