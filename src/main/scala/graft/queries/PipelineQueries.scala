@@ -2103,6 +2103,43 @@ object PipelineQueries {
            |       LEFT JOIN c ON u.user_id = c.user_id
            |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin))
 
+  /** Weekly retention cohorts — the cohort-triangle class: users
+    * grouped by their FIRST-activity epoch-week, counted in every
+    * later week they return. The canonical growth-analytics read over
+    * an events table (the reference has nothing event-temporal).
+    *
+    * Shape: project each event to its epoch-week (`div` — exact
+    * bigint integer division; micros are positive so floor == trunc
+    * in both engines), DISTINCT (user, week) FIRST — everything after
+    * runs at user-week cardinality, orders of magnitude below event
+    * cardinality at 100 TB — then min-week per user (cohort), a
+    * co-partitioned user_id join back, and one (cohort, offset)
+    * count. Counting rows of the distinct frame IS count-distinct
+    * users, with no Expand/count-distinct node anywhere.
+    */
+  val eventsRetention = QueryDef(
+    "events_retention",
+    (s, dir) => {
+      val weekUs = 604800000000L
+      val wk = Tables.events(s, dir)
+        .select(col("user_id"), Tables.tsMicros(col("ts")).as("ts_us"))
+        .select(col("user_id"), expr(s"ts_us div $weekUs").as("wk"))
+        .distinct()
+      val cohorts = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      wk.join(cohorts, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH wk AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+           |), f AS (
+           |  SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY 1
+           |)
+           |SELECT f.cohort_wk, wk.wk - f.cohort_wk AS week_offset,
+           |       COUNT(*) AS n_users
+           |FROM wk JOIN f ON wk.user_id = f.user_id
+           |GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupIncrNear, dedupIncrAssign,
@@ -2112,7 +2149,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annIvfInt8, annKmeans,
-    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel,
+    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize)
 }

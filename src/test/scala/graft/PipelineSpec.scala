@@ -1114,3 +1114,32 @@ class FunnelSpec extends AnyFunSuite {
     assert(sm == Map(3L -> 1L, 2L -> 2L, 1L -> 3L, 0L -> 4L))
   }
 }
+
+class RetentionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("events_retention semantics on a hand-built two-cohort timeline") {
+    // Build an events-shaped frame through the query's own arithmetic:
+    // week = epoch_us div 604800000000. Use small week numbers directly.
+    val wkUs = 604800000000L
+    def at(wk: Long) = wk * wkUs + 1L
+    val rows = Seq(
+      // u1: cohort wk 0, returns wks 1 and 3 (twice in wk1 — distinct folds it)
+      (1L, at(0)), (1L, at(1)), (1L, at(1) + 5L), (1L, at(3)),
+      // u2: cohort wk 0, never returns
+      (2L, at(0)),
+      // u3: cohort wk 1, returns wk 2
+      (3L, at(1)), (3L, at(2)))
+      .toDF("user_id", "ts_us")
+    val wk = rows.select($"user_id", expr(s"ts_us div $wkUs").as("wk")).distinct()
+    val cohorts = wk.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    val out = wk.join(cohorts, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+}

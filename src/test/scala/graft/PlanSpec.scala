@@ -543,6 +543,17 @@ class PlanSpec extends AnyFunSuite {
       "stage times come from the fold, not per-event windows:\n" + p.take(800))
   }
 
+  test("events_retention: distinct-first plan — no Expand, no count-distinct node") {
+    // Users are counted as ROWS of the distinct (user, week) frame;
+    // a count(DISTINCT user_id) formulation would print an Expand node
+    // and shuffle the pre-distinct event cardinality twice.
+    val p = plan("events_retention")
+    assert(!p.contains("Expand"),
+      "retention must count rows of the distinct frame:\n" + p.take(800))
+    assert(!p.contains("Window"), p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("c_mad_trim: both stat frames broadcast back; no corpus-wide window") {
     val p = plan("c_mad_trim")
     assert(p.contains("BroadcastHashJoin"), "stats must broadcast:\n" + p.take(600))
