@@ -276,6 +276,44 @@ object Similarity {
     topKByCos(scored, k, carryCell = false)
   }
 
+  /** Two-stage retrieve-then-rerank over the int8 index — the
+    * standard answer to quantization recall loss (FAISS's
+    * `IndexRefineFlat` shape): stage 1 retrieves a SHORTLIST of
+    * `shortlistFactor × k` candidates per query with the cheap
+    * quantized score ([[int8TopK]] — 4× smaller index, exact integer
+    * dot), stage 2 re-scores ONLY the shortlist with the
+    * full-precision cosine and keeps the true top-k of it. A true
+    * neighbor is lost only if quantization pushes it below rank
+    * `factor × k` — far rarer than pushing it below rank k, which is
+    * all a one-stage quantized search survives.
+    *
+    * Scale: the shortlist is query-set × factor·k cardinality —
+    * NEVER corpus-sized — so it broadcasts back against the corpus
+    * for the vector re-attach; the corpus pays id-equality lookups
+    * and ships |shortlist| full-precision vectors, not |C|. Stage-2
+    * scoring reuses [[bruteForceTopK]]'s exact contract (same
+    * rounded-6dp cosine, same id tie-break), so within the shortlist
+    * the rerank IS the exact ranking.
+    */
+  def int8RerankTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlistFactor: Int = 4): DataFrame = {
+    val shortlist = int8TopK(queries, corpus, idCol, vecCol, k * shortlistFactor)
+      .select(col("q_id"), col("n_id"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
+      .filter(col("cos").isNotNull)
+    topKByCos(scored, k, carryCell = false)
+  }
+
   /** IVF × int8 composed search — the production memory/compute
     * stack: multi-probe IVF prunes WHICH corpus rows are scored
     * (compute), int8 quantization shrinks WHAT is stored per row

@@ -1546,6 +1546,71 @@ object PipelineQueries {
             |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
             |) GROUP BY ROLLUP(q_id)""".stripMargin))
 
+  /** Retrieve-then-rerank recall ([[Similarity.int8RerankTopK]]):
+    * int8 shortlist at 4×k, exact-cosine rerank of the shortlist,
+    * measured against the same exact truth as its siblings — so the
+    * recall column now reads one-stage-quantized (`ann_int8_recall`)
+    * vs two-stage-reranked (this): what ~4× more exact dot products
+    * per query (still only over 40 candidates, never the corpus) buys
+    * back of the quantization loss. The oracle replays both stages
+    * independently: DuckDB's quantized top-40, then exact top-10 of
+    * that set.
+    */
+  val annInt8Rerank = QueryDef(
+    "ann_int8_rerank",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.int8RerankTopK(
+        queries, emb, "vec_id", "embedding", k = 10, shortlistFactor = 4)
+      Similarity.recallVsTruth(gt, approx)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |gt AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+            |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+            |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |),
+            |qz AS (
+            |  SELECT vec_id,
+            |         list_transform(u, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv,
+            |         scale
+            |  FROM (
+            |    SELECT vec_id, u, list_max(list_transform(u, x -> abs(x))) / 127.0 AS scale
+            |    FROM (SELECT vec_id,
+            |                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+            |          FROM e WHERE list_dot_product(v, v) > 0)
+            |  )
+            |),
+            |shortlist AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+            |           ROUND(CAST(list_dot_product(q.qv, n.qv) AS DOUBLE)
+            |                 * q.scale * n.scale, 6) AS cos
+            |    FROM (SELECT * FROM qz WHERE vec_id >= 10 AND vec_id < 20) q
+            |    CROSS JOIN qz n WHERE n.vec_id <> q.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 40
+            |),
+            |approx AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT s.q_id, s.n_id,
+            |           ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
+            |    FROM shortlist s
+            |    JOIN e q ON q.vec_id = s.q_id
+            |    JOIN e n ON n.vec_id = s.n_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |)
+            |SELECT COALESCE(q_id, -1) AS q_id,
+            |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+            |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+            |FROM (
+            |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+            |) GROUP BY ROLLUP(q_id)""".stripMargin))
+
   /** IVF × int8 stacked recall ([[Similarity.ivfInt8TopK]]): the
     * composed production path — nprobe=2 IVF pruning times int8
     * scoring — measured against exact truth with the same fixture as
@@ -2148,7 +2213,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences,
     textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
-    annInt8Recall, annIvfInt8, annKmeans,
+    annInt8Recall, annInt8Rerank, annIvfInt8, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize)

@@ -603,6 +603,42 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class RerankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Deterministic non-trivial vectors: 8-dim, mixed signs/magnitudes.
+  private def vecs(n: Int) = (0 until n).map { i =>
+    (i.toLong, (0 until 8).map(d =>
+      (math.sin(i * 31 + d * 7) * (1 + (d % 3))).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("int8RerankTopK with corpus-covering shortlist IS the exact top-k") {
+    val corpus = vecs(30)
+    val queries = corpus.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect().toSet
+    // factor 6 -> shortlist 30 = whole corpus: stage 2 must reproduce
+    // the exact ranking bit-for-bit (same rounded cosine + tie-break).
+    val rr = Similarity.int8RerankTopK(queries, corpus, "vec_id", "embedding", 5,
+        shortlistFactor = 6)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(rr == exact)
+  }
+
+  test("rerank recall >= one-stage int8 recall on the same fixture") {
+    val corpus = vecs(60)
+    val queries = corpus.filter($"vec_id" < 5)
+    val gt = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallVsTruth(gt, df).filter($"q_id" === -1L)
+        .select($"recall").as[Double].head()
+    val one = mean(Similarity.int8TopK(queries, corpus, "vec_id", "embedding", 5))
+    val two = mean(Similarity.int8RerankTopK(queries, corpus, "vec_id", "embedding", 5, 3))
+    assert(two >= one, s"rerank $two < one-stage $one")
+  }
+}
+
 class LoadSkewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

@@ -554,6 +554,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
+  test("ann_int8_rerank: shortlist re-attach broadcasts; corpus never window-sorts") {
+    val p = plan("ann_int8_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "stage-2 vector re-attach must broadcast the shortlist side:\n" + p.take(800))
+    assert(!p.contains("Window"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("c_mad_trim: both stat frames broadcast back; no corpus-wide window") {
     val p = plan("c_mad_trim")
     assert(p.contains("BroadcastHashJoin"), "stats must broadcast:\n" + p.take(600))
