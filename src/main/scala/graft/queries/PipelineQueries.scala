@@ -204,6 +204,38 @@ object PipelineQueries {
            |                  WHERE c.doc_id % 10 < 8
            |                    AND c.fingerprint = b.fingerprint)""".stripMargin))
 
+  /** Bloom-prefiltered incremental dedup
+    * ([[Dedup.newAgainstCorpusBloom]]): the same 80/20 split and the
+    * same NOT-EXISTS oracle as `dedup_incremental` — the bloom
+    * prefilter is a pure semi-join REDUCTION, so any drift from the
+    * plain anti-join result (a false negative, an unverified false
+    * positive) is a correctness failure this query would surface. The
+    * two queries existing side by side also makes the reduction's
+    * cost/benefit a measured bench ratio.
+    */
+  val dedupBloomPrefilter = QueryDef(
+    "dedup_bloom_prefilter",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.newAgainstCorpusBloom(
+          docs.filter(col("doc_id") % 10 < 8),
+          docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text",
+          expectedItems = 100000L)
+        .select(col("doc_id"), col("fingerprint"))
+    },
+    Some("""WITH fp AS (
+           |  SELECT doc_id,
+           |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+           |  FROM documents
+           |)
+           |SELECT b.doc_id, b.fingerprint
+           |FROM fp b
+           |WHERE b.doc_id % 10 >= 8
+           |  AND NOT EXISTS (SELECT 1 FROM fp c
+           |                  WHERE c.doc_id % 10 < 8
+           |                    AND c.fingerprint = b.fingerprint)""".stripMargin))
+
   /** Incremental near-dup ([[Dedup.nearDupsAgainstCorpus]]): same
     * 80/20 split, SimHash band-key candidates between batch and corpus
     * only (never corpus × corpus), Hamming-verified. The oracle reuses
@@ -2207,7 +2239,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
-    dedupKeepBest, dedupIncremental, dedupIncrNear, dedupIncrAssign,
+    dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrAssign,
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
     textRedactPii, textRepetition, textPackSequences,

@@ -639,6 +639,45 @@ class RerankSpec extends AnyFunSuite {
   }
 }
 
+class BloomPrefilterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("newAgainstCorpusBloom result is identical to the plain anti-join") {
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha  TEXT "),  // normalizes to a corpus dup
+      (11L, "delta fresh"),
+      (12L, "gamma"),          // exact corpus dup
+      (13L, "epsilon new")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").as[Long].collect().toSet
+    val plain = ids(Dedup.newAgainstCorpus(corpus, batch, "doc_id", "text"))
+    val bloomed = ids(Dedup.newAgainstCorpusBloom(corpus, batch, "doc_id", "text", 1000L))
+    assert(plain == Set(11L, 13L))
+    assert(bloomed == plain)
+  }
+
+  test("empty corpus: every batch row is definitely new (null-bloom edge)") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val out = Dedup.newAgainstCorpusBloom(corpus, batch, "doc_id", "text", 10L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("undersized bloom (high FP rate) still yields the exact result") {
+    // expectedItems=1 for a 500-key corpus: most batch rows become
+    // maybe-present and route through the verify join — the result
+    // must not change.
+    val corpus = (0 until 500).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    val batch = (450 until 520).map(i => (1000L + i, s"doc body $i")).toDF("doc_id", "text")
+    val out = Dedup.newAgainstCorpusBloom(corpus, batch, "doc_id", "text", 1L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == (500 until 520).map(i => 1000L + i).toSet)
+  }
+}
+
 class LoadSkewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

@@ -562,6 +562,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
+  test("dedup_bloom_prefilter: bloom rides a scalar subquery; definite-new arm skips the join") {
+    val p = plan("dedup_bloom_prefilter")
+    assert(p.contains("might_contain"),
+      "bloom predicate must appear in the batch filters:\n" + p.take(1200))
+    assert(p.contains("Union"),
+      "definitely-new and verified-new arms must union:\n" + p.take(800))
+    // The exact verify must still be the hash anti-join (no BNLJ/cartesian).
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("c_mad_trim: both stat frames broadcast back; no corpus-wide window") {
     val p = plan("c_mad_trim")
     assert(p.contains("BroadcastHashJoin"), "stats must broadcast:\n" + p.take(600))
