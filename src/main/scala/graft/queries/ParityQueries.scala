@@ -883,6 +883,33 @@ object ParityQueries {
         |       ROUND(SUM(valor_orcado), 2) AS valor_total
         |FROM fact GROUP BY ROLLUP(uf, cidade)""".stripMargin)))
 
+  /** CUBE over (uf, status_processo) — A17's sibling for NON-nested
+    * dimensions: ROLLUP emits the hierarchy's 3 levels, CUBE all 4
+    * subset combinations (including the per-status totals across
+    * states a rollup can't produce), still in ONE shuffle via the
+    * same Expand strategy — where the reference recomputes each
+    * Streamlit tab's breakdown with a separate pandas groupby. Same
+    * `__TOTAL__` sentinel contract as A17 (both dims are non-null in
+    * the fact, so the sentinel is unambiguous and downstream join
+    * keys stay non-nullable).
+    */
+  val cubeStatus = QueryDef(
+    "a18_cube_status",
+    (s, dir) =>
+      Tables.analiseComercial(s, dir)
+        .cube(col("uf"), col("status_processo"))
+        .agg(count(lit(1)).as("n_linhas"), round(sum("valor_orcado"), 2).as("valor_total"))
+        .select(
+          coalesce(col("uf"), lit("__TOTAL__")).as("uf"),
+          coalesce(col("status_processo"), lit("__TOTAL__")).as("status_processo"),
+          col("n_linhas"), col("valor_total")),
+    Some(withViews(
+      """SELECT COALESCE(uf, '__TOTAL__') AS uf,
+        |       COALESCE(status_processo, '__TOTAL__') AS status_processo,
+        |       COUNT(*) AS n_linhas,
+        |       ROUND(SUM(valor_orcado), 2) AS valor_total
+        |FROM fact GROUP BY CUBE(uf, status_processo)""".stripMargin)))
+
   /** Status-mix pivot per state (extension; the reference renders the
     * same mix as Streamlit metrics). Explicit pivot values keep the
     * output schema static — the scalable form (no extra distinct pass,
@@ -1227,7 +1254,7 @@ object ParityQueries {
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, pivotStatus, meltStatus, deltaSemanas,
+    topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)
 }
