@@ -745,6 +745,94 @@ object PipelineQueries {
             |)
             |SELECT doc_id, $qualityExprSql AS quality FROM base""".stripMargin))
 
+  /** Per-source corpus curation report — the "which sources do we
+    * keep / reweight / drop" table every corpus curation pass starts
+    * from (the Common-Crawl-derived pipelines publish exactly this
+    * breakdown): for each `source`, volume, exact-dup rate, mean
+    * heuristic quality, mean length, and the dominant predicted
+    * language — one row per source, composing four already-proven
+    * per-doc signals in ONE scan of the corpus.
+    *
+    * Determinism: mean quality follows the T13 exact-integer posture —
+    * the per-doc 6-dp score scales to micro-units (bigint), sums
+    * exactly, and the mean is emitted as the raw quotient of exact
+    * integers (double-sum means are accumulation-order-dependent and
+    * would hash-diverge). Dominant language is (count desc, lang asc)
+    * — a min_by on the (-n, lang) struct, at (source × lang)
+    * cardinality, never a corpus window.
+    *
+    * Scale: per-doc signals are narrow projections. The dup-rate
+    * count-distinct is NOT a `count(DISTINCT fp)` beside the sums —
+    * mixing distinct and plain aggregates makes Spark rewrite through
+    * an Expand that doubles every pre-shuffle row. Instead the
+    * aggregate CASCADES: first (source, fp) — map-side partials
+    * collapse exact dups before the shuffle — then source, where
+    * unique fingerprints are `count(*)` of the intermediate and the
+    * doc-level sums re-sum exactly (sums of group-sums). No Expand
+    * anywhere (PlanSpec-pinned); the final join runs at source
+    * cardinality.
+    */
+  val sourceReport = QueryDef(
+    "pipeline_source_report",
+    (s, dir) => {
+      val perDoc = Tables.documents(s, dir).select(
+        col("source"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000).cast("long").as("qi"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("nt"),
+        TextAnalysis.languageId(col("text")).as("lp"))
+      val byFp = perDoc.groupBy(col("source"), col("fp")).agg(
+        count(lit(1)).as("nf"), sum(col("qi")).as("qs"), sum(col("nt")).as("ts"))
+      val stats = byFp.groupBy(col("source")).agg(
+        sum(col("nf")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("qs")).as("q_sum"),
+        sum(col("ts")).as("t_sum"))
+      val topLang = perDoc.groupBy(col("source"), col("lp"))
+        .agg(count(lit(1)).as("nl"))
+        .groupBy(col("source"))
+        .agg(min_by(col("lp"),
+          struct((col("nl") * -1).as("nn"), col("lp").as("l"))).as("top_lang"))
+      stats.join(topLang, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          ((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"),
+          (col("q_sum").cast("double") /
+            (col("n_docs") * lit(1000000L)).cast("double")).as("mean_quality"),
+          (col("t_sum").cast("double") / col("n_docs").cast("double")).as("mean_tokens"),
+          col("top_lang"))
+    },
+    Some(s"""WITH b AS (
+            |  SELECT source, text,
+            |         string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+            |  FROM documents
+            |), base AS (
+            |  SELECT source, text, toks, CAST(len(toks) AS DOUBLE) AS n, $stopScoresSql
+            |  FROM b
+            |), pd AS (
+            |  SELECT source,
+            |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+            |         CAST(ROUND($qualityExprSql * 1000000) AS BIGINT) AS qi,
+            |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+            |         $langidCaseSql AS lp
+            |  FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM base)
+            |), stats AS (
+            |  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+            |         SUM(qi) AS q_sum, SUM(nt) AS t_sum
+            |  FROM pd GROUP BY 1
+            |), lm AS (
+            |  SELECT source, lp, COUNT(*) AS nl FROM pd GROUP BY 1, 2
+            |), tl AS (
+            |  SELECT source, lp AS top_lang FROM lm
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY nl DESC, lp ASC) = 1
+            |)
+            |SELECT s.source, s.n_docs, s.n_unique,
+            |       (s.n_docs - s.n_unique)::DOUBLE / s.n_docs::DOUBLE AS dup_rate,
+            |       s.q_sum::DOUBLE / (s.n_docs * 1000000)::DOUBLE AS mean_quality,
+            |       s.t_sum::DOUBLE / s.n_docs::DOUBLE AS mean_tokens,
+            |       tl.top_lang
+            |FROM stats s JOIN tl ON s.source = tl.source""".stripMargin))
+
   /** Near-dup collapse with quality-weighted representative selection —
     * what production dedup actually ships to training: each near-dup
     * cluster keeps its highest-quality member (tie → lowest doc_id),
@@ -2241,7 +2329,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrAssign,
     dedupDecontaminate,
-    textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep,
+    textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport,
     textRedactPii, textRepetition, textPackSequences,
     textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,

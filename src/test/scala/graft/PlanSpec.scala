@@ -573,6 +573,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
+  test("pipeline_source_report: cascaded distinct (no Expand), no corpus window") {
+    val p = plan("pipeline_source_report")
+    assert(!p.contains("Expand"),
+      "dup-rate must cascade (source, fp) -> source, not count(DISTINCT):\n" + p.take(800))
+    assert(!p.contains("Window"), p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("c_mad_trim: both stat frames broadcast back; no corpus-wide window") {
     val p = plan("c_mad_trim")
     assert(p.contains("BroadcastHashJoin"), "stats must broadcast:\n" + p.take(600))
