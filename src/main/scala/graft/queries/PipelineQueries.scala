@@ -2244,6 +2244,77 @@ object PipelineQueries {
            |       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
            |FROM g GROUP BY 1""".stripMargin))
 
+  /** DuckDB twin of [[Multimodal.dHash]]'s 56-term bit sum: byte i of
+    * the payload is the two hex chars of the md5 chain at 2i, parsed
+    * through a strpos lookup; bit (r,c) compares row-adjacent bytes.
+    * Generated from the same (rows=8, cols=8) loop as the Spark
+    * expression so the two can never drift apart term-by-term.
+    */
+  private val dhashTermsSql: String =
+    (for { r <- 0 until 8; c <- 0 until 7 } yield {
+      val idx = r * 7 + c
+      val a = 8 * r + c
+      s"CASE WHEN by[${a + 2}] > by[${a + 1}] THEN ${1L << idx} ELSE 0 END"
+    }).mkString(" + ")
+
+  /** Perceptual-hash media near-dup pairs ([[Multimodal.phashPairs]]):
+    * dHash over the synthetic payload "pixels" → the same bit-slice
+    * band → cap → equi-join → Hamming machinery as text SimHash, on
+    * the media table PLUS a deterministic "re-encode" of every 10th
+    * item (same payload, last byte zeroed — the one-bit-of-gradient
+    * perturbation a lossy re-encode models): each re-encode must pair
+    * with its original at hamming ≤ 1 (the flip touches only bit
+    * (7,6), and the other three bands stay intact so the candidate
+    * join always surfaces it), while the fixture's 500 unique
+    * payloads produce no other pair — so the query proves the hash,
+    * the banding, the cap, and the verify end-to-end with NON-EMPTY
+    * expected output, and the oracle re-derives every byte, bit,
+    * band key, and bucket cap from the raw text.
+    */
+  val mmPhashPairs = QueryDef(
+    "mm_phash_pairs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+      val reencoded = Multimodal.syntheticMedia(
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)),
+          "doc_id", "text")
+        .withColumn("payload",
+          concat(substring(col("payload"), 1, 63), unhex(lit("00"))))
+      Multimodal.phashPairs(media.unionByName(reencoded), "media_id", "payload")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS id,
+            |         md5('0:' || text) || md5('1:' || text) ||
+            |         md5('2:' || text) || md5('3:' || text) AS chain
+            |  FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 1000000 AS id,
+            |         substr(md5('0:' || text) || md5('1:' || text) ||
+            |                md5('2:' || text) || md5('3:' || text), 1, 126) || '00' AS chain
+            |  FROM documents WHERE doc_id % 10 = 0
+            |), b AS (
+            |  SELECT id,
+            |         [ (strpos('0123456789abcdef', substr(chain, 2*i + 1, 1)) - 1) * 16
+            |           + (strpos('0123456789abcdef', substr(chain, 2*i + 2, 1)) - 1)
+            |           FOR i IN generate_series(0, 63) ] AS by
+            |  FROM m
+            |), h AS (
+            |  SELECT id, CAST($dhashTermsSql AS BIGINT) AS sim FROM b
+            |), banded AS (
+            |  SELECT id, sim, band, (sim >> (band * 14)) % 16384 AS key
+            |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+            |), capped AS (
+            |  SELECT * FROM banded
+            |  QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 2000
+            |)
+            |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+            |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            |FROM capped a JOIN capped b
+            |  ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            |WHERE bit_count(xor(a.sim, b.sim)) <= 6""".stripMargin))
+
   /** Ordered-step conversion funnel view → click → purchase per user
     * (the [[Funnel]] operator): stage k reached at the first `steps(k)`
     * event strictly after stage k-1's time, anchored at the minimum
@@ -2336,5 +2407,5 @@ object PipelineQueries {
     annInt8Recall, annInt8Rerank, annIvfInt8, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize)
+    sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
 }

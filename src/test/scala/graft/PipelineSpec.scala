@@ -678,6 +678,45 @@ class BloomPrefilterSpec extends AnyFunSuite {
   }
 }
 
+class PhashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dHash: monotone payload sets all 56 bits, reversed sets none") {
+    val up = (0 until 64).map(_.toByte).toArray
+    val down = up.reverse
+    val df = Seq((1L, up), (2L, down)).toDF("id", "p")
+    val out = df.select($"id", Multimodal.dHash($"p").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == (1L << 56) - 1)
+    assert(out(2L) == 0L)
+  }
+
+  test("dHash ignores bytes beyond the 8x8 grid; short payloads are deterministic") {
+    val base = (0 until 64).map(i => ((i * 37) % 251).toByte).toArray
+    val longer = base ++ Array[Byte](9, 9, 9)
+    val df = Seq((1L, base), (2L, longer)).toDF("id", "p")
+    val out = df.select($"id", Multimodal.dHash($"p").as("h")).as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    // 63-byte payload: the missing byte 64 reads null -> bit (7,6) = 0
+    val short = base.take(63)
+    val h = Seq((3L, short)).toDF("id", "p")
+      .select(Multimodal.dHash($"p")).as[Long].head()
+    assert((h & (1L << 55)) == 0L)
+  }
+
+  test("phashPairs: re-encode pairs at hamming<=1, unrelated payloads never pair") {
+    val a = (0 until 64).map(i => ((i * 31 + 7) % 256).toByte).toArray
+    val aFlip = a.clone(); aFlip(63) = 0x00.toByte
+    val b = (0 until 64).map(i => ((i * 131 + 17) % 256).toByte).toArray
+    val df = Seq((1L, a), (2L, aFlip), (3L, b)).toDF("media_id", "payload")
+    val pairs = Multimodal.phashPairs(df, "media_id", "payload")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(pairs.forall(_._3 <= 1))
+  }
+}
+
 class LoadSkewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
