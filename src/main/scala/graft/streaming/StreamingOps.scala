@@ -197,6 +197,67 @@ object StreamingOps {
   /** Input row shape for [[sessionize]]. */
   final case class UserEvent(userId: Long, tsMillis: Long, value: Double)
 
+  /** Input row for [[funnelStream]]. */
+  final case class FunnelEvent(userId: Long, tsUs: Long, eventType: String)
+
+  /** Per-user funnel progress emitted after each micro-batch that
+    * touches the user. `stepUs(i)` = -1 while step i is unreached.
+    */
+  final case class FunnelProgress(userId: Long, stage: Int, stepUs: Seq[Long])
+
+  /** Streaming funnel — [[graft.operators.Funnel.stageTimes]]'s
+    * incremental twin via mapGroupsWithState: per-user state is the k
+    * nullable stage times and NOTHING else (constant-size per key —
+    * the batch fold's accumulator, persisted), each micro-batch folds
+    * its rows in (tsUs) order through the IDENTICAL strict
+    * min-cascade transition, and the operator emits the user's
+    * current (stage, stepUs) in Update mode.
+    *
+    * Parity contract (StreamingSpec-proven): with per-user in-order
+    * delivery ACROSS batches, any batch split of the event stream
+    * produces the same final state as the batch operator on the union
+    * — the transition is associative over ordered segments because a
+    * filled slot never unfills. A LATE event older than an
+    * already-filled stage cannot retroactively re-run steps the
+    * constant state no longer remembers; that replay is exactly what
+    * the batch twin backfills (the same division of labor as
+    * [[sessionize]] vs the batch gaps-and-islands).
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    implicit val stateEnc = Encoders.product[FunnelStateK]
+    implicit val outEnc = Encoders.product[FunnelProgress]
+    implicit val longEnc = Encoders.scalaLong
+    val k = steps.length
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[FunnelStateK, FunnelProgress](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelStateK]) =>
+          val prev = state.getOption.getOrElse(FunnelStateK(Seq.fill(k)(-1L)))
+          val next = rows.toSeq.sortBy(e => (e.tsUs, e.eventType)).foldLeft(prev) {
+            (acc, e) =>
+              // Same transition as the batch fold: an event may fill the
+              // FIRST eligible slot of its type (unfilled, predecessor
+              // filled strictly earlier); the unfilled slots form a
+              // suffix, so at most one slot is ever eligible per event.
+              steps.zipWithIndex
+                .collectFirst { case (t, i) if t == e.eventType &&
+                  acc.stepUs(i) == -1L &&
+                  (i == 0 || (acc.stepUs(i - 1) != -1L && e.tsUs > acc.stepUs(i - 1))) => i }
+                .map(i => FunnelStateK(acc.stepUs.updated(i, e.tsUs)))
+                .getOrElse(acc)
+          }
+          state.update(next)
+          FunnelProgress(userId, next.stepUs.takeWhile(_ != -1L).length, next.stepUs)
+      }
+  }
+
+  /** Keyed state for [[funnelStream]]: the k stage times, -1 = unset. */
+  final case class FunnelStateK(stepUs: Seq[Long])
+
   /** Custom keyed state via flatMapGroupsWithState: accumulate per-user
     * activity, emit a summary when the user goes quiet for
     * `gapMillis` (processing-time timeout). The state per key is three

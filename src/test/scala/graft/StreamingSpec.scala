@@ -227,6 +227,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream: constant-state funnel matches the batch fold across batch splits") {
+    implicit val sql = spark.sqlContext
+    import StreamingOps.{FunnelEvent, FunnelProgress}
+    val ms = MemoryStream[FunnelEvent]
+    val dir = Files.createTempDirectory("graft_stream_funnel").toString
+    val steps = Seq("view", "click", "purchase")
+
+    val out = StreamingOps.funnelStream(ms.toDS(), steps)
+    val q = out.writeStream.format("memory").queryName("funnel_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // Batch 1: u1 view (plus an early click that must not count);
+      // u2 click before any view; within-batch out-of-order arrival.
+      ms.addData(
+        FunnelEvent(1L, 20L, "click"), FunnelEvent(1L, 10L, "view"),
+        FunnelEvent(1L, 5L, "click"),
+        FunnelEvent(2L, 7L, "click"))
+      q.processAllAvailable()
+      // Batch 2: u1 completes; u2 view arrives (later ts), then a
+      // click at the SAME microsecond as the view (strict > excludes).
+      ms.addData(
+        FunnelEvent(1L, 30L, "purchase"),
+        FunnelEvent(2L, 9L, "view"), FunnelEvent(2L, 9L, "click"))
+      q.processAllAvailable()
+
+      val last = spark.table("funnel_test")
+        .groupBy("userId").agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct($"stage", $"stepUs")).as("s"))
+        .select($"userId", $"s.stage", $"s.stepUs")
+        .as[(Long, Int, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(last(1L) == ((3, Seq(10L, 20L, 30L))))
+      assert(last(2L) == ((1, Seq(9L, -1L, -1L))))
+
+      // Batch parity: the same events through the batch operator.
+      val batchEv = Seq(
+        (1L, 20L, "click"), (1L, 10L, "view"), (1L, 5L, "click"),
+        (2L, 7L, "click"), (1L, 30L, "purchase"), (2L, 9L, "view"), (2L, 9L, "click"))
+        .toDF("user_id", "ts_us", "event_type")
+      val batch = graft.operators.Funnel.stageTimes(batchEv, steps)
+        .select($"user_id", $"stage",
+          org.apache.spark.sql.functions.transform($"step_us",
+            c => org.apache.spark.sql.functions.coalesce(c, org.apache.spark.sql.functions.lit(-1L))))
+        .as[(Long, Long, Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2.toInt, r._3))).toMap
+      assert(batch == last.map { case (k, v) => k -> v })
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static left join enriches batches, keeps unmatched rows") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(String, Double)]
