@@ -261,6 +261,45 @@ object TextAnalysis {
   def piiCount(text: Column, idx: Int): Column =
     size(regexp_extract_all(coalesce(text, lit("")), lit(piiPatterns(idx)._1), lit(0)))
 
+  /** Per-document character-distribution Shannon entropy (nats) plus
+    * alphabet size — the cheap "is this text or noise" quality gate
+    * that catches what token heuristics miss: base64 blobs, hex
+    * dumps, minified/encrypted payloads score HIGH (entropy near the
+    * uniform-alphabet ceiling), single-char floods and whitespace art
+    * score near zero, natural language sits in the middle
+    * (~2.3–3.2 nats for English). Corpus-cleaning pipelines threshold
+    * both tails.
+    *
+    * Determinism (the T13 micro-nat posture): using
+    * H = ln n − (Σ n_c·ln n_c)/n, every ln rounds to integer
+    * micro-nats FIRST, the weighted sums are exact bigints, and the
+    * entropy is the raw quotient of exact integers — no double
+    * accumulates, no final round to diverge cross-engine.
+    *
+    * Shape at scale: explode chars → map-side-combined (doc, char)
+    * counts (bounded by |doc| × alphabet, combines hard — text is
+    * mostly a few dozen distinct chars) → one per-doc aggregate. Two
+    * doc-keyed shuffles, no join, no window. Docs with no characters
+    * are absent from the output (no distribution to score).
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(coalesce(col(textCol), lit("")), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("nc"))
+    cc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("nc")).cast("long").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("nc") * round(log(col("nc")) * lit(1000000.0)).cast("long")).as("s_micro"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        ((col("n_chars") * round(log(col("n_chars")) * lit(1000000.0)).cast("long")
+          - col("s_micro")).cast("double") /
+          (col("n_chars") * lit(1000000L)).cast("double")).as("entropy"))
+  }
+
   /** Gopher-style repetition stats per document, the standard cheap
     * repetition filters in web-corpus cleaning (Rae et al. 2021 §A1.1
     * use duplicate-line and top-n-gram character fractions; this is the

@@ -655,6 +655,28 @@ object PipelineQueries {
            |SELECT window_start, term, n FROM c
            |QUALIFY ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY n DESC, term ASC) <= 5""".stripMargin))
 
+  /** Character-entropy quality signal ([[TextAnalysis.charEntropy]]):
+    * the noise gate — base64/hex junk scores near the alphabet
+    * ceiling, char floods near zero, prose in between. Oracle replays
+    * the micro-nat integer arithmetic term-for-term.
+    */
+  val textEntropy = QueryDef(
+    "text_entropy",
+    (s, dir) =>
+      TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH ch AS (
+           |  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c FROM documents
+           |), cc AS (
+           |  SELECT doc_id, c, COUNT(*) AS nc FROM ch WHERE c <> '' GROUP BY 1, 2
+           |)
+           |SELECT doc_id,
+           |       CAST(SUM(nc) AS BIGINT) AS n_chars,
+           |       COUNT(*) AS n_distinct_chars,
+           |       (SUM(nc) * CAST(ROUND(1000000 * ln(SUM(nc))) AS BIGINT)
+           |        - SUM(nc * CAST(ROUND(1000000 * ln(nc)) AS BIGINT)))::DOUBLE
+           |       / (SUM(nc) * 1000000)::DOUBLE AS entropy
+           |FROM cc GROUP BY 1""".stripMargin))
+
   /** Per-doc key terms by TF-IDF ([[TextAnalysis.tfidfTopTerms]]):
     * top-3 `tf * ln(n_docs/df)` terms per document, rounded scores
     * ranked with term tie-break (see the operator scaladoc for why
@@ -2402,7 +2424,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, textDupSpans, textDupSpanFrac, textChunks, textLmScore, textLm2Score, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention,

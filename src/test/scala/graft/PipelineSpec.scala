@@ -152,6 +152,26 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class EntropySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("charEntropy separates noise, floods, and prose; exact on uniform alphabets") {
+    val df = Seq(
+      (1L, "aaaaaaaaaa"),                        // flood: H = 0
+      (2L, "abcdabcdabcdabcd"),                  // uniform 4-char: H = ln 4
+      (3L, "the quick brown fox jumps over it"), // prose: mid-band
+      (4L, "")).toDF("doc_id", "text")           // empty: absent
+    val out = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 0.0)
+    assert(math.abs(out(2L)._4 - math.log(4.0)) < 1e-5)
+    assert(out(2L)._3 == 4L && out(2L)._2 == 16L)
+    assert(out(3L)._4 > 2.0 && out(3L)._4 < 3.5)
+    assert(!out.contains(4L))
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
