@@ -354,6 +354,103 @@ object Similarity {
     topKByCos(scored, k, carryCell = false)
   }
 
+  /** Product-quantized (PQ) ADC search — the third classical ANN
+    * memory structure beside IVF (which cells to score) and scalar
+    * int8 (per-coordinate rounding): the vector splits into `m`
+    * subspaces, each subvector is replaced by the id of its nearest
+    * codebook entry, and a corpus row stores only `m` small codes —
+    * at (m=2, ks=16) that is 1 byte per vector against 32 for the
+    * dim-8 float originals, the compression regime billion-vector
+    * indexes live in (FAISS `IndexPQ`). Search is asymmetric distance
+    * computation (ADC): the query precomputes its exact distance to
+    * every codeword (m × ks table, tiny, broadcast), and a corpus
+    * row's approximate distance is m table lookups + a sum — no
+    * vector arithmetic per corpus row at all.
+    *
+    * Geometry: vectors are L2-normalized first, so squared-L2 ADC
+    * ranking is cosine ranking (‖a−b‖² = 2 − 2·cos on unit vectors);
+    * recall is measured against the same exact-cosine truth as every
+    * sibling. Codebooks here are the deterministic [[kmeansInit]]
+    * seed pick per subspace (md5-ordered corpus rows — engine-
+    * portable); production would Lloyd-refine them with [[kmeansFit]]
+    * on the subvectors, which changes recall, not machinery.
+    *
+    * Determinism: every sub-distance is the dot-identity
+    * `aa + bb − 2ab` over the SAME left-fold dot both engines agree
+    * on bit-for-bit (the ann_* precedent), rounded to 6 dp before any
+    * comparison; encode ties break to the lowest codeword id, ranking
+    * ties to the lowest neighbor id.
+    *
+    * Scale: the corpus never shuffles — encoding is m broadcast
+    * crossJoins + an id-keyed argmin each, search is a broadcast hash
+    * join against the query tables; the only corpus-wide movement is
+    * the k-heap cut (map-side partials, |Q| × k rows out).
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 2,
+      ks: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+
+    def normalize(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+      .filter(col("nrm") > 0.0)
+      .select(col("id"), transform(col("v"), x => x / col("nrm")).as("u"))
+
+    def l2sq(a: Column, b: Column): Column = round(
+      VectorFunctions.dot(a, a) + VectorFunctions.dot(b, b)
+        - lit(2.0) * VectorFunctions.dot(a, b), 6)
+
+    val c = normalize(corpus)
+    val q = normalize(queries)
+    val seeds = kmeansInit(
+      c.select(col("id").as(idCol), col("u").as(vecCol)), idCol, vecCol, ks)
+    val codebooks = (0 until m).map { j =>
+      broadcast(seeds.select(col("c_id"),
+        slice(col("c_vec"), j * subDim + 1, subDim).as("cw")))
+    }
+
+    // Encode: per subspace, nearest codeword by (rounded dist, c_id).
+    val enc = (0 until m).map { j =>
+      c.crossJoin(codebooks(j))
+        .select(col("id"),
+          l2sq(slice(col("u"), j * subDim + 1, subDim), col("cw")).as("d"), col("c_id"))
+        .groupBy(col("id"))
+        .agg(min_by(col("c_id"), struct(col("d"), col("c_id"))).as(s"code$j"))
+    }.reduce(_.join(_, "id"))
+
+    // ADC tables: exact query-to-codeword distances, one small frame
+    // per subspace, broadcast into the scoring join.
+    val tables = (0 until m).map { j =>
+      q.crossJoin(codebooks(j))
+        .select(col("id").as(s"tq$j"), col("c_id").as(s"tc$j"),
+          l2sq(slice(col("u"), j * subDim + 1, subDim), col("cw")).as(s"td$j"))
+    }
+    val scored0 = tables.zipWithIndex.foldLeft(enc.withColumnRenamed("id", "n_id")) {
+      case (acc, (t, j)) =>
+        val cond = (col(s"code$j") === col(s"tc$j")) +:
+          (if (j == 0) Seq.empty else Seq(col("tq0") === col(s"tq$j")))
+        acc.join(broadcast(t), cond.reduce(_ && _))
+    }
+    val scored = scored0
+      .filter(col("n_id") =!= col("tq0"))
+      .select(col("tq0").as("q_id"), col("n_id"),
+        (0 until m).map(j => col(s"td$j")).reduce(_ + _).as("dist"))
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.smallestK(
+        struct(col("dist").as("dist"), col("n_id").as("n_id")), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.n_id").as("n_id"), col("t.dist").as("dist"))
+  }
+
   /** ANN quality measurement: recall of an approximate top-k result
     * against the exact ground truth — THE number an IVF/LSH user tunes
     * nprobe / centroid count / bands by. Both inputs expose

@@ -1688,6 +1688,91 @@ object PipelineQueries {
             |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
             |) GROUP BY ROLLUP(q_id)""".stripMargin))
 
+  private def l2sqSql(a: String, b: String): String =
+    s"""ROUND(list_dot_product($a, $a) + list_dot_product($b, $b)
+       |      - 2 * list_dot_product($a, $b), 6)""".stripMargin
+
+  /** Product-quantization ADC recall ([[Similarity.pqTopK]], m=2
+    * subspaces × 16 seed codewords): the 32× memory structure
+    * measured against the same exact truth as its siblings, so the
+    * recall column reads IVF 0.40 / int8 0.97 / int8+rerank 1.00 /
+    * PQ 0.07 side by side. The 0.07 is PQ's DOCUMENTED worst case,
+    * not a defect: this fixture's vectors are i.i.d. random, so there
+    * is no low-rank/cluster structure for 1-byte codes to exploit and
+    * nearly all of each distance is quantization noise — real
+    * embedding corpora concentrate near low-dimensional manifolds,
+    * which is the regime PQ codebooks (especially Lloyd-refined ones)
+    * compress well. The production recipe at this code rate is
+    * PQ-shortlist + exact rerank (`ann_int8_rerank`'s shape). The
+    * oracle replays normalization, the md5-ordered seed pick,
+    * per-subspace encode (rounded dist, codeword-id tie-break), the
+    * ADC tables, and the (dist, n_id) ranking from scratch.
+    */
+  val annPqRecall = QueryDef(
+    "ann_pq_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+        dim = 8, k = 10, m = 2, ks = 16)
+      Similarity.recallVsTruth(gt, approx)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |gt AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+            |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+            |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |),
+            |nz AS (
+            |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+            |  FROM e WHERE list_dot_product(v, v) > 0
+            |),
+            |seeds AS (
+            |  SELECT vec_id AS c_id, u FROM nz
+            |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+            |  LIMIT 16
+            |),
+            |cb AS (
+            |  SELECT j, c_id, list_slice(u, j * 4 + 1, j * 4 + 4) AS cw
+            |  FROM seeds CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j)
+            |),
+            |enc AS (
+            |  SELECT vec_id, j, c_id AS code FROM (
+            |    SELECT nz.vec_id, cb.j, cb.c_id,
+            |           ${l2sqSql("list_slice(nz.u, cb.j * 4 + 1, cb.j * 4 + 4)", "cb.cw")} AS d
+            |    FROM nz CROSS JOIN cb
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c_id ASC) = 1
+            |),
+            |codes AS (
+            |  SELECT vec_id, MAX(CASE WHEN j = 0 THEN code END) AS code0,
+            |         MAX(CASE WHEN j = 1 THEN code END) AS code1
+            |  FROM enc GROUP BY 1
+            |),
+            |tbl AS (
+            |  SELECT q.vec_id AS q_id, cb.j, cb.c_id,
+            |         ${l2sqSql("list_slice(q.u, cb.j * 4 + 1, cb.j * 4 + 4)", "cb.cw")} AS d
+            |  FROM (SELECT * FROM nz WHERE vec_id >= 10 AND vec_id < 20) q CROSS JOIN cb
+            |),
+            |approx AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT t0.q_id, c.vec_id AS n_id, t0.d + t1.d AS dist
+            |    FROM codes c
+            |    JOIN tbl t0 ON t0.j = 0 AND t0.c_id = c.code0
+            |    JOIN tbl t1 ON t1.j = 1 AND t1.c_id = c.code1 AND t1.q_id = t0.q_id
+            |    WHERE c.vec_id <> t0.q_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) <= 10
+            |)
+            |SELECT COALESCE(q_id, -1) AS q_id,
+            |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+            |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+            |FROM (
+            |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+            |) GROUP BY ROLLUP(q_id)""".stripMargin))
+
   /** Retrieve-then-rerank recall ([[Similarity.int8RerankTopK]]):
     * int8 shortlist at 4×k, exact-cosine rerank of the shortlist,
     * measured against the same exact truth as its siblings — so the
@@ -2426,7 +2511,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
-    annInt8Recall, annInt8Rerank, annIvfInt8, annKmeans,
+    annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)

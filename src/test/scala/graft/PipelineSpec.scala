@@ -737,6 +737,40 @@ class PhashSpec extends AnyFunSuite {
   }
 }
 
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pqTopK is exact when the corpus IS the codebook (lossless encode)") {
+    // 16 rows, all distinct in both subspace halves: kmeansInit picks
+    // all of them as seeds, every vector encodes to itself at d=0, and
+    // ADC distance collapses to the exact squared L2 — so PQ ranking
+    // must equal the exact cosine ranking (monotone on unit vectors).
+    val vecs = (0 until 16).map { i =>
+      (i.toLong, (0 until 8).map(d => (math.cos(i * 13 + d * 5) * (d + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(queries, vecs, "vec_id", "embedding",
+        dim = 8, k = 5, m = 2, ks = 16)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(pq == exact)
+  }
+
+  test("pqTopK: approximate distances are plausible and self is excluded") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(d => (math.sin(i * 17 + d * 3) + 0.1 * d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs.filter($"vec_id" < 3), vecs, "vec_id", "embedding",
+        dim = 8, k = 5, m = 2, ks = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 15)                       // 3 queries x k
+    assert(out.forall(r => r._1 != r._2))          // no self-match
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 4.000001)) // unit-sphere L2^2 range
+  }
+}
+
 class LoadSkewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
