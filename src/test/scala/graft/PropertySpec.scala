@@ -129,3 +129,95 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** Property invariants for the round-10 additions: the funnel fold vs
+  * an independent min-cascade reference, the bloom prefilter vs the
+  * plain anti-join, and the Column dHash vs a bit-for-bit JVM
+  * reference.
+  */
+class Round10PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def run(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val eventsGen: Gen[List[(Long, Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 4L)
+      t <- Gen.choose(1L, 30L)
+      k <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (u, t, k))
+
+  test("funnel fold equals the min-cascade reference on arbitrary event sets") {
+    val steps = Seq("view", "click", "purchase")
+    run(Prop.forAll(eventsGen) { rows =>
+      val df = rows.toDF("user_id", "ts_us", "event_type")
+      val got = graft.operators.Funnel.stageTimes(df, steps)
+        .select($"user_id", $"stage",
+          transform($"step_us", c => coalesce(c, lit(-1L))))
+        .as[(Long, Long, Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+
+      // Independent reference: conditional minimums, not a fold.
+      val want = rows.groupBy(_._1).map { case (u, es) =>
+        def minAfter(tp: String, after: Long): Long = {
+          val c = es.collect { case (_, t, k) if k == tp && t > after => t }
+          if (c.isEmpty) -1L else c.min
+        }
+        val v = minAfter("view", Long.MinValue)
+        val cl = if (v == -1L) -1L else minAfter("click", v)
+        val p = if (cl == -1L) -1L else minAfter("purchase", cl)
+        val stage = Seq(v, cl, p).takeWhile(_ != -1L).length.toLong
+        u -> ((stage, Seq(v, cl, p)))
+      }
+      got == want
+    })
+  }
+
+  private val corpusGen: Gen[(List[String], List[String])] = for {
+    corpus <- Gen.listOf(Gen.choose(0, 40).map(i => s"doc $i"))
+    batch <- Gen.nonEmptyListOf(Gen.choose(20, 60).map(i => s"doc $i"))
+  } yield (corpus, batch)
+
+  test("bloom prefilter result always equals the plain anti-join") {
+    run(Prop.forAll(corpusGen) { case (corpus, batch) =>
+      val c = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val b = batch.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_id").as[Long].collect().toSet
+      ids(graft.operators.Dedup.newAgainstCorpusBloom(c, b, "doc_id", "text", 64L)) ==
+        ids(graft.operators.Dedup.newAgainstCorpus(c, b, "doc_id", "text"))
+    })
+  }
+
+  private val payloadGen: Gen[Array[Byte]] =
+    Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)))
+      .map(_.toArray)
+
+  test("Column dHash equals the JVM reference bit-for-bit, any payload length") {
+    def ref(p: Array[Byte]): Long = {
+      def at(i: Int): Int = if (i < p.length) p(i) & 0xff else -1
+      var h = 0L
+      for (r <- 0 until 8; c <- 0 until 7) {
+        val a = at(8 * r + c); val b = at(8 * r + c + 1)
+        // Column semantics: a null (out-of-range) side makes the
+        // comparison null -> bit 0.
+        if (a >= 0 && b >= 0 && b > a) h |= 1L << (r * 7 + c)
+      }
+      h
+    }
+    run(Prop.forAll(Gen.listOfN(6, payloadGen)) { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+      val got = df.select($"id", graft.operators.Multimodal.dHash($"p"))
+        .as[(Long, Long)].collect().toMap
+      ps.zipWithIndex.forall { case (p, i) => got(i.toLong) == ref(p) }
+    })
+  }
+}
