@@ -973,6 +973,162 @@ object PipelineQueries {
             |       lang_pred, COUNT(*) AS n_docs, ROUND(AVG(quality), 4) AS avg_quality
             |FROM deduped GROUP BY 1, 2""".stripMargin))
 
+  /** THE end-to-end pretraining-data preparation pipeline — every
+    * stage a real corpus run executes before tokenization, composed
+    * under ONE optimizer pass and checked against a single oracle
+    * that replays all of it:
+    *
+    *   1. score: heuristic quality, char entropy, duplicated-word
+    *      fraction, language-ID, token count — all per-doc signals
+    *      from this library;
+    *   2. gate: quality ≥ 0.5, dup_word_frac ≤ 0.95, entropy in
+    *      [1.5, 4.5] (both quality-junk tails; thresholds are
+    *      corpus-specific knobs everywhere — these are calibrated to
+    *      this fixture's repetitive word-salad text, whose MEDIAN
+    *      dup-word fraction is 0.84, so the gate cuts the worst tail
+    *      instead of the corpus);
+    *   3. exact dedup: keep-first per normalized fingerprint
+    *      (min_by aggregate, no corpus window);
+    *   4. decontaminate: drop candidates sharing ≥ 5 distinct word
+    *      trigrams with the eval split (doc_id % 10 = 0), eval side
+    *      broadcast;
+    *   5. pack: next-fit into ≤ 256-token sequences, sequential unit
+    *      bounded to (lang, id-range) buckets per the T9 contract —
+    *      emitted as per-(bucket, seq) counts.
+    *
+    * Scale: signals are narrow projections + doc-keyed aggregates;
+    * the dedup pick runs at fingerprint cardinality; decontamination
+    * pays one corpus gram scan against the broadcast eval grams; the
+    * packing fold never sees more than one bucket. No corpus-wide
+    * window, no cartesian anywhere (PlanSpec-pinned).
+    */
+  val pretrainPrep = QueryDef(
+    "pipeline_pretrain_prep",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(
+        col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("n_tok"))
+      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("dup_word_frac"))
+      val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("entropy"))
+      val gated = scored.join(rep, "doc_id").join(ent, "doc_id")
+        .filter(col("q") >= 0.5 && col("dup_word_frac") <= 0.95 &&
+          col("entropy").between(1.5, 4.5))
+      val deduped = gated
+        .groupBy(col("fp"))
+        .agg(min_by(
+          struct(col("doc_id"), col("text"), col("lang_pred"), col("n_tok")),
+          col("doc_id")).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"),
+          col("d.lang_pred").as("lang_pred"), col("d.n_tok").as("n_tok"))
+      val cand = deduped.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val contaminated = Dedup.decontaminate(
+          cand, docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", shingleK = 3, minShared = 5)
+        .select(col("doc_id")).distinct()
+      val clean = cand.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          concat(col("lang_pred"), lit("#"),
+            expr("doc_id div 200").cast("string")).as("bucket"),
+          col("n_tok"))
+      TextAnalysis.packSequences(clean, "doc_id", "n_tok", "bucket", maxTokens = 256L)
+        .groupBy(col("bucket"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("seq_tokens"))
+    },
+    Some(s"""WITH RECURSIVE b0 AS (
+            |$docsBaseSql
+            |),
+            |scored0 AS (
+            |  SELECT doc_id, text, toks, n, $stopScoresSql,
+            |         $qualityExprSql AS q,
+            |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+            |         CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS BIGINT) AS n_tok
+            |  FROM b0
+            |),
+            |scored AS (
+            |  SELECT doc_id, text, toks, q, fp, n_tok, $langidCaseSql AS lang_pred
+            |  FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM scored0)
+            |),
+            |wc AS (
+            |  SELECT doc_id, w, COUNT(*) AS cnt
+            |  FROM (SELECT doc_id, unnest(list_filter(toks, x -> x <> '')) AS w FROM b0)
+            |  GROUP BY 1, 2
+            |),
+            |wf AS (
+            |  SELECT doc_id,
+            |         ROUND(COALESCE(
+            |           CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(w) END) AS DOUBLE)
+            |             / CAST(SUM(cnt * length(w)) AS DOUBLE), 0.0), 6) AS dup_word_frac
+            |  FROM wc GROUP BY 1
+            |),
+            |chc AS (
+            |  SELECT doc_id, c, COUNT(*) AS nc
+            |  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c FROM documents)
+            |  WHERE c <> '' GROUP BY 1, 2
+            |),
+            |ent AS (
+            |  SELECT doc_id,
+            |         (SUM(nc) * CAST(ROUND(1000000 * ln(SUM(nc))) AS BIGINT)
+            |          - SUM(nc * CAST(ROUND(1000000 * ln(nc)) AS BIGINT)))::DOUBLE
+            |         / (SUM(nc) * 1000000)::DOUBLE AS entropy
+            |  FROM chc GROUP BY 1
+            |),
+            |gated AS (
+            |  SELECT s.doc_id, s.text, s.lang_pred, s.n_tok, s.fp
+            |  FROM scored s
+            |  LEFT JOIN wf ON s.doc_id = wf.doc_id
+            |  JOIN ent ON s.doc_id = ent.doc_id
+            |  WHERE s.q >= 0.5 AND COALESCE(wf.dup_word_frac, 0.0) <= 0.95
+            |    AND ent.entropy BETWEEN 1.5 AND 4.5
+            |),
+            |dedup AS (
+            |  SELECT * FROM gated QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+            |),
+            |g AS (
+            |  SELECT doc_id,
+            |         unnest(CASE WHEN len(toks) >= 3
+            |                THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+            |                                    FOR i IN generate_series(0, len(toks) - 3)])
+            |                ELSE [] END) AS gram
+            |  FROM (SELECT doc_id,
+            |               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+            |        FROM documents)
+            |),
+            |pairs AS (
+            |  SELECT c.doc_id, COUNT(*) AS ns
+            |  FROM g c JOIN g e ON c.gram = e.gram
+            |  WHERE e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+            |  GROUP BY c.doc_id, e.doc_id HAVING COUNT(*) >= 5
+            |),
+            |clean AS (
+            |  SELECT d.doc_id,
+            |         d.lang_pred || '#' || CAST(d.doc_id // 200 AS VARCHAR) AS bucket,
+            |         d.n_tok
+            |  FROM dedup d
+            |  WHERE d.doc_id % 10 <> 0
+            |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_id = d.doc_id)
+            |),
+            |ord AS (
+            |  SELECT doc_id, bucket, n_tok,
+            |         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+            |  FROM clean
+            |),
+            |pack AS (
+            |  SELECT bucket, doc_id, n_tok, rn, 0 AS seq, n_tok AS cur FROM ord WHERE rn = 1
+            |  UNION ALL
+            |  SELECT o.bucket, o.doc_id, o.n_tok, o.rn,
+            |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN p.seq + 1 ELSE p.seq END,
+            |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN o.n_tok ELSE p.cur + o.n_tok END
+            |  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+            |)
+            |SELECT bucket, seq, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+            |FROM pack GROUP BY 1, 2""".stripMargin))
+
   /** Winnowed rolling-hash fingerprints (k=5 grams, window 8) per doc:
     * sketch size and extremes, via the O(n) JVM kernel
     * ([[TextAnalysis.winnowKernel]] — one narrow pass, no caching; the
@@ -2507,7 +2663,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrAssign,
     dedupDecontaminate,
-    textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport,
+    textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,

@@ -581,6 +581,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
+  test("pipeline_pretrain_prep composes under one pass: no cartesian, no corpus window") {
+    val p = plan("pipeline_pretrain_prep")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // The decontamination gram join must broadcast the (small) eval side.
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // The only Window is the packing fold's input ordering inside the
+    // bucket aggregate — there must be NO window partitioned by the
+    // whole corpus (fp-dedup is a min_by aggregate, not row_number).
+    assert(!p.contains("windowspecdefinition(fp"),
+      "fingerprint dedup must be an aggregate, not a window:\n" + p.take(800))
+  }
+
   test("c_mad_trim: both stat frames broadcast back; no corpus-wide window") {
     val p = plan("c_mad_trim")
     assert(p.contains("BroadcastHashJoin"), "stats must broadcast:\n" + p.take(600))
