@@ -81,6 +81,31 @@ object Cleaning {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Forward-fill (`pandas.ffill` per group): replace nulls in `cols`
+    * with the last non-null value seen earlier in `order` within the
+    * same `key` partition — the gap-carrying step time-series feature
+    * prep leans on (the reference's pandas workflow gets it for free
+    * from frame order; distributed, the order MUST be explicit or the
+    * fill is nondeterministic). Backward-fill is the same call with
+    * the order reversed.
+    *
+    * Scale: one `last(ignoreNulls)` running window per column, all
+    * sharing one keyed window spec — a single shuffle on the key,
+    * linear per-key walk, state = one value per filled column. Same
+    * shape as [[Asof]]'s carry-forward, here exposed as the hygiene
+    * primitive.
+    */
+  def fillForward(
+      df: DataFrame,
+      key: Seq[String],
+      order: Seq[Column],
+      cols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
   /** Join-key normalization (SURVEY §7 hard-part 5): the reference's
     * dimension carries keys with trailing whitespace
     * (`'CEBD01035-00 '` — `Classificação Produtos (3).xlsx`), which

@@ -445,6 +445,42 @@ object ParityQueries {
     * `quantile_disc` is already pinned by `a15_percentile_disc` on
     * this same column.
     */
+  /** Forward-fill ([[Cleaning.fillForward]], `pandas.ffill` per
+    * group): carry each user's last known reading (`value`, nullified
+    * on 'error' events — deterministic injected gaps, the PII-oracle
+    * precedent) forward in (ts_us, event_id) order. The EXPLICIT
+    * total order is the whole point: pandas inherits frame order, a
+    * distributed fill must pin one — and it must be genuinely total
+    * (event_id is unique; the fact view's `rid` is NOT, which makes
+    * it unusable as a fill tie-break and is why this query lives on
+    * events). One keyed window, one shuffle on user_id.
+    */
+  val ffill = QueryDef(
+    "c_ffill_events",
+    (s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          graft.sources.Tables.tsMicros(col("ts")).as("ts_us"),
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(round(col("value"), 2)).as("reading"))
+      Cleaning.fillForward(ev,
+          key = Seq("user_id"),
+          order = Seq(col("ts_us"), col("event_id")),
+          cols = Seq("reading"))
+        .select(col("event_id"), col("user_id"),
+          col("reading").as("reading_ffill"))
+    },
+    Some("""SELECT event_id, user_id,
+           |       LAST_VALUE(reading IGNORE NULLS) OVER (
+           |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reading_ffill
+           |FROM (
+           |  SELECT event_id, user_id, ts,
+           |         CASE WHEN event_type = 'error' THEN NULL
+           |              ELSE ROUND(value, 2) END AS reading
+           |  FROM events
+           |)""".stripMargin))
+
   val iqrTrim = QueryDef(
     "c_iqr_trim",
     (s, dir) =>
@@ -1253,7 +1289,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, ffill, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)

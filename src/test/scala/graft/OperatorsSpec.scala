@@ -275,3 +275,31 @@ class CompactSpec extends AnyFunSuite {
     assert(back.toSeq == rows, "compaction must not change the data")
   }
 }
+
+class FfillSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("fillForward carries last non-null per key in order; leading nulls stay null") {
+    val df = Seq(
+      (1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some(7.0)), (1L, 5L, None),
+      (2L, 1L, None), (2L, 2L, Some(3.0)),
+      (3L, 1L, None)).toDF("k", "o", "v")
+    val out = graft.operators.Cleaning.fillForward(df, Seq("k"), Seq(col("o")), Seq("v"))
+      .select($"k", $"o", $"v").as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == Some(10.0) && out((1L, 3L)) == Some(10.0))
+    assert(out((1L, 4L)) == Some(7.0) && out((1L, 5L)) == Some(7.0))
+    assert(out((2L, 1L)) == None, "no earlier value -> stays null")
+    assert(out((3L, 1L)) == None)
+  }
+
+  test("backward-fill is fillForward on the reversed order") {
+    val df = Seq((1L, 1L, None), (1L, 2L, Some(5.0)), (1L, 3L, None))
+      .toDF("k", "o", "v")
+    val out = graft.operators.Cleaning.fillForward(df, Seq("k"), Seq(col("o").desc), Seq("v"))
+      .select($"o", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) == Some(5.0) && out(3L) == None)
+  }
+}
