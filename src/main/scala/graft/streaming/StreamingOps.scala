@@ -197,6 +197,36 @@ object StreamingOps {
   /** Input row shape for [[sessionize]]. */
   final case class UserEvent(userId: Long, tsMillis: Long, value: Double)
 
+  /** Stream-STREAM watermarked interval join — the one join class the
+    * rest of this module lacks ([[enrichStream]] is stream-static):
+    * attribute each click to the impressions it followed within
+    * `windowSec`, with BOTH sides watermarked so the state store can
+    * discard impressions older than the window plus the allowed
+    * lateness (the unbounded-state hazard every stream-stream join
+    * has to answer for). Inner join ⇒ emits as soon as both sides
+    * arrive; the batch twin of this shape is
+    * [[graft.operators.RangeJoin.pointInInterval]] over the same
+    * interval predicate.
+    *
+    * Expected columns: impressions (`imp_id`, `user_id`, `imp_ts`),
+    * clicks (`click_id`, `user_id`, `click_ts`) — both ts columns
+    * TimestampType (event time).
+    */
+  def attributeClicks(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      windowSec: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermark)
+    val clk = clicks.withWatermark("click_ts", watermark)
+    imp.join(clk,
+      imp("user_id") === clk("user_id") &&
+        clk("click_ts") >= imp("imp_ts") &&
+        clk("click_ts") <= imp("imp_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(imp("user_id").as("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** Input row for [[funnelStream]]. */
   final case class FunnelEvent(userId: Long, tsUs: Long, eventType: String)
 

@@ -227,6 +227,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributeClicks: stream-stream interval join emits in-window pairs only") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val dir = Files.createTempDirectory("graft_stream_ss").toString
+    def ts(m: Int, s2: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s2%02d")
+
+    val out = StreamingOps.attributeClicks(
+      imps.toDF.toDF("imp_id", "user_id", "imp_ts"),
+      clks.toDF.toDF("click_id", "user_id", "click_ts"),
+      windowSec = 120, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      imps.addData((100L, 1L, ts(0)), (101L, 2L, ts(0)))
+      clks.addData(
+        (900L, 1L, ts(1)),      // in window for imp 100
+        (901L, 1L, ts(5)),      // outside the 120s window
+        (902L, 3L, ts(1)))      // no matching impression
+      q.processAllAvailable()
+      // A click BEFORE the impression must not attribute.
+      imps.addData((102L, 2L, ts(6)))
+      clks.addData((903L, 2L, ts(4)))
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 900L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("funnelStream: constant-state funnel matches the batch fold across batch splits") {
     implicit val sql = spark.sqlContext
     import StreamingOps.{FunnelEvent, FunnelProgress}
