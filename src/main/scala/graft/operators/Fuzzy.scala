@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate (edit-distance) string joins — the record-linkage /
+  * typo-tolerant lookup class the reference's domain hits constantly
+  * (hand-keyed product descriptions and client names; its pandas code
+  * can only exact-match after trim/upper — reference
+  * `Manipulação de Dataframes/análise_produtos_clientes.py:78-81`).
+  *
+  * Method: SymSpell-style DELETION NEIGHBORHOODS as join keys. For
+  * `maxEdit = 1`, two strings within Levenshtein distance 1 always
+  * share a member of each other's {self} ∪ single-deletions set, so
+  * an equi-join on neighborhood variants is a COMPLETE candidate
+  * generator (no recall loss), and each string emits only `len + 1`
+  * keys — candidate generation is linear in data size, never the
+  * all-pairs cross join a naive fuzzy join degenerates to. Survivors
+  * are verified with the exact `levenshtein` (codegen'd in Spark,
+  * built-in in DuckDB — both the textbook DP, so the oracle agrees
+  * bit-for-bit). The same hot-bucket cap as every LSH candidate join
+  * bounds degenerate keys (very short/common strings), mirrored in
+  * the oracle.
+  */
+object Fuzzy {
+
+  /** {self} ∪ all single-character deletions, as an array Column.
+    * Pure codegen'd expression (Column.substr with Column offsets —
+    * no UDF).
+    */
+  def deletionVariants(s: Column): Column =
+    array_union(
+      array(s),
+      transform(sequence(lit(1), greatest(length(s), lit(1))),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+
+  /** Fuzzy pairs between two frames: `(id_l, id_r, name_l, name_r,
+    * dist)` for every cross-side pair with Levenshtein ≤ `maxEdit`
+    * (complete for `maxEdit = 1` by the deletion-neighborhood
+    * property; larger `maxEdit` would need deeper neighborhoods).
+    *
+    * Scale: each side explodes to `len+1` variant keys; the equi-join
+    * on the variant string is an ordinary hash join; `capBuckets`
+    * drops degenerate hot variants (with the completeness caveat that
+    * implies — same contract as the LSH dedup family); the verify is
+    * one codegen'd levenshtein per candidate; pairs dedup at match
+    * cardinality.
+    */
+  def fuzzyPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idL: String,
+      strL: String,
+      idR: String,
+      strR: String,
+      maxEdit: Int = 1,
+      maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
+    require(maxEdit == 1, "deletion-neighborhood candidates are complete only for maxEdit = 1")
+    def banded(df: DataFrame, id: String, str: String, outId: String, outStr: String) =
+      Dedup.capBuckets(
+        df.select(col(id).as(outId), col(str).as(outStr),
+            explode(deletionVariants(col(str))).as("key"))
+          .withColumn("band", lit(0)),
+        maxBucket)
+    val l = banded(left, idL, strL, "id_l", "name_l")
+    val r = banded(right, idR, strR, "id_r", "name_r")
+    l.join(r, Seq("band", "key"))
+      .select(col("id_l"), col("id_r"), col("name_l"), col("name_r"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_l"), col("name_r")))
+      .filter(col("dist") <= maxEdit)
+  }
+}

@@ -481,6 +481,69 @@ object ParityQueries {
            |  FROM events
            |)""".stripMargin))
 
+  /** Edit-distance-1 fuzzy join ([[Fuzzy.fuzzyPairs]]): part names
+    * matched against a deterministically TYPO'D copy (every third
+    * part loses one character at an id-derived position — the
+    * injection precedent of the PII oracle): each corrupted name must
+    * re-link to its original at dist ≤ 1 through the deletion-
+    * neighborhood candidate join, unchanged names link at dist 0, and
+    * any incidental near-collisions between real names surface
+    * identically in both engines. Both sides join at DISTINCT-name
+    * cardinality — the fixture's names repeat ~31× (64 distinct of
+    * 2,000 rows), and fuzzy-joining raw rows would emit every
+    * identical-name cross product (measured 74k pairs); match names
+    * first, map ids back with an equi-join downstream — the only
+    * posture that survives real catalogs. The oracle replays
+    * variants, the per-side hot-key cap, and the levenshtein verify
+    * from scratch.
+    */
+  val fuzzyNames = QueryDef(
+    "j_fuzzy_names",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      val left = p.select(col("p_name").as("name")).distinct()
+      val pos = least(pmod(col("p_partkey"), lit(20)) + 1, length(col("p_name")))
+      val right = p.select(
+        when(pmod(col("p_partkey"), lit(3)) === 0,
+          concat(col("p_name").substr(lit(1), pos - 1),
+            col("p_name").substr(pos + 1, length(col("p_name")))))
+          .otherwise(col("p_name")).as("name")).distinct()
+      Fuzzy.fuzzyPairs(left, right, "name", "name", "name", "name")
+        .select(col("name_l"), col("name_r"), col("dist"))
+    },
+    Some("""WITH l AS (SELECT DISTINCT p_name AS name_l FROM part),
+           |r AS (
+           |  SELECT DISTINCT
+           |         CASE WHEN p_partkey % 3 = 0 THEN
+           |           substr(p_name, 1, least(p_partkey % 20 + 1, length(p_name)) - 1) ||
+           |           substr(p_name, least(p_partkey % 20 + 1, length(p_name)) + 1, length(p_name))
+           |         ELSE p_name END AS name_r
+           |  FROM part
+           |),
+           |lv AS (
+           |  SELECT name_l,
+           |         unnest(list_distinct(list_append(
+           |           [substr(name_l, 1, i - 1) || substr(name_l, i + 1, length(name_l))
+           |            FOR i IN generate_series(1, greatest(length(name_l), 1))], name_l))) AS key
+           |  FROM l
+           |),
+           |rv AS (
+           |  SELECT name_r,
+           |         unnest(list_distinct(list_append(
+           |           [substr(name_r, 1, i - 1) || substr(name_r, i + 1, length(name_r))
+           |            FOR i IN generate_series(1, greatest(length(name_r), 1))], name_r))) AS key
+           |  FROM r
+           |),
+           |lc AS (SELECT * FROM lv QUALIFY COUNT(*) OVER (PARTITION BY key) <= 2000),
+           |rc AS (SELECT * FROM rv QUALIFY COUNT(*) OVER (PARTITION BY key) <= 2000),
+           |cand AS (
+           |  SELECT DISTINCT lc.name_l, rc.name_r
+           |  FROM lc JOIN rc ON lc.key = rc.key
+           |)
+           |SELECT name_l, name_r,
+           |       CAST(levenshtein(name_l, name_r) AS INT) AS dist
+           |FROM cand WHERE levenshtein(name_l, name_r) <= 1""".stripMargin))
+
   val iqrTrim = QueryDef(
     "c_iqr_trim",
     (s, dir) =>
@@ -1289,7 +1352,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, ffill, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, ffill, fuzzyNames, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)

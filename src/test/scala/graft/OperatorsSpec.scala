@@ -303,3 +303,29 @@ class FfillSpec extends AnyFunSuite {
     assert(out(1L) == Some(5.0) && out(3L) == None)
   }
 }
+
+class FuzzySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("deletionVariants: self plus each single deletion, deduped") {
+    val out = Seq("abca").toDF("s")
+      .select(graft.operators.Fuzzy.deletionVariants(col("s")))
+      .as[Seq[String]].head().toSet
+    assert(out == Set("abca", "bca", "aca", "abc", "aba"))
+  }
+
+  test("fuzzyPairs finds deletion, insertion, AND substitution typos at ed=1, not ed=2") {
+    val left = Seq((1L, "gearbox"), (2L, "piston"), (3L, "valve")).toDF("id", "name")
+    val right = Seq(
+      (10L, "gearbx"),   // deletion      -> matches 1
+      (11L, "pistton"),  // insertion     -> matches 2
+      (12L, "velve"),    // substitution  -> matches 3
+      (13L, "vvvve"),    // ed=2 from valve -> no match
+      (14L, "gearbox")   // identical     -> matches 1 at dist 0
+    ).toDF("id", "name")
+    val pairs = graft.operators.Fuzzy.fuzzyPairs(left, right, "id", "name", "id", "name")
+      .select($"id_l", $"id_r", $"dist").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 10L, 1), (2L, 11L, 1), (3L, 12L, 1), (1L, 14L, 0)))
+  }
+}
