@@ -35,6 +35,19 @@ object Sampling {
     df.withColumn("split",
       when(hashBucket(col(idCol), 100) < testPct, lit("test")).otherwise(lit("train")))
 
+  /** K-fold cross-validation assignment: fold = md5-bucket(id) mod k —
+    * the same hash idiom as every split here, so folds are
+    * deterministic across runs/engines/cluster sizes, DISJOINT and
+    * EXHAUSTIVE by construction, and (unlike `randomSplit`) stable
+    * when the data is re-partitioned or re-read. Fold i's train set
+    * is `fold =!= i` — no materialization per fold, just a filter.
+    * A pure narrow projection; one scan at 100 TB.
+    */
+  def kfoldAssign(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold", hashBucket(col(idCol), k))
+  }
+
   /** Per-stratum row counts — the quick balance check after sampling
     * (one aggregate pass).
     */

@@ -2270,6 +2270,23 @@ object PipelineQueries {
            |       lang, COUNT(*) AS n_rows
            |FROM documents GROUP BY 1, 2""".stripMargin))
 
+  /** K-fold assignment ([[Sampling.kfoldAssign]], k=5): per-(fold,
+    * lang) counts — pins exact hash membership of every row's fold
+    * (the oracle recomputes each fold id), fold disjointness/
+    * exhaustiveness being structural (`mod k`). Folds are hash-
+    * deterministic, so any engine re-derives the identical CV split —
+    * the property `randomSplit` cannot give.
+    */
+  val sampleKfold = QueryDef(
+    "sample_kfold",
+    (s, dir) =>
+      Sampling.strataCounts(
+        Sampling.kfoldAssign(Tables.documents(s, dir), "doc_id", k = 5),
+        Seq("fold", "lang")),
+    Some("""SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
+           |       lang, COUNT(*) AS n_rows
+           |FROM documents GROUP BY 1, 2""".stripMargin))
+
   /** Class-balanced downsample ([[Sampling.balancedDownsample]]): every
     * language stratum cut to ~the smallest stratum's size before
     * training — the standard rebalance for skewed label/language
@@ -2670,5 +2687,5 @@ object PipelineQueries {
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
+    sampleSplit, sampleKfold, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
 }
