@@ -2676,6 +2676,55 @@ object PipelineQueries {
            |FROM wk JOIN f ON wk.user_id = f.user_id
            |GROUP BY 1, 2""".stripMargin))
 
+  /** Per-user time-weighted average value (TWAP — the finance/IoT
+    * weighting where a reading counts for as long as it was current):
+    * each event's `value` is weighted by the micros until the user's
+    * NEXT event (the LEAD twin of `events_gaps`' LAG); the last
+    * event per user carries no interval and drops out of the
+    * weighting (standard TWAP-over-closed-intervals semantics;
+    * single-event users report null).
+    *
+    * Exactness: value maps to cents via the explicit floor(x+0.5)
+    * (the int8-quantization posture — Spark's long cast truncates
+    * where DuckDB's rounds, so a naive cast diverges), weights are exact
+    * epoch-micros, the weighted sum accumulates as decimal(38,0) —
+    * cents×micros terms reach ~2.6e16, a bigint sum of them can
+    * overflow — and the TWAP is the raw quotient of two exact
+    * integers divided by 100. One shuffle on user_id, per-key frames.
+    */
+  val eventsTwap = QueryDef(
+    "events_twap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          Tables.tsMicros(col("ts")).as("ts_us"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum((col("cents") * col("dt_us")).cast("decimal(38,0)")).as("wsum"),
+          sum(col("dt_us")).as("tsum"))
+        .select(col("user_id"),
+          ((col("wsum").cast("double") / col("tsum").cast("double")) / lit(100.0))
+            .as("twap"),
+          col("tsum").as("span_us"))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM events
+           |), d AS (
+           |  SELECT user_id, cents,
+           |         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt_us
+           |  FROM e
+           |)
+           |SELECT user_id,
+           |       (SUM(CAST(cents * dt_us AS HUGEINT))::DOUBLE / SUM(dt_us)::DOUBLE) / 100.0 AS twap,
+           |       CAST(SUM(dt_us) AS BIGINT) AS span_us
+           |FROM d GROUP BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrAssign,
@@ -2685,7 +2734,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
-    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention,
+    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention, eventsTwap,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
 }
