@@ -544,6 +544,66 @@ object ParityQueries {
            |       CAST(levenshtein(name_l, name_r) AS INT) AS dist
            |FROM cand WHERE levenshtein(name_l, name_r) <= 1""".stripMargin))
 
+  /** Per-group Pearson correlation (budget value × close probability
+    * per state) — the bivariate-metrics class (§2.4 has only
+    * univariate aggregates). NOT Spark's `corr()`: a float-mean
+    * accumulator is partitioning-order-dependent and can never
+    * hash-match another engine. Instead the five raw moments
+    * accumulate EXACTLY — inputs quantize to integer cents /
+    * basis-points via floor(x·scale + 0.5), sums ride decimal(38,0)
+    * (squared-cents terms overflow bigint at group sizes ~1e5) — and
+    * r comes out of the textbook closed form evaluated in identical
+    * IEEE double steps from identical integers on both engines.
+    * Zero-variance groups emit null (exact integer test, not a
+    * float-epsilon one). One map-side-combinable aggregate.
+    */
+  val corrGeo = QueryDef(
+    "a19_corr_geo",
+    (s, dir) => {
+      val x = floor(col("valor_orcado") * 100 + lit(0.5)).cast("long")
+      val y = floor(col("prob_fech") * 10000 + lit(0.5)).cast("long")
+      val d38 = "decimal(38,0)"
+      Tables.analiseComercial(s, dir)
+        .select(col("uf"), x.as("x"), y.as("y"))
+        .groupBy(col("uf"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+        .select(col("uf"), col("n"),
+          when(
+            (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+              (col("n") * col("syy") - col("sy") * col("sy")) === 0,
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                  sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+            .as("corr_valor_prob"))
+    },
+    Some(withViews(
+      """, q AS (
+        |  SELECT uf,
+        |         CAST(floor(valor_orcado * 100 + 0.5) AS HUGEINT) AS x,
+        |         CAST(floor(prob_fech * 10000 + 0.5) AS HUGEINT) AS y
+        |  FROM fact
+        |), m AS (
+        |  SELECT uf, COUNT(*) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT uf, n,
+        |       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+        |            ELSE ROUND(
+        |              (n * sxy - sx * sy)::DOUBLE /
+        |              (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+        |       END AS corr_valor_prob
+        |FROM m""".stripMargin)))
+
   val iqrTrim = QueryDef(
     "c_iqr_trim",
     (s, dir) =>
@@ -1352,7 +1412,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, ffill, fuzzyNames, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, ffill, fuzzyNames, corrGeo, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)
