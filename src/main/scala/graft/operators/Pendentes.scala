@@ -51,6 +51,38 @@ object Pendentes {
   def filterSemana(df: DataFrame, semana: String): DataFrame =
     df.filter(col("semana") === semana)
 
+  /** SCD1 upsert merge — latest-row-wins maintenance of a standing
+    * keyed table from an update batch (the MERGE INTO shape; the
+    * reference's weekly-snapshot concat keeps ALL versions, this
+    * keeps the current one). Spark-first: tag each side with a
+    * priority, union (no shuffle), ONE max_by aggregate per key on
+    * (version, priority) — updates beat base at equal version, higher
+    * version always wins, ties within a side break on priority then
+    * are impossible by the caller's key-uniqueness contract. No join:
+    * the union+aggregate shape shuffles each row once, where a
+    * base-anti-join-update plan shuffles base twice.
+    *
+    * At the 100 TB tier this is the compaction step of a merge-on-read
+    * layout: base stays bucketed by key, update batches append, and
+    * this operator folds them down at read/compact time.
+    */
+  def upsertMerge(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    val cols = base.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"update schema ${updates.columns.toSeq} must match base $cols")
+    val tagged = base.withColumn("__prio", lit(0))
+      .unionByName(updates.withColumn("__prio", lit(1)))
+    val payload = struct(cols.map(col): _*)
+    tagged
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(col(versionCol), col("__prio"))).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Week-over-week change of the pending totals (extension — the
     * reference displays per-week metrics side by side, AP:95-105, but
     * never computes the delta). Runs on the per-week AGGREGATE (a

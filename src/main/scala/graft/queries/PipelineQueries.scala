@@ -2725,6 +2725,38 @@ object PipelineQueries {
            |       CAST(SUM(dt_us) AS BIGINT) AS span_us
            |FROM d GROUP BY 1""".stripMargin))
 
+  /** SCD1 upsert merge ([[Pendentes.upsertMerge]]): the standing
+    * events table merged with an update batch (every 5th event
+    * re-delivered at version 1 with a corrected value) — latest
+    * version wins, updates beat base on ties. The union + one-max_by
+    * plan shuffles each row exactly once (a join-based MERGE shuffles
+    * base twice); the oracle replays the priority ranking
+    * independently.
+    */
+  val upsertEvents = QueryDef(
+    "u3_upsert_events",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"), lit(0).as("version"))
+      val updates = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") + 100, 2).as("value"), lit(1).as("version"))
+      Pendentes.upsertMerge(ev, updates, Seq("event_id"), "version")
+    },
+    Some("""WITH base AS (
+           |  SELECT event_id, user_id, ROUND(value, 2) AS value, 0 AS version, 0 AS prio
+           |  FROM events
+           |), upd AS (
+           |  SELECT event_id, user_id, ROUND(ROUND(value, 2) + 100, 2) AS value,
+           |         1 AS version, 1 AS prio
+           |  FROM events WHERE event_id % 5 = 0
+           |)
+           |SELECT event_id, user_id, value, version FROM (
+           |  SELECT * FROM base UNION ALL SELECT * FROM upd
+           |) QUALIFY ROW_NUMBER() OVER (
+           |    PARTITION BY event_id ORDER BY version DESC, prio DESC) = 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrAssign,
@@ -2734,7 +2766,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
-    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention, eventsTwap,
+    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention, eventsTwap, upsertEvents,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
 }

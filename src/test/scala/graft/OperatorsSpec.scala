@@ -329,3 +329,22 @@ class FuzzySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 10L, 1), (2L, 11L, 1), (3L, 12L, 1), (1L, 14L, 0)))
   }
 }
+
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsertMerge: higher version wins, updates beat base on ties, inserts appear") {
+    val base = Seq(
+      (1L, "a", 5), (2L, "b", 5), (3L, "c", 5)).toDF("k", "v", "version")
+    val upd = Seq(
+      (1L, "a2", 6),   // newer -> wins
+      (2L, "b2", 5),   // same version -> update side wins
+      (3L, "c2", 4),   // OLDER update -> base survives
+      (4L, "d", 1)     // pure insert
+    ).toDF("k", "v", "version")
+    val out = graft.operators.Pendentes.upsertMerge(base, upd, Seq("k"), "version")
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a2", 2L -> "b2", 3L -> "c", 4L -> "d"))
+  }
+}
