@@ -2757,6 +2757,29 @@ object PipelineQueries {
            |) QUALIFY ROW_NUMBER() OVER (
            |    PARTITION BY event_id ORDER BY version DESC, prio DESC) = 1""".stripMargin))
 
+  /** Fixed-width histogram per group — the distribution-profile class
+    * (a percentile tells you one point; monitoring and drift checks
+    * want the whole shape): `value` binned into 50-wide buckets per
+    * event_type, clamped ends so the bins are total. Bin assignment
+    * is `floor(value / width)` on the same double in both engines —
+    * no width_bucket builtin needed, and the arithmetic form makes
+    * the edge-ownership rule (left-closed) explicit. One map-side-
+    * combinable aggregate; at 100 TB the histogram IS the
+    * shuffle-friendly summary (bins × groups rows out).
+    */
+  val eventsHistogram = QueryDef(
+    "a20_value_histogram",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          least(greatest(floor(col("value") / 50).cast("int"), lit(0)), lit(9)).as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n")),
+    Some("""SELECT event_type,
+           |       CAST(least(greatest(floor(value / 50), 0), 9) AS INT) AS bin,
+           |       COUNT(*) AS n
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrAssign,
@@ -2766,7 +2789,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
-    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention, eventsTwap, upsertEvents,
+    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
 }
