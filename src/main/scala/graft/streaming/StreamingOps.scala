@@ -227,6 +227,52 @@ object StreamingOps {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** Streaming upsert sink — maintain a standing keyed parquet table
+    * from a stream of versioned updates via `foreachBatch`: each
+    * micro-batch folds into the table with
+    * [[graft.operators.Pendentes.upsertMerge]] (latest version wins,
+    * batch beats base on ties) and the result lands with the
+    * write-then-swap dance (temp dir + rename), so a reader always
+    * sees a complete table — old or new, never a mix, and a crashed
+    * batch leaves the table untouched.
+    *
+    * Exactly-once note: foreachBatch is at-least-once on retries;
+    * this sink is IDEMPOTENT for them by construction — re-merging
+    * the same batch is a no-op because max_by picks the same rows
+    * (the standard checkpoint + idempotent-sink recipe). Returns the
+    * started query; the caller owns its lifecycle.
+    */
+  def upsertSink(
+      updates: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(tablePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
+            val base = spark.read.parquet(tablePath)
+            graft.operators.Pendentes.upsertMerge(
+              base, batch.toDF().select(base.columns.map(org.apache.spark.sql.functions.col): _*),
+              keyCols, versionCol)
+          } else batch.toDF()
+        val tmp = tablePath + "__upsert"
+        merged.write.mode("overwrite").parquet(tmp)
+        val tmpP = new org.apache.hadoop.fs.Path(tmp)
+        val dstP = new org.apache.hadoop.fs.Path(tablePath)
+        if (fs.exists(dstP)) fs.delete(dstP, true)
+        fs.rename(tmpP, dstP)
+        ()
+      }
+      .start()
+  }
+
   /** Input row for [[funnelStream]]. */
   final case class FunnelEvent(userId: Long, tsUs: Long, eventType: String)
 

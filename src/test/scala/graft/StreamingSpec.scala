@@ -227,6 +227,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertSink maintains a latest-version parquet table across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Int)]
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val table = s"$dir/table"
+    val q = StreamingOps.upsertSink(
+      ms.toDF.toDF("k", "v", "version"),
+      table, Seq("k"), "version", s"$dir/ckpt")
+    try {
+      ms.addData((1L, "a", 0), (2L, "b", 0))
+      q.processAllAvailable()
+      ms.addData((1L, "a2", 1), (3L, "c", 0), (2L, "stale", -1))
+      q.processAllAvailable()
+      val out = spark.read.parquet(table)
+        .select($"k", $"v").as[(Long, String)].collect().toMap
+      assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("attributeClicks: stream-stream interval join emits in-window pairs only") {
     implicit val sql = spark.sqlContext
     val imps = MemoryStream[(Long, Long, java.sql.Timestamp)]
