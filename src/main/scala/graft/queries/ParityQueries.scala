@@ -604,6 +604,67 @@ object ParityQueries {
         |       END AS corr_valor_prob
         |FROM m""".stripMargin)))
 
+  /** Per-group OLS regression (value on close-probability per state):
+    * slope/intercept from the SAME exact integer moments as
+    * [[corrGeo]] — the moments pattern generalizes to the whole
+    * bivariate family for one aggregate pass. Outputs are in the
+    * ORIGINAL units (cents/bps scales divide back out analytically:
+    * slope·(sy_scale/sx_scale), intercept/sy_scale).
+    */
+  val olsGeo = QueryDef(
+    "a21_ols_geo",
+    (s, dir) => {
+      val x = floor(col("prob_fech") * 10000 + lit(0.5)).cast("long")
+      val y = floor(col("valor_orcado") * 100 + lit(0.5)).cast("long")
+      val d38 = "decimal(38,0)"
+      Tables.analiseComercial(s, dir)
+        .select(col("uf"), x.as("x"), y.as("y"))
+        .groupBy(col("uf"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"))
+        .select(col("uf"), col("n"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) === 0,
+            lit(null).cast("double"))
+            .otherwise(round(
+              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                lit(100.0), 6)) // bps->cents slope, rescaled to value-per-prob
+            .as("slope"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) === 0,
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("sy").cast("double") -
+                ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                  (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                  col("sx").cast("double")) / col("n").cast("double") / lit(100.0), 6))
+            .as("intercept"))
+    },
+    Some(withViews(
+      """, q AS (
+        |  SELECT uf,
+        |         CAST(floor(prob_fech * 10000 + 0.5) AS HUGEINT) AS x,
+        |         CAST(floor(valor_orcado * 100 + 0.5) AS HUGEINT) AS y
+        |  FROM fact
+        |), m AS (
+        |  SELECT uf, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT uf, n,
+        |       CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+        |            ELSE ROUND(((n * sxy - sx * sy)::DOUBLE /
+        |                        (n * sxx - sx * sx)::DOUBLE) * 100.0, 6) END AS slope,
+        |       CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+        |            ELSE ROUND((sy::DOUBLE -
+        |                        ((n * sxy - sx * sy)::DOUBLE /
+        |                         (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+        |                       / n::DOUBLE / 100.0, 6) END AS intercept
+        |FROM m""".stripMargin)))
+
   val iqrTrim = QueryDef(
     "c_iqr_trim",
     (s, dir) =>
@@ -1412,7 +1473,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, ffill, fuzzyNames, corrGeo, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, ffill, fuzzyNames, corrGeo, olsGeo, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)

@@ -2639,6 +2639,46 @@ object PipelineQueries {
            |       LEFT JOIN c ON u.user_id = c.user_id
            |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin))
 
+  /** The funnel's at-least-stage summary ([[Funnel.summary]]): users
+    * reaching stage >= s, a suffix sum over the k+1-row stage
+    * histogram (the partition-less window is free at that
+    * cardinality). Registered beside the per-user `events_funnel` so
+    * BOTH halves of the operator are oracle-checked — the summary's
+    * monotone non-increase is structural, the oracle checks the
+    * actual counts.
+    */
+  val eventsFunnelSummary = QueryDef(
+    "events_funnel_summary",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), Tables.tsMicros(col("ts")).as("ts_us"), col("event_type"))
+      Funnel.summary(Funnel.stageTimes(ev, Seq("view", "click", "purchase")))
+    },
+    Some("""WITH v AS (
+           |  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+           |  FROM events WHERE event_type = 'view' GROUP BY 1
+           |), c AS (
+           |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+           |  FROM events e JOIN v ON e.user_id = v.user_id
+           |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us GROUP BY 1
+           |), p AS (
+           |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+           |  FROM events e JOIN c ON e.user_id = c.user_id
+           |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us GROUP BY 1
+           |), u AS (SELECT DISTINCT user_id FROM events),
+           |st AS (
+           |  SELECT CAST(CASE WHEN p.p_us IS NOT NULL THEN 3
+           |              WHEN c.c_us IS NOT NULL THEN 2
+           |              WHEN v.v_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+           |  FROM u LEFT JOIN v ON u.user_id = v.user_id
+           |         LEFT JOIN c ON u.user_id = c.user_id
+           |         LEFT JOIN p ON u.user_id = p.user_id
+           |), h AS (SELECT stage, COUNT(*) AS ne FROM st GROUP BY 1)
+           |SELECT stage,
+           |       CAST(SUM(ne) OVER (ORDER BY stage DESC
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_users
+           |FROM h""".stripMargin))
+
   /** Weekly retention cohorts — the cohort-triangle class: users
     * grouped by their FIRST-activity epoch-week, counted in every
     * later week they return. The canonical growth-analytics read over
@@ -2789,7 +2829,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
-    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
+    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
 }
