@@ -594,6 +594,31 @@ class PlanSpec extends AnyFunSuite {
       "fingerprint dedup must be an aggregate, not a window:\n" + p.take(800))
   }
 
+  test("u3_upsert_events: union + one aggregate — no join anywhere") {
+    val p = plan("u3_upsert_events")
+    assert(p.contains("Union"), p.take(400))
+    assert(!p.contains("Join"),
+      "upsert must fold via max_by, not join base to updates:\n" + p.take(800))
+    assert(!p.contains("Window"), p.take(400))
+  }
+
+  test("events_twap: lead window keyed by user, single aggregate after") {
+    val p = plan("events_twap")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "lead must partition by user_id:\n" + p.take(800))
+    assert(!p.contains("Join"), p.take(400))
+  }
+
+  test("a19_corr_geo / a21_ols_geo: one aggregate pass, no window, no join beyond the fact view") {
+    for (q <- Seq("a19_corr_geo", "a21_ols_geo")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q:\n" + p.take(400))
+      // the fact view itself joins; the moments must not add more:
+      // count the Aggregate above the view — exactly one shuffle keyed on uf
+      assert(p.contains("HashAggregate"), s"$q:\n" + p.take(400))
+    }
+  }
+
   test("c_mad_trim: both stat frames broadcast back; no corpus-wide window") {
     val p = plan("c_mad_trim")
     assert(p.contains("BroadcastHashJoin"), "stats must broadcast:\n" + p.take(600))
