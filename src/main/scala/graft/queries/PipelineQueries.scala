@@ -1848,21 +1848,23 @@ object PipelineQueries {
     s"""ROUND(list_dot_product($a, $a) + list_dot_product($b, $b)
        |      - 2 * list_dot_product($a, $b), 6)""".stripMargin
 
-  /** Product-quantization ADC recall ([[Similarity.pqTopK]], m=2
-    * subspaces × 16 seed codewords): the 32× memory structure
-    * measured against the same exact truth as its siblings, so the
-    * recall column reads IVF 0.40 / int8 0.97 / int8+rerank 1.00 /
-    * PQ 0.07 side by side. The 0.07 is PQ's DOCUMENTED worst case,
-    * not a defect: this fixture's vectors are i.i.d. random, so there
-    * is no low-rank/cluster structure for 1-byte codes to exploit and
-    * nearly all of each distance is quantization noise — real
-    * embedding corpora concentrate near low-dimensional manifolds,
-    * which is the regime PQ codebooks (especially Lloyd-refined ones)
-    * compress well. The production recipe at this code rate is
+  /** Product-quantization ADC recall ([[Similarity.pqTopK]], m=4
+    * subspaces × 16 seed codewords over the full 64-dim vectors =
+    * 4 codes/vector, a 64× memory cut): measured against the same
+    * exact truth as its siblings, so the recall column reads IVF
+    * 0.40 / int8 0.97 / int8+rerank 1.00 / PQ side by side. On this
+    * i.i.d.-random fixture PQ's recall is structurally the weakest of
+    * the family at equal code budget — random vectors have no
+    * low-dimensional structure for codewords to exploit, and seed
+    * (unrefined) codebooks waste part of theirs — which is exactly
+    * what the measured number should say; real embedding corpora
+    * concentrate near manifolds, the regime PQ (especially
+    * Lloyd-refined via [[Similarity.kmeansFit]] per subspace)
+    * compresses well, and the production recipe at this code rate is
     * PQ-shortlist + exact rerank (`ann_int8_rerank`'s shape). The
-    * oracle replays normalization, the md5-ordered seed pick,
-    * per-subspace encode (rounded dist, codeword-id tie-break), the
-    * ADC tables, and the (dist, n_id) ranking from scratch.
+    * oracle replays normalization, the md5-ordered seed pick, all
+    * four per-subspace encodes (rounded dist, codeword-id tie-break),
+    * the ADC tables, and the (dist, n_id) ranking from scratch.
     */
   val annPqRecall = QueryDef(
     "ann_pq_recall",
@@ -1871,7 +1873,7 @@ object PipelineQueries {
       val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
       val approx = Similarity.pqTopK(queries, emb, "vec_id", "embedding",
-        dim = 8, k = 10, m = 2, ks = 16)
+        dim = 64, k = 10, m = 4, ks = 16)
       Similarity.recallVsTruth(gt, approx)
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1892,32 +1894,37 @@ object PipelineQueries {
             |  LIMIT 16
             |),
             |cb AS (
-            |  SELECT j, c_id, list_slice(u, j * 4 + 1, j * 4 + 4) AS cw
-            |  FROM seeds CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j)
+            |  SELECT j, c_id, list_slice(u, j * 16 + 1, j * 16 + 16) AS cw
+            |  FROM seeds CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
             |),
             |enc AS (
             |  SELECT vec_id, j, c_id AS code FROM (
             |    SELECT nz.vec_id, cb.j, cb.c_id,
-            |           ${l2sqSql("list_slice(nz.u, cb.j * 4 + 1, cb.j * 4 + 4)", "cb.cw")} AS d
+            |           ${l2sqSql("list_slice(nz.u, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
             |    FROM nz CROSS JOIN cb
             |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c_id ASC) = 1
             |),
             |codes AS (
-            |  SELECT vec_id, MAX(CASE WHEN j = 0 THEN code END) AS code0,
-            |         MAX(CASE WHEN j = 1 THEN code END) AS code1
+            |  SELECT vec_id,
+            |         MAX(CASE WHEN j = 0 THEN code END) AS code0,
+            |         MAX(CASE WHEN j = 1 THEN code END) AS code1,
+            |         MAX(CASE WHEN j = 2 THEN code END) AS code2,
+            |         MAX(CASE WHEN j = 3 THEN code END) AS code3
             |  FROM enc GROUP BY 1
             |),
             |tbl AS (
             |  SELECT q.vec_id AS q_id, cb.j, cb.c_id,
-            |         ${l2sqSql("list_slice(q.u, cb.j * 4 + 1, cb.j * 4 + 4)", "cb.cw")} AS d
+            |         ${l2sqSql("list_slice(q.u, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
             |  FROM (SELECT * FROM nz WHERE vec_id >= 10 AND vec_id < 20) q CROSS JOIN cb
             |),
             |approx AS (
             |  SELECT q_id, n_id FROM (
-            |    SELECT t0.q_id, c.vec_id AS n_id, t0.d + t1.d AS dist
+            |    SELECT t0.q_id, c.vec_id AS n_id, t0.d + t1.d + t2.d + t3.d AS dist
             |    FROM codes c
             |    JOIN tbl t0 ON t0.j = 0 AND t0.c_id = c.code0
             |    JOIN tbl t1 ON t1.j = 1 AND t1.c_id = c.code1 AND t1.q_id = t0.q_id
+            |    JOIN tbl t2 ON t2.j = 2 AND t2.c_id = c.code2 AND t2.q_id = t0.q_id
+            |    JOIN tbl t3 ON t3.j = 3 AND t3.c_id = c.code3 AND t3.q_id = t0.q_id
             |    WHERE c.vec_id <> t0.q_id
             |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) <= 10
             |)
