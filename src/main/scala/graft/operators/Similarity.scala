@@ -692,6 +692,50 @@ object Similarity {
     * is already persist-marked (the self-join reads it twice) and the
     * caller owns its unpersist.
     */
+  /** Incremental embedding near-dup — the vector-space member of the
+    * D8/D9/D12 ingest family: batch vectors that sign-LSH-collide
+    * with (and cosine-verify against) the STANDING corpus, as
+    * `(id_b = batch id, id_c = corpus id, cos)` pairs. Candidates
+    * come from the same band keys as [[bucketedPairs]], but the join
+    * is batch-banded × corpus-banded — the corpus NEVER self-joins,
+    * candidate cardinality scales with the batch, and only the
+    * corpus side is hot-bucket-capped (a batch is ingest-sized by
+    * definition; the cap exists to bound |batch| × hot-bucket
+    * blowups from the corpus's dense directions). Ids are assumed
+    * distinct across the two frames (the ingest contract).
+    */
+  def nearDupsAgainstCorpusEmbed(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nBands: Int,
+      bitsPerBand: Int,
+      minCosine: Double,
+      maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
+    def proj(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), col(vecCol).as(s"${outId}_vec"))
+      .filter(col(s"${outId}_vec").isNotNull && size(col(s"${outId}_vec")) >= dim)
+    def keysOf(df: DataFrame, outId: String) = df
+      .select(col(outId),
+        explode(VectorFunctions.bandSignKeys(col(s"${outId}_vec"), dim, nBands, bitsPerBand)).as("bk"))
+      .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
+    val c = proj(corpus, "id_c")
+    val b = proj(batch, "id_b")
+    val ck = Dedup.capBuckets(keysOf(c, "id_c"), maxBucket)
+    val cand = keysOf(b, "id_b")
+      .join(ck, Seq("band", "key"))
+      .select(col("id_b"), col("id_c"))
+      .distinct()
+    cand
+      .join(b, Seq("id_b"))
+      .join(c, Seq("id_c"))
+      .select(col("id_b"), col("id_c"),
+        round(VectorFunctions.cosineFast(col("id_b_vec"), col("id_c_vec")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   private[graft] def bucketedPairsLazy(
       corpus: DataFrame,
       idCol: String,

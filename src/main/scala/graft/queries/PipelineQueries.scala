@@ -2646,6 +2646,54 @@ object PipelineQueries {
            |       LEFT JOIN c ON u.user_id = c.user_id
            |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin))
 
+  /** Incremental embedding near-dup
+    * ([[Similarity.nearDupsAgainstCorpusEmbed]]): the 80/20 vec_id
+    * split of `embeddings`, batch-banded × corpus-banded sign-LSH
+    * candidates (corpus never self-joins, corpus side capped),
+    * cosine-verified at the `ann_lsh_bucket` threshold — the
+    * vector-space twin of `dedup_incr_near`, completing the ingest
+    * family across both modalities. Oracle replays planes, keys, the
+    * corpus-side cap, the cross join restriction, and the verify.
+    */
+  val dedupIncrEmbed = QueryDef(
+    "dedup_incr_embed",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.nearDupsAgainstCorpusEmbed(
+        emb.filter(pmod(col("vec_id"), lit(10)) < 8),
+        emb.filter(pmod(col("vec_id"), lit(10)) >= 8),
+        "vec_id", "embedding",
+        dim = 64, nBands = 6, bitsPerBand = 12, minCosine = 0.2)
+    },
+    Some(s"""WITH planes(band, j, idx) AS (VALUES $lshPlanesValues),
+            |e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+            |),
+            |keys AS (
+            |  SELECT e.vec_id, p.band,
+            |         CAST(SUM(CASE WHEN e.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
+            |              AS BIGINT) AS key
+            |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
+            |),
+            |ck AS (SELECT * FROM keys WHERE vec_id % 10 < 8),
+            |bk AS (SELECT * FROM keys WHERE vec_id % 10 >= 8),
+            |hot AS (
+            |  SELECT band, key FROM ck GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |),
+            |capped AS (
+            |  SELECT vec_id, band, key FROM ck k
+            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |),
+            |cand AS (
+            |  SELECT DISTINCT b.vec_id AS id_b, c.vec_id AS id_c
+            |  FROM bk b JOIN capped c ON b.band = c.band AND b.key = c.key
+            |)
+            |SELECT id_b, id_c, cos FROM (
+            |  SELECT id_b, id_c, ROUND(${cosSql("eb.v", "ec.v")}, 6) AS cos
+            |  FROM cand JOIN e eb ON cand.id_b = eb.vec_id JOIN e ec ON cand.id_c = ec.vec_id
+            |) WHERE cos >= 0.2""".stripMargin))
+
   /** The funnel's at-least-stage summary ([[Funnel.summary]]): users
     * reaching stage >= s, a suffix sum over the k+1-row stage
     * histogram (the partition-less window is free at that
@@ -2829,7 +2877,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
-    dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrAssign,
+    dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences,

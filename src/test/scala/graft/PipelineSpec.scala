@@ -771,6 +771,28 @@ class PqSpec extends AnyFunSuite {
   }
 }
 
+class IncrEmbedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("nearDupsAgainstCorpusEmbed finds a planted corpus twin, never corpus x corpus") {
+    val dim = 64
+    def vec(seed: Int) = (0 until dim).map(d => (math.sin(seed * 31 + d * 7)).toFloat)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    // batch: one exact twin of corpus row 5, plus unrelated vectors
+    val batch = (Seq((100L, vec(5))) ++ (101 until 110).map(i => (i.toLong, vec(i * 997))))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.operators.Similarity.nearDupsAgainstCorpusEmbed(
+        corpus, batch, "vec_id", "embedding", dim, nBands = 6, bitsPerBand = 12,
+        minCosine = 0.9)
+      .select($"id_b", $"id_c", $"cos").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 100L && p._2 == 5L && p._3 > 0.999),
+      s"twin must be found: ${pairs.toSeq}")
+    // every pair is batch x corpus: batch ids >= 100, corpus ids < 40
+    assert(pairs.forall(p => p._1 >= 100L && p._2 < 40L))
+  }
+}
+
 class LoadSkewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
