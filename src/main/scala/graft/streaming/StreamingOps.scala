@@ -252,25 +252,40 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(tablePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
-            val base = spark.read.parquet(tablePath)
-            graft.operators.Pendentes.upsertMerge(
-              base, batch.toDF().select(base.columns.map(org.apache.spark.sql.functions.col): _*),
-              keyCols, versionCol)
-          } else batch.toDF()
-        val tmp = tablePath + "__upsert"
-        merged.write.mode("overwrite").parquet(tmp)
-        val tmpP = new org.apache.hadoop.fs.Path(tmp)
-        val dstP = new org.apache.hadoop.fs.Path(tablePath)
-        if (fs.exists(dstP)) fs.delete(dstP, true)
-        fs.rename(tmpP, dstP)
-        ()
+        upsertBatch(batch.toDF(), tablePath, keyCols, versionCol)
       }
       .start()
+  }
+
+  /** One micro-batch of [[upsertSink]]: merge into the standing table
+    * and land write-then-swap. Exposed (package-visible via the test)
+    * so the idempotence claim — applying the SAME batch twice leaves
+    * the table bit-identical, which is what makes the sink
+    * exactly-once under foreachBatch's at-least-once retries — is a
+    * direct unit-level assertion, not prose.
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      versionCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
+        val base = spark.read.parquet(tablePath)
+        graft.operators.Pendentes.upsertMerge(
+          base, batch.select(base.columns.map(org.apache.spark.sql.functions.col): _*),
+          keyCols, versionCol)
+      } else batch
+    val tmp = tablePath + "__upsert"
+    merged.write.mode("overwrite").parquet(tmp)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val dstP = new org.apache.hadoop.fs.Path(tablePath)
+    if (fs.exists(dstP)) fs.delete(dstP, true)
+    fs.rename(tmpP, dstP)
+    ()
   }
 
   /** Input row for [[funnelStream]]. */

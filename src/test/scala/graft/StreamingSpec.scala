@@ -246,6 +246,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertBatch is idempotent: re-applying the same batch leaves the table identical") {
+    val dir = Files.createTempDirectory("graft_upsert_idem").toString
+    val table = s"$dir/t"
+    import spark.implicits._
+    val b1 = Seq((1L, "a", 0), (2L, "b", 0)).toDF("k", "v", "version")
+    val b2 = Seq((1L, "a2", 1), (3L, "c", 0)).toDF("k", "v", "version")
+    StreamingOps.upsertBatch(b1, table, Seq("k"), "version")
+    StreamingOps.upsertBatch(b2, table, Seq("k"), "version")
+    def snap() = spark.read.parquet(table)
+      .as[(Long, String, Int)].collect().toSet
+    val once = snap()
+    // at-least-once retry: the SAME batch lands again
+    StreamingOps.upsertBatch(b2, table, Seq("k"), "version")
+    assert(snap() == once, "retry of an applied batch must be a no-op")
+    assert(once == Set((1L, "a2", 1), (2L, "b", 0), (3L, "c", 0)))
+  }
+
   test("attributeClicks: stream-stream interval join emits in-window pairs only") {
     implicit val sql = spark.sqlContext
     val imps = MemoryStream[(Long, Long, java.sql.Timestamp)]
