@@ -300,6 +300,60 @@ object TextAnalysis {
           (col("n_chars") * lit(1000000L)).cast("double")).as("entropy"))
   }
 
+  /** Positional inverted index: one `(term, doc_id, pos)` posting per
+    * token occurrence — the IR structure under phrase/proximity
+    * search. Build is a pure narrow posexplode (no shuffle); persist
+    * with [[graft.sources.Sink.saveBucketed]] BY TERM so a query's
+    * postings live in one bucket and a search touches only its
+    * terms' files (the 100 TB layout; the term filter pushes into
+    * the scan either way).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(filter(tokens(lower(coalesce(col(textCol), lit("")))), t => t =!= "")))
+      .select(col("col").as("term"), col("doc_id"), col("pos"))
+
+  /** Exact phrase search over a positional index: documents where
+    * `terms` occur at consecutive positions, as `(doc_id, n_matches,
+    * first_pos)`. The classic postings-intersection plan: one
+    * broadcast-pruned postings scan per phrase term, then equi-joins
+    * on (doc_id, aligned position) — candidate cardinality is the
+    * RAREST term's postings, never the corpus, and each join is a
+    * hash join on (doc, pos) keys. Phrase semantics follow the
+    * index's tokenizer (lowercased, whitespace-split) — the
+    * normalization IS the contract, unlike a raw LIKE.
+    */
+  def phraseSearch(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phrase must have at least one term")
+    val first = postings.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val aligned = terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+        postings.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    aligned.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
+  /** [[phraseSearch]]'s declarative twin for a PIPELINE-produced
+    * bigram phrase: the phrase arrives as a broadcast 1-row frame
+    * `(w1, w2)` instead of driver-side strings, so a query can feed a
+    * computed phrase (e.g. "the corpus's top bigram") straight into
+    * the search with no `collect()` anywhere.
+    */
+  def phraseSearchBigram(postings: DataFrame, phrase: DataFrame): DataFrame = {
+    val p1 = postings.crossJoin(broadcast(phrase))
+      .filter(col("term") === col("w1")).select(col("doc_id"), col("pos"))
+    val p2 = postings.crossJoin(broadcast(phrase))
+      .filter(col("term") === col("w2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
   /** Gopher-style repetition stats per document, the standard cheap
     * repetition filters in web-corpus cleaning (Rae et al. 2021 §A1.1
     * use duplicate-line and top-n-gram character fractions; this is the

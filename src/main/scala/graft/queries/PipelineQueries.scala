@@ -1129,6 +1129,49 @@ object PipelineQueries {
             |SELECT bucket, seq, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
             |FROM pack GROUP BY 1, 2""".stripMargin))
 
+  /** Positional inverted index + exact phrase search
+    * ([[TextAnalysis.invertedIndex]] / [[phraseSearchBigram]]) — the
+    * IR class: build postings, find the corpus's most frequent word
+    * bigram (adjacency self-join on the SAME index, count, bounded
+    * top-1 with (n desc, w1, w2) tie-break), then phrase-search that
+    * bigram through the index — all declarative, the computed phrase
+    * rides a broadcast 1-row frame, no collect anywhere. Postings
+    * intersections join on (doc, aligned pos) keys; candidates are
+    * the phrase terms' postings, never the corpus.
+    */
+  val textPhraseSearch = QueryDef(
+    "text_phrase_search",
+    (s, dir) => {
+      val postings = TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id", "text")
+      val p2 = postings.select(col("doc_id"), (col("pos") - 1).as("pos"), col("term").as("w2"))
+      val top = postings.select(col("doc_id"), col("pos"), col("term").as("w1"))
+        .join(p2, Seq("doc_id", "pos"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+        .select(col("w1"), col("w2"))
+      TextAnalysis.phraseSearchBigram(postings, top)
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |), post AS (
+           |  SELECT doc_id, unnest(t) AS term,
+           |         unnest(generate_series(0, len(t) - 1)) AS pos
+           |  FROM tk
+           |), top AS (
+           |  SELECT p1.term AS w1, p2.term AS w2
+           |  FROM post p1 JOIN post p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+           |  GROUP BY 1, 2 ORDER BY COUNT(*) DESC, w1 ASC, w2 ASC LIMIT 1
+           |)
+           |SELECT p1.doc_id, COUNT(*) AS n_matches, MIN(p1.pos) AS first_pos
+           |FROM post p1
+           |JOIN post p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+           |CROSS JOIN top
+           |WHERE p1.term = top.w1 AND p2.term = top.w2
+           |GROUP BY 1""".stripMargin))
+
   /** Winnowed rolling-hash fingerprints (k=5 grams, window 8) per doc:
     * sketch size and extremes, via the O(n) JVM kernel
     * ([[TextAnalysis.winnowKernel]] — one narrow pass, no caching; the
@@ -2881,7 +2924,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textChunks, textLmScore, textLm2Score, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textPhraseSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,

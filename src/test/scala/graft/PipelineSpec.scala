@@ -172,6 +172,38 @@ class EntropySpec extends AnyFunSuite {
   }
 }
 
+class PhraseSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("phraseSearch: consecutive positions only, multi-term, counts and first_pos") {
+    val docs = Seq(
+      (1L, "big red fox saw a big red fox den"),  // "big red fox" twice, pos 0 and 5
+      (2L, "red big fox"),                        // words present, order wrong
+      (3L, "big red herring"),                    // only the 2-prefix matches
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+    val three = TextAnalysis.phraseSearch(idx, Seq("big", "red", "fox"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(three == Map(1L -> ((2L, 0))))
+    val two = TextAnalysis.phraseSearch(idx, Seq("big", "red"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(two == Map(1L -> 2L, 3L -> 1L))
+    assert(TextAnalysis.phraseSearch(idx, Seq("absent", "term")).count() == 0L)
+  }
+
+  test("phraseSearchBigram matches phraseSearch for a frame-borne phrase") {
+    val docs = Seq((1L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+    val viaSeq = TextAnalysis.phraseSearch(idx, Seq("alpha", "beta"))
+      .as[(Long, Long, Int)].collect().toSet
+    val viaDf = TextAnalysis.phraseSearchBigram(idx,
+        Seq(("alpha", "beta")).toDF("w1", "w2"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaSeq == viaDf && viaSeq == Set((1L, 2L, 0)))
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
