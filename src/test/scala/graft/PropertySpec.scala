@@ -197,6 +197,40 @@ class Round10PropertySpec extends AnyFunSuite {
     })
   }
 
+  private val upsertGen: Gen[List[(Long, Int, String)]] =
+    Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 8L)
+      ver <- Gen.choose(0, 1000000)
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, ver, v)).map { rows =>
+      // distinct (key, version) — ties between same-key same-version
+      // rows across batches are resolved by batch PRIORITY, which a
+      // batched union cannot see; the associativity contract assumes
+      // versions advance (the ingest reality).
+      rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+    }
+
+  test("upsertMerge is associative: folding batches equals merging their union") {
+    run(Prop.forAll(upsertGen, upsertGen, upsertGen) { (b0, b1raw, b2raw) =>
+      // The contract requires versions to ADVANCE across update
+      // batches (distinct (k, version) corpus-wide): a same-version
+      // row in two different batches is ordered by arrival in the
+      // sequential fold but unordered in the union, so the property
+      // holds exactly on the ingest-reality precondition.
+      val b1 = b1raw
+      val seen = b1.map(r => (r._1, r._2)).toSet
+      val b2 = b2raw.filterNot(r => seen.contains((r._1, r._2)))
+      def df(rows: List[(Long, Int, String)]) =
+        rows.toDF("k", "version", "v")
+      def snap(d: org.apache.spark.sql.DataFrame) =
+        d.select($"k", $"version", $"v").as[(Long, Int, String)].collect().toSet
+      val m = graft.operators.Pendentes.upsertMerge _
+      val sequential = m(m(df(b0), df(b1), Seq("k"), "version"), df(b2), Seq("k"), "version")
+      val batched = m(df(b0), df(b1).unionByName(df(b2)), Seq("k"), "version")
+      b2.isEmpty || snap(sequential) == snap(batched)
+    })
+  }
+
   private val payloadGen: Gen[Array[Byte]] =
     Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)))
       .map(_.toArray)
