@@ -300,6 +300,22 @@ object TextAnalysis {
           (col("n_chars") * lit(1000000L)).cast("double")).as("entropy"))
   }
 
+  /** Deterministic STUB text embedding — the [[Multimodal.stubDecoder]]
+    * posture for the text→vector hop: 16 md5-derived pseudo-random
+    * coordinates in [-1, 1], centered and float-rounded identically
+    * in both engines (this container has no embedding model; a real
+    * deployment swaps in a model server / batch forward pass without
+    * touching the downstream index-and-search plumbing, which is
+    * real). Pure codegen'd Column expression.
+    */
+  def hashEmbedding(text: Column, dim: Int = 16): Column = {
+    require(dim >= 1 && dim <= 16, "one md5 block provides up to 16 bytes")
+    val h = md5(coalesce(text, lit("")))
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => ((conv(h.substr(i * 2 + 1, lit(2)), 16, 10).cast("int")
+        - lit(127.5)) / lit(127.5)).cast("float"))
+  }
+
   /** Positional inverted index: one `(term, doc_id, pos)` posting per
     * token occurrence — the IR structure under phrase/proximity
     * search. Build is a pure narrow posexplode (no shuffle); persist

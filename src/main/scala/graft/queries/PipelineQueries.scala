@@ -1172,6 +1172,72 @@ object PipelineQueries {
            |WHERE p1.term = top.w1 AND p2.term = top.w2
            |GROUP BY 1""".stripMargin))
 
+  /** END-TO-END RAG retrieval prep: chunk the corpus (T11) → embed
+    * every chunk ([[TextAnalysis.hashEmbedding]] — the documented
+    * model STUB; the chunk/index/search plumbing is real) → exact
+    * top-3 passage retrieval for the query docs' chunks against the
+    * disjoint rest of the chunk corpus ([[Similarity.bruteForceTopK]];
+    * swap in `ivfTopKProbed`/`int8TopK` for the indexed tiers — same
+    * frame contract). Flat chunk ids are `doc_id·1000 + chunk_id`
+    * (chunk counts are bounded ≪ 1000 by the T11 window math). This
+    * is the text→vector composite the chunk-dedup (E2E-2) feeds; one
+    * optimizer pass, one oracle replaying chunking, embedding bytes,
+    * and the ranked retrieval.
+    */
+  val ragSearch = QueryDef(
+    "pipeline_rag_search",
+    (s, dir) => {
+      val chunks = TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 40, stride = 20)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+          col("doc_id"),
+          TextAnalysis.hashEmbedding(col("chunk_text")).as("emb"))
+      val queries = chunks.filter(col("doc_id") < 3)
+        .select(col("cid"), col("emb"))
+      val corpus = chunks.filter(col("doc_id") >= 3)
+        .select(col("cid"), col("emb"))
+      Similarity.bruteForceTopK(queries, corpus, "cid", "emb", k = 3)
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id,
+            |         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+            |                     x -> x <> '') AS t
+            |  FROM documents
+            |),
+            |spans AS (
+            |  SELECT doc_id, t, len(t) AS n,
+            |         generate_series(1, GREATEST(len(t) - 39, 1), 20) AS s0
+            |  FROM toks WHERE len(t) > 0
+            |),
+            |st AS (
+            |  SELECT doc_id, t, n,
+            |         CASE WHEN s0[-1] + 39 < n THEN list_concat(s0, [n - 39]) ELSE s0 END
+            |           AS starts
+            |  FROM spans
+            |),
+            |chunks AS (
+            |  SELECT doc_id * 1000 + i AS cid, doc_id,
+            |         md5(array_to_string(t[starts[i]:starts[i] + 39], ' ')) AS h
+            |  FROM (SELECT doc_id, t, n, starts,
+            |               unnest(generate_series(1, len(starts))) AS i
+            |        FROM st)
+            |),
+            |emb AS (
+            |  SELECT cid, doc_id,
+            |         [CAST(CAST((
+            |            (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+            |            + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)
+            |            - 127.5) / 127.5 AS FLOAT) AS DOUBLE)
+            |          FOR i IN generate_series(0, 15)] AS v
+            |  FROM chunks
+            |),
+            |q AS (SELECT cid AS q_id, v AS qv FROM emb WHERE doc_id < 3),
+            |c AS (SELECT cid AS n_id, v AS nv FROM emb WHERE doc_id >= 3)
+            |SELECT q_id, n_id, cos FROM (
+            |  SELECT q.q_id, c.n_id, ROUND(${cosSql("q.qv", "c.nv")}, 6) AS cos
+            |  FROM q CROSS JOIN c WHERE c.n_id <> q.q_id
+            |) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 3""".stripMargin))
+
   /** Winnowed rolling-hash fingerprints (k=5 grams, window 8) per doc:
     * sketch size and extremes, via the O(n) JVM kernel
     * ([[TextAnalysis.winnowKernel]] — one narrow pass, no caching; the
@@ -2924,7 +2990,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textPhraseSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
