@@ -48,6 +48,46 @@ object Sampling {
     df.withColumn("fold", hashBucket(col(idCol), k))
   }
 
+  /** In-batch negative sampling for contrastive training: each anchor
+    * gets `k` pseudo-random partners from its hash-assigned "batch" —
+    * the contrastive-pairs prep step (in-batch negatives are the
+    * standard because they're free at training time; this
+    * materializes the same pairing deterministically for offline loss
+    * computation / hard-negative mining pipelines). Assignment is the
+    * md5 idiom end-to-end: batch = hash-bucket(id), within-batch
+    * order = (md5(id), id), negative j = the ((rank + j) mod size)-th
+    * member — a ring, so every anchor gets partners regardless of its
+    * position. Self-pairs (size ≤ j wrap-around) are filtered;
+    * batches smaller than k+1 repeat partners cyclically (documented;
+    * callers wanting distinct partners dedup on (anchor, neg)).
+    * Known-positive exclusion is the caller's anti-join against their
+    * pair set — the sampler stays oblivious to the similarity
+    * structure by design (false-negative collisions are the accepted
+    * cost of in-batch sampling everywhere).
+    *
+    * Scale: two windows and one self-join, ALL keyed on the bucket —
+    * batch-bounded frames, no global order, no corpus window.
+    */
+  def inBatchNegatives(df: DataFrame, idCol: String, nBuckets: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1 && k >= 1, "need nBuckets >= 1 and k >= 1")
+    val base = df.select(col(idCol).as("id"))
+      .withColumn("bucket", hashBucket(col("id"), nBuckets))
+      .withColumn("h", graft.functions.Hashing.md5Bits60(col("id").cast("string")))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("id"))
+    val ranked = base
+      .withColumn("r", row_number().over(w) - 1)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .drop("h")
+    val negs = ranked.select(col("bucket"), col("r").as("nr"), col("id").as("neg_id"))
+    ranked.select(col("id").as("anchor_id"), col("bucket"), col("r"), col("sz"))
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("nr", (col("r") + col("j")) % col("sz"))
+      .join(negs, Seq("bucket", "nr"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_id"), col("j"))
+  }
+
   /** Per-stratum row counts — the quick balance check after sampling
     * (one aggregate pass).
     */

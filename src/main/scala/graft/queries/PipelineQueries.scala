@@ -2403,6 +2403,33 @@ object PipelineQueries {
            |       lang, COUNT(*) AS n_rows
            |FROM documents GROUP BY 1, 2""".stripMargin))
 
+  /** In-batch negative sampling ([[Sampling.inBatchNegatives]],
+    * 16 hash-batches, k=2): the deterministic contrastive-pairs prep.
+    * The oracle replays bucket assignment, the (md5, id) ring order,
+    * and the modular partner pick row-for-row.
+    */
+  val sampleNegatives = QueryDef(
+    "sample_negatives",
+    (s, dir) =>
+      Sampling.inBatchNegatives(Tables.documents(s, dir), "doc_id", nBuckets = 16, k = 2),
+    Some("""WITH b AS (
+           |  SELECT doc_id AS id,
+           |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS bucket,
+           |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           |  FROM documents
+           |), ranked AS (
+           |  SELECT id, bucket,
+           |         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, id) - 1 AS r,
+           |         COUNT(*) OVER (PARTITION BY bucket) AS sz
+           |  FROM b
+           |), a AS (
+           |  SELECT id AS anchor_id, bucket, r, sz, unnest([1, 2]) AS j FROM ranked
+           |)
+           |SELECT a.anchor_id, n.id AS neg_id, CAST(a.j AS INT) AS j
+           |FROM a JOIN ranked n
+           |  ON n.bucket = a.bucket AND n.r = (a.r + a.j) % a.sz
+           |WHERE n.id <> a.anchor_id""".stripMargin))
+
   /** Class-balanced downsample ([[Sampling.balancedDownsample]]): every
     * language stratum cut to ~the smallest stratum's size before
     * training — the standard rebalance for skewed label/language
@@ -2995,5 +3022,5 @@ object PipelineQueries {
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
     eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
+    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
 }

@@ -348,3 +348,75 @@ class UpsertSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a2", 2L -> "b2", 3L -> "c", 4L -> "d"))
   }
 }
+
+class MomentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact-moments Pearson r agrees with Spark's corr() within quantization error") {
+    // a19's machinery on a small frame vs the float-accumulator corr:
+    // values quantize to cents/bps first, so agreement is to ~1e-4
+    // (quantization), far inside which the formula must land.
+    val df = (1 to 500).map { i =>
+      val x = (i % 37) / 37.0
+      val y = 0.6 * x + math.sin(i.toDouble) * 0.2
+      ("g" + (i % 3), x, y)
+    }.toDF("g", "x", "y")
+    val native = df.groupBy($"g")
+      .agg(org.apache.spark.sql.functions.corr($"x", $"y").as("r"))
+      .as[(String, Double)].collect().toMap
+    val xq = floor($"x" * 10000 + lit(0.5)).cast("long")
+    val yq = floor($"y" * 10000 + lit(0.5)).cast("long")
+    val d38 = "decimal(38,0)"
+    val exact = df.select($"g", xq.as("x"), yq.as("y"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(d38)).as("sx"), sum($"y".cast(d38)).as("sy"),
+        sum(($"x" * $"y").cast(d38)).as("sxy"),
+        sum(($"x" * $"x").cast(d38)).as("sxx"),
+        sum(($"y" * $"y").cast(d38)).as("syy"))
+      .select($"g",
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))).as("r"))
+      .as[(String, Double)].collect().toMap
+    for ((g, r) <- native)
+      assert(math.abs(exact(g) - r) < 1e-4, s"$g: exact=${exact(g)} native=$r")
+  }
+}
+
+class NegativesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("inBatchNegatives: k partners per anchor, ring wrap, no self-pairs, deterministic") {
+    val df = (1L to 40L).toDF("doc_id")
+    val out = graft.operators.Sampling.inBatchNegatives(df, "doc_id", nBuckets = 4, k = 2)
+      .as[(Long, Long, Int)].collect()
+    // no self-pairs ever
+    assert(out.forall(p => p._1 != p._2))
+    // every anchor present with <= 2 partners (fewer only if its
+    // bucket is degenerate, which 40/4 buckets are not)
+    val byAnchor = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byAnchor.keySet == (1L to 40L).toSet)
+    assert(byAnchor.values.forall(_ == 2))
+    // deterministic across runs
+    val again = graft.operators.Sampling.inBatchNegatives(df, "doc_id", 4, 2)
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSet == again.toSet)
+    // partners come from the anchor's own bucket
+    val bucketOf = df.select($"doc_id",
+        graft.operators.Sampling.hashBucket($"doc_id", 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.forall(p => bucketOf(p._1) == bucketOf(p._2)))
+  }
+
+  test("inBatchNegatives: a 2-doc bucket yields the one partner twice (cyclic), never self") {
+    val df = Seq(7L, 8L).toDF("doc_id")
+    val out = graft.operators.Sampling.inBatchNegatives(df, "doc_id", nBuckets = 1, k = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(out.forall(p => p._1 != p._2))
+    // j=2 wraps to self and is filtered; j in {1,3} hit the partner
+    assert(out.count(_._1 == 7L) == 2 && out.count(_._1 == 8L) == 2)
+  }
+}
