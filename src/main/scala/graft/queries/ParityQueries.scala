@@ -665,6 +665,39 @@ object ParityQueries {
         |                       / n::DOUBLE / 100.0, 6) END AS intercept
         |FROM m""".stripMargin)))
 
+  /** Sketch REUSE — the rollup pattern A16's mergeability enables but
+    * doesn't demonstrate: per-day HLL user sketches (Datasketches
+    * `hll_sketch_agg` — the serialized-sketch form you'd PERSIST) are
+    * UNION-MERGED (`hll_union_agg`) into a whole-range estimate
+    * WITHOUT rescanning events — at 100 TB this is how "distinct
+    * users in any date range" answers from a tiny daily-sketch table
+    * instead of a corpus scan. Oracle-checked as A16's error-bound
+    * boolean beside the exact count (sketch bytes are
+    * engine-specific; the CLAIM — merged estimate within 5% of exact
+    * — is engine-portable).
+    */
+  val sketchReuse = QueryDef(
+    "a22_sketch_reuse",
+    (s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      val daily = ev.select(to_date(col("ts")).as("dia"), col("user_id"))
+        .groupBy(col("dia"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"), count(lit(1)).as("n_events"))
+      val merged = daily.agg(
+        sum(col("n_events")).as("n_events_total"),
+        count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+      val exact = ev.agg(count_distinct(col("user_id")).as("nd_exact"))
+      merged.crossJoin(exact)
+        .select(col("n_days"), col("n_events_total"), col("nd_exact"),
+          (abs(col("__est") - col("nd_exact")) <= col("nd_exact") * 0.05).as("merged_ok"))
+    },
+    Some("""SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           |       COUNT(*) AS n_events_total,
+           |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_exact,
+           |       TRUE AS merged_ok
+           |FROM events""".stripMargin))
+
   val iqrTrim = QueryDef(
     "c_iqr_trim",
     (s, dir) =>
@@ -1473,7 +1506,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, ffill, fuzzyNames, corrGeo, olsGeo, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, ffill, fuzzyNames, corrGeo, olsGeo, sketchReuse, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)
