@@ -25,6 +25,71 @@ object Sink {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** Morton (Z-order) interleave of two bucketized coordinates — the
+    * key under Z-order clustering. Bit i of `a` lands at output bit
+    * 2i, bit i of `b` at 2i+1; generated as literal-shift terms
+    * (codegen'd, no UDF). Inputs must already be integers in
+    * [0, 2^bits).
+    */
+  def mortonKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order clustered write (the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * layout, done Spark-first): bucketize BOTH columns to 2^bits
+    * ranks over their min–max span (one tiny stats aggregate,
+    * broadcast back), interleave into the Morton key, range-partition
+    * + sort the data by it, write parquet. Files then cover compact
+    * RECTANGLES of the (a, b) space instead of full-width stripes, so
+    * parquet row-group/file min–max stats prune reads that filter on
+    * EITHER column — the multi-dimensional data-skipping layout a
+    * single-column sort cannot give (sorting by `a` leaves every file
+    * spanning all of `b`). The bucketization is linear over the span:
+    * heavily skewed columns would pre-transform (rank/log) first —
+    * callers own that choice, the key is mechanical.
+    *
+    * Returns the per-file bounding boxes (file, min/max of both
+    * columns) read back from the written files — the measurable
+    * layout property (ZOrderSpec asserts every file's box is a
+    * fraction of the domain on both axes).
+    */
+  def saveZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      nFiles: Int,
+      bits: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val stats = df.agg(
+      min(col(colA)).as("__amin"), max(col(colA)).as("__amax"),
+      min(col(colB)).as("__bmin"), max(col(colB)).as("__bmax"))
+    val maxRank = (1L << bits) - 1
+    def rank(c: org.apache.spark.sql.Column,
+        lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
+      least(lit(maxRank), greatest(lit(0L),
+        floor((c.cast("double") - lo) / (hi - lo + lit(1e-12)) * maxRank).cast("long")))
+    val keyed = df.crossJoin(broadcast(stats))
+      .withColumn("__zkey", mortonKey(
+        rank(col(colA), col("__amin"), col("__amax")),
+        rank(col(colB), col("__bmin"), col("__bmax")), bits))
+      .drop("__amin", "__amax", "__bmin", "__bmax")
+    keyed.repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(colA), col(colB))
+      .groupBy(col("file"))
+      .agg(min(col(colA)).as("a_min"), max(col(colA)).as("a_max"),
+        min(col(colB)).as("b_min"), max(col(colB)).as("b_max"))
+  }
+
   /** S6: timestamped export path, like the reference's
     * `f"propostas_pendentes_{timestamp}.xlsx"`. The clock is injectable
     * so tests stay deterministic.

@@ -420,3 +420,43 @@ class NegativesSpec extends AnyFunSuite {
     assert(out.count(_._1 == 7L) == 2 && out.count(_._1 == 8L) == 2)
   }
 }
+
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mortonKey interleaves bits: (0b11, 0b00)=0b0101, (0b00, 0b11)=0b1010") {
+    val out = Seq((3L, 0L), (0L, 3L), (3L, 3L), (0L, 0L)).toDF("a", "b")
+      .select(graft.sources.Sink.mortonKey($"a", $"b", 2)).as[Long].collect().toSeq
+    assert(out == Seq(5L, 10L, 15L, 0L))
+  }
+
+  test("saveZOrdered: every file covers a compact box on BOTH axes (stripes fail this)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // uniform 64x64 grid
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    val boxes = graft.sources.Sink.saveZOrdered(grid, s"$dir/t", "x", "y",
+        nFiles = 4, bits = 8)
+      .as[(String, Int, Int, Int, Int)].collect()
+    assert(boxes.length == 4)
+    // The skipping property a layout earns: a selective predicate on
+    // EITHER axis must be able to skip whole files (its box misses
+    // the range). Range-boundary sampling can make one partition
+    // straddle a z-curve jump, so per-file span bounds are brittle —
+    // skippability is the contract.
+    assert(boxes.exists(_._2 > 15), "a query x<=15 must skip some file")
+    assert(boxes.exists(_._4 > 15), "a query y<=15 must skip some file")
+    assert(boxes.count(b => b._3 - b._2 <= 40 && b._5 - b._4 <= 40) >= 2,
+      s"most files should be compact boxes: ${boxes.toSeq}")
+    // contrast: a single-column sort leaves y unbounded per file
+    grid.repartitionByRange(4, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(s"$dir/stripes")
+    val stripes = spark.read.parquet(s"$dir/stripes")
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"), $"x", $"y")
+      .groupBy($"f").agg(min($"y").as("ymin"), max($"y").as("ymax"))
+      .as[(String, Int, Int)].collect()
+    assert(stripes.forall(s => s._3 - s._2 == 63),
+      "x-sorted stripes must span all of y (the property z-order fixes)")
+  }
+}
