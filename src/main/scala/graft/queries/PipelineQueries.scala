@@ -2260,6 +2260,34 @@ object PipelineQueries {
            |       ROUND(SUM(value), 2) AS sum_value
            |FROM events GROUP BY event_type""".stripMargin))
 
+  /** Semi-structured props via Spark 4's VARIANT type — the
+    * schema-on-read path for payloads whose shape drifts: where
+    * `events_json_props` binds a fixed `from_json` struct schema at
+    * plan time (and silently nulls anything that drifts), VARIANT
+    * parses once into a typed binary form and fields resolve AT READ
+    * (`variant_get`), so one stored column serves every consumer and
+    * new keys need no schema migration — the posture a 100 TB event
+    * lake wants for its props column. Same aggregate as the
+    * struct-schema twin, same oracle — the two queries must agree
+    * row-for-row, which checks the VARIANT path end-to-end against
+    * DuckDB's independent JSON reader.
+    */
+  val eventsVariant = QueryDef(
+    "events_variant_props",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("k").as("sum_k"),
+          round(sum("value"), 2).as("sum_value")),
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+           |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           |       ROUND(SUM(value), 2) AS sum_value
+           |FROM events GROUP BY event_type""".stripMargin))
+
   // ------------------------------------------------------- multimodal
 
   /** Multimodal plumbing, oracle-checkable half: the synthetic media
@@ -3020,7 +3048,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
-    eventsJson, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
 }
