@@ -2655,6 +2655,48 @@ object PipelineQueries {
            |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Native `session_window` sessionization — Spark's built-in session
+    * aggregate beside the hand-rolled gaps-and-islands twin
+    * (`events_sessionize`): one groupBy, no window functions, and the
+    * same operator serves batch AND streaming unchanged. Boundary
+    * semantics differ BY ONE EDGE and are pinned here: the native
+    * window closes at `last_ts + gap`, so an event arriving at
+    * EXACTLY the gap starts a NEW session (split on `diff >= gap`),
+    * while the lag-based twin splits on `diff > gap` — the oracle
+    * replays the `>=` rule, so both conventions stay oracle-checked
+    * side by side. Emitted bounds are exact epoch micros
+    * (window.end = last event + gap, by construction).
+    */
+  val eventsSessionNative = QueryDef(
+    "events_session_native",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("tts"), col("value"))
+        .groupBy(col("user_id"), session_window(col("tts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("sum_value")),
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+           |), f AS (
+           |  SELECT user_id, ts_us, value,
+           |         CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+           |              WHEN ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1
+           |              ELSE 0 END AS new_sess
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+           |), g AS (
+           |  SELECT user_id, ts_us, value,
+           |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+           |  FROM f
+           |)
+           |SELECT user_id, MIN(ts_us) AS start_us,
+           |       MAX(ts_us) + 1800000000 AS end_us,
+           |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           |FROM g GROUP BY user_id, sess""".stripMargin))
+
   /** Per-user event inter-arrival gaps — the LAG window-function class
     * (§2.5 notes the reference has none; sessionization uses the same
     * shape but this registers lag arithmetic directly). Deterministic
@@ -3048,7 +3090,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
-    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
 }
