@@ -291,6 +291,29 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.get.contains("ano"), s"year filter did not reach the partition layer: $scan")
   }
 
+  test("dynamic partition pruning fires on the year-partitioned fact x filtered dim join") {
+    // STATIC pruning (the s6 test) needs the year literal in the query;
+    // DPP prunes from a runtime value — the dim filter's surviving years
+    // reach the fact scan as a dynamicpruning subquery, so a
+    // "join to the current period" query reads one partition without
+    // anyone spelling the year out. This is free from Catalyst once the
+    // layout partitions by the join key — the point of saveFactByYear.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.sources.Sink.saveFactByYear(
+      graft.sources.Tables.analiseComercial(spark, "/root/testdata/sf0.001"), s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    import spark.implicits._
+    Seq((1995, "old"), (1996, "target"), (1997, "old")).toDF("ano", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = fact.join(dim.filter($"tag" === "target"), Seq("ano"))
+      .groupBy($"ano").agg(org.apache.spark.sql.functions.sum($"valor_orcado"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruning partition filter:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("capped-history and corpus-prep windows are partitioned (no global window)") {
     import org.apache.spark.sql.catalyst.plans.logical
     for (q <- Seq("a9_capped_history", "pipeline_corpus_prep")) {
