@@ -349,6 +349,69 @@ object StreamingOps {
   /** Keyed state for [[funnelStream]]: the k stage times, -1 = unset. */
   final case class FunnelStateK(stepUs: Seq[Long])
 
+  /** [[funnelStream]] on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + typed `ValueState`) — the SAME strict
+    * min-cascade transition, so StreamingSpec can pin v1/v2 parity
+    * directly. What the new API buys at scale: named typed state
+    * slots with per-state TTL ([[org.apache.spark.sql.streaming.TTLConfig]]
+    * — pass a retention to expire dormant users' funnel state, which
+    * mapGroupsWithState can only emulate with manual timers), state
+    * schema evolution, and the RocksDB provider contract (the v2 API
+    * requires it — the disk-backed store a 100 TB keyspace needs
+    * anyway; the test sets the provider conf).
+    */
+  def funnelStreamV2(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    implicit val outEnc = Encoders.product[FunnelProgress]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.userId)
+      .transformWithState(
+        new FunnelProcessor(steps, ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The [[funnelStreamV2]] processor: one ValueState slot holding the
+    * k stage times; `handleInputRows` replays the batch fold's
+    * transition over the micro-batch's rows in ts order.
+    */
+  final class FunnelProcessor(
+      steps: Seq[String],
+      ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelProgress] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[FunnelStateK] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[FunnelStateK](
+        "funnel", Encoders.product[FunnelStateK], ttl)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[FunnelEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelProgress] = {
+      val prev = if (state.exists()) state.get() else FunnelStateK(Seq.fill(steps.length)(-1L))
+      val next = rows.toSeq.sortBy(e => (e.tsUs, e.eventType)).foldLeft(prev) {
+        (acc, e) =>
+          steps.zipWithIndex
+            .collectFirst { case (t, i) if t == e.eventType &&
+              acc.stepUs(i) == -1L &&
+              (i == 0 || (acc.stepUs(i - 1) != -1L && e.tsUs > acc.stepUs(i - 1))) => i }
+            .map(i => FunnelStateK(acc.stepUs.updated(i, e.tsUs)))
+            .getOrElse(acc)
+      }
+      state.update(next)
+      Iterator.single(
+        FunnelProgress(userId, next.stepUs.takeWhile(_ != -1L).length, next.stepUs))
+    }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: accumulate per-user
     * activity, emit a summary when the user goes quiet for
     * `gapMillis` (processing-time timeout). The state per key is three

@@ -263,6 +263,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(once == Set((1L, "a2", 1), (2L, "b", 0), (3L, "c", 0)))
   }
 
+  test("funnelStreamV2 (transformWithState) matches funnelStream across batch splits") {
+    implicit val sql = spark.sqlContext
+    import StreamingOps.FunnelEvent
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[FunnelEvent]
+      val dir = Files.createTempDirectory("graft_stream_funnel2").toString
+      val steps = Seq("view", "click", "purchase")
+      val out = StreamingOps.funnelStreamV2(ms.toDS(), steps)
+      val q = out.writeStream.format("memory").queryName("funnel2_test")
+        .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        ms.addData(
+          FunnelEvent(1L, 20L, "click"), FunnelEvent(1L, 10L, "view"),
+          FunnelEvent(1L, 5L, "click"), FunnelEvent(2L, 7L, "click"))
+        q.processAllAvailable()
+        ms.addData(
+          FunnelEvent(1L, 30L, "purchase"),
+          FunnelEvent(2L, 9L, "view"), FunnelEvent(2L, 9L, "click"))
+        q.processAllAvailable()
+        val last = spark.table("funnel2_test")
+          .groupBy("userId").agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.struct($"stage", $"stepUs")).as("s"))
+          .select($"userId", $"s.stage", $"s.stepUs")
+          .as[(Long, Int, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        // identical to the v1 (mapGroupsWithState) run in the sibling test
+        assert(last(1L) == ((3, Seq(10L, 20L, 30L))))
+        assert(last(2L) == ((1, Seq(9L, -1L, -1L))))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("attributeClicks: stream-stream interval join emits in-window pairs only") {
     implicit val sql = spark.sqlContext
     val imps = MemoryStream[(Long, Long, java.sql.Timestamp)]
