@@ -325,6 +325,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("structural sweep: every registered query plans, none with a CartesianProduct") {
+    // One guard over the WHOLE registry: every query must survive
+    // analysis + physical planning against the test fixture (catches
+    // registry drift the per-query pins can't), and no plan may
+    // contain a CartesianProduct — the non-broadcast cross-join
+    // fallback that reads |L|×|R| at scale. (BroadcastNestedLoopJoin
+    // with a provably-small broadcast side is legitimate and used by
+    // the ANN family; CartesianProduct never is.)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("driver contract: every oracle names a registered query; names unique") {
     // The driver resolves oracleSql keys against queries — a typo'd or
     // stale oracle key would silently become an orphan check. A query
