@@ -100,3 +100,35 @@ class EventsSchemaSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(base, base, base + 1), got.toSeq.toString)
   }
 }
+
+/** The round-7 lesson generalized: the driver owns the testdata and
+  * HAS regenerated it with changed physical types before (events.ts).
+  * Pin the logical contract of the other two pipeline tables so a
+  * regeneration surfaces as ONE failing test naming the drift, not as
+  * dozens of downstream analysis errors.
+  */
+class PipelineTablesSchemaSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("documents schema contract") {
+    val sch = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").schema
+    val got = sch.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(got == Map(
+      "doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+      "source" -> "string", "n_chars" -> "bigint"), got.toString)
+  }
+
+  test("embeddings schema contract (incl. the 64-dim payload)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(got == Map(
+      "vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int"), got.toString)
+    // dimensionality is part of the contract: the ANN family's bands,
+    // PQ subspaces, and oracles are all derived from dim = 64 (the
+    // ann_pq_recall dim=8 slip proved this needs a pin).
+    val dims = df.select(size(col("embedding")).as("d")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(dims == Set(64), s"embedding dims drifted: $dims")
+  }
+}
