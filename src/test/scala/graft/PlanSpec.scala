@@ -340,6 +340,34 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("structural sweep: partition-less windows only where the input is aggregate-sized") {
+    // A Window whose spec has NO partition columns funnels the whole
+    // input through one task — fatal on corpus-sized frames, fine on
+    // post-aggregate frames of group cardinality. In plan text a
+    // partition-less spec's first argument is an ORDER column (carries
+    // ASC/DESC); a partitioned spec leads with bare partition columns.
+    val partitionless = """windowspecdefinition\([^,()]*\s(ASC|DESC)""".r
+    // Whitelisted: inputs are provably tiny at the window —
+    //   abc_classify + pipeline_ep2: client-cardinality post-aggregate
+    //     (the documented W1-W4 two-phase story, Abc.scala);
+    //   u_delta_semanas: per-week aggregate (a handful of rows);
+    //   events_funnel_summary: the k+1-row stage histogram.
+    //   j1_inner_join_abc + j5_left_join_default: the window sits
+    //     inside their embedded Abc.classify subtree — the same
+    //     client-cardinality story.
+    val ok = Set("abc_classify", "pipeline_ep2", "u_delta_semanas",
+      "events_funnel_summary", "j1_inner_join_abc", "j5_left_join_default")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (ok(name)) None
+      else {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        if (partitionless.findFirstIn(p).isDefined) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unexpected partition-less window (add to whitelist ONLY with a cardinality argument): $offenders")
+  }
+
   test("driver contract: every oracle names a registered query; names unique") {
     // The driver resolves oracleSql keys against queries — a typo'd or
     // stale oracle key would silently become an orphan check. A query
