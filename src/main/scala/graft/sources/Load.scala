@@ -72,21 +72,31 @@ object Load {
         reader.option("header", headerRow.toString)
           .option("inferSchema", schema.isEmpty.toString).csv(path)
       case "json" => reader.json(path)
-      case "xlsx" | "xls" =>
+      case "xlsx" =>
         // The reference's ONLY input format (pd.read_excel — AP:12,
-        // APC:37, APC:150, MAC:210). Excel is not a Spark-native
-        // source and the offline jar set carries no spark-excel
-        // bridge, so instead of the generic unsupported-extension
-        // error a porting user gets the actionable migration path.
+        // APC:37, APC:150, MAC:210). No spark-excel jar exists in the
+        // offline jar set — and none is needed: [[Xlsx.read]] parses
+        // SpreadsheetML with the JDK's own zip + StAX (rounds 1-9
+        // recorded this as environment-blocked; it never was). All
+        // columns arrive as strings — exactly pandas' `dtype=str`
+        // posture here — and the pipeline's own C1/C2 coercions take
+        // over, same as they do for CSV. An explicit `schema` is
+        // applied by NAME as a cast-after-read (the reader itself is
+        // untyped by design).
+        require(headerRow,
+          "xlsx ingestion expects a header row (every reference sheet has " +
+            "one; pick a deeper one with Xlsx.read(..., headerRow = n))")
+        val raw = Xlsx.read(spark, path, sheet = None, headerRow = 1)
+        schema match {
+          case None => raw
+          case Some(st) =>
+            raw.select(st.fields.map(f =>
+              org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+        }
+      case "xls" =>
         throw new IllegalArgumentException(
-          s"Excel input is not supported in this deployment (no spark-excel " +
-            s"plugin on the classpath): $path. Convert the workbook to CSV " +
-            "(one file per sheet, e.g. `ssconvert -S book.xlsx sheet-%s.csv` " +
-            "or Save As from any spreadsheet tool) and load the .csv with " +
-            "this same Load.load — header handling and explicit schemas " +
-            "work identically. With a spark-excel jar installed, " +
-            "spark.read.format(\"excel\").option(\"dataAddress\", \"'Sheet1'!A1\") " +
-            "replaces this branch.")
+          s"Legacy binary .xls is not supported: $path. Save as .xlsx (read " +
+            "natively by this library) or export CSV and use this same Load.load.")
       case other =>
         throw new IllegalArgumentException(
           s"unsupported extension '.$other' (want .parquet/.csv/.json): $path")

@@ -835,12 +835,10 @@ class LoadSkewSpec extends AnyFunSuite {
     Seq((3, "c")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
     assert(sources.Load.load(spark, s"$dir/t.parquet").count() == 1)
     assert(sources.Load.load(spark, s"$dir/t.csv", headerRow = false).count() == 2)
-    // Excel (the reference's only input format) is environment-blocked:
-    // the error must be the GUIDED one naming the CSV migration path,
-    // not the generic unsupported-extension message.
-    val e = intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.xlsx"))
-    assert(e.getMessage.contains("spark-excel") && e.getMessage.contains("CSV"),
-      e.getMessage)
+    // Legacy binary .xls stays a guided error; .xlsx is now read
+    // natively (XlsxSpec) so a missing FILE is the failure here.
+    val e = intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.xls"))
+    assert(e.getMessage.contains(".xlsx"), e.getMessage)
     val e2 = intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.txt"))
     assert(e2.getMessage.contains("unsupported extension"), e2.getMessage)
   }
@@ -1363,5 +1361,78 @@ class RetentionSpec extends AnyFunSuite {
     assert(out == Map(
       (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+}
+
+class XlsxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // The JVM in this container runs without a UTF-8 locale
+  // (sun.jnu.encoding=ASCII), so java.io cannot address the
+  // reference's accented path AT ALL — stage the workbook (same
+  // bytes) to an ASCII path with a shell glob once per suite.
+  private lazy val refBook: String = {
+    val dst = "target/ref_dim.xlsx"
+    import scala.sys.process._
+    val rc = Seq("bash", "-c",
+      s"cp /root/reference/*/Classifica*.xlsx $dst").!
+    assert(rc == 0, "staging the reference workbook failed")
+    dst
+  }
+
+  test("reads the reference's ACTUAL dimension workbook (the pd.read_excel parity proof)") {
+    val df = graft.sources.Xlsx.read(spark, refBook)
+    assert(df.columns.length == 10, df.columns.toSeq.toString)
+    assert(df.columns.contains("Grupo"), df.columns.toSeq.toString)
+    assert(df.columns.exists(_.contains("Produto")), df.columns.toSeq.toString)
+    val n = df.count()
+    assert(n > 10000, s"expected the ~10k-row dimension, got $n")
+    // the same sheet is discoverable by name (SURVEY S2)
+    assert(graft.sources.Xlsx.sheetNames(refBook) == Seq("Base"))
+    val byName = graft.sources.Xlsx.read(spark, refBook, sheet = Some("Base"))
+    assert(byName.count() == n)
+    // and the whole pipeline entry point accepts the raw file now
+    assert(graft.sources.Load.load(spark, refBook).count() == n)
+  }
+
+  test("hand-built workbook: numerics, shared/inline strings, gaps, booleans, header dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    val p = s"$dir/mini.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(p))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://x" xmlns:r="http://r">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships>
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>id</t></si><si><t>nome</t></si>
+        |<si><t>ol\u00e1 </t><t>mundo</t></si></sst>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2"><v>7</v></c><c r="B2" t="s"><v>2</v></c><c r="D2" t="b"><v>1</v></c></row>
+        |<row r="3"><c r="A3"><v>8.5</v></c><c r="C3" t="inlineStr"><is><t>inline</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+
+    val df = graft.sources.Xlsx.read(spark, p)
+    // duplicate header 'nome' deduped positionally; col D had no header
+    assert(df.columns.toSeq == Seq("id", "nome", "nome_1", "col_3"))
+    val rows = df.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(rows == Seq(
+      Seq("7", "ol\u00e1 mundo", null, "true"),
+      Seq("8.5", null, "inline", null)))
+  }
+
+  test("oversized workbooks and missing sheets fail with guidance") {
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Xlsx.read(spark, refBook, sheet = Some("Nope")))
+    assert(e.getMessage.contains("Base"), e.getMessage)
   }
 }
