@@ -1383,11 +1383,34 @@ class XlsxSpec extends AnyFunSuite {
 
   test("reads the reference's ACTUAL dimension workbook (the pd.read_excel parity proof)") {
     val df = graft.sources.Xlsx.read(spark, refBook)
-    assert(df.columns.length == 10, df.columns.toSeq.toString)
-    assert(df.columns.contains("Grupo"), df.columns.toSeq.toString)
-    assert(df.columns.exists(_.contains("Produto")), df.columns.toSeq.toString)
+    // the EXACT header row the reference's dim pipeline consumes
+    // (SURVEY 1.2) — including the accented names and the analyst's
+    // sign-off column
+    assert(df.columns.toSeq == Seq(
+      "C\u00f3digo Produto", "Descri\u00e7\u00e3o", "Tipo de Mercadoria",
+      "Subgrupo", "Utiliza\u00e7\u00e3o", "Local", "Grupo",
+      "Neg\u00f3cio", "Fabricante", "Valida\u00e7\u00e3o Andr\u00e9"),
+      df.columns.toSeq.toString)
     val n = df.count()
     assert(n > 10000, s"expected the ~10k-row dimension, got $n")
+    // and the REAL dimension flows through the actual pipeline: rename
+    // to the dim contract (what the reference's merge does), normalize
+    // the keys (SURVEY 7.5 - the real file carries trailing-space
+    // keys), and run the compatibility report against the synthetic
+    // fact - the first thing a switching user would execute.
+    val dim = graft.operators.Cleaning.normalizeKeys(
+      df.select(
+        org.apache.spark.sql.functions.col("C\u00f3digo Produto").as("codigo_produto"),
+        org.apache.spark.sql.functions.col("Descri\u00e7\u00e3o").as("descricao"),
+        org.apache.spark.sql.functions.col("Neg\u00f3cio").as("negocio"),
+        org.apache.spark.sql.functions.col("Grupo").as("grupo"),
+        org.apache.spark.sql.functions.col("Subgrupo").as("subgrupo"),
+        org.apache.spark.sql.functions.col("Fabricante").as("fabricante")),
+      Seq("codigo_produto"))
+    assert(dim.select("codigo_produto").distinct().count() > 10000)
+    val fact = graft.sources.Tables.analiseComercial(spark, "/root/testdata/sf0.001")
+    val report = graft.operators.Enrich.compatibilityReport(fact, dim)
+    assert(report.count() >= 1) // executes end-to-end on the real file
     // the same sheet is discoverable by name (SURVEY S2)
     assert(graft.sources.Xlsx.sheetNames(refBook) == Seq("Base"))
     val byName = graft.sources.Xlsx.read(spark, refBook, sheet = Some("Base"))
