@@ -97,6 +97,75 @@ object Xlsx {
     finally zip.close()
   }
 
+  /** Write a DataFrame as a minimal single-sheet `.xlsx` — the
+    * reference's OUTPUT format (`df.to_excel(timestamped)`, reference
+    * `analise_pendentes.py:110-114`), same zero-dependency posture as
+    * [[read]]: the five mandatory SpreadsheetML parts through
+    * `ZipOutputStream`, every cell an inline string (universally
+    * readable; consumers re-type, exactly like the reader's
+    * all-string contract — [[read]] round-trips this bit-for-bit,
+    * XlsxSpec-pinned). Driver-collects under the same dimension-scale
+    * cap as the reader: Excel IS a small-data format — its own row
+    * limit is 2^20 — and the bulk path stays parquet/csv.
+    */
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+    val rows = df.limit(1048576).collect()
+    val header = df.columns
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def ref(c: Int, r: Int): String = {
+      var n = c + 1; val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.append(r.toString).toString
+    }
+    def rowXml(r: Int, vals: Seq[Any]): String =
+      s"""<row r="$r">""" + vals.zipWithIndex.collect {
+        case (v, c) if v != null =>
+          s"""<c r="${ref(c, r)}" t="inlineStr"><is><t xml:space="preserve">${esc(v.toString)}</t></is></c>"""
+      }.mkString + "</row>"
+
+    val sheetXml = new StringBuilder
+    sheetXml.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sheetXml.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    sheetXml.append(rowXml(1, header.toSeq))
+    rows.zipWithIndex.foreach { case (row, i) =>
+      sheetXml.append(rowXml(i + 2, row.toSeq))
+    }
+    sheetXml.append("</sheetData></worksheet>")
+
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          """</Types>""")
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          """</Relationships>""")
+      put("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+          """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          s"""<sheets><sheet name="${esc(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+          """</Relationships>""")
+      put("xl/worksheets/sheet1.xml", sheetXml.toString)
+    } finally zos.close()
+  }
+
   // ------------------------------------------------------------ internals
 
   private def secureFactory(): XMLInputFactory = {

@@ -1453,6 +1453,28 @@ class XlsxSpec extends AnyFunSuite {
       Seq("8.5", null, "inline", null)))
   }
 
+  test("xlsx write -> read round-trips values, nulls, accents, and markup chars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_w").toString
+    val p = s"$dir/out.xlsx"
+    val df = Seq(
+      ("CEBD01035-00", "A\u00e7\u00e3o & <Teste>", Some(12.5)),
+      ("YSI480075Y", "tail space ", None),
+      ("P3", null, Some(-7.0)))
+      .toDF("codigo", "descricao", "valor")
+      .select($"codigo", $"descricao", $"valor".cast("string"))
+    graft.sources.Xlsx.write(df, p, sheetName = "Pendentes")
+    assert(graft.sources.Xlsx.sheetNames(p) == Seq("Pendentes"))
+    val back = graft.sources.Xlsx.read(spark, p)
+    assert(back.columns.toSeq == Seq("codigo", "descricao", "valor"))
+    val want = df.collect().map(_.toSeq).toSet
+    val got = back.collect().map(_.toSeq).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // and the reference's timestamped-export shape composes
+    val named = s"$dir/propostas_pendentes_20240101.xlsx"
+    graft.sources.Xlsx.write(df, named)
+    assert(graft.sources.Load.load(spark, named).count() == 3)
+  }
+
   test("oversized workbooks and missing sheets fail with guidance") {
     val e = intercept[IllegalArgumentException](
       graft.sources.Xlsx.read(spark, refBook, sheet = Some("Nope")))
