@@ -1441,6 +1441,7 @@ class XlsxSpec extends AnyFunSuite {
         |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>1</v></c></row>
         |<row r="2"><c r="A2"><v>7</v></c><c r="B2" t="s"><v>2</v></c><c r="D2" t="b"><v>1</v></c></row>
         |<row r="3"><c r="A3"><v>8.5</v></c><c r="C3" t="inlineStr"><is><t>inline</t></is></c></row>
+        |<row><c><v>9</v></c><c t="s"><v>2</v></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zos.close()
 
@@ -1450,7 +1451,9 @@ class XlsxSpec extends AnyFunSuite {
     val rows = df.orderBy("id").collect().map(_.toSeq).toSeq
     assert(rows == Seq(
       Seq("7", "ol\u00e1 mundo", null, "true"),
-      Seq("8.5", null, "inline", null)))
+      Seq("8.5", null, "inline", null),
+      // row/cells without r attributes fall back to positional order
+      Seq("9", "ol\u00e1 mundo", null, null)))
   }
 
   test("xlsx write -> read round-trips values, nulls, accents, and markup chars") {
