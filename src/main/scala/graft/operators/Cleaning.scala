@@ -49,6 +49,23 @@ object Cleaning {
     cols.foldLeft(df)((d, c) =>
       d.withColumn(c, fmt.fold(expr(s"try_to_date(`$c`)"))(f => expr(s"try_to_date(`$c`, '$f')"))))
 
+  /** Excel serial-date coercion — the companion to [[Xlsx.read]]'s
+    * all-string contract ([[graft.sources.Xlsx]]): Excel stores dates
+    * as day counts from its 1899-12-30 epoch (the famous off-by-one
+    * from the nonexistent 1900-02-29 is baked into that origin), so a
+    * date cell arrives as e.g. "44927". Coerce-semantics like C1/C2:
+    * non-numeric or out-of-range (pre-1900 / past 9999) → null rather
+    * than a garbage date; fractional serials (date+time) truncate to
+    * the day, matching `pd.read_excel(...).dt.date`.
+    */
+  def excelSerialDate(c: Column): Column = {
+    val serial = when(
+      c.cast("string").rlike("^[0-9]+(\\.[0-9]+)?$"), c.cast("double"))
+    when(serial.isNotNull && serial >= 1 && serial <= 2958465, // 9999-12-31
+      date_add(lit(java.sql.Date.valueOf("1899-12-30")), floor(serial).cast("int")))
+      .otherwise(lit(null).cast("date"))
+  }
+
   /** C3: numeric coercion — bad input → null (reference APC:100).
     * `try_cast` keeps coerce semantics under Spark 4's ANSI-on default.
     */

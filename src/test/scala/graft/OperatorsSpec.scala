@@ -460,3 +460,21 @@ class ZOrderSpec extends AnyFunSuite {
       "x-sorted stripes must span all of y (the property z-order fixes)")
   }
 }
+
+class ExcelDateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("excelSerialDate: known serials, fractional time, junk, out-of-range") {
+    val df = Seq("1", "25569", "44927", "44927.75", "abc", "0", "2958466", "-5")
+      .toDF("s")
+    val out = df.select(graft.operators.Cleaning.excelSerialDate($"s").cast("string"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(
+      Some("1899-12-31"),   // serial 1
+      Some("1970-01-01"),   // unix epoch = serial 25569
+      Some("2023-01-01"),
+      Some("2023-01-01"),   // time fraction truncates to the day
+      None, None, None, None))
+  }
+}
