@@ -17,6 +17,16 @@ object VectorFunctions {
   private def d(c: Column): Column = c.cast("array<double>")
 
   /** Dot product: left-fold of elementwise products. */
+  /** Codegen'd double dot — bit-identical to [[dot]]'s interpreted
+    * left fold (PropertySpec-pinned); the hot-loop form for the PQ
+    * encode's corpus × codebook distance pass.
+    */
+  def dotFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, DotProductExpr}
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(d(a)), ColumnBridge.expression(d(b))))
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 

@@ -404,9 +404,13 @@ object Similarity {
       .filter(col("nrm") > 0.0)
       .select(col("id"), transform(col("v"), x => x / col("nrm")).as("u"))
 
+    // dotFast = the codegen'd twin of the interpreted fold (bit-
+    // identical by construction and by test); the encode pass runs
+    // corpus x codebook of these, which made the interpreted HOF the
+    // measured cost of the whole query.
     def l2sq(a: Column, b: Column): Column = round(
-      VectorFunctions.dot(a, a) + VectorFunctions.dot(b, b)
-        - lit(2.0) * VectorFunctions.dot(a, b), 6)
+      VectorFunctions.dotFast(a, a) + VectorFunctions.dotFast(b, b)
+        - lit(2.0) * VectorFunctions.dotFast(a, b), 6)
 
     val c = normalize(corpus)
     val q = normalize(queries)

@@ -231,6 +231,29 @@ class Round10PropertySpec extends AnyFunSuite {
     })
   }
 
+  private val vecGen: Gen[List[Double]] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(-1e6, 1e6).map(x => x / 1e3)))
+
+  test("dotFast (codegen) equals the interpreted HOF dot bit-for-bit") {
+    run(Prop.forAll(Gen.listOfN(8, Gen.zip(vecGen, vecGen))) { pairs =>
+      val df = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("i", "a", "b")
+      val rows = df.select($"i",
+          graft.functions.VectorFunctions.dot($"a", $"b").as("slow"),
+          graft.functions.VectorFunctions.dotFast($"a", $"b").as("fast"))
+        .as[(Long, Option[Double], Option[Double])].collect()
+      rows.forall { case (_, s2, f) =>
+        (s2, f) match {
+          case (Some(x), Some(y)) =>
+            java.lang.Double.doubleToRawLongBits(x) ==
+              java.lang.Double.doubleToRawLongBits(y)
+          case (a2, b2) => a2 == b2
+        }
+      }
+    })
+  }
+
   private val payloadGen: Gen[Array[Byte]] =
     Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)))
       .map(_.toArray)
