@@ -25,6 +25,23 @@ object Sink {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** The reference's export, byte-compatible: a timestamped `.xlsx`
+    * (`f"propostas_pendentes_{timestamp}.xlsx"`, reference
+    * `analise_pendentes.py:110-114`) via the native [[Xlsx.write]].
+    * Injectable clock like [[saveTimestamped]]. Returns the path.
+    */
+  def saveTimestampedXlsx(
+      df: DataFrame,
+      dir: String,
+      prefix: String,
+      clock: () => String = () =>
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+          .format(java.time.LocalDateTime.now())): String = {
+    val path = s"$dir/${prefix}_${clock()}.xlsx"
+    Xlsx.write(df, path)
+    path
+  }
+
   /** Morton (Z-order) interleave of two bucketized coordinates — the
     * key under Z-order clustering. Bit i of `a` lands at output bit
     * 2i, bit i of `b` at 2i+1; generated as literal-shift terms

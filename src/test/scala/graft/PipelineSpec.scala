@@ -1473,8 +1473,9 @@ class XlsxSpec extends AnyFunSuite {
     val got = back.collect().map(_.toSeq).toSet
     assert(got == want, s"got $got\nwant $want")
     // and the reference's timestamped-export shape composes
-    val named = s"$dir/propostas_pendentes_20240101.xlsx"
-    graft.sources.Xlsx.write(df, named)
+    val named = graft.sources.Sink.saveTimestampedXlsx(
+      df, dir, "propostas_pendentes", clock = () => "20240101_120000")
+    assert(named.endsWith("propostas_pendentes_20240101_120000.xlsx"))
     assert(graft.sources.Load.load(spark, named).count() == 3)
   }
 
