@@ -316,6 +316,24 @@ object TextAnalysis {
         - lit(127.5)) / lit(127.5)).cast("float"))
   }
 
+  /** Sentence segmentation — the unit between token and document that
+    * sentence-level dedup, citation extraction, and window packing
+    * key on: split on runs of sentence punctuation ([.!?]+) followed
+    * by whitespace (the abbreviation-blind regex segmenter — the
+    * honest cheap tier; an ML segmenter slots into the same explode
+    * shape), trimmed, empties dropped, 0-based `sent_id` in document
+    * order. Pure narrow posexplode — no shuffle, no UDF.
+    */
+  def sentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(filter(
+          transform(
+            split(coalesce(col(textCol), lit("")), "[.!?]+\\s+|[.!?]+$"),
+            s => trim(s)),
+          s => s =!= "")))
+      .select(col("doc_id"), col("pos").as("sent_id"),
+        col("col").as("sentence"))
+
   /** Positional inverted index: one `(term, doc_id, pos)` posting per
     * token occurrence — the IR structure under phrase/proximity
     * search. Build is a pure narrow posexplode (no shuffle); persist

@@ -204,6 +204,26 @@ class PhraseSearchSpec extends AnyFunSuite {
   }
 }
 
+class SentencesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sentences: punctuation runs, trailing terminator, empties, no-punct docs") {
+    val df = Seq(
+      (1L, "First one. Second!! Third... ok?"),
+      (2L, "No terminator here"),
+      (3L, "Ends hard."),
+      (4L, "  "),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.sentences(df, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "First one"), (1L, 1, "Second"), (1L, 2, "Third"), (1L, 3, "ok"),
+      (2L, 0, "No terminator here"),
+      (3L, 0, "Ends hard")))
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
