@@ -412,6 +412,105 @@ object StreamingOps {
     }
   }
 
+  /** Timestamped funnel input for [[abandonedFunnelStream]] (the
+    * event-time variant needs a real timestamp column to watermark).
+    */
+  final case class TimedFunnelEvent(
+      userId: Long, ts: java.sql.Timestamp, eventType: String)
+
+  /** Emitted when a user's funnel stalls past the timeout. */
+  final case class FunnelAbandoned(userId: Long, stage: Int, lastTsMs: Long)
+
+  /** Abandoned-funnel detection — the v2 state API's EVENT-TIME TIMER
+    * surface, which neither mapGroupsWithState twin exercises: each
+    * input batch advances the user's funnel (same strict min-cascade
+    * transition) and re-arms one event-time timer at `last event +
+    * timeoutMs`; when the WATERMARK passes an armed timer with the
+    * funnel still unfinished, [[FunnelProcessor]]'s expiry hook emits
+    * the abandonment (stage reached + last-activity time) and clears
+    * the user's state — the "send the cart-reminder" class, driven by
+    * event time so replays and late data behave, with state bounded
+    * by construction (completed or abandoned users leave the store).
+    */
+  def abandonedFunnelStream(
+      events: Dataset[TimedFunnelEvent],
+      steps: Seq[String],
+      timeoutMs: Long,
+      watermark: String = "0 seconds"): Dataset[FunnelAbandoned] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    implicit val outEnc = Encoders.product[FunnelAbandoned]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(
+        new AbandonedFunnelProcessor(steps, timeoutMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Per-user state for [[abandonedFunnelStream]]: stage times plus
+    * the last event time and the armed timer (for re-arming).
+    */
+  final case class AbandonState(stepUs: Seq[Long], lastTsMs: Long, timerMs: Long)
+
+  final class AbandonedFunnelProcessor(steps: Seq[String], timeoutMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedFunnelEvent, FunnelAbandoned] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[AbandonState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[AbandonState](
+        "abandon", Encoders.product[AbandonState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[TimedFunnelEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelAbandoned] = {
+      val k = steps.length
+      val prev = if (state.exists()) state.get()
+        else AbandonState(Seq.fill(k)(-1L), -1L, -1L)
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+      val next0 = sorted.foldLeft(prev) { (acc, e) =>
+        val tUs = e.ts.getTime * 1000L
+        steps.zipWithIndex
+          .collectFirst { case (t, i) if t == e.eventType &&
+            acc.stepUs(i) == -1L &&
+            (i == 0 || (acc.stepUs(i - 1) != -1L && tUs > acc.stepUs(i - 1))) => i }
+          .map(i => acc.copy(stepUs = acc.stepUs.updated(i, tUs)))
+          .getOrElse(acc)
+      }
+      val lastMs = math.max(prev.lastTsMs,
+        sorted.lastOption.map(_.ts.getTime).getOrElse(prev.lastTsMs))
+      if (next0.stepUs.forall(_ != -1L)) {
+        // funnel complete: nothing left to abandon
+        if (prev.timerMs >= 0) getHandle.deleteTimer(prev.timerMs)
+        state.clear()
+      } else {
+        val timer = lastMs + timeoutMs
+        if (prev.timerMs >= 0 && prev.timerMs != timer)
+          getHandle.deleteTimer(prev.timerMs)
+        if (prev.timerMs != timer) getHandle.registerTimer(timer)
+        state.update(next0.copy(lastTsMs = lastMs, timerMs = timer))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelAbandoned] = {
+      if (!state.exists()) return Iterator.empty
+      val s = state.get()
+      state.clear()
+      Iterator.single(FunnelAbandoned(
+        userId, s.stepUs.takeWhile(_ != -1L).length, s.lastTsMs))
+    }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: accumulate per-user
     * activity, emit a summary when the user goes quiet for
     * `gapMillis` (processing-time timeout). The state per key is three

@@ -302,6 +302,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("abandonedFunnelStream: event-time timers flag stalled funnels, completed ones stay silent") {
+    implicit val sql = spark.sqlContext
+    import StreamingOps.{TimedFunnelEvent, FunnelAbandoned}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[TimedFunnelEvent]
+      val dir = Files.createTempDirectory("graft_abandon").toString
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      val out = StreamingOps.abandonedFunnelStream(
+        ms.toDS(), Seq("view", "click", "purchase"), timeoutMs = 5 * 60 * 1000L)
+      val q = out.writeStream.format("memory").queryName("abandon_test")
+        .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        // u1 stalls at stage 2; u2 completes the funnel
+        ms.addData(
+          TimedFunnelEvent(1L, ts(0), "view"), TimedFunnelEvent(1L, ts(1), "click"),
+          TimedFunnelEvent(2L, ts(0), "view"), TimedFunnelEvent(2L, ts(1), "click"),
+          TimedFunnelEvent(2L, ts(2), "purchase"))
+        q.processAllAvailable()
+        // push the watermark far past u1's timeout (10:01 + 5min)
+        ms.addData(TimedFunnelEvent(99L, ts(30), "view"))
+        q.processAllAvailable()
+        val rows = spark.table("abandon_test")
+          .as[FunnelAbandoned].collect().toSeq
+        assert(rows.map(_.userId).toSet == Set(1L), s"got $rows")
+        assert(rows.head.stage == 2 && rows.head.lastTsMs == ts(1).getTime, s"got $rows")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("attributeClicks: stream-stream interval join emits in-window pairs only") {
     implicit val sql = spark.sqlContext
     val imps = MemoryStream[(Long, Long, java.sql.Timestamp)]
