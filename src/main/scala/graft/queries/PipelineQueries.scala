@@ -2808,6 +2808,70 @@ object PipelineQueries {
             |  ON a.band = b.band AND a.key = b.key AND a.id < b.id
             |WHERE bit_count(xor(a.sim, b.sim)) <= 6""".stripMargin))
 
+  /** Perceptual-hash media CLUSTERS — [[mmPhashPairs]]'s pair graph
+    * folded through [[Dedup.dedupClusters]]'s connected components:
+    * the media-space completion of the clusters family (text D2b,
+    * embeddings D15, media here), same iterative min-label CC with
+    * the recursive-CTE oracle replaying the transitive closure. On
+    * this fixture every re-encode pairs with exactly its original, so
+    * the expected output is 100 rows in 50 two-member clusters, each
+    * rep the original's id.
+    */
+  val mmPhashClusters = QueryDef(
+    "mm_phash_clusters",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+      val reencoded = Multimodal.syntheticMedia(
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)),
+          "doc_id", "text")
+        .withColumn("payload",
+          concat(substring(col("payload"), 1, 63), unhex(lit("00"))))
+      Dedup.dedupClusters(
+        Multimodal.phashPairs(media.unionByName(reencoded), "media_id", "payload"))
+    },
+    Some(s"""WITH RECURSIVE m AS (
+            |  SELECT doc_id AS id,
+            |         md5('0:' || text) || md5('1:' || text) ||
+            |         md5('2:' || text) || md5('3:' || text) AS chain
+            |  FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 1000000 AS id,
+            |         substr(md5('0:' || text) || md5('1:' || text) ||
+            |                md5('2:' || text) || md5('3:' || text), 1, 126) || '00' AS chain
+            |  FROM documents WHERE doc_id % 10 = 0
+            |), b AS (
+            |  SELECT id,
+            |         [ (strpos('0123456789abcdef', substr(chain, 2*i + 1, 1)) - 1) * 16
+            |           + (strpos('0123456789abcdef', substr(chain, 2*i + 2, 1)) - 1)
+            |           FOR i IN generate_series(0, 63) ] AS by
+            |  FROM m
+            |), h AS (
+            |  SELECT id, CAST($dhashTermsSql AS BIGINT) AS sim FROM b
+            |), banded AS (
+            |  SELECT id, sim, band, (sim >> (band * 14)) % 16384 AS key
+            |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+            |), capped AS (
+            |  SELECT * FROM banded
+            |  QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 2000
+            |), pairs AS (
+            |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+            |  FROM capped a JOIN capped b2
+            |    ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id
+            |  WHERE bit_count(xor(a.sim, b2.sim)) <= 6
+            |), edges AS (
+            |  SELECT id_a AS s, id_b AS t FROM pairs
+            |  UNION
+            |  SELECT id_b AS s, id_a AS t FROM pairs
+            |), reach(s, t) AS (
+            |  SELECT s, t FROM edges
+            |  UNION
+            |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s
+            |)
+            |SELECT s AS id, least(s, MIN(t)) AS cluster_rep
+            |FROM reach GROUP BY s""".stripMargin))
+
   /** Ordered-step conversion funnel view → click → purchase per user
     * (the [[Funnel]] operator): stage k reached at the first `steps(k)`
     * event strictly after stage k-1's time, anchored at the minimum
@@ -3092,5 +3156,5 @@ object PipelineQueries {
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs)
+    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
