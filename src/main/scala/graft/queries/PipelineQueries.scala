@@ -677,6 +677,43 @@ object PipelineQueries {
            |       / (SUM(nc) * 1000000)::DOUBLE AS entropy
            |FROM cc GROUP BY 1""".stripMargin))
 
+  /** Sentence segmentation, oracle-checked ([[TextAnalysis.sentences]]):
+    * the fixture's word-salad text carries no punctuation, so the
+    * query INJECTS it deterministically (the PII-oracle precedent) —
+    * a terminator after every 5th token via one global regex both
+    * engines apply identically — then segments and reports per-doc
+    * sentence count and bounds. The injection is part of the query
+    * text on BOTH sides, so the segmenter itself (terminator runs,
+    * trailing strip, trim) is what the hash checks.
+    */
+  val textSentences = QueryDef(
+    "text_sentences",
+    (s, dir) => {
+      val punct = regexp_replace(coalesce(col("text"), lit("")),
+        lit("((\\S+ ){4}\\S+) "), lit("$1. "))
+      val segs = TextAnalysis.sentences(
+        Tables.documents(s, dir).withColumn("text", punct), "doc_id", "text")
+      segs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sentences"),
+          min(length(col("sentence"))).as("min_len"),
+          max(length(col("sentence"))).as("max_len"),
+          min(col("sentence")).as("first_alpha"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id,
+           |         regexp_replace(coalesce(text, ''), '((\S+ ){4}\S+) ', '\1. ', 'g') AS text
+           |  FROM documents
+           |), segs AS (
+           |  SELECT doc_id,
+           |         trim(unnest(string_split_regex(text, '[.!?]+\s+|[.!?]+$'))) AS sentence
+           |  FROM p
+           |)
+           |SELECT doc_id, COUNT(*) AS n_sentences,
+           |       CAST(MIN(length(sentence)) AS INT) AS min_len,
+           |       CAST(MAX(length(sentence)) AS INT) AS max_len,
+           |       MIN(sentence) AS first_alpha
+           |FROM segs WHERE sentence <> '' GROUP BY 1""".stripMargin))
+
   /** Per-doc key terms by TF-IDF ([[TextAnalysis.tfidfTopTerms]]):
     * top-3 `tf * ln(n_docs/df)` terms per document, rounded scores
     * ranked with term tie-break (see the operator scaladoc for why
@@ -3151,7 +3188,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
