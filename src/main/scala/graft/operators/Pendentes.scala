@@ -83,6 +83,34 @@ object Pendentes {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Row-level snapshot diff — U1/[[deltaSemanas]] tell you the
+    * totals moved; this tells you WHICH rows did (the data-diff /
+    * reconciliation class: audit a re-delivered extract, review what
+    * an upsert will change before applying it). One FULL OUTER hash
+    * join on the key, change classification from null-side and
+    * null-safe payload comparison (`<=>` — a value flipping to/from
+    * null IS a change), unchanged rows dropped so the output is the
+    * changeset, not the corpus.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    def pack(df: DataFrame, tag: String) = df.select(
+      keyCols.map(col) :+ struct(compareCols.map(col): _*).as(s"__$tag"): _*)
+    pack(oldDf, "old").join(pack(newDf, "new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(!(col("__old") <=> col("__new")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(keyCols.map(col) ++ Seq(col("change")) ++
+        compareCols.flatMap(c => Seq(
+          col(s"__old.$c").as(s"old_$c"), col(s"__new.$c").as(s"new_$c"))): _*)
+  }
+
   /** Week-over-week change of the pending totals (extension — the
     * reference displays per-week metrics side by side, AP:95-105, but
     * never computes the delta). Runs on the per-week AGGREGATE (a

@@ -3159,6 +3159,50 @@ object PipelineQueries {
            |) QUALIFY ROW_NUMBER() OVER (
            |    PARTITION BY event_id ORDER BY version DESC, prio DESC) = 1""".stripMargin))
 
+  /** Row-level snapshot diff ([[Pendentes.snapshotDiff]]): the events
+    * table against a deterministically perturbed re-extract — every
+    * 13th row dropped (removed), every 5th surviving value corrected
+    * (changed), a re-keyed tail appended (added) — classifying each
+    * key through the full-outer null-side/null-safe-compare logic the
+    * oracle replays independently.
+    */
+  val snapshotDiffEvents = QueryDef(
+    "u4_snapshot_diff",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"))
+      val renewed = ev.filter(pmod(col("event_id"), lit(13)) =!= 0)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(5)) === 0, round(col("value") + 100, 2))
+            .otherwise(col("value")))
+        .unionByName(
+          ev.filter(pmod(col("event_id"), lit(17)) === 0)
+            .select((col("event_id") + 5000000L).as("event_id"),
+              col("user_id"), col("value")))
+      Pendentes.snapshotDiff(ev, renewed, Seq("event_id"), Seq("user_id", "value"))
+    },
+    Some("""WITH o AS (
+           |  SELECT event_id, user_id, ROUND(value, 2) AS value FROM events
+           |), n AS (
+           |  SELECT event_id, user_id,
+           |         CASE WHEN event_id % 5 = 0 THEN ROUND(ROUND(value, 2) + 100, 2)
+           |              ELSE ROUND(value, 2) END AS value
+           |  FROM events WHERE event_id % 13 <> 0
+           |  UNION ALL
+           |  SELECT event_id + 5000000, user_id, ROUND(value, 2)
+           |  FROM events WHERE event_id % 17 = 0
+           |)
+           |SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           |       CASE WHEN o.event_id IS NULL THEN 'added'
+           |            WHEN n.event_id IS NULL THEN 'removed'
+           |            ELSE 'changed' END AS change,
+           |       o.user_id AS old_user_id, n.user_id AS new_user_id,
+           |       o.value AS old_value, n.value AS new_value
+           |FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+           |WHERE o.event_id IS NULL OR n.event_id IS NULL
+           |   OR o.user_id IS DISTINCT FROM n.user_id
+           |   OR o.value IS DISTINCT FROM n.value""".stripMargin))
+
   /** Fixed-width histogram per group — the distribution-profile class
     * (a percentile tells you one point; monitoring and drift checks
     * want the whole shape): `value` binned into 50-wide buckets per
@@ -3191,7 +3235,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
-    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }

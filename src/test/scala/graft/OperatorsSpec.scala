@@ -478,3 +478,22 @@ class ExcelDateSpec extends AnyFunSuite {
       None, None, None, None))
   }
 }
+
+class SnapshotDiffSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("snapshotDiff: added/removed/changed classified; unchanged dropped; null flips count") {
+    val o = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("k", "v")
+    val n = Seq((1L, Some("a")), (3L, Some("c")), (4L, None), (5L, Some("e")))
+      .toDF("k", "v")
+    val out = graft.operators.Pendentes.snapshotDiff(o, n, Seq("k"), Seq("v"))
+      .select($"k", $"change").as[(Long, String)].collect().toMap
+    assert(out == Map(
+      2L -> "removed",
+      3L -> "changed",   // null -> "c" IS a change (null-safe compare)
+      4L -> "changed",   // "d" -> null too
+      5L -> "added"))    // k=1 unchanged: absent
+  }
+}
