@@ -677,6 +677,44 @@ object PipelineQueries {
            |       / (SUM(nc) * 1000000)::DOUBLE AS entropy
            |FROM cc GROUP BY 1""".stripMargin))
 
+  /** Corpus collocation head — T5's bigram sibling: top-20 word
+    * bigrams with (count desc, bigram asc) tie-break via the bounded
+    * k-heap. The bigram explode keeps map-side combining (each task
+    * collapses to its distinct-bigram set before the shuffle), and
+    * the cut is TopK's partial-merged heap — never a vocabulary sort.
+    * Pairs with T13b's conditional LM: these are the pairs that model
+    * scores, surfaced directly.
+    */
+  val textTopBigrams = QueryDef(
+    "text_topk_bigrams",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(filter(TextAnalysis.tokens(lower(coalesce(col("text"), lit("")))),
+          t => t =!= "").as("t"))
+      val counts = toks
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+          .as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+      TextAnalysis.trendingTopK(
+        counts.withColumn("__w", lit(1)), "__w", "bigram", "n", k = 20)
+        .drop("__w")
+    },
+    Some("""WITH toks AS (
+           |  SELECT list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |), bg AS (
+           |  SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+           |  FROM toks WHERE len(t) >= 2
+           |), c AS (
+           |  SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
+           |)
+           |SELECT bigram, n FROM c
+           |QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) <= 20""".stripMargin))
+
   /** Sentence segmentation, oracle-checked ([[TextAnalysis.sentences]]):
     * the fixture's word-salad text carries no punctuation, so the
     * query INJECTS it deterministically (the PII-oracle precedent) —
@@ -3232,7 +3270,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
