@@ -3079,6 +3079,45 @@ object PipelineQueries {
            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_users
            |FROM h""".stripMargin))
 
+  /** DAU / WAU / stickiness — the growth-dashboard staple beside
+    * retention: per day, distinct active users (DAU), the trailing
+    * distinct-user count of that day's epoch-week (WAU of the week
+    * the day belongs to — the calendar-week convention, exact and
+    * join-cheap, vs a 7-day rolling distinct which needs a sliding
+    * set union), and stickiness = DAU/WAU as the raw quotient of
+    * exact counts. Distinct-first everywhere (the events_retention
+    * posture): both frames collapse to (user, period) before any
+    * counting, no Expand, no count-distinct over raw events.
+    */
+  val eventsDauWau = QueryDef(
+    "events_dau_wau",
+    (s, dir) => {
+      val weekUs = 604800000000L
+      val dayUs = 86400000000L
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), Tables.tsMicros(col("ts")).as("ts_us"))
+      val dau = base.select(col("user_id"), expr(s"ts_us div $dayUs").as("day")).distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = base.select(col("user_id"), expr(s"ts_us div $weekUs").as("wk")).distinct()
+        .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+      dau.withColumn("wk", expr(s"(day * $dayUs) div $weekUs"))
+        .join(wau, Seq("wk"))
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+    },
+    Some("""WITH d AS (
+           |  SELECT day, COUNT(*) AS dau FROM (
+           |    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+           |  ) GROUP BY 1
+           |), w AS (
+           |  SELECT wk, COUNT(*) AS wau FROM (
+           |    SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+           |  ) GROUP BY 1
+           |)
+           |SELECT d.day, d.dau, w.wau,
+           |       d.dau::DOUBLE / w.wau::DOUBLE AS stickiness
+           |FROM d JOIN w ON (d.day * 86400000000) // 604800000000 = w.wk""".stripMargin))
+
   /** Weekly retention cohorts — the cohort-triangle class: users
     * grouped by their FIRST-activity epoch-week, counted in every
     * later week they return. The canonical growth-analytics read over
@@ -3273,7 +3312,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annKmeans,
-    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
