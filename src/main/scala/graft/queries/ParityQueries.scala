@@ -1163,6 +1163,36 @@ object ParityQueries {
         |       ROUND(SUM(valor_orcado), 2) AS valor_total
         |FROM fact GROUP BY CUBE(uf, status_processo)""".stripMargin)))
 
+  /** GROUPING SETS — the third grouping construct beside A17's ROLLUP
+    * (hierarchy prefixes) and A18's CUBE (all subsets): EXACTLY the
+    * requested combinations, here the two one-dimensional marginals
+    * (per-state and per-status totals) WITHOUT the pair level a cube
+    * would also compute — the shape for dashboards that show several
+    * independent breakdowns of one fact scan. Spark's DataFrame API
+    * has no direct grouping-sets verb, so this goes through the SQL
+    * surface over a registered temp view ([[Views.sqlOn]]'s escape
+    * hatch applied Spark-first); still ONE shuffle via the same
+    * Expand strategy. Same `__TOTAL__` sentinel contract as A17/A18.
+    */
+  val groupingSets = QueryDef(
+    "a23_grouping_sets",
+    (s, dir) => {
+      Tables.analiseComercial(s, dir).createOrReplaceTempView("graft_fact_gs")
+      s.sql("""
+        SELECT COALESCE(uf, '__TOTAL__') AS uf,
+               COALESCE(status_processo, '__TOTAL__') AS status_processo,
+               COUNT(*) AS n_linhas,
+               ROUND(SUM(valor_orcado), 2) AS valor_total
+        FROM graft_fact_gs
+        GROUP BY GROUPING SETS ((uf), (status_processo))""")
+    },
+    Some(withViews(
+      """SELECT COALESCE(uf, '__TOTAL__') AS uf,
+        |       COALESCE(status_processo, '__TOTAL__') AS status_processo,
+        |       COUNT(*) AS n_linhas,
+        |       ROUND(SUM(valor_orcado), 2) AS valor_total
+        |FROM fact GROUP BY GROUPING SETS ((uf), (status_processo))""".stripMargin)))
+
   /** Status-mix pivot per state (extension; the reference renders the
     * same mix as Streamlit metrics). Explicit pivot values keep the
     * output schema static — the scalable form (no extra distinct pass,
@@ -1507,7 +1537,7 @@ object ParityQueries {
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
     coerceFill, ffill, fuzzyNames, corrGeo, olsGeo, sketchReuse, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
-    topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, pivotStatus, meltStatus, deltaSemanas,
+    topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, groupingSets, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)
 }
