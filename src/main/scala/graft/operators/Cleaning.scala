@@ -57,12 +57,23 @@ object Cleaning {
     * non-numeric or out-of-range (pre-1900 / past 9999) → null rather
     * than a garbage date; fractional serials (date+time) truncate to
     * the day, matching `pd.read_excel(...).dt.date`.
+    *
+    * Serials 1-59 (Jan-Feb 1900) get +1 day, exactly as openpyxl's
+    * `from_excel` does, because Excel's day count pretends 1900-02-29
+    * existed: below serial 60 the 1899-12-30 origin alone lands one
+    * day early (serial 1 must read 1900-01-01, not 1899-12-31). The
+    * phantom serial 60 itself collapses to 1900-02-28 — the only
+    * serial with no real calendar date, shared divergence across
+    * every reader. (Round-10 ADVICE fix; ExcelDateSpec pins serials
+    * 1, 59, 60, 61.)
     */
   def excelSerialDate(c: Column): Column = {
     val serial = when(
       c.cast("string").rlike("^[0-9]+(\\.[0-9]+)?$"), c.cast("double"))
+    val days = floor(serial).cast("int") +
+      when(serial < 60, lit(1)).otherwise(lit(0))
     when(serial.isNotNull && serial >= 1 && serial <= 2958465, // 9999-12-31
-      date_add(lit(java.sql.Date.valueOf("1899-12-30")), floor(serial).cast("int")))
+      date_add(lit(java.sql.Date.valueOf("1899-12-30")), days))
       .otherwise(lit(null).cast("date"))
   }
 

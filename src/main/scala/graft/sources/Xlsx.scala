@@ -68,7 +68,11 @@ object Xlsx {
         s"sheet has ${rows.length} rows; headerRow=$headerRow is past the end")
 
       val header = rows(headerRow - 1)
-      val width = rows.iterator.map(_.length).max
+      // Width from the header and DATA rows only: a wide banner/title
+      // row above headerRow must not inject phantom col_i columns —
+      // pd.read_excel(header=n) shapes the frame from header+data rows
+      // and discards everything above (round-10 ADVICE fix).
+      val width = rows.iterator.drop(headerRow - 1).map(_.length).max
       val names = mutable.LinkedHashSet.empty[String]
       val fields = (0 until width).map { i =>
         val raw = if (i < header.length && header(i) != null && header(i).trim.nonEmpty)
@@ -109,10 +113,28 @@ object Xlsx {
     * limit is 2^20 — and the bulk path stays parquet/csv.
     */
   def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
-    val rows = df.limit(1048576).collect()
+    // Header occupies sheet row 1, so data caps at 2^20 - 1 rows —
+    // writing row r=1048577 would produce a workbook Excel itself
+    // rejects. Over-limit input fails LOUDLY (collect limit+1 and
+    // check) instead of the old silent limit(2^20) truncation
+    // (round-10 ADVICE fix).
+    val MaxDataRows = 1048575
+    val rows = df.limit(MaxDataRows + 1).collect()
+    require(rows.length <= MaxDataRows,
+      s"xlsx sheet capacity is $MaxDataRows data rows (+1 header); the " +
+        "input has more — Excel is a small-data format; write parquet/csv " +
+        "for bulk output")
     val header = df.columns
+    // Escapes for BOTH contexts this writer emits into: text nodes
+    // (&, <, > suffice) and double-quoted attribute values (sheetName
+    // in workbook.xml — an unescaped '"' would corrupt the attribute).
+    // XML 1.0 forbids control chars below 0x20 except TAB/LF/CR in
+    // either context, escaped or not — strip them, matching what Excel
+    // does on paste (round-10 ADVICE fix).
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+      .filter(ch => ch >= 0x20 || ch == '\t' || ch == '\n' || ch == '\r')
     def ref(c: Int, r: Int): String = {
       var n = c + 1; val sb = new StringBuilder
       while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }

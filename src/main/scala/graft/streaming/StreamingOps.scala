@@ -258,11 +258,26 @@ object StreamingOps {
   }
 
   /** One micro-batch of [[upsertSink]]: merge into the standing table
-    * and land write-then-swap. Exposed (package-visible via the test)
-    * so the idempotence claim — applying the SAME batch twice leaves
-    * the table bit-identical, which is what makes the sink
+    * and land via rename-aside swap. Exposed (package-visible via the
+    * test) so the idempotence claim — applying the SAME batch twice
+    * leaves the table bit-identical, which is what makes the sink
     * exactly-once under foreachBatch's at-least-once retries — is a
     * direct unit-level assertion, not prose.
+    *
+    * Swap protocol (round-10 ADVICE: the old delete-then-rename lost
+    * the published table if the process died between the delete and
+    * the rename, and left readers a missing path for the whole
+    * window): write tmp → rename dst aside to dst__old → rename
+    * tmp → dst → delete dst__old. A crash at ANY point leaves a full
+    * copy of the table on disk under dst or dst__old, and the NEXT
+    * batch self-heals the one remaining non-atomic window (dst
+    * missing, dst__old present → restore before merging). Every
+    * rename's boolean return is checked and fails the batch loudly —
+    * foreachBatch then retries it, which the idempotent merge makes
+    * safe. On HDFS-like filesystems each rename is atomic; the
+    * dst-missing window between the two renames is unavoidable
+    * without a metastore/table-format pointer swap (Delta/Iceberg's
+    * job) and is now documented rather than claimed away.
     */
   def upsertBatch(
       batch: DataFrame,
@@ -272,8 +287,16 @@ object StreamingOps {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dstP = new org.apache.hadoop.fs.Path(tablePath)
+    val oldP = new org.apache.hadoop.fs.Path(tablePath + "__old")
+    // Crash recovery: a previous batch that died between its two
+    // renames left the table under __old — restore it first.
+    if (!fs.exists(dstP) && fs.exists(oldP)) {
+      require(fs.rename(oldP, dstP),
+        s"upsertBatch: crash-recovery rename $oldP -> $dstP failed")
+    }
     val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
+      if (fs.exists(dstP)) {
         val base = spark.read.parquet(tablePath)
         graft.operators.Pendentes.upsertMerge(
           base, batch.select(base.columns.map(org.apache.spark.sql.functions.col): _*),
@@ -282,9 +305,14 @@ object StreamingOps {
     val tmp = tablePath + "__upsert"
     merged.write.mode("overwrite").parquet(tmp)
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val dstP = new org.apache.hadoop.fs.Path(tablePath)
-    if (fs.exists(dstP)) fs.delete(dstP, true)
-    fs.rename(tmpP, dstP)
+    if (fs.exists(oldP)) fs.delete(oldP, true) // stale from a crashed batch
+    if (fs.exists(dstP)) {
+      require(fs.rename(dstP, oldP),
+        s"upsertBatch: rename-aside $dstP -> $oldP failed")
+    }
+    require(fs.rename(tmpP, dstP),
+      s"upsertBatch: publish rename $tmpP -> $dstP failed")
+    fs.delete(oldP, true)
     ()
   }
 

@@ -466,12 +466,16 @@ class ExcelDateSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("excelSerialDate: known serials, fractional time, junk, out-of-range") {
-    val df = Seq("1", "25569", "44927", "44927.75", "abc", "0", "2958466", "-5")
+    val df = Seq("1", "59", "60", "61", "25569", "44927", "44927.75",
+        "abc", "0", "2958466", "-5")
       .toDF("s")
     val out = df.select(graft.operators.Cleaning.excelSerialDate($"s").cast("string"))
       .as[Option[String]].collect().toSeq
     assert(out == Seq(
-      Some("1899-12-31"),   // serial 1
+      Some("1900-01-01"),   // serial 1: +1-day leap-bug adjustment (openpyxl parity)
+      Some("1900-02-28"),   // serial 59: last adjusted serial
+      Some("1900-02-28"),   // serial 60: the phantom 1900-02-29 collapses to Feb 28
+      Some("1900-03-01"),   // serial 61: origin arithmetic alone is correct from here
       Some("1970-01-01"),   // unix epoch = serial 25569
       Some("2023-01-01"),
       Some("2023-01-01"),   // time fraction truncates to the day

@@ -1504,4 +1504,51 @@ class XlsxSpec extends AnyFunSuite {
       graft.sources.Xlsx.read(spark, refBook, sheet = Some("Nope")))
     assert(e.getMessage.contains("Base"), e.getMessage)
   }
+
+  test("banner row above headerRow does not inject phantom columns (pd.read_excel(header=n) parity)") {
+    // A 5-cell title/banner row over a 2-column table: the schema must
+    // come from the header+data rows only (round-10 ADVICE fix).
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_banner").toString
+    val p = s"$dir/banner.xlsx"
+    val wide = Seq(
+      ("Relatório", "Comercial", "Q1", "2024", "interno"),
+      ("id", "nome", null, null, null),
+      ("1", "ana", null, null, null))
+      .toDF("a", "b", "c", "d", "e")
+    graft.sources.Xlsx.write(wide, p)
+    // header=2 in the written sheet is the banner fixture's row 2...
+    // but write() emits its own header row first, so the banner sits
+    // at sheet row 2 and the real header at row 3.
+    val df = graft.sources.Xlsx.read(spark, p, headerRow = 3)
+    assert(df.columns.toSeq == Seq("id", "nome"),
+      s"banner width leaked into the schema: ${df.columns.toSeq}")
+    assert(df.collect().map(_.toSeq).toSeq == Seq(Seq("1", "ana")))
+  }
+
+  test("write escapes quotes in sheet names and strips XML-invalid control chars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_esc").toString
+    val p = s"$dir/esc.xlsx"
+    val df = Seq(("a\u0000b\u0007c", "keep\ttab and \"quotes\"")).toDF("k", "v")
+    graft.sources.Xlsx.write(df, p, sheetName = "Aba \"Base\" & <1>")
+    // the quoted sheet name survives the attribute context intact
+    assert(graft.sources.Xlsx.sheetNames(p) == Seq("Aba \"Base\" & <1>"))
+    val back = graft.sources.Xlsx.read(spark, p).collect().map(_.toSeq).toSeq
+    // NUL/BEL are illegal in XML 1.0 even escaped -> stripped; TAB kept
+    assert(back == Seq(Seq("abc", "keep\ttab and \"quotes\"")))
+  }
+
+  test("write fails loudly past the xlsx row capacity instead of truncating") {
+    // Cheap check of the guard wiring: a tiny cap via reflection isn't
+    // possible, so exercise the happy path boundary logic indirectly —
+    // the guard collects limit+1 rows and requires <= 1048575. A full
+    // 2^20-row materialization is too slow for a unit test; pin the
+    // message contract on the constant instead.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/sources/Xlsx.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(src.contains("MaxDataRows = 1048575"),
+      "data-row cap must leave room for the header inside Excel's 2^20 limit")
+    assert(src.contains("limit(MaxDataRows + 1)"),
+      "over-limit detection must collect one past the cap, not silently truncate")
+  }
 }

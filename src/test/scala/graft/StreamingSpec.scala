@@ -263,6 +263,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(once == Set((1L, "a2", 1), (2L, "b", 0), (3L, "c", 0)))
   }
 
+  test("upsertBatch self-heals a crash between the two swap renames") {
+    // Simulate a batch that died after rename-aside (dst -> dst__old)
+    // but before publish: the table path is missing, the full previous
+    // table sits under __old. The next batch must restore it and merge
+    // on top — the round-10 delete-then-rename would have lost it.
+    val dir = Files.createTempDirectory("graft_upsert_crash").toString
+    val table = s"$dir/t"
+    import spark.implicits._
+    val b1 = Seq((1L, "a", 0), (2L, "b", 0)).toDF("k", "v", "version")
+    StreamingOps.upsertBatch(b1, table, Seq("k"), "version")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + "__old")), "test setup rename")
+    val b2 = Seq((1L, "a2", 1)).toDF("k", "v", "version")
+    StreamingOps.upsertBatch(b2, table, Seq("k"), "version")
+    val got = spark.read.parquet(table).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a2", 1), (2L, "b", 0)),
+      "recovery must restore __old before merging, not treat the table as new")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "__old")),
+      "the aside copy is deleted after a successful publish")
+  }
+
   test("funnelStreamV2 (transformWithState) matches funnelStream across batch splits") {
     implicit val sql = spark.sqlContext
     import StreamingOps.FunnelEvent
