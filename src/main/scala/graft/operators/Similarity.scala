@@ -394,7 +394,8 @@ object Similarity {
       dim: Int,
       k: Int,
       m: Int = 2,
-      ks: Int = 16): DataFrame = {
+      ks: Int = 16,
+      lloydIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
 
@@ -416,9 +417,25 @@ object Similarity {
     val q = normalize(queries)
     val seeds = kmeansInit(
       c.select(col("id").as(idCol), col("u").as(vecCol)), idCol, vecCol, ks)
+    // lloydIters > 0: per-subspace Lloyd refinement of the seed
+    // codebooks ([[kmeansFit]] with metric="l2" — the encode's own
+    // distance), the step that turns arbitrary corpus rows into
+    // within-cell variance minimizers (the FAISS `IndexPQ.train`
+    // analog). Training runs on the SAME normalized subvectors encode
+    // sees; surviving c_ids stay the seed ids, empty cells drop
+    // (standard Lloyd), and the fit's eager per-iteration checkpoint
+    // makes this branch partially eager at build time — the dedup-
+    // pipeline pattern, priced inside the timed region at the bench.
     val codebooks = (0 until m).map { j =>
-      broadcast(seeds.select(col("c_id"),
-        slice(col("c_vec"), j * subDim + 1, subDim).as("cw")))
+      val seedsJ = seeds.select(col("c_id"),
+        slice(col("c_vec"), j * subDim + 1, subDim).as("c_vec"))
+      val cbJ =
+        if (lloydIters > 0)
+          kmeansFit(
+            c.select(col("id"), slice(col("u"), j * subDim + 1, subDim).as("sv")),
+            seedsJ, "id", "sv", lloydIters, metric = "l2")
+        else seedsJ
+      broadcast(cbJ.select(col("c_id"), col("c_vec").as("cw")))
     }
 
     // Encode: per subspace, nearest codeword by (rounded dist, c_id).
@@ -549,8 +566,11 @@ object Similarity {
       init: DataFrame,
       idCol: String,
       vecCol: String,
-      iters: Int): DataFrame = {
+      iters: Int,
+      metric: String = "cosine"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(metric == "cosine" || metric == "l2",
+      s"kmeansFit: metric must be 'cosine' or 'l2', got '$metric'")
     require(Seq("c_id", "c_vec").forall(init.columns.contains),
       s"kmeansFit: init must expose (c_id, c_vec); got (${init.columns.mkString(", ")})")
     val c = corpus
@@ -571,7 +591,7 @@ object Similarity {
         // the returned frame reads tiny checkpoint blocks instead of
         // replaying the last assignment. Reliable on clusters with a
         // checkpoint dir, local otherwise — see CheckpointBlocks.cut.
-        val next = CheckpointBlocks.cut(lloydIteration(c, cents))
+        val next = CheckpointBlocks.cut(lloydIteration(c, cents, metric))
         // The superseded iteration's checkpoint blocks free directly
         // (Dataset.unpersist can't touch them); tiny, but a
         // many-iteration fit shouldn't wait on driver GC.
@@ -609,12 +629,30 @@ object Similarity {
     * Package-private so plan-shape tests can pin the iteration's
     * physical plan BEFORE [[kmeansFit]]'s per-iteration checkpoint
     * hides it behind an RDD scan.
+    *
+    * `metric`: "cosine" (the IVF training default — interpreted
+    * double-path [[VectorFunctions.cosine]], see [[kmeansFit]]'s
+    * determinism note) or "l2" — NEGATED rounded squared-L2 via the
+    * dot identity aa + bb − 2ab over [[VectorFunctions.dotFast]]
+    * (the [[pqTopK]] encode's own distance, so PQ codebook training
+    * assigns under exactly the metric its encode ranks by; max of
+    * −d ≡ min of d, same lowest-centroid-id tie-break). The mean
+    * step is metric-independent — L2's centroid-of-members IS the
+    * within-cell variance minimizer, so plain Lloyd applies.
     */
-  private[graft] def lloydIteration(c: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def lloydIteration(
+      c: DataFrame, cents: DataFrame, metric: String = "cosine"): DataFrame = {
+    val affinity = metric match {
+      case "l2" =>
+        -round(
+          VectorFunctions.dotFast(col("vec"), col("vec"))
+            + VectorFunctions.dotFast(col("c_vec"), col("c_vec"))
+            - lit(2.0) * VectorFunctions.dotFast(col("vec"), col("c_vec")), 6)
+      case _ => round(VectorFunctions.cosine(col("vec"), col("c_vec")), 6)
+    }
     val assigned = c
       .crossJoin(broadcast(cents))
-      .select(col("id"), col("vec"), col("c_id"),
-        round(VectorFunctions.cosine(col("vec"), col("c_vec")), 6).as("sim"))
+      .select(col("id"), col("vec"), col("c_id"), affinity.as("sim"))
       .groupBy("id")
       .agg(
         max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
