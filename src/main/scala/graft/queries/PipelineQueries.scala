@@ -610,6 +610,124 @@ object PipelineQueries {
            |)
            |SELECT bucket, doc_id, n_tok, seq FROM pack""".stripMargin))
 
+  /** The shared BPE CTE chain (see [[graft.operators.Bpe]]): tokens →
+    * word counts → char symbols, then `k` UNROLLED merge rounds —
+    * each round is pair counts → (count DESC, lhs ASC, rhs ASC) best
+    * pair → greedy merge application via the islands-and-parity
+    * window formulation (select a match position iff its offset
+    * within its run of consecutive match positions is even — equal to
+    * the operator's greedy fold; overlaps only exist when lhs = rhs,
+    * see the operator scaladoc). Generated programmatically, the
+    * `ann_kmeans` unroll taken to k rounds; rounds-as-CTEs keeps the
+    * replay inside DuckDB's non-recursive planner (recursive terms
+    * can't re-aggregate, and BPE needs a fresh corpus-wide argmax per
+    * round).
+    */
+  private def bpeChainSql(k: Int): String = {
+    val base =
+      """tok AS (
+        |  SELECT t AS w FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE regexp_matches(t, '^[a-z0-9]+$')
+        |),
+        |wc AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+        |st0 AS MATERIALIZED (
+        |  SELECT w, freq, [substr(w, i, 1) FOR i IN generate_series(1, len(w))] AS s
+        |  FROM wc
+        |)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val prev = s"st${i - 1}"
+      s""",
+         |pc$i AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(CASE WHEN len(s) >= 2
+         |      THEN [{'l': s[j], 'r': s[j + 1]} FOR j IN generate_series(1, len(s) - 1)]
+         |      ELSE [] END) AS pr
+         |    FROM $prev) GROUP BY 1, 2
+         |),
+         |bp$i AS MATERIALIZED (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |se$i AS (
+         |  SELECT w, freq, p, sym, m, bl, br,
+         |         CASE WHEN m = 1 AND (p - MIN(p) OVER (PARTITION BY w, m, isl)) % 2 = 0
+         |              THEN 1 ELSE 0 END AS sel
+         |  FROM (
+         |    SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY p) AS isl FROM (
+         |      SELECT e.w, e.freq, e.p, e.s[e.p] AS sym,
+         |             CASE WHEN e.p < len(e.s) AND e.s[e.p] = bp.l AND e.s[e.p + 1] = bp.r
+         |                  THEN 1 ELSE 0 END AS m,
+         |             bp.l AS bl, bp.r AS br
+         |      FROM (SELECT w, freq, s, unnest(generate_series(1, len(s))) AS p FROM $prev) e
+         |      CROSS JOIN bp$i bp))
+         |),
+         |st$i AS MATERIALIZED (
+         |  SELECT w, freq, LIST(CASE WHEN sel = 1 THEN bl || br ELSE sym END ORDER BY p) AS s
+         |  FROM (SELECT *, COALESCE(LAG(sel) OVER (PARTITION BY w ORDER BY p), 0) AS selp
+         |        FROM se$i)
+         |  WHERE selp = 0 GROUP BY w, freq
+         |)""".stripMargin
+    }
+    base + rounds.mkString
+  }
+
+  private val BpeMerges = 20
+
+  /** BPE tokenizer TRAINING ([[graft.operators.Bpe.train]], k = 20
+    * merges on the documents corpus): the merge table itself is the
+    * registered output — (merge_rank, lhs, rhs, pair_count) — so the
+    * oracle pins the ENTIRE training trajectory (one wrong count or
+    * tie-break anywhere in 20 rounds moves every later row). Round-10
+    * verdict ask #5: merge selection is deterministic integer work
+    * (BIGINT counts, ASCII lex tie-break), replayed by 20 unrolled
+    * rounds of [[bpeChainSql]].
+    */
+  val textBpeTrain = QueryDef(
+    "text_bpe_train",
+    (s, dir) =>
+      graft.operators.Bpe.train(
+        Tables.documents(s, dir), "text", merges = BpeMerges)._1,
+    Some {
+      val union = (1 to BpeMerges).map(i =>
+        s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM bp$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeChainSql(BpeMerges)}
+         |$union""".stripMargin
+    })
+
+  /** BPE ENCODING with the trained merges
+    * ([[graft.operators.Bpe.encodeCounts]]): per-document word and
+    * BPE-token counts after applying all 20 merges — the corpus-side
+    * half of the tokenizer (train on vocab, encode by joining the
+    * word → symbols map back to word occurrences; the map is
+    * vocab-cardinality and broadcastable). The oracle tokenizes each
+    * document against the same chain's final state.
+    */
+  val textBpeEncode = QueryDef(
+    "text_bpe_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, wordMap) =
+        graft.operators.Bpe.train(docs, "text", merges = BpeMerges)
+      graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", wordMap)
+    },
+    Some(
+      s"""WITH ${bpeChainSql(BpeMerges)},
+         |dtok AS (
+         |  SELECT doc_id, t AS w FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
+         |    FROM documents)
+         |  WHERE regexp_matches(t, '^[a-z0-9]+$$')
+         |),
+         |enc AS (
+         |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(len(m.s)) AS BIGINT) AS n_bpe_tokens
+         |  FROM dtok d JOIN st$BpeMerges m USING (w) GROUP BY 1
+         |)
+         |SELECT doc.doc_id, COALESCE(e.n_words, 0) AS n_words,
+         |       COALESCE(e.n_bpe_tokens, 0) AS n_bpe_tokens
+         |FROM documents doc LEFT JOIN enc e ON doc.doc_id = e.doc_id""".stripMargin))
+
   /** Trending terms per completed window — the batch finisher closing
     * the loop [[graft.streaming.StreamingOps.trendingTerms]] opens:
     * the stream emits (window, term, n) counts and defers the top-k
@@ -3434,7 +3552,7 @@ object PipelineQueries {
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
-    textRedactPii, textRepetition, textPackSequences,
+    textRedactPii, textRepetition, textPackSequences, textBpeTrain, textBpeEncode,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annKmeans,

@@ -1384,6 +1384,75 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fold(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val df = Seq(Tuple1(syms)).toDF("syms")
+    df.select(graft.operators.Bpe.mergeFold($"syms", lit(l), lit(r)).as("out"))
+      .as[Seq[String]].collect().head
+  }
+
+  test("mergeFold: greedy left-to-right non-overlap on the adversarial cases") {
+    // run of equal symbols — greedy must take even offsets of the run
+    assert(fold(Seq("a", "a", "a", "a", "a"), "a", "a") == Seq("aa", "aa", "a"))
+    assert(fold(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // back-to-back disjoint pairs all merge
+    assert(fold(Seq("l", "r", "l", "r"), "l", "r") == Seq("lr", "lr"))
+    // merged output does not cascade within the same round
+    assert(fold(Seq("l", "l", "r"), "l", "r") == Seq("l", "lr"))
+    // no match / single symbol pass through
+    assert(fold(Seq("x", "y"), "l", "r") == Seq("x", "y"))
+    assert(fold(Seq("x"), "l", "r") == Seq("x"))
+    // multi-char symbols must not false-match by concatenation
+    assert(fold(Seq("ab", "c"), "a", "bc") == Seq("ab", "c"))
+  }
+
+  test("train: Sennrich-style hand corpus learns the expected first merges") {
+    // freq: low x5, lower x2, newest x6, widest x3 (the classic
+    // example family). Pair counts round 1: e+s = 6+3 = 9 (newest,
+    // widest), s+t = 9, w+e = 2+6+3 = 11, ... hand-check the top.
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val (mergesDf, wordMap) = graft.operators.Bpe.train(docs, "text", merges = 3)
+    val merges = mergesDf.orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    // w+e appears in lower(2), newest(6 via 'we'? no — n,e,w,e,s,t has
+    // w+e), widest: w,i,d,e,s,t has no we. So we = 2 + 6 = 8.
+    // e+s: newest 6 + widest 3 = 9; s+t: 9; e+w: 6; l+o: 7; o+w: 7.
+    // Top is e+s vs s+t tie at 9 -> lex: (e,s) < (s,t) -> es first.
+    assert(merges.head == ((1, "e", "s", 9L)), s"got ${merges.head}")
+    // After es: s+t is gone (widest/newest now ...es,t) -> es+t = 9 wins round 2.
+    assert(merges(1) == ((2, "es", "t", 9L)), s"got ${merges(1)}")
+    // Round 3: l+o = 7 and o+w = 7 tie -> (l,o) lex-first.
+    assert(merges(2) == ((3, "l", "o", 7L)), s"got ${merges(2)}")
+    val m = wordMap.select($"w", $"syms").as[(String, Seq[String])].collect().toMap
+    assert(m("newest") == Seq("n", "e", "w", "est"))
+    assert(m("low") == Seq("lo", "w"))
+    assert(m("lower") == Seq("lo", "w", "e", "r"))
+  }
+
+  test("encodeCounts: per-doc word and token counts; empty docs report zeros") {
+    val docs = Seq(
+      (1L, "low low newest"),
+      (2L, "??? !!!"), // nothing survives the ascii gate
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val (_, wordMap) = graft.operators.Bpe.train(
+      Seq((9L, "low low low low low lower lower newest newest newest newest newest newest widest widest widest"))
+        .toDF("doc_id", "text"), "text", merges = 3)
+    val out = graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", wordMap)
+      .as[(Long, Long, Long)].collect().map { case (k, v, t) => k -> ((v, t)) }.toMap
+    // low -> [lo, w] = 2 tokens; newest -> [n, e, w, est] = 4
+    assert(out(1L) == ((3L, 2L + 2L + 4L)))
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(3L) == ((0L, 0L)))
+  }
+}
+
 class XlsxSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
