@@ -41,6 +41,24 @@ object VectorFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
+  /** [[cosine]] COMPOSED FROM the codegen'd [[dotFast]] — the
+    * double-path hot-loop cosine for plans whose inputs are
+    * `array<double>` (where [[cosineFast]]'s float Expression would
+    * silently insert a lossy double→float cast on one side).
+    * Bit-identical to [[cosine]] by construction: dotFast ≡ dot
+    * bit-for-bit (PropertySpec-pinned), and the surrounding
+    * sqrt/multiply/divide/zero-guard are the SAME IEEE-754 double
+    * operations in the same order. This is what lets
+    * [[graft.operators.Similarity.kmeansFit]]'s assignment loop run
+    * inside whole-stage codegen without touching its oracle
+    * (round-10 verdict ask #7); PropertySpec pins the end-to-end
+    * equality including zero vectors.
+    */
+  def cosineFastD(a: Column, b: Column): Column = {
+    val denom = sqrt(dotFast(a, a)) * sqrt(dotFast(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dotFast(a, b) / denom)
+  }
+
   /** Codegen'd cosine over `array<float>` columns — same semantics as
     * [[cosine]] (equivalence pinned by PlanSpec), ~order-of-magnitude
     * faster in the brute-force scoring loop. Backed by

@@ -223,6 +223,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(400))
     assert(p.contains("max_by"), "assignment argmax missing:\n" + p.take(800))
     assert(p.contains("partial_sum"), "mean aggregate lost map-side partials:\n" + p.take(800))
+    // Round 11: the assignment cosine is composed from the codegen'd
+    // dot (cosineFastD) — the interpreted HOF fold would show as
+    // `aggregate(zip_with(...))` here and break codegen spans.
+    assert(p.contains("graft_dot"),
+      "kmeans assignment lost the codegen'd dot:\n" + p.take(800))
     // And the registered query's final plan must BE the checkpoint scan
     // (lineage actually cut, not just intended).
     val reg = plan("ann_kmeans")

@@ -254,6 +254,28 @@ class Round10PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cosineFastD (codegen'd-dot cosine) equals interpreted cosine bit-for-bit") {
+    // Includes zero vectors (the when-guard path) and equal-length
+    // pairs only when the generator happens to align — both cosines
+    // must agree on EVERY input, ragged or not.
+    run(Prop.forAll(Gen.listOfN(8, Gen.zip(vecGen, vecGen))) { pairs =>
+      val df = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("i", "a", "b")
+      val rows = df.select($"i",
+          graft.functions.VectorFunctions.cosine($"a", $"b").as("slow"),
+          graft.functions.VectorFunctions.cosineFastD($"a", $"b").as("fast"))
+        .as[(Long, Option[Double], Option[Double])].collect()
+      rows.forall { case (_, s2, f) =>
+        (s2, f) match {
+          case (Some(x), Some(y)) =>
+            java.lang.Double.doubleToRawLongBits(x) ==
+              java.lang.Double.doubleToRawLongBits(y)
+          case (a2, b2) => a2 == b2
+        }
+      }
+    })
+  }
+
   private val payloadGen: Gen[Array[Byte]] =
     Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)))
       .map(_.toArray)
