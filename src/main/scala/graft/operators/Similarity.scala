@@ -314,6 +314,43 @@ object Similarity {
     topKByCos(scored, k, carryCell = false)
   }
 
+  /** PQ-shortlist + exact rerank — the production recipe at PQ's code
+    * rate, now a registered measured number instead of a docstring
+    * recommendation (the [[int8RerankTopK]] shape over the
+    * [[pqTopK]] shortlist): ADC retrieves `k × shortlistFactor`
+    * candidates from 4-byte codes (64× memory), then ONLY those
+    * candidates pay an exact cosine — per query that is
+    * `k × shortlistFactor` exact dot products against a corpus the
+    * codes already pruned, never the corpus itself. What rerank buys
+    * back is bounded by shortlist recall: a true neighbor the ADC
+    * shortlist missed stays missed (the measured gap between
+    * `ann_pq_rerank` and 1.0), which is exactly the tuning signal a
+    * deployment reads to size shortlistFactor.
+    */
+  def pqRerankTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 2,
+      ks: Int = 16,
+      lloydIters: Int = 0,
+      shortlistFactor: Int = 4): DataFrame = {
+    val shortlist = pqTopK(queries, corpus, idCol, vecCol,
+        dim, k * shortlistFactor, m, ks, lloydIters)
+      .select(col("q_id"), col("n_id"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
+      .filter(col("cos").isNotNull)
+    topKByCos(scored, k, carryCell = false)
+  }
+
   /** IVF × int8 composed search — the production memory/compute
     * stack: multi-probe IVF prunes WHICH corpus rows are scored
     * (compute), int8 quantization shrinks WHAT is stored per row

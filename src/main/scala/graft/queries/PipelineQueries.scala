@@ -2364,6 +2364,96 @@ object PipelineQueries {
             |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
             |) GROUP BY ROLLUP(q_id)""".stripMargin))
 
+  /** PQ-shortlist + exact rerank recall ([[Similarity.pqRerankTopK]],
+    * seed codebooks, shortlist 4×k): every PQ scaladoc in the repo
+    * names this as "the production recipe at this code rate" — this
+    * registration turns the recommendation into a measured number
+    * beside its inputs (`ann_pq_recall` = codes alone,
+    * `ann_int8_rerank` = the same recipe at int8's code rate). The
+    * residual gap to 1.0 is shortlist recall — true neighbors the
+    * 40-candidate ADC retrieval never surfaced — i.e. the signal a
+    * deployment reads to size shortlistFactor. Oracle: the
+    * `ann_pq_recall` chain retrieving top-40 by ADC distance, then an
+    * exact-cosine top-10 over just those candidates.
+    */
+  val annPqRerank = QueryDef(
+    "ann_pq_rerank",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.pqRerankTopK(queries, emb, "vec_id", "embedding",
+        dim = 64, k = 10, m = 4, ks = 16, lloydIters = 0, shortlistFactor = 4)
+      Similarity.recallVsTruth(gt, approx)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |gt AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+            |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+            |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |),
+            |nz AS (
+            |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+            |  FROM e WHERE list_dot_product(v, v) > 0
+            |),
+            |seeds AS (
+            |  SELECT vec_id AS c_id, u FROM nz
+            |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+            |  LIMIT 16
+            |),
+            |cb AS (
+            |  SELECT j, c_id, list_slice(u, j * 16 + 1, j * 16 + 16) AS cw
+            |  FROM seeds CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+            |),
+            |enc AS (
+            |  SELECT vec_id, j, c_id AS code FROM (
+            |    SELECT nz.vec_id, cb.j, cb.c_id,
+            |           ${l2sqSql("list_slice(nz.u, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
+            |    FROM nz CROSS JOIN cb
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c_id ASC) = 1
+            |),
+            |codes AS (
+            |  SELECT vec_id,
+            |         MAX(CASE WHEN j = 0 THEN code END) AS code0,
+            |         MAX(CASE WHEN j = 1 THEN code END) AS code1,
+            |         MAX(CASE WHEN j = 2 THEN code END) AS code2,
+            |         MAX(CASE WHEN j = 3 THEN code END) AS code3
+            |  FROM enc GROUP BY 1
+            |),
+            |tbl AS (
+            |  SELECT q.vec_id AS q_id, cb.j, cb.c_id,
+            |         ${l2sqSql("list_slice(q.u, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
+            |  FROM (SELECT * FROM nz WHERE vec_id >= 10 AND vec_id < 20) q CROSS JOIN cb
+            |),
+            |shortlist AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT t0.q_id, c.vec_id AS n_id, t0.d + t1.d + t2.d + t3.d AS dist
+            |    FROM codes c
+            |    JOIN tbl t0 ON t0.j = 0 AND t0.c_id = c.code0
+            |    JOIN tbl t1 ON t1.j = 1 AND t1.c_id = c.code1 AND t1.q_id = t0.q_id
+            |    JOIN tbl t2 ON t2.j = 2 AND t2.c_id = c.code2 AND t2.q_id = t0.q_id
+            |    JOIN tbl t3 ON t3.j = 3 AND t3.c_id = c.code3 AND t3.q_id = t0.q_id
+            |    WHERE c.vec_id <> t0.q_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) <= 40
+            |),
+            |approx AS (
+            |  SELECT q_id, n_id FROM (
+            |    SELECT s.q_id, s.n_id, ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
+            |    FROM shortlist s
+            |    JOIN e q ON q.vec_id = s.q_id
+            |    JOIN e n ON n.vec_id = s.n_id
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+            |)
+            |SELECT COALESCE(q_id, -1) AS q_id,
+            |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+            |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+            |FROM (
+            |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+            |) GROUP BY ROLLUP(q_id)""".stripMargin))
+
   /** Retrieve-then-rerank recall ([[Similarity.int8RerankTopK]]):
     * int8 shortlist at 4×k, exact-cosine rerank of the shortlist,
     * measured against the same exact truth as its siblings — so the
@@ -3555,7 +3645,8 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, textBpeTrain, textBpeEncode,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
-    annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annKmeans,
+    annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
+    annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)

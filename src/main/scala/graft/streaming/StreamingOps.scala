@@ -188,6 +188,36 @@ object StreamingOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** BPE encoding over a DOCUMENT STREAM with a batch-trained merge
+    * map ([[graft.operators.Bpe]]) — the train-offline/encode-online
+    * split every tokenizer deployment runs: the trained word →
+    * symbol-count map is a static broadcast dim (vocab-cardinality),
+    * each arriving document explodes to word occurrences, joins the
+    * map (stream-static, stateless), and a streaming aggregate keyed
+    * by doc_id folds the counts (Update mode; state is one row per
+    * in-flight document). Parity contract (StreamingSpec-pinned):
+    * for documents delivered whole, the final per-doc row equals
+    * [[graft.operators.Bpe.encodeCounts]] on the same batch — minus
+    * its zero rows: a streaming query cannot left-join the doc
+    * stream against its own aggregate to re-attach
+    * no-in-vocabulary-words documents (that is a stream-stream
+    * self-join), so those docs simply never emit. The batch twin
+    * remains the one that reports zeros.
+    */
+  def bpeEncodeStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      wordMap: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.operators.Bpe.asciiTokens(col(textCol))).as("w"))
+      .join(broadcast(wordMap.select(col("w"), size(col("syms")).as("n_sym"))),
+        Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

@@ -152,6 +152,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.size == 3)
   }
 
+  test("bpeEncodeStream: batch-trained map encodes a doc stream with batch parity (T18 streaming)") {
+    implicit val sql = spark.sqlContext
+    val trainDocs = Seq(
+      (9L, "low low low low low lower lower newest newest newest newest newest newest widest widest widest"))
+      .toDF("doc_id", "text")
+    val (_, wordMap) = graft.operators.Bpe.train(trainDocs, "text", merges = 3)
+    val docs = Seq((1L, "low low newest"), (2L, "widest"), (3L, "??? !!!"))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs: _*)
+    val dir = Files.createTempDirectory("graft_stream_bpe").toString
+    val enc = StreamingOps.bpeEncodeStream(
+      ms.toDF.toDF("doc_id", "text"), "doc_id", "text", wordMap)
+    val q = enc.writeStream.format("memory").queryName("bpe_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode re-emits a doc's row when later batches touch it —
+    // docs here arrive whole in one batch, so rows are final.
+    val streamed = spark.table("bpe_stream_test")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Bpe.encodeCounts(
+        docs.toDF("doc_id", "text"), "doc_id", "text", wordMap)
+      .as[(Long, Long, Long)].collect().filter(_._2 > 0).toSet
+    assert(streamed == batch && streamed.size == 2,
+      s"stream $streamed vs batch-nonzero $batch")
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
