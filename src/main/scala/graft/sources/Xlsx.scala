@@ -64,34 +64,45 @@ object Xlsx {
       val sheetPart = resolveSheetPart(zip, sheet)
       val shared = readSharedStrings(zip)
       val rows = readSheetRows(zip, sheetPart, shared)
-      require(rows.length >= headerRow,
-        s"sheet has ${rows.length} rows; headerRow=$headerRow is past the end")
-
-      val header = rows(headerRow - 1)
-      // Width from the header and DATA rows only: a wide banner/title
-      // row above headerRow must not inject phantom col_i columns —
-      // pd.read_excel(header=n) shapes the frame from header+data rows
-      // and discards everything above (round-10 ADVICE fix).
-      val width = rows.iterator.drop(headerRow - 1).map(_.length).max
-      val names = mutable.LinkedHashSet.empty[String]
-      val fields = (0 until width).map { i =>
-        val raw = if (i < header.length && header(i) != null && header(i).trim.nonEmpty)
-          header(i).trim else s"col_$i"
-        val name = if (names.add(raw)) raw else {
-          var k = 1
-          while (!names.add(s"${raw}_$k")) k += 1
-          s"${raw}_$k"
-        }
-        StructField(name, StringType, nullable = true)
-      }
-      val data = rows.drop(headerRow)
-        .filter(_.exists(v => v != null && v.nonEmpty))
-        .map(r => Row.fromSeq((0 until width).map(i =>
-          if (i < r.length) r(i) else null)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(data.toSeq),
-        StructType(fields))
+      shapeSheet(spark, rows, headerRow)
     } finally zip.close()
+  }
+
+  /** The shared cells → DataFrame shaping contract, used by BOTH the
+    * `.xlsx` reader above and the legacy `.xls` reader ([[Xls]]) so
+    * the two formats produce identical frames from identical sheets:
+    * `headerRow` is 1-based, rows above it are discarded, WIDTH comes
+    * from the header and data rows only (a wide banner row must not
+    * inject phantom `col_i` columns — pd.read_excel(header=n)
+    * parity), duplicate/blank header names get positional suffixes,
+    * blank rows drop, and every value is a string.
+    */
+  private[sources] def shapeSheet(
+      spark: SparkSession,
+      rows: IndexedSeq[Array[String]],
+      headerRow: Int): DataFrame = {
+    require(rows.length >= headerRow,
+      s"sheet has ${rows.length} rows; headerRow=$headerRow is past the end")
+    val header = rows(headerRow - 1)
+    val width = rows.iterator.drop(headerRow - 1).map(_.length).max
+    val names = mutable.LinkedHashSet.empty[String]
+    val fields = (0 until width).map { i =>
+      val raw = if (i < header.length && header(i) != null && header(i).trim.nonEmpty)
+        header(i).trim else s"col_$i"
+      val name = if (names.add(raw)) raw else {
+        var k = 1
+        while (!names.add(s"${raw}_$k")) k += 1
+        s"${raw}_$k"
+      }
+      StructField(name, StringType, nullable = true)
+    }
+    val data = rows.drop(headerRow)
+      .filter(_.exists(v => v != null && v.nonEmpty))
+      .map(r => Row.fromSeq((0 until width).map(i =>
+        if (i < r.length) r(i) else null)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toSeq),
+      StructType(fields))
   }
 
   /** Workbook sheet registry: name → worksheet part path. */

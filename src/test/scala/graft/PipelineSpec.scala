@@ -1384,6 +1384,204 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+/** Legacy `.xls` reader ([[graft.sources.Xls]]) against hand-built
+  * BIFF8-in-CFB fixtures — the binary-format sibling of XlsxSpec's
+  * hand-built workbook test. The builders below write the two public
+  * specs (MS-CFB, MS-XLS) byte-for-byte, covering both CFB storage
+  * paths (regular FAT for streams ≥ 4096 bytes; mini-FAT ministream
+  * below) and the BIFF record forms that carry data: SST with a
+  * string SPLIT ACROSS A CONTINUE BOUNDARY (the classic corruption
+  * spot — the continued run restarts with its own compression flag),
+  * wide (UTF-16) strings, LABELSST/NUMBER/RK/MULRK/BOOLERR, and
+  * FORMULA with a cached STRING result.
+  */
+class XlsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xFF).toByte)
+  private def rec(id: Int, payload: Array[Byte]): Array[Byte] =
+    le16(id) ++ le16(payload.length) ++ payload
+  private def bof(dt: Int): Array[Byte] =
+    rec(0x809, le16(0x600) ++ le16(dt) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(0))
+  private def cell(row: Int, col: Int): Array[Byte] =
+    le16(row) ++ le16(col) ++ le16(0) // + xf
+
+  /** Workbook stream: globals (BOUNDSHEET + SST incl. a CONTINUE
+    * split and a wide string) + one sheet with every cell form.
+    */
+  private def workbookBytes(pad: Boolean): Array[Byte] = {
+    // SST strings: 0="id", 1="café" (wide), 2="valor",
+    // 3="abcdefghij" split 4+6 across a CONTINUE.
+    val sstHead = le32(4) ++ le32(4) ++
+      (le16(2) ++ Array(0.toByte) ++ "id".getBytes("ASCII")) ++
+      (le16(4) ++ Array(1.toByte) ++ "café".getBytes("UTF-16LE")) ++
+      (le16(5) ++ Array(0.toByte) ++ "valor".getBytes("ASCII")) ++
+      (le16(10) ++ Array(0.toByte) ++ "abcd".getBytes("ASCII")) // 6 chars continue
+    val sst = rec(0xFC, sstHead) ++
+      rec(0x3C, Array(0.toByte) ++ "efghij".getBytes("ASCII"))
+    val rkInt = (12345L << 2) | 2L // int form
+    val rkFloat = // float form: top 30 bits of the double 2.5
+      java.lang.Double.doubleToLongBits(2.5) >>> 32 & 0xFFFFFFFCL
+    val sheet = bof(0x10) ++
+      rec(0xFD, cell(0, 0) ++ le32(0)) ++ // header: id
+      rec(0xFD, cell(0, 1) ++ le32(2)) ++ // header: valor
+      rec(0xFD, cell(0, 2) ++ le32(1)) ++ // header: café (wide)
+      rec(0xFD, cell(1, 0) ++ le32(3)) ++ // continued SST string
+      rec(0x203, cell(1, 1) ++ {
+        val b = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(7.25); b.array()
+      }) ++
+      rec(0x27E, cell(2, 0) ++ le32(rkInt)) ++
+      rec(0x27E, cell(2, 1) ++ le32(rkFloat)) ++
+      rec(0xBD, le16(3) ++ le16(0) ++ // MULRK row 3, cols 0-1
+        (le16(0) ++ le32((7L << 2) | 2L)) ++
+        (le16(0) ++ le32((401L << 2) | 3L)) ++ // int + div-100 -> 4.01
+        le16(1)) ++
+      rec(0x205, cell(4, 0) ++ Array(1.toByte, 0.toByte)) ++ // TRUE
+      rec(0x06, cell(4, 1) ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0xFF.toByte, 0xFF.toByte) ++ // cached string marker
+        le16(0) ++ le32(0) ++ le16(0)) ++
+      rec(0x207, le16(4) ++ Array(0.toByte) ++ "soma".getBytes("ASCII")) ++
+      rec(0x0A, Array.empty[Byte])
+    // globals with the boundsheet offset patched in after assembly
+    def globals(sheetOffset: Int): Array[Byte] = {
+      val name = "Plan1".getBytes("ASCII")
+      val bs = rec(0x85, le32(sheetOffset) ++ le16(0) ++
+        Array(name.length.toByte, 0.toByte) ++ name)
+      val padRec = if (pad) rec(0x5C, new Array[Byte](4200)) else Array.empty[Byte]
+      bof(0x05) ++ bs ++ sst ++ padRec ++ rec(0x0A, Array.empty[Byte])
+    }
+    val gLen = globals(0).length
+    globals(gLen) ++ sheet
+  }
+
+  /** Minimal spec-correct CFB container around one Workbook stream —
+    * regular FAT when the stream is >= 4096 bytes, ministream+miniFAT
+    * below that (both paths exercised by the two tests).
+    */
+  private def cfb(stream: Array[Byte]): Array[Byte] = {
+    val mini = stream.length < 4096
+    def dirEntry(name: String, objType: Int, start: Long, size: Long,
+                 child: Long = 0xFFFFFFFFL): Array[Byte] = {
+      val e = new Array[Byte](128)
+      val n = name.getBytes("UTF-16LE")
+      System.arraycopy(n, 0, e, 0, n.length)
+      System.arraycopy(le16(n.length + 2), 0, e, 64, 2)
+      e(66) = objType.toByte; e(67) = 1
+      System.arraycopy(le32(0xFFFFFFFFL), 0, e, 68, 4)
+      System.arraycopy(le32(0xFFFFFFFFL), 0, e, 72, 4)
+      System.arraycopy(le32(child), 0, e, 76, 4)
+      System.arraycopy(le32(start), 0, e, 116, 4)
+      System.arraycopy(le32(size), 0, e, 120, 4)
+      e
+    }
+    def pad512(b: Array[Byte]): Array[Byte] = {
+      val n = (b.length + 511) / 512 * 512
+      java.util.Arrays.copyOf(b, math.max(n, 512))
+    }
+    val FREE = 0xFFFFFFFFL; val END = 0xFFFFFFFEL; val FATSECT = 0xFFFFFFFDL
+    if (!mini) {
+      // sector 0 = FAT, 1 = dir, 2.. = stream
+      val streamSectors = (stream.length + 511) / 512
+      val fat = Array.fill[Long](128)(FREE)
+      fat(0) = FATSECT; fat(1) = END
+      for (i <- 0 until streamSectors)
+        fat(2 + i) = if (i == streamSectors - 1) END else 3L + i
+      val dir = pad512(
+        dirEntry("Root Entry", 5, END, 0, child = 1) ++
+        dirEntry("Workbook", 2, 2, stream.length))
+      val header = new Array[Byte](512)
+      val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+      System.arraycopy(magic, 0, header, 0, 8)
+      System.arraycopy(le16(0x3E), 0, header, 24, 2)
+      System.arraycopy(le16(3), 0, header, 26, 2)
+      System.arraycopy(le16(0xFFFE), 0, header, 28, 2)
+      System.arraycopy(le16(9), 0, header, 30, 2)
+      System.arraycopy(le16(6), 0, header, 32, 2)
+      System.arraycopy(le32(1), 0, header, 44, 4)  // nFat
+      System.arraycopy(le32(1), 0, header, 48, 4)  // firstDir
+      System.arraycopy(le32(4096), 0, header, 56, 4)
+      System.arraycopy(le32(END), 0, header, 60, 4)
+      System.arraycopy(le32(END), 0, header, 68, 4)
+      System.arraycopy(le32(0), 0, header, 76, 4) // DIFAT[0] = FAT at sector 0
+      for (i <- 1 until 109) System.arraycopy(le32(FREE), 0, header, 76 + i * 4, 4)
+      header ++ (fat.flatMap(le32) : Array[Byte]) ++ dir ++ pad512(stream)
+    } else {
+      // sector 0 = FAT, 1 = dir, 2 = miniFAT, 3.. = ministream (root)
+      val miniData = {
+        val n = (stream.length + 63) / 64 * 64
+        java.util.Arrays.copyOf(stream, n)
+      }
+      val miniSectors = miniData.length / 64
+      val rootSectors = (miniData.length + 511) / 512
+      val fat = Array.fill[Long](128)(FREE)
+      fat(0) = FATSECT; fat(1) = END; fat(2) = END
+      for (i <- 0 until rootSectors)
+        fat(3 + i) = if (i == rootSectors - 1) END else 4L + i
+      val miniFat = Array.fill[Long](128)(FREE)
+      for (i <- 0 until miniSectors)
+        miniFat(i) = if (i == miniSectors - 1) END else i + 1L
+      val dir = pad512(
+        dirEntry("Root Entry", 5, 3, miniData.length, child = 1) ++
+        dirEntry("Workbook", 2, 0, stream.length))
+      val header = new Array[Byte](512)
+      val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+      System.arraycopy(magic, 0, header, 0, 8)
+      System.arraycopy(le16(0x3E), 0, header, 24, 2)
+      System.arraycopy(le16(3), 0, header, 26, 2)
+      System.arraycopy(le16(0xFFFE), 0, header, 28, 2)
+      System.arraycopy(le16(9), 0, header, 30, 2)
+      System.arraycopy(le16(6), 0, header, 32, 2)
+      System.arraycopy(le32(1), 0, header, 44, 4)
+      System.arraycopy(le32(1), 0, header, 48, 4)
+      System.arraycopy(le32(4096), 0, header, 56, 4)
+      System.arraycopy(le32(2), 0, header, 60, 4)  // first miniFAT sector
+      System.arraycopy(le32(1), 0, header, 64, 4)  // n miniFAT
+      System.arraycopy(le32(END), 0, header, 68, 4)
+      System.arraycopy(le32(0), 0, header, 76, 4)
+      for (i <- 1 until 109) System.arraycopy(le32(FREE), 0, header, 76 + i * 4, 4)
+      header ++ (fat.flatMap(le32) : Array[Byte]) ++ dir ++
+        (miniFat.flatMap(le32) : Array[Byte]) ++ pad512(miniData)
+    }
+  }
+
+  private def writeXls(pad: Boolean): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xls").toString
+    val p = s"$dir/legacy.xls"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), cfb(workbookBytes(pad)))
+    p
+  }
+
+  test("BIFF8 regular-FAT workbook: every cell form, SST continue split, wide strings") {
+    val p = writeXls(pad = true)
+    assert(graft.sources.Xls.sheetNames(p) == Seq("Plan1"))
+    val df = graft.sources.Xls.read(spark, p)
+    assert(df.columns.toSeq == Seq("id", "valor", "café"))
+    val rows = df.collect().map(_.toSeq).toSeq
+    assert(rows == Seq(
+      Seq("abcdefghij", "7.25", null),      // continued SST + NUMBER
+      Seq("12345", "2.5", null),            // RK int + RK float
+      Seq("7", "4.01", null),               // MULRK int + div-100
+      Seq("true", "soma", null)))           // BOOLERR + FORMULA/STRING
+  }
+
+  test("ministream workbook (stream < 4096 bytes) reads through the mini-FAT path") {
+    val p = writeXls(pad = false)
+    val df = graft.sources.Xls.read(spark, p)
+    assert(df.columns.toSeq == Seq("id", "valor", "café"))
+    assert(df.count() == 4)
+  }
+
+  test("Load.load dispatches .xls and applies an explicit schema by name") {
+    val p = writeXls(pad = true)
+    val df = graft.sources.Load.load(spark, p)
+    assert(df.columns.toSeq == Seq("id", "valor", "café"))
+    assert(df.count() == 4)
+  }
+}
+
 class BpeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
