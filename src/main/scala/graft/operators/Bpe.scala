@@ -154,6 +154,24 @@ object Bpe {
     (mergeTable, words)
   }
 
+  /** The vocabulary a trained tokenizer SHIPS: every distinct symbol
+    * in the trained word map with its corpus occurrence count
+    * (occurrences of the word × how many times the symbol appears in
+    * its segmentation), ranked (count DESC, token ASC) with a
+    * contiguous 1-based token id — the artifact an encode service
+    * loads. Vocab-cardinality work end to end: one explode of the
+    * word map (vocab rows × symbols-per-word) and one aggregate.
+    */
+  def vocab(wordMap: DataFrame): DataFrame = {
+    val counts = wordMap
+      .select(col("freq"), explode(col("syms")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).cast("long").as("n_occurrences"))
+    counts.select(col("token"), col("n_occurrences"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occurrences").desc, col("token").asc)).as("token_id"))
+  }
+
   /** Per-document BPE statistics after [[train]]: (doc_id, n_words,
     * n_bpe_tokens) — word occurrences joined against the trained map
     * (vocab-cardinality, broadcastable), summing the per-word symbol

@@ -728,6 +728,32 @@ object PipelineQueries {
          |       COALESCE(e.n_bpe_tokens, 0) AS n_bpe_tokens
          |FROM documents doc LEFT JOIN enc e ON doc.doc_id = e.doc_id""".stripMargin))
 
+  /** The trained tokenizer's VOCABULARY ([[graft.operators.Bpe.vocab]]):
+    * every distinct symbol after the 20 merges with its corpus
+    * occurrence count and a contiguous (count DESC, token ASC) token
+    * id — the artifact an encode service ships/loads. The ranking
+    * window is partition-less ON PURPOSE: vocabulary cardinality is
+    * |alphabet| + merges (dozens here, ≤ a few hundred thousand for a
+    * production tokenizer), never corpus-scale — whitelisted in the
+    * PlanSpec sweep with exactly that argument.
+    */
+  val textBpeVocab = QueryDef(
+    "text_bpe_vocab",
+    (s, dir) => {
+      val (_, wordMap) = graft.operators.Bpe.train(
+        Tables.documents(s, dir), "text", merges = BpeMerges)
+      graft.operators.Bpe.vocab(wordMap)
+    },
+    Some(
+      s"""WITH ${bpeChainSql(BpeMerges)}
+         |SELECT token, n_occurrences,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT)
+         |         AS token_id
+         |FROM (
+         |  SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+         |  FROM (SELECT freq, unnest(s) AS t FROM st$BpeMerges) GROUP BY 1
+         |)""".stripMargin))
+
   /** Trending terms per completed window — the batch finisher closing
     * the loop [[graft.streaming.StreamingOps.trendingTerms]] opens:
     * the stream emits (window, term, n) counts and defers the top-k
@@ -3643,6 +3669,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, textBpeTrain, textBpeEncode,
+    textBpeVocab,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,

@@ -855,10 +855,12 @@ class LoadSkewSpec extends AnyFunSuite {
     Seq((3, "c")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
     assert(sources.Load.load(spark, s"$dir/t.parquet").count() == 1)
     assert(sources.Load.load(spark, s"$dir/t.csv", headerRow = false).count() == 2)
-    // Legacy binary .xls stays a guided error; .xlsx is now read
-    // natively (XlsxSpec) so a missing FILE is the failure here.
+    // Round 11: .xls dispatches to the native BIFF8 reader (XlsSpec
+    // covers real content; here the missing FILE is the failure,
+    // proving the extension reaches the reader instead of the old
+    // guided error).
     val e = intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.xls"))
-    assert(e.getMessage.contains(".xlsx"), e.getMessage)
+    assert(e.getMessage.contains("no such file"), e.getMessage)
     val e2 = intercept[IllegalArgumentException](sources.Load.load(spark, s"$dir/t.txt"))
     assert(e2.getMessage.contains("unsupported extension"), e2.getMessage)
   }

@@ -360,8 +360,12 @@ class PlanSpec extends AnyFunSuite {
     //   j1_inner_join_abc + j5_left_join_default: the window sits
     //     inside their embedded Abc.classify subtree — the same
     //     client-cardinality story.
+    //   text_bpe_vocab: token-id ranking over the VOCABULARY
+    //     (|alphabet| + merges symbols — dozens here, bounded by the
+    //     merge budget by construction, never corpus-scale).
     val ok = Set("abc_classify", "pipeline_ep2", "u_delta_semanas",
-      "events_funnel_summary", "j1_inner_join_abc", "j5_left_join_default")
+      "events_funnel_summary", "j1_inner_join_abc", "j5_left_join_default",
+      "text_bpe_vocab")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok(name)) None
       else {
