@@ -34,18 +34,22 @@ import graft.sources.Tables
   * == Calibration probe (stall detection inside the run) ==
   *
   * A fixed trivial query (sum over `spark.range` — no scan, no
-  * shuffle; pure codegen loop, ~tens of ms) runs BEFORE the tree
-  * (3x; the min is the run's calibration floor) and then between
-  * every `CAL_EVERY` measured queries. A probe reading over
-  * `STALL_FACTOR` (2x) of the floor means the host was degraded for
-  * the queries measured since the previous probe: those passes are
-  * marked `stall_suspect`. After the final pass, suspect queries
-  * whose EVERY pass was suspect are re-run once (budget permitting) —
-  * the min then includes at least one quiet-host pass, or the query
-  * is flagged `stall_suspect: true` in the artifact so no consumer
-  * mistakes an inflated number for an engine trend. The full probe
-  * series ships in the JSON (`calibration`), so a stall storm during
-  * the official window is visible FROM the artifact alone.
+  * shuffle; pure codegen loop, ~tens of ms) runs BEFORE the tree (3x)
+  * and then between every `CAL_EVERY` measured queries. The
+  * calibration FLOOR is the min over ALL probes — including later
+  * ones — and window suspicion is evaluated lazily against it, so a
+  * run that STARTS inside a stall storm (inflated early probes) still
+  * marks its early windows suspect once any later quiet probe reveals
+  * the true floor. A probe reading over `STALL_FACTOR` (2x) of the
+  * floor means the host was degraded for the queries measured since
+  * the previous probe: those passes are `stall_suspect`. After the
+  * final pass, queries whose EVERY pass was suspect are re-run once
+  * (budget permitting) — the min then includes at least one
+  * quiet-host pass, or the query is flagged `stall_suspect: true` in
+  * the artifact so no consumer mistakes an inflated number for an
+  * engine trend. The full probe series ships in the JSON
+  * (`calibration`), so a stall storm during the official window is
+  * visible FROM the artifact alone.
   *
   * == Harness design (carried from rounds 1-10) ==
   *   - The shared fact/dim views are persisted once up front. Spark's
@@ -70,9 +74,12 @@ import graft.sources.Tables
   *   - Wall budget `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 480):
   *     pass 1 ALWAYS completes (the budget can degrade precision,
   *     never coverage); later passes and stall re-runs stop once the
-  *     budget is gone. Queries that lost passes appear under
-  *     "budget_demoted" ("single_pass" = their only number includes
-  *     cold JIT cost).
+  *     budget is gone. Demotions are DERIVED from completed-pass
+  *     counts after the run ("ran_1_of_2_passes" = the only number
+  *     includes cold JIT cost) — never marked mid-run, so a budget
+  *     stop inside pass 3 cannot mislabel a query holding two good
+  *     passes, and a pass-1 failure is reported as a failure, not
+  *     blamed on the budget.
   *
   * Eager-operator note (round 4): the pair pipelines
   * (`dedup_minhash/ngram/simhash`, `dedup_incr_near`,
@@ -142,25 +149,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calSeries = scala.collection.mutable.ArrayBuffer[Double]()
-    val calFloorSamples = (1 to 3).map(_ => probe())
-    var calFloor = calFloorSamples.min
-    calSeries ++= calFloorSamples
-    System.err.println(f"[bench] calibration floor $calFloor%.3f s " +
-      f"(samples ${calFloorSamples.map(s => f"$s%.3f").mkString(",")})")
+    calSeries ++= (1 to 3).map(_ => probe())
+    System.err.println(f"[bench] calibration start ${calSeries.min}%.3f s " +
+      f"(samples ${calSeries.map(s => f"$s%.3f").mkString(",")})")
 
-    // pass timings: name -> (seconds, stallSuspect) per completed pass
+    // Probe windows: window i covers the measurements taken since the
+    // previous probe; windowProbe(i) is the probe reading that closed
+    // it. Suspicion is evaluated LAZILY against the floor-so-far (the
+    // min of every probe INCLUDING later ones), so a run that STARTS
+    // inside a stall storm — inflated startup floor — still marks its
+    // early windows suspect once any later quiet probe reveals the
+    // true floor. (A fixed startup floor would silently disable
+    // detection for exactly the runs the mechanism exists to catch.)
+    val windowProbe = scala.collection.mutable.ArrayBuffer[Double]()
+    def floorNow: Double = calSeries.min
+    def windowSuspect(w: Int): Boolean =
+      w >= 0 && w < windowProbe.length &&
+        windowProbe(w) > STALL_FACTOR * floorNow
+
+    // pass timings: name -> (seconds, probe-window id) per completed
+    // pass; window id -1 = window never closed (crash path only).
     val runLog = scala.collection.mutable.LinkedHashMap[String,
-      scala.collection.mutable.ArrayBuffer[(Double, Boolean)]]()
+      scala.collection.mutable.ArrayBuffer[(Double, Int)]]()
     queries.foreach { case (n, _) =>
       runLog(n) = scala.collection.mutable.ArrayBuffer.empty }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val demoted = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    // Runs `batch` with a calibration probe every CAL_EVERY queries;
-    // when a probe exceeds STALL_FACTOR x floor, every measurement
-    // since the PREVIOUS probe is retroactively marked suspect (the
-    // stall storm covered that window). A probe can also lower the
-    // floor (first probes ran before full JIT warmup).
+    // Runs `batch` with a calibration probe every CAL_EVERY queries,
+    // tagging each measurement with the probe window it fell in.
     def runPass(passName: String,
                 batch: Seq[(String, (SparkSession, String) => DataFrame)],
                 stopOnBudget: Boolean,
@@ -169,30 +185,27 @@ object Bench {
       def checkpointProbe(): Unit = {
         val p = probe()
         calSeries += p
-        if (p < calFloor) calFloor = p
-        val suspect = p > STALL_FACTOR * calFloor
-        if (suspect) {
-          System.err.println(f"[bench] $passName probe $p%.3f s > " +
-            f"${STALL_FACTOR}%.1fx floor $calFloor%.3f — marking " +
-            s"${sinceProbe.size} queries stall_suspect")
-          sinceProbe.foreach { n =>
-            val log = runLog(n)
-            if (log.nonEmpty) {
-              val (sec, _) = log.last
-              log(log.length - 1) = (sec, true)
-            }
+        windowProbe += p
+        val w = windowProbe.length - 1
+        sinceProbe.foreach { n =>
+          val log = runLog(n)
+          if (log.nonEmpty) {
+            val (sec, _) = log.last
+            log(log.length - 1) = (sec, w)
           }
         }
+        if (p > STALL_FACTOR * floorNow)
+          System.err.println(f"[bench] $passName probe $p%.3f s > " +
+            f"${STALL_FACTOR}%.1fx floor $floorNow%.3f — " +
+            s"${sinceProbe.size} queries provisionally stall_suspect")
         sinceProbe = scala.collection.mutable.ArrayBuffer[String]()
       }
       batch.foreach { case (name, fn) =>
-        if (stopOnBudget && elapsed > budgetSec) {
-          if (runLog(name).isEmpty) demoted.put(name, "no_pass")
-          else demoted.put(name, "single_pass")
-        } else {
+        if (stopOnBudget && elapsed > budgetSec) ()
+        else {
           timeOne(fn) match {
             case Right(sec) =>
-              runLog(name) += ((sec, false))
+              runLog(name) += ((sec, -1))
               sinceProbe += name
               System.err.println(f"[bench] $passName $name $sec%.3f s")
             case Left(m) =>
@@ -212,41 +225,48 @@ object Bench {
     }
 
     // Stall re-run: a query whose EVERY pass ran inside a suspect
-    // window has no quiet-host number — give it one more pass while
-    // budget remains (slowest recorded first: they carry the most
-    // inflation risk and the most total-seconds impact).
-    val allSuspect = queries.collect {
-      case (name, fn) if runLog(name).nonEmpty && runLog(name).forall(_._2) =>
+    // window (judged against the post-passes floor) has no quiet-host
+    // number — give it one more pass while budget remains (slowest
+    // recorded first: they carry the most inflation risk and the most
+    // total-seconds impact).
+    def allSuspect(name: String): Boolean = {
+      val log = runLog(name)
+      log.nonEmpty && log.forall { case (_, w) => windowSuspect(w) }
+    }
+    val rerunList = queries.collect {
+      case (name, fn) if allSuspect(name) =>
         (name, fn, runLog(name).map(_._1).min)
     }.sortBy(-_._3)
-    if (allSuspect.nonEmpty)
-      System.err.println(s"[bench] ${allSuspect.size} queries have only " +
+    if (rerunList.nonEmpty)
+      System.err.println(s"[bench] ${rerunList.size} queries have only " +
         "stall-suspect passes; re-running while budget remains")
     // recordFailures=false: the rerun is best-effort extra evidence —
     // a flake here must not fail a query that already has valid passes.
-    runPass("rerun", allSuspect.map { case (n, f, _) => (n, f) },
+    runPass("rerun", rerunList.map { case (n, f, _) => (n, f) },
       stopOnBudget = true, recordFailures = false)
-    // no_pass/single_pass markers from the rerun pass would mislabel
-    // queries that already have full passes — the rerun is best-effort
-    // extra evidence, not a demotion.
-    allSuspect.foreach { case (n, _, _) =>
-      if (demoted.get(n).exists(d => d == "no_pass" || d == "single_pass"))
-        demoted.remove(n)
-    }
+
+    // Demotions, derived from what actually ran (never marked mid-run:
+    // a budget stop inside pass 3 must not mislabel a query that holds
+    // two good passes): a non-failed query that completed fewer than
+    // `passes` passes lost precision to the budget. Rerun entries only
+    // exist for queries that already held a full set, so the count
+    // stays honest.
+    val demoted = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, _) =>
-      if (runLog(name).size == 1 && passes > 1 && !failed.contains(name))
-        demoted.put(name, "single_pass")
+      val n = runLog(name).size
+      if (!failed.contains(name) && n < passes)
+        demoted.put(name, if (n == 0) "no_pass" else s"ran_${n}_of_${passes}_passes")
     }
 
     // Per-query value: min over all passes (see scaladoc). A query is
     // stall_suspect in the ARTIFACT only if every pass — including any
-    // re-run — was inside a suspect window.
+    // re-run — fell in a window judged suspect against the FINAL floor.
     val timings = queries.map { case (name, _) =>
       val log = runLog(name)
       val value = if (log.isEmpty) -1.0 else log.map(_._1).min
-      val suspect = log.nonEmpty && log.forall(_._2)
-      (name, value, suspect)
+      (name, value, allSuspect(name))
     }
+    val calFloor = floorNow
 
     val total = timings.collect {
       case (n, v, _) if v >= 0 && !failed.contains(n) => v }.sum

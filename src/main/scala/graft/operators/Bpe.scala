@@ -172,6 +172,25 @@ object Bpe {
         .orderBy(col("n_occurrences").desc, col("token").asc)).as("token_id"))
   }
 
+  /** Word occurrences of `textCol` joined to the trained map's
+    * per-word symbol counts — the shared explode/broadcast-join stage
+    * of BOTH encode paths ([[encodeCounts]] and the streaming twin
+    * [[graft.streaming.StreamingOps.bpeEncodeStream]]); keeping them
+    * on one helper is what keeps the StreamingSpec-pinned
+    * batch/stream parity a structural fact rather than a hope.
+    * Non-text columns pass through (the stream needs its event-time
+    * column on the other side of the explode).
+    */
+  private[graft] def symbolOccurrences(
+      docs: DataFrame,
+      textCol: String,
+      wordMap: DataFrame): DataFrame =
+    docs
+      .withColumn("w", explode(asciiTokens(col(textCol))))
+      .drop(textCol)
+      .join(broadcast(wordMap.select(col("w"), size(col("syms")).as("n_sym"))),
+        Seq("w"))
+
   /** Per-document BPE statistics after [[train]]: (doc_id, n_words,
     * n_bpe_tokens) — word occurrences joined against the trained map
     * (vocab-cardinality, broadcastable), summing the per-word symbol
@@ -182,10 +201,8 @@ object Bpe {
       idCol: String,
       textCol: String,
       wordMap: DataFrame): DataFrame = {
-    val occ = docs.select(col(idCol).as("doc_id"),
-      explode(asciiTokens(col(textCol))).as("w"))
-    val counted = occ
-      .join(broadcast(wordMap.select(col("w"), size(col("syms")).as("n_sym"))), Seq("w"))
+    val counted = symbolOccurrences(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol, wordMap)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
     docs.select(col(idCol).as("doc_id"))

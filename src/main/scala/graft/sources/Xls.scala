@@ -180,9 +180,14 @@ object Xls {
     }
     val root = entries.find(_.objType == 5).getOrElse(
       throw new IllegalArgumentException(s"$path: compound file has no root entry"))
-    val stream = entries.find(e => e.objType == 2 && e.name == "Workbook")
+    // CFB directory names compare CASE-INSENSITIVELY (MS-CFB §2.6.4's
+    // upcased comparison); non-Excel writers emit "WORKBOOK" and POI
+    // accepts any casing — exact-match would reject exactly the
+    // 2003-era converter output this reader exists for.
+    val stream = entries.find(e =>
+        e.objType == 2 && e.name.equalsIgnoreCase("Workbook"))
       .getOrElse {
-        if (entries.exists(e => e.objType == 2 && e.name == "Book"))
+        if (entries.exists(e => e.objType == 2 && e.name.equalsIgnoreCase("Book")))
           throw new IllegalArgumentException(
             s"$path is BIFF5/7 (Excel 5.0/95, codepage-dependent strings) — " +
               "re-save as Excel 97+ .xls or .xlsx")

@@ -192,31 +192,41 @@ object StreamingOps {
     * map ([[graft.operators.Bpe]]) — the train-offline/encode-online
     * split every tokenizer deployment runs: the trained word →
     * symbol-count map is a static broadcast dim (vocab-cardinality),
-    * each arriving document explodes to word occurrences, joins the
-    * map (stream-static, stateless), and a streaming aggregate keyed
-    * by doc_id folds the counts (Update mode; state is one row per
-    * in-flight document). Parity contract (StreamingSpec-pinned):
-    * for documents delivered whole, the final per-doc row equals
+    * each arriving document explodes to word occurrences through the
+    * SAME [[graft.operators.Bpe.symbolOccurrences]] stage the batch
+    * encode uses (one helper, so batch/stream parity is structural),
+    * and a streaming aggregate keyed by (event-time window, doc_id)
+    * folds the counts.
+    *
+    * Bounded state, for real: the aggregate is WATERMARKED on the
+    * document's arrival timestamp — without it, Update-mode state
+    * would grow one row per doc_id ever seen (the normal serving
+    * shape is ever-new ids, so that is an unbounded leak, not a
+    * corner case). The window key is what lets the watermark EVICT a
+    * completed group; the contract is therefore that one document's
+    * rows arrive within one `windowDur` (trivially true for the
+    * whole-document delivery this encodes). Parity
+    * (StreamingSpec-pinned): per-doc counts equal
     * [[graft.operators.Bpe.encodeCounts]] on the same batch — minus
-    * its zero rows: a streaming query cannot left-join the doc
-    * stream against its own aggregate to re-attach
-    * no-in-vocabulary-words documents (that is a stream-stream
-    * self-join), so those docs simply never emit. The batch twin
-    * remains the one that reports zeros.
+    * its zero rows (re-attaching no-vocab docs would be a
+    * stream-stream self-join against the stream's own aggregate).
     */
   def bpeEncodeStream(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      wordMap: DataFrame): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        explode(graft.operators.Bpe.asciiTokens(col(textCol))).as("w"))
-      .join(broadcast(wordMap.select(col("w"), size(col("syms")).as("n_sym"))),
-        Seq("w"))
-      .groupBy(col("doc_id"))
+      tsCol: String,
+      wordMap: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame =
+    graft.operators.Bpe.symbolOccurrences(
+        docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), col(textCol)),
+        textCol, wordMap)
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
 
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)

@@ -158,12 +158,13 @@ class StreamingSpec extends AnyFunSuite {
       (9L, "low low low low low lower lower newest newest newest newest newest newest widest widest widest"))
       .toDF("doc_id", "text")
     val (_, wordMap) = graft.operators.Bpe.train(trainDocs, "text", merges = 3)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     val docs = Seq((1L, "low low newest"), (2L, "widest"), (3L, "??? !!!"))
-    val ms = MemoryStream[(Long, String)]
-    ms.addData(docs: _*)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(docs.map { case (id, t) => (id, t0, t) }: _*)
     val dir = Files.createTempDirectory("graft_stream_bpe").toString
     val enc = StreamingOps.bpeEncodeStream(
-      ms.toDF.toDF("doc_id", "text"), "doc_id", "text", wordMap)
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", wordMap)
     val q = enc.writeStream.format("memory").queryName("bpe_stream_test")
       .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
     try q.processAllAvailable() finally q.stop()
@@ -176,6 +177,11 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().filter(_._2 > 0).toSet
     assert(streamed == batch && streamed.size == 2,
       s"stream $streamed vs batch-nonzero $batch")
+    // The bounded-state claim is structural: the plan must carry an
+    // event-time watermark feeding the stateful aggregate (without it,
+    // state grows one row per doc_id ever seen).
+    assert(enc.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "bpeEncodeStream lost its watermark — unbounded state")
   }
 
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
