@@ -187,6 +187,42 @@ object Sampling {
       .drop("__stratum", "__u", "__n", "__n_m", "__u_m")
   }
 
+  /** WEIGHTED sampling without replacement, k rows — the
+    * Efraimidis–Spirakis exponential race (the distributed-systems
+    * standard for "sample 100k docs proportional to quality score from
+    * 10B" because it needs NO global pass): each row draws
+    * u ∈ (0, 1], keys itself with −ln(u)/w, and the k SMALLEST keys
+    * win; P(row wins) is proportional to its weight w, and the race
+    * composes across partitions as a plain bounded top-k (Spark plans
+    * `orderBy.limit(k)` as TakeOrdered — per-partition heaps merged on
+    * the driver, never a sort).
+    *
+    * Determinism: u is the library-wide md5 idiom —
+    * (md5Bits60(id) + 1) / 2^60, the +1 keeping u strictly positive
+    * for the log — so the "draw" reproduces across runs, engines, and
+    * partitionings like every other sampler here. The key is rounded
+    * to 12 dp before ranking: libm `ln` may differ from Java's in the
+    * last ulp (~1e-16 relative), and 12 dp absorbs that while being
+    * ~6 orders of magnitude finer than the expected minimum key gap
+    * at fixture scale — ties then break on id. Weights clamp to
+    * ≥ 1e-9 so zero/negative-weight rows rank last rather than
+    * dividing by zero.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (graft.functions.Hashing.md5Bits60(col(idCol).cast("string")) + 1)
+      .cast("double") / lit(1.152921504606846976e18)
+    val key = round(-log(u) / greatest(weightCol.cast("double"), lit(1e-9)), 12)
+    df.withColumn("__es_key", key)
+      .orderBy(col("__es_key").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__es_key")
+  }
+
   def balancedDownsample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
     val buckets = 1000000
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))

@@ -1738,6 +1738,135 @@ object PipelineQueries {
            |      < CAST(c.u AS HUGEINT) * m.n_m * 1000000
            |GROUP BY 1""".stripMargin))
 
+  /** Weighted sampling without replacement
+    * ([[Sampling.weightedSample]], Efraimidis–Spirakis): 100 documents
+    * drawn proportional to token count. Registered as the selected
+    * (doc_id, n_tok) set so the oracle pins exact MEMBERSHIP — the
+    * race key is derived from the library-wide md5 idiom, so both
+    * engines run the identical lottery; the 12-dp key rounding
+    * (operator scaladoc) absorbs libm-vs-Java ln ulp noise.
+    */
+  val sampleWeighted = QueryDef(
+    "sample_weighted",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCountWs(coalesce(col("text"), lit("")))
+          .cast("long").as("n_tok"))
+      Sampling.weightedSample(docs, "doc_id", col("n_tok"), k = 100)
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id,
+           |         len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok
+           |  FROM documents
+           |)
+           |SELECT doc_id, n_tok FROM (
+           |  SELECT doc_id, n_tok,
+           |         ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+           |                   / 1152921504606846976.0)
+           |               / greatest(CAST(n_tok AS DOUBLE), 1e-9), 12) AS k
+           |  FROM w
+           |) QUALIFY ROW_NUMBER() OVER (ORDER BY k ASC, doc_id ASC) <= 100""".stripMargin))
+
+  /** Market-basket co-occurrence with LIFT (the association-rule
+    * kernel, reference-domain analytics the commercial pipeline would
+    * grow into): distinct (order, part) items, within-order pairs via
+    * a self-join on the order key with `p1 < p2` (pair count per order
+    * is (items choose 2) — bounded by order SIZE, ~7 lineitems, so the
+    * join output is linear in orders, never quadratic in parts), then
+    * lift = P(p1,p2)/(P(p1)·P(p2)) computed as exact integer products
+    * with ONE final rounded division. Top-20 by (count DESC, p1, p2)
+    * via TakeOrdered; the support frames join back at pair/part
+    * cardinality. The second scan of lineitem for the join's right
+    * side is deliberate — a self-join of one lineage trips Spark's
+    * ambiguous-self-join detection (the recallVsTruth note).
+    */
+  val basketLift = QueryDef(
+    "a24_basket_lift",
+    (s, dir) => {
+      def items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val a = items.select(col("o"), col("p").as("p1"))
+      val b = items.select(col("o").as("o2"), col("p").as("p2"))
+      val pairs = a.join(b, col("o") === col("o2") && col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_both"))
+        .orderBy(col("n_both").desc, col("p1").asc, col("p2").asc)
+        .limit(20)
+      val partCnt = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val totals = items.agg(count_distinct(col("o")).as("n_orders"))
+      pairs
+        .join(broadcast(partCnt.select(col("p").as("p1"), col("c").as("c1"))), Seq("p1"))
+        .join(broadcast(partCnt.select(col("p").as("p2"), col("c").as("c2"))), Seq("p2"))
+        .crossJoin(broadcast(totals))
+        .select(col("p1"), col("p2"), col("n_both"),
+          round((col("n_both") * col("n_orders")).cast("double") /
+            (col("c1") * col("c2")).cast("double"), 6).as("lift"))
+    },
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM it),
+           |pc AS (SELECT p, COUNT(*) AS c FROM it GROUP BY 1),
+           |top AS (
+           |  SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_both
+           |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+           |  GROUP BY 1, 2
+           |  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, a.p ASC, b.p ASC) <= 20
+           |)
+           |SELECT t.p1, t.p2, t.n_both,
+           |       ROUND(CAST(t.n_both * n.n_orders AS DOUBLE)
+           |             / CAST(c1.c * c2.c AS DOUBLE), 6) AS lift
+           |FROM top t
+           |JOIN pc c1 ON c1.p = t.p1
+           |JOIN pc c2 ON c2.p = t.p2
+           |CROSS JOIN n""".stripMargin))
+
+  /** Time-series anomaly days over the event stream: per-day counts
+    * gated by a PER-WEEKDAY robust envelope (median + 3×MAD of that
+    * weekday's counts — weekly seasonality handled by conditioning,
+    * the seasonal-naive trick, instead of a model). All exact integer
+    * work: counts are longs, both medians are `percentile_disc`
+    * (actual data values), the gate is integer compare — so the
+    * boolean is bit-portable. Weekday is epoch-day mod 7, NOT the
+    * engines' dayofweek (Spark counts Sunday=1, DuckDB Sunday=0 — the
+    * cross-engine trap this sidesteps). Stats frames are
+    * 7-row broadcasts joined back at day cardinality.
+    */
+  val eventsAnomalyDays = QueryDef(
+    "events_anomaly_days",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("wd",
+          pmod(datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))), lit(7)))
+      // percentile_disc RETURNS the actual data value but TYPES it
+      // double — cast back to long so the output matches DuckDB's
+      // quantile_disc(BIGINT) -> BIGINT and the gate stays integer.
+      val med = daily.groupBy(col("wd"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+          .cast("long").as("med_wd"))
+      val withMed = daily.join(broadcast(med), Seq("wd"))
+        .withColumn("__dev", abs(col("n_events") - col("med_wd")))
+      val mad = withMed.groupBy(col("wd"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)")
+          .cast("long").as("mad_wd"))
+      withMed.join(broadcast(mad), Seq("wd"))
+        .select(col("d"), col("n_events"), col("med_wd"),
+          (col("__dev") > col("mad_wd") * 3).as("is_anomaly"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events FROM events GROUP BY 1
+           |),
+           |wdd AS (SELECT d, n_events, (d - DATE '1970-01-01') % 7 AS wd FROM daily),
+           |med AS (SELECT wd, quantile_disc(n_events, 0.5) AS med_wd FROM wdd GROUP BY 1),
+           |dev AS (
+           |  SELECT w.d, w.n_events, w.wd, m.med_wd,
+           |         abs(w.n_events - m.med_wd) AS dv
+           |  FROM wdd w JOIN med m USING (wd)
+           |),
+           |mad AS (SELECT wd, quantile_disc(dv, 0.5) AS mad_wd FROM dev GROUP BY 1)
+           |SELECT dev.d, dev.n_events, dev.med_wd, dev.dv > 3 * mad.mad_wd AS is_anomaly
+           |FROM dev JOIN mad USING (wd)""".stripMargin))
+
   // -------------------------------------------------------- similarity
 
   /** DuckDB cosine mirroring [[graft.functions.VectorFunctions.cosine]]
@@ -3676,5 +3805,7 @@ object PipelineQueries {
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
+    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture,
+    sampleWeighted, basketLift, eventsAnomalyDays,
+    mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
