@@ -267,14 +267,46 @@ object StreamingOps {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** [[attributeClicks]]' LEFT OUTER twin — the "which impressions
+    * NEVER converted" stream, a genuinely different semantic class
+    * from the inner join: an unmatched left row cannot be emitted when
+    * it arrives (a matching click may still come), so the engine holds
+    * it in state and emits the null-extended row only once the
+    * watermark proves no in-window click can still arrive. That makes
+    * the output inherently watermark-delayed for misses and exactly as
+    * prompt as the inner join for hits — the trade every
+    * non-conversion alert pipeline accepts. Both sides stay
+    * watermarked and the join keeps the same event-time bounds, so
+    * state remains bounded exactly as on the inner form (the bounds
+    * are what let the store discard expired impressions).
+    */
+  def attributeClicksOuter(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      windowSec: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermark)
+    val clk = clicks.withWatermark("click_ts", watermark)
+    imp.join(clk,
+      imp("user_id") === clk("user_id") &&
+        clk("click_ts") >= imp("imp_ts") &&
+        clk("click_ts") <= imp("imp_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      "leftOuter")
+      .select(imp("user_id").as("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** Streaming upsert sink — maintain a standing keyed parquet table
     * from a stream of versioned updates via `foreachBatch`: each
     * micro-batch folds into the table with
     * [[graft.operators.Pendentes.upsertMerge]] (latest version wins,
-    * batch beats base on ties) and the result lands with the
-    * write-then-swap dance (temp dir + rename), so a reader always
-    * sees a complete table — old or new, never a mix, and a crashed
-    * batch leaves the table untouched.
+    * batch beats base on ties) and the result lands via
+    * [[upsertBatch]]'s rename-aside swap — a full copy of the table is
+    * on disk at every instant (under the published path or its
+    * `__old` aside), a crash at any point is self-healed by the next
+    * batch, and the one unavoidable dst-missing window between the
+    * two renames is documented on [[upsertBatch]] rather than claimed
+    * away.
     *
     * Exactly-once note: foreachBatch is at-least-once on retries;
     * this sink is IDEMPOTENT for them by construction — re-merging

@@ -424,6 +424,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributeClicksOuter: unconverted impressions emit null-extended after the watermark") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val dir = Files.createTempDirectory("graft_stream_sso").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+    val out = StreamingOps.attributeClicksOuter(
+      imps.toDF.toDF("imp_id", "user_id", "imp_ts"),
+      clks.toDF.toDF("click_id", "user_id", "click_ts"),
+      windowSec = 120, watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      imps.addData((100L, 1L, ts(0)), (101L, 2L, ts(0)))
+      clks.addData((900L, 1L, ts(1))) // converts imp 100; imp 101 pending
+      q.processAllAvailable()
+      val early = spark.table("attr_outer_test")
+        .select("imp_id", "click_id").as[(Long, Option[Long])].collect().toSet
+      assert(early == Set((100L, Some(900L))),
+        s"pending impression must NOT emit before the watermark proves the miss: $early")
+      // Advance event time far past imp 101's window + watermark ON
+      // BOTH SIDES — the global watermark is the MIN across inputs, so
+      // a click-only advance leaves the impression side pinning it at
+      // the start. Once it passes, the engine can prove no in-window
+      // click will arrive and the null-extended miss row emits.
+      imps.addData((199L, 9L, ts(30)))
+      clks.addData((999L, 9L, ts(30)))
+      q.processAllAvailable()
+      imps.addData((198L, 9L, ts(40))) // one more batch to flush eviction
+      clks.addData((998L, 9L, ts(40)))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_test")
+        .select("imp_id", "click_id").as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((101L, None)),
+        s"unconverted impression must emit null-extended after the watermark: $rows")
+      assert(rows.contains((100L, Some(900L))))
+    } finally q.stop()
+  }
+
   test("funnelStream: constant-state funnel matches the batch fold across batch splits") {
     implicit val sql = spark.sqlContext
     import StreamingOps.{FunnelEvent, FunnelProgress}
