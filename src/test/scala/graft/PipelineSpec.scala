@@ -1636,20 +1636,44 @@ class BpeSpec extends AnyFunSuite {
     assert(m("lower") == Seq("lo", "w", "e", "r"))
   }
 
-  test("encodeCounts: per-doc word and token counts; empty docs report zeros") {
+  test("encodeCounts: per-doc word and token counts; OOV words encode; empty docs report zeros") {
     val docs = Seq(
       (1L, "low low newest"),
       (2L, "??? !!!"), // nothing survives the ascii gate
-      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    val (_, wordMap) = graft.operators.Bpe.train(
+      (3L, null.asInstanceOf[String]),
+      (4L, "lowest")). // NOT in the training corpus — must encode, not drop
+      toDF("doc_id", "text")
+    val (mergeTable, _) = graft.operators.Bpe.train(
       Seq((9L, "low low low low low lower lower newest newest newest newest newest newest widest widest widest"))
         .toDF("doc_id", "text"), "text", merges = 3)
-    val out = graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", wordMap)
+    val out = graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", mergeTable)
       .as[(Long, Long, Long)].collect().map { case (k, v, t) => k -> ((v, t)) }.toMap
     // low -> [lo, w] = 2 tokens; newest -> [n, e, w, est] = 4
     assert(out(1L) == ((3L, 2L + 2L + 4L)))
     assert(out(2L) == ((0L, 0L)))
     assert(out(3L) == ((0L, 0L)))
+    // OOV "lowest": l,o,w,e,s,t --es--> l,o,w,es,t --est--> l,o,w,est
+    // --lo--> lo,w,est = 3 tokens (round-11 shape dropped the word).
+    assert(out(4L) == ((1L, 3L)))
+  }
+
+  test("applyMerges reproduces the trained segmentation for in-corpus words") {
+    // The induction claim in the scaladoc, pinned: replaying the merge
+    // table over a char split equals the training fold's final state
+    // for EVERY corpus word — including the adversarial equal-symbol
+    // runs (aaaa) where greedy non-overlap semantics bite.
+    val docs = Seq((9L,
+      "low low low low low lower lower newest newest newest newest newest newest " +
+        "widest widest widest aaaa aaaa aaa banana"))
+      .toDF("doc_id", "text")
+    val (mergeTable, wordMap) = graft.operators.Bpe.train(docs, "text", merges = 6)
+    val replayed = wordMap.select($"w")
+      .crossJoin(broadcast(graft.operators.Bpe.mergesArray(mergeTable)))
+      .select($"w", graft.operators.Bpe.applyMerges($"w", $"__merges").as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    val trained = wordMap.select($"w", $"syms").as[(String, Seq[String])].collect().toMap
+    assert(replayed == trained,
+      s"merge replay diverges from training fold: ${replayed.toSet.diff(trained.toSet)}")
   }
 }
 

@@ -377,6 +377,100 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected partition-less window (add to whitelist ONLY with a cardinality argument): $offenders")
   }
 
+  test("structural sweep: every forced broadcast is literal-bounded or whitelisted") {
+    // Round-11 verdict ask #8 (generalizing its two scale-killers —
+    // both were FORCED broadcasts of frames whose cardinality tracks
+    // the data: a part-cardinality support frame in a24, the
+    // distinct-corpus-word map in the BPE encode). The registry-wide
+    // invariant: a broadcast() hint may only wrap a frame that is
+    // bounded BY CONSTRUCTION — a limit/TakeOrdered, a group-less
+    // (1-row) aggregate, or a join one of whose sides is itself
+    // bounded and joins on the other side's unique key (the a24
+    // join-back shape: ≤20 pairs × unique part key) — or the query
+    // must be whitelisted here with an explicit cardinality argument,
+    // the same contract the partition-less-window sweep enforces.
+    // Hints are read from the ANALYZED plan: the optimizer folds
+    // ResolvedHint into join hints, and eager (pre-executed) subtrees
+    // were pinned by their own builder tests above.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // Structurally bounded: rows provably cannot track data volume.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate => a.groupingExpressions.isEmpty || bounded(a.child)
+      case j: Join => bounded(j.left) || bounded(j.right)
+      case u: UnaryNode => bounded(u.child)
+      case _: LocalRelation => true // driver-materialized literal data
+      case _ => false
+    }
+    // A frame whose leaves read ONLY dimension tables (nation/region/
+    // part/customer/supplier/the xlsx sheet) is broadcastable by the
+    // dimension contract — the J2 design posture: the category dim
+    // models the reference's ~200-row classification sheet. Frames
+    // touching a FACT table (or a checkpoint scan, whose provenance
+    // the plan no longer shows) need the whitelist.
+    val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+    def touchesFactOrUnknown(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(rp => factTables.exists(rp.toString.contains))
+        case _ => true
+      }
+      case _: LocalRelation => false
+      case _: OneRowRelation => false
+      case _ => true // LogicalRDD (checkpointed) or other: not provable here
+    }
+    // Whitelist: hinted frames bounded by a CARDINALITY argument the
+    // plan cannot show — each entry names the frame and its bound.
+    val ok: Map[String, String] = Map(
+      "c_iqr_trim" -> "IQR fences: one row per l_returnflag (3-value domain)",
+      "c_mad_trim" -> "MAD stats: one row per l_returnflag (3-value domain)",
+      "c_mad_trim_approx" -> "MAD stats: one row per l_returnflag (3-value domain)",
+      "events_anomaly_days" -> "weekday med/MAD envelopes: exactly 7 rows (epoch-day mod 7)",
+      "c_qcut_bins" -> "quantile cut points: n_bins rows per group key (literal bins, 3-value returnflag)",
+      "sample_mixture" -> "per-source quantile fences: one row per source (enum domain)",
+      "sample_balanced" -> "per-class rates: one row per language label (enum domain)",
+      "ann_cosine_topk" -> "query side: vec_id < 10 literal filter (10 vectors)",
+      "ann_filtered" -> "query side: literal vec_id filter",
+      "ann_recall" -> "query side: literal vec_id filter (both arms)",
+      "ann_int8_recall" -> "query side: literal vec_id filter; scale frame: 1-row agg over it",
+      "ann_int8_rerank" -> "query + shortlist sides: literal filter / top-k per query (k-heap output)",
+      "ann_ivf_topk" -> "centroids: k-row checkpointed kmeans output; query side literal",
+      "ann_ivf_probe2" -> "centroids: k-row checkpointed kmeans output; query side literal",
+      "ann_ivf_int8" -> "centroids: k-row checkpointed kmeans output; query side literal",
+      "ann_pq_recall" -> "PQ codebooks: m subspaces x 2^bits codewords (k-row checkpoints)",
+      "ann_pq_lloyd" -> "PQ codebooks: m x 2^bits codewords after Lloyd refinement (checkpoints)",
+      "ann_pq_rerank" -> "PQ codebooks + shortlist: codewords / top-n per query (k-heap output)",
+      "ann_kmeans" -> "centroid table: k rows (checkpointed Lloyd output)",
+      "dedup_incr_embed" -> "batch-side signatures: incremental-batch contract (batch << corpus)",
+      "dedup_decontaminate" -> "eval-set grams: eval benchmark cardinality by contract",
+      "mm_phash_pairs" -> "hot-bucket cap frame: aggregate of over-cap buckets (cap contract)",
+      "pipeline_rag_search" -> "query side: literal query rows",
+      "pipeline_pretrain_prep" -> "eval grams (eval-set contract) + per-source stats (enum domain)",
+      "pipeline_ep2" -> "pendentes dim keys: week-snapshot key sets (weekly batch contract)",
+      "compat_report" -> "dim key sets: product-dimension cardinality (J2 contract)",
+      "u1_s5_union_semanas" -> "weekly snapshot key sets (weekly batch contract)",
+      "u_delta_semanas" -> "weekly snapshot key sets (weekly batch contract)",
+      "j_fuzzy_names" -> "right side: customer-name dim (client-cardinality contract, W1-W4 story)",
+      "j3_left_join_dedup" -> "right side deduped to one row per cliente (client-cardinality contract)",
+      "text_phrase_search" -> "phrase postings: one row per phrase term (literal phrase)",
+      "text_tfidf" -> "corpus doc-count: 1-row agg (plus df frame at vocab cardinality)",
+      "text_lm_score" -> "LM totals: 1-row aggregates over term tables",
+      "text_lm2_score" -> "LM totals: 1-row aggregates over term tables")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (ok.contains(name)) None
+      else {
+        val bad = fn(spark, dir).queryExecution.analyzed.collect {
+          case h: ResolvedHint if !bounded(h.child) && touchesFactOrUnknown(h.child) =>
+            h.child.nodeName
+        }
+        if (bad.nonEmpty) Some(s"$name -> ${bad.distinct.mkString(",")}") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcast of a non-literal-bounded frame (whitelist ONLY with a cardinality argument): $offenders")
+  }
+
   test("driver contract: every oracle names a registered query; names unique") {
     // The driver resolves oracleSql keys against queries — a typo'd or
     // stale oracle key would silently become an orphan check. A query

@@ -157,14 +157,16 @@ class StreamingSpec extends AnyFunSuite {
     val trainDocs = Seq(
       (9L, "low low low low low lower lower newest newest newest newest newest newest widest widest widest"))
       .toDF("doc_id", "text")
-    val (_, wordMap) = graft.operators.Bpe.train(trainDocs, "text", merges = 3)
+    val (mergeTable, _) = graft.operators.Bpe.train(trainDocs, "text", merges = 3)
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
-    val docs = Seq((1L, "low low newest"), (2L, "widest"), (3L, "??? !!!"))
+    // "lowest" is OOV (absent from the training corpus) — the stream
+    // must ENCODE it by merge replay, not drop it (round-12 contract).
+    val docs = Seq((1L, "low low newest"), (2L, "widest lowest"), (3L, "??? !!!"))
     val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
     ms.addData(docs.map { case (id, t) => (id, t0, t) }: _*)
     val dir = Files.createTempDirectory("graft_stream_bpe").toString
     val enc = StreamingOps.bpeEncodeStream(
-      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", wordMap)
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", mergeTable)
     val q = enc.writeStream.format("memory").queryName("bpe_stream_test")
       .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
     try q.processAllAvailable() finally q.stop()
@@ -173,7 +175,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("bpe_stream_test")
       .as[(Long, Long, Long)].collect().toSet
     val batch = graft.operators.Bpe.encodeCounts(
-        docs.toDF("doc_id", "text"), "doc_id", "text", wordMap)
+        docs.toDF("doc_id", "text"), "doc_id", "text", mergeTable)
       .as[(Long, Long, Long)].collect().filter(_._2 > 0).toSet
     assert(streamed == batch && streamed.size == 2,
       s"stream $streamed vs batch-nonzero $batch")
