@@ -43,11 +43,11 @@ import graft.sources.Tables
   * the true floor. A probe reading over `STALL_FACTOR` (2x) of the
   * floor means the host was degraded for the queries measured since
   * the previous probe: those passes are `stall_suspect`. After the
-  * final pass, queries whose EVERY pass was suspect are re-run once
-  * (budget permitting) — the min then includes at least one
-  * quiet-host pass, or the query is flagged `stall_suspect: true` in
-  * the artifact so no consumer mistakes an inflated number for an
-  * engine trend. The full probe series ships in the JSON
+  * final pass, queries whose EVERY pass was suspect are re-run — up
+  * to 3 attempts while budget remains, looping until none is left
+  * all-suspect — so the min includes at least one quiet-host pass,
+  * or the query is flagged `stall_suspect: true` in the artifact so
+  * no consumer mistakes an inflated number for an engine trend. The full probe series ships in the JSON
   * (`calibration`), so a stall storm during the official window is
   * visible FROM the artifact alone.
   *
@@ -224,36 +224,58 @@ object Bench {
       runPass(s"pass$i", queries, stopOnBudget = i > 1)
     }
 
+    // Snapshot pass counts BEFORE any stall re-run: demotions derive
+    // from the SCHEDULED passes only, so a re-run that tops up an
+    // all-suspect single-pass query still leaves its
+    // "ran_1_of_2_passes" marker recording that one contributing pass
+    // carried cold JIT cost (round-11 advice — the previous derivation
+    // from post-rerun counts silently dropped exactly that marker).
+    val scheduledPassCount = queries.map { case (name, _) =>
+      name -> runLog(name).size }.toMap
+
     // Stall re-run: a query whose EVERY pass ran inside a suspect
     // window (judged against the post-passes floor) has no quiet-host
-    // number — give it one more pass while budget remains (slowest
+    // number — give it more passes while budget remains (slowest
     // recorded first: they carry the most inflation risk and the most
-    // total-seconds impact).
+    // total-seconds impact). LOOPED until no all-suspect query remains
+    // (round-11 verdict ask #5: drive n_stall_suspect to 0 in-process
+    // instead of hoping one top-up lands in a quiet window), bounded
+    // by 3 attempts + the wall budget so a permanently-degraded host
+    // cannot spin the bench forever. Re-runs add probes, which can
+    // LOWER the floor and widen suspicion — allSuspect is re-evaluated
+    // from scratch each attempt, so that widening is honored, not
+    // raced.
     def allSuspect(name: String): Boolean = {
       val log = runLog(name)
       log.nonEmpty && log.forall { case (_, w) => windowSuspect(w) }
     }
-    val rerunList = queries.collect {
-      case (name, fn) if allSuspect(name) =>
-        (name, fn, runLog(name).map(_._1).min)
-    }.sortBy(-_._3)
-    if (rerunList.nonEmpty)
+    var rerunAttempt = 0
+    var rerunList = Seq.empty[(String, (SparkSession, String) => DataFrame, Double)]
+    while (rerunAttempt < 3 && elapsed < budgetSec && {
+      rerunList = queries.collect {
+        case (name, fn) if allSuspect(name) =>
+          (name, fn, runLog(name).map(_._1).min)
+      }.sortBy(-_._3)
+      rerunList.nonEmpty
+    }) {
+      rerunAttempt += 1
       System.err.println(s"[bench] ${rerunList.size} queries have only " +
-        "stall-suspect passes; re-running while budget remains")
-    // recordFailures=false: the rerun is best-effort extra evidence —
-    // a flake here must not fail a query that already has valid passes.
-    runPass("rerun", rerunList.map { case (n, f, _) => (n, f) },
-      stopOnBudget = true, recordFailures = false)
+        s"stall-suspect passes; re-run attempt $rerunAttempt while budget remains")
+      // recordFailures=false: the rerun is best-effort extra evidence —
+      // a flake here must not fail a query that already has valid passes.
+      runPass(s"rerun$rerunAttempt", rerunList.map { case (n, f, _) => (n, f) },
+        stopOnBudget = true, recordFailures = false)
+    }
 
-    // Demotions, derived from what actually ran (never marked mid-run:
-    // a budget stop inside pass 3 must not mislabel a query that holds
-    // two good passes): a non-failed query that completed fewer than
-    // `passes` passes lost precision to the budget. Rerun entries only
-    // exist for queries that already held a full set, so the count
-    // stays honest.
+    // Demotions, derived from what the scheduled passes actually ran
+    // (never marked mid-run: a budget stop inside pass 3 must not
+    // mislabel a query that holds two good passes): a non-failed query
+    // that completed fewer than `passes` scheduled passes lost
+    // precision to the budget, whether or not a stall re-run later
+    // added evidence.
     val demoted = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, _) =>
-      val n = runLog(name).size
+      val n = scheduledPassCount(name)
       if (!failed.contains(name) && n < passes)
         demoted.put(name, if (n == 0) "no_pass" else s"ran_${n}_of_${passes}_passes")
     }

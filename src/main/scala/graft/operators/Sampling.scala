@@ -200,13 +200,19 @@ object Sampling {
     * Determinism: u is the library-wide md5 idiom —
     * (md5Bits60(id) + 1) / 2^60, the +1 keeping u strictly positive
     * for the log — so the "draw" reproduces across runs, engines, and
-    * partitionings like every other sampler here. The key is rounded
-    * to 12 dp before ranking: libm `ln` may differ from Java's in the
-    * last ulp (~1e-16 relative), and 12 dp absorbs that while being
-    * ~6 orders of magnitude finer than the expected minimum key gap
-    * at fixture scale — ties then break on id. Weights clamp to
-    * ≥ 1e-9 so zero/negative-weight rows rank last rather than
-    * dividing by zero.
+    * partitionings like every other sampler here. The cross-engine
+    * tolerance sits on the −ln(u) TERM, not the final key: libm `ln`
+    * may differ from Java's in the last ulp, so −ln(u) ∈ (0, ~41.6]
+    * is rounded to 12 dp (absolute resolution 1e-12 on an O(1..41)
+    * value — always finer than the ulp noise it absorbs, never
+    * coarser than the key spread) and THEN divided by the weight;
+    * IEEE division of identical operands is bit-identical in both
+    * engines, so the key's resolution scales 1/w with the key itself
+    * and arbitrarily large weights cannot collapse the race into
+    * id-ordered mass ties (round-11 advice: rounding the QUOTIENT to
+    * 12 absolute dp left ~1e4 distinct values at w ≈ 1e9). Ties still
+    * break on id. Weights clamp to ≥ 1e-9 so zero/negative-weight
+    * rows rank last rather than dividing by zero.
     */
   def weightedSample(
       df: DataFrame,
@@ -216,7 +222,7 @@ object Sampling {
     require(k >= 1, s"k must be >= 1, got $k")
     val u = (graft.functions.Hashing.md5Bits60(col(idCol).cast("string")) + 1)
       .cast("double") / lit(1.152921504606846976e18)
-    val key = round(-log(u) / greatest(weightCol.cast("double"), lit(1e-9)), 12)
+    val key = round(-log(u), 12) / greatest(weightCol.cast("double"), lit(1e-9))
     df.withColumn("__es_key", key)
       .orderBy(col("__es_key").asc, col(idCol).asc)
       .limit(k)

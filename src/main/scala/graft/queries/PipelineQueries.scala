@@ -1829,8 +1829,10 @@ object PipelineQueries {
     * drawn proportional to token count. Registered as the selected
     * (doc_id, n_tok) set so the oracle pins exact MEMBERSHIP — the
     * race key is derived from the library-wide md5 idiom, so both
-    * engines run the identical lottery; the 12-dp key rounding
-    * (operator scaladoc) absorbs libm-vs-Java ln ulp noise.
+    * engines run the identical lottery; the −ln term is rounded to
+    * 12 dp BEFORE the weight division (operator scaladoc: absorbs
+    * libm-vs-Java ln ulp noise at a resolution that scales with the
+    * key, so large weights cannot collapse the race into mass ties).
     */
   val sampleWeighted = QueryDef(
     "sample_weighted",
@@ -1848,8 +1850,8 @@ object PipelineQueries {
            |SELECT doc_id, n_tok FROM (
            |  SELECT doc_id, n_tok,
            |         ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
-           |                   / 1152921504606846976.0)
-           |               / greatest(CAST(n_tok AS DOUBLE), 1e-9), 12) AS k
+           |                   / 1152921504606846976.0), 12)
+           |           / greatest(CAST(n_tok AS DOUBLE), 1e-9) AS k
            |  FROM w
            |) QUALIFY ROW_NUMBER() OVER (ORDER BY k ASC, doc_id ASC) <= 100""".stripMargin))
 

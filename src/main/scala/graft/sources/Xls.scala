@@ -334,13 +334,21 @@ object Xls {
   }
 
   /** Render a BIFF numeric the way [[Xlsx]] sees `<v>` text: integers
-    * without the ".0" tail, everything else via Java's shortest
-    * round-trip double formatting.
+    * without the ".0" tail, everything else plain-formatted from
+    * Java's shortest round-trip digits. Double.toString alone would
+    * emit scientific notation for |v| >= 1e7 or < 1e-3
+    * ("1.23456785E7") where the `.xlsx` reader passes through the raw
+    * `<v>` text ("12345678.5") — BigDecimal.valueOf keeps the same
+    * shortest-round-trip digits and toPlainString removes the
+    * exponent, so the two Excel readers render identical strings
+    * (round-11 advice); stripTrailingZeros drops the cosmetic ".0"
+    * tail valueOf would otherwise plain-expand (1.0E-10 →
+    * "0.00000000010").
     */
   private def numStr(v: Double): String =
     if (v == math.floor(v) && !v.isInfinite && math.abs(v) < 1e15)
       v.toLong.toString
-    else v.toString
+    else java.math.BigDecimal.valueOf(v).stripTrailingZeros().toPlainString
 
   private def rkValue(rk: Long): Double = {
     val base =
@@ -365,8 +373,16 @@ object Xls {
     val c = new RecordCursor(wb, offset)
     c.nextRecord() // step past the sheet BOF
     var pendingStringCell: (Int, Int) = null
+    // Record ids that place a cell value — used to invalidate a
+    // pending FORMULA→STRING expectation: the spec requires STRING to
+    // immediately follow its FORMULA, so any other CELL record in
+    // between means the STRING never came and a later stray STRING
+    // must not attach text to the stale cell (round-11 advice).
+    val cellRecordIds = Set(0xFD, 0x203, 0x27E, 0xBD, 0x204, 0x205, 0x06)
     var done = false
     while (!done) {
+      if (pendingStringCell != null && c.id != 0x207 && cellRecordIds(c.id))
+        pendingStringCell = null
       c.id match {
         case 0xFD => // LABELSST
           val row = c.u16c(); val col = c.u16c(); c.skip(2)
@@ -395,6 +411,12 @@ object Xls {
           put(row, col, if (isErr != 0) null else if (v != 0) "true" else "false")
         case 0x06 => // FORMULA with cached result
           val row = c.u16c(); val col = c.u16c(); c.skip(2)
+          // 6 bytes consumed (row/col/xf); the cached-value peek reads
+          // 8 more — a shorter record is corrupt, fail loudly instead
+          // of letting the raw array index throw (round-11 advice).
+          require(c.len >= 14,
+            s"corrupt .xls: FORMULA record of ${c.len} bytes at row $row col $col " +
+              "(need >= 14 for the cached value)")
           if (u16(wb, c.pos + 6) == 0xFFFF) u8(wb, c.pos) match {
             case 0 => pendingStringCell = (row, col) // STRING record follows
             case 1 => put(row, col, if (u8(wb, c.pos + 2) != 0) "true" else "false")

@@ -1412,8 +1412,11 @@ class XlsSpec extends AnyFunSuite {
 
   /** Workbook stream: globals (BOUNDSHEET + SST incl. a CONTINUE
     * split and a wide string) + one sheet with every cell form.
+    * `padBytes` sizes an inert 0x5C filler record exactly (None =
+    * no filler) so tests can pin the stream length to a byte — the
+    * mini-FAT↔FAT cutover tests need 4095 vs 4096 precisely.
     */
-  private def workbookBytes(pad: Boolean): Array[Byte] = {
+  private def workbookBytes(padBytes: Option[Int]): Array[Byte] = {
     // SST strings: 0="id", 1="café" (wide), 2="valor",
     // 3="abcdefghij" split 4+6 across a CONTINUE.
     val sstHead = le32(4) ++ le32(4) ++
@@ -1452,7 +1455,10 @@ class XlsSpec extends AnyFunSuite {
       val name = "Plan1".getBytes("ASCII")
       val bs = rec(0x85, le32(sheetOffset) ++ le16(0) ++
         Array(name.length.toByte, 0.toByte) ++ name)
-      val padRec = if (pad) rec(0x5C, new Array[Byte](4200)) else Array.empty[Byte]
+      val padRec = padBytes match {
+        case Some(n) => rec(0x5C, new Array[Byte](n))
+        case None => Array.empty[Byte]
+      }
       bof(0x05) ++ bs ++ sst ++ padRec ++ rec(0x0A, Array.empty[Byte])
     }
     val gLen = globals(0).length
@@ -1549,11 +1555,26 @@ class XlsSpec extends AnyFunSuite {
     }
   }
 
-  private def writeXls(pad: Boolean): String = {
+  private def writeXlsBytes(wb: Array[Byte]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_xls").toString
     val p = s"$dir/legacy.xls"
-    java.nio.file.Files.write(java.nio.file.Paths.get(p), cfb(workbookBytes(pad)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), cfb(wb))
     p
+  }
+
+  private def writeXls(pad: Boolean): String =
+    writeXlsBytes(workbookBytes(if (pad) Some(4200) else None))
+
+  /** The standard workbook padded so the stream is EXACTLY `total`
+    * bytes — the mini-FAT↔FAT cutover pin (filler record header costs
+    * 4 bytes on top of its payload).
+    */
+  private def writeXlsExact(total: Int): String = {
+    val base = workbookBytes(None).length
+    require(total >= base + 4, s"target $total below minimum ${base + 4}")
+    val wb = workbookBytes(Some(total - base - 4))
+    assert(wb.length == total, s"padding math drifted: ${wb.length} != $total")
+    writeXlsBytes(wb)
   }
 
   test("BIFF8 regular-FAT workbook: every cell form, SST continue split, wide strings") {
@@ -1581,6 +1602,74 @@ class XlsSpec extends AnyFunSuite {
     val df = graft.sources.Load.load(spark, p)
     assert(df.columns.toSeq == Seq("id", "valor", "café"))
     assert(df.count() == 4)
+  }
+
+  // ---- round-12 adversarial fixtures (verdict ask #7): the two spots
+  // where real-world BIFF8 historically breaks readers.
+
+  /** Workbook whose SST monster string spans TWO CONTINUE records with
+    * ALTERNATING compression flags (head compressed → wide CONTINUE →
+    * compressed CONTINUE; each run fills its record exactly, so the
+    * flag MUST be re-read at both boundaries), plus a FORMULA whose
+    * promised STRING never arrives before another cell record (the
+    * stray STRING later must not attach to the stale cell), plus a
+    * NUMBER in Double.toString's scientific range (12345678.5) pinning
+    * the plain rendering.
+    */
+  private def adversarialWorkbookBytes: Array[Byte] = {
+    val sst = rec(0xFC, le32(3) ++ le32(3) ++
+        (le16(1) ++ Array(0.toByte) ++ "a".getBytes("ASCII")) ++
+        (le16(1) ++ Array(0.toByte) ++ "b".getBytes("ASCII")) ++
+        (le16(20) ++ Array(0.toByte) ++ "012345".getBytes("ASCII"))) ++
+      rec(0x3C, Array(1.toByte) ++ "6789ABC".getBytes("UTF-16LE")) ++
+      rec(0x3C, Array(0.toByte) ++ "DEFGHIJ".getBytes("ASCII"))
+    val numSci = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(12345678.5); b.array()
+    }
+    val sheet = bof(0x10) ++
+      rec(0xFD, cell(0, 0) ++ le32(0)) ++ // header a
+      rec(0xFD, cell(0, 1) ++ le32(1)) ++ // header b
+      rec(0xFD, cell(1, 0) ++ le32(2)) ++ // the two-CONTINUE monster
+      rec(0x203, cell(1, 1) ++ numSci) ++
+      rec(0x06, cell(2, 0) ++ // FORMULA promising a STRING...
+        Array[Byte](0, 0, 0, 0, 0, 0, 0xFF.toByte, 0xFF.toByte) ++
+        le16(0) ++ le32(0) ++ le16(0)) ++
+      rec(0x27E, cell(2, 1) ++ le32((42L << 2) | 2L)) ++ // ...but a cell lands first
+      rec(0x207, le16(5) ++ Array(0.toByte) ++ "stray".getBytes("ASCII")) ++
+      rec(0x0A, Array.empty[Byte])
+    def globals(off: Int): Array[Byte] = {
+      val name = "S".getBytes("ASCII")
+      bof(0x05) ++
+        rec(0x85, le32(off) ++ le16(0) ++ Array(name.length.toByte, 0.toByte) ++ name) ++
+        sst ++ rec(0x0A, Array.empty[Byte])
+    }
+    val g = globals(0).length
+    globals(g) ++ sheet
+  }
+
+  test("SST string across TWO CONTINUEs with alternating flags; stale FORMULA->STRING; plain numerics") {
+    val df = graft.sources.Load.load(spark, writeXlsBytes(adversarialWorkbookBytes))
+    assert(df.columns.toSeq == Seq("a", "b"))
+    val rows = df.collect().map(_.toSeq).toSeq
+    assert(rows == Seq(
+      // flag alternation: compressed head + wide CONTINUE + compressed CONTINUE
+      Seq("0123456789ABCDEFGHIJ", "12345678.5"),
+      // the formula cell stays null; "stray" must NOT attach to it
+      Seq(null, "42")))
+  }
+
+  test("mini-FAT/FAT cutover: 4095-byte stream via ministream, 4096 via regular FAT") {
+    // MS-CFB puts streams < 4096 bytes in the ministream; at exactly
+    // 4096 they move to the regular FAT. One byte apart, two entirely
+    // different sector paths — the classic off-by-one in CFB readers
+    // (a 4095-byte ministream also spans 64 mini sectors = 8 root
+    // sectors, exercising the multi-sector root chain).
+    for (sz <- Seq(4095, 4096)) {
+      val df = graft.sources.Xls.read(spark, writeXlsExact(sz))
+      assert(df.columns.toSeq == Seq("id", "valor", "café"), s"stream size $sz")
+      assert(df.count() == 4, s"stream size $sz")
+    }
   }
 }
 
