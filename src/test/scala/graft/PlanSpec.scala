@@ -441,6 +441,12 @@ class PlanSpec extends AnyFunSuite {
       "ann_pq_recall" -> "PQ codebooks: m subspaces x 2^bits codewords (k-row checkpoints)",
       "ann_pq_lloyd" -> "PQ codebooks: m x 2^bits codewords after Lloyd refinement (checkpoints)",
       "ann_pq_rerank" -> "PQ codebooks + shortlist: codewords / top-n per query (k-heap output)",
+      // The manifold twins run the SAME bodies as their originals over
+      // the derived fixture — identical hinted frames, same bounds.
+      "ann_recall_manifold" -> "query side: literal vec_id filter (both arms)",
+      "ann_pq_manifold" -> "PQ codebooks: m subspaces x 2^bits codewords (k-row checkpoints)",
+      "ann_pq_lloyd_manifold" -> "PQ codebooks: m x 2^bits codewords after Lloyd refinement (checkpoints)",
+      "ann_pq_rerank_manifold" -> "PQ codebooks + shortlist: codewords / top-n per query (k-heap output)",
       "ann_kmeans" -> "centroid table: k rows (checkpointed Lloyd output)",
       "dedup_incr_embed" -> "batch-side signatures: incremental-batch contract (batch << corpus)",
       "dedup_decontaminate" -> "eval-set grams: eval benchmark cardinality by contract",
