@@ -1308,132 +1308,201 @@ object PipelineQueries {
     * packing fold never sees more than one bucket. No corpus-wide
     * window, no cartesian anywhere (PlanSpec-pinned).
     */
+  /** Stages 1-4 of the pretraining ORACLE (b0 → clean), shared by the
+    * whitespace-packed and BPE-packed registrations. The per-doc
+    * word-count CTE is named `pwc` to stay disjoint from the BPE
+    * chain's corpus-level `wc` when the two compose in
+    * [[pretrainPrepBpe]].
+    */
+  private lazy val pretrainStagesSql: String =
+    s"""b0 AS (
+       |$docsBaseSql
+       |),
+       |scored0 AS (
+       |  SELECT doc_id, text, toks, n, $stopScoresSql,
+       |         $qualityExprSql AS q,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |         CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM b0
+       |),
+       |scored AS (
+       |  SELECT doc_id, text, toks, q, fp, n_tok, $langidCaseSql AS lang_pred
+       |  FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM scored0)
+       |),
+       |pwc AS (
+       |  SELECT doc_id, w, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(list_filter(toks, x -> x <> '')) AS w FROM b0)
+       |  GROUP BY 1, 2
+       |),
+       |wf AS (
+       |  SELECT doc_id,
+       |         ROUND(COALESCE(
+       |           CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(w) END) AS DOUBLE)
+       |             / CAST(SUM(cnt * length(w)) AS DOUBLE), 0.0), 6) AS dup_word_frac
+       |  FROM pwc GROUP BY 1
+       |),
+       |chc AS (
+       |  SELECT doc_id, c, COUNT(*) AS nc
+       |  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c FROM documents)
+       |  WHERE c <> '' GROUP BY 1, 2
+       |),
+       |ent AS (
+       |  SELECT doc_id,
+       |         (SUM(nc) * CAST(ROUND(1000000 * ln(SUM(nc))) AS BIGINT)
+       |          - SUM(nc * CAST(ROUND(1000000 * ln(nc)) AS BIGINT)))::DOUBLE
+       |         / (SUM(nc) * 1000000)::DOUBLE AS entropy
+       |  FROM chc GROUP BY 1
+       |),
+       |gated AS (
+       |  SELECT s.doc_id, s.text, s.lang_pred, s.n_tok, s.fp
+       |  FROM scored s
+       |  LEFT JOIN wf ON s.doc_id = wf.doc_id
+       |  JOIN ent ON s.doc_id = ent.doc_id
+       |  WHERE s.q >= 0.5 AND COALESCE(wf.dup_word_frac, 0.0) <= 0.95
+       |    AND ent.entropy BETWEEN 1.5 AND 4.5
+       |),
+       |dedup AS (
+       |  SELECT * FROM gated QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+       |),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN len(toks) >= 3
+       |                THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+       |                                    FOR i IN generate_series(0, len(toks) - 3)])
+       |                ELSE [] END) AS gram
+       |  FROM (SELECT doc_id,
+       |               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+       |        FROM documents)
+       |),
+       |pairs AS (
+       |  SELECT c.doc_id, COUNT(*) AS ns
+       |  FROM g c JOIN g e ON c.gram = e.gram
+       |  WHERE e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+       |  GROUP BY c.doc_id, e.doc_id HAVING COUNT(*) >= 5
+       |),
+       |clean AS (
+       |  SELECT d.doc_id,
+       |         d.lang_pred || '#' || CAST(d.doc_id // 200 AS VARCHAR) AS bucket,
+       |         d.n_tok
+       |  FROM dedup d
+       |  WHERE d.doc_id % 10 <> 0
+       |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_id = d.doc_id)
+       |)""".stripMargin
+
+  /** The packing tail (ord → recursive pack → per-(bucket, seq)
+    * summary) over any clean-shaped CTE `(doc_id, bucket, n_tok)`.
+    */
+  private def packTailSql(src: String): String =
+    s""",
+       |ord AS (
+       |  SELECT doc_id, bucket, n_tok,
+       |         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+       |  FROM $src
+       |),
+       |pack AS (
+       |  SELECT bucket, doc_id, n_tok, rn, 0 AS seq, n_tok AS cur FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.bucket, o.doc_id, o.n_tok, o.rn,
+       |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN p.seq + 1 ELSE p.seq END,
+       |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN o.n_tok ELSE p.cur + o.n_tok END
+       |  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+       |)
+       |SELECT bucket, seq, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+       |FROM pack GROUP BY 1, 2""".stripMargin
+
+  /** Stages 1-4 of the pretraining pipeline (score → gate → exact
+    * dedup → decontaminate), shared by the whitespace-packed
+    * registration and the BPE-packed one — returns the clean candidate
+    * set (doc_id, bucket, n_tok) with n_tok the WHITESPACE count; the
+    * BPE variant swaps that column for trained-tokenizer counts before
+    * packing.
+    */
+  private def pretrainCleanDocs(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      col("doc_id"), col("text"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.languageId(col("text")).as("lang_pred"),
+      TextAnalysis.tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("n_tok"))
+    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("dup_word_frac"))
+    val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select(col("doc_id"), col("entropy"))
+    val gated = scored.join(rep, "doc_id").join(ent, "doc_id")
+      .filter(col("q") >= 0.5 && col("dup_word_frac") <= 0.95 &&
+        col("entropy").between(1.5, 4.5))
+    val deduped = gated
+      .groupBy(col("fp"))
+      .agg(min_by(
+        struct(col("doc_id"), col("text"), col("lang_pred"), col("n_tok")),
+        col("doc_id")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"),
+        col("d.lang_pred").as("lang_pred"), col("d.n_tok").as("n_tok"))
+    val cand = deduped.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val contaminated = Dedup.decontaminate(
+        cand, docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", shingleK = 3, minShared = 5)
+      .select(col("doc_id")).distinct()
+    cand.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        concat(col("lang_pred"), lit("#"),
+          expr("doc_id div 200").cast("string")).as("bucket"),
+        col("n_tok"))
+  }
+
+  private def packedSummary(clean: DataFrame): DataFrame =
+    TextAnalysis.packSequences(clean, "doc_id", "n_tok", "bucket", maxTokens = 256L)
+      .groupBy(col("bucket"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("seq_tokens"))
+
   val pretrainPrep = QueryDef(
     "pipeline_pretrain_prep",
+    (s, dir) => packedSummary(pretrainCleanDocs(Tables.documents(s, dir))),
+    Some(s"""WITH RECURSIVE $pretrainStagesSql${packTailSql("clean")}""".stripMargin))
+
+  /** BPE-packed pretraining prep (round-11 verdict ask #6): identical
+    * stages 1-4 ([[pretrainCleanDocs]]), but the packing stage sizes
+    * each document by its TRAINED-TOKENIZER token count
+    * ([[graft.operators.Bpe.encodeCounts]], T18's 20-merge tokenizer
+    * trained on the full corpus) instead of the whitespace proxy —
+    * production packs by what the model will actually see. The oracle
+    * composes the 20-round BPE chain with the pipeline stages and
+    * replays the recursive packing CTE over the BPE counts, so a
+    * single mis-tokenized word anywhere shifts a pack boundary and
+    * hash-fails. Scale: the tokenizer work is [[textBpeEncode]]'s
+    * shape (vocabulary-cardinality rounds + an unhinted
+    * distinct-word join), composed before the bucket-bounded fold.
+    */
+  val pretrainPrepBpe = QueryDef(
+    "pipeline_pretrain_prep_bpe",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val scored = docs.select(
-        col("doc_id"), col("text"),
-        TextAnalysis.qualityScore(col("text")).as("q"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.languageId(col("text")).as("lang_pred"),
-        TextAnalysis.tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("n_tok"))
-      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
-        .select(col("doc_id"), col("dup_word_frac"))
-      val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
-        .select(col("doc_id"), col("entropy"))
-      val gated = scored.join(rep, "doc_id").join(ent, "doc_id")
-        .filter(col("q") >= 0.5 && col("dup_word_frac") <= 0.95 &&
-          col("entropy").between(1.5, 4.5))
-      val deduped = gated
-        .groupBy(col("fp"))
-        .agg(min_by(
-          struct(col("doc_id"), col("text"), col("lang_pred"), col("n_tok")),
-          col("doc_id")).as("d"))
-        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"),
-          col("d.lang_pred").as("lang_pred"), col("d.n_tok").as("n_tok"))
-      val cand = deduped.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-      val contaminated = Dedup.decontaminate(
-          cand, docs.filter(pmod(col("doc_id"), lit(10)) === 0),
-          "doc_id", "text", shingleK = 3, minShared = 5)
-        .select(col("doc_id")).distinct()
-      val clean = cand.join(contaminated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          concat(col("lang_pred"), lit("#"),
-            expr("doc_id div 200").cast("string")).as("bucket"),
-          col("n_tok"))
-      TextAnalysis.packSequences(clean, "doc_id", "n_tok", "bucket", maxTokens = 256L)
-        .groupBy(col("bucket"), col("seq"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("seq_tokens"))
+      val (mergeTable, _) =
+        graft.operators.Bpe.train(docs, "text", merges = BpeMerges)
+      val bpe = graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", mergeTable)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+      val clean = pretrainCleanDocs(docs)
+        .join(bpe, Seq("doc_id"))
+        .select(col("doc_id"), col("bucket"), col("n_bpe_tokens").as("n_tok"))
+      packedSummary(clean)
     },
-    Some(s"""WITH RECURSIVE b0 AS (
-            |$docsBaseSql
+    Some(s"""WITH RECURSIVE ${bpeChainSql(BpeMerges)},
+            |$pretrainStagesSql,
+            |dtok AS (
+            |  SELECT doc_id, t AS w FROM (
+            |    SELECT doc_id,
+            |           unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
+            |    FROM documents)
+            |  WHERE regexp_matches(t, '^[a-z0-9]+$$')
             |),
-            |scored0 AS (
-            |  SELECT doc_id, text, toks, n, $stopScoresSql,
-            |         $qualityExprSql AS q,
-            |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-            |         CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS BIGINT) AS n_tok
-            |  FROM b0
+            |enc AS (
+            |  SELECT d.doc_id, CAST(SUM(len(m.s)) AS BIGINT) AS n_bpe_tokens
+            |  FROM dtok d JOIN st$BpeMerges m USING (w) GROUP BY 1
             |),
-            |scored AS (
-            |  SELECT doc_id, text, toks, q, fp, n_tok, $langidCaseSql AS lang_pred
-            |  FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM scored0)
-            |),
-            |wc AS (
-            |  SELECT doc_id, w, COUNT(*) AS cnt
-            |  FROM (SELECT doc_id, unnest(list_filter(toks, x -> x <> '')) AS w FROM b0)
-            |  GROUP BY 1, 2
-            |),
-            |wf AS (
-            |  SELECT doc_id,
-            |         ROUND(COALESCE(
-            |           CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(w) END) AS DOUBLE)
-            |             / CAST(SUM(cnt * length(w)) AS DOUBLE), 0.0), 6) AS dup_word_frac
-            |  FROM wc GROUP BY 1
-            |),
-            |chc AS (
-            |  SELECT doc_id, c, COUNT(*) AS nc
-            |  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c FROM documents)
-            |  WHERE c <> '' GROUP BY 1, 2
-            |),
-            |ent AS (
-            |  SELECT doc_id,
-            |         (SUM(nc) * CAST(ROUND(1000000 * ln(SUM(nc))) AS BIGINT)
-            |          - SUM(nc * CAST(ROUND(1000000 * ln(nc)) AS BIGINT)))::DOUBLE
-            |         / (SUM(nc) * 1000000)::DOUBLE AS entropy
-            |  FROM chc GROUP BY 1
-            |),
-            |gated AS (
-            |  SELECT s.doc_id, s.text, s.lang_pred, s.n_tok, s.fp
-            |  FROM scored s
-            |  LEFT JOIN wf ON s.doc_id = wf.doc_id
-            |  JOIN ent ON s.doc_id = ent.doc_id
-            |  WHERE s.q >= 0.5 AND COALESCE(wf.dup_word_frac, 0.0) <= 0.95
-            |    AND ent.entropy BETWEEN 1.5 AND 4.5
-            |),
-            |dedup AS (
-            |  SELECT * FROM gated QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
-            |),
-            |g AS (
-            |  SELECT doc_id,
-            |         unnest(CASE WHEN len(toks) >= 3
-            |                THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
-            |                                    FOR i IN generate_series(0, len(toks) - 3)])
-            |                ELSE [] END) AS gram
-            |  FROM (SELECT doc_id,
-            |               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
-            |        FROM documents)
-            |),
-            |pairs AS (
-            |  SELECT c.doc_id, COUNT(*) AS ns
-            |  FROM g c JOIN g e ON c.gram = e.gram
-            |  WHERE e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
-            |  GROUP BY c.doc_id, e.doc_id HAVING COUNT(*) >= 5
-            |),
-            |clean AS (
-            |  SELECT d.doc_id,
-            |         d.lang_pred || '#' || CAST(d.doc_id // 200 AS VARCHAR) AS bucket,
-            |         d.n_tok
-            |  FROM dedup d
-            |  WHERE d.doc_id % 10 <> 0
-            |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_id = d.doc_id)
-            |),
-            |ord AS (
-            |  SELECT doc_id, bucket, n_tok,
-            |         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
-            |  FROM clean
-            |),
-            |pack AS (
-            |  SELECT bucket, doc_id, n_tok, rn, 0 AS seq, n_tok AS cur FROM ord WHERE rn = 1
-            |  UNION ALL
-            |  SELECT o.bucket, o.doc_id, o.n_tok, o.rn,
-            |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN p.seq + 1 ELSE p.seq END,
-            |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN o.n_tok ELSE p.cur + o.n_tok END
-            |  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
-            |)
-            |SELECT bucket, seq, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
-            |FROM pack GROUP BY 1, 2""".stripMargin))
+            |cleanb AS (
+            |  SELECT c.doc_id, c.bucket, COALESCE(e.n_bpe_tokens, 0) AS n_tok
+            |  FROM clean c LEFT JOIN enc e ON c.doc_id = e.doc_id
+            |)${packTailSql("cleanb")}""".stripMargin))
 
   /** Positional inverted index + exact phrase search
     * ([[TextAnalysis.invertedIndex]] / [[phraseSearchBigram]]) — the
@@ -4022,6 +4091,6 @@ object PipelineQueries {
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture,
-    sampleWeighted, basketLift, eventsAnomalyDays,
+    sampleWeighted, basketLift, eventsAnomalyDays, pretrainPrepBpe,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }

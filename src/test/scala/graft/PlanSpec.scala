@@ -453,6 +453,7 @@ class PlanSpec extends AnyFunSuite {
       "mm_phash_pairs" -> "hot-bucket cap frame: aggregate of over-cap buckets (cap contract)",
       "pipeline_rag_search" -> "query side: literal query rows",
       "pipeline_pretrain_prep" -> "eval grams (eval-set contract) + per-source stats (enum domain)",
+      "pipeline_pretrain_prep_bpe" -> "same frames as pipeline_pretrain_prep (shared stage builder); BPE merges array is a 1-row agg",
       "pipeline_ep2" -> "pendentes dim keys: week-snapshot key sets (weekly batch contract)",
       "compat_report" -> "dim key sets: product-dimension cardinality (J2 contract)",
       "u1_s5_union_semanas" -> "weekly snapshot key sets (weekly batch contract)",
