@@ -2374,19 +2374,27 @@ object PipelineQueries {
   private def manifoldEmb(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing
     def h60(c: Column): Column = Hashing.md5Bits60(c)
-    Tables.embeddings(s, dir).select(
-      col("vec_id"),
-      transform(sequence(lit(0), lit(63)), d =>
-        ((h60(concat(lit("mc"), (col("vec_id") % 16).cast("string"),
-            lit("_"), d.cast("string"))) % 2001 - 1000) +
-          (h60(concat(lit("mn"), col("vec_id").cast("string"),
-            lit("_"), d.cast("string"))) % 2001 - 1000)).cast("double"))
-        .cast("array<float>").as("embedding"))
+    org.apache.spark.sql.graft.CheckpointBlocks.cut(
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((h60(concat(lit("mc"), (col("vec_id") % 16).cast("string"),
+              lit("_"), d.cast("string"))) % 2001 - 1000) +
+            (h60(concat(lit("mn"), col("vec_id").cast("string"),
+              lit("_"), d.cast("string"))) % 2001 - 1000)).cast("double"))
+          .cast("array<float>").as("embedding")))
   }
   // ^ the float cast is EXACT (|values| <= 2000 < 2^24) and keeps the
   // frame on the pipeline's array<float> contract (graft_cosine's
   // codegen signature); DuckDB's chain stays DOUBLE[] like the float
   // fixture's ::DOUBLE[] cast — same exact integers either way.
+  // Checkpoint-cut: the derivation runs 128 md5 calls per row, and the
+  // recall bodies scan their source frame ~8x (normalize, per-subspace
+  // slices, ground truth, rerank) — uncut, the sf1 slope tour measured
+  // the PQ twins at 4-5x/10x data with the EXTRA cost being pure
+  // fixture re-derivation, which a real corpus (read once from
+  // parquet) never pays. Cutting materializes the 10 MB-at-sf1 frame
+  // once inside the timed region, same as the kmeans/BPE round idiom.
 
   /** The DuckDB side of [[manifoldEmb]] — spliced as the `e` CTE body
     * into the same oracle chains the float fixture uses (kept on one

@@ -377,6 +377,25 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected partition-less window (add to whitelist ONLY with a cardinality argument): $offenders")
   }
 
+  test("a24_basket_lift broadcasts the PAIRS side of the support join-backs") {
+    // Round-11 scale-killer #1: the support join-backs forced
+    // broadcast(partCnt) — PART-cardinality (10⁸–10⁹ at a 100 TB
+    // catalog) — onto a pairs frame that is ≤20 rows post-limit. The
+    // fix broadcasts the pairs side; the physical pin: both support
+    // joins build from the LEFT (the TakeOrdered(20) lineage), and
+    // nothing in the query plans a shuffled join.
+    val p = plan("a24_basket_lift")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      "top-20 pairs cut lost its bounded TakeOrdered:\n" + p.take(600))
+    val buildLeft = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("BuildLeft"))
+    assert(buildLeft >= 2,
+      s"support join-backs must build from the pairs side (found $buildLeft BuildLeft):\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffled join anywhere in the lift query:\n" + p.take(800))
+  }
+
   test("structural sweep: every forced broadcast is literal-bounded or whitelisted") {
     // Round-11 verdict ask #8 (generalizing its two scale-killers —
     // both were FORCED broadcasts of frames whose cardinality tracks
