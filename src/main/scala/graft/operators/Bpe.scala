@@ -260,6 +260,58 @@ object Bpe {
     }
   }
 
+  /** Per-document TOKEN-ID SEQUENCE — the artifact a tokenizer
+    * actually SERVES (counts are monitoring; models consume ids):
+    * each ascii word segments by merge replay ([[applyMerges]]), each
+    * symbol maps to its [[vocab]] token id, and the ids concatenate in
+    * (word position, symbol position) order. Symbols outside the
+    * shipped vocabulary — possible only for OOV words whose replayed
+    * segmentation contains characters/intermediate pairs the training
+    * corpus never produced — map to the reserved UNK id 0 (the
+    * pre-byte-fallback tokenizer posture; vocab ids are 1-based so 0
+    * is free by construction). Emitted as a comma-joined string: the
+    * sequence IS the value under test, and a string column keeps it
+    * inside the driver comparator's scalar contract.
+    *
+    * Scale shape: the explode/distinct/join stage is
+    * [[symbolOccurrences]]'s batch shape (per-distinct-word fold,
+    * unhinted join-back); the vocab id join broadcasts the genuinely
+    * vocab-sized table; the per-doc assembly is one object-hash
+    * aggregate whose state is the document's own token list — the
+    * same bounded-by-document-length argument as the a9 history
+    * family. Documents with no ascii tokens report (0, "").
+    */
+  def encodeIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mergeTable: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val occ = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .select(col("doc_id"),
+        posexplode(asciiTokens(col(textCol))).as(Seq("wpos", "w")))
+    val wordSyms = occ.select(col("w")).distinct()
+      .crossJoin(broadcast(mergesArray(mergeTable)))
+      .select(col("w"), applyMerges(col("w"), col("__merges")).as("syms"))
+    val ids = occ.join(wordSyms, Seq("w"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("token_id"), lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("wpos"), col("spos"), col("tid")))),
+            s => s.getField("tid").cast("string")),
+          ",").as("token_ids"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(ids, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("token_ids"), lit("")).as("token_ids"))
+  }
+
   /** Per-document BPE statistics after [[train]]: (doc_id, n_words,
     * n_bpe_tokens) — every ascii word of every document encoded by
     * the trained MERGE TABLE (see [[symbolOccurrences]]; OOV words

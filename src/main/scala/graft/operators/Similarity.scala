@@ -433,6 +433,34 @@ object Similarity {
       m: Int = 2,
       ks: Int = 16,
       lloydIters: Int = 0): DataFrame = {
+    val (enc, tables) =
+      pqMachinery(queries, corpus, idCol, vecCol, dim, m, ks, lloydIters)
+    val scored0 = tables.zipWithIndex.foldLeft(enc.withColumnRenamed("id", "n_id")) {
+      case (acc, (t, j)) =>
+        val cond = (col(s"code$j") === col(s"tc$j")) +:
+          (if (j == 0) Seq.empty else Seq(col("tq0") === col(s"tq$j")))
+        acc.join(broadcast(t), cond.reduce(_ && _))
+    }
+    pqRank(scored0, col("tq0"), m, k)
+  }
+
+  /** The shared PQ build: normalized corpus/query frames → seed (or
+    * Lloyd-refined) per-subspace codebooks → corpus code table
+    * (`id`, code0..code{m-1}) and per-subspace ADC tables
+    * (`tq$j`, `tc$j`, `td$j`). Factored out of [[pqTopK]] so the
+    * IVF-composed index ([[ivfPqTopK]]) reuses the identical encode
+    * and table machinery — recall deltas between the two registrations
+    * are then attributable to the coarse quantizer alone.
+    */
+  private def pqMachinery(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ks: Int,
+      lloydIters: Int): (DataFrame, Seq[DataFrame]) = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
 
@@ -491,15 +519,16 @@ object Similarity {
         .select(col("id").as(s"tq$j"), col("c_id").as(s"tc$j"),
           l2sq(slice(col("u"), j * subDim + 1, subDim), col("cw")).as(s"td$j"))
     }
-    val scored0 = tables.zipWithIndex.foldLeft(enc.withColumnRenamed("id", "n_id")) {
-      case (acc, (t, j)) =>
-        val cond = (col(s"code$j") === col(s"tc$j")) +:
-          (if (j == 0) Seq.empty else Seq(col("tq0") === col(s"tq$j")))
-        acc.join(broadcast(t), cond.reduce(_ && _))
-    }
+    (enc, tables)
+  }
+
+  /** Shared ADC ranking tail: sum the m table distances, drop the
+    * self-pair, bounded k-heap per query.
+    */
+  private def pqRank(scored0: DataFrame, qId: Column, m: Int, k: Int): DataFrame = {
     val scored = scored0
-      .filter(col("n_id") =!= col("tq0"))
-      .select(col("tq0").as("q_id"), col("n_id"),
+      .filter(col("n_id") =!= qId)
+      .select(qId.as("q_id"), col("n_id"),
         (0 until m).map(j => col(s"td$j")).reduce(_ + _).as("dist"))
     scored
       .groupBy(col("q_id"))
@@ -507,6 +536,89 @@ object Similarity {
         struct(col("dist").as("dist"), col("n_id").as("n_id")), k).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.n_id").as("n_id"), col("t.dist").as("dist"))
+  }
+
+  /** IVF × PQ composed search — FAISS `IndexIVFPQ` without residual
+    * encoding, the index billion-vector deployments actually ship:
+    * a coarse quantizer ([[ivfAssign]], full-precision cell
+    * assignment at build time) decides WHICH corpus rows a query
+    * scores (nprobe cells, not the corpus), and PQ codes decide WHAT
+    * is stored per row (m bytes, [[pqMachinery]]'s 64× cut). The two
+    * compose front-to-back: the candidate set is built FIRST — the
+    * |Q|×nprobe probe table (broadcast, tiny) equi-joins the
+    * cell-tagged code table ON THE CELL, so only ~nprobe/ncells of
+    * the corpus enters the ADC lookups — then the per-subspace
+    * tables fold onto the pruned candidates exactly as in [[pqTopK]].
+    * At 100 TB that ordering is the whole point: a filter AFTER a
+    * corpus-wide ADC join would pay the full scoring cost and prune
+    * nothing.
+    *
+    * Same determinism contract as both parents (rounded-6dp
+    * distances, lowest-id tie-breaks at assignment, encode, and
+    * ranking); recall is measured by [[recallVsTruth]] against the
+    * same exact truth — the compounding of IVF's pruning loss and
+    * PQ's code loss is the number a deployment tunes (nprobe, m, ks,
+    * shortlist) against.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 2,
+      ks: Int = 16,
+      nprobe: Int = 2,
+      lloydIters: Int = 0): DataFrame = {
+    val (enc, tables) =
+      pqMachinery(queries, corpus, idCol, vecCol, dim, m, ks, lloydIters)
+    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("id"), col("cell"))
+    val probes = ivfAssignProbes(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("id").as("pq_id"), col("cell"))
+    // Candidate set first: probes × cell-members — the cell equi-join
+    // IS the index lookup; everything downstream sees only candidates.
+    val candidates = enc.join(assign, Seq("id"))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumnRenamed("id", "n_id")
+    val scored0 = tables.zipWithIndex.foldLeft(candidates) {
+      case (acc, (t, j)) =>
+        acc.join(broadcast(t),
+          col(s"code$j") === col(s"tc$j") && col("pq_id") === col(s"tq$j"))
+    }
+    pqRank(scored0, col("pq_id"), m, k)
+  }
+
+  /** IVF × PQ × exact rerank — the full production retrieval stack at
+    * this code rate: coarse cells prune, codes shortlist
+    * k × shortlistFactor, and only the shortlist pays exact cosines.
+    */
+  def ivfPqRerankTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 2,
+      ks: Int = 16,
+      nprobe: Int = 2,
+      lloydIters: Int = 0,
+      shortlistFactor: Int = 4): DataFrame = {
+    val shortlist = ivfPqTopK(queries, corpus, centroids, idCol, vecCol,
+        dim, k * shortlistFactor, m, ks, nprobe, lloydIters)
+      .select(col("q_id"), col("n_id"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
+      .filter(col("cos").isNotNull)
+    topKByCos(scored, k, carryCell = false)
   }
 
   /** ANN quality measurement: recall of an approximate top-k result

@@ -841,6 +841,64 @@ object PipelineQueries {
          |  FROM (SELECT freq, unnest(s) AS t FROM st$BpeMerges) GROUP BY 1
          |)""".stripMargin))
 
+  /** The tokenizer's SERVING output ([[graft.operators.Bpe.encodeIds]]):
+    * per-document token-ID sequences — train, build the vocabulary
+    * artifact, segment every word by merge replay, map each symbol to
+    * its token id, concatenate in (word, symbol) order. The oracle
+    * replays the full chain (20 training rounds → vocabulary ranking →
+    * per-position segmentation → id join) and compares the SEQUENCE
+    * string, so a single transposed, dropped, or mis-ranked token
+    * anywhere in any document hash-fails — the strictest pin the
+    * tokenizer family has (counts can agree by accident; sequences
+    * cannot). Unknown symbols map to UNK id 0 (never fires here where
+    * train and encode share the corpus; BpeSpec pins the UNK path on
+    * a disjoint hand fixture).
+    */
+  val textBpeTokenIds = QueryDef(
+    "text_bpe_token_ids",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (mergeTable, wordMap) =
+        graft.operators.Bpe.train(docs, "text", merges = BpeMerges)
+      graft.operators.Bpe.encodeIds(docs, "doc_id", "text", mergeTable,
+        graft.operators.Bpe.vocab(wordMap))
+    },
+    Some(
+      s"""WITH ${bpeChainSql(BpeMerges)},
+         |voc AS (
+         |  SELECT token,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT)
+         |           AS token_id
+         |  FROM (
+         |    SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+         |    FROM (SELECT freq, unnest(s) AS t FROM st$BpeMerges) GROUP BY 1
+         |  )
+         |),
+         |dtok AS (
+         |  SELECT doc_id, unnest(toks) AS w,
+         |         unnest(generate_series(1, len(toks))) AS wpos
+         |  FROM (
+         |    SELECT doc_id,
+         |           list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |                       t -> regexp_matches(t, '^[a-z0-9]+$$')) AS toks
+         |    FROM documents)
+         |),
+         |dsym AS (
+         |  SELECT d.doc_id, d.wpos, unnest(m.s) AS token,
+         |         unnest(generate_series(1, len(m.s))) AS spos
+         |  FROM dtok d JOIN st$BpeMerges m USING (w)
+         |),
+         |ids AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         array_to_string(LIST(COALESCE(v.token_id, 0) ORDER BY wpos, spos), ',')
+         |           AS token_ids
+         |  FROM dsym LEFT JOIN voc v USING (token)
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc.doc_id, COALESCE(i.n_tokens, 0) AS n_tokens,
+         |       COALESCE(i.token_ids, '') AS token_ids
+         |FROM documents doc LEFT JOIN ids i ON doc.doc_id = i.doc_id""".stripMargin))
+
   /** Trending terms per completed window — the batch finisher closing
     * the loop [[graft.streaming.StreamingOps.trendingTerms]] opens:
     * the stream emits (window, term, n) counts and defers the top-k
@@ -2901,6 +2959,141 @@ object PipelineQueries {
     (s, dir) => pqRerankBody(manifoldEmb(s, dir)),
     Some(pqRerankOracle(manifoldSrcSql)))
 
+  private def ivfPqBody(emb: DataFrame, rerank: Boolean): DataFrame = {
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+    val approx =
+      if (rerank)
+        Similarity.ivfPqRerankTopK(queries, emb, centroids, "vec_id", "embedding",
+          dim = 64, k = 10, m = 4, ks = 16, nprobe = 2, shortlistFactor = 4)
+      else
+        Similarity.ivfPqTopK(queries, emb, centroids, "vec_id", "embedding",
+          dim = 64, k = 10, m = 4, ks = 16, nprobe = 2)
+    Similarity.recallVsTruth(gt, approx)
+  }
+
+  /** The composed-oracle chain for IVF×PQ: [[ivfRecallOracle]]'s
+    * assign/probe CTEs + [[pqSeedOracle]]'s codebook/encode/table
+    * CTEs, with the ADC scoring join restricted to probed cells —
+    * and, for the rerank variant, the exact-cosine tail over the
+    * 40-candidate shortlist.
+    */
+  private def ivfPqOracle(src: String, rerank: Boolean): String = {
+    val cut = if (rerank) 40 else 10
+    val adcName = if (rerank) "shortlist" else "approx"
+    val rerankTail =
+      if (!rerank) ""
+      else s""",
+              |approx AS (
+              |  SELECT q_id, n_id FROM (
+              |    SELECT s.q_id, s.n_id, ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
+              |    FROM shortlist s
+              |    JOIN e q ON q.vec_id = s.q_id
+              |    JOIN e n ON n.vec_id = s.n_id
+              |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+              |)""".stripMargin
+    s"""WITH e AS ($src),
+       |gt AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+       |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+       |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+       |),
+       |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+       |    FROM e CROSS JOIN c
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+       |    FROM e CROSS JOIN c WHERE e.vec_id >= 10 AND e.vec_id < 20
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) <= 2
+       |),
+       |nz AS (
+       |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+       |  FROM e WHERE list_dot_product(v, v) > 0
+       |),
+       |seeds AS (
+       |  SELECT vec_id AS c_id, u FROM nz
+       |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+       |  LIMIT 16
+       |),
+       |cb AS (
+       |  SELECT j, c_id, list_slice(u, j * 16 + 1, j * 16 + 16) AS cw
+       |  FROM seeds CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+       |),
+       |enc AS (
+       |  SELECT vec_id, j, c_id AS code FROM (
+       |    SELECT nz.vec_id, cb.j, cb.c_id,
+       |           ${l2sqSql("list_slice(nz.u, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
+       |    FROM nz CROSS JOIN cb
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c_id ASC) = 1
+       |),
+       |codes AS (
+       |  SELECT vec_id,
+       |         MAX(CASE WHEN j = 0 THEN code END) AS code0,
+       |         MAX(CASE WHEN j = 1 THEN code END) AS code1,
+       |         MAX(CASE WHEN j = 2 THEN code END) AS code2,
+       |         MAX(CASE WHEN j = 3 THEN code END) AS code3
+       |  FROM enc GROUP BY 1
+       |),
+       |tbl AS (
+       |  SELECT q.vec_id AS q_id, cb.j, cb.c_id,
+       |         ${l2sqSql("list_slice(q.u, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
+       |  FROM (SELECT * FROM nz WHERE vec_id >= 10 AND vec_id < 20) q CROSS JOIN cb
+       |),
+       |$adcName AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT t0.q_id, cd.vec_id AS n_id, t0.d + t1.d + t2.d + t3.d AS dist
+       |    FROM codes cd
+       |    JOIN assign a ON a.vec_id = cd.vec_id
+       |    JOIN probes p ON p.cell = a.cell
+       |    JOIN tbl t0 ON t0.j = 0 AND t0.c_id = cd.code0 AND t0.q_id = p.vec_id
+       |    JOIN tbl t1 ON t1.j = 1 AND t1.c_id = cd.code1 AND t1.q_id = t0.q_id
+       |    JOIN tbl t2 ON t2.j = 2 AND t2.c_id = cd.code2 AND t2.q_id = t0.q_id
+       |    JOIN tbl t3 ON t3.j = 3 AND t3.c_id = cd.code3 AND t3.q_id = t0.q_id
+       |    WHERE cd.vec_id <> t0.q_id
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) <= $cut
+       |)$rerankTail
+       |SELECT COALESCE(q_id, -1) AS q_id,
+       |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+       |FROM (
+       |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+       |) GROUP BY ROLLUP(q_id)""".stripMargin
+  }
+
+  /** IVF×PQ composite recall on the manifold fixture
+    * ([[Similarity.ivfPqTopK]] — FAISS `IndexIVFPQ` without residuals,
+    * the billion-vector production index): coarse cells prune WHICH
+    * rows are scored (nprobe=2 of 8 cells), PQ codes shrink WHAT each
+    * row stores (m=4 × 16). Registered beside its parents so the
+    * compounding is a measured column: IVF alone 0.76, PQ alone 0.37,
+    * and this row says what their composition keeps. Registered on
+    * the manifold fixture only — composing two approximations on the
+    * i.i.d. worst case would measure noise on noise.
+    */
+  val annIvfPqManifold = QueryDef(
+    "ann_ivfpq_manifold",
+    (s, dir) => ivfPqBody(manifoldEmb(s, dir), rerank = false),
+    Some(ivfPqOracle(manifoldSrcSql, rerank = false)))
+
+  /** IVF×PQ + exact rerank — the FULL production retrieval stack at
+    * this code rate (coarse prune → code shortlist ×4 → exact rerank
+    * of 40 candidates), the recipe a deployment actually ships.
+    */
+  val annIvfPqRerankManifold = QueryDef(
+    "ann_ivfpq_rerank_manifold",
+    (s, dir) => ivfPqBody(manifoldEmb(s, dir), rerank = true),
+    Some(ivfPqOracle(manifoldSrcSql, rerank = true)))
+
   /** Retrieve-then-rerank recall ([[Similarity.int8RerankTopK]]):
     * int8 shortlist at 4×k, exact-cosine rerank of the shortlist,
     * measured against the same exact truth as its siblings — so the
@@ -4090,11 +4283,12 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, textBpeTrain, textBpeEncode,
-    textBpeEncodeOov, textBpeVocab,
+    textBpeEncodeOov, textBpeVocab, textBpeTokenIds,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
+    annIvfPqManifold, annIvfPqRerankManifold,
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,

@@ -1746,6 +1746,25 @@ class BpeSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 3L)))
   }
 
+  test("encodeIds: in-order token-id sequences; unseen symbols map to UNK 0") {
+    // Train "aa aa bb": round-1 pair counts (a,a)=2 > (b,b)=1 -> merge
+    // (a,a). Word map: aa -> [aa], bb -> [b, b]. Vocab occurrences:
+    // aa=2, b=2 -> tie breaks on token asc: aa id 1, b id 2.
+    val train = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
+    val (mergeTable, wordMap) = graft.operators.Bpe.train(train, "text", merges = 1)
+    val vocab = graft.operators.Bpe.vocab(wordMap)
+    assert(vocab.select($"token", $"token_id").as[(String, Int)].collect().toMap
+      == Map("aa" -> 1, "b" -> 2))
+    // Encode a DISJOINT doc: "cc" is OOV and its replayed segmentation
+    // [c, c] contains a symbol the vocabulary never shipped -> UNK 0;
+    // "aa" and "bb" resolve normally; order is word-major.
+    val docs = Seq((7L, "cc aa bb"), (8L, "???")).toDF("doc_id", "text")
+    val out = graft.operators.Bpe.encodeIds(docs, "doc_id", "text", mergeTable, vocab)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(7L) == ((5L, "0,0,1,2,2")), s"got ${out(7L)}")
+    assert(out(8L) == ((0L, "")))
+  }
+
   test("applyMerges reproduces the trained segmentation for in-corpus words") {
     // The induction claim in the scaladoc, pinned: replaying the merge
     // table over a char split equals the training fold's final state

@@ -363,9 +363,12 @@ class PlanSpec extends AnyFunSuite {
     //   text_bpe_vocab: token-id ranking over the VOCABULARY
     //     (|alphabet| + merges symbols — dozens here, bounded by the
     //     merge budget by construction, never corpus-scale).
+    //   text_bpe_token_ids: embeds the SAME vocabulary ranking window
+    //     as text_bpe_vocab (|alphabet| + merges symbols, bounded by
+    //     the merge budget by construction).
     val ok = Set("abc_classify", "pipeline_ep2", "u_delta_semanas",
       "events_funnel_summary", "j1_inner_join_abc", "j5_left_join_default",
-      "text_bpe_vocab")
+      "text_bpe_vocab", "text_bpe_token_ids")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok(name)) None
       else {
@@ -466,6 +469,9 @@ class PlanSpec extends AnyFunSuite {
       "ann_pq_manifold" -> "PQ codebooks: m subspaces x 2^bits codewords (k-row checkpoints)",
       "ann_pq_lloyd_manifold" -> "PQ codebooks: m x 2^bits codewords after Lloyd refinement (checkpoints)",
       "ann_pq_rerank_manifold" -> "PQ codebooks + shortlist: codewords / top-n per query (k-heap output)",
+      "ann_ivfpq_manifold" -> "PQ codebooks + probe table: codewords / |Q| x nprobe rows",
+      "text_bpe_token_ids" -> "vocabulary id table: |alphabet| + merges rows (the T18d artifact)",
+      "ann_ivfpq_rerank_manifold" -> "PQ codebooks + probes + shortlist: codewords / |Q| x nprobe / top-n per query",
       "ann_kmeans" -> "centroid table: k rows (checkpointed Lloyd output)",
       "dedup_incr_embed" -> "batch-side signatures: incremental-batch contract (batch << corpus)",
       "dedup_decontaminate" -> "eval-set grams: eval benchmark cardinality by contract",
@@ -780,17 +786,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
-  test("pipeline_pretrain_prep composes under one pass: no cartesian, no corpus window") {
-    val p = plan("pipeline_pretrain_prep")
-    assert(!p.contains("CartesianProduct"), p.take(600))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
-    // The decontamination gram join must broadcast the (small) eval side.
-    assert(p.contains("BroadcastHashJoin"), p.take(800))
-    // The only Window is the packing fold's input ordering inside the
-    // bucket aggregate — there must be NO window partitioned by the
-    // whole corpus (fp-dedup is a min_by aggregate, not row_number).
-    assert(!p.contains("windowspecdefinition(fp"),
-      "fingerprint dedup must be an aggregate, not a window:\n" + p.take(800))
+  test("pipeline_pretrain_prep (ws + BPE variants) compose under one pass: no cartesian, no corpus window") {
+    for (q <- Seq("pipeline_pretrain_prep", "pipeline_pretrain_prep_bpe")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(600))
+      // The BPE variant legitimately carries exactly ONE nested-loop
+      // join: the 1-row merges array riding a broadcast cross join
+      // (the ANN family's 1-row-frame shape). Anything more would be
+      // a real pair blowup.
+      val bnljCap = if (q == "pipeline_pretrain_prep") 0 else 1
+      val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= bnljCap, s"$q: $bnlj nested-loop joins (cap $bnljCap):\n" + p.take(800))
+      // The decontamination gram join must broadcast the (small) eval side.
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n" + p.take(800))
+      // The only Window is the packing fold's input ordering inside the
+      // bucket aggregate — there must be NO window partitioned by the
+      // whole corpus (fp-dedup is a min_by aggregate, not row_number).
+      assert(!p.contains("windowspecdefinition(fp"),
+        s"$q: fingerprint dedup must be an aggregate, not a window:\n" + p.take(800))
+    }
   }
 
   test("u3_upsert_events: union + one aggregate — no join anywhere") {
