@@ -591,6 +591,104 @@ object Similarity {
     pqRank(scored0, col("pq_id"), m, k)
   }
 
+  /** RESIDUAL-encoded IVF × PQ — the actual FAISS `IndexIVFPQ`
+    * contract, one level deeper than [[ivfPqTopK]]'s direct encoding:
+    * PQ codes describe `r = u − ĉ(cell)` (the vector MINUS its
+    * normalized coarse centroid) instead of the vector itself. The
+    * point of residuals is that the coarse quantizer already explains
+    * the cluster-mean structure, so the (shared, per-subspace)
+    * codebooks spend their entire budget on LOCAL detail — on
+    * clustered data that is most of what direct codes waste. The cost
+    * is at SEARCH: a query's distance table depends on which cell it
+    * probes (`qr = qu − ĉ(cell)`), so ADC tables are per
+    * (query, probed cell) — |Q| × nprobe × m × ks rows, still tiny,
+    * still broadcast; FAISS pays exactly this ("precomputed tables"
+    * are its optimization of the same term).
+    *
+    * Scale shape mirrors [[ivfPqTopK]]: candidates are built FIRST by
+    * the cell equi-join, the per-(query, cell) tables fold onto
+    * candidates keyed by (query, cell, code), and only the k-heap
+    * leaves the corpus. Same determinism contract (normalization and
+    * subtraction are identical IEEE expressions in both engines;
+    * every distance rounds to 6 dp; lowest-id tie-breaks at assign,
+    * encode, rank).
+    */
+  def ivfPqResidualTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 2,
+      ks: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    def normalize(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+      .filter(col("nrm") > 0.0)
+      .select(col("id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    def l2sq(a: Column, b: Column): Column = round(
+      VectorFunctions.dotFast(a, a) + VectorFunctions.dotFast(b, b)
+        - lit(2.0) * VectorFunctions.dotFast(a, b), 6)
+
+    val cu = normalize(corpus)
+    val qu = normalize(queries)
+    val cen = centroids
+      .select(col("c_id").as("cell"), col("c_vec").cast("array<double>").as("cv"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("cv")))
+      .filter(col("nrm") > 0.0)
+      .select(col("cell"), transform(col("cv"), x => x / col("nrm")).as("cu"))
+    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("id"), col("cell"))
+    // Corpus residuals: u − ĉ(assigned cell), element-wise exact.
+    val res = cu.join(assign, Seq("id"))
+      .join(broadcast(cen), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("u"), col("cu"), (a, b) => a - b).as("r"))
+    // Shared per-subspace codebooks seeded from residual rows — the
+    // same deterministic md5-ordered pick as [[kmeansInit]].
+    val seeds = kmeansInit(
+      res.select(col("id").as(idCol), col("r").as(vecCol)), idCol, vecCol, ks)
+    val codebooks = (0 until m).map { j =>
+      broadcast(seeds.select(col("c_id"),
+        slice(col("c_vec"), j * subDim + 1, subDim).as("cw")))
+    }
+    val enc = (0 until m).map { j =>
+      res.crossJoin(codebooks(j))
+        .select(col("id"), col("cell"),
+          l2sq(slice(col("r"), j * subDim + 1, subDim), col("cw")).as("d"), col("c_id"))
+        .groupBy(col("id"), col("cell"))
+        .agg(min_by(col("c_id"), struct(col("d"), col("c_id"))).as(s"code$j"))
+    }.reduce(_.join(_, Seq("id", "cell")))
+    val probes = ivfAssignProbes(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("id").as("pq_id"), col("cell"))
+    // Query residual PER PROBED CELL, then per-(query, cell) tables.
+    val qres = qu.select(col("id").as("pq_id"), col("u"))
+      .join(broadcast(probes), Seq("pq_id"))
+      .join(broadcast(cen), Seq("cell"))
+      .select(col("pq_id"), col("cell"),
+        zip_with(col("u"), col("cu"), (a, b) => a - b).as("qr"))
+    val tables = (0 until m).map { j =>
+      qres.crossJoin(codebooks(j))
+        .select(col("pq_id").as(s"tq$j"), col("cell").as(s"tcell$j"),
+          col("c_id").as(s"tc$j"),
+          l2sq(slice(col("qr"), j * subDim + 1, subDim), col("cw")).as(s"td$j"))
+    }
+    val candidates = enc.join(broadcast(probes), Seq("cell"))
+      .withColumnRenamed("id", "n_id")
+    val scored0 = tables.zipWithIndex.foldLeft(candidates) {
+      case (acc, (t, j)) =>
+        acc.join(broadcast(t),
+          col(s"code$j") === col(s"tc$j") && col("pq_id") === col(s"tq$j") &&
+            col("cell") === col(s"tcell$j"))
+    }
+    pqRank(scored0, col("pq_id"), m, k)
+  }
+
   /** IVF × PQ × exact rerank — the full production retrieval stack at
     * this code rate: coarse cells prune, codes shortlist
     * k × shortlistFactor, and only the shortlist pays exact cosines.

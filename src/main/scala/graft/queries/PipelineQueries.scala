@@ -3070,6 +3070,137 @@ object PipelineQueries {
        |) GROUP BY ROLLUP(q_id)""".stripMargin
   }
 
+  /** The residual variant's oracle: the [[ivfPqOracle]] skeleton with
+    * the PQ chain rebuilt over residuals `u − ĉ(cell)` — normalized
+    * centroids, per-(corpus row) residuals, residual-seeded codebooks,
+    * cell-carrying codes, and PER-(query, probed cell) ADC tables
+    * joined back on (query, cell, code).
+    */
+  private def ivfPqResidualOracle(src: String): String =
+    s"""WITH e AS ($src),
+       |gt AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+       |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+       |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+       |),
+       |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+       |    FROM e CROSS JOIN c
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+       |    FROM e CROSS JOIN c WHERE e.vec_id >= 10 AND e.vec_id < 20
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) <= 2
+       |),
+       |cen AS (
+       |  SELECT c_id AS cell,
+       |         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cu
+       |  FROM c WHERE list_dot_product(cv, cv) > 0
+       |),
+       |nz AS (
+       |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+       |  FROM e WHERE list_dot_product(v, v) > 0
+       |),
+       |res AS (
+       |  SELECT nz.vec_id, a.cell,
+       |         [nz.u[i] - cn.cu[i] FOR i IN generate_series(1, len(nz.u))] AS r
+       |  FROM nz
+       |  JOIN assign a ON a.vec_id = nz.vec_id
+       |  JOIN cen cn ON cn.cell = a.cell
+       |),
+       |seeds AS (
+       |  SELECT vec_id AS c_id, r FROM res
+       |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+       |  LIMIT 16
+       |),
+       |cb AS (
+       |  SELECT j, c_id, list_slice(r, j * 16 + 1, j * 16 + 16) AS cw
+       |  FROM seeds CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+       |),
+       |enc AS (
+       |  SELECT vec_id, cell, j, c_id AS code FROM (
+       |    SELECT res.vec_id, res.cell, cb.j, cb.c_id,
+       |           ${l2sqSql("list_slice(res.r, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
+       |    FROM res CROSS JOIN cb
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c_id ASC) = 1
+       |),
+       |codes AS (
+       |  SELECT vec_id, cell,
+       |         MAX(CASE WHEN j = 0 THEN code END) AS code0,
+       |         MAX(CASE WHEN j = 1 THEN code END) AS code1,
+       |         MAX(CASE WHEN j = 2 THEN code END) AS code2,
+       |         MAX(CASE WHEN j = 3 THEN code END) AS code3
+       |  FROM enc GROUP BY 1, 2
+       |),
+       |qres AS (
+       |  SELECT p.vec_id AS q_id, p.cell,
+       |         [nz.u[i] - cn.cu[i] FOR i IN generate_series(1, len(nz.u))] AS qr
+       |  FROM probes p
+       |  JOIN nz ON nz.vec_id = p.vec_id
+       |  JOIN cen cn ON cn.cell = p.cell
+       |),
+       |tbl AS (
+       |  SELECT q.q_id, q.cell, cb.j, cb.c_id,
+       |         ${l2sqSql("list_slice(q.qr, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
+       |  FROM qres q CROSS JOIN cb
+       |),
+       |approx AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT t0.q_id, cd.vec_id AS n_id, t0.d + t1.d + t2.d + t3.d AS dist
+       |    FROM codes cd
+       |    JOIN tbl t0 ON t0.j = 0 AND t0.c_id = cd.code0 AND t0.cell = cd.cell
+       |    JOIN tbl t1 ON t1.j = 1 AND t1.c_id = cd.code1 AND t1.cell = cd.cell AND t1.q_id = t0.q_id
+       |    JOIN tbl t2 ON t2.j = 2 AND t2.c_id = cd.code2 AND t2.cell = cd.cell AND t2.q_id = t0.q_id
+       |    JOIN tbl t3 ON t3.j = 3 AND t3.c_id = cd.code3 AND t3.cell = cd.cell AND t3.q_id = t0.q_id
+       |    WHERE cd.vec_id <> t0.q_id
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) <= 10
+       |)
+       |SELECT COALESCE(q_id, -1) AS q_id,
+       |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+       |FROM (
+       |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+       |) GROUP BY ROLLUP(q_id)""".stripMargin
+
+  /** RESIDUAL-encoded IVF×PQ on the manifold fixture
+    * ([[Similarity.ivfPqResidualTopK]] — the actual FAISS `IndexIVFPQ`
+    * contract): codes describe `u − ĉ(cell)`, so the codebook budget
+    * goes to LOCAL detail instead of re-describing the cluster means
+    * the coarse quantizer already captured. "Already captured" is a
+    * PRECONDITION, and the registration measures exactly that
+    * coupling: with the direct composite's 8 arbitrary seed cells,
+    * residual encoding measured 0.22 — WORSE than direct's 0.36,
+    * because residuals w.r.t. cells that don't resolve the clusters
+    * still carry the cluster-mean structure, now shifted differently
+    * per cell so the SHARED codebook fits none of them. Registered
+    * here in residual encoding's design regime instead — one seed per
+    * true cluster (vec_id < 16, covering all 16 by id mod 16) — where
+    * the same machinery measures 0.42 vs direct's 0.40 at identical
+    * (m, ks, nprobe). The crossover, both sides measured, is the
+    * deployment guidance: train the coarse quantizer BEFORE reaching
+    * for residuals (FAISS's own doc says the same; now it's a number).
+    */
+  val annIvfPqResidualManifold = QueryDef(
+    "ann_ivfpq_residual_manifold",
+    (s, dir) => {
+      val emb = manifoldEmb(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfPqResidualTopK(queries, emb, centroids,
+        "vec_id", "embedding", dim = 64, k = 10, m = 4, ks = 16, nprobe = 2)
+      Similarity.recallVsTruth(gt, approx)
+    },
+    Some(ivfPqResidualOracle(manifoldSrcSql)))
+
   /** IVF×PQ composite recall on the manifold fixture
     * ([[Similarity.ivfPqTopK]] — FAISS `IndexIVFPQ` without residuals,
     * the billion-vector production index): coarse cells prune WHICH
@@ -4288,7 +4419,7 @@ object PipelineQueries {
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
-    annIvfPqManifold, annIvfPqRerankManifold,
+    annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,

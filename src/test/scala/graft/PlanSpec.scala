@@ -472,6 +472,7 @@ class PlanSpec extends AnyFunSuite {
       "ann_ivfpq_manifold" -> "PQ codebooks + probe table: codewords / |Q| x nprobe rows",
       "text_bpe_token_ids" -> "vocabulary id table: |alphabet| + merges rows (the T18d artifact)",
       "ann_ivfpq_rerank_manifold" -> "PQ codebooks + probes + shortlist: codewords / |Q| x nprobe / top-n per query",
+      "ann_ivfpq_residual_manifold" -> "residual codebooks + normalized centroids + probes + per-(query,cell) tables: all codeword/|Q|-bounded",
       "ann_kmeans" -> "centroid table: k rows (checkpointed Lloyd output)",
       "dedup_incr_embed" -> "batch-side signatures: incremental-batch contract (batch << corpus)",
       "dedup_decontaminate" -> "eval-set grams: eval benchmark cardinality by contract",
