@@ -234,6 +234,53 @@ object StreamingOps {
         sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
 
+  /** TOKEN-ID SEQUENCES over a document stream — the online half of
+    * the tokenizer SERVING contract ([[graft.operators.Bpe.encodeIds]]
+    * is the batch half): the batch-trained merge table AND the
+    * vocabulary artifact ride static broadcasts (both genuinely
+    * vocab-sized), each arriving document explodes to positioned word
+    * occurrences, segments inline by merge replay (stateless narrow —
+    * the same [[graft.operators.Bpe.applyMerges]] kernel), maps each
+    * symbol to its token id (stream-static left join; unseen symbols
+    * → UNK 0, the batch posture), and a watermarked aggregate keyed
+    * by (event-time window, doc_id) assembles the (word, symbol)-
+    * ordered sequence string. State per in-flight document is the
+    * document's own token list — bounded by document length, evicted
+    * by the watermark like every aggregate here; the contract is that
+    * one document's rows arrive within one `windowDur` (trivially
+    * true for whole-document delivery).
+    */
+  def bpeEncodeIdsStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      mergeTable: DataFrame,
+      vocab: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.operators.Bpe
+    val occ = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), col(textCol))
+      .select(col("doc_id"), col("__ts"),
+        posexplode(Bpe.asciiTokens(col(textCol))).as(Seq("wpos", "w")))
+      .crossJoin(broadcast(Bpe.mergesArray(mergeTable)))
+      .withColumn("syms", Bpe.applyMerges(col("w"), col("__merges")))
+      .select(col("doc_id"), col("__ts"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("token_id"), lit(0)))
+    occ.withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("wpos"), col("spos"), col("tid")))),
+            s => s.getField("tid").cast("string")),
+          ",").as("token_ids"))
+      .select(col("doc_id"), col("n_tokens"), col("token_ids"))
+  }
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

@@ -186,6 +186,36 @@ class StreamingSpec extends AnyFunSuite {
       "bpeEncodeStream lost its watermark — unbounded state")
   }
 
+  test("bpeEncodeIdsStream: token-id sequences with batch parity incl. the UNK path (T18 serving)") {
+    implicit val sql = spark.sqlContext
+    // Train "aa aa bb" (BpeSpec's hand corpus): merge (a,a); vocab
+    // aa -> 1, b -> 2. Stream "cc aa bb": cc is OOV, its replayed
+    // symbols [c, c] are outside the vocabulary -> UNK 0,0.
+    val trainDocs = Seq((9L, "aa aa bb")).toDF("doc_id", "text")
+    val (mergeTable, wordMap) = graft.operators.Bpe.train(trainDocs, "text", merges = 1)
+    val vocab = graft.operators.Bpe.vocab(wordMap)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val docs = Seq((1L, "cc aa bb"), (2L, "aa aa"), (3L, "???"))
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(docs.map { case (id, t) => (id, t0, t) }: _*)
+    val dir = Files.createTempDirectory("graft_stream_bpe_ids").toString
+    val enc = StreamingOps.bpeEncodeIdsStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", mergeTable, vocab)
+    val q = enc.writeStream.format("memory").queryName("bpe_ids_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bpe_ids_stream_test")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = graft.operators.Bpe.encodeIds(
+        docs.toDF("doc_id", "text"), "doc_id", "text", mergeTable, vocab)
+      .as[(Long, Long, String)].collect().filter(_._2 > 0).toSet
+    assert(streamed == batch, s"stream $streamed vs batch-nonzero $batch")
+    // cc -> [c, c] = UNK 0,0; aa -> [aa] = 1; bb -> [b, b] = 2,2.
+    assert(streamed.contains((1L, 5L, "0,0,1,2,2")), s"UNK path: $streamed")
+    assert(enc.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "bpeEncodeIdsStream lost its watermark — unbounded state")
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
