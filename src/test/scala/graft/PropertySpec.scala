@@ -299,4 +299,84 @@ class Round10PropertySpec extends AnyFunSuite {
       ps.zipWithIndex.forall { case (p, i) => got(i.toLong) == ref(p) }
     })
   }
+
+  // ---- round-12 BPE + sampling invariants ----
+
+  private val wordGen: Gen[String] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+  private val bpeCorpusGen: Gen[List[String]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, wordGen))
+
+  test("BPE merge replay == training segmentation on fuzzed corpora (the induction, fuzzed)") {
+    // BpeSpec pins the claim on hand corpora; this fuzzes it: for any
+    // small 3-letter-alphabet corpus, replaying the trained merge
+    // table over each word's char split must reproduce the training
+    // fold's final word map exactly — including the adversarial
+    // equal-symbol runs the generator produces constantly (aaa, abab).
+    run(Prop.forAll(bpeCorpusGen, Gen.choose(1, 4)) { (words, merges) =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      try {
+        val (mergeTable, wordMap) = graft.operators.Bpe.train(docs, "text", merges)
+        val replayed = wordMap.select($"w")
+          .crossJoin(org.apache.spark.sql.functions.broadcast(
+            graft.operators.Bpe.mergesArray(mergeTable)))
+          .select($"w", graft.operators.Bpe.applyMerges($"w", $"__merges").as("syms"))
+          .as[(String, Seq[String])].collect().toMap
+        val trained = wordMap.select($"w", $"syms")
+          .as[(String, Seq[String])].collect().toMap
+        replayed == trained
+      } catch {
+        // tiny corpora can exhaust the pair vocabulary before `merges`
+        // rounds — train fails LOUDLY by contract; not a counterexample
+        case e: IllegalArgumentException
+          if e.getMessage.contains("pair vocabulary exhausted") => true
+      }
+    })
+  }
+
+  test("encodeIds and encodeCounts agree: ids-per-doc == n_bpe_tokens (two outputs, one truth)") {
+    run(Prop.forAll(bpeCorpusGen) { words =>
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      try {
+        val (mergeTable, wordMap) = graft.operators.Bpe.train(docs, "text", merges = 2)
+        val vocab = graft.operators.Bpe.vocab(wordMap)
+        val counts = graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", mergeTable)
+          .select($"doc_id", $"n_bpe_tokens").as[(Long, Long)].collect().toMap
+        val ids = graft.operators.Bpe.encodeIds(docs, "doc_id", "text", mergeTable, vocab)
+          .as[(Long, Long, String)].collect()
+        ids.forall { case (id, n, seq) =>
+          n == counts(id) &&
+            (if (n == 0) seq.isEmpty
+             else seq.split(',').length.toLong == n && !seq.split(',').contains("0"))
+          // no UNK: train and encode share the corpus here
+        }
+      } catch {
+        case e: IllegalArgumentException
+          if e.getMessage.contains("pair vocabulary exhausted") => true
+      }
+    })
+  }
+
+  test("weightedSample is partitioning-invariant and exactly k (distributed-correctness pin)") {
+    // The Efraimidis-Spirakis race must select the SAME rows however
+    // the data is physically split — the md5-derived key makes the
+    // lottery a pure function of the row, and TakeOrdered merges
+    // per-partition heaps deterministically. A partitioning-dependent
+    // sampler would be a silent distributed-correctness bug.
+    val rowsGen = Gen.choose(12, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 1000000L)))
+    run(Prop.forAll(rowsGen) { ws =>
+      val base = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      def pick(parts: Int): Set[Long] = {
+        val df = base.toDF("id", "w").repartition(parts)
+        graft.operators.Sampling.weightedSample(df, "id", $"w", k = 7)
+          .select($"id").as[Long].collect().toSet
+      }
+      val a = pick(1)
+      val b = pick(5)
+      a == b && a.size == math.min(7, base.size)
+    })
+  }
 }
