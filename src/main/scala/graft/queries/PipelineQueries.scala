@@ -2959,6 +2959,75 @@ object PipelineQueries {
     (s, dir) => pqRerankBody(manifoldEmb(s, dir)),
     Some(pqRerankOracle(manifoldSrcSql)))
 
+  /** The IVF nprobe TUNING CURVE as a registered artifact: corpus-mean
+    * recall at nprobe ∈ {1, 2, 4} over the manifold fixture, one row
+    * per setting — the table a deployment reads to pick its
+    * latency/recall point, here pinned by the oracle like any other
+    * result (each row replays a full assign/probe/search/recall
+    * chain, so the CURVE is hashed, not quoted). Ground truth is
+    * computed once and shared across the three settings.
+    */
+  val annIvfNprobeCurve = QueryDef(
+    "ann_ivf_nprobe_curve",
+    (s, dir) => {
+      val emb = manifoldEmb(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      Seq(1, 2, 4).map { np =>
+        Similarity.recallVsTruth(gt,
+            Similarity.ivfTopKProbed(queries, emb, centroids,
+              "vec_id", "embedding", k = 10, nprobe = np))
+          .filter(col("q_id") === -1L)
+          .select(lit(np).as("nprobe"), col("n_hits"), col("recall"))
+      }.reduce(_.unionByName(_))
+    },
+    Some {
+      val per = Seq(1, 2, 4).map { np =>
+        s""",
+           |probes$np AS (
+           |  SELECT vec_id, v, c_id AS cell FROM (
+           |    SELECT e.vec_id, e.v, c.c_id,
+           |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+           |    FROM e CROSS JOIN c WHERE e.vec_id >= 10 AND e.vec_id < 20
+           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) <= $np
+           |),
+           |approx$np AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |           ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
+           |    FROM probes$np q JOIN assign n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+           |),
+           |rec$np AS (
+           |  SELECT $np AS nprobe, CAST(SUM(hit) AS BIGINT) AS n_hits,
+           |         ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+           |  FROM (
+           |    SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |    FROM gt LEFT JOIN approx$np a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+           |  )
+           |)""".stripMargin
+      }.mkString
+      s"""WITH e AS ($manifoldSrcSql),
+         |gt AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+         |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+         |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+         |),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+         |    FROM e CROSS JOIN c
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+         |)$per
+         |SELECT * FROM rec1 UNION ALL SELECT * FROM rec2 UNION ALL SELECT * FROM rec4""".stripMargin
+    })
+
   private def ivfPqBody(emb: DataFrame, rerank: Boolean): DataFrame = {
     val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
     val centroids = emb.filter(col("vec_id") < 8)
@@ -4420,6 +4489,7 @@ object PipelineQueries {
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
+    annIvfNprobeCurve,
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,

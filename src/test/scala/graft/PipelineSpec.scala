@@ -1765,6 +1765,32 @@ class BpeSpec extends AnyFunSuite {
     assert(out(8L) == ((0L, "")))
   }
 
+  test("tokenizer artifacts round-trip through saveIndex/loadIndex: identical sequences") {
+    // The merge table and vocabulary ARE frame-shaped index artifacts
+    // (Sink.saveIndex's contract) — a serving session loads them from
+    // parquet and must produce bit-identical token-id sequences to
+    // the training session. Ranks are ints, tokens ASCII, ids ints:
+    // exact through parquet by construction; this pins the wiring
+    // (column names, rank order survives the shuffle-free read).
+    val train = Seq((9L, "low low low lower lower newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val (mergeTable, wordMap) = graft.operators.Bpe.train(train, "text", merges = 3)
+    val vocab = graft.operators.Bpe.vocab(wordMap)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    graft.sources.Sink.saveIndex(mergeTable, s"$dir/merges", Map("merges" -> "3"))
+    graft.sources.Sink.saveIndex(vocab, s"$dir/vocab", Map("merges" -> "3"))
+    val (m2, mp) = graft.sources.Load.loadIndex(spark, s"$dir/merges")
+    val (v2, vp) = graft.sources.Load.loadIndex(spark, s"$dir/vocab")
+    assert(mp("merges") == "3" && vp("merges") == "3")
+    val docs = Seq((1L, "low lowest newest"), (2L, "widest")).toDF("doc_id", "text")
+    val direct = graft.operators.Bpe.encodeIds(docs, "doc_id", "text", mergeTable, vocab)
+      .as[(Long, Long, String)].collect().toSet
+    val loaded = graft.operators.Bpe.encodeIds(docs, "doc_id", "text", m2, v2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(direct == loaded, s"$direct != $loaded")
+    assert(direct.exists(_._3.nonEmpty))
+  }
+
   test("applyMerges reproduces the trained segmentation for in-corpus words") {
     // The induction claim in the scaladoc, pinned: replaying the merge
     // table over a char split equals the training fold's final state
