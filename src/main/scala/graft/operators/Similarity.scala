@@ -623,7 +623,8 @@ object Similarity {
       k: Int,
       m: Int = 2,
       ks: Int = 16,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      lloydIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
     def normalize(df: DataFrame): DataFrame = df
@@ -650,12 +651,23 @@ object Similarity {
       .select(col("id"), col("cell"),
         zip_with(col("u"), col("cu"), (a, b) => a - b).as("r"))
     // Shared per-subspace codebooks seeded from residual rows — the
-    // same deterministic md5-ordered pick as [[kmeansInit]].
+    // same deterministic md5-ordered pick as [[kmeansInit]] —
+    // optionally Lloyd-refined on the residual subvectors
+    // ([[kmeansFit]] metric="l2", the FAISS `IndexIVFPQ.train` step:
+    // codewords move from arbitrary residual rows to within-cell
+    // residual means).
     val seeds = kmeansInit(
       res.select(col("id").as(idCol), col("r").as(vecCol)), idCol, vecCol, ks)
     val codebooks = (0 until m).map { j =>
-      broadcast(seeds.select(col("c_id"),
-        slice(col("c_vec"), j * subDim + 1, subDim).as("cw")))
+      val seedsJ = seeds.select(col("c_id"),
+        slice(col("c_vec"), j * subDim + 1, subDim).as("c_vec"))
+      val cbJ =
+        if (lloydIters > 0)
+          kmeansFit(
+            res.select(col("id"), slice(col("r"), j * subDim + 1, subDim).as("sv")),
+            seedsJ, "id", "sv", lloydIters, metric = "l2")
+        else seedsJ
+      broadcast(cbJ.select(col("c_id"), col("c_vec").as("cw")))
     }
     val enc = (0 until m).map { j =>
       res.crossJoin(codebooks(j))

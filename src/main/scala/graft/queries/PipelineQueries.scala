@@ -3145,7 +3145,53 @@ object PipelineQueries {
     * cell-carrying codes, and PER-(query, probed cell) ADC tables
     * joined back on (query, cell, code).
     */
-  private def ivfPqResidualOracle(src: String): String =
+  private def ivfPqResidualOracle(src: String, lloyd: Boolean = false): String = {
+    // Codebooks: seed residual slices, or two unrolled Lloyd
+    // iterations over the residual subvectors (the pqLloydOracle
+    // machinery verbatim — rounded-L2 assignment, lowest-codeword
+    // tie-break, exact decimal-summed means; `kc` names the codeword
+    // assignment to stay disjoint from the IVF `cell`).
+    val cbSection =
+      if (!lloyd)
+        s""",
+           |cb AS (
+           |  SELECT j, c_id, list_slice(r, j * 16 + 1, j * 16 + 16) AS cw
+           |  FROM seeds CROSS JOIN jj
+           |)""".stripMargin
+      else
+        s""",
+           |cb0 AS (
+           |  SELECT j, c_id, list_slice(r, j * 16 + 1, j * 16 + 16) AS cw
+           |  FROM seeds CROSS JOIN jj
+           |),
+           |a1 AS (
+           |  SELECT vec_id, j, sv, c_id AS kc FROM (
+           |    SELECT s.vec_id, s.j, s.sv, c.c_id,
+           |           ${l2sqSql("s.sv", "c.cw")} AS d
+           |    FROM sub s JOIN cb0 c ON c.j = s.j
+           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c_id ASC) = 1
+           |),
+           |m1 AS (
+           |  SELECT j, kc, p,
+           |         ROUND(CAST(SUM(CAST(ROUND(sv[p], 6) AS DECIMAL(18,6))) AS DOUBLE)
+           |               / COUNT(*), 6) AS m
+           |  FROM a1 CROSS JOIN pp GROUP BY j, kc, p
+           |),
+           |cb1 AS (SELECT j, kc AS c_id, LIST(m ORDER BY p) AS cw FROM m1 GROUP BY j, kc),
+           |a2 AS (
+           |  SELECT vec_id, j, sv, c_id AS kc FROM (
+           |    SELECT s.vec_id, s.j, s.sv, c.c_id,
+           |           ${l2sqSql("s.sv", "c.cw")} AS d
+           |    FROM sub s JOIN cb1 c ON c.j = s.j
+           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c_id ASC) = 1
+           |),
+           |m2 AS (
+           |  SELECT j, kc, p,
+           |         ROUND(CAST(SUM(CAST(ROUND(sv[p], 6) AS DECIMAL(18,6))) AS DOUBLE)
+           |               / COUNT(*), 6) AS m
+           |  FROM a2 CROSS JOIN pp GROUP BY j, kc, p
+           |),
+           |cb AS (SELECT j, kc AS c_id, LIST(m ORDER BY p) AS cw FROM m2 GROUP BY j, kc)""".stripMargin
     s"""WITH e AS ($src),
        |gt AS (
        |  SELECT q_id, n_id FROM (
@@ -3188,15 +3234,17 @@ object PipelineQueries {
        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
        |  LIMIT 16
        |),
-       |cb AS (
-       |  SELECT j, c_id, list_slice(r, j * 16 + 1, j * 16 + 16) AS cw
-       |  FROM seeds CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
-       |),
+       |jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+       |pp AS (SELECT CAST(unnest(generate_series(1, 16)) AS INT) AS p),
+       |sub AS (
+       |  SELECT vec_id, cell, j, list_slice(r, j * 16 + 1, j * 16 + 16) AS sv
+       |  FROM res CROSS JOIN jj
+       |)$cbSection,
        |enc AS (
        |  SELECT vec_id, cell, j, c_id AS code FROM (
-       |    SELECT res.vec_id, res.cell, cb.j, cb.c_id,
-       |           ${l2sqSql("list_slice(res.r, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
-       |    FROM res CROSS JOIN cb
+       |    SELECT s.vec_id, s.cell, s.j, cb.c_id,
+       |           ${l2sqSql("s.sv", "cb.cw")} AS d
+       |    FROM sub s JOIN cb ON cb.j = s.j
        |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c_id ASC) = 1
        |),
        |codes AS (
@@ -3214,10 +3262,14 @@ object PipelineQueries {
        |  JOIN nz ON nz.vec_id = p.vec_id
        |  JOIN cen cn ON cn.cell = p.cell
        |),
+       |qsub AS (
+       |  SELECT q_id, cell, j, list_slice(qr, j * 16 + 1, j * 16 + 16) AS sv
+       |  FROM qres CROSS JOIN jj
+       |),
        |tbl AS (
-       |  SELECT q.q_id, q.cell, cb.j, cb.c_id,
-       |         ${l2sqSql("list_slice(q.qr, cb.j * 16 + 1, cb.j * 16 + 16)", "cb.cw")} AS d
-       |  FROM qres q CROSS JOIN cb
+       |  SELECT s.q_id, s.cell, s.j, cb.c_id,
+       |         ${l2sqSql("s.sv", "cb.cw")} AS d
+       |  FROM qsub s JOIN cb ON cb.j = s.j
        |),
        |approx AS (
        |  SELECT q_id, n_id FROM (
@@ -3237,6 +3289,7 @@ object PipelineQueries {
        |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
        |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
        |) GROUP BY ROLLUP(q_id)""".stripMargin
+  }
 
   /** RESIDUAL-encoded IVF×PQ on the manifold fixture
     * ([[Similarity.ivfPqResidualTopK]] — the actual FAISS `IndexIVFPQ`
@@ -3269,6 +3322,35 @@ object PipelineQueries {
       Similarity.recallVsTruth(gt, approx)
     },
     Some(ivfPqResidualOracle(manifoldSrcSql)))
+
+  /** The FULLY-TRAINED residual stack: same as
+    * [[annIvfPqResidualManifold]] plus two Lloyd iterations per
+    * subspace over the RESIDUAL subvectors (the `IndexIVFPQ.train`
+    * step). Measured result: 0.42 — IDENTICAL total recall to the
+    * seed codebooks (per-query hits redistribute, the oracle pins
+    * both), and that null is the finding: once a good coarse
+    * quantizer absorbs the cluster structure, the residuals are
+    * structureless noise (this fixture's noise is i.i.d. uniform per
+    * dimension), and Lloyd has nothing to converge onto — the exact
+    * mirror of direct PQ, where Lloyd gains +0.08 on clustered inputs
+    * and only +0.04 on i.i.d. ones. The training ladder, complete:
+    * structure in the CODES' input is what Lloyd monetizes, wherever
+    * that input sits in the stack.
+    */
+  val annIvfPqResidualLloydManifold = QueryDef(
+    "ann_ivfpq_residual_lloyd_manifold",
+    (s, dir) => {
+      val emb = manifoldEmb(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfPqResidualTopK(queries, emb, centroids,
+        "vec_id", "embedding", dim = 64, k = 10, m = 4, ks = 16, nprobe = 2,
+        lloydIters = 2)
+      Similarity.recallVsTruth(gt, approx)
+    },
+    Some(ivfPqResidualOracle(manifoldSrcSql, lloyd = true)))
 
   /** IVF×PQ composite recall on the manifold fixture
     * ([[Similarity.ivfPqTopK]] — FAISS `IndexIVFPQ` without residuals,
@@ -4489,7 +4571,7 @@ object PipelineQueries {
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
-    annIvfNprobeCurve,
+    annIvfPqResidualLloydManifold, annIvfNprobeCurve,
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
