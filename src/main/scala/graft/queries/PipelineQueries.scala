@@ -3028,6 +3028,75 @@ object PipelineQueries {
          |SELECT * FROM rec1 UNION ALL SELECT * FROM rec2 UNION ALL SELECT * FROM rec4""".stripMargin
     })
 
+  /** The companion ncells TUNING CURVE ([[annIvfNprobeCurve]] tunes
+    * how many cells a query probes; this tunes how many cells the
+    * index HAS): corpus-mean recall at ncells ∈ {4, 8, 16} seed cells,
+    * nprobe fixed at 2, shared exact truth. More cells = fewer
+    * candidates scored per query (the cost axis) but a harder probe
+    * decision (the recall axis) — the curve prices that trade, and
+    * each point replays its own assignment under its own cell set.
+    */
+  val annIvfNcellsCurve = QueryDef(
+    "ann_ivf_ncells_curve",
+    (s, dir) => {
+      val emb = manifoldEmb(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      Seq(4, 8, 16).map { nc =>
+        val centroids = emb.filter(col("vec_id") < nc)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        Similarity.recallVsTruth(gt,
+            Similarity.ivfTopKProbed(queries, emb, centroids,
+              "vec_id", "embedding", k = 10, nprobe = 2))
+          .filter(col("q_id") === -1L)
+          .select(lit(nc).as("ncells"), col("n_hits"), col("recall"))
+      }.reduce(_.unionByName(_))
+    },
+    Some {
+      val per = Seq(4, 8, 16).map { nc =>
+        s""",
+           |c$nc AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $nc),
+           |assign$nc AS (
+           |  SELECT vec_id, v, c_id AS cell FROM (
+           |    SELECT e.vec_id, e.v, c.c_id,
+           |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+           |    FROM e CROSS JOIN c$nc c
+           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+           |),
+           |probes$nc AS (
+           |  SELECT vec_id, v, c_id AS cell FROM (
+           |    SELECT e.vec_id, e.v, c.c_id,
+           |           ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+           |    FROM e CROSS JOIN c$nc c WHERE e.vec_id >= 10 AND e.vec_id < 20
+           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) <= 2
+           |),
+           |approx$nc AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |           ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
+           |    FROM probes$nc q JOIN assign$nc n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+           |),
+           |rec$nc AS (
+           |  SELECT $nc AS ncells, CAST(SUM(hit) AS BIGINT) AS n_hits,
+           |         ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+           |  FROM (
+           |    SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |    FROM gt LEFT JOIN approx$nc a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+           |  )
+           |)""".stripMargin
+      }.mkString
+      s"""WITH e AS ($manifoldSrcSql),
+         |gt AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS n_id, ROUND(${cosSql("q.v", "e.v")}, 6) AS cos
+         |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id < 20) q
+         |    CROSS JOIN e WHERE e.vec_id <> q.vec_id
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+         |)$per
+         |SELECT * FROM rec4 UNION ALL SELECT * FROM rec8 UNION ALL SELECT * FROM rec16""".stripMargin
+    })
+
   private def ivfPqBody(emb: DataFrame, rerank: Boolean): DataFrame = {
     val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
     val centroids = emb.filter(col("vec_id") < 8)
@@ -4571,7 +4640,7 @@ object PipelineQueries {
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
-    annIvfPqResidualLloydManifold, annIvfNprobeCurve,
+    annIvfPqResidualLloydManifold, annIvfNprobeCurve, annIvfNcellsCurve,
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
