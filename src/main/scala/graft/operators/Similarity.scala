@@ -721,6 +721,23 @@ object Similarity {
     val shortlist = ivfPqTopK(queries, corpus, centroids, idCol, vecCol,
         dim, k * shortlistFactor, m, ks, nprobe, lloydIters)
       .select(col("q_id"), col("n_id"))
+    exactRerank(shortlist, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** The exact-cosine tail every rerank stack shares: the shortlist
+    * (|Q| × k × shortlistFactor rows — broadcastable by construction,
+    * it is a TakeOrdered output) pulls only its members' vectors from
+    * the corpus, pays full-precision cosines on those, and the k-heap
+    * cuts. The corpus is touched once, by a broadcast semi-join-shaped
+    * inner join — never scanned per query.
+    */
+  private def exactRerank(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val scored = c.join(broadcast(shortlist), Seq("n_id"))
@@ -729,6 +746,37 @@ object Similarity {
         round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
       .filter(col("cos").isNotNull)
     topKByCos(scored, k, carryCell = false)
+  }
+
+  /** RESIDUAL IVF × PQ × exact rerank — the last cell of the 2×2
+    * index matrix (encoding ∈ {direct, residual} × tail ∈ {ADC,
+    * exact rerank}), and the configuration FAISS deployments ship
+    * when the coarse quantizer is trained: residual codes buy the
+    * tighter shortlist, the exact tail then erases the code
+    * quantization error inside it, so recall is bounded only by
+    * shortlist membership. Composition is [[ivfPqResidualTopK]] at
+    * k × shortlistFactor feeding the same exact-cosine tail as
+    * [[ivfPqRerankTopK]] — scale shape unchanged (candidates pruned
+    * by cell BEFORE any scoring, tables per (query, probed cell),
+    * shortlist broadcast onto the corpus once).
+    */
+  def ivfPqResidualRerankTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 2,
+      ks: Int = 16,
+      nprobe: Int = 2,
+      lloydIters: Int = 0,
+      shortlistFactor: Int = 4): DataFrame = {
+    val shortlist = ivfPqResidualTopK(queries, corpus, centroids, idCol, vecCol,
+        dim, k * shortlistFactor, m, ks, nprobe, lloydIters)
+      .select(col("q_id"), col("n_id"))
+    exactRerank(shortlist, queries, corpus, idCol, vecCol, k)
   }
 
   /** ANN quality measurement: recall of an approximate top-k result

@@ -3214,7 +3214,25 @@ object PipelineQueries {
     * cell-carrying codes, and PER-(query, probed cell) ADC tables
     * joined back on (query, cell, code).
     */
-  private def ivfPqResidualOracle(src: String, lloyd: Boolean = false): String = {
+  private def ivfPqResidualOracle(
+      src: String, lloyd: Boolean = false, rerank: Boolean = false): String = {
+    // Rerank variant: the ADC chain emits a 40-row shortlist instead
+    // of the final 10, and an exact-cosine tail (same as
+    // [[ivfPqOracle]]'s) re-scores shortlist members at full
+    // precision before the k-heap cut.
+    val adcCut = if (rerank) 40 else 10
+    val adcName = if (rerank) "shortlist" else "approx"
+    val rerankTail =
+      if (!rerank) ""
+      else s""",
+              |approx AS (
+              |  SELECT q_id, n_id FROM (
+              |    SELECT s.q_id, s.n_id, ROUND(${cosSql("q.v", "n.v")}, 6) AS cos
+              |    FROM shortlist s
+              |    JOIN e q ON q.vec_id = s.q_id
+              |    JOIN e n ON n.vec_id = s.n_id
+              |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+              |)""".stripMargin
     // Codebooks: seed residual slices, or two unrolled Lloyd
     // iterations over the residual subvectors (the pqLloydOracle
     // machinery verbatim — rounded-L2 assignment, lowest-codeword
@@ -3340,7 +3358,7 @@ object PipelineQueries {
        |         ${l2sqSql("s.sv", "cb.cw")} AS d
        |  FROM qsub s JOIN cb ON cb.j = s.j
        |),
-       |approx AS (
+       |$adcName AS (
        |  SELECT q_id, n_id FROM (
        |    SELECT t0.q_id, cd.vec_id AS n_id, t0.d + t1.d + t2.d + t3.d AS dist
        |    FROM codes cd
@@ -3349,8 +3367,8 @@ object PipelineQueries {
        |    JOIN tbl t2 ON t2.j = 2 AND t2.c_id = cd.code2 AND t2.cell = cd.cell AND t2.q_id = t0.q_id
        |    JOIN tbl t3 ON t3.j = 3 AND t3.c_id = cd.code3 AND t3.cell = cd.cell AND t3.q_id = t0.q_id
        |    WHERE cd.vec_id <> t0.q_id
-       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) <= 10
-       |)
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) <= $adcCut
+       |)$rerankTail
        |SELECT COALESCE(q_id, -1) AS q_id,
        |       CAST(SUM(hit) AS BIGINT) AS n_hits,
        |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
@@ -3420,6 +3438,35 @@ object PipelineQueries {
       Similarity.recallVsTruth(gt, approx)
     },
     Some(ivfPqResidualOracle(manifoldSrcSql, lloyd = true)))
+
+  /** The LAST cell of the 2×2 index matrix (encoding ∈ {direct,
+    * residual} × tail ∈ {ADC, exact rerank}), and the configuration a
+    * trained-coarse-quantizer FAISS deployment actually ships:
+    * residual codes build the 40-candidate shortlist
+    * ([[Similarity.ivfPqResidualRerankTopK]], shortlistFactor 4), the
+    * exact-cosine tail then erases code quantization error INSIDE the
+    * shortlist, so the measured recall isolates shortlist MEMBERSHIP
+    * as the only loss term. Read against its three siblings the matrix
+    * is complete: direct ADC 0.36 → direct+rerank 0.70, residual ADC
+    * 0.42 → this row — whether residual's tighter codes also buy a
+    * better SHORTLIST (not just better code-rank order) becomes a
+    * number a deployment can compare against doubling the shortlist
+    * factor instead.
+    */
+  val annIvfPqResidualRerankManifold = QueryDef(
+    "ann_ivfpq_residual_rerank_manifold",
+    (s, dir) => {
+      val emb = manifoldEmb(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfPqResidualRerankTopK(queries, emb, centroids,
+        "vec_id", "embedding", dim = 64, k = 10, m = 4, ks = 16, nprobe = 2,
+        shortlistFactor = 4)
+      Similarity.recallVsTruth(gt, approx)
+    },
+    Some(ivfPqResidualOracle(manifoldSrcSql, rerank = true)))
 
   /** IVF×PQ composite recall on the manifold fixture
     * ([[Similarity.ivfPqTopK]] — FAISS `IndexIVFPQ` without residuals,
@@ -4640,7 +4687,8 @@ object PipelineQueries {
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
-    annIvfPqResidualLloydManifold, annIvfNprobeCurve, annIvfNcellsCurve,
+    annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
+    annIvfNprobeCurve, annIvfNcellsCurve,
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,

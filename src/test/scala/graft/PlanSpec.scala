@@ -473,6 +473,7 @@ class PlanSpec extends AnyFunSuite {
       "text_bpe_token_ids" -> "vocabulary id table: |alphabet| + merges rows (the T18d artifact)",
       "ann_ivfpq_rerank_manifold" -> "PQ codebooks + probes + shortlist: codewords / |Q| x nprobe / top-n per query",
       "ann_ivfpq_residual_manifold" -> "residual codebooks + normalized centroids + probes + per-(query,cell) tables: all codeword/|Q|-bounded",
+      "ann_ivfpq_residual_rerank_manifold" -> "residual codebooks + centroids + probes + tables + TakeOrdered shortlist + |Q| query side: all codeword/|Q|-bounded",
       "ann_ivf_nprobe_curve" -> "query + centroid sides: literal vec_id filters (3 settings over one shared truth)",
       "ann_ivf_ncells_curve" -> "query + centroid sides: literal vec_id filters (3 cell sets over one shared truth)",
       "ann_ivfpq_residual_lloyd_manifold" -> "residual codebooks (Lloyd checkpoints) + centroids + probes + per-(query,cell) tables: codeword/|Q|-bounded",
