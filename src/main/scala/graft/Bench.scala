@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, sum}
 import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
@@ -8,11 +9,43 @@ import graft.sources.Tables
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line for the driver.
   *
-  * == Protocol (round 11: stall-robust min-of-passes) ==
+  * == Protocol (round 13: budget-aware min-of-passes) ==
   *
-  * `SPARK_GRAFT_BENCH_PASSES` (default 2) full passes over the query
-  * tree, pass-by-pass (pass 1 over every query, then pass 2, ...).
-  * Per-query statistic: the MIN over its passes.
+  * `SPARK_GRAFT_BENCH_PASSES` (default 2) passes over the query tree.
+  * Per-query statistic: the MIN over its passes. Round 13 rework (the
+  * r12 verdict's one weak flag: the tree outgrew the 480 s budget at
+  * 2 strict alphabetical passes, demoting 107/159 queries to one cold
+  * pass):
+  *   - A fixed MACHINERY warm-up runs before the calibration floor:
+  *     one scan-free shuffle + broadcast-join + noop write. It warms
+  *     the Janino/whole-stage-codegen compiler, the shuffle system and
+  *     the noop sink once, so neither the floor probes nor the first
+  *     measured queries pay framework JIT (per-query generated-class
+  *     compilation still lands in each query's pass 1 — that is what
+  *     the second pass exists to shed).
+  *   - Pass 1 gives every query whose first measurement ran under
+  *     `CHEAP_SEC` an immediate BACK-TO-BACK second timing. The warm
+  *     re-run of a sub-second query costs ~its warm time (the codegen
+  *     cache is hot), and the cheap tail is where one cold pass is
+  *     proportionally worst (compile cost ~0.1-0.5 s against a ~0.2 s
+  *     query) — exactly the queries the old alphabetical pass 2
+  *     starved when the budget ran dry. Both timings can share a stall
+  *     window; the re-run loop below already handles that case.
+  *   - Passes >= 2 cover the queries still holding fewer passes, in
+  *     DESCENDING pass-1 cost order (the r12 verdict's ask: expensive
+  *     queries carry the largest absolute cold inflation, so budget
+  *     spends where min-of-passes buys the most seconds).
+  *   - Passes >= 2 are ESTIMATE-GATED, not stop-on-budget: a query
+  *     runs iff elapsed + 1.2x its min-so-far fits inside the budget
+  *     minus a `RERUN_RESERVE_SEC` reserve (kept so the stall re-run
+  *     loop always has fuel). A too-expensive query is SKIPPED and the
+  *     pass continues to cheaper ones — under the old semantics one
+  *     9 s query at the boundary both overshot the wall budget and
+  *     starved every query behind it.
+  *   Net effect: when the tree fits, everything gets >= 2 passes; when
+  *   it does not, the demoted set is a handful of mid-cost queries
+  *   whose single (post-warm-up) pass is within the cold-compile
+  *   margin of the quiet number — never half the registry.
   *
   * Why min, and why no separate warmup tour (this replaced the
   * round-2..10 "warmup tour + median" protocol in round 11):
@@ -94,6 +127,9 @@ object Bench {
 
   private val CAL_EVERY = 10 // probe between every 10 measured queries
   private val STALL_FACTOR = 2.0 // probe > 2x floor => batch suspect
+  private val CHEAP_SEC = 1.0 // pass-1 back-to-back re-time threshold
+  private val RERUN_RESERVE_SEC = 25.0 // budget held back for stall re-runs
+  private val EST_FACTOR = 1.2 // pass >= 2 gate: elapsed + est*factor must fit
 
   def main(args: Array[String]): Unit = {
     // All JSON below is formatted with f"" (= String.format with the
@@ -117,6 +153,19 @@ object Bench {
     spark.conf.set("graft.load.repartition", cores.toString)
     val wallStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wallStart) / 1e9
+
+    // Machinery warm-up (see scaladoc): scan-free shuffle + broadcast
+    // join + noop write, once, BEFORE the calibration floor — warms
+    // the codegen compiler, shuffle system and noop sink so neither
+    // the probes nor the first measured queries pay framework JIT.
+    {
+      val big = spark.range(0, 2000000L, 1, 8)
+        .groupBy((col("id") % 1000).as("k")).agg(sum(col("id")).as("s"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      big.join(broadcast(dim), Seq("k")).orderBy(col("s").desc).limit(10)
+        .write.format("noop").mode("overwrite").save()
+      System.err.println(f"[bench] machinery warm-up done at $elapsed%.1f s")
+    }
 
     // Warm the shared inputs once (plan-cache hit for all queries).
     val shared = Seq(
@@ -177,10 +226,18 @@ object Bench {
 
     // Runs `batch` with a calibration probe every CAL_EVERY queries,
     // tagging each measurement with the probe window it fell in.
+    //   - budgetCap: when set, a query runs only if elapsed plus
+    //     EST_FACTOR x its min-so-far (0.5 s when it has no pass yet)
+    //     still fits under the cap; over-estimate queries are SKIPPED
+    //     and the pass continues to cheaper ones (see scaladoc).
+    //   - backToBack: a successful measurement under CHEAP_SEC is
+    //     immediately re-timed once (warm, codegen cache hot) while
+    //     the query holds fewer than `passes` passes.
     def runPass(passName: String,
                 batch: Seq[(String, (SparkSession, String) => DataFrame)],
-                stopOnBudget: Boolean,
-                recordFailures: Boolean = true): Unit = {
+                budgetCap: Option[Double],
+                recordFailures: Boolean = true,
+                backToBack: Boolean = false): Unit = {
       var sinceProbe = scala.collection.mutable.ArrayBuffer[String]()
       def checkpointProbe(): Unit = {
         val p = probe()
@@ -189,9 +246,10 @@ object Bench {
         val w = windowProbe.length - 1
         sinceProbe.foreach { n =>
           val log = runLog(n)
-          if (log.nonEmpty) {
-            val (sec, _) = log.last
-            log(log.length - 1) = (sec, w)
+          // back-to-back passes: re-tag every still-untagged (-1)
+          // measurement of the window, not just the last one.
+          log.indices.foreach { i =>
+            if (log(i)._2 == -1) log(i) = (log(i)._1, w)
           }
         }
         if (p > STALL_FACTOR * floorNow)
@@ -201,13 +259,28 @@ object Bench {
         sinceProbe = scala.collection.mutable.ArrayBuffer[String]()
       }
       batch.foreach { case (name, fn) =>
-        if (stopOnBudget && elapsed > budgetSec) ()
-        else {
+        val est = {
+          val log = runLog(name)
+          if (log.isEmpty) 0.5 else log.map(_._1).min
+        }
+        val fits = budgetCap.forall(cap => elapsed + EST_FACTOR * est <= cap)
+        if (fits) {
           timeOne(fn) match {
             case Right(sec) =>
               runLog(name) += ((sec, -1))
               sinceProbe += name
               System.err.println(f"[bench] $passName $name $sec%.3f s")
+              if (backToBack && sec < CHEAP_SEC && runLog(name).size < passes) {
+                timeOne(fn) match {
+                  case Right(sec2) =>
+                    runLog(name) += ((sec2, -1))
+                    System.err.println(f"[bench] $passName $name $sec2%.3f s (back-to-back)")
+                  case Left(m) =>
+                    // First run succeeded, so the query is healthy; a
+                    // flake on the free re-time must not fail it.
+                    System.err.println(s"[bench] $passName $name back-to-back failed: $m")
+                }
+              }
             case Left(m) =>
               System.err.println(s"[bench] $passName $name failed: $m")
               if (recordFailures) failed += name
@@ -218,10 +291,25 @@ object Bench {
       if (sinceProbe.nonEmpty) checkpointProbe()
     }
 
-    // Pass 1 always completes (coverage guarantee); passes 2..P stop
-    // when the budget is gone (precision degrades, coverage doesn't).
-    (1 to passes).foreach { i =>
-      runPass(s"pass$i", queries, stopOnBudget = i > 1)
+    // Pass 1 always completes (coverage guarantee) and gives cheap
+    // queries their second pass back-to-back; passes 2..P cover the
+    // queries still holding fewer passes, most-expensive-first, gated
+    // by the budget minus the stall-re-run reserve (precision degrades
+    // before coverage, and the re-run loop always keeps fuel).
+    runPass("pass1", queries, budgetCap = None, backToBack = passes >= 2)
+    (2 to passes).foreach { i =>
+      // Failed queries stay in: a transient pass-1 failure can still
+      // recover a valid value in pass 2 (they sort last — empty log =
+      // est 0 — so a permanently-broken query costs the tail, not the
+      // head, of the pass).
+      val remaining = queries
+        .filter { case (name, _) => runLog(name).size < i }
+        .sortBy { case (name, _) =>
+          val log = runLog(name)
+          if (log.isEmpty) 0.0 else -log.map(_._1).min
+        }
+      runPass(s"pass$i", remaining,
+        budgetCap = Some(budgetSec - RERUN_RESERVE_SEC))
     }
 
     // Snapshot pass counts BEFORE any stall re-run: demotions derive
@@ -263,8 +351,9 @@ object Bench {
         s"stall-suspect passes; re-run attempt $rerunAttempt while budget remains")
       // recordFailures=false: the rerun is best-effort extra evidence —
       // a flake here must not fail a query that already has valid passes.
+      // The rerun spends the FULL budget (its reserve included).
       runPass(s"rerun$rerunAttempt", rerunList.map { case (n, f, _) => (n, f) },
-        stopOnBudget = true, recordFailures = false)
+        budgetCap = Some(budgetSec), recordFailures = false)
     }
 
     // Demotions, derived from what the scheduled passes actually ran
