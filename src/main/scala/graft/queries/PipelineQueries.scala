@@ -899,6 +899,90 @@ object PipelineQueries {
          |       COALESCE(i.token_ids, '') AS token_ids
          |FROM documents doc LEFT JOIN ids i ON doc.doc_id = i.doc_id""".stripMargin))
 
+  /** UNK-FREE serving with the byte-fallback floor
+    * ([[graft.operators.Bpe.encodeIdsBytes]] — the GPT-2 byte-level
+    * contract, round-12 verdict ask #2), deliberately run on an
+    * OOV-HEAVY split: train on the EVEN doc_ids, serve the disjoint
+    * ODD half, so replayed segmentations routinely contain symbols the
+    * even-half vocabulary never shipped. Each such symbol decomposes
+    * to byte tokens (trained ids unchanged, byte ids appended after
+    * the max trained id in character order) instead of collapsing to
+    * UNK 0 — and because the byte floor covers the whole `[a-z0-9]`
+    * gate alphabet, ZERO UNK ids can appear (PipelineSpec asserts it
+    * on the real corpus; the oracle hash would surface any divergence
+    * in the full id stream). The oracle replays training on the even
+    * half, merge-replay segmentation of the odd half (the est chain),
+    * the vocabulary ranking, the byte extension, and the per-symbol
+    * piece expansion, comparing the exact sequence strings.
+    */
+  val textBpeTokenIdsBytes = QueryDef(
+    "text_bpe_token_ids_bytes",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (mergeTable, wordMap) = graft.operators.Bpe.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", merges = BpeMerges)
+      graft.operators.Bpe.encodeIdsBytes(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", mergeTable,
+        graft.operators.Bpe.vocab(wordMap))
+    },
+    Some(
+      s"""WITH ${bpeChainSql(BpeMerges, "doc_id % 2 = 0")}${bpeEncodeChainSql(BpeMerges, "doc_id % 2 = 1")},
+         |voc AS (
+         |  SELECT token,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT)
+         |           AS token_id
+         |  FROM (
+         |    SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+         |    FROM (SELECT freq, unnest(s) AS t FROM st$BpeMerges) GROUP BY 1
+         |  )
+         |),
+         |bytes AS (
+         |  SELECT token,
+         |         CAST((SELECT MAX(token_id) FROM voc)
+         |              + ROW_NUMBER() OVER (ORDER BY token) AS INT) AS token_id
+         |  FROM (SELECT chr(CAST(c AS INT)) AS token FROM
+         |          (SELECT unnest(list_concat(generate_series(48, 57),
+         |                                     generate_series(97, 122))) AS c))
+         |  WHERE token NOT IN (SELECT token FROM voc)
+         |),
+         |svoc AS (SELECT token, token_id FROM voc
+         |         UNION ALL SELECT token, token_id FROM bytes),
+         |dtok AS (
+         |  SELECT doc_id, unnest(toks) AS w,
+         |         unnest(generate_series(1, len(toks))) AS wpos
+         |  FROM (
+         |    SELECT doc_id,
+         |           list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |                       t -> regexp_matches(t, '^[a-z0-9]+$$')) AS toks
+         |    FROM documents WHERE doc_id % 2 = 1)
+         |),
+         |dsym AS (
+         |  SELECT d.doc_id, d.wpos, unnest(m.s) AS token,
+         |         unnest(generate_series(1, len(m.s))) AS spos
+         |  FROM dtok d JOIN est$BpeMerges m USING (w)
+         |),
+         |dpiece AS (
+         |  SELECT doc_id, wpos, spos, unnest(pieces) AS piece,
+         |         unnest(generate_series(1, len(pieces))) AS cpos
+         |  FROM (
+         |    SELECT d.doc_id, d.wpos, d.spos,
+         |           CASE WHEN v.token_id IS NOT NULL THEN [d.token]
+         |                ELSE [substr(d.token, i, 1)
+         |                      FOR i IN generate_series(1, len(d.token))] END AS pieces
+         |    FROM dsym d LEFT JOIN svoc v ON v.token = d.token)
+         |),
+         |ids AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         array_to_string(LIST(COALESCE(sv.token_id, 0)
+         |                              ORDER BY wpos, spos, cpos), ',') AS token_ids
+         |  FROM dpiece p LEFT JOIN svoc sv ON sv.token = p.piece
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc.doc_id, COALESCE(i.n_tokens, 0) AS n_tokens,
+         |       COALESCE(i.token_ids, '') AS token_ids
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) doc
+         |LEFT JOIN ids i ON doc.doc_id = i.doc_id""".stripMargin))
+
   /** Trending terms per completed window — the batch finisher closing
     * the loop [[graft.streaming.StreamingOps.trendingTerms]] opens:
     * the stream emits (window, term, n) counts and defers the top-k
@@ -4681,7 +4765,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, textBpeTrain, textBpeEncode,
-    textBpeEncodeOov, textBpeVocab, textBpeTokenIds,
+    textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,

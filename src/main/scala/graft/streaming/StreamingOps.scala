@@ -281,6 +281,49 @@ object StreamingOps {
       .select(col("doc_id"), col("n_tokens"), col("token_ids"))
   }
 
+  /** UNK-FREE token-id sequences over a document stream — the online
+    * twin of [[graft.operators.Bpe.encodeIdsBytes]] (the GPT-2
+    * byte-fallback serving contract): identical to
+    * [[bpeEncodeIdsStream]] up to the symbol rows, then the shared
+    * [[graft.operators.Bpe.byteFallbackIds]] kernel resolves each
+    * symbol whole or decomposes it to byte tokens against the
+    * byte-floored serving vocabulary (both joins stream-static
+    * broadcasts of genuinely vocab-sized tables; the decomposition is
+    * a stateless narrow projection). Sequences order by (word, symbol,
+    * piece); state per in-flight document stays bounded by document
+    * length and watermark-evicted, exactly as the UNK variant.
+    */
+  def bpeEncodeIdsBytesStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      mergeTable: DataFrame,
+      vocab: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.operators.Bpe
+    val sym = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), col(textCol))
+      .select(col("doc_id"), col("__ts"),
+        posexplode(Bpe.asciiTokens(col(textCol))).as(Seq("wpos", "w")))
+      .crossJoin(broadcast(Bpe.mergesArray(mergeTable)))
+      .withColumn("syms", Bpe.applyMerges(col("w"), col("__merges")))
+      .select(col("doc_id"), col("__ts"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "token")))
+    Bpe.byteFallbackIds(sym, Bpe.servingVocabWithBytes(vocab))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("wpos"), col("spos"), col("cpos"), col("tid")))),
+            s => s.getField("tid").cast("string")),
+          ",").as("token_ids"))
+      .select(col("doc_id"), col("n_tokens"), col("token_ids"))
+  }
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

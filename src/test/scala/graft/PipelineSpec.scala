@@ -1809,6 +1809,71 @@ class BpeSpec extends AnyFunSuite {
     assert(replayed == trained,
       s"merge replay diverges from training fold: ${replayed.toSet.diff(trained.toSet)}")
   }
+
+  test("encodeIdsBytes: byte fallback decomposes vanished intermediate tokens, never emits UNK") {
+    // Train "abc abc": round 1 merges (a,b) (count tie with (b,c),
+    // lexicographic tie-break), round 2 merges (ab,c) — so the
+    // intermediate token "ab" is CONSUMED and absent from the final
+    // vocabulary {abc}. Serving vocab: abc -> 1, then the full byte
+    // floor '0'..'9' -> 2..11, 'a' -> 12 .. 'z' -> 37.
+    val train = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val (mergeTable, wordMap) = graft.operators.Bpe.train(train, "text", merges = 2)
+    val vocab = graft.operators.Bpe.vocab(wordMap)
+    val svoc = graft.operators.Bpe.servingVocabWithBytes(vocab)
+      .as[(String, Int)].collect().toMap
+    assert(svoc("abc") == 1 && svoc("0") == 2 && svoc("9") == 11
+      && svoc("a") == 12 && svoc("b") == 13 && svoc("z") == 37, s"svoc layout: $svoc")
+    assert(svoc.size == 37) // 1 trained token + all 36 gate characters
+    // "abz": replay gives [ab, z]; "ab" vanished from the vocabulary,
+    // so it DECOMPOSES to bytes a,b = 12,13; z resolves whole via the
+    // floor = 37. encodeIds would have emitted UNK 0 for "ab".
+    val docs = Seq((7L, "abc abz"), (8L, "zz"), (9L, "???")).toDF("doc_id", "text")
+    val out = graft.operators.Bpe.encodeIdsBytes(docs, "doc_id", "text", mergeTable, vocab)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(7L) == ((4L, "1,12,13,37")), s"got ${out(7L)}")
+    assert(out(8L) == ((2L, "37,37")))
+    assert(out(9L) == ((0L, "")))
+    // Where no fallback fires the two serving outputs agree exactly.
+    val noOov = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val a = graft.operators.Bpe.encodeIds(noOov, "doc_id", "text", mergeTable, vocab)
+      .as[(Long, Long, String)].collect().toSet
+    val b = graft.operators.Bpe.encodeIdsBytes(noOov, "doc_id", "text", mergeTable, vocab)
+      .as[(Long, Long, String)].collect().toSet
+    assert(a == b, s"$a != $b")
+  }
+
+  test("text_bpe_token_ids_bytes at sf0.001: zero UNK; parity with encodeIds away from fallback") {
+    // The registered query trains on even doc_ids and serves the
+    // disjoint odd half. Contract pinned here, honest at any corpus
+    // scale (whether or not this particular vocabulary leaves
+    // fallback-triggering symbols): (1) no token id 0 anywhere;
+    // (2) for every document the plain UNK serving encodes without
+    // UNKs, the byte variant emits the IDENTICAL sequence; (3) for
+    // every document where the plain serving DOES emit UNKs, the byte
+    // variant replaces them with >= as many byte tokens (a c-char
+    // symbol becomes c pieces) — the decomposition itself is pinned
+    // exactly by the hand fixture above.
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("text_bpe_token_ids_bytes")(spark, sf)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.nonEmpty && rows.values.exists(_._1 > 0))
+    assert(!rows.values.iterator.filter(_._2.nonEmpty)
+        .flatMap(_._2.split(',')).contains("0"),
+      "UNK id 0 leaked through the byte floor")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val (mergeTable, wordMap) = graft.operators.Bpe.train(
+      docs.filter($"doc_id" % 2 === 0), "text", merges = 20)
+    val plain = graft.operators.Bpe.encodeIds(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", mergeTable,
+        graft.operators.Bpe.vocab(wordMap))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(plain.keySet == rows.keySet)
+    plain.foreach { case (id, (nTok, seq)) =>
+      val hasUnk = seq.nonEmpty && seq.split(',').contains("0")
+      if (!hasUnk) assert(rows(id) == ((nTok, seq)), s"doc $id diverged without fallback")
+      else assert(rows(id)._1 >= nTok, s"doc $id lost tokens in fallback")
+    }
+  }
 }
 
 class XlsxSpec extends AnyFunSuite {

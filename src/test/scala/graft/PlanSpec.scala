@@ -366,9 +366,12 @@ class PlanSpec extends AnyFunSuite {
     //   text_bpe_token_ids: embeds the SAME vocabulary ranking window
     //     as text_bpe_vocab (|alphabet| + merges symbols, bounded by
     //     the merge budget by construction).
+    //   text_bpe_token_ids_bytes: the same vocabulary ranking window
+    //     PLUS the byte-floor ranking (≤36 alphabet rows by
+    //     construction — servingVocabWithBytes scaladoc).
     val ok = Set("abc_classify", "pipeline_ep2", "u_delta_semanas",
       "events_funnel_summary", "j1_inner_join_abc", "j5_left_join_default",
-      "text_bpe_vocab", "text_bpe_token_ids")
+      "text_bpe_vocab", "text_bpe_token_ids", "text_bpe_token_ids_bytes")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok(name)) None
       else {
@@ -471,6 +474,7 @@ class PlanSpec extends AnyFunSuite {
       "ann_pq_rerank_manifold" -> "PQ codebooks + shortlist: codewords / top-n per query (k-heap output)",
       "ann_ivfpq_manifold" -> "PQ codebooks + probe table: codewords / |Q| x nprobe rows",
       "text_bpe_token_ids" -> "vocabulary id table: |alphabet| + merges rows (the T18d artifact)",
+      "text_bpe_token_ids_bytes" -> "serving vocabulary + byte floor: |alphabet| + merges + <=36 rows; max-id frame: 1-row agg",
       "ann_ivfpq_rerank_manifold" -> "PQ codebooks + probes + shortlist: codewords / |Q| x nprobe / top-n per query",
       "ann_ivfpq_residual_manifold" -> "residual codebooks + normalized centroids + probes + per-(query,cell) tables: all codeword/|Q|-bounded",
       "ann_ivfpq_residual_rerank_manifold" -> "residual codebooks + centroids + probes + tables + TakeOrdered shortlist + |Q| query side: all codeword/|Q|-bounded",

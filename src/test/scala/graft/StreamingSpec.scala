@@ -216,6 +216,38 @@ class StreamingSpec extends AnyFunSuite {
       "bpeEncodeIdsStream lost its watermark — unbounded state")
   }
 
+  test("bpeEncodeIdsBytesStream: UNK-free byte-fallback serving with batch parity (T18h)") {
+    implicit val sql = spark.sqlContext
+    // Train "abc abc" (the encodeIdsBytes hand corpus): merges (a,b)
+    // then (ab,c); intermediate "ab" vanishes from the vocabulary.
+    // Stream "abz": replay -> [ab, z]; "ab" decomposes to bytes 12,13
+    // and z resolves via the floor (37) — zero UNK where
+    // bpeEncodeIdsStream emits 0s.
+    val trainDocs = Seq((9L, "abc abc")).toDF("doc_id", "text")
+    val (mergeTable, wordMap) = graft.operators.Bpe.train(trainDocs, "text", merges = 2)
+    val vocab = graft.operators.Bpe.vocab(wordMap)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val docs = Seq((1L, "abc abz"), (2L, "zz"), (3L, "???"))
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(docs.map { case (id, t) => (id, t0, t) }: _*)
+    val dir = Files.createTempDirectory("graft_stream_bpe_bytes").toString
+    val enc = StreamingOps.bpeEncodeIdsBytesStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", mergeTable, vocab)
+    val q = enc.writeStream.format("memory").queryName("bpe_bytes_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bpe_bytes_stream_test")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = graft.operators.Bpe.encodeIdsBytes(
+        docs.toDF("doc_id", "text"), "doc_id", "text", mergeTable, vocab)
+      .as[(Long, Long, String)].collect().filter(_._2 > 0).toSet
+    assert(streamed == batch, s"stream $streamed vs batch-nonzero $batch")
+    assert(streamed.contains((1L, 4L, "1,12,13,37")), s"byte-fallback path: $streamed")
+    assert(streamed.forall(!_._3.split(',').contains("0")), s"UNK leaked: $streamed")
+    assert(enc.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "bpeEncodeIdsBytesStream lost its watermark — unbounded state")
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
