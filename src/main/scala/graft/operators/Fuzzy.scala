@@ -34,16 +34,50 @@ object Fuzzy {
       transform(sequence(lit(1), greatest(length(s), lit(1))),
         i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
 
+  /** [[deletionVariants]] extended to depth 2: {self} ∪ single
+    * deletions ∪ every deletion of two distinct positions i < j —
+    * `1 + |s| + |s|(|s|−1)/2` keys per string (the quadratic growth is
+    * why ed≤2 is the practical ceiling for this method; SymSpell ships
+    * the same cutoff). Still one codegen'd expression: the i < j pairs
+    * come from a nested `transform` over ascending sequences (the
+    * inner `sequence(i+1, len)` is never descending because i ≤ len−1)
+    * flattened and deduped by `array_union`.
+    *
+    * COMPLETENESS (the property [[fuzzyPairs]] relies on, PropertySpec-
+    * fuzzed): if lev(a, b) ≤ 2, some common string is reachable from
+    * BOTH by ≤2 deletions. Proof: fix an optimal alignment with
+    * s substitutions, d deletions (from a), n insertions; the aligned
+    * matched characters form a common subsequence reachable by
+    * deleting a's s + d ≤ 2 unmatched characters and b's s + n ≤ 2
+    * unmatched characters.
+    */
+  def deletionVariants2(s: Column): Column = {
+    val doubles = when(length(s) >= 2,
+      flatten(transform(sequence(lit(1), length(s) - 1), i =>
+        transform(sequence(i + 1, length(s)), j =>
+          concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, j - i - 1),
+            s.substr(j + 1, length(s)))))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    array_union(deletionVariants(s), doubles)
+  }
+
   /** Fuzzy pairs between two frames: `(id_l, id_r, name_l, name_r,
     * dist)` for every cross-side pair with Levenshtein ≤ `maxEdit`
-    * (complete for `maxEdit = 1` by the deletion-neighborhood
-    * property; larger `maxEdit` would need deeper neighborhoods).
+    * (complete for `maxEdit ∈ {1, 2}` by the deletion-neighborhood
+    * property — depth-d deletion sets of strings within distance d
+    * always intersect, see [[deletionVariants2]]; deeper maxEdit would
+    * need cubic-and-up neighborhoods, past the method's practical
+    * ceiling).
     *
-    * Scale: each side explodes to `len+1` variant keys; the equi-join
-    * on the variant string is an ordinary hash join; `capBuckets`
-    * drops degenerate hot variants (with the completeness caveat that
-    * implies — same contract as the LSH dedup family); the verify is
-    * one codegen'd levenshtein per candidate; pairs dedup at match
+    * Scale: each side explodes to `len+1` (ed1) or `~len²/2` (ed2)
+    * variant keys — still linear in ROWS, never the all-pairs cross
+    * join; the equi-join on the variant string is an ordinary hash
+    * join; `capBuckets` drops degenerate hot variants (with the
+    * completeness caveat that implies — same contract as the LSH dedup
+    * family, and the ed2 double-deletion keys are shorter and hence
+    * hotter, which is exactly what the cap bounds); the verify is one
+    * codegen'd levenshtein per candidate; pairs dedup at match
     * cardinality.
     */
   def fuzzyPairs(
@@ -55,11 +89,14 @@ object Fuzzy {
       strR: String,
       maxEdit: Int = 1,
       maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
-    require(maxEdit == 1, "deletion-neighborhood candidates are complete only for maxEdit = 1")
+    require(maxEdit == 1 || maxEdit == 2,
+      "deletion-neighborhood candidates are complete only for maxEdit in {1, 2}")
+    val variants: Column => Column =
+      if (maxEdit == 1) deletionVariants else deletionVariants2
     def banded(df: DataFrame, id: String, str: String, outId: String, outStr: String) =
       Dedup.capBuckets(
         df.select(col(id).as(outId), col(str).as(outStr),
-            explode(deletionVariants(col(str))).as("key"))
+            explode(variants(col(str))).as("key"))
           .withColumn("band", lit(0)),
         maxBucket)
     val l = banded(left, idL, strL, "id_l", "name_l")

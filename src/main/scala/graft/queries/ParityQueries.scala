@@ -544,6 +544,87 @@ object ParityQueries {
            |       CAST(levenshtein(name_l, name_r) AS INT) AS dist
            |FROM cand WHERE levenshtein(name_l, name_r) <= 1""".stripMargin))
 
+  /** Edit-distance-2 fuzzy join ([[Fuzzy.fuzzyPairs]] `maxEdit = 2`,
+    * round-12 verdict ask #7): the [[fuzzyNames]] fixture hardened to
+    * DOUBLE corruption — partkey % 3 == 0 rows lose one character,
+    * partkey % 3 == 1 rows lose TWO (a second id-derived deletion
+    * applied to the once-deleted string), so re-linking the second
+    * class is impossible for the ed1 join and REQUIRES the depth-2
+    * deletion neighborhoods ([[Fuzzy.deletionVariants2]] — complete
+    * for lev ≤ 2 by the alignment argument in its scaladoc,
+    * PropertySpec-fuzzed). Same distinct-name posture and hot-key cap
+    * as the ed1 query; the oracle replays the double corruption, the
+    * depth-2 variant sets (nested list comprehension), the per-side
+    * cap, and the levenshtein ≤ 2 verify from scratch.
+    */
+  val fuzzyNamesEd2 = QueryDef(
+    "j_fuzzy_names_ed2",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      def del(c: org.apache.spark.sql.Column,
+          pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(c.substr(lit(1), pos - 1), c.substr(pos + 1, length(c)))
+      val left = p.select(col("p_name").as("name")).distinct()
+      val pos1 = least(pmod(col("p_partkey"), lit(20)) + 1, length(col("p_name")))
+      val s1 = del(col("p_name"), pos1)
+      val pos2 = least(pmod(col("p_partkey"), lit(13)) + 1, length(s1))
+      val s2 = del(s1, pos2)
+      val right = p.select(
+        when(pmod(col("p_partkey"), lit(3)) === 0, s1)
+          .when(pmod(col("p_partkey"), lit(3)) === 1, s2)
+          .otherwise(col("p_name")).as("name")).distinct()
+      Fuzzy.fuzzyPairs(left, right, "name", "name", "name", "name", maxEdit = 2)
+        .select(col("name_l"), col("name_r"), col("dist"))
+    },
+    Some("""WITH l AS (SELECT DISTINCT p_name AS name_l FROM part),
+           |r AS (
+           |  SELECT DISTINCT CASE WHEN p_partkey % 3 = 0 THEN s1
+           |                       WHEN p_partkey % 3 = 1 THEN s2
+           |                       ELSE p_name END AS name_r
+           |  FROM (
+           |    SELECT p_name, p_partkey, s1,
+           |           substr(s1, 1, least(p_partkey % 13 + 1, length(s1)) - 1) ||
+           |           substr(s1, least(p_partkey % 13 + 1, length(s1)) + 1, length(s1)) AS s2
+           |    FROM (
+           |      SELECT p_name, p_partkey,
+           |             substr(p_name, 1, least(p_partkey % 20 + 1, length(p_name)) - 1) ||
+           |             substr(p_name, least(p_partkey % 20 + 1, length(p_name)) + 1, length(p_name)) AS s1
+           |      FROM part))
+           |),
+           |lv AS (
+           |  SELECT name_l,
+           |         unnest(list_distinct(list_append(list_concat(
+           |           [substr(name_l, 1, i - 1) || substr(name_l, i + 1, length(name_l))
+           |            FOR i IN generate_series(1, greatest(length(name_l), 1))],
+           |           flatten([[substr(name_l, 1, i - 1) || substr(name_l, i + 1, j - i - 1) ||
+           |                     substr(name_l, j + 1, length(name_l))
+           |                     FOR j IN generate_series(i + 1, length(name_l))]
+           |                    FOR i IN generate_series(1, length(name_l) - 1)])),
+           |           name_l))) AS key
+           |  FROM l
+           |),
+           |rv AS (
+           |  SELECT name_r,
+           |         unnest(list_distinct(list_append(list_concat(
+           |           [substr(name_r, 1, i - 1) || substr(name_r, i + 1, length(name_r))
+           |            FOR i IN generate_series(1, greatest(length(name_r), 1))],
+           |           flatten([[substr(name_r, 1, i - 1) || substr(name_r, i + 1, j - i - 1) ||
+           |                     substr(name_r, j + 1, length(name_r))
+           |                     FOR j IN generate_series(i + 1, length(name_r))]
+           |                    FOR i IN generate_series(1, length(name_r) - 1)])),
+           |           name_r))) AS key
+           |  FROM r
+           |),
+           |lc AS (SELECT * FROM lv QUALIFY COUNT(*) OVER (PARTITION BY key) <= 2000),
+           |rc AS (SELECT * FROM rv QUALIFY COUNT(*) OVER (PARTITION BY key) <= 2000),
+           |cand AS (
+           |  SELECT DISTINCT lc.name_l, rc.name_r
+           |  FROM lc JOIN rc ON lc.key = rc.key
+           |)
+           |SELECT name_l, name_r,
+           |       CAST(levenshtein(name_l, name_r) AS INT) AS dist
+           |FROM cand WHERE levenshtein(name_l, name_r) <= 2""".stripMargin))
+
   /** Per-group Pearson correlation (budget value × close probability
     * per state) — the bivariate-metrics class (§2.4 has only
     * univariate aggregates). NOT Spark's `corr()`: a float-mean
@@ -1593,7 +1674,7 @@ object ParityQueries {
     innerJoinAbc, leftJoinDedup, leftJoinDefault, groupbyFirst, argmax,
     historico, historicoCapped, collapseUniform, distinctTriples, distinctSorted, metrics,
     unionSemanas, missingFromDim, paginate, dates, formats, describeSource,
-    coerceFill, ffill, fuzzyNames, corrGeo, olsGeo, sketchReuse, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
+    coerceFill, ffill, fuzzyNames, fuzzyNamesEd2, corrGeo, olsGeo, sketchReuse, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, groupingSets, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
     schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)

@@ -379,4 +379,60 @@ class Round10PropertySpec extends AnyFunSuite {
       a == b && a.size == math.min(7, base.size)
     })
   }
+
+  // Scala reference for the depth-2 deletion neighborhood: {self} ∪
+  // single deletions ∪ deletions of two distinct positions (equal, as
+  // a SET, to single-deletions-of-single-deletions).
+  private def delVariants2Ref(s: String): Set[String] = {
+    val d1 = (0 until s.length).map(i => s.take(i) + s.drop(i + 1)).toSet
+    val d2 = for { t <- d1; i <- 0 until t.length } yield t.take(i) + t.drop(i + 1)
+    d1 ++ d2 + s
+  }
+
+  private val editedPairGen: Gen[(String, String)] = for {
+    n <- Gen.choose(0, 8)
+    base <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    nEdits <- Gen.choose(0, 2)
+    edits <- Gen.listOfN(nEdits, Gen.zip(
+      Gen.oneOf("sub", "ins", "del"), Gen.choose(0, 99), Gen.oneOf('a', 'b', 'c')))
+  } yield {
+    val mutated = edits.foldLeft(base) { case (s, (op, posRaw, ch)) =>
+      op match {
+        case "ins" => val p = posRaw % (s.length + 1); s.take(p) + ch + s.drop(p)
+        case _ if s.isEmpty => s
+        case "sub" => val p = posRaw % s.length; s.updated(p, ch)
+        case "del" => val p = posRaw % s.length; s.take(p) + s.drop(p + 1)
+      }
+    }
+    (base, mutated)
+  }
+
+  test("fuzzy ed2 candidate completeness: <=2 edits always share a depth-2 deletion key") {
+    // The claim j_fuzzy_names_ed2 stands on ([[Fuzzy.deletionVariants2]]
+    // scaladoc's alignment argument), fuzzed: apply up to 2 arbitrary
+    // edits (sub/ins/del at arbitrary positions, 3-letter alphabet to
+    // force collisions and equal-character runs) — lev(a, b) <= 2 by
+    // the metric property, so the depth-2 deletion sets MUST intersect
+    // or the equi-join on variant keys would silently lose the pair.
+    run(Prop.forAll(editedPairGen) { case (a, b) =>
+      delVariants2Ref(a).intersect(delVariants2Ref(b)).nonEmpty
+    })
+  }
+
+  test("deletionVariants2 Column matches the Scala reference set") {
+    // The codegen'd nested-transform expression and the obvious
+    // recursive definition must produce the same SET of keys — this is
+    // what makes the completeness property above transfer to the plan.
+    val strGen = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    run(Prop.forAll(Gen.listOfN(8, strGen)) { ss =>
+      val got = ss.distinct.toDF("s")
+        .select($"s", graft.operators.Fuzzy.deletionVariants2($"s").as("v"))
+        .as[(String, Seq[String])].collect().toMap
+      ss.distinct.forall { s =>
+        val g = got(s)
+        g.toSet == delVariants2Ref(s) && g.size == g.toSet.size
+      }
+    })
+  }
 }
