@@ -97,19 +97,38 @@ object Similarity {
       corpus: DataFrame,
       centroids: DataFrame,
       idCol: String,
-      vecCol: String): DataFrame =
+      vecCol: String,
+      exactDouble: Boolean = false): DataFrame =
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(centroids.select(col("c_id"),
         // float32 is the scoring precision everywhere in this module;
         // the cast lets [[kmeansFit]]'s double centroids (and a
-        // parquet round-trip of them) feed search directly.
-        col("c_vec").cast("array<float>").as("c_vec"))))
+        // parquet round-trip of them) feed search directly. With
+        // `exactDouble` the assignment runs the full-double path
+        // instead ([[centroidSim]]) — required when TRAINED centroids
+        // must assign bit-identically to an all-double replay (the
+        // 6-dp decimal means carry ~9 significant digits, past
+        // float32's ~7; seed centroids are float-exact either way).
+        (if (exactDouble) col("c_vec").cast("array<double>")
+         else col("c_vec").cast("array<float>")).as("c_vec"))))
       .select(col("id"), col("vec"), col("c_id"),
-        round(VectorFunctions.cosineFast(col("vec"), col("c_vec")), 6).as("sim"))
+        centroidSim(exactDouble).as("sim"))
       .groupBy("id")
       .agg(
         max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
         first(col("vec")).as("vec"))
+
+  /** Assignment similarity shared by [[ivfAssign]]/[[ivfAssignProbes]]:
+    * rounded-6dp cosine of (`vec`, `c_vec`), float path by default,
+    * all-double ([[VectorFunctions.cosineFastD]] — the [[kmeansFit]]
+    * loop's own expression, bit-identical to the interpreted cosine)
+    * when trained double centroids must replay exactly.
+    */
+  private def centroidSim(exactDouble: Boolean): Column =
+    if (exactDouble)
+      round(VectorFunctions.cosineFastD(
+        col("vec").cast("array<double>"), col("c_vec")), 6)
+    else round(VectorFunctions.cosineFast(col("vec"), col("c_vec")), 6)
 
   /** Top-`nprobe` cell assignments per vector (multi-probe IVF): the
     * query side probes its `nprobe` nearest centroids instead of only
@@ -125,12 +144,14 @@ object Similarity {
       centroids: DataFrame,
       idCol: String,
       vecCol: String,
-      nprobe: Int): DataFrame =
+      nprobe: Int,
+      exactDouble: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(centroids.select(col("c_id"),
-        col("c_vec").cast("array<float>").as("c_vec"))))
+        (if (exactDouble) col("c_vec").cast("array<double>")
+         else col("c_vec").cast("array<float>")).as("c_vec"))))
       .select(col("id"), col("vec"), col("c_id"),
-        round(VectorFunctions.cosineFast(col("vec"), col("c_vec")), 6).as("sim"))
+        centroidSim(exactDouble).as("sim"))
       .filter(col("sim").isNotNull)
       .groupBy(col("id"))
       .agg(
@@ -183,9 +204,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int): DataFrame = {
-    val ca = ivfAssign(corpus, centroids, idCol, vecCol)
-    val qa = ivfAssignProbes(queries, centroids, idCol, vecCol, nprobe)
+      nprobe: Int,
+      exactDouble: Boolean = false): DataFrame = {
+    val ca = ivfAssign(corpus, centroids, idCol, vecCol, exactDouble)
+    val qa = ivfAssignProbes(queries, centroids, idCol, vecCol, nprobe, exactDouble)
     val scored = qa.select(col("id").as("q_id"), col("vec").as("q_vec"), col("cell"))
       .join(ca.select(col("id").as("n_id"), col("vec").as("n_vec"), col("cell")), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

@@ -480,6 +480,7 @@ class PlanSpec extends AnyFunSuite {
       "ann_ivfpq_residual_rerank_manifold" -> "residual codebooks + centroids + probes + tables + TakeOrdered shortlist + |Q| query side: all codeword/|Q|-bounded",
       "ann_ivf_nprobe_curve" -> "query + centroid sides: literal vec_id filters (3 settings over one shared truth)",
       "ann_ivf_ncells_curve" -> "query + centroid sides: literal vec_id filters (3 cell sets over one shared truth)",
+      "ann_ivf_cells_trained" -> "centroids: k-row checkpointed kmeans output (8/16 cells) + literal seed/query filters",
       "ann_ivfpq_residual_lloyd_manifold" -> "residual codebooks (Lloyd checkpoints) + centroids + probes + per-(query,cell) tables: codeword/|Q|-bounded",
       "ann_kmeans" -> "centroid table: k rows (checkpointed Lloyd output)",
       "dedup_incr_embed" -> "batch-side signatures: incremental-batch contract (batch << corpus)",
