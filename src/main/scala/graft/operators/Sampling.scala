@@ -48,6 +48,36 @@ object Sampling {
     df.withColumn("fold", hashBucket(col(idCol), k))
   }
 
+  /** Deterministic shuffle-and-shard for training-data export — the
+    * pretraining pipeline's last hop (clean → pack → SHARD → write,
+    * round-12 verdict ask #6): `shard` = md5-bucket(id) mod `nShards`,
+    * `shard_pos` = 0-based rank of (md5Bits60(id), id) within the
+    * shard — a global pseudo-random shuffle realized as N independent
+    * per-shard orders, reproducible across runs, engines, partitionings
+    * and cluster sizes (the property a `rand()` shuffle can never give
+    * a resumable training job: epoch 1's shard 17 is ALWAYS the same
+    * rows in the same order). Pair with [[graft.sources.Sink.saveSharded]]
+    * to lay the shards out as one sorted parquet partition each.
+    *
+    * Scale: assignment is a narrow projection (the [[hashBucket]]
+    * idiom); the rank is a window PARTITIONED BY shard — the shard is
+    * the explicit sequential unit (a shard is consumed by one
+    * sequential reader anyway), and the caller sizes `nShards` so one
+    * shard fits a task, the same bounded-unit contract as
+    * [[graft.operators.TextAnalysis.packSequences]] buckets and the
+    * [[inBatchNegatives]] ring. No global order, no corpus-wide window.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.withColumn("shard", hashBucket(col(idCol), nShards).cast("int"))
+      .withColumn("__h", graft.functions.Hashing.md5Bits60(col(idCol).cast("string")))
+      .withColumn("shard_pos",
+        (row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("__h"), col(idCol))) - 1).cast("long"))
+      .drop("__h")
+  }
+
   /** In-batch negative sampling for contrastive training: each anchor
     * gets `k` pseudo-random partners from its hash-assigned "batch" —
     * the contrastive-pairs prep step (in-batch negatives are the

@@ -611,6 +611,66 @@ object PipelineQueries {
            |)
            |SELECT bucket, doc_id, n_tok, seq FROM pack""".stripMargin))
 
+  /** Deterministic shard export ([[Sampling.shardAssign]] over the
+    * packed sequences — the pretraining pipeline's LAST hop, round-12
+    * verdict ask #6): each packed training sequence (the
+    * [[textPackSequences]] units, keyed `bucket#seq`) is assigned
+    * shard = md5-bucket(key) mod 8 and an md5-rank position WITHIN its
+    * shard — the reproducible global shuffle a resumable training job
+    * needs (epoch 1's shard 5 is always the same sequences in the same
+    * order, on any engine or cluster size). The oracle replays the
+    * packing recurrence, the per-sequence totals, the md5 shard
+    * assignment AND the within-shard rank — one transposed row
+    * anywhere hash-fails, so the ORDER itself is the pinned artifact.
+    * The filesystem half ([[graft.sources.Sink.saveSharded]]: one
+    * sorted parquet partition per shard) is SinkSpec's round-trip.
+    */
+  val pipelineShardExport = QueryDef(
+    "pipeline_shard_export",
+    (s, dir) => {
+      val sized = Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("doc_id DIV 50").as("bucket"),
+        TextAnalysis.tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("n_tok"))
+      val packed = TextAnalysis.packSequences(sized, "doc_id", "n_tok", "bucket",
+        maxTokens = 256L)
+      val seqs = packed.groupBy(col("bucket"), col("seq"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok")).cast("long").as("tot_tok"))
+        .withColumn("seq_key",
+          concat(col("bucket").cast("string"), lit("#"), col("seq").cast("string")))
+      Sampling.shardAssign(seqs, "seq_key", nShards = 8)
+        .select(col("bucket"), col("seq"), col("n_docs"), col("tot_tok"),
+          col("shard"), col("shard_pos"))
+    },
+    Some("""WITH RECURSIVE ord AS (
+           |  SELECT doc_id, doc_id // 50 AS bucket,
+           |         len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok,
+           |         row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id) AS rn
+           |  FROM documents
+           |), pack AS (
+           |  SELECT bucket, doc_id, n_tok, rn, 0 AS seq, n_tok AS cur FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.bucket, o.doc_id, o.n_tok, o.rn,
+           |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN p.seq + 1 ELSE p.seq END,
+           |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN o.n_tok ELSE p.cur + o.n_tok END
+           |  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+           |), seqs AS (
+           |  SELECT bucket, seq, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(n_tok) AS BIGINT) AS tot_tok
+           |  FROM pack GROUP BY 1, 2
+           |), keyed AS (
+           |  SELECT bucket, seq, n_docs, tot_tok,
+           |         CAST(bucket AS VARCHAR) || '#' || CAST(seq AS VARCHAR) AS seq_key,
+           |         ('0x' || substr(md5(CAST(bucket AS VARCHAR) || '#' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT AS h
+           |  FROM seqs
+           |)
+           |SELECT bucket, seq, n_docs, tot_tok,
+           |       CAST(h % 8 AS INT) AS shard,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, seq_key) - 1 AS BIGINT)
+           |         AS shard_pos
+           |FROM keyed""".stripMargin))
+
   /** The shared BPE CTE chain (see [[graft.operators.Bpe]]): tokens →
     * word counts → char symbols, then `k` UNROLLED merge rounds —
     * each round is pair counts → (count DESC, lhs ASC, rhs ASC) best
@@ -4920,7 +4980,8 @@ object PipelineQueries {
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
-    textRedactPii, textRepetition, textPackSequences, textBpeTrain, textBpeEncode,
+    textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
+    textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,

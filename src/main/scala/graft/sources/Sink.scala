@@ -255,4 +255,23 @@ object Sink {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(tableName)
   }
+
+  /** Training-shard layout for a [[graft.operators.Sampling.shardAssign]]
+    * frame: one hive partition directory per `shard`, rows inside each
+    * shard's file(s) physically ordered by `shard_pos` — so a training
+    * job reads shard `i` as one sequential, deterministically-ordered
+    * stream with no sort at load time (the tfrecord/webdataset
+    * contract, in parquet). `repartition(shard)` puts each shard on
+    * exactly one writer task (one file per shard) and
+    * `sortWithinPartitions` fixes the physical row order; parquet
+    * readers preserve file row order within a split, SinkSpec pins the
+    * round-trip.
+    */
+  def saveSharded(df: DataFrame, path: String, format: String = "parquet"): Unit = {
+    require(Seq("shard", "shard_pos").forall(df.columns.contains),
+      s"saveSharded expects shardAssign output (shard, shard_pos); got (${df.columns.mkString(", ")})")
+    df.repartition(org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard", "shard_pos")
+      .write.mode("overwrite").format(format).partitionBy("shard").save(path)
+  }
 }

@@ -1261,6 +1261,40 @@ class SinkSpec extends AnyFunSuite {
     assert(p == s"$dir/export_20260101_000000")
     assert(spark.read.parquet(p).count() == 2)
   }
+
+  test("shardAssign + saveSharded: deterministic shards, physically ordered files (round-trip)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    val df = (0L until 200L).map(i => (i, s"payload_$i")).toDF("id", "payload")
+    val sharded = operators.Sampling.shardAssign(df, "id", nShards = 4)
+    // Partitioning-invariance: the assignment is a pure function of id.
+    val a = sharded.select($"id", $"shard", $"shard_pos")
+      .as[(Long, Int, Long)].collect().toSet
+    val b = operators.Sampling.shardAssign(df.repartition(7), "id", nShards = 4)
+      .select($"id", $"shard", $"shard_pos").as[(Long, Int, Long)].collect().toSet
+    assert(a == b, "shard assignment depends on physical partitioning")
+    // Exhaustive, disjoint, dense 0-based positions per shard.
+    assert(a.size == 200 && a.map(_._1).size == 200)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (0L until rows.size).toSet, "shard_pos not dense")
+    }
+    sources.Sink.saveSharded(sharded, s"$dir/shards")
+    // Hive layout: one directory per shard.
+    val dirs = new java.io.File(s"$dir/shards").listFiles()
+      .map(_.getName).filter(_.startsWith("shard=")).toSet
+    assert(dirs == Set("shard=0", "shard=1", "shard=2", "shard=3"))
+    // Round-trip equality of the full assignment.
+    val back = spark.read.parquet(s"$dir/shards")
+      .select($"id", $"shard".cast("int"), $"shard_pos").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(back == a)
+    // PHYSICAL order: reading one shard's files with no sort must
+    // yield shard_pos ascending — the sequential-reader contract.
+    dirs.foreach { d =>
+      val pos = spark.read.parquet(s"$dir/shards/$d").select($"shard_pos")
+        .as[Long].collect().toSeq
+      assert(pos == pos.sorted, s"$d rows not physically ordered: $pos")
+    }
+  }
 }
 
 class ViewsPaginationSpec extends AnyFunSuite {
