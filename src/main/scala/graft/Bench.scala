@@ -24,17 +24,24 @@ import graft.sources.Tables
   *     compilation still lands in each query's pass 1 — that is what
   *     the second pass exists to shed).
   *   - Pass 1 gives every query whose first measurement ran under
-  *     `CHEAP_SEC` an immediate BACK-TO-BACK second timing. The warm
-  *     re-run of a sub-second query costs ~its warm time (the codegen
-  *     cache is hot), and the cheap tail is where one cold pass is
-  *     proportionally worst (compile cost ~0.1-0.5 s against a ~0.2 s
-  *     query) — exactly the queries the old alphabetical pass 2
-  *     starved when the budget ran dry. Both timings can share a stall
-  *     window; the re-run loop below already handles that case.
+  *     `CHEAP_SEC` (2.5 s) an immediate BACK-TO-BACK second timing.
+  *     The warm re-run costs ~its warm time (the codegen cache is
+  *     hot), and the sub-2.5 s band is where one cold pass is
+  *     proportionally worst (measured: 1.3-1.8x — the ~fixed codegen
+  *     compile against a small query) — exactly the queries the old
+  *     alphabetical pass 2 starved when the budget ran dry. Both
+  *     timings can share a stall window; the re-run loop below
+  *     already handles that case.
   *   - Passes >= 2 cover the queries still holding fewer passes, in
-  *     DESCENDING pass-1 cost order (the r12 verdict's ask: expensive
-  *     queries carry the largest absolute cold inflation, so budget
-  *     spends where min-of-passes buys the most seconds).
+  *     ASCENDING pass-1 cost order. (The r12 verdict suggested
+  *     descending, on the theory that expensive queries carry the
+  *     worst cold inflation; the round-13 full-tree band measurement
+  *     showed the opposite — cold/warm is median 1.08x/max 1.28x for
+  *     the >= 5 s tail, whose many internal jobs warm the JIT inside
+  *     pass 1, and 1.3-1.8x below 2.5 s where the ~fixed codegen
+  *     compile dominates. Ascending maximizes warm-covered queries
+  *     per budget second, and whatever the budget strands is exactly
+  *     the band whose single cold pass is already within ~1.2x.)
   *   - Passes >= 2 are ESTIMATE-GATED, not stop-on-budget: a query
   *     runs iff elapsed + 1.2x its min-so-far fits inside the budget
   *     minus a `RERUN_RESERVE_SEC` reserve (kept so the stall re-run
@@ -74,8 +81,12 @@ import graft.sources.Tables
   * run that STARTS inside a stall storm (inflated early probes) still
   * marks its early windows suspect once any later quiet probe reveals
   * the true floor. A probe reading over `STALL_FACTOR` (2x) of the
-  * floor means the host was degraded for the queries measured since
-  * the previous probe: those passes are `stall_suspect`. After the
+  * floor AND over floor + `STALL_ABS_GUARD_SEC` (the absolute guard —
+  * real storms inflate the probe by hundreds of ms to seconds, while
+  * scheduler jitter moves it tens of ms; round 13 measured the
+  * relative-only rule false-flagging half the tree off one lucky
+  * 57 ms floor) means the host was degraded for the queries measured
+  * since the previous probe: those passes are `stall_suspect`. After the
   * final pass, queries whose EVERY pass was suspect are re-run — up
   * to 3 attempts while budget remains, looping until none is left
   * all-suspect — so the min includes at least one quiet-host pass,
@@ -127,7 +138,17 @@ object Bench {
 
   private val CAL_EVERY = 10 // probe between every 10 measured queries
   private val STALL_FACTOR = 2.0 // probe > 2x floor => batch suspect
-  private val CHEAP_SEC = 1.0 // pass-1 back-to-back re-time threshold
+  // Absolute companion to STALL_FACTOR: a window is suspect only when
+  // its probe exceeds BOTH 2x the floor AND floor + 250 ms. The
+  // hypervisor stalls this detector exists for inflate a ~0.1 s probe
+  // to 0.5-9 s (the 6-90x storms of rounds 10-12); plain scheduler
+  // jitter moves it by tens of ms. Without the absolute term one
+  // lucky 57 ms probe poisons the floor and flags every normal
+  // ~0.11 s window — measured live in round 13: 47 false suspects
+  // cascaded into a budget-eating re-run loop and 51 demotions on a
+  // host that was never actually stalled.
+  private val STALL_ABS_GUARD_SEC = 0.25
+  private val CHEAP_SEC = 2.5 // pass-1 back-to-back re-time threshold
   private val RERUN_RESERVE_SEC = 25.0 // budget held back for stall re-runs
   private val EST_FACTOR = 1.2 // pass >= 2 gate: elapsed + est*factor must fit
 
@@ -212,9 +233,11 @@ object Bench {
     // detection for exactly the runs the mechanism exists to catch.)
     val windowProbe = scala.collection.mutable.ArrayBuffer[Double]()
     def floorNow: Double = calSeries.min
+    // Suspicion threshold: relative AND absolute (see STALL_ABS_GUARD_SEC).
+    def suspectAbove: Double =
+      math.max(STALL_FACTOR * floorNow, floorNow + STALL_ABS_GUARD_SEC)
     def windowSuspect(w: Int): Boolean =
-      w >= 0 && w < windowProbe.length &&
-        windowProbe(w) > STALL_FACTOR * floorNow
+      w >= 0 && w < windowProbe.length && windowProbe(w) > suspectAbove
 
     // pass timings: name -> (seconds, probe-window id) per completed
     // pass; window id -1 = window never closed (crash path only).
@@ -252,9 +275,9 @@ object Bench {
             if (log(i)._2 == -1) log(i) = (log(i)._1, w)
           }
         }
-        if (p > STALL_FACTOR * floorNow)
+        if (p > suspectAbove)
           System.err.println(f"[bench] $passName probe $p%.3f s > " +
-            f"${STALL_FACTOR}%.1fx floor $floorNow%.3f — " +
+            f"threshold $suspectAbove%.3f (floor $floorNow%.3f) — " +
             s"${sinceProbe.size} queries provisionally stall_suspect")
         sinceProbe = scala.collection.mutable.ArrayBuffer[String]()
       }
@@ -299,14 +322,29 @@ object Bench {
     runPass("pass1", queries, budgetCap = None, backToBack = passes >= 2)
     (2 to passes).foreach { i =>
       // Failed queries stay in: a transient pass-1 failure can still
-      // recover a valid value in pass 2 (they sort last — empty log =
-      // est 0 — so a permanently-broken query costs the tail, not the
-      // head, of the pass).
+      // recover a valid value in pass 2 (empty log sorts them first —
+      // the recovery attempt runs while budget certainly remains; they
+      // are the only queries with NO usable value at all, so they need
+      // the retry most). Order is ASCENDING pass-1
+      // cost — measured (round 13, full-tree run): cold/warm inflation
+      // is LARGEST for cheap queries (median 1.5x under 0.5 s, 1.3-1.8x
+      // to 2.5 s — per-query codegen compile is ~fixed, so it dominates
+      // small queries) and SMALLEST for the expensive tail (median
+      // 1.08x, max 1.28x at >= 5 s: their many internal jobs warm the
+      // JIT inside pass 1 itself). Cheapest-first therefore maximizes
+      // both the number of queries that get a warm pass per budget
+      // second AND the accuracy of whatever ends up demoted — the
+      // not-reached tail is exactly the band whose single cold pass is
+      // already within ~1.2x of quiet. (The r12 verdict suggested
+      // descending on the theory that expensive queries carry the worst
+      // cold inflation; the band measurement shows the opposite, and
+      // the official-artifact criterion — few demotions, each within
+      // ~1.2x — is what this order optimizes.)
       val remaining = queries
         .filter { case (name, _) => runLog(name).size < i }
         .sortBy { case (name, _) =>
           val log = runLog(name)
-          if (log.isEmpty) 0.0 else -log.map(_._1).min
+          if (log.isEmpty) 0.0 else log.map(_._1).min
         }
       runPass(s"pass$i", remaining,
         budgetCap = Some(budgetSec - RERUN_RESERVE_SEC))
