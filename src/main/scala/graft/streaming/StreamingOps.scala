@@ -324,6 +324,82 @@ object StreamingOps {
       .select(col("doc_id"), col("n_tokens"), col("token_ids"))
   }
 
+  /** Multi-probe IVF ANN over a STREAM of queries against a STATIC
+    * indexed corpus — the online half of the search contract
+    * ([[graft.operators.Similarity.ivfTopKProbed]] is the batch half;
+    * this is how an embedding-search service actually consumes the
+    * index: corpus and centroids built offline, queries arrive as a
+    * stream). Three stages, each in the only shape a stream supports:
+    *
+    *   1. PROBE — per arriving query, score all k centroids INLINE
+    *      against a broadcast 1-row array of (c_id, c_vec) structs and
+    *      keep the `nprobe` best by an in-row `array_sort` + `slice`
+    *      (ascending (−cos, c_id) — the exact [[graft.functions.TopK]]
+    *      heap key, so probe selection is bit-identical to the batch
+    *      path's aggregate). The batch path's k-heap AGGREGATE would
+    *      be a second stateful stage here; the in-row sort is bounded
+    *      by the centroid count and stays a stateless narrow
+    *      projection. Null cosines (ragged vectors) are filtered
+    *      before the sort — a null struct field would sort FIRST.
+    *   2. SEARCH — stream-static equi-join on the cell id against the
+    *      corpus assignment (computed once from the static frames,
+    *      exactly [[graft.operators.Similarity.ivfAssign]]), then the
+    *      rounded-6dp cosine score. At scale only the tiny query side
+    *      fans out ×nprobe, the batch argument verbatim.
+    *   3. RANK — watermarked (event-time window, q_id) aggregate with
+    *      the bounded [[graft.functions.TopK]] k-heap; state per
+    *      in-flight query is its own k-row heap, watermark-evicted.
+    *
+    * Output: (`q_id`, `n_id`, `cos`) — the batch contract;
+    * StreamingSpec pins row-for-row parity against `ivfTopKProbed` on
+    * the same frames.
+    */
+  def ivfTopKStream(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      k: Int,
+      nprobe: Int,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions
+    val centsArr = broadcast(centroids.agg(collect_list(
+      struct(col("c_id").cast("long").as("c_id"),
+        col("c_vec").cast("array<float>").as("c_vec"))).as("__cents")))
+    val probed = queries
+      .select(col(idCol).as("q_id"), col(tsCol).as("__ts"), col(vecCol).as("q_vec"))
+      .crossJoin(centsArr)
+      .withColumn("__sims",
+        slice(
+          array_sort(filter(
+            transform(col("__cents"), c => struct(
+              (-round(VectorFunctions.cosineFast(col("q_vec"), c.getField("c_vec")), 6))
+                .as("ns"),
+              c.getField("c_id").as("c_id"))),
+            s => s.getField("ns").isNotNull)),
+          1, nprobe))
+      .drop("__cents")
+      .select(col("q_id"), col("__ts"), col("q_vec"),
+        explode(col("__sims.c_id")).as("cell"))
+    val ca = Similarity.ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("id").as("n_id"), col("vec").as("n_vec"), col("cell"))
+    val scored = probed.join(ca, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("__ts"), col("n_id"),
+        round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
+      .filter(col("cos").isNotNull)
+    scored.withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("q_id"))
+      .agg(graft.functions.TopK.smallestK(
+        struct((-col("cos")).as("nc"), col("n_id").as("n_id")), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.n_id").as("n_id"), (-col("t.nc")).as("cos"))
+  }
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

@@ -248,6 +248,38 @@ class StreamingSpec extends AnyFunSuite {
       "bpeEncodeIdsBytesStream lost its watermark — unbounded state")
   }
 
+  test("ivfTopKStream: streamed queries match batch ivfTopKProbed row-for-row (ANN serving)") {
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val qRows = emb.filter($"vec_id" >= 10 && $"vec_id" < 14)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    ms.addData(qRows.toSeq.map { case (id, v) => (id, t0, v) }: _*)
+    val dir = Files.createTempDirectory("graft_stream_ann").toString
+    val served = StreamingOps.ivfTopKStream(
+      ms.toDF.toDF("vec_id", "ts", "embedding"), emb, centroids,
+      "vec_id", "embedding", "ts", k = 5, nprobe = 2)
+    val q = served.writeStream.format("memory").queryName("ann_serve_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ann_serve_test")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Similarity.ivfTopKProbed(
+        emb.filter($"vec_id" >= 10 && $"vec_id" < 14), emb, centroids,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      .select($"q_id", $"n_id", $"cos").as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch)}; batch-only: ${batch.diff(streamed)}")
+    assert(streamed.map(_._1).size == 4 && streamed.size == 20,
+      s"expected 4 queries x top-5, got ${streamed.size} rows")
+    assert(served.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "ivfTopKStream lost its watermark — unbounded state")
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
