@@ -1087,6 +1087,31 @@ object Similarity {
     * blowups from the corpus's dense directions). Ids are assumed
     * distinct across the two frames (the ingest contract).
     */
+  /** The static half of the incremental embedding near-dup check —
+    * the corpus "index" both the batch ([[nearDupsAgainstCorpusEmbed]])
+    * and stream ([[graft.streaming.StreamingOps.embedNearDupStream]])
+    * paths probe: (capped banded sign-LSH keys, projected vectors),
+    * columns (`id_c`, `band`, `key`) / (`id_c`, `id_c_vec`). Built once
+    * per (re)index; at serving scale this is the frame a deployment
+    * persists or bucketizes by (band, key).
+    */
+  private[graft] def embedBandIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nBands: Int,
+      bitsPerBand: Int,
+      maxBucket: Int): (DataFrame, DataFrame) = {
+    val c = corpus
+      .select(col(idCol).as("id_c"), col(vecCol).as("id_c_vec"))
+      .filter(col("id_c_vec").isNotNull && size(col("id_c_vec")) >= dim)
+    val keys = c.select(col("id_c"),
+        explode(VectorFunctions.bandSignKeys(col("id_c_vec"), dim, nBands, bitsPerBand)).as("bk"))
+      .select(col("id_c"), col("bk.band").as("band"), col("bk.key").as("key"))
+    (Dedup.capBuckets(keys, maxBucket), c)
+  }
+
   def nearDupsAgainstCorpusEmbed(
       corpus: DataFrame,
       batch: DataFrame,
@@ -1104,9 +1129,8 @@ object Similarity {
       .select(col(outId),
         explode(VectorFunctions.bandSignKeys(col(s"${outId}_vec"), dim, nBands, bitsPerBand)).as("bk"))
       .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
-    val c = proj(corpus, "id_c")
     val b = proj(batch, "id_b")
-    val ck = Dedup.capBuckets(keysOf(c, "id_c"), maxBucket)
+    val (ck, c) = embedBandIndex(corpus, idCol, vecCol, dim, nBands, bitsPerBand, maxBucket)
     val cand = keysOf(b, "id_b")
       .join(ck, Seq("band", "key"))
       .select(col("id_b"), col("id_c"))

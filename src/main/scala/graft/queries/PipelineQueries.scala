@@ -611,6 +611,77 @@ object PipelineQueries {
            |)
            |SELECT bucket, doc_id, n_tok, seq FROM pack""".stripMargin))
 
+  /** Packing-efficiency report over the [[textPackSequences]] output —
+    * the throughput metric a pretraining run actually tracks (packing
+    * density = fraction of each 256-token context window carrying real
+    * tokens; 1 − density is compute burned on padding). Per-bucket
+    * rows plus a `bucket = -1` corpus total, computed as a CASCADED
+    * (bucket, seq) → bucket aggregate — the E2E-3 posture: counting
+    * sequences via count(DISTINCT seq) beside sums would Expand-double
+    * every pre-shuffle row. Density is one double divide of exact
+    * integers, rounded 6 dp on both engines.
+    */
+  val pipelinePackEfficiency = QueryDef(
+    "pipeline_pack_efficiency",
+    (s, dir) => {
+      val sized = Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("doc_id DIV 50").as("bucket"),
+        TextAnalysis.tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("n_tok"))
+      val packed = TextAnalysis.packSequences(sized, "doc_id", "n_tok", "bucket",
+        maxTokens = 256L)
+      val seqs = packed.groupBy(col("bucket"), col("seq"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok")).cast("long").as("tok"))
+      def level(grouped: DataFrame, bucketCol: Column) =
+        grouped.select(bucketCol.cast("long").as("bucket"),
+          col("n_seqs"), col("n_docs"), col("tot_tok"),
+          round(col("tot_tok").cast("double") / (col("n_seqs") * 256.0), 6).as("density"))
+      val per = level(
+        seqs.groupBy(col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_seqs"),
+            sum(col("n_docs")).cast("long").as("n_docs"),
+            sum(col("tok")).cast("long").as("tot_tok")),
+        col("bucket"))
+      val total = level(
+        seqs.agg(count(lit(1)).cast("long").as("n_seqs"),
+          sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("tok")).cast("long").as("tot_tok")),
+        lit(-1L))
+      per.unionByName(total)
+    },
+    Some("""WITH RECURSIVE ord AS (
+           |  SELECT doc_id, doc_id // 50 AS bucket,
+           |         len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok,
+           |         row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id) AS rn
+           |  FROM documents
+           |), pack AS (
+           |  SELECT bucket, doc_id, n_tok, rn, 0 AS seq, n_tok AS cur FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.bucket, o.doc_id, o.n_tok, o.rn,
+           |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN p.seq + 1 ELSE p.seq END,
+           |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN o.n_tok ELSE p.cur + o.n_tok END
+           |  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+           |), seqs AS (
+           |  SELECT bucket, seq, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(n_tok) AS BIGINT) AS tok
+           |  FROM pack GROUP BY 1, 2
+           |), per AS (
+           |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           |         CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           |         CAST(SUM(tok) AS BIGINT) AS tot_tok
+           |  FROM seqs GROUP BY 1
+           |)
+           |SELECT bucket, n_seqs, n_docs, tot_tok,
+           |       ROUND(tot_tok::DOUBLE / (n_seqs * 256.0), 6) AS density
+           |FROM per
+           |UNION ALL
+           |SELECT -1 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           |       CAST(SUM(tok) AS BIGINT) AS tot_tok,
+           |       ROUND(SUM(tok)::DOUBLE / (COUNT(*) * 256.0), 6) AS density
+           |FROM seqs""".stripMargin))
+
   /** Deterministic shard export ([[Sampling.shardAssign]] over the
     * packed sequences — the pretraining pipeline's LAST hop, round-12
     * verdict ask #6): each packed training sequence (the
@@ -4981,7 +5052,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
-    textBpeTrain, textBpeEncode,
+    pipelinePackEfficiency, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,

@@ -400,6 +400,65 @@ object StreamingOps {
       .select(col("q_id"), col("t.n_id").as("n_id"), (-col("t.nc")).as("cos"))
   }
 
+  /** Incremental embedding near-dup over a STREAM of vectors against a
+    * STATIC corpus — the online twin of
+    * [[graft.operators.Similarity.nearDupsAgainstCorpusEmbed]] (ingest
+    * dedup as a service: the corpus index is built offline, arriving
+    * embeddings are checked before admission). Emits one
+    * (`id_b`, `id_c`, `cos`) row per (arrival, corpus near-match) with
+    * cos ≥ `minCosine`.
+    *
+    * Shape: the static half is the shared
+    * [[graft.operators.Similarity.embedBandIndex]] (capped banded
+    * sign-LSH keys + projected vectors — built ONCE from static
+    * frames); each arriving vector explodes to its `nBands` band keys
+    * (stateless narrow), candidates come from a stream-static
+    * equi-join on (band, key), vectors rejoin by a second
+    * stream-static join on `id_c` (the stream CARRIES its own vector —
+    * a stream cannot rejoin itself the way the batch path rejoins
+    * `batch`), and the cosine verify runs BEFORE the stateful stage so
+    * state holds only verified pairs. A pair matching in several bands
+    * dedups in the watermarked (window, id_b, id_c) aggregate —
+    * `max(cos)` is a no-op merge (the cosine is pair-determined) —
+    * which is also what bounds state: verified-pair cardinality per
+    * window, watermark-evicted.
+    */
+  def embedNearDupStream(
+      vecs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      dim: Int,
+      nBands: Int,
+      bitsPerBand: Int,
+      minCosine: Double,
+      maxBucket: Int = graft.operators.Dedup.LshMaxBucket,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions
+    val (ck, cvecs) = Similarity.embedBandIndex(
+      corpus, idCol, vecCol, dim, nBands, bitsPerBand, maxBucket)
+    val keyed = vecs
+      .select(col(idCol).as("id_b"), col(tsCol).as("__ts"), col(vecCol).as("__vec"))
+      .filter(col("__vec").isNotNull && size(col("__vec")) >= dim)
+      .select(col("id_b"), col("__ts"), col("__vec"),
+        explode(VectorFunctions.bandSignKeys(col("__vec"), dim, nBands, bitsPerBand)).as("bk"))
+      .select(col("id_b"), col("__ts"), col("__vec"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    keyed
+      .join(ck, Seq("band", "key"))
+      .join(cvecs, Seq("id_c"))
+      .select(col("id_b"), col("__ts"), col("id_c"),
+        round(VectorFunctions.cosineFast(col("__vec"), col("id_c_vec")), 6).as("cos"))
+      .filter(col("cos").isNotNull && col("cos") >= minCosine)
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("id_b"), col("id_c"))
+      .agg(max(col("cos")).as("cos"))
+      .select(col("id_b"), col("id_c"), col("cos"))
+  }
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

@@ -280,6 +280,36 @@ class StreamingSpec extends AnyFunSuite {
       "ivfTopKStream lost its watermark — unbounded state")
   }
 
+  test("embedNearDupStream: streamed vectors match batch nearDupsAgainstCorpusEmbed (ingest dedup)") {
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val corpus = emb.filter(pmod($"vec_id", lit(10)) < 8)
+    val batchRows = emb.filter(pmod($"vec_id", lit(10)) >= 8)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    ms.addData(batchRows.toSeq.map { case (id, v) => (id, t0, v) }: _*)
+    val dir = Files.createTempDirectory("graft_stream_embdd").toString
+    val flagged = StreamingOps.embedNearDupStream(
+      ms.toDF.toDF("vec_id", "ts", "embedding"), corpus,
+      "vec_id", "embedding", "ts",
+      dim = 64, nBands = 6, bitsPerBand = 12, minCosine = 0.2)
+    val q = flagged.writeStream.format("memory").queryName("embdd_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("embdd_stream_test")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Similarity.nearDupsAgainstCorpusEmbed(
+        corpus, emb.filter(pmod($"vec_id", lit(10)) >= 8),
+        "vec_id", "embedding", dim = 64, nBands = 6, bitsPerBand = 12, minCosine = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch)}; batch-only: ${batch.diff(streamed)}")
+    assert(flagged.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "embedNearDupStream lost its watermark — unbounded state")
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
