@@ -280,6 +280,46 @@ class StreamingSpec extends AnyFunSuite {
       "ivfTopKStream lost its watermark — unbounded state")
   }
 
+  test("ivfTopKStream serves a TRAINED index loaded from disk (offline build -> online serve)") {
+    // The full deployment loop in one test: kmeansFit trains the
+    // coarse quantizer offline, saveIndex persists it with its
+    // training params, a fresh "serving session" loadIndex-es it and
+    // answers a query stream — results bit-identical to serving with
+    // the in-session centroids (the restartability contract, extended
+    // from the batch test to the stream server).
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val fitted = graft.operators.Similarity.kmeansFit(
+      emb.filter($"embedding".isNotNull),
+      graft.operators.Similarity.kmeansInit(emb, "vec_id", "embedding", 8),
+      "vec_id", "embedding", iters = 2)
+    val idxDir = Files.createTempDirectory("graft_serve_idx").toString + "/ivf"
+    graft.sources.Sink.saveIndex(fitted, idxDir, Map("metric" -> "cosine", "iters" -> "2"))
+    val (loaded, params) = graft.sources.Load.loadIndex(spark, idxDir)
+    assert(params("metric") == "cosine")
+    val qRows = emb.filter($"vec_id" >= 10 && $"vec_id" < 13)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def serve(cents: org.apache.spark.sql.DataFrame, name: String): Set[(Long, Long, Double)] = {
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+      ms.addData(qRows.toSeq.map { case (id, v) => (id, t0, v) }: _*)
+      val dir = Files.createTempDirectory(s"graft_serve_$name").toString
+      val served = StreamingOps.ivfTopKStream(
+        ms.toDF.toDF("vec_id", "ts", "embedding"), emb,
+        cents.select($"c_id", $"c_vec"), "vec_id", "embedding", "ts",
+        k = 3, nprobe = 2)
+      val q = served.writeStream.format("memory").queryName(s"serve_$name")
+        .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(s"serve_$name").as[(Long, Long, Double)].collect().toSet
+    }
+    val direct = serve(fitted, "direct")
+    val reloaded = serve(loaded, "reloaded")
+    assert(direct == reloaded && direct.nonEmpty,
+      s"direct-only: ${direct.diff(reloaded)}; reloaded-only: ${reloaded.diff(direct)}")
+  }
+
   test("embedNearDupStream: streamed vectors match batch nearDupsAgainstCorpusEmbed (ingest dedup)") {
     implicit val sql = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
