@@ -67,11 +67,23 @@ object Sampling {
     * [[graft.operators.TextAnalysis.packSequences]] buckets and the
     * [[inBatchNegatives]] ring. No global order, no corpus-wide window.
     */
-  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+  /** `salt` reshuffles deterministically: hashing `salt || '#' || id`
+    * gives each salt value (e.g. the epoch number) an independent
+    * pseudo-random permutation — the per-epoch reshuffle a trainer
+    * runs, still reproducible from (corpus, salt) alone. Empty salt
+    * (the default) hashes the bare id, unchanged from round 13's
+    * original contract.
+    */
+  def shardAssign(
+      df: DataFrame, idCol: String, nShards: Int, salt: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    df.withColumn("shard", hashBucket(col(idCol), nShards).cast("int"))
-      .withColumn("__h", graft.functions.Hashing.md5Bits60(col(idCol).cast("string")))
+    val keyed =
+      if (salt.isEmpty) col(idCol).cast("string")
+      else concat(lit(salt), lit("#"), col(idCol).cast("string"))
+    df.withColumn("shard",
+        graft.functions.Hashing.md5Bucket(keyed, nShards.toLong).cast("int"))
+      .withColumn("__h", graft.functions.Hashing.md5Bits60(keyed))
       .withColumn("shard_pos",
         (row_number().over(Window.partitionBy(col("shard"))
           .orderBy(col("__h"), col(idCol))) - 1).cast("long"))

@@ -1294,6 +1294,14 @@ class SinkSpec extends AnyFunSuite {
         .as[Long].collect().toSeq
       assert(pos == pos.sorted, s"$d rows not physically ordered: $pos")
     }
+    // Epoch salt: a different salt is a genuinely different (but still
+    // deterministic) permutation — the per-epoch reshuffle contract.
+    def epoch(salt: String) = operators.Sampling
+      .shardAssign(df, "id", nShards = 4, salt = salt)
+      .select($"id", $"shard", $"shard_pos").as[(Long, Int, Long)].collect().toSet
+    val e1a = epoch("epoch1")
+    assert(e1a == epoch("epoch1"), "same salt must reproduce exactly")
+    assert(e1a != a && e1a != epoch("epoch2"), "salt must actually reshuffle")
   }
 }
 

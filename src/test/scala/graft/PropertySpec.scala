@@ -407,6 +407,28 @@ class Round10PropertySpec extends AnyFunSuite {
     (base, mutated)
   }
 
+  test("ivfAssign exactDouble path agrees with the float path on float-exact centroids") {
+    // The round-13 exactDouble flag exists ONLY for trained centroids
+    // whose 6-dp decimal means exceed float32 precision; on centroids
+    // that ARE float-representable (every seed-centroid query) the two
+    // paths must assign identically — this pins them against drifting
+    // apart. Vectors are small integers (float-exact by construction).
+    val vecGen = Gen.listOfN(8, Gen.choose(-50, 50).map(_.toFloat))
+    val dataGen = for {
+      n <- Gen.choose(6, 20)
+      vs <- Gen.listOfN(n, vecGen)
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    run(Prop.forAll(dataGen) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val cents = df.filter($"vec_id" < 4)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      def assign(exact: Boolean) =
+        graft.operators.Similarity.ivfAssign(df, cents, "vec_id", "embedding", exact)
+          .select($"id", $"cell").as[(Long, Long)].collect().toMap
+      assign(false) == assign(true)
+    })
+  }
+
   test("fuzzy ed2 candidate completeness: <=2 edits always share a depth-2 deletion key") {
     // The claim j_fuzzy_names_ed2 stands on ([[Fuzzy.deletionVariants2]]
     // scaladoc's alignment argument), fuzzed: apply up to 2 arbitrary
