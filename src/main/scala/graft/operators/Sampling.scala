@@ -229,6 +229,62 @@ object Sampling {
       .drop("__stratum", "__u", "__n", "__n_m", "__u_m")
   }
 
+  /** TEMPERATURE-smoothed mixture resampling at α = 1/2 — the
+    * multilingual-pretraining mixing rule (sampling rate ∝ n_s^α with
+    * α < 1 upweights rare strata relative to their natural share; the
+    * T5/mT5 lineage's documented exponent family, α = 0.5 its common
+    * published point). Realized by DOWNSAMPLING ONLY at the largest
+    * achievable total: take_s ≤ n_s forces the global scale to
+    * min_s n_s^(1−α), and for α < 1 that minimum is the SMALLEST
+    * stratum — the known α-mixing property that the rarest domain is
+    * kept whole while every other stratum is cut toward it:
+    *   take_s = min(n_s, ⌊√n_m · √n_s⌋),  n_m = min stratum size.
+    *
+    * α is FIXED at 1/2 because the exactness contract rests on `sqrt`
+    * being IEEE-754 correctly rounded in every conforming engine
+    * (`pow` is not — a general-α variant could disagree in the last
+    * ulp exactly at a ⌊·⌋ boundary). The two sqrts and their product
+    * are therefore bit-identical cross-engine, the ⌊·⌋ lands the same
+    * side everywhere, and membership itself is the exact-integer
+    * md5-bucket test of [[mixtureSample]] —
+    *   bucket(id) · n_s < take_s · B
+    * in decimal(38,0)/HUGEINT — so the sample reproduces bit-for-bit
+    * across runs, engines, and partitionings. The `min(n_s, ·)` cap
+    * also absorbs the one case where ⌊√n_m·√n_m⌋ rounds to n_m − 1.
+    *
+    * Shape at scale: one map-side-combinable stratum count, a
+    * TakeOrdered(1) for the binding stratum, a broadcast fence join
+    * of the stratum-cardinality take table, one filtered scan — the
+    * [[mixtureSample]] plan with learned (count-derived) weights
+    * instead of configured ones. Null strata are dropped (no natural
+    * size to smooth).
+    */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String): DataFrame = {
+    val buckets = 1000000L
+    val strat = df.filter(col(stratumCol).isNotNull)
+    val counts = strat.groupBy(col(stratumCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val binding = counts
+      .orderBy(col("__n").asc, col("__stratum").asc)
+      .limit(1)
+      .select(col("__n").as("__n_m"))
+    val takes = counts.crossJoin(binding)
+      .withColumn("__take",
+        least(col("__n"),
+          floor(sqrt(col("__n_m").cast("double")) * sqrt(col("__n").cast("double")))
+            .cast("bigint")))
+    val dec = "decimal(38,0)"
+    strat
+      .join(broadcast(takes), col(stratumCol) === col("__stratum"))
+      .filter(
+        hashBucket(col(idCol), buckets.toInt).cast(dec) * col("__n").cast(dec) <
+          col("__take").cast(dec) * lit(buckets).cast(dec))
+      .drop("__stratum", "__n", "__n_m", "__take")
+  }
+
   /** WEIGHTED sampling without replacement, k rows — the
     * Efraimidis–Spirakis exponential race (the distributed-systems
     * standard for "sample 100k docs proportional to quality score from

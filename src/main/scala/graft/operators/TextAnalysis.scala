@@ -784,4 +784,113 @@ object TextAnalysis {
         round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 6)
           .as("dup_frac"))
   }
+
+  /** The ordered (w1, w2) bigram stream shared by the LM scorers —
+    * one narrow posexplode per document, no shuffle. Mirrors the
+    * inline construction in [[bigramLogProb]] (left untouched so its
+    * pinned plan does not move).
+    */
+  private def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+  }
+
+  /** HELD-OUT LM quality filter — the CCNet recipe proper, which
+    * [[bigramLogProb]] (fit and score on the SAME corpus) only
+    * approximates: fit the add-one-smoothed bigram model on a
+    * REFERENCE split, score a DISJOINT corpus against it, and bucket
+    * the scored docs into head / middle / tail perplexity tertiles
+    * (a cleaning pipeline keeps head+middle). Held-out scoring makes
+    * the out-of-vocabulary paths REAL — a same-corpus fit always has
+    * `c ≥ 1` and `ctx ≥ 1` for every scored bigram, so the smoothing
+    * denominators are never exercised at their floors; here an unseen
+    * (w1, w2) backs off to `(0 + 1) / (ctx + V)` and an unseen
+    * context word to `1 / V`, both via LEFT joins against the model
+    * frames with `n_unseen` counting the novel bigrams per doc.
+    *
+    * Determinism is the [[unigramLogProb]] micro-nat posture: each
+    * bigram's ln is rounded to an integer count of micro-nats, the
+    * per-doc sum is exact bigint, and the mean is the raw quotient of
+    * identical integers — bit-identical cross-engine, which is what
+    * lets the tertile FENCES compare doubles with `<=` safely. The
+    * fences themselves are `percentile_disc` (an ACTUAL data value,
+    * not an interpolation — the a15 contract), computed by ONE global
+    * aggregate and fanned back as a 1-row broadcast fence join (the
+    * `sample_mixture` idiom): no corpus-wide window anywhere.
+    *
+    * Output: `(doc_id, n_bigrams, n_unseen, avg_logprob, bucket)` for
+    * scored docs with ≥ 2 tokens; bucket ∈ head / middle / tail with
+    * ties at a fence collapsing downward (both engines compare the
+    * same bit-identical doubles, so the tie set is identical).
+    *
+    * Scale shape: model frames are train-vocabulary cardinality and
+    * stay UNBROADCAST (a 100 TB reference corpus's bigram table is
+    * itself large — the gram-key shuffle join is the honest plan, AQE
+    * free to broadcast when a small reference fits); score-side
+    * shuffles are keyed on distinct (doc, w1, w2) then gram keys; the
+    * only forced broadcasts are the 1-row totals and fence frames.
+    */
+  def lmHeldOutFilter(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val c2 = lmBigramModel(train, idCol, textCol)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    val totals = c2.agg(countDistinct(col("w2")).as("v"))
+    val scored = bigramStream(score, idCol, textCol)
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp_u",
+        round(log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("ctx"), lit(0L)) + col("v")).cast("double")) * lit(1000000.0), 0)
+          .cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
+        ((sum(col("m") * col("lp_u")).cast("double") /
+          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+    // Fence rank is ceil(n·p) (the cume_dist >= p contract), which
+    // the oracle replays as CEIL(CAST(k·n AS DOUBLE)/3) — see
+    // [[lmFences]] for the DOUBLE-percentage requirement.
+    val fences = lmFences(scored)
+    scored.crossJoin(broadcast(fences))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"), col("avg_logprob"),
+        when(col("avg_logprob") <= col("t_low"), lit("tail"))
+          .when(col("avg_logprob") <= col("t_high"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
+  /** The bigram LM's persistable artifact — the `(w1, w2, c)` count
+    * table [[lmHeldOutFilter]] fits and the online scorer
+    * ([[graft.streaming.StreamingOps.lmScoreStream]]) consumes. The
+    * continuation counts and vocabulary size are DERIVED from it
+    * (one aggregate each), so this one frame is the whole model:
+    * `Sink.saveIndex` it offline, `Load.loadIndex` it in the server.
+    */
+  def lmBigramModel(train: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramStream(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+
+  /** The tertile fences as a standalone 1-row artifact `(t_low,
+    * t_high)` — what a serving deployment FREEZES from an offline
+    * calibration pass and applies to arriving documents (a stream
+    * cannot take corpus percentiles). `scored` is any frame carrying
+    * `avg_logprob` — typically [[lmHeldOutFilter]]'s output, whose
+    * internal fences this reproduces exactly (same percentile over
+    * the same bit-identical doubles). Same DOUBLE-percentage rule as
+    * the filter (SQL-text `2.0/3` is a DECIMAL rounding past 2/3).
+    */
+  def lmFences(scored: DataFrame): DataFrame =
+    scored.agg(
+      expr("percentile_disc(cast(1 as double)/3) WITHIN GROUP (ORDER BY avg_logprob)").as("t_low"),
+      expr("percentile_disc(cast(2 as double)/3) WITHIN GROUP (ORDER BY avg_logprob)").as("t_high"))
 }

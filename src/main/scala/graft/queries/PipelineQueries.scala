@@ -2077,6 +2077,70 @@ object PipelineQueries {
            |FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN tot
            |GROUP BY 1""".stripMargin))
 
+  /** HELD-OUT LM tertile filter ([[TextAnalysis.lmHeldOutFilter]]) —
+    * the CCNet recipe proper: bigram LM fit on the even-doc_id half,
+    * the odd half scored against it and bucketed head / middle / tail
+    * by `percentile_disc` tertile fences (1-row broadcast fence join,
+    * no corpus window). The even/odd split makes the smoothing floors
+    * REAL: unseen bigrams back off to `(0+1)/(ctx+V)`, unseen context
+    * words to `1/V` — paths a same-corpus fit (`text_lm2_score`)
+    * structurally never takes; `n_unseen` pins that they fire. The
+    * oracle replays training counts, LEFT-join smoothing, micro-nat
+    * rounding, AND the fences — convention-proofed as an explicit
+    * ROW_NUMBER rank CTE (value at position ceil(n/3), exactly the
+    * `percentile_disc` cume_dist contract) rather than trusting
+    * DuckDB's `quantile_disc` index convention to match Spark's.
+    */
+  val textLmHeldOut = QueryDef(
+    "text_lm_heldout_filter",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmHeldOutFilter(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |bi AS (
+           |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+           |  WHERE len(t) >= 2
+           |),
+           |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |c1 AS (SELECT w1, SUM(c) AS ctx FROM c2 GROUP BY 1),
+           |tot AS (SELECT COUNT(DISTINCT w2) AS v FROM c2),
+           |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+           |scored AS (
+           |  SELECT tf.doc_id, CAST(SUM(tf.m) AS BIGINT) AS n_bigrams,
+           |         CAST(SUM(CASE WHEN c2.c IS NULL THEN tf.m ELSE 0 END) AS BIGINT) AS n_unseen,
+           |         (SUM(tf.m * CAST(ROUND(LN((COALESCE(c2.c, 0) + 1)::DOUBLE
+           |                                    / (COALESCE(c1.ctx, 0) + tot.v)::DOUBLE)
+           |                                * 1000000.0, 0) AS BIGINT))::DOUBLE
+           |          / SUM(tf.m)::DOUBLE) / 1000000.0 AS avg_logprob
+           |  FROM tf LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN tot
+           |  GROUP BY 1
+           |),
+           |ranked AS (
+           |  SELECT avg_logprob, ROW_NUMBER() OVER (ORDER BY avg_logprob) AS rn,
+           |         COUNT(*) OVER () AS n
+           |  FROM scored
+           |),
+           |fence AS (
+           |  SELECT MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) / 3) AS BIGINT) THEN avg_logprob END) AS t_low,
+           |         MAX(CASE WHEN rn = CAST(CEIL(CAST(2 * n AS DOUBLE) / 3) AS BIGINT) THEN avg_logprob END) AS t_high
+           |  FROM ranked
+           |)
+           |SELECT scored.doc_id, n_bigrams, n_unseen, avg_logprob,
+           |       CASE WHEN avg_logprob <= t_low THEN 'tail'
+           |            WHEN avg_logprob <= t_high THEN 'middle'
+           |            ELSE 'head' END AS bucket
+           |FROM scored CROSS JOIN fence""".stripMargin))
+
   /** Chunk-granular exact dedup — the RAG/embedding prep composite:
     * [[TextAnalysis.chunkDocs]] → md5 fingerprint per chunk → keep
     * the lexicographically-first (doc_id, chunk_id) per fingerprint —
@@ -2165,6 +2229,35 @@ object PipelineQueries {
            |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
            |           % 1000000 AS HUGEINT) * c.n * m.u_m
            |      < CAST(c.u AS HUGEINT) * m.n_m * 1000000
+           |GROUP BY 1""".stripMargin))
+
+  /** Temperature-smoothed mixture at α = 1/2
+    * ([[Sampling.temperatureSample]] — the mT5 mixing rule, rate ∝
+    * √n_s, rarest stratum kept whole): per-language kept counts plus
+    * a sum-of-ids MEMBERSHIP checksum (stronger than
+    * `sample_mixture`'s counts-only pin — two engines keeping
+    * different rows at the same rate would still hash-fail here).
+    * Exactness chain the oracle replays: correctly-rounded √ × √,
+    * one ⌊·⌋ with the min(n, ·) cap, HUGEINT md5-bucket keep test.
+    */
+  val sampleTemperature = QueryDef(
+    "sample_temperature",
+    (s, dir) =>
+      Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum")),
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+           |           WHERE lang IS NOT NULL GROUP BY 1),
+           |m AS (SELECT n AS n_m FROM c ORDER BY n ASC, lang ASC LIMIT 1),
+           |t AS (SELECT c.lang, c.n,
+           |             LEAST(c.n, CAST(FLOOR(SQRT(CAST(m.n_m AS DOUBLE))
+           |                                   * SQRT(CAST(c.n AS DOUBLE))) AS BIGINT)) AS tk
+           |      FROM c CROSS JOIN m)
+           |SELECT d.lang, COUNT(*) AS n_rows, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+           |FROM documents d JOIN t USING (lang)
+           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |           % 1000000 AS HUGEINT) * t.n
+           |      < CAST(t.tk AS HUGEINT) * 1000000
            |GROUP BY 1""".stripMargin))
 
   /** Weighted sampling without replacement
@@ -5054,7 +5147,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
@@ -5064,7 +5157,7 @@ object PipelineQueries {
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture,
+    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature,
     sampleWeighted, basketLift, eventsAnomalyDays, pretrainPrepBpe,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }

@@ -860,6 +860,80 @@ object StreamingOps {
         sessionizeTransition(gapMillis))
   }
 
+  /** HELD-OUT LM scoring over a document STREAM — the online half of
+    * the CCNet filter ([[graft.operators.TextAnalysis.lmHeldOutFilter]]
+    * is the offline half): the bigram model is FIT OFFLINE and the
+    * tertile fences FROZEN from an offline calibration pass (a stream
+    * cannot take corpus percentiles — serving deployments apply
+    * thresholds, they don't derive them), then each arriving document
+    * is scored and bucketed head / middle / tail before admission.
+    *
+    * `bigramModel` is the one persistable artifact
+    * ([[graft.operators.TextAnalysis.lmBigramModel]] — save/load via
+    * `Sink.saveIndex`/`Load.loadIndex`); continuation counts and the
+    * vocabulary size are derived from it HERE by two static-side
+    * aggregates, so the server holds exactly what was shipped.
+    * `fences` is the 1-row `(t_low, t_high)` frame
+    * ([[graft.operators.TextAnalysis.lmFences]]).
+    *
+    * Shape: bigram explode is a stateless narrow projection; model
+    * lookups are stream-static LEFT joins (the smoothing floors —
+    * unseen bigram, unseen context — are exactly the batch backoffs);
+    * totals and fences ride 1-row broadcasts ATTACHED BEFORE the
+    * stateful stage (a join after a streaming aggregation is not
+    * supported, and the fence is a constant anyway); the single
+    * stateful stage is the watermarked per-(window, doc) aggregate,
+    * state bounded by in-flight documents and watermark-evicted. The
+    * micro-nat sum / raw-quotient mean reproduces the batch doubles
+    * bit-identically, so buckets match row-for-row
+    * (StreamingSpec-pinned against the batch filter on the same
+    * frames, fences frozen from the batch output).
+    */
+  def lmScoreStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      bigramModel: DataFrame,
+      fences: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val c1 = bigramModel.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    val totals = bigramModel.agg(countDistinct(col("w2")).as("v"))
+    val t = filter(TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))),
+      x => x =!= "")
+    val bi = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("__ts"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("g"))
+      .select(col("doc_id"), col("__ts"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val lp = bi
+      .join(bigramModel, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(fences))
+      .withColumn("lp_u",
+        round(log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("ctx"), lit(0L)) + col("v")).cast("double")) * lit(1000000.0), 0)
+          .cast("bigint"))
+    lp.withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c").isNull, lit(1L)).otherwise(lit(0L))).as("n_unseen"),
+        ((sum(col("lp_u")).cast("double") /
+          count(lit(1)).cast("double")) / lit(1000000.0)).as("avg_logprob"),
+        min(col("t_low")).as("t_low"), min(col("t_high")).as("t_high"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"), col("avg_logprob"),
+        when(col("avg_logprob") <= col("t_low"), lit("tail"))
+          .when(col("avg_logprob") <= col("t_high"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   /** [[sessionize]]'s state transition, factored out so the
     * timeout-expiry path is a DETERMINISTIC unit test through Spark's
     * public `TestGroupState` harness (round-10 verdict ask #6 — the

@@ -79,6 +79,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1)._3 == -287682.0 / 1e6)
   }
 
+  test("lmHeldOutFilter: OOV backoff floors, tertile fences, held-out split (T13c)") {
+    val train = Seq((0L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    // Model: c2(a,b)=2, c2(b,a)=2, ctx(a)=ctx(b)=2, V=|{a,b}|=2.
+    val score = Seq((1L, "a b x"), (3L, "x y"), (5L, "b a b"), (7L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmHeldOutFilter(train, score, "doc_id", "text")
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 5L))   // 1-token doc absent
+    // doc1: (a,b) seen p=3/4 → -287682; (b,x) unseen PAIR with seen
+    // context p=1/4 → -1386294; one unseen bigram.
+    assert(out(0)._2 == 2 && out(0)._3 == 1)
+    assert(out(0)._4 == ((-287682.0 - 1386294.0) / 2) / 1e6)
+    // doc3: (x,y) unseen CONTEXT → p = 1/V = 1/2 → -693147.
+    assert(out(1)._2 == 1 && out(1)._3 == 1)
+    assert(out(1)._4 == -693147.0 / 1e6)
+    // doc5: fully in-vocab, p=3/4 twice, zero unseen.
+    assert(out(2)._2 == 2 && out(2)._3 == 0)
+    assert(out(2)._4 == -287682.0 / 1e6)
+    // Fences over n=3 scored docs: t_low = rank-ceil(1) value (doc1),
+    // t_high = rank-2 value (doc3) → tail / middle / head in id order.
+    assert(out.map(_._5).toSeq == Seq("tail", "middle", "head"))
+  }
+
   test("winnowKernel matches the Column rollingHashes+winnow path") {
     val df = Seq((1L, "The quick brown fox jumps over the lazy dog again and again"),
       (2L, "short"), (3L, "tiny"), (4L, "abcdefgh"), (5L, "中文字符混合 text 测试串流"))
@@ -1095,6 +1118,28 @@ class LoadSkewSpec extends AnyFunSuite {
       .mixtureSample(df, "id", "lang", Map("en" -> 1, "zh" -> 1))
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(eq("zh") == 300 && eq("en") > 240 && eq("en") < 360)
+  }
+
+  test("temperatureSample: α=1/2 targets, rarest stratum kept whole, null strata drop (SA3b)") {
+    val df = ((1L to 1600L).map(i => (i, "en")) ++
+      (5001L to 5400L).map(i => (i, "zh")) ++
+      (9001L to 9100L).map(i => (i, "pt")) ++
+      Seq((9999L, null.asInstanceOf[String])))
+      .toDF("id", "lang")
+    val out = operators.Sampling.temperatureSample(df, "id", "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // n_m = 100 (pt). Targets: pt √(100·100)=100 (kept WHOLE — the
+    // α-mixing property), zh ⌊√(100·400)⌋=200, en ⌊√(100·1600)⌋=400.
+    // The md5 keep test realizes take/n in expectation; pt is exact
+    // (take = n ⇒ bucket·n < n·B always holds).
+    assert(out("pt") == 100)
+    assert(out("zh") > 160 && out("zh") < 240)
+    assert(out("en") > 340 && out("en") < 460)
+    assert(out.keySet == Set("en", "zh", "pt"))     // null stratum dropped
+    // Deterministic: rerun identical.
+    val again = operators.Sampling.temperatureSample(df, "id", "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(out == again)
   }
 
   test("quantizeInt8: ±127 extremes, bounded reconstruction error, zero vectors dropped (N10)") {

@@ -248,6 +248,47 @@ class StreamingSpec extends AnyFunSuite {
       "bpeEncodeIdsBytesStream lost its watermark — unbounded state")
   }
 
+  test("lmScoreStream: offline-fit model + frozen fences, row-for-row batch parity (T13c serving)") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // The lmHeldOutFilter hand fixture: model c2(a,b)=2, c2(b,a)=2,
+    // ctx(a)=ctx(b)=2, V=2; scored docs hit the seen, unseen-pair,
+    // and unseen-context paths and land in all three buckets.
+    val train = Seq((0L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b x"), (3L, "x y"), (5L, "b a b"), (7L, "solo"))
+    val batch = TextAnalysis.lmHeldOutFilter(
+      train, docs.toDF("doc_id", "text"), "doc_id", "text")
+    val batchRows = batch.as[(Long, Long, Long, Double, String)].collect().toSet
+    // The offline-build/online-serve loop: the model artifact and the
+    // calibration fences round-trip through saveIndex/loadIndex and
+    // the SERVER consumes the loaded frames, not the session's.
+    val dir = Files.createTempDirectory("graft_stream_lm").toString
+    graft.sources.Sink.saveIndex(
+      TextAnalysis.lmBigramModel(train, "doc_id", "text"),
+      s"$dir/model", Map("order" -> "2", "smoothing" -> "add-1"))
+    graft.sources.Sink.saveIndex(
+      TextAnalysis.lmFences(batch), s"$dir/fences", Map("tertiles" -> "disc"))
+    val (model, mParams) = graft.sources.Load.loadIndex(spark, s"$dir/model")
+    val (fences, _) = graft.sources.Load.loadIndex(spark, s"$dir/fences")
+    assert(mParams("smoothing") == "add-1")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(docs.map { case (id, t) => (id, t0, t) }: _*)
+    val scored = StreamingOps.lmScoreStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", model, fences)
+    val q = scored.writeStream.format("memory").queryName("lm_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("lm_stream_test")
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    // Row-for-row parity including the raw-quotient doubles and the
+    // fence buckets (the <2-token doc is absent on both sides).
+    assert(streamed == batchRows, s"stream $streamed vs batch $batchRows")
+    assert(streamed.map(_._5) == Set("tail", "middle", "head"), s"buckets: $streamed")
+    assert(scored.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "lmScoreStream lost its watermark — unbounded state")
+  }
+
   test("ivfTopKStream: streamed queries match batch ivfTopKProbed row-for-row (ANN serving)") {
     implicit val sql = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
