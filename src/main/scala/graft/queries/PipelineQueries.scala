@@ -1777,6 +1777,86 @@ object PipelineQueries {
             |  FROM clean c LEFT JOIN enc e ON c.doc_id = e.doc_id
             |)${packTailSql("cleanb")}""".stripMargin))
 
+  /** LM-gated pretraining prep — the CCNet/LLaMA chain: stages 1-4
+    * ([[pretrainCleanDocs]]: score → gate → exact dedup →
+    * decontaminate), then the T13c HELD-OUT LM TERTILE GATE (keep
+    * head+middle, drop the worst-perplexity third) before packing.
+    * The SAME held-out eval split (doc_id % 10 = 0) serves as both
+    * the decontamination reference and the LM reference corpus — the
+    * split a real pipeline reserves once and reuses; it is disjoint
+    * from the candidates by construction (stage 3 excludes it), so
+    * the LM is genuinely held-out and the smoothing floors fire on
+    * real out-of-reference text. Tertile fences are taken over the
+    * SCORED CLEAN CANDIDATES (CCNet takes percentiles of the corpus
+    * being filtered, not of the reference); clean docs with < 2
+    * tokens have no bigram evidence and drop with the tail (inner
+    * join + bucket filter — a doc the LM cannot judge does not enter
+    * the pack). Packing is the whitespace-count fold of
+    * `pipeline_pretrain_prep`, so the delta between the two queries'
+    * pack tables is exactly what the LM gate removed. The oracle
+    * composes the stage-1-4 CTEs, the full LM replay (training
+    * counts, backoff LEFT joins, micro-nat sums, rank-CTE fences),
+    * and the recursive packing fold — one wrong logprob anywhere
+    * moves a fence or a pack boundary and hash-fails.
+    */
+  val pretrainPrepLm = QueryDef(
+    "pipeline_pretrain_prep_lm",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clean = pretrainCleanDocs(docs)
+      val scoredClean = TextAnalysis.lmHeldOutFilter(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.join(clean.select(col("doc_id")), Seq("doc_id")),
+        "doc_id", "text")
+      val kept = scoredClean.filter(col("bucket") =!= "tail").select(col("doc_id"))
+      packedSummary(clean.join(kept, Seq("doc_id")))
+    },
+    Some(s"""WITH RECURSIVE $pretrainStagesSql,
+            |lmtoks AS (
+            |  SELECT doc_id,
+            |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+            |                     x -> x <> '') AS t
+            |  FROM documents
+            |),
+            |lmbi AS (
+            |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            |  FROM lmtoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+            |  WHERE len(t) >= 2
+            |),
+            |lmc2 AS (SELECT w1, w2, COUNT(*) AS c FROM lmbi WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+            |lmc1 AS (SELECT w1, SUM(c) AS ctx FROM lmc2 GROUP BY 1),
+            |lmtot AS (SELECT COUNT(DISTINCT w2) AS v FROM lmc2),
+            |lmtf AS (
+            |  SELECT b.doc_id, b.w1, b.w2, COUNT(*) AS m
+            |  FROM lmbi b JOIN clean cl ON b.doc_id = cl.doc_id
+            |  GROUP BY 1, 2, 3
+            |),
+            |lmscored AS (
+            |  SELECT lmtf.doc_id,
+            |         (SUM(lmtf.m * CAST(ROUND(LN((COALESCE(lmc2.c, 0) + 1)::DOUBLE
+            |                                      / (COALESCE(lmc1.ctx, 0) + lmtot.v)::DOUBLE)
+            |                                  * 1000000.0, 0) AS BIGINT))::DOUBLE
+            |          / SUM(lmtf.m)::DOUBLE) / 1000000.0 AS avg_logprob
+            |  FROM lmtf LEFT JOIN lmc2 USING (w1, w2) LEFT JOIN lmc1 USING (w1) CROSS JOIN lmtot
+            |  GROUP BY 1
+            |),
+            |lmranked AS (
+            |  SELECT doc_id, avg_logprob,
+            |         ROW_NUMBER() OVER (ORDER BY avg_logprob) AS rn,
+            |         COUNT(*) OVER () AS n
+            |  FROM lmscored
+            |),
+            |lmfence AS (
+            |  SELECT MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) / 3) AS BIGINT)
+            |                  THEN avg_logprob END) AS t_low
+            |  FROM lmranked
+            |),
+            |cleanlm AS (
+            |  SELECT c.doc_id, c.bucket, c.n_tok
+            |  FROM clean c JOIN lmscored s ON c.doc_id = s.doc_id CROSS JOIN lmfence f
+            |  WHERE s.avg_logprob > f.t_low
+            |)${packTailSql("cleanlm")}""".stripMargin))
+
   /** Positional inverted index + exact phrase search
     * ([[TextAnalysis.invertedIndex]] / [[phraseSearchBigram]]) — the
     * IR class: build postings, find the corpus's most frequent word
@@ -5158,6 +5238,6 @@ object PipelineQueries {
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature,
-    sampleWeighted, basketLift, eventsAnomalyDays, pretrainPrepBpe,
+    sampleWeighted, basketLift, eventsAnomalyDays, pretrainPrepBpe, pretrainPrepLm,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }

@@ -489,6 +489,7 @@ class PlanSpec extends AnyFunSuite {
       "pipeline_rag_search" -> "query side: literal query rows",
       "pipeline_pretrain_prep" -> "eval grams (eval-set contract) + per-source stats (enum domain)",
       "pipeline_pretrain_prep_bpe" -> "same frames as pipeline_pretrain_prep (shared stage builder); BPE merges array is a 1-row agg",
+      "pipeline_pretrain_prep_lm" -> "same frames as pipeline_pretrain_prep (shared stage builder); the LM totals and tertile fences are 1-row aggs (the lmHeldOutFilter contract)",
       "pipeline_ep2" -> "pendentes dim keys: week-snapshot key sets (weekly batch contract)",
       "compat_report" -> "dim key sets: product-dimension cardinality (J2 contract)",
       "u1_s5_union_semanas" -> "weekly snapshot key sets (weekly batch contract)",
@@ -797,14 +798,24 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pipeline_pretrain_prep (ws + BPE variants) compose under one pass: no cartesian, no corpus window") {
-    for (q <- Seq("pipeline_pretrain_prep", "pipeline_pretrain_prep_bpe")) {
+    for (q <- Seq("pipeline_pretrain_prep", "pipeline_pretrain_prep_bpe",
+        "pipeline_pretrain_prep_lm")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(600))
       // The BPE variant legitimately carries exactly ONE nested-loop
       // join: the 1-row merges array riding a broadcast cross join
-      // (the ANN family's 1-row-frame shape). Anything more would be
-      // a real pair blowup.
-      val bnljCap = if (q == "pipeline_pretrain_prep") 0 else 1
+      // (the ANN family's 1-row-frame shape); the LM variant carries
+      // THREE — the 1-row tertile-fence frame plus the 1-row
+      // vocab-size totals TWICE, because the scored subtree feeds
+      // both the fence aggregate and the output branch (the
+      // score-then-threshold two-pass shape CCNet itself has; every
+      // occurrence is still a 1-row frame). Anything more would be a
+      // real pair blowup.
+      val bnljCap = q match {
+        case "pipeline_pretrain_prep" => 0
+        case "pipeline_pretrain_prep_bpe" => 1
+        case _ => 3
+      }
       val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
       assert(bnlj <= bnljCap, s"$q: $bnlj nested-loop joins (cap $bnljCap):\n" + p.take(800))
       // The decontamination gram join must broadcast the (small) eval side.
