@@ -1002,4 +1002,113 @@ object Dedup {
       finally CheckpointBlocks.release(comps)
     } finally classified.unpersist()
   }
+
+  /** LSH band-configuration tuning curve: for a FIXED `numHashes`-long
+    * MinHash signature, measure what each (bands × rowsPerBand) split
+    * buys — candidate-pair recall and precision against exact-Jaccard
+    * ground truth at `threshold` — one row per configuration. This is
+    * the dedup family's deployment tuning table, the analog of the ANN
+    * nprobe/ncells curves (reference behavior: the pipeline dedups at
+    * one fixed band split; this query prices that choice): the
+    * theoretical S-curve P(candidate | jac = s) = 1 − (1 − s^r)^b says
+    * more bands → higher recall and more (wasted) candidates; the
+    * curve measures it on the real corpus, and the oracle replays
+    * every hash, so a wrong band slice anywhere hash-fails.
+    *
+    * Ground truth is COMPLETE, not sampled, and never all-pairs: any
+    * pair with jac ≥ threshold > 0 shares at least one shingle, so the
+    * shingle-hash inverted-index self-join (posting lists over
+    * `maxBucket` docs dropped — the [[capBuckets]] posture, a shingle
+    * that frequent carries no pair evidence a rarer shared shingle
+    * doesn't also carry) is a superset of truth, then exact Jaccard
+    * verifies. At 100 TB that join is Σ|posting|² bounded by the cap —
+    * corpus-linear for natural shingle distributions — while all-pairs
+    * truth would be |corpus|² and is exactly what this query exists to
+    * avoid pricing.
+    *
+    * Plan shape: shingle hashes materialized ONCE (persist; every
+    * config and the truth side reuse them), truth pairs checkpointed
+    * ONCE (read per config), then per config: band keys → capped
+    * self-join → distinct candidates → tag-union-group intersection
+    * with truth ([[Similarity.recallVsTruth]]'s join-free idiom —
+    * candidates and truth share the corpus lineage, so a direct join
+    * trips DetectAmbiguousSelfJoin) → one global aggregate row. Rows
+    * union at |configs| cardinality.
+    */
+  def lshTuningCurve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      threshold: Double,
+      configs: Seq[(Int, Int)],
+      maxBucket: Int = LshMaxBucket): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // One kernel pass computes both the hash sets (truth side) and the
+    // fixed numHashes-long signature every config slices differently.
+    val sigs = shingleSignatures(docs, idCol, textCol, "word", shingleK, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hv = sigs.select(col("id"), array_distinct(col("sh")).as("hv"))
+      val posting = hv.select(col("id"), explode(col("hv")).as("h"))
+      val hotShingles = posting.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket)
+        .select(col("h"))
+      val cappedPost = posting.join(hotShingles, Seq("h"), "left_anti")
+      val truthCand = cappedPost.as("a")
+        .join(cappedPost.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val truth = truthCand
+        .join(hv.select(col("id").as("id_a"), col("hv").as("hv_a")), Seq("id_a"))
+        .join(hv.select(col("id").as("id_b"), col("hv").as("hv_b")), Seq("id_b"))
+        .filter(round(jaccard(col("hv_a"), col("hv_b")), 6) >= threshold)
+        .select(col("id_a"), col("id_b"))
+      val truthCut = CheckpointBlocks.cut(truth)
+      try {
+        val rows = configs.map { case (b, r) =>
+          require(b * r == numHashes, s"bands($b) x rows($r) != $numHashes")
+          val banded = sigs.filter(size(col("sg")) > 0)
+            .select(col("id"), explode(lshBandKeys(col("sg"), b, r)).as("bk"))
+            .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+          val capped = capBuckets(banded, maxBucket)
+          val cand = capped.as("a")
+            .join(capped.as("b"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+            .distinct()
+          // Tag-union-group intersection (recallVsTruth's join-free
+          // idiom): candidates and truth share the corpus lineage, so
+          // a direct join would trip DetectAmbiguousSelfJoin.
+          val t = truthCut.select(col("id_a"), col("id_b"),
+            lit(1L).as("__t"), lit(0L).as("__a"))
+          val a = cand.select(col("id_a"), col("id_b"),
+            lit(0L).as("__t"), lit(1L).as("__a"))
+          t.unionByName(a)
+            .groupBy(col("id_a"), col("id_b"))
+            .agg(max(col("__t")).as("__in_t"), max(col("__a")).as("__in_a"))
+            .agg(
+              sum(col("__in_a")).cast("bigint").as("n_cand"),
+              sum(col("__in_t")).cast("bigint").as("n_truth"),
+              sum(col("__in_t") * col("__in_a")).cast("bigint").as("n_hit"))
+            .select(
+              lit(b).as("bands"), lit(r).as("rows_per_band"),
+              col("n_cand"), col("n_truth"), col("n_hit"),
+              round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+                .as("recall"),
+              when(col("n_cand") === 0L, lit(null).cast("double"))
+                .otherwise(round(col("n_hit").cast("double") / col("n_cand").cast("double"), 6))
+                .as("precision"))
+        }
+        // The curve is |configs| rows -- cut it eagerly so the cache
+        // and the truth checkpoint can be released here (the
+        // eagerRelease posture: materialize the small output, free the
+        // corpus-sized internals).
+        CheckpointBlocks.cut(rows.reduce(_.unionByName(_)))
+      } finally CheckpointBlocks.release(truthCut)
+    } finally sigs.unpersist()
+  }
 }

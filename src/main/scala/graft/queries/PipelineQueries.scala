@@ -105,6 +105,115 @@ object PipelineQueries {
         |     ELSE [] END""".stripMargin,
       0.5)))
 
+  /** LSH band-split tuning curve at the `dedup_minhash` operating
+    * point (3-word shingles, 16 hashes, jac ≥ 0.4): one row per
+    * (bands × rows-per-band) split of the SAME fixed signature —
+    * candidate count, recall and precision against exact-Jaccard
+    * ground truth. The dedup family's deployment tuning table, the
+    * analog of `ann_ivf_nprobe_curve`/`ann_ivf_ncells_curve`
+    * (reference behavior: the pipeline dedups at one fixed band
+    * split; this query prices that choice — the S-curve
+    * P(candidate | jac=s) = 1−(1−s^r)^b made measurable on the real
+    * corpus). Ground truth is COMPLETE and never all-pairs: any pair
+    * with jac > 0 shares a shingle, so the shingle-hash inverted
+    * index (hot postings capped, [[Dedup.LshMaxBucket]]) is a truth
+    * superset and exact Jaccard verifies — Σ|posting|² work, not
+    * |corpus|². The oracle replays every md5, both cap rules, all
+    * four band splits, and both ratio divisions; see
+    * [[Dedup.lshTuningCurve]] for the plan shape.
+    */
+  val dedupLshBandCurve = QueryDef(
+    "dedup_lsh_band_curve",
+    (s, dir) =>
+      Dedup.lshTuningCurve(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 16, threshold = 0.4,
+        configs = Seq((2, 8), (4, 4), (8, 2), (16, 1))),
+    Some(s"""WITH docs AS (
+            |  SELECT doc_id AS id,
+            |         CASE WHEN len(toks) >= 3
+            |              THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+            |                                  FOR i IN generate_series(0, len(toks) - 3)])
+            |              ELSE [] END AS sh
+            |  FROM documents
+            |),
+            |hv AS (
+            |  SELECT id, list_distinct([('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483648
+            |                            FOR x IN sh]) AS hv
+            |  FROM docs
+            |),
+            |post AS (SELECT id, unnest(hv) AS h FROM hv),
+            |hotsh AS (SELECT h FROM post GROUP BY 1 HAVING COUNT(*) > ${Dedup.LshMaxBucket}),
+            |cpost AS (
+            |  SELECT id, h FROM post
+            |  WHERE NOT EXISTS (SELECT 1 FROM hotsh x WHERE x.h = post.h)
+            |),
+            |tcand AS (
+            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            |  FROM cpost a JOIN cpost b ON a.h = b.h AND a.id < b.id
+            |),
+            |truth AS (
+            |  SELECT id_a, id_b
+            |  FROM tcand JOIN hv sa ON tcand.id_a = sa.id JOIN hv sb ON tcand.id_b = sb.id
+            |  WHERE ROUND(CASE WHEN CAST(len(sa.hv) AS DOUBLE) + CAST(len(sb.hv) AS DOUBLE)
+            |                        - CAST(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE) = 0
+            |                   THEN 0.0
+            |                   ELSE CAST(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE)
+            |                        / (CAST(len(sa.hv) AS DOUBLE) + CAST(len(sb.hv) AS DOUBLE)
+            |                           - CAST(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE))
+            |              END, 6) >= 0.4
+            |),
+            |ntruth AS (SELECT COUNT(*) AS n_truth FROM truth),
+            |sig AS (
+            |  SELECT id,
+            |         [list_min([(h * (2*i + 1) + i * 1000003 + 12345) % 2147483648 FOR h IN hv])
+            |          FOR i IN generate_series(0, 15)] AS sg
+            |  FROM hv WHERE len(hv) > 0
+            |),
+            |cfg AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1))
+            |        AS t(bands, rows_per_band)),
+            |banded AS (
+            |  SELECT c.bands, c.rows_per_band, s.id, i.b AS band,
+            |         md5(array_to_string(
+            |           s.sg[i.b * c.rows_per_band + 1 : (i.b + 1) * c.rows_per_band],
+            |           '|')) AS key
+            |  FROM sig s CROSS JOIN cfg c,
+            |       LATERAL (SELECT unnest(generate_series(0, c.bands - 1)) AS b) i
+            |),
+            |hot AS (SELECT bands, band, key FROM banded
+            |        GROUP BY 1, 2, 3 HAVING COUNT(*) > ${Dedup.LshMaxBucket}),
+            |cband AS (
+            |  SELECT bands, rows_per_band, id, band, key FROM banded
+            |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+            |                    WHERE h.bands = banded.bands AND h.band = banded.band
+            |                      AND h.key = banded.key)
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.bands, a.rows_per_band, a.id AS id_a, b.id AS id_b
+            |  FROM cband a JOIN cband b
+            |    ON a.bands = b.bands AND a.band = b.band AND a.key = b.key AND a.id < b.id
+            |),
+            |counts AS (
+            |  SELECT c.bands, c.rows_per_band,
+            |         COUNT(*) AS n_cand,
+            |         CAST(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+            |  FROM cand c LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+            |  GROUP BY 1, 2
+            |)
+            |SELECT cfg.bands, cfg.rows_per_band,
+            |       CAST(COALESCE(counts.n_cand, 0) AS BIGINT) AS n_cand,
+            |       ntruth.n_truth,
+            |       CAST(COALESCE(counts.n_hit, 0) AS BIGINT) AS n_hit,
+            |       ROUND(CAST(COALESCE(counts.n_hit, 0) AS DOUBLE)
+            |             / CAST(ntruth.n_truth AS DOUBLE), 6) AS recall,
+            |       CASE WHEN COALESCE(counts.n_cand, 0) = 0 THEN NULL
+            |            ELSE ROUND(CAST(counts.n_hit AS DOUBLE)
+            |                       / CAST(counts.n_cand AS DOUBLE), 6) END AS precision
+            |FROM cfg
+            |LEFT JOIN counts
+            |  ON cfg.bands = counts.bands AND cfg.rows_per_band = counts.rows_per_band
+            |CROSS JOIN ntruth""".stripMargin
+      .replace("toks", "string_split_regex(trim(lower(text)), '\\s+')")))
+
   /** Near-dup via SimHash bit-slice banding + Hamming verify. */
   val dedupSimhash = QueryDef(
     "dedup_simhash",
@@ -5220,7 +5329,7 @@ object PipelineQueries {
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupClusters,
+    dedupExact, dedupMinhash, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
