@@ -893,4 +893,101 @@ object TextAnalysis {
     scored.agg(
       expr("percentile_disc(cast(1 as double)/3) WITHIN GROUP (ORDER BY avg_logprob)").as("t_low"),
       expr("percentile_disc(cast(2 as double)/3) WITHIN GROUP (ORDER BY avg_logprob)").as("t_high"))
+
+  // ------------------------------------- naive-Bayes text classifier
+
+  /** Multinomial naive-Bayes word-count model — the trainable HALF of
+    * the fastText-style linear classifier every production cleaning
+    * pipeline runs after the heuristic and LM gates (CCNet/GPT-3
+    * lineage: a linear bag-of-words model scoring "does this doc look
+    * like the reference class"). One frame IS the model: `(w, c_pos,
+    * c_neg)` token counts per class over the labeled training docs —
+    * persistable via `Sink.saveIndex`, consumable by [[nbScore]] and
+    * the stream twin. Priors and smoothing totals are DERIVED from it
+    * plus [[nbPriors]] (one aggregate each).
+    *
+    * Training is ONE wide aggregate at vocabulary cardinality: tokens
+    * explode narrow (no shuffle), then a single groupBy(w) with both
+    * class counts as conditional sums — map-side combinable, no join,
+    * no window. At 100 TB the shuffle carries one row per distinct
+    * word per partition, not per token.
+    */
+  def nbModel(
+      train: DataFrame, idCol: String, textCol: String, labelCol: String): DataFrame = {
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    train.select(col(labelCol).as("y"), explode(t).as("w"))
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("c_pos"),
+        sum(when(!col("y"), lit(1L)).otherwise(lit(0L))).as("c_neg"))
+  }
+
+  /** The classifier's 1-row prior frame: `prior_u` = the class-prior
+    * log-odds in integer micro-nats (each class's ln rounded FIRST,
+    * then subtracted — the exact-integer posture that keeps both
+    * engines bit-identical). Counted over ALL labeled training docs,
+    * token-less ones included (the prior is about documents, not
+    * tokens).
+    */
+  def nbPriors(train: DataFrame, labelCol: String): DataFrame =
+    train.agg(
+      (round(log(sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).cast("double") /
+        count(lit(1)).cast("double")) * lit(1000000.0), 0).cast("bigint") -
+        round(log(sum(when(!col(labelCol), lit(1L)).otherwise(lit(0L))).cast("double") /
+          count(lit(1)).cast("double")) * lit(1000000.0), 0).cast("bigint")).as("prior_u"))
+
+  /** Score documents against a trained [[nbModel]]: per doc, the
+    * naive-Bayes log-odds Σ_w m_w·(ln P(w|pos) − ln P(w|neg)) + prior,
+    * add-one smoothed per class (`(c+1)/(T_class+V)` — a word unseen
+    * in a class, or unseen anywhere, backs off to that class's floor
+    * via the LEFT join's coalesce, so held-out scoring exercises the
+    * smoothing for real). `pred` is decided on the INTEGER micro-nat
+    * sum (`> 0`), never on a rounded double — the comparison both
+    * engines get bit-identical by construction.
+    *
+    * Determinism is the [[unigramLogProb]] micro-nat posture: each
+    * class-conditional ln rounds to integer micro-nats BEFORE the
+    * subtraction and the per-doc weighted sum, so every intermediate
+    * is an exact bigint and `log_odds` is a quotient of identical
+    * integers.
+    *
+    * Scale shape: score side aggregates to distinct (doc, w) BEFORE
+    * joining the model (serving CPU scales with distinct words per
+    * doc, not tokens); the model stays UNBROADCAST at the word-key
+    * shuffle join (a web-scale vocabulary is itself large; AQE may
+    * broadcast a small one); the only forced broadcasts are the 1-row
+    * totals and prior frames. Docs with zero tokens have no evidence
+    * and drop (the LM filter's unjudgeable-doc posture).
+    *
+    * Output: `(doc_id, n_tok, n_oov, log_odds, pred)`.
+    */
+  def nbScore(
+      model: DataFrame,
+      priors: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val totals = model.agg(
+      sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
+      count(lit(1)).as("v"))
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    docs.select(col(idCol).as("doc_id"), explode(t).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+      .join(model, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("llr_u",
+        round(log((coalesce(col("c_pos"), lit(0L)) + lit(1)).cast("double") /
+          (col("t_pos") + col("v")).cast("double")) * lit(1000000.0), 0).cast("bigint") -
+          round(log((coalesce(col("c_neg"), lit(0L)) + lit(1)).cast("double") /
+            (col("t_neg") + col("v")).cast("double")) * lit(1000000.0), 0).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_tok"),
+        sum(when(col("c_pos").isNull, col("m")).otherwise(lit(0L))).as("n_oov"),
+        sum(col("m") * col("llr_u")).as("s_u"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        ((col("s_u") + col("prior_u")).cast("double") / lit(1000000.0)).as("log_odds"),
+        ((col("s_u") + col("prior_u")) > 0L).as("pred"))
+  }
 }

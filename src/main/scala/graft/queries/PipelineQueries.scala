@@ -2330,6 +2330,153 @@ object PipelineQueries {
            |            ELSE 'head' END AS bucket
            |FROM scored CROSS JOIN fence""".stripMargin))
 
+  /** The shared DuckDB replay of the naive-Bayes classifier: model
+    * trained on doc_id % 10 ≠ 1 with label `lang = 'en'`, held-out
+    * % 10 = 1 docs scored — the full [[TextAnalysis.nbModel]] /
+    * [[TextAnalysis.nbScore]] chain (class-conditional counts,
+    * add-one smoothing at the `(T_class + V)` floors, per-class ln
+    * rounded to integer micro-nats BEFORE subtraction, integer-sum
+    * `pred`). Ends at a `perdoc` CTE; both NB queries append their
+    * own tail.
+    */
+  private val nbPerDocSql =
+    """marked AS (
+      |  SELECT doc_id, (doc_id % 2 = 1) AS y,
+      |         CASE WHEN doc_id % 2 = 1
+      |              THEN regexp_replace(regexp_replace(coalesce(text, ''),
+      |                       '\btable\b', 'tabelle', 'g'),
+      |                       '\brow\b', 'zeile', 'g')
+      |              ELSE coalesce(text, '') END AS text
+      |  FROM documents
+      |),
+      |toks AS (
+      |  SELECT doc_id, y,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                     x -> x <> '') AS t
+      |  FROM marked
+      |),
+      |tw AS (SELECT doc_id, y, unnest(t) AS w FROM toks),
+      |model AS (
+      |  SELECT w,
+      |         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+      |         SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
+      |  FROM tw WHERE doc_id % 5 <> 0 GROUP BY 1
+      |),
+      |tot AS (SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg, COUNT(*) AS v FROM model),
+      |pri AS (
+      |  SELECT CAST(ROUND(LN(SUM(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE
+      |                       / COUNT(*)::DOUBLE) * 1000000.0, 0) AS BIGINT)
+      |       - CAST(ROUND(LN(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END)::DOUBLE
+      |                       / COUNT(*)::DOUBLE) * 1000000.0, 0) AS BIGINT) AS prior_u
+      |  FROM toks WHERE doc_id % 5 <> 0
+      |),
+      |sc AS (SELECT doc_id, y, w, COUNT(*) AS m FROM tw WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT sc.doc_id, sc.y,
+      |         CAST(SUM(sc.m) AS BIGINT) AS n_tok,
+      |         CAST(SUM(CASE WHEN model.w IS NULL THEN sc.m ELSE 0 END) AS BIGINT) AS n_oov,
+      |         CAST(SUM(sc.m *
+      |           (CAST(ROUND(LN((COALESCE(model.c_pos, 0) + 1)::DOUBLE
+      |                          / (tot.t_pos + tot.v)::DOUBLE) * 1000000.0, 0) AS BIGINT)
+      |          - CAST(ROUND(LN((COALESCE(model.c_neg, 0) + 1)::DOUBLE
+      |                          / (tot.t_neg + tot.v)::DOUBLE) * 1000000.0, 0) AS BIGINT)))
+      |           AS BIGINT) AS s_u
+      |  FROM sc LEFT JOIN model USING (w) CROSS JOIN tot
+      |  GROUP BY 1, 2
+      |),
+      |perdoc AS (
+      |  SELECT agg.doc_id, agg.y AS label, n_tok, n_oov,
+      |         (s_u + pri.prior_u)::DOUBLE / 1000000.0 AS log_odds,
+      |         (s_u + pri.prior_u) > 0 AS pred
+      |  FROM agg CROSS JOIN pri
+      |)""".stripMargin
+
+  /** The classifier fixture: the corpus's own label columns are
+    * UNLEARNABLE by construction (measured: all five `lang` values
+    * and all 20 `source`s draw from the same 31-word vocabulary with
+    * near-identical marginals — an is-`en` NB scores at the class
+    * prior), so, exactly like the ANN family's `manifoldEmb`, the
+    * two classes are DERIVED in-query: odd doc_ids get a
+    * deterministic TWO-word marker substitution (table→tabelle,
+    * row→zeile — a toy "translation" making the class-conditional
+    * word distributions genuinely differ while ~94% of the
+    * vocabulary stays shared; two markers, not more, so a measurable
+    * minority of docs carry NO marker and the held-out accuracy is a
+    * real data-driven number instead of a saturated 1.0).
+    * Engine-portable: `regexp_replace` with `\b` anchors on both
+    * sides (DuckDB needs the explicit 'g' flag to match Spark's
+    * replace-all default).
+    */
+  private def nbMarkedDocs(s: SparkSession, dir: String): DataFrame = {
+    val subst = Seq("table" -> "tabelle", "row" -> "zeile")
+      .foldLeft(coalesce(col("text"), lit(""))) { case (c, (from, to)) =>
+        regexp_replace(c, "\\b" + from + "\\b", to)
+      }
+    Tables.documents(s, dir)
+      .withColumn("y", pmod(col("doc_id"), lit(2)) === 1)
+      .withColumn("text",
+        when(col("y"), subst).otherwise(coalesce(col("text"), lit(""))))
+      .select(col("doc_id"), col("y"), col("text"))
+  }
+
+  /** Trained text classifier — the fastText-style linear bag-of-words
+    * model (the CCNet/GPT-3 pipelines' third gate after heuristics
+    * and LM perplexity; multinomial naive Bayes IS linear in log
+    * space): trained IN-ENGINE on doc_id % 5 ≠ 0 over the
+    * [[nbMarkedDocs]] two-class fixture, scoring the DISJOINT
+    * held-out fifth — so the smoothing floors fire on real unseen
+    * words and accuracy measures generalization, not memorization.
+    * Per-doc output joined back with the true label the oracle pins;
+    * the integer micro-nat `pred` makes the decision boundary
+    * bit-identical cross-engine. Completes the quality ladder:
+    * heuristic (T2/T4) → LM perplexity (T13/T13c) → TRAINED
+    * classifier (here).
+    */
+  val textNbClassifier = QueryDef(
+    "text_nb_classifier",
+    (s, dir) => {
+      val docs = nbMarkedDocs(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      TextAnalysis.nbScore(
+          TextAnalysis.nbModel(train, "doc_id", "text", "y"),
+          TextAnalysis.nbPriors(train, "y"),
+          heldOut, "doc_id", "text")
+        .join(heldOut.select(col("doc_id"), col("y").as("label")), Seq("doc_id"))
+    },
+    Some(s"WITH $nbPerDocSql\nSELECT doc_id, n_tok, n_oov, log_odds, pred, label FROM perdoc"))
+
+  /** The classifier's measured evidence: held-out confusion matrix
+    * (label × pred counts + fraction) — the accuracy artifact a
+    * deployment decides on, oracle-replayed like the ANN recall
+    * ladders. One groupBy at 4-row cardinality over
+    * [[textNbClassifier]]'s per-doc frame plus a 1-row total
+    * broadcast.
+    */
+  val textNbConfusion = QueryDef(
+    "text_nb_confusion",
+    (s, dir) => {
+      val docs = nbMarkedDocs(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val perDoc = TextAnalysis.nbScore(
+          TextAnalysis.nbModel(train, "doc_id", "text", "y"),
+          TextAnalysis.nbPriors(train, "y"),
+          heldOut, "doc_id", "text")
+        .join(heldOut.select(col("doc_id"), col("y").as("label")), Seq("doc_id"))
+      val conf = perDoc.groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      val total = perDoc.agg(count(lit(1)).as("tn"))
+      conf.crossJoin(broadcast(total))
+        .select(col("label"), col("pred"), col("n"),
+          round(col("n").cast("double") / col("tn").cast("double"), 6).as("frac"))
+    },
+    Some(s"""WITH $nbPerDocSql,
+            |conf AS (SELECT label, pred, COUNT(*) AS n FROM perdoc GROUP BY 1, 2),
+            |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM conf)
+            |SELECT label, pred, n, ROUND(n::DOUBLE / tn::DOUBLE, 6) AS frac
+            |FROM conf CROSS JOIN tt""".stripMargin))
+
   /** Chunk-granular exact dedup — the RAG/embedding prep composite:
     * [[TextAnalysis.chunkDocs]] → md5 fingerprint per chunk → keep
     * the lexicographically-first (doc_id, chunk_id) per fingerprint —
@@ -5336,7 +5483,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textNbClassifier, textNbConfusion, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

@@ -934,6 +934,59 @@ object StreamingOps {
           .otherwise(lit("head")).as("bucket"))
   }
 
+  /** Naive-Bayes classifier serving over a document stream — the
+    * trained-classifier gate ([[graft.operators.TextAnalysis.nbScore]])
+    * as an online service, same offline-build/online-serve contract
+    * as [[lmScoreStream]]: the `(w, c_pos, c_neg)` model frame and
+    * the 1-row prior are FROZEN offline artifacts
+    * (`Sink.saveIndex`/`Load.loadIndex`), smoothing totals derived
+    * from the loaded model (one aggregate, 1-row broadcast).
+    *
+    * Plan shape: tokens explode stateless-narrow; the model join is
+    * stream-static on the word key (Spark re-plans the static side
+    * per micro-batch; the model is vocabulary-sized and UNBROADCAST
+    * unless AQE decides otherwise); the ONLY stateful operator is the
+    * per-(window, doc) aggregate summing integer micro-nat terms —
+    * state per in-flight doc is a handful of longs, watermark-evicted.
+    * `pred` is decided on the integer sum, identical to batch: the
+    * spec pins row-for-row parity including the OOV floors.
+    */
+  def nbScoreStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      model: DataFrame,
+      priors: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val totals = model.agg(
+      sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
+      count(lit(1)).as("v"))
+    val t = filter(TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))),
+      x => x =!= "")
+    val lp = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), explode(t).as("w"))
+      .join(model, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(priors))
+      .withColumn("llr_u",
+        round(log((coalesce(col("c_pos"), lit(0L)) + lit(1)).cast("double") /
+          (col("t_pos") + col("v")).cast("double")) * lit(1000000.0), 0).cast("bigint") -
+          round(log((coalesce(col("c_neg"), lit(0L)) + lit(1)).cast("double") /
+            (col("t_neg") + col("v")).cast("double")) * lit(1000000.0), 0).cast("bigint"))
+    lp.withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("c_pos").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"),
+        sum(col("llr_u")).as("s_u"),
+        min(col("prior_u")).as("prior_u"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        ((col("s_u") + col("prior_u")).cast("double") / lit(1000000.0)).as("log_odds"),
+        ((col("s_u") + col("prior_u")) > 0L).as("pred"))
+  }
+
   /** [[sessionize]]'s state transition, factored out so the
     * timeout-expiry path is a DETERMINISTIC unit test through Spark's
     * public `TestGroupState` harness (round-10 verdict ask #6 — the

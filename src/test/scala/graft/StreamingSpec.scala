@@ -289,6 +289,49 @@ class StreamingSpec extends AnyFunSuite {
       "lmScoreStream lost its watermark — unbounded state")
   }
 
+  test("nbScoreStream: offline-trained classifier artifacts, row-for-row batch parity incl. OOV floors") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // Hand fixture: model a:(3,0) b:(1,1) c:(1,2), V=3, t_pos=5,
+    // t_neg=3, priors 2 pos / 1 neg. Scored docs hit a seen
+    // class-asymmetric word, a both-classes word, a mixed-OOV doc,
+    // and a pure-OOV doc (evidence = prior + identical floors).
+    val train = Seq((0L, "a a b", true), (2L, "b c c", false), (4L, "a c", true))
+      .toDF("doc_id", "text", "y")
+    val docs = Seq((1L, "a a x"), (3L, "c c b"), (5L, "zz"))
+    val model = TextAnalysis.nbModel(train, "doc_id", "text", "y")
+    val priors = TextAnalysis.nbPriors(train, "y")
+    val batch = TextAnalysis.nbScore(model, priors, docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val batchRows = batch.as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    assert(batchRows.size == 3)
+    assert(batchRows.collect { case (1L, _, _, _, p) => p } == Set(true))
+    assert(batchRows.collect { case (3L, _, _, _, p) => p } == Set(false))
+    // The offline-build/online-serve loop: model + prior round-trip
+    // through saveIndex/loadIndex; the server consumes the LOADED
+    // frames.
+    val dir = Files.createTempDirectory("graft_stream_nb").toString
+    graft.sources.Sink.saveIndex(model, s"$dir/model",
+      Map("family" -> "multinomial-nb", "smoothing" -> "add-1"))
+    graft.sources.Sink.saveIndex(priors, s"$dir/priors", Map("kind" -> "log-odds-prior"))
+    val (m2, mParams) = graft.sources.Load.loadIndex(spark, s"$dir/model")
+    val (p2, _) = graft.sources.Load.loadIndex(spark, s"$dir/priors")
+    assert(mParams("family") == "multinomial-nb")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(docs.map { case (id, t) => (id, t0, t) }: _*)
+    val scored = StreamingOps.nbScoreStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", m2, p2)
+    val q = scored.writeStream.format("memory").queryName("nb_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("nb_stream_test")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    assert(streamed == batchRows, s"stream $streamed vs batch $batchRows")
+    assert(scored.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "nbScoreStream lost its watermark — unbounded state")
+  }
+
   test("ivfTopKStream: streamed queries match batch ivfTopKProbed row-for-row (ANN serving)") {
     implicit val sql = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
