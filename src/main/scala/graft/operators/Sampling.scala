@@ -327,6 +327,101 @@ object Sampling {
       .drop("__es_key")
   }
 
+  /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the published
+    * recipe for steering a raw pretraining corpus toward a target
+    * domain): hashed-bigram bag-of-ngrams models over `buckets`
+    * feature buckets (the hashing trick — collisions are the method,
+    * not a bug: the model is a fixed-size vector regardless of
+    * vocabulary), importance weight per doc
+    * log w(x) = Σ_b m_b·(ln p_target(b) − ln p_raw(b)), both models
+    * add-one smoothed over the SAME bucket space. Returns one row per
+    * scoreable raw doc: `(doc_id, n_grams, logw_u, key_u)` where
+    * `key_u` is the Gumbel-race rank key (see [[dsirSample]]).
+    *
+    * Determinism is the LM family's micro-nat posture: per-bucket ln
+    * rounds to integer micro-nats BEFORE the subtraction and the
+    * per-doc weighted sum, so `logw_u` is an exact bigint. The
+    * sampling key stays in LOG space as exact integers too: the SA6
+    * exponential race ranks by −ln(u)/w ascending, and since both
+    * factors are positive, ranking by its ln — ln(−ln u) − ln w —
+    * is the SAME order with no exp() anywhere, so a long doc's
+    * |log w| in the hundreds can never overflow where exp(log w)
+    * would. `u` is the SA6 md5-derived uniform, shifted to the OPEN
+    * interval (0,1) so ln(−ln u) exists at both ends.
+    *
+    * Scale shape: gram streams aggregate to (doc, bucket) / bucket
+    * cardinality before any join; the per-bucket log-ratio table is
+    * ≤ `buckets` rows by construction (a compile-time constant — the
+    * one genuinely literal-bounded broadcast here); totals are 1-row
+    * broadcasts. Docs with < 2 tokens have no bigram evidence and
+    * drop (the LM filter's unjudgeable-doc posture — they cannot be
+    * importance-weighted toward any target).
+    */
+  def dsirScore(
+      target: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def hashed(df: DataFrame): DataFrame =
+      TextAnalysis.bigramStream(df, idCol, textCol)
+        .select(col("doc_id"),
+          pmod(graft.functions.Hashing.md5Bits60(
+            concat(col("w1"), lit(" "), col("w2"))), lit(buckets.toLong)).as("b"))
+    val tg = hashed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rc = hashed(raw).groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m"))
+    val rm = rc.groupBy(col("b")).agg(sum(col("m")).as("cr"))
+    val tt = tg.agg(sum(col("ct")).as("t_t"))
+    val tr = rm.agg(sum(col("cr")).as("t_r"))
+    // Per-bucket log-likelihood ratio: buckets never seen in the
+    // target back off to the target floor via the LEFT join; buckets
+    // never seen in raw cannot appear in any scored doc and need no
+    // row.
+    val llr = rm.join(tg, Seq("b"), "left")
+      .crossJoin(broadcast(tt))
+      .crossJoin(broadcast(tr))
+      .select(col("b"),
+        (round(log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+          (col("t_t") + lit(buckets.toLong)).cast("double")) * lit(1000000.0), 0)
+          .cast("bigint") -
+          round(log((col("cr") + lit(1)).cast("double") /
+            (col("t_r") + lit(buckets.toLong)).cast("double")) * lit(1000000.0), 0)
+            .cast("bigint")).as("llr_u"))
+    val u = (graft.functions.Hashing.md5Bits60(col("doc_id").cast("string")) + 1)
+      .cast("double") / lit(1.152921504606846978e18)
+    rc.join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_grams"),
+        sum(col("m") * col("llr_u")).as("logw_u"))
+      .withColumn("key_u",
+        round(log(-log(u)) * lit(1000000.0), 0).cast("bigint") - col("logw_u"))
+  }
+
+  /** DSIR importance RESAMPLING: `k` docs from [[dsirScore]]'s raw
+    * corpus, without replacement, P ∝ importance weight — the SA6
+    * exponential race run entirely on exact integer keys (ascending
+    * `key_u` = ln(−ln u)·10⁶ − logw_u, doc_id tie-break), so the
+    * selected set is bit-identical cross-engine. `orderBy.limit`
+    * compiles to TakeOrderedAndProject: a bounded k-heap per
+    * partition + one k-row merge, never a global sort.
+    */
+  def dsirSample(
+      target: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    dsirScore(target, raw, idCol, textCol, buckets)
+      .orderBy(col("key_u").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_grams"),
+        (col("logw_u").cast("double") / lit(1000000.0)).as("log_w"))
+  }
+
   def balancedDownsample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
     val buckets = 1000000
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))

@@ -790,7 +790,7 @@ object TextAnalysis {
     * inline construction in [[bigramLogProb]] (left untouched so its
     * pinned plan does not move).
     */
-  private def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[operators] def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
     docs.select(col(idCol).as("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 2)

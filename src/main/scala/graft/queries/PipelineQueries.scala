@@ -2627,6 +2627,111 @@ object PipelineQueries {
            |  FROM w
            |) QUALIFY ROW_NUMBER() OVER (ORDER BY k ASC, doc_id ASC) <= 100""".stripMargin))
 
+  /** The shared DuckDB replay of the DSIR scorer: hashed-bigram
+    * target/raw models over 1024 buckets (target = the reserved
+    * doc_id % 10 = 0 eval split — the same split the decontamination
+    * and LM gates reference), add-one smoothing, per-doc integer
+    * micro-nat log-weights, and the log-space Gumbel-race key. Ends
+    * at a `keyed` CTE; both DSIR queries append their own tail.
+    */
+  private val dsirKeyedSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents
+      |),
+      |bi AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 15))::BIGINT % 1024 AS b
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+      |  WHERE len(t) >= 2
+      |),
+      |tg AS (SELECT b, COUNT(*) AS ct FROM bi WHERE doc_id % 10 = 0 GROUP BY 1),
+      |rc AS (SELECT doc_id, b, COUNT(*) AS m FROM bi WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+      |rm AS (SELECT b, CAST(SUM(m) AS BIGINT) AS cr FROM rc GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_t FROM tg),
+      |tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS t_r FROM rm),
+      |llr AS (
+      |  SELECT rm.b,
+      |         CAST(ROUND(LN((COALESCE(tg.ct, 0) + 1)::DOUBLE
+      |                       / (tt.t_t + 1024)::DOUBLE) * 1000000.0, 0) AS BIGINT)
+      |       - CAST(ROUND(LN((rm.cr + 1)::DOUBLE
+      |                       / (tr.t_r + 1024)::DOUBLE) * 1000000.0, 0) AS BIGINT) AS llr_u
+      |  FROM rm LEFT JOIN tg USING (b) CROSS JOIN tt CROSS JOIN tr
+      |),
+      |keyed AS (
+      |  SELECT rc.doc_id,
+      |         CAST(SUM(rc.m) AS BIGINT) AS n_grams,
+      |         CAST(SUM(rc.m * llr.llr_u) AS BIGINT) AS logw_u,
+      |         CAST(ROUND(LN(-LN(
+      |             (('0x' || substr(md5(CAST(rc.doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+      |             / 1152921504606846978.0)) * 1000000.0, 0) AS BIGINT)
+      |           - CAST(SUM(rc.m * llr.llr_u) AS BIGINT) AS key_u
+      |  FROM rc JOIN llr USING (b)
+      |  GROUP BY 1
+      |)""".stripMargin
+
+  /** DSIR importance resampling (Xie et al. 2023) — the published
+    * data-selection recipe for steering a raw pretraining corpus
+    * toward a target domain, composed from machinery this engine
+    * already trusts: hashed-bigram models (the hashing trick — a
+    * fixed 1024-bucket feature space regardless of vocabulary), the
+    * LM family's integer micro-nat log-ratios, and SA6's exponential
+    * race run ENTIRELY in log space on exact integers (no exp(), so
+    * extreme weights can't overflow). Target = the reserved
+    * doc_id % 10 = 0 eval split; the other nine tenths are the raw
+    * pool; k = 100 sampled without replacement, P ∝ importance
+    * weight. See [[Sampling.dsirScore]]/[[Sampling.dsirSample]].
+    */
+  val sampleDsir = QueryDef(
+    "sample_dsir",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.dsirSample(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", buckets = 1024, k = 100)
+    },
+    Some(s"""WITH $dsirKeyedSql
+            |SELECT doc_id, n_grams, logw_u::DOUBLE / 1000000.0 AS log_w
+            |FROM keyed
+            |QUALIFY ROW_NUMBER() OVER (ORDER BY key_u ASC, doc_id ASC) <= 100""".stripMargin))
+
+  /** DSIR's measured evidence: did the importance resampling actually
+    * SHIFT the pool toward the target? Two cohort rows — the sampled
+    * k and the full scored pool — with mean log-importance-weight
+    * (exact-integer sums, raw double quotient). The sampled cohort's
+    * mean sitting above the pool's is the method working, measured
+    * and oracle-replayed, not asserted.
+    */
+  val sampleDsirShift = QueryDef(
+    "sample_dsir_shift",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = Sampling.dsirScore(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", buckets = 1024)
+      val sel = scored.orderBy(col("key_u").asc, col("doc_id").asc).limit(100)
+      def cohort(df: DataFrame, name: String) = df.agg(
+          count(lit(1)).as("n"),
+          ((sum(col("logw_u")).cast("double") / count(lit(1)).cast("double")) /
+            lit(1000000.0)).as("avg_log_w"))
+        .select(lit(name).as("cohort"), col("n"), col("avg_log_w"))
+      cohort(sel, "sampled").unionByName(cohort(scored, "all"))
+    },
+    Some(s"""WITH $dsirKeyedSql,
+            |sel AS (SELECT * FROM keyed
+            |        QUALIFY ROW_NUMBER() OVER (ORDER BY key_u ASC, doc_id ASC) <= 100)
+            |SELECT 'sampled' AS cohort, COUNT(*) AS n,
+            |       (SUM(logw_u)::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS avg_log_w
+            |FROM sel
+            |UNION ALL
+            |SELECT 'all' AS cohort, COUNT(*) AS n,
+            |       (SUM(logw_u)::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS avg_log_w
+            |FROM keyed""".stripMargin))
+
   /** Market-basket co-occurrence with LIFT (the association-rule
     * kernel, reference-domain analytics the commercial pipeline would
     * grow into): distinct (order, part) items, within-order pairs via
@@ -5493,7 +5598,7 @@ object PipelineQueries {
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature,
+    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift,
     sampleWeighted, basketLift, eventsAnomalyDays, pretrainPrepBpe, pretrainPrepLm,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }

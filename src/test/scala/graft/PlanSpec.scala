@@ -423,6 +423,15 @@ class PlanSpec extends AnyFunSuite {
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: GlobalLimit | _: LocalLimit => true
       case a: Aggregate => a.groupingExpressions.isEmpty || bounded(a.child)
+      // Equi-joins keep the a24 either-side rule (bounded side ×
+      // unique key). A CONDITION-LESS (cross) join preserves the
+      // unbounded side's cardinality when the other is 1-row — the
+      // totals-fan-out idiom — so it must NOT launder boundedness:
+      // both sides have to be bounded (caught live in round 13: a
+      // bucket-table broadcast slipped through via its crossJoin with
+      // a 1-row totals frame and had to move to the whitelist with
+      // its real bound argued).
+      case j: Join if j.condition.isEmpty => bounded(j.left) && bounded(j.right)
       case j: Join => bounded(j.left) || bounded(j.right)
       case u: UnaryNode => bounded(u.child)
       case _: LocalRelation => true // driver-materialized literal data
@@ -455,6 +464,9 @@ class PlanSpec extends AnyFunSuite {
       "c_qcut_bins" -> "quantile cut points: n_bins rows per group key (literal bins, 3-value returnflag)",
       "sample_mixture" -> "per-source quantile fences: one row per source (enum domain)",
       "sample_balanced" -> "per-class rates: one row per language label (enum domain)",
+      "sample_temperature" -> "per-language temperature targets: one row per lang (enum domain) crossed with the 1-row min frame",
+      "sample_dsir" -> "hashed-bigram log-ratio table: <= 1024 rows (pmod literal bucket space) crossed with 1-row totals",
+      "sample_dsir_shift" -> "same log-ratio table as sample_dsir (shared dsirScore builder)",
       "ann_cosine_topk" -> "query side: vec_id < 10 literal filter (10 vectors)",
       "ann_filtered" -> "query side: literal vec_id filter",
       "ann_recall" -> "query side: literal vec_id filter (both arms)",
