@@ -399,6 +399,51 @@ object Sampling {
         round(log(-log(u)) * lit(1000000.0), 0).cast("bigint") - col("logw_u"))
   }
 
+  /** The DSIR model's persistable artifact: the per-bucket
+    * log-likelihood-ratio table over the FULL literal bucket domain —
+    * exactly `buckets` rows by construction (`spark.range`, not the
+    * data, defines the key set), each bucket's `llr_u` with BOTH
+    * class floors applied, so an arriving document whose gram hashes
+    * to a bucket neither corpus ever produced still finds its row at
+    * serving time (the two coalesce floors cancel into the prior
+    * ratio of totals — the correct "no evidence" score).
+    * `Sink.saveIndex` this offline; the stream scorer
+    * ([[graft.streaming.StreamingOps.dsirScoreStream]]) consumes the
+    * loaded frame. Equality with [[dsirScore]]'s internal table on
+    * every pool-reachable bucket is pinned by the stream twin's
+    * row-for-row batch parity test — a divergence anywhere would
+    * break it.
+    */
+  def dsirLlrTable(
+      target: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def hashed(df: DataFrame): DataFrame =
+      TextAnalysis.bigramStream(df, idCol, textCol)
+        .select(col("doc_id"),
+          pmod(graft.functions.Hashing.md5Bits60(
+            concat(col("w1"), lit(" "), col("w2"))), lit(buckets.toLong)).as("b"))
+    val tg = hashed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rm = hashed(raw).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tt = tg.agg(sum(col("ct")).as("t_t"))
+    val tr = rm.agg(sum(col("cr")).as("t_r"))
+    target.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(tg, Seq("b"), "left")
+      .join(rm, Seq("b"), "left")
+      .crossJoin(broadcast(tt))
+      .crossJoin(broadcast(tr))
+      .select(col("b"),
+        (round(log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+          (col("t_t") + lit(buckets.toLong)).cast("double")) * lit(1000000.0), 0)
+          .cast("bigint") -
+          round(log((coalesce(col("cr"), lit(0L)) + lit(1)).cast("double") /
+            (col("t_r") + lit(buckets.toLong)).cast("double")) * lit(1000000.0), 0)
+            .cast("bigint")).as("llr_u"))
+  }
+
   /** DSIR importance RESAMPLING: `k` docs from [[dsirScore]]'s raw
     * corpus, without replacement, P ∝ importance weight — the SA6
     * exponential race run entirely on exact integer keys (ascending

@@ -987,6 +987,54 @@ object StreamingOps {
         ((col("s_u") + col("prior_u")) > 0L).as("pred"))
   }
 
+  /** DSIR importance scoring over a document stream — the third
+    * member of the scorer-serving family (LM perplexity, NB
+    * classifier, and now the importance weight): arriving docs score
+    * against the FROZEN per-bucket log-ratio artifact
+    * ([[graft.operators.Sampling.dsirLlrTable]] — exactly `buckets`
+    * rows over the full literal domain, so every arriving gram finds
+    * its row and the join can be a plain inner equi-join riding a
+    * broadcast). Use case: admission-time "how target-like is this
+    * doc" scoring feeding an ingest gate, the online half of the
+    * offline resampling pass.
+    *
+    * Plan shape: bigram explode stateless-narrow, bucket key =
+    * md5 pmod literal (identical to batch), the ONLY stateful
+    * operator is the watermarked per-(window, doc) integer micro-nat
+    * sum — a few longs per in-flight doc. Output
+    * `(doc_id, n_grams, log_w)` matches [[Sampling.dsirScore]]
+    * row-for-row on pool docs (spec-pinned).
+    */
+  def dsirScoreStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      llrTable: DataFrame,
+      buckets: Int,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val t = filter(TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))),
+      x => x =!= "")
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("__ts"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("g"))
+      .select(col("doc_id"), col("__ts"),
+        pmod(graft.functions.Hashing.md5Bits60(
+          concat(col("g.w1"), lit(" "), col("g.w2"))), lit(buckets.toLong)).as("b"))
+      .join(broadcast(llrTable), Seq("b"))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("llr_u")).as("logw_u"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("logw_u").cast("double") / lit(1000000.0)).as("log_w"))
+  }
+
   /** [[sessionize]]'s state transition, factored out so the
     * timeout-expiry path is a DETERMINISTIC unit test through Spark's
     * public `TestGroupState` harness (round-10 verdict ask #6 — the

@@ -332,6 +332,50 @@ class StreamingSpec extends AnyFunSuite {
       "nbScoreStream lost its watermark — unbounded state")
   }
 
+  test("dsirScoreStream: frozen llr artifact, batch parity on pool docs + full-domain floor for novel grams") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Sampling
+    val target = Seq((0L, "a b a b c"), (10L, "b c b c")).toDF("doc_id", "text")
+    val rawPool = Seq((1L, "a b x y"), (3L, "c c c c"), (7L, "x y x y"))
+      .toDF("doc_id", "text")
+    val buckets = 64
+    val batch = Sampling.dsirScore(target, rawPool, "doc_id", "text", buckets)
+      .select($"doc_id", $"n_grams",
+        ($"logw_u".cast("double") / lit(1000000.0)).as("log_w"))
+    val batchRows = batch.as[(Long, Long, Double)].collect().toSet
+    assert(batchRows.size == 3)
+    // Offline artifact: full-bucket-domain llr table, frozen + reloaded.
+    val dir = Files.createTempDirectory("graft_stream_dsir").toString
+    val llr = Sampling.dsirLlrTable(target, rawPool, "doc_id", "text", buckets)
+    assert(llr.count() == buckets, "llr table must cover the FULL literal bucket domain")
+    graft.sources.Sink.saveIndex(llr, s"$dir/llr",
+      Map("family" -> "dsir-hashed-bigram", "buckets" -> buckets.toString))
+    val (llr2, params) = graft.sources.Load.loadIndex(spark, s"$dir/llr")
+    assert(params("buckets") == buckets.toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // Pool docs for parity, plus a NOVEL doc whose grams no corpus
+    // produced: the full-domain artifact must still score it (both
+    // floors cancel into the totals prior), not drop or crash.
+    ms.addData((1L, t0, "a b x y"), (3L, t0, "c c c c"), (7L, t0, "x y x y"),
+      (99L, t0, "qq zz qq"))
+    val scored = StreamingOps.dsirScoreStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", llr2, buckets)
+    val q = scored.writeStream.format("memory").queryName("dsir_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dsir_stream_test")
+      .as[(Long, Long, Double)].collect().toSet
+    val novel = streamed.filter(_._1 == 99L)
+    assert(novel.size == 1 && novel.head._2 == 2L &&
+      java.lang.Double.isFinite(novel.head._3),
+      s"novel doc must get a finite floor score: $novel")
+    assert(streamed.filter(_._1 != 99L) == batchRows,
+      s"stream ${streamed.filter(_._1 != 99L)} vs batch $batchRows")
+    assert(scored.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "dsirScoreStream lost its watermark — unbounded state")
+  }
+
   test("ivfTopKStream: streamed queries match batch ivfTopKProbed row-for-row (ANN serving)") {
     implicit val sql = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
