@@ -370,8 +370,19 @@ object Sampling {
         .select(col("doc_id"),
           pmod(graft.functions.Hashing.md5Bits60(
             concat(col("w1"), lit(" "), col("w2"))), lit(buckets.toLong)).as("b"))
-    val tg = hashed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val rc = hashed(raw).groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m"))
+    // Both gram aggregates are read by MULTIPLE consumers (tg: the
+    // llr join + the totals agg; rc: the model counts, the raw
+    // totals, and the scoring join) and Spark re-executes uncached
+    // subplans per reference — at sf1 the re-derived md5 gram streams
+    // tripled the query's cost (measured, the pairsFromShingles
+    // "write signatures, then join them" lesson). Cut both once:
+    // tg is ≤ buckets rows; rc is corpus-linear but narrow
+    // (doc, bucket, count) — the frame a production run would land
+    // as the featurized corpus anyway.
+    val tg = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+      hashed(target).groupBy(col("b")).agg(count(lit(1)).as("ct")))
+    val rc = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+      hashed(raw).groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m")))
     val rm = rc.groupBy(col("b")).agg(sum(col("m")).as("cr"))
     val tt = tg.agg(sum(col("ct")).as("t_t"))
     val tr = rm.agg(sum(col("cr")).as("t_r"))
@@ -426,8 +437,12 @@ object Sampling {
         .select(col("doc_id"),
           pmod(graft.functions.Hashing.md5Bits60(
             concat(col("w1"), lit(" "), col("w2"))), lit(buckets.toLong)).as("b"))
-    val tg = hashed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val rm = hashed(raw).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // Same double-read cut as dsirScore: each aggregate feeds the llr
+    // join AND its totals agg; both are ≤ buckets rows once aggregated.
+    val tg = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+      hashed(target).groupBy(col("b")).agg(count(lit(1)).as("ct")))
+    val rm = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+      hashed(raw).groupBy(col("b")).agg(count(lit(1)).as("cr")))
     val tt = tg.agg(sum(col("ct")).as("t_t"))
     val tr = rm.agg(sum(col("cr")).as("t_r"))
     target.sparkSession.range(buckets).select(col("id").as("b"))

@@ -861,8 +861,19 @@ object TextAnalysis {
     // Fence rank is ceil(n·p) (the cume_dist >= p contract), which
     // the oracle replays as CEIL(CAST(k·n AS DOUBLE)/3) — see
     // [[lmFences]] for the DOUBLE-percentage requirement.
-    val fences = lmFences(scored)
-    scored.crossJoin(broadcast(fences))
+    //
+    // The scored frame is CUT before fencing: it feeds the fence
+    // aggregate AND the output branch (CCNet's inherent
+    // score-then-threshold two-pass shape), and uncut the entire
+    // scoring chain — gram explode, model joins, micro-nat sums —
+    // re-executes per branch (measured: the pretrain_prep_lm
+    // composite carried a 2.6× sf1 slope from exactly this). The cut
+    // lands one doc-cardinality (doc_id, counts, avg_logprob) frame,
+    // which is what a production CCNet pass writes before taking
+    // percentiles anyway.
+    val scoredCut = org.apache.spark.sql.graft.CheckpointBlocks.cut(scored)
+    val fences = lmFences(scoredCut)
+    scoredCut.crossJoin(broadcast(fences))
       .select(col("doc_id"), col("n_bigrams"), col("n_unseen"), col("avg_logprob"),
         when(col("avg_logprob") <= col("t_low"), lit("tail"))
           .when(col("avg_logprob") <= col("t_high"), lit("middle"))

@@ -1912,7 +1912,14 @@ object PipelineQueries {
     "pipeline_pretrain_prep_lm",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val clean = pretrainCleanDocs(docs)
+      // Cut: the 4-stage clean frame feeds the LM score side, the
+      // pack join, AND (via the filter's internal score-then-fence
+      // shape) both fence branches — uncut it re-derived the whole
+      // stage-1-4 chain 3-4× (measured 3.1× sf1 slope; 2.0× after
+      // the cut, the family norm). This is the "land the cleaned
+      // table, then score it" shape a real pipeline has anyway.
+      val clean = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+        pretrainCleanDocs(docs))
       val scoredClean = TextAnalysis.lmHeldOutFilter(
         docs.filter(pmod(col("doc_id"), lit(10)) === 0),
         docs.join(clean.select(col("doc_id")), Seq("doc_id")),
@@ -2709,10 +2716,13 @@ object PipelineQueries {
     "sample_dsir_shift",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val scored = Sampling.dsirScore(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        "doc_id", "text", buckets = 1024)
+      // Cut: the scored frame feeds BOTH cohort aggregates (sampled +
+      // all) and would re-run the whole scoring chain per branch.
+      val scored = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+        Sampling.dsirScore(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "doc_id", "text", buckets = 1024))
       val sel = scored.orderBy(col("key_u").asc, col("doc_id").asc).limit(100)
       def cohort(df: DataFrame, name: String) = df.agg(
           count(lit(1)).as("n"),

@@ -816,22 +816,25 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(600))
       // The BPE variant legitimately carries exactly ONE nested-loop
       // join: the 1-row merges array riding a broadcast cross join
-      // (the ANN family's 1-row-frame shape); the LM variant carries
-      // THREE — the 1-row tertile-fence frame plus the 1-row
-      // vocab-size totals TWICE, because the scored subtree feeds
-      // both the fence aggregate and the output branch (the
-      // score-then-threshold two-pass shape CCNet itself has; every
-      // occurrence is still a 1-row frame). Anything more would be a
-      // real pair blowup.
+      // (the ANN family's 1-row-frame shape). The LM variant's
+      // stage-1-4 chain and LM scoring sit behind checkpoint cuts
+      // (their shapes are pinned by pipeline_pretrain_prep here and
+      // by text_lm_heldout_filter's own oracle), so its VISIBLE plan
+      // is the pack tail plus the fence fan-out — at most one 1-row
+      // nested-loop join. Anything more would be a real pair blowup.
       val bnljCap = q match {
         case "pipeline_pretrain_prep" => 0
-        case "pipeline_pretrain_prep_bpe" => 1
-        case _ => 3
+        case _ => 1
       }
       val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
       assert(bnlj <= bnljCap, s"$q: $bnlj nested-loop joins (cap $bnljCap):\n" + p.take(800))
-      // The decontamination gram join must broadcast the (small) eval side.
-      assert(p.contains("BroadcastHashJoin"), s"$q:\n" + p.take(800))
+      // The decontamination gram join must broadcast the (small) eval
+      // side. In the LM variant that join is inside the clean-frame
+      // checkpoint (same builder as pipeline_pretrain_prep, whose
+      // entry in this loop pins it), so the assertion applies to the
+      // uncut variants.
+      if (q != "pipeline_pretrain_prep_lm")
+        assert(p.contains("BroadcastHashJoin"), s"$q:\n" + p.take(800))
       // The only Window is the packing fold's input ordering inside the
       // bucket aggregate — there must be NO window partitioned by the
       // whole corpus (fp-dedup is a min_by aggregate, not row_number).
