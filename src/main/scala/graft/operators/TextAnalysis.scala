@@ -407,6 +407,68 @@ object TextAnalysis {
     * the corpus, no per-row quadratic array work. Fractions round to
     * 6 dp so the ratio compares exactly across engines.
     */
+  /** BM25 ranked retrieval — the IR family's scoring rung above
+    * [[phraseSearch]]'s boolean membership (the ranking function
+    * Lucene/Elasticsearch ship as the default):
+    *
+    *   score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t) = ln((N − df + ½)/(df + ½))
+    *
+    * Cross-engine determinism, the KN trick applied twice: k1 = 6/5
+    * and b = 3/4 make the tf saturation term ONE exact-integer
+    * rational — 22·tf·T / (10·tf·T + 3·T + 9·dl·N) with T = total
+    * corpus tokens (avgdl = T/N substituted through) — and the ½s in
+    * the idf clear to (2N−2df+1)/(2df+1); each term's contribution
+    * rounds to an integer micro-unit BEFORE the per-doc sum, so the
+    * sum is exact bigint (order-free — a raw double Σ would depend on
+    * row order) and the rank key is an integer with doc_id
+    * tie-break. Integer range: 22·tf·T and 9·dl·N stay under 2⁶³
+    * until T·tf ≈ 4·10¹⁷ — a corpus of 10¹⁴ tokens with tf ≈ 10³,
+    * comfortably past the 100 TB tier.
+    *
+    * Scale shape: the query-term postings are pruned by an `isin` on
+    * the literal terms BEFORE any aggregation (the scan reads only
+    * matching tokens — candidate cardinality is the query terms'
+    * postings, never the corpus); per-term df rides a ≤|q|-row
+    * broadcast; doc lengths join at matched-doc cardinality; totals
+    * are a 1-row broadcast; `orderBy.limit` is a TakeOrdered k-heap.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "").as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_u",
+        round(log((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)).cast("double")) * lit(1000000.0), 0)
+          .cast("bigint"))
+      .withColumn("contrib_u",
+        round(col("idf_u").cast("double") *
+          ((lit(22L) * col("tf") * col("t_tokens")).cast("double") /
+            (lit(10L) * col("tf") * col("t_tokens") + lit(3L) * col("t_tokens") +
+              lit(9L) * col("dl") * col("n_docs")).cast("double")), 0).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_u")).as("score_u"))
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_terms"),
+        (col("score_u").cast("double") / lit(1000000.0)).as("score"))
+  }
+
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "").as("t"))

@@ -2337,6 +2337,53 @@ object PipelineQueries {
            |            ELSE 'head' END AS bucket
            |FROM scored CROSS JOIN fence""".stripMargin))
 
+  /** BM25 top-k retrieval ([[TextAnalysis.bm25TopK]]) — the IR
+    * family's ranking rung (index → phrase membership → RANKED
+    * retrieval, the Lucene default scoring): a 3-term query over the
+    * documents corpus, k = 15, every idf and saturation term an exact
+    * integer rational (k1 = 6/5, b = 3/4 — see operator scaladoc),
+    * per-term contributions rounded to integer micro-units before the
+    * order-free bigint sum the rank key is taken from. The oracle
+    * replays df counts, both rationals, the rounding, and the
+    * tie-broken top-k.
+    */
+  val textBm25 = QueryDef(
+    "text_bm25_topk",
+    (s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "table", "vector"), k = 15),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+           |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+           |tf AS (
+           |  SELECT doc_id, w AS term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+           |  WHERE w IN ('spark', 'table', 'vector')
+           |  GROUP BY 1, 2
+           |),
+           |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |sc AS (
+           |  SELECT tf.doc_id,
+           |         CAST(ROUND(
+           |           CAST(ROUND(LN((2 * tot.n_docs - 2 * dft.df + 1)::DOUBLE
+           |                         / (2 * dft.df + 1)::DOUBLE) * 1000000.0, 0) AS BIGINT)::DOUBLE
+           |           * ((22 * tf.tf * tot.t_tokens)::DOUBLE
+           |              / (10 * tf.tf * tot.t_tokens + 3 * tot.t_tokens
+           |                 + 9 * dl.dl * tot.n_docs)::DOUBLE), 0) AS BIGINT) AS contrib_u
+           |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+           |),
+           |agg AS (
+           |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(contrib_u) AS BIGINT) AS score_u
+           |  FROM sc GROUP BY 1
+           |)
+           |SELECT doc_id, n_terms, score_u::DOUBLE / 1000000.0 AS score FROM agg
+           |QUALIFY ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id ASC) <= 15""".stripMargin))
+
   /** Shared DuckDB CTE block for the Kneser-Ney queries: the bigram
     * stream, the even-half model with context/continuation/type
     * statistics, and the odd-half scored grams with BOTH models'
@@ -5776,7 +5823,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textNbClassifier, textNbConfusion, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textBm25, textNbClassifier, textNbConfusion, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

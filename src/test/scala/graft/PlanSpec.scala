@@ -467,6 +467,7 @@ class PlanSpec extends AnyFunSuite {
       "sample_temperature" -> "per-language temperature targets: one row per lang (enum domain) crossed with the 1-row min frame",
       "sample_dsir" -> "hashed-bigram log-ratio table: <= 1024 rows (pmod literal bucket space) crossed with 1-row totals",
       "sample_dsir_shift" -> "same log-ratio table as sample_dsir (shared dsirScore builder)",
+      "text_bm25_topk" -> "per-term document frequencies: one row per LITERAL query term (isin prunes to <= 3 before the aggregate)",
       "ann_cosine_topk" -> "query side: vec_id < 10 literal filter (10 vectors)",
       "ann_filtered" -> "query side: literal vec_id filter",
       "ann_recall" -> "query side: literal vec_id filter (both arms)",
