@@ -102,6 +102,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.map(_._5).toSeq == Seq("tail", "middle", "head"))
   }
 
+  test("knBigramScore: hand-computed d=3/4 rationals, both backoff paths (T13d)") {
+    // Same fixture as the T13c test. Model: c2(a,b)=c2(b,a)=2,
+    // ctx(a)=ctx(b)=2, n1p(a)=n1p(b)=1, nc(a)=nc(b)=1, T=2, V=2,
+    // T+V=4. Hand-derived (independent of the oracle, which replays
+    // the same formula the operator computes):
+    //   seen (a,b): [max(8-3,0)*4 + 3*1*2] / [4*2*4] = 26/32
+    //     -> round(ln(0.8125)*1e6) = -207639
+    //   unseen pair, seen ctx (b,x): [0 + 3*1*1]/32 = 3/32 -> -2367124
+    //   unseen CONTEXT (x,y): 4*(0+1) / [4*4] = 1/4 -> -1386294
+    val train = Seq((0L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b x"), (3L, "x y"), (5L, "b a b"), (7L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramScore(train, score, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 5L))
+    assert(out(0)._2 == 2 && out(0)._3 == 1)
+    assert(out(0)._4 == ((-207639.0 - 2367124.0) / 2) / 1e6)
+    assert(out(1)._2 == 1 && out(1)._3 == 1)
+    assert(out(1)._4 == -1386294.0 / 1e6)
+    assert(out(2)._2 == 2 && out(2)._3 == 0)
+    assert(out(2)._4 == -207639.0 / 1e6)
+  }
+
+  test("bm25TopK: hand-computed k1=6/5 b=3/4 rationals, idf sign, rank order (T20)") {
+    // Corpus: d1 "a a b" (dl 3), d2 "a c" (dl 2), d3 "d d d d" (dl 4).
+    // N=3, T=9. Query (a, b): df(a)=2 -> idf = ln(3/5) -> -510826
+    // micro; df(b)=1 -> ln(5/3) -> +510826 (a term in MOST docs is
+    // negative-evidence, the BM25 contract). Saturation 22*tf*T /
+    // (10*tf*T + 3*T + 9*dl*N):
+    //   d1,a: 396/288 = 1.375  -> round(-510826*1.375)  = -702386
+    //   d1,b: 198/198 = 1.0    -> +510826
+    //   d2,a: 198/171          -> round(-510826*198/171) = -591483
+    // d1 score_u = -191560 ranks above d2 = -591483; d3 matches no
+    // term and is absent.
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "d d d d")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("a", "b"), k = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))   // rank order, d3 absent
+    assert(out(0)._2 == 2 && out(0)._3 == -191560.0 / 1e6)
+    assert(out(1)._2 == 1 && out(1)._3 == -591483.0 / 1e6)
+  }
+
   test("winnowKernel matches the Column rollingHashes+winnow path") {
     val df = Seq((1L, "The quick brown fox jumps over the lazy dog again and again"),
       (2L, "short"), (3L, "tiny"), (4L, "abcdefgh"), (5L, "中文字符混合 text 测试串流"))
