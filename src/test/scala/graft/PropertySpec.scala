@@ -441,6 +441,39 @@ class Round10PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("lshTuningCurve: halving rows nests the candidate sets — n_cand/n_hit monotone (the S-curve invariant)") {
+    // For ONE fixed signature, a pair sharing band j of an (b, r)
+    // split shares signature entries jr..jr+r−1, hence both halves of
+    // that band — i.e. bands 2j and 2j+1 of the (2b, r/2) split. So
+    // candidate sets are NESTED down the curve (modulo the hot-bucket
+    // cap, which this fixture never triggers), and n_cand, n_hit, and
+    // recall must be non-decreasing in the band count while n_truth
+    // stays constant. A band-slicing bug (off-by-one in the slice
+    // bounds, wrong key hash) breaks the nesting immediately.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0 until 30).flatMap { i =>
+      val base = Vector.fill(15)(vocab(rnd.nextInt(vocab.size)))
+      val mutated = base.updated(rnd.nextInt(15), vocab(rnd.nextInt(vocab.size)))
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, mutated.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.lshTuningCurve(
+        docs, "doc_id", "text", shingleK = 3, numHashes = 16, threshold = 0.3,
+        configs = Seq((2, 8), (4, 4), (8, 2), (16, 1)))
+      .orderBy($"bands")
+      .as[(Int, Int, Long, Long, Long, Double, Option[Double])].collect()
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8, 16))
+    assert(rows.map(_._4).distinct.size == 1, s"n_truth must be constant: ${rows.toSeq}")
+    assert(rows.forall(r => r._5 <= r._3 && r._5 <= r._4),
+      s"n_hit bounded by n_cand and n_truth: ${rows.toSeq}")
+    val cands = rows.map(_._3).toSeq
+    val hits = rows.map(_._5).toSeq
+    assert(cands == cands.sorted, s"n_cand must be monotone in bands: $cands")
+    assert(hits == hits.sorted, s"n_hit must be monotone in bands: $hits")
+    // The fixture's near-dup pairs are real: something is found.
+    assert(rows.last._5 > 0, s"the 16x1 split must catch the planted near-dups: ${rows.toSeq}")
+  }
+
   test("deletionVariants2 Column matches the Scala reference set") {
     // The codegen'd nested-transform expression and the obvious
     // recursive definition must produce the same SET of keys — this is
