@@ -533,14 +533,27 @@ object TextAnalysis {
       idCol: String,
       nTokCol: String,
       bucketCol: String,
-      maxTokens: Long): DataFrame = {
+      maxTokens: Long,
+      decreasing: Boolean = false): DataFrame = {
     val acc0 = struct(
       expr("array()").cast("array<struct<doc_id:bigint,n_tok:bigint,seq:int>>").as("asgn"),
       lit(0).as("seq"), lit(0L).as("cur"))
-    val collected = docs
-      .select(col(bucketCol).as("bucket"),
+    // `decreasing` = next-fit-DECREASING: fold the same greedy rule
+    // over the bucket's docs sorted biggest-first (negated-token sort
+    // key leads the struct; doc_id tie-break keeps it total) — the
+    // classic bin-packing heuristic a pretraining run trades arrival
+    // order for when padding compute matters more than doc locality.
+    // Default (false) preserves the original arrival-order contract.
+    val d =
+      if (decreasing)
+        struct((-col(nTokCol).cast("long")).as("nk"),
+          col(idCol).cast("long").as("doc_id"),
+          col(nTokCol).cast("long").as("n_tok"))
+      else
         struct(col(idCol).cast("long").as("doc_id"),
-          col(nTokCol).cast("long").as("n_tok")).as("d"))
+          col(nTokCol).cast("long").as("n_tok"))
+    val collected = docs
+      .select(col(bucketCol).as("bucket"), d.as("d"))
       .groupBy("bucket")
       .agg(sort_array(collect_list(col("d"))).as("ds"))
     collected

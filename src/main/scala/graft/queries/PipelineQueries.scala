@@ -791,6 +791,72 @@ object PipelineQueries {
            |       ROUND(SUM(tok)::DOUBLE / (COUNT(*) * 256.0), 6) AS density
            |FROM seqs""".stripMargin))
 
+  /** Packing-POLICY comparison — arrival-order greedy vs
+    * next-fit-DECREASING over the same corpus and the same 256-token
+    * windows, corpus-total density for each (the
+    * [[pipelinePackEfficiency]] metric as an A/B the run can decide
+    * on). Both arms fold the identical greedy rule
+    * ([[TextAnalysis.packSequences]]); only the in-bucket order
+    * differs, so the density delta isolates the POLICY. The measured
+    * result INVERTS the bin-packing folklore, with a root cause:
+    * decreasing order LOSES here (127 vs 125 windows, density 0.836
+    * vs 0.849 at sf0.01) — sorting biggest-first is a FIRST-fit
+    * heuristic's friend (open bins stay available for the small
+    * tail), but a streaming packer keeps ONE open window, so
+    * big-first forfeits the natural big/small interleaving that
+    * arrival order fills windows with, and the all-small tail can't
+    * rescue windows already closed. "Sort before packing" is a knob
+    * you measure, not folklore you apply — the oracle replays both
+    * recursive folds.
+    */
+  val pipelinePackPolicy = QueryDef(
+    "pipeline_pack_policy",
+    (s, dir) => {
+      val sized = Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("doc_id DIV 50").as("bucket"),
+        TextAnalysis.tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("n_tok"))
+      def arm(name: String, decreasing: Boolean) =
+        TextAnalysis.packSequences(sized, "doc_id", "n_tok", "bucket",
+            maxTokens = 256L, decreasing = decreasing)
+          .groupBy(col("bucket"), col("seq")).agg(sum(col("n_tok")).as("tok"))
+          .agg(count(lit(1)).cast("long").as("n_seqs"),
+            sum(col("tok")).cast("long").as("tot_tok"))
+          .select(lit(name).as("policy"), col("n_seqs"), col("tot_tok"),
+            round(col("tot_tok").cast("double") / (col("n_seqs") * 256.0), 6).as("density"))
+      arm("arrival", decreasing = false)
+        .unionByName(arm("decreasing", decreasing = true))
+    },
+    Some {
+      def packArm(ordClause: String, p: String) =
+        s"""${p}ord AS (
+           |  SELECT doc_id, doc_id // 50 AS bucket,
+           |         len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS n_tok,
+           |         row_number() OVER (PARTITION BY doc_id // 50 ORDER BY $ordClause) AS rn
+           |  FROM documents
+           |), ${p}pack AS (
+           |  SELECT bucket, doc_id, n_tok, rn, 0 AS seq, n_tok AS cur FROM ${p}ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.bucket, o.doc_id, o.n_tok, o.rn,
+           |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN p.seq + 1 ELSE p.seq END,
+           |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN o.n_tok ELSE p.cur + o.n_tok END
+           |  FROM ${p}pack p JOIN ${p}ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+           |), ${p}seqs AS (
+           |  SELECT bucket, seq, CAST(SUM(n_tok) AS BIGINT) AS tok
+           |  FROM ${p}pack GROUP BY 1, 2
+           |)""".stripMargin
+      def row(name: String, p: String) =
+        s"""SELECT '$name' AS policy, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           |       CAST(SUM(tok) AS BIGINT) AS tot_tok,
+           |       ROUND(SUM(tok)::DOUBLE / (COUNT(*) * 256.0), 6) AS density
+           |FROM ${p}seqs""".stripMargin
+      s"""WITH RECURSIVE ${packArm("doc_id", "a_")},
+         |${packArm("n_tok DESC, doc_id", "d_")}
+         |${row("arrival", "a_")}
+         |UNION ALL
+         |${row("decreasing", "d_")}""".stripMargin
+    })
+
   /** Deterministic shard export ([[Sampling.shardAssign]] over the
     * packed sequences — the pretraining pipeline's LAST hop, round-12
     * verdict ask #6): each packed training sequence (the
@@ -5821,7 +5887,7 @@ object PipelineQueries {
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
-    pipelinePackEfficiency, textBpeTrain, textBpeEncode,
+    pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textBm25, textNbClassifier, textNbConfusion, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
