@@ -1056,6 +1056,53 @@ object TextAnalysis {
       expr("percentile_disc(cast(1 as double)/3) WITHIN GROUP (ORDER BY avg_logprob)").as("t_low"),
       expr("percentile_disc(cast(2 as double)/3) WITHIN GROUP (ORDER BY avg_logprob)").as("t_high"))
 
+  /** Exact binary ROC AUC from a scored frame — the rank statistic a
+    * classifier deployment reports beside the confusion matrix
+    * (threshold-free: P(random positive outranks random negative),
+    * ties at half credit). Computed WITHOUT a per-row global sort:
+    * scores aggregate to per-distinct-score (n_pos, n_neg) first, the
+    * cumulative negative count runs over THAT aggregate, and the
+    * whole statistic is
+    *
+    *   AUC = Σ_k np_k·(2·nn_below_k + nn_k) / (2·N_pos·N_neg)
+    *
+    * — exact integers until one final double division (equal to the
+    * mid-rank Mann-Whitney formula; both engines divide identical
+    * longs, so the value is bit-identical with no rounding).
+    *
+    * Scale rule: the ordered cumulation is a partition-less window,
+    * legitimate ONLY because its input is the per-distinct-score
+    * aggregate — bounded by the eval cohort here, and by CONSTRUCTION
+    * when `quantizeScale` is set (keys become floor(score·scale):
+    * score-range × scale bins regardless of cohort size — the
+    * production path for web-scale eval sets, with the binning error
+    * measurable against the exact arm on cohorts small enough to run
+    * both).
+    */
+  def binaryAuc(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      quantizeScale: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = quantizeScale
+      .map(s0 => floor(col(scoreCol) * lit(s0)).cast("long").cast("double"))
+      .getOrElse(col(scoreCol))
+    val kb = scored.groupBy(key.as("k")).agg(
+      sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).as("np"),
+      sum(when(!col(labelCol), lit(1L)).otherwise(lit(0L))).as("nn"))
+    val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)
+    kb.select(col("np"), col("nn"),
+        coalesce(sum(col("nn")).over(w), lit(0L)).as("nnb"))
+      .agg(
+        sum(col("np") * (lit(2L) * col("nnb") + col("nn"))).as("s2"),
+        sum(col("np")).cast("bigint").as("n_pos"),
+        sum(col("nn")).cast("bigint").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("s2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
   // ------------------------------------- naive-Bayes text classifier
 
   /** Multinomial naive-Bayes word-count model — the trainable HALF of

@@ -2775,6 +2775,78 @@ object PipelineQueries {
             |SELECT label, pred, n, ROUND(n::DOUBLE / tn::DOUBLE, 6) AS frac
             |FROM conf CROSS JOIN tt""".stripMargin))
 
+  /** The classifier's ROC AUC ([[TextAnalysis.binaryAuc]]) on the
+    * held-out fifth — the threshold-free rank statistic reported
+    * beside the confusion matrix, in two arms: EXACT (per-distinct-
+    * score aggregate + Mann-Whitney mid-rank formula, bit-identical
+    * cross-engine as one division of exact longs) and BINNED at unit
+    * log-odds bins (keys = floor(log_odds) — the by-construction-
+    * bounded path a web-scale eval set needs), so the binning error
+    * is itself a measured, oracle-replayed number rather than an
+    * assumption.
+    */
+  val textNbAuc = QueryDef(
+    "text_nb_auc",
+    (s, dir) => {
+      val docs = nbMarkedDocs(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      // Cut: both AUC arms read the scored frame; uncut, each arm
+      // re-runs the whole train + score chain.
+      val perDoc = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+        TextAnalysis.nbScore(
+            TextAnalysis.nbModel(train, "doc_id", "text", "y"),
+            TextAnalysis.nbPriors(train, "y"),
+            heldOut, "doc_id", "text")
+          .join(heldOut.select(col("doc_id"), col("y").as("label")), Seq("doc_id")))
+      def arm(name: String, q: Option[Double]) =
+        TextAnalysis.binaryAuc(perDoc, "log_odds", "label", q)
+          .select(lit(name).as("method"), col("n_pos"), col("n_neg"), col("auc"))
+      arm("exact", None).unionByName(arm("binned_unit", Some(1.0)))
+    },
+    Some(s"""WITH $nbPerDocSql,
+            |kbx AS (
+            |  SELECT log_odds AS k,
+            |         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+            |         CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nn
+            |  FROM perdoc GROUP BY 1
+            |),
+            |cumx AS (
+            |  SELECT np, nn,
+            |         COALESCE(SUM(nn) OVER (ORDER BY k
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nnb
+            |  FROM kbx
+            |),
+            |aggx AS (
+            |  SELECT CAST(SUM(np * (2 * nnb + nn)) AS BIGINT) AS s2,
+            |         CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nn) AS BIGINT) AS tn
+            |  FROM cumx
+            |),
+            |kbb AS (
+            |  SELECT CAST(CAST(FLOOR(log_odds * 1.0) AS BIGINT) AS DOUBLE) AS k,
+            |         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+            |         CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nn
+            |  FROM perdoc GROUP BY 1
+            |),
+            |cumb AS (
+            |  SELECT np, nn,
+            |         COALESCE(SUM(nn) OVER (ORDER BY k
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nnb
+            |  FROM kbb
+            |),
+            |aggb AS (
+            |  SELECT CAST(SUM(np * (2 * nnb + nn)) AS BIGINT) AS s2,
+            |         CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nn) AS BIGINT) AS tn
+            |  FROM cumb
+            |)
+            |SELECT 'exact' AS method, tp AS n_pos, tn AS n_neg,
+            |       s2::DOUBLE / (2 * tp * tn)::DOUBLE AS auc
+            |FROM aggx
+            |UNION ALL
+            |SELECT 'binned_unit' AS method, tp AS n_pos, tn AS n_neg,
+            |       s2::DOUBLE / (2 * tp * tn)::DOUBLE AS auc
+            |FROM aggb""".stripMargin))
+
   /** Chunk-granular exact dedup — the RAG/embedding prep composite:
     * [[TextAnalysis.chunkDocs]] → md5 fingerprint per chunk → keep
     * the lexicographically-first (doc_id, chunk_id) per fingerprint —
@@ -5889,7 +5961,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textBm25, textNbClassifier, textNbConfusion, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textBm25, textNbClassifier, textNbConfusion, textNbAuc, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

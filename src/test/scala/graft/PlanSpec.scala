@@ -369,9 +369,14 @@ class PlanSpec extends AnyFunSuite {
     //   text_bpe_token_ids_bytes: the same vocabulary ranking window
     //     PLUS the byte-floor ranking (≤36 alphabet rows by
     //     construction — servingVocabWithBytes scaladoc).
+    //   text_nb_auc: the Mann-Whitney cumulation runs over the
+    //     per-DISTINCT-SCORE aggregate (≤ held-out cohort rows here;
+    //     the binned arm bounds it at score-range × scale by
+    //     construction — the operator's documented scale rule).
     val ok = Set("abc_classify", "pipeline_ep2", "u_delta_semanas",
       "events_funnel_summary", "j1_inner_join_abc", "j5_left_join_default",
-      "text_bpe_vocab", "text_bpe_token_ids", "text_bpe_token_ids_bytes")
+      "text_bpe_vocab", "text_bpe_token_ids", "text_bpe_token_ids_bytes",
+      "text_nb_auc")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok(name)) None
       else {
