@@ -576,6 +576,71 @@ object TextAnalysis {
         col("a.n_tok").as("n_tok"), col("a.seq").as("seq"))
   }
 
+  /** FIRST-fit sequence packing — the open-bin variant
+    * [[packSequences]]'s single-window (next-fit) fold cannot
+    * express: every document goes into the FIRST already-open window
+    * it fits, else opens a new one, so a big doc no longer strands
+    * the space behind it. The fold accumulator carries the open-bin
+    * load list; its length is bounded by the BUCKET size (each doc
+    * opens at most one bin), which is what keeps the per-row array
+    * work bounded at 100 TB — buckets are the packing unit by
+    * design. With `decreasing = true` this is classic FFD, the
+    * heuristic with the 11/9·OPT + 1 guarantee; the policy query
+    * measures it against both next-fit arms.
+    */
+  def packSequencesFirstFit(
+      docs: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      bucketCol: String,
+      maxTokens: Long,
+      decreasing: Boolean = true): DataFrame = {
+    val acc0 = struct(
+      expr("array()").cast("array<struct<doc_id:bigint,n_tok:bigint,seq:int>>").as("asgn"),
+      expr("array()").cast("array<bigint>").as("bins"))
+    val d =
+      if (decreasing)
+        struct((-col(nTokCol).cast("long")).as("nk"),
+          col(idCol).cast("long").as("doc_id"),
+          col(nTokCol).cast("long").as("n_tok"))
+      else
+        struct(col(idCol).cast("long").as("doc_id"),
+          col(nTokCol).cast("long").as("n_tok"))
+    val collected = docs
+      .select(col(bucketCol).as("bucket"), d.as("d"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+    collected
+      .select(col("bucket"), explode(aggregate(
+        col("ds"), acc0,
+        (acc, dd) => {
+          val n = dd.getField("n_tok")
+          val bins = acc.getField("bins")
+          // First open bin the doc fits: indexes where load + n fits,
+          // head or null. transform's (elem, idx) form sidesteps the
+          // empty-array sequence() pitfall.
+          val cands = filter(
+            transform(bins, (b, i) => when(b + n <= lit(maxTokens), i).otherwise(lit(-1))),
+            x => x >= 0)
+          // try_element_at: the candidate list is EMPTY when nothing
+          // fits (ANSI element_at would throw there).
+          val idx = try_element_at(cands, lit(1))
+          val opens = idx.isNull
+          val seq2 = when(opens, size(bins)).otherwise(idx)
+          val bins2 = when(opens, concat(bins, array(n.cast("bigint"))))
+            .otherwise(transform(bins, (b, i) =>
+              when(i === idx, b + n).otherwise(b).cast("bigint")))
+          struct(
+            concat(acc.getField("asgn"),
+              array(struct(dd.getField("doc_id").as("doc_id"),
+                n.as("n_tok"), seq2.cast("int").as("seq")))).as("asgn"),
+            bins2.as("bins"))
+        },
+        acc => acc.getField("asgn"))).as("a"))
+      .select(col("bucket"), col("a.doc_id").as("doc_id"),
+        col("a.n_tok").as("n_tok"), col("a.seq").as("seq"))
+  }
+
   /** Batch finisher for windowed trending-term counts — the downstream
     * ranking stage [[graft.streaming.StreamingOps.trendingTerms]]
     * deliberately defers (ranking after a streaming aggregate would be
