@@ -255,6 +255,22 @@ object Dedup {
     }(Encoders.product[DocShingles]).toDF()
   }
 
+  /** Default operating point `numHashes = 16, bands = 4` (4 bands ×
+    * 4 rows) is CHOSEN FROM the measured [[lshTuningCurve]]
+    * (`dedup_lsh_band_curve`, sf0.01, jac ≥ 0.4 truth): candidate
+    * recall across the 2×8 / 4×4 / 8×2 / 16×1 splits of the same
+    * 16-hash signature is 0.96 / 1.0 / 1.0 / 1.0 while candidate
+    * precision falls 0.96 → 0.017 — so 4×4 is the knee: the first
+    * split with full recall, after which every extra band only
+    * multiplies verify work (16×1 emitted 1480 candidates for 25
+    * true pairs). Recall is the axis that matters here — a missed
+    * candidate is a duplicate kept forever, while a false candidate
+    * only costs the exact-Jaccard verify join that follows — which is
+    * why the default does NOT sit at 2×8's symmetric 0.96/0.96
+    * point. Callers with a different threshold or shingle mode should
+    * re-run the curve; the S-curve knee moves with the target
+    * Jaccard.
+    */
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
