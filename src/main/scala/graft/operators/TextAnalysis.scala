@@ -469,6 +469,74 @@ object TextAnalysis {
         (col("score_u").cast("double") / lit(1000000.0)).as("score"))
   }
 
+  /** BATCH BM25 retrieval — [[bm25TopK]] generalized from one literal
+    * query to a TABLE of queries `(query_id, term)`, the shape a
+    * retrieval deployment actually runs: score the whole query
+    * workload against the index in ONE pass instead of one job per
+    * query (the |Q|-bounded join pattern the ann_* family uses for
+    * its query cohorts). Scoring math is identical to [[bm25TopK]] —
+    * same exact-integer rationals (k1 = 6/5, b = 3/4), same
+    * micro-unit rounding before the order-free per-(query, doc)
+    * bigint sum — so a single-row query table reproduces the scalar
+    * operator bit-for-bit.
+    *
+    * Scale shape: the postings explode is pruned by an inner join
+    * against the BROADCAST distinct-term set (the dynamic-table
+    * analog of the scalar version's `isin` literal prune — candidate
+    * cardinality is the union of the workload's term postings, never
+    * the corpus); per-term df and the (query_id, term) fan-out both
+    * ride |Q|-bounded broadcasts, and a term shared by many queries
+    * is scored ONCE per doc then fanned to its queries by the join.
+    * The per-query top-k is the bounded CollectTopK heap aggregate
+    * ([[graft.functions.TopK]]), NOT a row_number window: map-side
+    * partials mean only ≤ k survivors per (partition × query) ride
+    * the final shuffle — at web scale a hot query whose terms match
+    * millions of docs never sorts more than k rows on one task.
+    *
+    * Output: `(query_id, doc_id, n_terms, score)`, ≤ k docs per
+    * query, ranked by (score_u DESC, doc_id ASC).
+    */
+  def bm25TopKBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "").as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val qterms = queries.select(col("term")).distinct()
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val key = struct((-col("score_u")).as("ns"), col("doc_id").as("doc_id"),
+      col("n_terms").as("n_terms"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_u",
+        round(log((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)).cast("double")) * lit(1000000.0), 0)
+          .cast("bigint"))
+      .withColumn("contrib_u",
+        round(col("idf_u").cast("double") *
+          ((lit(22L) * col("tf") * col("t_tokens")).cast("double") /
+            (lit(10L) * col("tf") * col("t_tokens") + lit(3L) * col("t_tokens") +
+              lit(9L) * col("dl") * col("n_docs")).cast("double")), 0).cast("bigint"))
+      .join(broadcast(queries), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_u")).as("score_u"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.smallestK(key, k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.doc_id").as("doc_id"),
+        col("t.n_terms").as("n_terms"),
+        ((-col("t.ns")).cast("double") / lit(1000000.0)).as("score"))
+  }
+
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "").as("t"))

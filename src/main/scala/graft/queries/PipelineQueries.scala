@@ -2477,6 +2477,71 @@ object PipelineQueries {
            |SELECT doc_id, n_terms, score_u::DOUBLE / 1000000.0 AS score FROM agg
            |QUALIFY ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id ASC) <= 15""".stripMargin))
 
+  /** Batch BM25 retrieval ([[TextAnalysis.bm25TopKBatch]]) — the
+    * production entry point the scalar `text_bm25_topk` models one
+    * query of: a TABLE of three queries (8 terms, with `table`
+    * deliberately SHARED between queries 1 and 2 — its per-doc
+    * contribution is computed once and fanned out by the |Q|-bounded
+    * broadcast join — and one term matching NO posting, exercising
+    * the prune) scored against the corpus in one pass, top-10 per
+    * query via the bounded CollectTopK heap. Query 1 repeats the
+    * scalar query's exact terms, so per-query parity with
+    * `text_bm25_topk` is visible in the artifact itself. The oracle
+    * replays the VALUES query table, the shared-term fan-out, and
+    * every rational.
+    */
+  val textBm25Batch = QueryDef(
+    "text_bm25_batch",
+    (s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (1L, "spark"), (1L, "table"), (1L, "vector"),
+        (2L, "table"), (2L, "join"),
+        (3L, "merge"), (3L, "window"), (3L, "zzzunseen"))
+        .toDF("query_id", "term")
+      TextAnalysis.bm25TopKBatch(Tables.documents(s, dir), "doc_id", "text", q, k = 10)
+    },
+    Some("""WITH q AS (
+           |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+           |  FROM (VALUES (1, 'spark'), (1, 'table'), (1, 'vector'),
+           |               (2, 'table'), (2, 'join'),
+           |               (3, 'merge'), (3, 'window'), (3, 'zzzunseen')) AS v(query_id, term)
+           |),
+           |toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+           |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+           |tf AS (
+           |  SELECT doc_id, w AS term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+           |  WHERE w IN (SELECT DISTINCT term FROM q)
+           |  GROUP BY 1, 2
+           |),
+           |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |sc AS (
+           |  SELECT tf.doc_id, tf.term,
+           |         CAST(ROUND(
+           |           CAST(ROUND(LN((2 * tot.n_docs - 2 * dft.df + 1)::DOUBLE
+           |                         / (2 * dft.df + 1)::DOUBLE) * 1000000.0, 0) AS BIGINT)::DOUBLE
+           |           * ((22 * tf.tf * tot.t_tokens)::DOUBLE
+           |              / (10 * tf.tf * tot.t_tokens + 3 * tot.t_tokens
+           |                 + 9 * dl.dl * tot.n_docs)::DOUBLE), 0) AS BIGINT) AS contrib_u
+           |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+           |),
+           |agg AS (
+           |  SELECT q.query_id, sc.doc_id, COUNT(*) AS n_terms,
+           |         CAST(SUM(sc.contrib_u) AS BIGINT) AS score_u
+           |  FROM sc JOIN q USING (term)
+           |  GROUP BY 1, 2
+           |)
+           |SELECT query_id, doc_id, n_terms, score_u::DOUBLE / 1000000.0 AS score FROM agg
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+           |                           ORDER BY score_u DESC, doc_id ASC) <= 10""".stripMargin))
+
   /** Shared DuckDB CTE block for the Kneser-Ney queries: the bigram
     * stream, the even-half model with context/continuation/type
     * statistics, and the odd-half scored grams with BOTH models'
@@ -5988,7 +6053,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textBm25, textNbClassifier, textNbConfusion, textNbAuc, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

@@ -144,6 +144,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1)._2 == 1 && out(1)._3 == -591483.0 / 1e6)
   }
 
+  test("bm25TopKBatch: single-query arm matches bm25TopK bit-for-bit; shared term fans out (T20b)") {
+    // Same corpus as the bm25TopK test. Query 1 = (a, b): must equal
+    // the scalar operator exactly. Query 2 = (a) shares term `a` —
+    // its per-doc contributions are the hand-derived -702386 (d1) and
+    // -591483 (d2), so q2 ranks d2 FIRST (less negative) where q1,
+    // carrying b's positive idf on d1, ranks d1 first.
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "d d d d")).toDF("doc_id", "text")
+    val q = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("query_id", "term")
+    val out = TextAnalysis.bm25TopKBatch(docs, "doc_id", "text", q, k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, -r._4, r._2))
+    val q1 = out.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).toSeq
+    val scalar = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("a", "b"), k = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(q1 == scalar)
+    val q2 = out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSeq
+    assert(q2 == Seq((2L, 1L, -591483.0 / 1e6), (1L, 1L, -702386.0 / 1e6)))
+  }
+
   test("winnowKernel matches the Column rollingHashes+winnow path") {
     val df = Seq((1L, "The quick brown fox jumps over the lazy dog again and again"),
       (2L, "short"), (3L, "tiny"), (4L, "abcdefgh"), (5L, "中文字符混合 text 测试串流"))

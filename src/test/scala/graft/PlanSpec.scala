@@ -55,6 +55,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "per-doc cut must be the k-heap, not a window sort")
   }
 
+  test("text_bm25_batch: postings-sized plan — broadcast query side, k-heap, no window") {
+    val p = plan("text_bm25_batch")
+    // The per-query cut must be the bounded CollectTopK aggregate
+    // (map-side k-heaps), never a row_number window sort per query.
+    assert(p.contains("collect_top_k"), p.take(800))
+    assert(!p.contains("Window"), "per-query top-k must not plan a window sort")
+    // The |Q|-bounded query/term frames meet the postings as
+    // BROADCAST builds — the explode is pruned by the distinct-term
+    // join before any aggregation.
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("a7_a8_argmax uses constant-state max_by, not collect_list") {
     val p = plan("a7_a8_argmax")
     assert(p.contains("max_by"))
