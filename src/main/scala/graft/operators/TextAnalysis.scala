@@ -1236,6 +1236,53 @@ object TextAnalysis {
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
 
+  /** Reliability / calibration bins from a scored frame — the third
+    * leg of the classifier evidence trio (confusion matrix → accuracy,
+    * AUC → ranking, THIS → probability quality): docs bucketed by
+    * PREDICTED probability, each bin reporting how many, the mean
+    * predicted probability, and the EMPIRICAL positive rate. A
+    * well-calibrated model has `mean_p ≈ frac_pos` per bin; the gap is
+    * what a deployment reads before trusting the scores as
+    * probabilities (naive Bayes is canonically OVER-confident — its
+    * independence assumption multiplies correlated evidence — so this
+    * artifact is where that shows up as a measured number).
+    *
+    * Determinism is the family's micro-unit posture applied to the
+    * sigmoid: p_u = round(10⁶ · σ(score)) is ONE rounded transcendental
+    * per doc (the same trust level as every ln in this file); the bin
+    * key, the exact bigint p_u sums, and the count ratios are then
+    * integer arithmetic with one final division each — bit-identical
+    * cross-engine. Extreme log-odds saturate cleanly: exp overflow →
+    * p_u = 0 (bin 0), exp underflow → p_u = 10⁶, clamped into the top
+    * bin by the `least`.
+    *
+    * Scale rule — the binned-AUC key idiom: output cardinality is
+    * `bins` BY CONSTRUCTION regardless of cohort size, via one
+    * map-side-combinable aggregate. No window, no sort, no join.
+    * Output: `(bin, n, n_pos, mean_p, frac_pos)`, bin ∈ [0, bins).
+    */
+  def calibrationBins(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    scored
+      .withColumn("__p_u",
+        round(lit(1000000.0) / (lit(1.0) + exp(-col(scoreCol))), 0).cast("bigint"))
+      .withColumn("__bin",
+        least(floor((col("__p_u") * lit(bins.toLong)).cast("double") / lit(1000000.0)),
+          lit((bins - 1).toDouble)).cast("bigint"))
+      .groupBy(col("__bin").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        ((sum(col("__p_u")).cast("double") / count(lit(1)).cast("double")) /
+          lit(1000000.0)).as("mean_p"))
+      .withColumn("frac_pos",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+  }
+
   // ------------------------------------- naive-Bayes text classifier
 
   /** Multinomial naive-Bayes word-count model — the trainable HALF of

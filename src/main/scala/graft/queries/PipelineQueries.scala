@@ -2939,6 +2939,51 @@ object PipelineQueries {
             |       s2::DOUBLE / (2 * tp * tn)::DOUBLE AS auc
             |FROM aggb""".stripMargin))
 
+  /** The classifier's reliability curve
+    * ([[TextAnalysis.calibrationBins]]) on the held-out fifth — the
+    * probability-quality artifact a deployment reads beside the
+    * confusion matrix (`text_nb_confusion`) and AUC (`text_nb_auc`),
+    * completing the evidence trio: 10 predicted-probability bins,
+    * each with (n, n_pos, mean predicted p, empirical positive rate).
+    * The sigmoid is ONE rounded micro-unit transcendental per doc
+    * (the binned-AUC key idiom — output is 10 rows by construction at
+    * any cohort size); everything after it is exact integer
+    * arithmetic the oracle replays. On this fixture the curve shows
+    * naive Bayes' canonical over-confidence: the mass sits in the
+    * extreme bins with mid-range bins nearly empty.
+    */
+  val textNbCalibration = QueryDef(
+    "text_nb_calibration",
+    (s, dir) => {
+      val docs = nbMarkedDocs(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      TextAnalysis.calibrationBins(
+        TextAnalysis.nbScore(
+            TextAnalysis.nbModel(train, "doc_id", "text", "y"),
+            TextAnalysis.nbPriors(train, "y"),
+            heldOut, "doc_id", "text")
+          .join(heldOut.select(col("doc_id"), col("y").as("label")), Seq("doc_id")),
+        "log_odds", "label", bins = 10)
+    },
+    Some(s"""WITH $nbPerDocSql,
+            |pu AS (
+            |  SELECT label,
+            |         CAST(ROUND(1000000.0 / (1 + EXP(-log_odds)), 0) AS BIGINT) AS p_u
+            |  FROM perdoc
+            |),
+            |binned AS (
+            |  SELECT LEAST(CAST(FLOOR((p_u * 10)::DOUBLE / 1000000.0) AS BIGINT), 9) AS bin,
+            |         label, p_u
+            |  FROM pu
+            |)
+            |SELECT bin, COUNT(*) AS n,
+            |       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            |       (SUM(p_u)::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS mean_p,
+            |       ROUND(SUM(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+            |             / COUNT(*)::DOUBLE, 6) AS frac_pos
+            |FROM binned GROUP BY 1""".stripMargin))
+
   /** Chunk-granular exact dedup — the RAG/embedding prep composite:
     * [[TextAnalysis.chunkDocs]] → md5 fingerprint per chunk → keep
     * the lexicographically-first (doc_id, chunk_id) per fingerprint —
@@ -6053,7 +6098,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

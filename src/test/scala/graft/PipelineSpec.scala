@@ -162,6 +162,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q2 == Seq((2L, 1L, -591483.0 / 1e6), (1L, 1L, -702386.0 / 1e6)))
   }
 
+  test("calibrationBins: sigmoid micro-units, bin edges, saturation clamps (T19d)") {
+    // Hand-derived: σ(0)=0.5 → p_u 500000 → bin 5; σ(ln 3)=0.75 →
+    // 750000 → bin 7; σ(-100) underflows → p_u 0 → bin 0; σ(100)
+    // saturates → p_u 10⁶ → floor gives bin 10, LEAST clamps to 9.
+    val scored = Seq(
+      (0.0, true), (0.0, false), (math.log(3.0), true),
+      (-100.0, false), (100.0, true)).toDF("log_odds", "label")
+    val out = TextAnalysis.calibrationBins(scored, "log_odds", "label", bins = 10)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 5L, 7L, 9L))
+    val b5 = out.find(_._1 == 5L).get
+    assert(b5._2 == 2 && b5._3 == 1 && b5._4 == 0.5 && b5._5 == 0.5)
+    val b7 = out.find(_._1 == 7L).get
+    assert(b7._2 == 1 && b7._4 == 0.75)
+    assert(out.find(_._1 == 0L).get._4 == 0.0) // underflow → exact floor
+    assert(out.find(_._1 == 9L).get._4 == 1.0) // saturation → exact ceiling
+  }
+
   test("winnowKernel matches the Column rollingHashes+winnow path") {
     val df = Seq((1L, "The quick brown fox jumps over the lazy dog again and again"),
       (2L, "short"), (3L, "tiny"), (4L, "abcdefgh"), (5L, "中文字符混合 text 测试串流"))
