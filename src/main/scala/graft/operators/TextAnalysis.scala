@@ -1175,6 +1175,136 @@ object TextAnalysis {
           sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
   }
 
+  /** MODIFIED Kneser-Ney bigram scoring — the formulation KenLM
+    * actually ships (Chen & Goodman 1999 §3: three count-band
+    * discounts estimated from the model's own count-of-counts,
+    * where [[knBigramScore]] fixes one d = 3/4):
+    *
+    *   D_k = k − (k+1)·Y·n_{k+1}/n_k,   Y = n₁/(n₁ + 2·n₂)
+    *
+    * with n_k = number of bigram TYPES observed exactly k times
+    * (so D₁ = n₁/(n₁+2n₂) — the verdict's "D per count band"), and
+    *
+    *   p(w2|w1) = max(c − D_{band(c)}, 0)/c(w1·)
+    *              + γ(w1)·p_cont(w2)
+    *   γ(w1) = (D₁·N₁(w1·) + D₂·N₂(w1·) + D₃·N₃₊(w1·)) / c(w1·)
+    *
+    * where N_k(w1·) counts w1's successors in count band k, and
+    * p_cont is the same add-one-floored continuation distribution as
+    * T13d ((N₁₊(·w2)+1)/(T+V)), so the two KN variants differ ONLY
+    * in the discount schedule and are directly comparable.
+    *
+    * == The micro-unit discount posture ==
+    *
+    * The three discounts are data-dependent RATIONALS of
+    * count-of-counts; carrying them exactly would put n₁·n₂·n₃-scale
+    * products in every denominator (bigint-overflowing at web-scale
+    * count tables). Instead each D_k is rounded ONCE to an integer
+    * count of micro-units — d_ku = round(10⁶·D_k), three global
+    * numbers computed in the 1-row totals frame, clamped to
+    * [1, k·10⁶] (≥ 1 keeps γ structurally positive so no ln(0) path
+    * exists; ≤ k·10⁶ keeps max(c−D, 0) meaningful) — and EVERYTHING
+    * after is exact bigint arithmetic over the common denominator
+    * 10⁶:
+    *
+    *   num = max(c·10⁶ − d_ku, 0)·(T+V)
+    *         + (d₁u·N₁ + d₂u·N₂ + d₃u·N₃₊)·(N₁₊(·w2)+1)
+    *   den = 10⁶·c(w1·)·(T+V)
+    *
+    * one double division of identical integers, then the usual
+    * ln → micro-nat rounding → exact per-doc sums. Count bands with
+    * no mass (n_k = 0, or n₁+2n₂ = 0) fall back to the interpolated
+    * variant's fixed d = 3/4 (750000 micro-units) — deterministic
+    * and replayed by the oracle.
+    *
+    * Exact-long overflow bound (the T13d discipline, one decade
+    * tighter for the 10⁶ scale): the binding term is c·10⁶·(T+V),
+    * safe while c·(T+V) ≲ 9.2·10¹², e.g. any c at a 10⁹-type model
+    * up to c ≈ 9000, or c ≈ 10⁹ ("of the" at web scale) while
+    * T+V ≲ 10⁴. Past that tier, drop the discount resolution to
+    * milli-units (10³ buys three decades; calibration error stays
+    * below the ln rounding) or lift num/den to DECIMAL(38,0) — the
+    * resolution is an explicit dial, not an assumption.
+    *
+    * Scale shape identical to [[knBigramScore]]: per-context band
+    * counts ride the same ctx1 aggregate; count-of-counts are ONE
+    * extra 1-row aggregate over the model (map-side combinable);
+    * discounts fan out with the totals broadcast. Output
+    * `(doc_id, n_bigrams, n_unseen, avg_logprob)`.
+    */
+  /** The modified-KN 1-row totals frame derived from a bigram count
+    * model: type/vocabulary totals plus the three count-band
+    * discounts in micro-units (`t_types, v, d1u, d2u, d3u`) — shared
+    * by [[mknBigramScore]] and the sparsity-curve query so the
+    * discount estimation exists exactly once.
+    */
+  private[graft] def mknTotals(c2: DataFrame): DataFrame = {
+    def dscnt(k: Int, nnK: Column, nnK1: Column): Column = {
+      val b = col("nn1") + lit(2L) * col("nn2")
+      when(nnK > 0 && b > 0,
+        least(greatest(
+          round((lit(k) - (lit(k + 1) * col("nn1") * nnK1).cast("double") /
+            (b * nnK).cast("double")) * lit(1000000.0), 0).cast("bigint"),
+          lit(1L)), lit(k * 1000000L)))
+        .otherwise(lit(750000L))
+    }
+    c2.agg(count(lit(1)).as("t_types"), countDistinct(col("w2")).as("v"),
+        sum(when(col("c") === 1, lit(1L)).otherwise(lit(0L))).as("nn1"),
+        sum(when(col("c") === 2, lit(1L)).otherwise(lit(0L))).as("nn2"),
+        sum(when(col("c") === 3, lit(1L)).otherwise(lit(0L))).as("nn3"),
+        sum(when(col("c") === 4, lit(1L)).otherwise(lit(0L))).as("nn4"))
+      .select(col("t_types"), col("v"),
+        dscnt(1, col("nn1"), col("nn2")).as("d1u"),
+        dscnt(2, col("nn2"), col("nn3")).as("d2u"),
+        dscnt(3, col("nn3"), col("nn4")).as("d3u"))
+  }
+
+  def mknBigramScore(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val c2 = lmBigramModel(train, idCol, textCol)
+    val ctx1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c")).as("ctx"),
+        sum(when(col("c") === 1, lit(1L)).otherwise(lit(0L))).as("nb1"),
+        sum(when(col("c") === 2, lit(1L)).otherwise(lit(0L))).as("nb2"),
+        sum(when(col("c") >= 3, lit(1L)).otherwise(lit(0L))).as("nb3"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val totals = mknTotals(c2)
+    bigramStream(score, idCol, textCol)
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx1, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__pc_num", coalesce(col("nc"), lit(0L)) + lit(1L))
+      .withColumn("__du",
+        when(col("c").isNull, lit(0L))
+          .when(col("c") === 1, col("d1u"))
+          .when(col("c") === 2, col("d2u"))
+          .otherwise(col("d3u")))
+      .withColumn("__gnum",
+        col("d1u") * col("nb1") + col("d2u") * col("nb2") + col("d3u") * col("nb3"))
+      .withColumn("__num",
+        when(col("ctx").isNull, col("__pc_num") * lit(1000000L))
+          .otherwise(
+            greatest(coalesce(col("c"), lit(0L)) * lit(1000000L) - col("__du"), lit(0L)) *
+              (col("t_types") + col("v")) +
+              col("__gnum") * col("__pc_num")))
+      .withColumn("__den",
+        when(col("ctx").isNull, (col("t_types") + col("v")) * lit(1000000L))
+          .otherwise(lit(1000000L) * col("ctx") * (col("t_types") + col("v"))))
+      .withColumn("lp_u",
+        round(log(col("__num").cast("double") / col("__den").cast("double")) *
+          lit(1000000.0), 0).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
+        ((sum(col("m") * col("lp_u")).cast("double") /
+          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+  }
+
   /** The tertile fences as a standalone 1-row artifact `(t_low,
     * t_high)` — what a serving deployment FREEZES from an offline
     * calibration pass and applies to arriving documents (a stream

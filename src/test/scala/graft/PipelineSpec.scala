@@ -125,6 +125,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2)._4 == -207639.0 / 1e6)
   }
 
+  test("mknBigramScore: hand-computed count-of-counts discounts, clamps, both backoffs (T13g)") {
+    // Same fixture as the KN tests. Model: c2(a,b)=c2(b,a)=2 →
+    // count-of-counts nn1=0, nn2=2, nn3=0, nn4=0; B = nn1+2·nn2 = 4.
+    //   D1: nn1=0 → FALLBACK 750000 (unused: no band-1 successors)
+    //   D2: 2 − 3·(0/4)·(0/2) = 2.0 → d2u = 2000000 (upper clamp edge)
+    //   D3: nn3=0 → FALLBACK 750000 (unused)
+    // ctx(a)=ctx(b)=2, bands (nb1,nb2,nb3)=(0,1,0) → γ·den: gnum=2e6.
+    // T=2, V=2, T+V=4. Hand-derived per gram:
+    //   (a,b) c=2: num = max(2e6−2e6,0)·4 + 2e6·(nc(b)+1=2) = 4e6,
+    //              den = 1e6·2·4 = 8e6 → ln(1/2) → −693147
+    //   (b,x) unseen gram, seen ctx: num = 2e6·1 = 2e6 → ln(1/4) → −1386294
+    //   (x,y) unseen CONTEXT: num = 1e6, den = 4e6 → ln(1/4) → −1386294
+    val train = Seq((0L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b x"), (3L, "x y"), (5L, "b a b"), (7L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.mknBigramScore(train, score, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 5L))
+    assert(out(0)._2 == 2 && out(0)._3 == 1)
+    assert(out(0)._4 == ((-693147.0 - 1386294.0) / 2) / 1e6)
+    assert(out(1)._2 == 1 && out(1)._3 == 1)
+    assert(out(1)._4 == -1386294.0 / 1e6)
+    assert(out(2)._2 == 2 && out(2)._3 == 0)
+    assert(out(2)._4 == -693147.0 / 1e6)
+  }
+
   test("bm25TopK: hand-computed k1=6/5 b=3/4 rationals, idf sign, rank order (T20)") {
     // Corpus: d1 "a a b" (dl 3), d2 "a c" (dl 2), d3 "d d d d" (dl 4).
     // N=3, T=9. Query (a, b): df(a)=2 -> idf = ln(3/5) -> -510826
