@@ -3387,6 +3387,152 @@ object PipelineQueries {
             |       (SUM(logw_u)::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS avg_log_w
             |FROM keyed""".stripMargin))
 
+  /** DSIR featurization sensitivity — the hashing-trick BUCKET-COUNT
+    * curve (the N19/N20-style tuning artifact for the sampling
+    * family): the full score→sample→shift chain run at 256 / 1024 /
+    * 4096 buckets, one row per size with (a) the feature-space
+    * COLLISION profile over the raw pool's distinct bigrams — how
+    * many hash buckets are actually used, and what fraction of
+    * distinct grams share theirs — and (b) the measured distribution
+    * shift the resampling achieves at that resolution
+    * (avg log-importance-weight, sampled cohort vs pool — the
+    * `sample_dsir_shift` statistic). What the curve prices: DSIR's
+    * collisions are the METHOD (fixed model size at any vocabulary),
+    * but too few buckets blur the target/raw contrast the importance
+    * weights need — the artifact shows how much shift each extra
+    * decade of buckets buys, against a collision fraction that is a
+    * pure birthday-bound property of |distinct grams|/buckets.
+    * Measured at sf0.01 (915 distinct raw-pool grams): 256 buckets →
+    * 97.4% of grams share a bucket, pool contrast blurs to
+    * avg_logw −2.97, shift 3.18; 1024 → 57.6% collide, shift 7.57
+    * (the `sample_dsir` operating point); 4096 → 18.3% collide,
+    * shift 22.29 — monotone in bucket count, with the knee where
+    * buckets ≈ distinct grams, exactly the hashing-trick birthday
+    * arithmetic a deployment sizes the model by.
+    *
+    * Scale shape: the distinct-gram frame is checkpoint-cut ONCE and
+    * re-hashed per arm (three cheap bucket-cardinality aggregates);
+    * each arm's scored frame is cut exactly like `sample_dsir_shift`
+    * (it feeds both cohort aggregates); all cohort/collision stats
+    * meet as 1-row broadcasts. Everything downstream of the rounded
+    * micro-nat llr is exact integer sums with one double division
+    * per reported mean.
+    */
+  val sampleDsirBuckets = QueryDef(
+    "sample_dsir_buckets",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      // One distinct-gram frame serves all three collision profiles.
+      val grams = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+        TextAnalysis.bigramStream(raw, "doc_id", "text")
+          .select(col("w1"), col("w2")).distinct())
+      def arm(b: Int): DataFrame = {
+        val coll = grams
+          .select(pmod(graft.functions.Hashing.md5Bits60(
+            concat(col("w1"), lit(" "), col("w2"))), lit(b.toLong)).as("bk"))
+          .groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).cast("bigint").as("n_grams_distinct"),
+            count(lit(1)).as("n_used_buckets"),
+            round(sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))).cast("double") /
+              sum(col("cnt")).cast("double"), 6).as("collision_frac"))
+        val scored = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+          Sampling.dsirScore(target, raw, "doc_id", "text", buckets = b))
+        val sel = scored.orderBy(col("key_u").asc, col("doc_id").asc).limit(100)
+        val aAll = scored.agg(count(lit(1)).as("n_pool"),
+          ((sum(col("logw_u")).cast("double") / count(lit(1)).cast("double")) /
+            lit(1000000.0)).as("avg_logw_all"))
+        val aSel = sel.agg(
+          ((sum(col("logw_u")).cast("double") / count(lit(1)).cast("double")) /
+            lit(1000000.0)).as("avg_logw_sampled"))
+        coll.crossJoin(broadcast(aAll)).crossJoin(broadcast(aSel))
+          .select(lit(b).as("n_buckets"), col("n_grams_distinct"),
+            col("n_used_buckets"), col("collision_frac"), col("n_pool"),
+            col("avg_logw_all"), col("avg_logw_sampled"),
+            (col("avg_logw_sampled") - col("avg_logw_all")).as("shift"))
+      }
+      Seq(256, 1024, 4096).map(arm).reduce(_.unionByName(_))
+    },
+    Some {
+      def arm(b: Int, p: String) =
+        s"""${p}bi AS (
+           |  SELECT doc_id,
+           |         ('0x' || substr(md5(w1 || ' ' || w2), 1, 15))::BIGINT % $b AS b
+           |  FROM gr
+           |),
+           |${p}tg AS (SELECT b, COUNT(*) AS ct FROM ${p}bi WHERE doc_id % 10 = 0 GROUP BY 1),
+           |${p}rc AS (SELECT doc_id, b, COUNT(*) AS m FROM ${p}bi WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+           |${p}rm AS (SELECT b, CAST(SUM(m) AS BIGINT) AS cr FROM ${p}rc GROUP BY 1),
+           |${p}tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_t FROM ${p}tg),
+           |${p}tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS t_r FROM ${p}rm),
+           |${p}llr AS (
+           |  SELECT rm.b,
+           |         CAST(ROUND(LN((COALESCE(tg.ct, 0) + 1)::DOUBLE
+           |                       / (tt.t_t + $b)::DOUBLE) * 1000000.0, 0) AS BIGINT)
+           |       - CAST(ROUND(LN((rm.cr + 1)::DOUBLE
+           |                       / (tr.t_r + $b)::DOUBLE) * 1000000.0, 0) AS BIGINT) AS llr_u
+           |  FROM ${p}rm rm LEFT JOIN ${p}tg tg USING (b) CROSS JOIN ${p}tt tt CROSS JOIN ${p}tr tr
+           |),
+           |${p}keyed AS (
+           |  SELECT rc.doc_id,
+           |         CAST(SUM(rc.m * llr.llr_u) AS BIGINT) AS logw_u,
+           |         CAST(ROUND(LN(-LN(
+           |             (('0x' || substr(md5(CAST(rc.doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+           |             / 1152921504606846978.0)) * 1000000.0, 0) AS BIGINT)
+           |           - CAST(SUM(rc.m * llr.llr_u) AS BIGINT) AS key_u
+           |  FROM ${p}rc rc JOIN ${p}llr llr USING (b)
+           |  GROUP BY 1
+           |),
+           |${p}ck AS (
+           |  SELECT ('0x' || substr(md5(w1 || ' ' || w2), 1, 15))::BIGINT % $b AS bk,
+           |         COUNT(*) AS cnt
+           |  FROM gd GROUP BY 1
+           |),
+           |${p}coll AS (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_grams_distinct,
+           |         COUNT(*) AS n_used_buckets,
+           |         ROUND(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::DOUBLE
+           |               / SUM(cnt)::DOUBLE, 6) AS collision_frac
+           |  FROM ${p}ck
+           |),
+           |${p}allc AS (
+           |  SELECT COUNT(*) AS n_pool,
+           |         (SUM(logw_u)::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS avg_logw_all
+           |  FROM ${p}keyed
+           |),
+           |${p}selc AS (
+           |  SELECT (SUM(logw_u)::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS avg_logw_sampled
+           |  FROM (SELECT * FROM ${p}keyed
+           |        QUALIFY ROW_NUMBER() OVER (ORDER BY key_u ASC, doc_id ASC) <= 100)
+           |)""".stripMargin
+      def row(b: Int, p: String) =
+        s"""SELECT $b AS n_buckets, n_grams_distinct, n_used_buckets, collision_frac,
+           |       n_pool, avg_logw_all, avg_logw_sampled,
+           |       avg_logw_sampled - avg_logw_all AS shift
+           |FROM ${p}coll CROSS JOIN ${p}allc CROSS JOIN ${p}selc""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |                     x -> x <> '') AS t
+         |  FROM documents
+         |),
+         |gr AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+         |  WHERE len(t) >= 2
+         |),
+         |gd AS (SELECT DISTINCT w1, w2 FROM gr WHERE doc_id % 10 <> 0),
+         |${arm(256, "b256_")},
+         |${arm(1024, "b1024_")},
+         |${arm(4096, "b4096_")}
+         |${row(256, "b256_")}
+         |UNION ALL
+         |${row(1024, "b1024_")}
+         |UNION ALL
+         |${row(4096, "b4096_")}""".stripMargin
+    })
+
   /** Market-basket co-occurrence with LIFT (the association-rule
     * kernel, reference-domain analytics the commercial pipeline would
     * grow into): distinct (order, part) items, within-order pairs via
@@ -6253,7 +6399,7 @@ object PipelineQueries {
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift,
+    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets,
     sampleWeighted, basketLift, eventsAnomalyDays, pretrainPrepBpe, pretrainPrepLm,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
