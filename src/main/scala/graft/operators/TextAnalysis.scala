@@ -1413,6 +1413,59 @@ object TextAnalysis {
         round(col("n_pos").cast("double") / col("n").cast("double"), 6))
   }
 
+  /** The calibration curve's 1-row SUMMARY — expected calibration
+    * error and Brier score, the two scalars a deployment tracks over
+    * time where [[calibrationBins]] is the diagnostic it reads when
+    * they move:
+    *
+    *   ECE   = Σ_b (n_b/N)·|mean_p_b − pos_rate_b|
+    *   Brier = (1/N)·Σ_docs (p − y)²
+    *
+    * Both are EXACT in the micro-unit posture with no per-bin or
+    * per-doc rounding at all: the ECE bin term collapses to
+    * |Σp_u − 10⁶·n_pos| / (10⁶·N) — an integer numerator per bin —
+    * and the Brier per-doc square (p_u − 10⁶·y)² ≤ 10¹² is an exact
+    * long whose SUM is carried in decimal(38,0)/HUGEINT (a bigint
+    * sum would overflow past N ≈ 9·10⁶ docs; 38 digits hold any real
+    * cohort), so each statistic is one double division of identical
+    * exact integers. The only transcendental is the same single
+    * rounded sigmoid the bins use.
+    *
+    * Scale shape: one `bins`-row aggregate (ECE) + one group-less
+    * aggregate (Brier) over the scored frame, met by a 1-row cross
+    * join. Callers feeding both this and [[calibrationBins]] from
+    * one scored frame should checkpoint-cut it.
+    * Output: `(n, ece, brier)`.
+    */
+  def calibrationSummary(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val pu = scored.select(
+      round(lit(1000000.0) / (lit(1.0) + exp(-col(scoreCol))), 0).cast("bigint").as("p_u"),
+      when(col(labelCol), lit(1L)).otherwise(lit(0L)).as("y"))
+    val binned = pu
+      .withColumn("__bin",
+        least(floor((col("p_u") * lit(bins.toLong)).cast("double") / lit(1000000.0)),
+          lit((bins - 1).toDouble)).cast("bigint"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"), sum(col("p_u")).as("sp"))
+      .agg(sum(col("n")).cast("bigint").as("n"),
+        sum(abs(col("sp") - lit(1000000L) * col("n_pos"))).as("enum"))
+      .select(col("n"),
+        ((col("enum").cast("double") / col("n").cast("double")) /
+          lit(1000000.0)).as("ece"))
+    val brier = pu
+      .agg(sum(((col("p_u") - lit(1000000L) * col("y")) *
+        (col("p_u") - lit(1000000L) * col("y"))).cast("decimal(38,0)")).as("sq"),
+        count(lit(1)).as("bn"))
+      .select(((col("sq").cast("double") / col("bn").cast("double")) /
+        lit(1.0e12)).as("brier"))
+    binned.crossJoin(broadcast(brier))
+  }
+
   // ------------------------------------- naive-Bayes text classifier
 
   /** Multinomial naive-Bayes word-count model — the trainable HALF of

@@ -3129,6 +3129,55 @@ object PipelineQueries {
             |             / COUNT(*)::DOUBLE, 6) AS frac_pos
             |FROM binned GROUP BY 1""".stripMargin))
 
+  /** The calibration scalars ([[TextAnalysis.calibrationSummary]]) —
+    * ECE and Brier score on the held-out fifth, the two numbers a
+    * deployment TRACKS (with `text_nb_calibration` as the diagnostic
+    * read when they move). Exact integers end-to-end: the ECE bin
+    * term collapses to |Σp_u − 10⁶·n_pos| per bin, and the Brier
+    * square sum rides decimal(38,0)/HUGEINT (a bigint would overflow
+    * past ~9·10⁶ docs — the bound is designed around, not assumed).
+    */
+  val textNbEce = QueryDef(
+    "text_nb_ece",
+    (s, dir) => {
+      val docs = nbMarkedDocs(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      // Cut: the scored frame feeds the ECE-bin aggregate AND the
+      // Brier aggregate; uncut, each branch re-runs train + score.
+      val perDoc = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+        TextAnalysis.nbScore(
+            TextAnalysis.nbModel(train, "doc_id", "text", "y"),
+            TextAnalysis.nbPriors(train, "y"),
+            heldOut, "doc_id", "text")
+          .join(heldOut.select(col("doc_id"), col("y").as("label")), Seq("doc_id")))
+      TextAnalysis.calibrationSummary(perDoc, "log_odds", "label", bins = 10)
+    },
+    Some(s"""WITH $nbPerDocSql,
+            |pu AS (
+            |  SELECT CAST(ROUND(1000000.0 / (1 + EXP(-log_odds)), 0) AS BIGINT) AS p_u,
+            |         CASE WHEN label THEN 1 ELSE 0 END AS y
+            |  FROM perdoc
+            |),
+            |bb AS (
+            |  SELECT LEAST(CAST(FLOOR((p_u * 10)::DOUBLE / 1000000.0) AS BIGINT), 9) AS bin,
+            |         COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+            |         CAST(SUM(p_u) AS BIGINT) AS sp
+            |  FROM pu GROUP BY 1
+            |),
+            |ece AS (
+            |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+            |         (SUM(ABS(sp - 1000000 * n_pos))::DOUBLE / SUM(n)::DOUBLE)
+            |           / 1000000.0 AS ece
+            |  FROM bb
+            |),
+            |br AS (
+            |  SELECT (SUM(CAST((p_u - 1000000 * y) * (p_u - 1000000 * y) AS HUGEINT))::DOUBLE
+            |          / COUNT(*)::DOUBLE) / 1000000000000.0 AS brier
+            |  FROM pu
+            |)
+            |SELECT n, ece, brier FROM ece CROSS JOIN br""".stripMargin))
+
   /** Chunk-granular exact dedup — the RAG/embedding prep composite:
     * [[TextAnalysis.chunkDocs]] → md5 fingerprint per chunk → keep
     * the lexicographically-first (doc_id, chunk_id) per fingerprint —
@@ -6389,7 +6438,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

@@ -206,6 +206,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.find(_._1 == 9L).get._4 == 1.0) // saturation → exact ceiling
   }
 
+  test("calibrationSummary: hand-computed ECE and Brier on the bins fixture (T19e)") {
+    // Same fixture as calibrationBins. p_u: 500000, 500000, 750000,
+    // 0, 1000000; y: 1,0,1,0,1. ECE numerators per bin:
+    // bin5 |1e6−1e6|=0, bin7 |750000−1e6|=250000, bins 0/9 exact →
+    // ECE = 250000/(5·1e6) = 0.05. Brier squares: 2.5e11 + 2.5e11 +
+    // 6.25e10 + 0 + 0 = 5.625e11 → /5/1e12 = 0.1125.
+    val scored = Seq(
+      (0.0, true), (0.0, false), (math.log(3.0), true),
+      (-100.0, false), (100.0, true)).toDF("log_odds", "label")
+    val out = TextAnalysis.calibrationSummary(scored, "log_odds", "label", bins = 10)
+      .as[(Long, Double, Double)].head()
+    assert(out == ((5L, 0.05, 0.1125)))
+  }
+
   test("winnowKernel matches the Column rollingHashes+winnow path") {
     val df = Seq((1L, "The quick brown fox jumps over the lazy dog again and again"),
       (2L, "short"), (3L, "tiny"), (4L, "abcdefgh"), (5L, "中文字符混合 text 测试串流"))
