@@ -370,6 +370,47 @@ object Sampling {
         .select(col("doc_id"),
           pmod(graft.functions.Hashing.md5Bits60(
             concat(col("w1"), lit(" "), col("w2"))), lit(buckets.toLong)).as("b"))
+    dsirScoreHashed(hashed(target), hashed(raw), buckets)
+  }
+
+  /** DSIR scoring with the PAPER'S full featurization — hashed
+    * UNIGRAMS ∪ BIGRAMS (Xie et al. 2023 use both n-gram orders in
+    * one hashed space; [[dsirScore]] is the bigram-only variant this
+    * library measured first). A token feature and a bigram feature
+    * can never be the same string (tokens are whitespace-split, the
+    * bigram key carries an internal space), so the union is a clean
+    * disjoint embedding into the same `buckets`-bucket space —
+    * collisions between them are exactly the hashing trick, priced
+    * by `sample_dsir_buckets`. One behavioral consequence: a
+    * SINGLE-token doc now has evidence (its unigram) and becomes
+    * scoreable, where the bigram-only variant drops it. Same scale
+    * shape, same cuts, same integer log-space race.
+    */
+  def dsirScoreUnion(
+      target: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def hashed(df: DataFrame): DataFrame =
+      TextAnalysis.tokenStream(df, idCol, textCol)
+        .select(col("doc_id"), col("w").as("f"))
+        .unionByName(
+          TextAnalysis.bigramStream(df, idCol, textCol)
+            .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("f")))
+        .select(col("doc_id"),
+          pmod(graft.functions.Hashing.md5Bits60(col("f")), lit(buckets.toLong)).as("b"))
+    dsirScoreHashed(hashed(target), hashed(raw), buckets)
+  }
+
+  /** The featurization-independent DSIR tail: hashed feature streams
+    * in, `(doc_id, n_grams, logw_u, key_u)` out — see [[dsirScore]]
+    * for the estimator and determinism contract. */
+  private def dsirScoreHashed(
+      targetH: DataFrame,
+      rawH: DataFrame,
+      buckets: Int): DataFrame = {
     // Both gram aggregates are read by MULTIPLE consumers (tg: the
     // llr join + the totals agg; rc: the model counts, the raw
     // totals, and the scoring join) and Spark re-executes uncached
@@ -380,9 +421,9 @@ object Sampling {
     // (doc, bucket, count) — the frame a production run would land
     // as the featurized corpus anyway.
     val tg = org.apache.spark.sql.graft.CheckpointBlocks.cut(
-      hashed(target).groupBy(col("b")).agg(count(lit(1)).as("ct")))
+      targetH.groupBy(col("b")).agg(count(lit(1)).as("ct")))
     val rc = org.apache.spark.sql.graft.CheckpointBlocks.cut(
-      hashed(raw).groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m")))
+      rawH.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m")))
     val rm = rc.groupBy(col("b")).agg(sum(col("m")).as("cr"))
     val tt = tg.agg(sum(col("ct")).as("t_t"))
     val tr = rm.agg(sum(col("cr")).as("t_r"))

@@ -998,6 +998,13 @@ object TextAnalysis {
     * inline construction in [[bigramLogProb]] (left untouched so its
     * pinned plan does not move).
     */
+  /** Per-token stream `(doc_id, w)` — the unigram sibling of
+    * [[bigramStream]], same tokenizer, empty docs drop. */
+  private[graft] def tokenStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    docs.select(col(idCol).as("doc_id"), explode(t).as("w"))
+  }
+
   private[graft] def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
     docs.select(col(idCol).as("doc_id"), t.as("t"))

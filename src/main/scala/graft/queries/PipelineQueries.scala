@@ -3582,6 +3582,114 @@ object PipelineQueries {
          |${row(4096, "b4096_")}""".stripMargin
     })
 
+  /** DSIR featurization A/B — bigram-only vs the PAPER'S
+    * unigram∪bigram union ([[Sampling.dsirScoreUnion]]; Xie et al.
+    * 2023 hash both n-gram orders into one feature space), both at
+    * the 1024-bucket operating point, each arm reporting the
+    * measured shift exactly like `sample_dsir_shift`. What it
+    * prices: the union roughly doubles the feature mass per doc
+    * (unigrams ≈ bigrams + 1) and makes single-token docs scoreable,
+    * but also doubles the load on the same bucket space — whether
+    * the extra evidence sharpens or blurs the contrast at fixed
+    * buckets is a measured number here, the companion to
+    * `sample_dsir_buckets`' resolution axis. Same cuts, same 1-row
+    * broadcast cohort frames.
+    *
+    * Measured at sf0.01: the union SHARPENS — shift 8.37 vs
+    * bigram-only's 7.57 at the same 1024 buckets (pool avg_logw
+    * −12.13 vs −10.79): the unigram evidence adds target/raw
+    * contrast faster than its extra bucket collisions blur it, so
+    * the paper's featurization is the measured default and
+    * bigram-only the cheaper fallback.
+    */
+  val sampleDsirFeatures = QueryDef(
+    "sample_dsir_features",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      def arm(name: String, scoredRaw: DataFrame): DataFrame = {
+        val scored = org.apache.spark.sql.graft.CheckpointBlocks.cut(scoredRaw)
+        val sel = scored.orderBy(col("key_u").asc, col("doc_id").asc).limit(100)
+        val aAll = scored.agg(count(lit(1)).as("n_pool"),
+          ((sum(col("logw_u")).cast("double") / count(lit(1)).cast("double")) /
+            lit(1000000.0)).as("avg_logw_all"))
+        val aSel = sel.agg(
+          ((sum(col("logw_u")).cast("double") / count(lit(1)).cast("double")) /
+            lit(1000000.0)).as("avg_logw_sampled"))
+        broadcast(aAll).crossJoin(broadcast(aSel))
+          .select(lit(name).as("features"), col("n_pool"),
+            col("avg_logw_all"), col("avg_logw_sampled"),
+            (col("avg_logw_sampled") - col("avg_logw_all")).as("shift"))
+      }
+      arm("bigram", Sampling.dsirScore(target, raw, "doc_id", "text", buckets = 1024))
+        .unionByName(
+          arm("uni_bigram",
+            Sampling.dsirScoreUnion(target, raw, "doc_id", "text", buckets = 1024)))
+    },
+    Some {
+      def arm(name: String, p: String, featsCte: String) =
+        s"""${p}fe AS (
+           |  SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS b
+           |  FROM $featsCte
+           |),
+           |${p}tg AS (SELECT b, COUNT(*) AS ct FROM ${p}fe WHERE doc_id % 10 = 0 GROUP BY 1),
+           |${p}rc AS (SELECT doc_id, b, COUNT(*) AS m FROM ${p}fe WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+           |${p}rm AS (SELECT b, CAST(SUM(m) AS BIGINT) AS cr FROM ${p}rc GROUP BY 1),
+           |${p}tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_t FROM ${p}tg),
+           |${p}tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS t_r FROM ${p}rm),
+           |${p}llr AS (
+           |  SELECT rm.b,
+           |         CAST(ROUND(LN((COALESCE(tg.ct, 0) + 1)::DOUBLE
+           |                       / (tt.t_t + 1024)::DOUBLE) * 1000000.0, 0) AS BIGINT)
+           |       - CAST(ROUND(LN((rm.cr + 1)::DOUBLE
+           |                       / (tr.t_r + 1024)::DOUBLE) * 1000000.0, 0) AS BIGINT) AS llr_u
+           |  FROM ${p}rm rm LEFT JOIN ${p}tg tg USING (b) CROSS JOIN ${p}tt tt CROSS JOIN ${p}tr tr
+           |),
+           |${p}keyed AS (
+           |  SELECT rc.doc_id,
+           |         CAST(SUM(rc.m * llr.llr_u) AS BIGINT) AS logw_u,
+           |         CAST(ROUND(LN(-LN(
+           |             (('0x' || substr(md5(CAST(rc.doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+           |             / 1152921504606846978.0)) * 1000000.0, 0) AS BIGINT)
+           |           - CAST(SUM(rc.m * llr.llr_u) AS BIGINT) AS key_u
+           |  FROM ${p}rc rc JOIN ${p}llr llr USING (b)
+           |  GROUP BY 1
+           |),
+           |${p}allc AS (
+           |  SELECT COUNT(*) AS n_pool,
+           |         (SUM(logw_u)::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS avg_logw_all
+           |  FROM ${p}keyed
+           |),
+           |${p}selc AS (
+           |  SELECT (SUM(logw_u)::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS avg_logw_sampled
+           |  FROM (SELECT * FROM ${p}keyed
+           |        QUALIFY ROW_NUMBER() OVER (ORDER BY key_u ASC, doc_id ASC) <= 100)
+           |)""".stripMargin
+      def row(name: String, p: String) =
+        s"""SELECT '$name' AS features, n_pool, avg_logw_all, avg_logw_sampled,
+           |       avg_logw_sampled - avg_logw_all AS shift
+           |FROM ${p}allc CROSS JOIN ${p}selc""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |                     x -> x <> '') AS t
+         |  FROM documents
+         |),
+         |uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
+         |big AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+         |  WHERE len(t) >= 2
+         |),
+         |ub AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM big),
+         |${arm("bigram", "bg_", "big")},
+         |${arm("uni_bigram", "ub_", "ub")}
+         |${row("bigram", "bg_")}
+         |UNION ALL
+         |${row("uni_bigram", "ub_")}""".stripMargin
+    })
+
   /** Market-basket co-occurrence with LIFT (the association-rule
     * kernel, reference-domain analytics the commercial pipeline would
     * grow into): distinct (order, part) items, within-order pairs via
@@ -6448,7 +6556,7 @@ object PipelineQueries {
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets,
+    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, pretrainPrepBpe, pretrainPrepLm,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
