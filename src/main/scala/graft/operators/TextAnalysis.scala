@@ -469,6 +469,46 @@ object TextAnalysis {
         (col("score_u").cast("double") / lit(1000000.0)).as("score"))
   }
 
+  /** The BM25 SERVING ARTIFACT: the fully-scored postings index
+    * `(term, doc_id, tf, contrib_u)` over the whole corpus — every
+    * term's per-doc contribution in integer micro-units, which is
+    * query-INDEPENDENT (idf and the tf saturation depend only on the
+    * corpus), so a retrieval server persists THIS frame once
+    * (`Sink.saveIndex`) and answers any query by summing contributions
+    * over its terms ([[graft.streaming.StreamingOps.bm25TopKStream]],
+    * or [[bm25TopKBatch]] which computes the same contributions
+    * restricted to the workload's terms — bit-identical where they
+    * overlap, pinned by the stream twin's parity test).
+    *
+    * Scale shape: two corpus-cardinality aggregates (tf, dl), one
+    * vocabulary-cardinality aggregate (df) joined back UNBROADCAST
+    * (a web corpus's vocabulary is itself large; AQE free to
+    * broadcast a small one), totals as a 1-row broadcast. Output is
+    * postings-cardinality — the index a production system lands in
+    * its object store.
+    */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "").as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfT, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib_u",
+        round(
+          round(log((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast("double") /
+            (lit(2L) * col("df") + lit(1L)).cast("double")) * lit(1000000.0), 0)
+            .cast("bigint").cast("double") *
+          ((lit(22L) * col("tf") * col("t_tokens")).cast("double") /
+            (lit(10L) * col("tf") * col("t_tokens") + lit(3L) * col("t_tokens") +
+              lit(9L) * col("dl") * col("n_docs")).cast("double")), 0).cast("bigint"))
+      .select(col("term"), col("doc_id"), col("tf"), col("contrib_u"))
+  }
+
   /** BATCH BM25 retrieval — [[bm25TopK]] generalized from one literal
     * query to a TABLE of queries `(query_id, term)`, the shape a
     * retrieval deployment actually runs: score the whole query

@@ -1035,6 +1035,59 @@ object StreamingOps {
         (col("logw_u").cast("double") / lit(1000000.0)).as("log_w"))
   }
 
+  /** STREAMING BM25 retrieval serving — the online half of the T20
+    * contract (how a search service actually runs: the scored
+    * postings index [[graft.operators.TextAnalysis.bm25Index]] is
+    * built offline — per-(term, doc) contributions are
+    * query-independent — `Sink.saveIndex`'d, and arriving queries
+    * `(query_id, ts, terms array)` are answered by summing LOADED
+    * contributions over their terms). Batch-parity with
+    * [[graft.operators.TextAnalysis.bm25TopKBatch]] is exact: both
+    * sum the same integer micro-unit contributions.
+    *
+    * Shape — the first CHAINED-stateful-aggregation op in this file
+    * (Spark's multiple-stateful-operator support, append mode):
+    * queries explode to terms (stateless narrow, watermark applied
+    * at the SOURCE so a query matching nothing still advances it),
+    * candidates come from a stream-static equi-join on `term`
+    * (postings stay a static frame — at web scale the join is the
+    * planner's choice, broadcast only if the index fits), stateful
+    * stage 1 sums per-(window, query, doc) scores, stateful stage 2
+    * — windowed on `window_time`, the documented chained-agg idiom —
+    * cuts the per-query top-k with the bounded CollectTopK heap.
+    * State is candidate-doc cardinality per in-flight window for
+    * stage 1 and k rows per query for stage 2, both
+    * watermark-evicted. Append mode means results emit when the
+    * watermark passes the window — the contract a retrieval batch
+    * API has anyway.
+    */
+  def bm25TopKStream(
+      queries: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      tsCol: String,
+      index: DataFrame,
+      k: Int,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = struct((-col("score_u")).as("ns"), col("doc_id").as("doc_id"),
+      col("n_terms").as("n_terms"))
+    queries
+      .select(col(qidCol).as("q_id"), col(tsCol).as("__ts"),
+        explode(col(termsCol)).as("term"))
+      .withWatermark("__ts", watermark)
+      .join(index.select(col("term"), col("doc_id"), col("contrib_u")), Seq("term"))
+      .groupBy(window(col("__ts"), windowDur), col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_u")).as("score_u"))
+      .groupBy(window(window_time(col("window")), windowDur), col("q_id"))
+      .agg(graft.functions.TopK.smallestK(key, k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.doc_id").as("doc_id"),
+        col("t.n_terms").as("n_terms"),
+        ((-col("t.ns")).cast("double") / lit(1000000.0)).as("score"))
+  }
+
   /** [[sessionize]]'s state transition, factored out so the
     * timeout-expiry path is a DETERMINISTIC unit test through Spark's
     * public `TestGroupState` harness (round-10 verdict ask #6 — the

@@ -332,6 +332,53 @@ class StreamingSpec extends AnyFunSuite {
       "nbScoreStream lost its watermark — unbounded state")
   }
 
+  test("bm25TopKStream: offline scored-postings index, chained-agg top-k, batch parity (T20c)") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // The bm25TopK unit corpus. Query 1 = (a,b), query 2 = (a) —
+    // hand-verified contributions in the batch tests; query 3 matches
+    // NO posting (absent from both sides, and its arrival still
+    // advances the watermark — the source-side watermark contract).
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "d d d d")).toDF("doc_id", "text")
+    val qs = Seq((1L, Seq("a", "b")), (2L, Seq("a")), (3L, Seq("zzz")))
+    val qdf = qs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    val batchRows = TextAnalysis.bm25TopKBatch(docs, "doc_id", "text", qdf, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batchRows.map(_._1) == Set(1L, 2L))
+    // Offline-build/online-serve: the scored postings round-trip
+    // through saveIndex/loadIndex; the server consumes the LOADED frame.
+    val dir = Files.createTempDirectory("graft_stream_bm25").toString
+    graft.sources.Sink.saveIndex(TextAnalysis.bm25Index(docs, "doc_id", "text"),
+      s"$dir/idx", Map("family" -> "bm25", "k1" -> "6/5", "b" -> "3/4"))
+    val (idx, params) = graft.sources.Load.loadIndex(spark, s"$dir/idx")
+    assert(params("family") == "bm25")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Seq[String])]
+    ms.addData(qs.map { case (id, terms) => (id, t0, terms) }: _*)
+    val out = StreamingOps.bm25TopKStream(ms.toDF.toDF("query_id", "ts", "terms"),
+      "query_id", "terms", "ts", idx, k = 3)
+    // Chained stateful aggregations emit in APPEND mode only, once the
+    // watermark passes the window — drive it forward with late
+    // no-match sentinels (two triggers: watermark advances one
+    // trigger after its data arrives).
+    val q = out.writeStream.format("memory").queryName("bm25_stream_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData((99L, late, Seq("zzz")))
+      q.processAllAvailable()
+      ms.addData((98L, late, Seq("zzz")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bm25_stream_test")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batchRows, s"stream $streamed vs batch $batchRows")
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "bm25TopKStream lost its watermark — unbounded state")
+  }
+
   test("dsirScoreStream: frozen llr artifact, batch parity on pool docs + full-domain floor for novel grams") {
     implicit val sql = spark.sqlContext
     import graft.operators.Sampling
