@@ -1279,6 +1279,120 @@ object TextAnalysis {
     * discounts fan out with the totals broadcast. Output
     * `(doc_id, n_bigrams, n_unseen, avg_logprob)`.
     */
+  /** Per-trigram stream `(doc_id, w1, w2, w3)` — [[bigramStream]]'s
+    * order-3 sibling; docs with < 3 tokens drop. */
+  private[graft] def trigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2"),
+            element_at(col("t"), i + 2).as("w3")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+  }
+
+  /** TRIGRAM interpolated Kneser-Ney — the n-gram ladder's next rung
+    * (production LMs are 4-5-gram KN; this library's T13d/T13g stop
+    * at bigrams), with the CONTINUATION-COUNT lower level the KN
+    * construction actually prescribes (Chen & Goodman: every level
+    * below the top estimates from how many distinct contexts an
+    * n-gram continues, not raw frequency):
+    *
+    *   p(w3|w1w2) = max(c(w1w2w3) − d, 0)/c(w1w2·)
+    *                + d·N1+(w1w2·)/c(w1w2·) · p_c(w3|w2)
+    *   p_c(w3|w2) = max(N1+(·w2w3) − d, 0)/N1+(·w2·)
+    *                + d·N1+(w2·)/N1+(·w2·) · p_cont(w3)
+    *   p_cont(w3) = (N1+(·w3) + 1)/(T₂ + V)
+    *
+    * — N1+(·w2w3) counts the distinct w1 preceding (w2, w3), i.e.
+    * trigram TYPES per (w2, w3); N1+(·w2·) the trigram types with
+    * middle w2; N1+(w2·) the distinct w3 those types continue to;
+    * the bottom level is T13d's add-one-floored bigram continuation
+    * (T₂ = bigram types, V = distinct bigram successors). Backoff
+    * paths are all REAL on a held-out split: unseen (w1, w2) context
+    * → middle level alone; a w2 never seen as a trigram middle →
+    * p_cont alone.
+    *
+    * Exactness — the T13d trick applied TWICE (d = 3/4 at both
+    * levels): the middle level is one rational Ac/Bc with
+    *   Ac = max(4·N1+(·w2w3) − 3, 0)·(T₂+V) + 3·N1+(w2·)·(N1+(·w3)+1)
+    *   Bc = 4·N1+(·w2·)·(T₂+V)
+    * and the top level substitutes it through:
+    *   num = max(4·c₃ − 3, 0)·Bc + 3·N1+(w1w2·)·Ac,  den = 4·c₁₂·Bc
+    * — exact bigint throughout, ONE double division, then micro-nat
+    * rounding and exact per-doc sums. Overflow bound (one level
+    * deeper than T13d's): den = 16·c₁₂·N1+(·w2·)·(T₂+V) needs
+    * c₁₂·N1+(·w2·)·(T₂+V) ≲ 5.7·10¹⁷ — at a 10⁹-type web model a
+    * frequent context (c₁₂ ≈ 10⁵) with a promiscuous middle
+    * (N1+(·w2·) ≈ 10⁵) overflows, so the web-scale posture is
+    * DECIMAL(38,0) for num/den (exactness preserved, ~2× the
+    * arithmetic cost) or micro-unit rounding of the middle level
+    * (the T13g dial); at this fixture's cardinalities longs are
+    * exact and the oracle replays every integer.
+    *
+    * Scale shape — the family contract: all model frames
+    * (trigram/context/continuation tables) are map-side-combinable
+    * aggregates of ONE trigram-model frame, UNBROADCAST at their
+    * joins (web-scale n-gram tables are large; AQE decides); the
+    * score side aggregates to distinct (doc, w1, w2, w3) first;
+    * totals ride a 1-row broadcast. Output
+    * `(doc_id, n_trigrams, n_unseen, avg_logprob)` for docs with
+    * ≥ 3 tokens.
+    */
+  def kn3TrigramScore(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val c3 = trigramStream(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+    val c12 = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("ctx12"), count(lit(1)).as("n1p12"))
+    val cont3 = c3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("nct"))
+    val mid = cont3.groupBy(col("w2"))
+      .agg(sum(col("nct")).as("nmid"), count(lit(1)).as("nsucc"))
+    val c2 = lmBigramModel(train, idCol, textCol)
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("ncb"))
+      .select(col("w2").as("w3"), col("ncb"))
+    val totals = c2.agg(count(lit(1)).as("t2"), countDistinct(col("w2")).as("v"))
+    trigramStream(score, idCol, textCol)
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("m"))
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(cont3, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(cont, Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__pc_num", coalesce(col("ncb"), lit(0L)) + lit(1L))
+      .withColumn("__ac",
+        greatest(lit(4L) * coalesce(col("nct"), lit(0L)) - lit(3L), lit(0L)) *
+          (col("t2") + col("v")) +
+          lit(3L) * coalesce(col("nsucc"), lit(0L)) * col("__pc_num"))
+      .withColumn("__bc", lit(4L) * coalesce(col("nmid"), lit(0L)) * (col("t2") + col("v")))
+      .withColumn("__num",
+        when(col("ctx12").isNotNull,
+          greatest(lit(4L) * coalesce(col("c"), lit(0L)) - lit(3L), lit(0L)) * col("__bc") +
+            lit(3L) * col("n1p12") * col("__ac"))
+          .when(col("nmid").isNotNull, col("__ac"))
+          .otherwise(col("__pc_num")))
+      .withColumn("__den",
+        when(col("ctx12").isNotNull, lit(4L) * col("ctx12") * col("__bc"))
+          .when(col("nmid").isNotNull, col("__bc"))
+          .otherwise(col("t2") + col("v")))
+      .withColumn("lp_u",
+        round(log(col("__num").cast("double") / col("__den").cast("double")) *
+          lit(1000000.0), 0).cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_trigrams"),
+        sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
+        ((sum(col("m") * col("lp_u")).cast("double") /
+          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+  }
+
   /** The modified-KN 1-row totals frame derived from a bigram count
     * model: type/vocabulary totals plus the three count-band
     * discounts in micro-units (`t_types, v, d1u, d2u, d3u`) — shared

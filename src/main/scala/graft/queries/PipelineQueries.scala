@@ -2667,6 +2667,83 @@ object PipelineQueries {
             |        / SUM(m)::DOUBLE) / 1000000.0 AS avg_logprob
             |FROM g GROUP BY 1""".stripMargin))
 
+  /** TRIGRAM interpolated Kneser-Ney
+    * ([[TextAnalysis.kn3TrigramScore]]) — the n-gram ladder's next
+    * rung with the CONTINUATION-COUNT middle level the KN
+    * construction prescribes (lower levels estimate from distinct
+    * contexts, not raw counts): fit on even doc_ids, score the
+    * disjoint half, all three backoff paths real (unseen trigram in
+    * seen context / unseen (w1,w2) context / w2 never a trigram
+    * middle). d = 3/4 at BOTH levels makes the probability one
+    * exact-integer rational (the T13d trick applied twice — num/den
+    * and the overflow bound documented at the operator); the oracle
+    * replays the trigram and continuation tables, both rationals,
+    * and every backoff branch.
+    */
+  val textLmKn3 = QueryDef(
+    "text_lm_kn3_score",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.kn3TrigramScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |tri AS (
+           |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+           |  WHERE len(t) >= 3
+           |),
+           |bi AS (
+           |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+           |  WHERE len(t) >= 2
+           |),
+           |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tri WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+           |c12 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS ctx12, COUNT(*) AS n1p12
+           |        FROM c3 GROUP BY 1, 2),
+           |ct3 AS (SELECT w2, w3, COUNT(*) AS nct FROM c3 GROUP BY 1, 2),
+           |mid AS (SELECT w2, CAST(SUM(nct) AS BIGINT) AS nmid, COUNT(*) AS nsucc
+           |        FROM ct3 GROUP BY 1),
+           |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |cb AS (SELECT w2 AS w3, COUNT(*) AS ncb FROM c2 GROUP BY 1),
+           |tot AS (SELECT COUNT(*) AS t2, COUNT(DISTINCT w2) AS v FROM c2),
+           |tf AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS m FROM tri WHERE doc_id % 2 = 1
+           |       GROUP BY 1, 2, 3, 4),
+           |g AS (
+           |  SELECT tf.doc_id, tf.m, c3.c, c12.ctx12, c12.n1p12, mid.nmid, tot.t2, tot.v,
+           |         COALESCE(cb.ncb, 0) + 1 AS pcn,
+           |         GREATEST(4 * COALESCE(ct3.nct, 0) - 3, 0) * (tot.t2 + tot.v)
+           |           + 3 * COALESCE(mid.nsucc, 0) * (COALESCE(cb.ncb, 0) + 1) AS ac,
+           |         4 * COALESCE(mid.nmid, 0) * (tot.t2 + tot.v) AS bc
+           |  FROM tf LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN c12 USING (w1, w2)
+           |          LEFT JOIN ct3 USING (w2, w3) LEFT JOIN mid USING (w2)
+           |          LEFT JOIN cb USING (w3) CROSS JOIN tot
+           |),
+           |g2 AS (
+           |  SELECT doc_id, m, c,
+           |         CASE WHEN ctx12 IS NOT NULL
+           |                THEN GREATEST(4 * COALESCE(c, 0) - 3, 0) * bc + 3 * n1p12 * ac
+           |              WHEN nmid IS NOT NULL THEN ac
+           |              ELSE pcn END AS num,
+           |         CASE WHEN ctx12 IS NOT NULL THEN 4 * ctx12 * bc
+           |              WHEN nmid IS NOT NULL THEN bc
+           |              ELSE t2 + v END AS den
+           |  FROM g
+           |)
+           |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_trigrams,
+           |       CAST(SUM(CASE WHEN c IS NULL THEN m ELSE 0 END) AS BIGINT) AS n_unseen,
+           |       (SUM(m * CAST(ROUND(LN(num::DOUBLE / den::DOUBLE)
+           |                            * 1000000.0, 0) AS BIGINT))::DOUBLE
+           |        / SUM(m)::DOUBLE) / 1000000.0 AS avg_logprob
+           |FROM g2 GROUP BY 1""".stripMargin))
+
   /** KN vs add-one vs MODIFIED KN, measured as a TRAINING-SPARSITY
     * CURVE: gram-weighted mean held-out log-prob under all three
     * smoothings on the same scored grams, with the model fit on 1/2,
@@ -6546,7 +6623,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

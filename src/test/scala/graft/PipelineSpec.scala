@@ -151,6 +151,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2)._4 == -693147.0 / 1e6)
   }
 
+  test("kn3TrigramScore: hand-computed two-level rationals, all three backoff paths (T13h)") {
+    // Train "a b a b" → trigrams (a,b,a),(b,a,b) each c=1; continuation
+    // tables all 1s; bigram bottom level: c2(a,b)=c2(b,a)=2, ncb=1
+    // each, T2=2, V=2 → T2+V=4. Hand-derived per scored trigram:
+    //   (a,b,a) seen: Ac = 1·4 + 3·1·2 = 10, Bc = 16 →
+    //     num = 1·16 + 3·1·10 = 46, den = 4·1·16 = 64 → ln(46/64) → −330242
+    //   (a,b,x) unseen trigram, SEEN (a,b) context: Ac = 0 + 3·1·1 = 3
+    //     → num = 0 + 3·1·3 = 9, den = 64 → ln(9/64) → −1961659
+    //   (x,a,b) unseen context, a IS a trigram middle: num = Ac = 10,
+    //     den = Bc = 16 → ln(10/16) → −470004
+    //   (x,y,z) y never a middle: num = 0+1, den = 4 → ln(1/4) → −1386294
+    val train = Seq((0L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b a b"), (3L, "a b x"), (5L, "x a b"),
+      (7L, "x y z"), (9L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.kn3TrigramScore(train, score, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 5L, 7L)) // 2-token doc drops
+    assert(out(0)._2 == 2 && out(0)._3 == 0 && out(0)._4 == -330242.0 / 1e6)
+    assert(out(1)._2 == 1 && out(1)._3 == 1 && out(1)._4 == -1961659.0 / 1e6)
+    assert(out(2)._2 == 1 && out(2)._3 == 1 && out(2)._4 == -470004.0 / 1e6)
+    assert(out(3)._2 == 1 && out(3)._3 == 1 && out(3)._4 == -1386294.0 / 1e6)
+  }
+
   test("bm25TopK: hand-computed k1=6/5 b=3/4 rationals, idf sign, rank order (T20)") {
     // Corpus: d1 "a a b" (dl 3), d2 "a c" (dl 2), d3 "d d d d" (dl 4).
     // N=3, T=9. Query (a, b): df(a)=2 -> idf = ln(3/5) -> -510826
