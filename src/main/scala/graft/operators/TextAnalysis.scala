@@ -1187,6 +1187,20 @@ object TextAnalysis {
       train: DataFrame,
       score: DataFrame,
       idCol: String,
+      textCol: String): DataFrame =
+    knGramLp(train, score, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
+        ((sum(col("m") * col("lp_u")).cast("double") /
+          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+
+  /** [[knBigramScore]]'s gram-level frame `(doc_id, m, c, lp_u)` —
+    * see [[kn3GramLp]] for why it is exposed. */
+  private[graft] def knGramLp(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
       textCol: String): DataFrame = {
     val c2 = lmBigramModel(train, idCol, textCol)
     // Per-context: total count AND distinct-successor count; per
@@ -1215,11 +1229,7 @@ object TextAnalysis {
       .withColumn("lp_u",
         round(log(col("__num").cast("double") / col("__den").cast("double")) *
           lit(1000000.0), 0).cast("bigint"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("m")).as("n_bigrams"),
-        sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
-        ((sum(col("m") * col("lp_u")).cast("double") /
-          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+      .select(col("doc_id"), col("m"), col("c"), col("lp_u"))
   }
 
   /** MODIFIED Kneser-Ney bigram scoring — the formulation KenLM
@@ -1346,6 +1356,22 @@ object TextAnalysis {
       train: DataFrame,
       score: DataFrame,
       idCol: String,
+      textCol: String): DataFrame =
+    kn3GramLp(train, score, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_trigrams"),
+        sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
+        ((sum(col("m") * col("lp_u")).cast("double") /
+          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+
+  /** [[kn3TrigramScore]]'s gram-level frame `(doc_id, m, c, lp_u)` —
+    * exposed so the order-ladder curve can take exact corpus-level
+    * micro-nat sums over the same grams the per-doc artifact
+    * aggregates. */
+  private[graft] def kn3GramLp(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
       textCol: String): DataFrame = {
     val c3 = trigramStream(train, idCol, textCol)
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
@@ -1386,11 +1412,7 @@ object TextAnalysis {
       .withColumn("lp_u",
         round(log(col("__num").cast("double") / col("__den").cast("double")) *
           lit(1000000.0), 0).cast("bigint"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("m")).as("n_trigrams"),
-        sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
-        ((sum(col("m") * col("lp_u")).cast("double") /
-          sum(col("m")).cast("double")) / lit(1000000.0)).as("avg_logprob"))
+      .select(col("doc_id"), col("m"), col("c"), col("lp_u"))
   }
 
   /** The modified-KN 1-row totals frame derived from a bigram count

@@ -2744,6 +2744,131 @@ object PipelineQueries {
            |        / SUM(m)::DOUBLE) / 1000000.0 AS avg_logprob
            |FROM g2 GROUP BY 1""".stripMargin))
 
+  /** The N-GRAM ORDER ladder, measured — bigram KN vs trigram KN on
+    * the SAME held-out cohort (docs with ≥ 3 tokens, so both orders
+    * can score every doc): one row per order with corpus-level
+    * gram-weighted mean log-prob, novel-gram counts, and doc count.
+    * The companion axis to `text_lm_kn_vs_addone`'s smoothing curve:
+    * that one asks "which discount schedule", this one asks "does
+    * the next order pay for its sparsity" — the question every
+    * production LM answers empirically before shipping 4-gram vs
+    * 5-gram (trigram contexts are quadratically sparser; the
+    * continuation-count backoff is what keeps the tax bounded).
+    * Means are exact micro-nat integer sums over the gram frames the
+    * per-doc artifacts aggregate ([[TextAnalysis.knGramLp]] /
+    * [[TextAnalysis.kn3GramLp]]) — NEVER doc-level double sums (a
+    * double sum's value depends on partition order; the integer sums
+    * are order-free).
+    *
+    * Measured at sf0.01 (250 docs, even-half training): order 2 mean
+    * −3.437 with 7/13769 novel grams; order 3 mean −3.590 with
+    * 8081/13519 novel (60% — trigram contexts are quadratically
+    * sparser, exactly as predicted). The ladder's lesson is
+    * two-sided: the extra order does NOT pay at this training scale
+    * (−0.15 nats), but the continuation-count backoff caps the tax
+    * at 0.15 nats DESPITE 60% of grams backing off — which is why
+    * production LMs can afford order 4-5 once the count tables grow
+    * into their sparsity.
+    */
+  val textLmOrderCurve = QueryDef(
+    "text_lm_order_curve",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val score = docs.filter(col("doc_id") % 2 === 1)
+        .filter(size(filter(TextAnalysis.tokens(lower(coalesce(col("text"), lit("")))),
+          x => x =!= "")) >= 3)
+      def arm(order: Int, g: DataFrame) = g.agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("m")).as("n_grams"),
+          sum(when(col("c").isNull, col("m")).otherwise(lit(0L))).as("n_unseen"),
+          ((sum(col("m") * col("lp_u")).cast("double") /
+            sum(col("m")).cast("double")) / lit(1000000.0)).as("mean_logprob"))
+        .select(lit(order).as("ngram_order"), col("n_docs"), col("n_grams"),
+          col("n_unseen"), col("mean_logprob"))
+      arm(2, TextAnalysis.knGramLp(train, score, "doc_id", "text"))
+        .unionByName(arm(3, TextAnalysis.kn3GramLp(train, score, "doc_id", "text")))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |el AS (SELECT doc_id FROM toks WHERE len(t) >= 3 AND doc_id % 2 = 1),
+           |bi AS (
+           |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+           |  WHERE len(t) >= 2
+           |),
+           |tri AS (
+           |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+           |  WHERE len(t) >= 3
+           |),
+           |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |ctx1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx, COUNT(*) AS n1p FROM c2 GROUP BY 1),
+           |cont AS (SELECT w2, COUNT(*) AS nc FROM c2 GROUP BY 1),
+           |tot AS (SELECT COUNT(*) AS t_types, COUNT(DISTINCT w2) AS v FROM c2),
+           |tf2 AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi JOIN el USING (doc_id)
+           |        GROUP BY 1, 2, 3),
+           |g2 AS (
+           |  SELECT tf2.doc_id, tf2.m, c2.c,
+           |         CASE WHEN ctx1.ctx IS NULL THEN 4 * (COALESCE(cont.nc, 0) + 1)
+           |              ELSE GREATEST(4 * COALESCE(c2.c, 0) - 3, 0) * (tot.t_types + tot.v)
+           |                   + 3 * ctx1.n1p * (COALESCE(cont.nc, 0) + 1) END AS num,
+           |         CASE WHEN ctx1.ctx IS NULL THEN 4 * (tot.t_types + tot.v)
+           |              ELSE 4 * ctx1.ctx * (tot.t_types + tot.v) END AS den
+           |  FROM tf2 LEFT JOIN c2 USING (w1, w2) LEFT JOIN ctx1 USING (w1)
+           |           LEFT JOIN cont USING (w2) CROSS JOIN tot
+           |),
+           |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tri WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+           |c12 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS ctx12, COUNT(*) AS n1p12
+           |        FROM c3 GROUP BY 1, 2),
+           |ct3 AS (SELECT w2, w3, COUNT(*) AS nct FROM c3 GROUP BY 1, 2),
+           |mid AS (SELECT w2, CAST(SUM(nct) AS BIGINT) AS nmid, COUNT(*) AS nsucc
+           |        FROM ct3 GROUP BY 1),
+           |cb AS (SELECT w2 AS w3, COUNT(*) AS ncb FROM c2 GROUP BY 1),
+           |tf3 AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS m FROM tri JOIN el USING (doc_id)
+           |        GROUP BY 1, 2, 3, 4),
+           |g3p AS (
+           |  SELECT tf3.doc_id, tf3.m, c3.c, c12.ctx12, c12.n1p12, mid.nmid,
+           |         tot.t_types AS t2, tot.v,
+           |         COALESCE(cb.ncb, 0) + 1 AS pcn,
+           |         GREATEST(4 * COALESCE(ct3.nct, 0) - 3, 0) * (tot.t_types + tot.v)
+           |           + 3 * COALESCE(mid.nsucc, 0) * (COALESCE(cb.ncb, 0) + 1) AS ac,
+           |         4 * COALESCE(mid.nmid, 0) * (tot.t_types + tot.v) AS bc
+           |  FROM tf3 LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN c12 USING (w1, w2)
+           |           LEFT JOIN ct3 USING (w2, w3) LEFT JOIN mid USING (w2)
+           |           LEFT JOIN cb USING (w3) CROSS JOIN tot
+           |),
+           |g3 AS (
+           |  SELECT doc_id, m, c,
+           |         CASE WHEN ctx12 IS NOT NULL
+           |                THEN GREATEST(4 * COALESCE(c, 0) - 3, 0) * bc + 3 * n1p12 * ac
+           |              WHEN nmid IS NOT NULL THEN ac
+           |              ELSE pcn END AS num,
+           |         CASE WHEN ctx12 IS NOT NULL THEN 4 * ctx12 * bc
+           |              WHEN nmid IS NOT NULL THEN bc
+           |              ELSE t2 + v END AS den
+           |  FROM g3p
+           |)
+           |SELECT 2 AS ngram_order, COUNT(DISTINCT doc_id) AS n_docs,
+           |       CAST(SUM(m) AS BIGINT) AS n_grams,
+           |       CAST(SUM(CASE WHEN c IS NULL THEN m ELSE 0 END) AS BIGINT) AS n_unseen,
+           |       (SUM(m * CAST(ROUND(LN(num::DOUBLE / den::DOUBLE)
+           |                            * 1000000.0, 0) AS BIGINT))::DOUBLE
+           |        / SUM(m)::DOUBLE) / 1000000.0 AS mean_logprob
+           |FROM g2
+           |UNION ALL
+           |SELECT 3 AS ngram_order, COUNT(DISTINCT doc_id) AS n_docs,
+           |       CAST(SUM(m) AS BIGINT) AS n_grams,
+           |       CAST(SUM(CASE WHEN c IS NULL THEN m ELSE 0 END) AS BIGINT) AS n_unseen,
+           |       (SUM(m * CAST(ROUND(LN(num::DOUBLE / den::DOUBLE)
+           |                            * 1000000.0, 0) AS BIGINT))::DOUBLE
+           |        / SUM(m)::DOUBLE) / 1000000.0 AS mean_logprob
+           |FROM g3""".stripMargin))
+
   /** KN vs add-one vs MODIFIED KN, measured as a TRAINING-SPARSITY
     * CURVE: gram-weighted mean held-out log-prob under all three
     * smoothings on the same scored grams, with the model fit on 1/2,
@@ -6623,7 +6748,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
