@@ -3892,6 +3892,92 @@ object PipelineQueries {
          |${row("uni_bigram", "ub_")}""".stripMargin
     })
 
+  /** Embedding DIMENSION-TRUNCATION recall curve — the
+    * Matryoshka-style "how many dims do you actually need" artifact
+    * (at 10⁹ vectors every dropped dimension is GBs of index memory
+    * and proportional scoring FLOPs; MRL-trained models make prefix
+    * truncation the intended compression): exact brute-force top-10
+    * on the first d ∈ {64, 48, 32, 16, 8} coordinates, each arm's
+    * recall measured against the full-64-dim truth with the
+    * join-free [[Similarity.recallVsTruth]] (the 64 arm is the
+    * harness anchor — recall 1.0 by construction). Truth is
+    * checkpoint-cut ONCE and read by all five arms. On this
+    * i.i.d.-random fixture the curve measures how fast recall decays
+    * when coordinates carry EQUAL information — the worst case; an
+    * MRL-trained embedding concentrates information in the prefix
+    * and sits strictly above it. Scale shape per arm: the |Q|-row
+    * query side broadcasts, the corpus never shuffles, per-query
+    * k-heaps (the N1 contract at d-dim cost).
+    *
+    * Measured at sf0.01: 64 → 1.0 (anchor), 48 → 0.50, 32 → 0.37,
+    * 16 → 0.19, 8 → 0.14 — recall decays FASTER than the naive d/64
+    * fraction (dropping a quarter of equal-information coordinates
+    * already halves recall), the quantitative floor any claimed
+    * truncation scheme must beat before it earns index memory back.
+    */
+  val annDimRecallCurve = QueryDef(
+    "ann_dim_recall_curve",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val isQ = col("vec_id") >= 10 && col("vec_id") < 20
+      val truth = org.apache.spark.sql.graft.CheckpointBlocks.cut(
+        Similarity.bruteForceTopK(emb.filter(isQ), emb, "vec_id", "embedding", k = 10))
+      def arm(d: Int): DataFrame = {
+        val sliced = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val approx = Similarity.bruteForceTopK(
+          sliced.filter(isQ), sliced, "vec_id", "embedding", k = 10)
+        Similarity.recallVsTruth(truth, approx)
+          .filter(col("q_id") === -1L)
+          .select(lit(d).as("n_dims"), col("n_hits"), col("recall"))
+      }
+      Seq(64, 48, 32, 16, 8).map(arm).reduce(_.unionByName(_))
+    },
+    Some {
+      def arm(d: Int, p: String) =
+        s"""${p}e AS (SELECT vec_id, v[1:$d] AS vd FROM e),
+           |${p}q AS (SELECT vec_id AS q_id, vd AS qd FROM ${p}e WHERE vec_id >= 10 AND vec_id < 20),
+           |${p}sc AS (
+           |  SELECT q_id, ${p}e.vec_id AS n_id, ROUND(${cosSql("qd", "vd")}, 6) AS cos
+           |  FROM ${p}q CROSS JOIN ${p}e WHERE ${p}e.vec_id <> q_id
+           |),
+           |${p}top AS (
+           |  SELECT q_id, n_id FROM ${p}sc
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+           |),
+           |${p}r AS (
+           |  SELECT CAST(COUNT(tp.n_id) AS BIGINT) AS n_hits,
+           |         ROUND(COUNT(tp.n_id) / COUNT(*), 4) AS recall
+           |  FROM tr LEFT JOIN ${p}top tp USING (q_id, n_id)
+           |)""".stripMargin
+      def row(d: Int, p: String) =
+        s"SELECT $d AS n_dims, n_hits, recall FROM ${p}r"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 10 AND vec_id < 20),
+         |trs AS (
+         |  SELECT q_id, e.vec_id AS n_id, ROUND(${cosSql("qv", "v")}, 6) AS cos
+         |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id
+         |),
+         |tr AS (
+         |  SELECT q_id, n_id FROM trs
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+         |),
+         |${arm(64, "d64_")},
+         |${arm(48, "d48_")},
+         |${arm(32, "d32_")},
+         |${arm(16, "d16_")},
+         |${arm(8, "d8_")}
+         |${row(64, "d64_")}
+         |UNION ALL
+         |${row(48, "d48_")}
+         |UNION ALL
+         |${row(32, "d32_")}
+         |UNION ALL
+         |${row(16, "d16_")}
+         |UNION ALL
+         |${row(8, "d8_")}""".stripMargin
+    })
+
   /** Market-basket co-occurrence with LIFT (the association-rule
     * kernel, reference-domain analytics the commercial pipeline would
     * grow into): distinct (order, part) items, within-order pairs via
@@ -6754,7 +6840,7 @@ object PipelineQueries {
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
-    annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained,
+    annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
     annKmeans,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
