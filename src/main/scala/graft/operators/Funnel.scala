@@ -101,4 +101,67 @@ object Funnel {
     hist.select(col("stage"),
       sum(col("n_exact")).over(w).as("n_users"))
   }
+
+  /** CUSUM mean-shift detection over a per-period count series (Page
+    * 1954) — the sequential drift detector the pointwise MAD gate
+    * (`events_anomaly_days`) cannot replace: a SUSTAINED small shift,
+    * each period individually inside the envelope, accumulates until
+    * the one-sided statistics cross the alarm boundary. Robust
+    * self-calibrating parameters: target = median of the series,
+    * slack k = MAD, alarm at `hMads`·max(MAD, 1) — all exact
+    * integers, so the whole statistic is engine-portable with no
+    * tolerance.
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (n_t − med − mad))
+    *   S⁻_t = max(0, S⁻_{t−1} + (med − n_t − mad))
+    *
+    * `series` is a per-period aggregate `(dCol, nCol)` — the caller
+    * lands it from the corpus-sized groupBy (and checkpoint-cuts it:
+    * it feeds the median, the MAD, and the fold). The inherently
+    * sequential recursion runs as ONE fold over the period-ordered
+    * list — bounded by the MONITORING WINDOW's period count by
+    * construction (the packSequences sequential-unit contract),
+    * never by the event count. Output:
+    * `(d, n_events, cusum_pos, cusum_neg, is_shift)`.
+    */
+  def cusumShift(
+      series: DataFrame,
+      dCol: String,
+      nCol: String,
+      hMads: Int = 5): DataFrame = {
+    require(hMads >= 1, s"hMads must be >= 1, got $hMads")
+    val daily = series.select(col(dCol).as("d"), col(nCol).cast("long").as("n"))
+    val med1 = daily.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").cast("long").as("med"))
+    val mad1 = daily.crossJoin(broadcast(med1))
+      .withColumn("__dev", abs(col("n") - col("med")))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)")
+        .cast("long").as("mad"))
+    val acc0 = struct(
+      expr("array()").cast(
+        s"array<struct<d:${daily.schema("d").dataType.sql},n:bigint,sp:bigint,sn:bigint>>")
+        .as("rows"),
+      lit(0L).as("sp"), lit(0L).as("sn"))
+    daily.crossJoin(broadcast(med1)).crossJoin(broadcast(mad1))
+      .groupBy(col("med"), col("mad"))
+      .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("ds"))
+      .select(col("med"), col("mad"), explode(aggregate(
+        col("ds"), acc0,
+        (acc, x) => {
+          val sp2 = greatest(acc.getField("sp") +
+            (x.getField("n") - col("med") - col("mad")), lit(0L)).cast("bigint")
+          val sn2 = greatest(acc.getField("sn") +
+            (col("med") - x.getField("n") - col("mad")), lit(0L)).cast("bigint")
+          struct(
+            concat(acc.getField("rows"),
+              array(struct(x.getField("d").as("d"), x.getField("n").as("n"),
+                sp2.as("sp"), sn2.as("sn")))).as("rows"),
+            sp2.as("sp"), sn2.as("sn"))
+        },
+        acc => acc.getField("rows"))).as("r"))
+      .select(col("r.d").as("d"), col("r.n").as("n_events"),
+        col("r.sp").as("cusum_pos"), col("r.sn").as("cusum_neg"),
+        (col("r.sp") > lit(hMads.toLong) * greatest(col("mad"), lit(1L)) ||
+          col("r.sn") > lit(hMads.toLong) * greatest(col("mad"), lit(1L))).as("is_shift"))
+  }
 }

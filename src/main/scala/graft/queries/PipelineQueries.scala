@@ -4086,6 +4086,65 @@ object PipelineQueries {
            |SELECT dev.d, dev.n_events, dev.med_wd, dev.dv > 3 * mad.mad_wd AS is_anomaly
            |FROM dev JOIN mad USING (wd)""".stripMargin))
 
+  /** CUSUM mean-shift detection over daily event volume — the
+    * sequential drift detector that catches what
+    * `events_anomaly_days`' pointwise gate cannot: a SUSTAINED small
+    * shift (each day individually inside the MAD envelope) whose
+    * cumulative evidence crosses a decision boundary — the Page
+    * (1954) control chart, and the shape of ingest-volume / quality
+    * drift monitoring over a training-data pipeline. Two one-sided
+    * statistics with robust parameters from the data itself:
+    *
+    *   S⁺_t = max(0, S⁺_{t-1} + (n_t − med − mad))
+    *   S⁻_t = max(0, S⁻_{t-1} + (med − n_t − mad))
+    *
+    * (target = median of daily counts, slack k = MAD, alarm at
+    * 5·max(mad, 1) — all exact integers, so the entire statistic is
+    * engine-portable with no tolerance anywhere).
+    *
+    * Shape at scale: the corpus-sized work is ONE day-keyed count
+    * aggregate (checkpoint-cut: it feeds the median, the MAD, and
+    * the fold); the inherently-sequential CUSUM recursion runs as a
+    * fold over the day-ordered list — bounded by the MONITORING
+    * WINDOW's day count by construction (the packSequences
+    * sequential-unit contract), never by the event count. Robust
+    * fences ride 1-row broadcasts. Oracle = a recursive CTE
+    * replaying the fold row by row.
+    */
+  val eventsCusumShift = QueryDef(
+    "events_cusum_shift",
+    (s, dir) => Funnel.cusumShift(
+      org.apache.spark.sql.graft.CheckpointBlocks.cut(
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))),
+      "d", "n", hMads = 5),
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+           |),
+           |med AS (SELECT quantile_disc(n, 0.5) AS med FROM daily),
+           |mad AS (SELECT quantile_disc(abs(n - med), 0.5) AS mad
+           |        FROM daily CROSS JOIN med),
+           |ord AS (SELECT d, n, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily),
+           |cus AS (
+           |  SELECT o.rn, o.d, o.n,
+           |         GREATEST(o.n - m.med - a.mad, 0) AS sp,
+           |         GREATEST(m.med - o.n - a.mad, 0) AS sn
+           |  FROM ord o CROSS JOIN med m CROSS JOIN mad a
+           |  WHERE o.rn = 1
+           |  UNION ALL
+           |  SELECT o.rn, o.d, o.n,
+           |         GREATEST(c.sp + (o.n - m.med - a.mad), 0),
+           |         GREATEST(c.sn + (m.med - o.n - a.mad), 0)
+           |  FROM cus c JOIN ord o ON o.rn = c.rn + 1
+           |       CROSS JOIN med m CROSS JOIN mad a
+           |)
+           |SELECT c.d, c.n AS n_events,
+           |       CAST(c.sp AS BIGINT) AS cusum_pos,
+           |       CAST(c.sn AS BIGINT) AS cusum_neg,
+           |       (c.sp > 5 * GREATEST(a.mad, 1) OR c.sn > 5 * GREATEST(a.mad, 1)) AS is_shift
+           |FROM cus c CROSS JOIN mad a""".stripMargin))
+
   // -------------------------------------------------------- similarity
 
   /** DuckDB cosine mirroring [[graft.functions.VectorFunctions.cosine]]
@@ -6845,6 +6904,6 @@ object PipelineQueries {
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
-    sampleWeighted, basketLift, eventsAnomalyDays, pretrainPrepBpe, pretrainPrepLm,
+    sampleWeighted, basketLift, eventsAnomalyDays, eventsCusumShift, pretrainPrepBpe, pretrainPrepLm,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }

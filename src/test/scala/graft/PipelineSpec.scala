@@ -243,6 +243,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == ((5L, 0.05, 0.1125)))
   }
 
+  test("cusumShift: sustained small shift accumulates to the alarm; quiet series stays silent") {
+    import graft.operators.Funnel
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+    // Baseline days 1-6 jitter ±2 around 100; days 7-12 sit at 115 —
+    // a sustained shift. med = 102 (disc over 12 values), MAD = 4,
+    // slack = 4, alarm at 5·4 = 20. Hand-traced S⁺: 0 through day 6,
+    // then 9, 18, 27, 36, 45, 54 — the alarm fires day 9, two days
+    // AFTER onset but days before any single day would clear a
+    // pointwise gate at its own scale. S⁻ stays 0.
+    val shifted = Seq(100L, 98L, 102L, 99L, 101L, 100L, 115L, 115L, 115L, 115L, 115L, 115L)
+      .zipWithIndex.map { case (n, i) => (day(i + 1), n) }.toDF("d", "n")
+    val out = Funnel.cusumShift(shifted, "d", "n", hMads = 5)
+      .as[(java.sql.Date, Long, Long, Long, Boolean)].collect().sortBy(_._1.getTime)
+    assert(out.map(_._3).toSeq == Seq(0L, 0L, 0L, 0L, 0L, 0L, 9L, 18L, 27L, 36L, 45L, 54L))
+    assert(out.forall(_._4 == 0L))
+    assert(out.map(_._5).toSeq == Seq.fill(8)(false) ++ Seq.fill(4)(true))
+    // Quiet series: same jitter, no shift — nothing accumulates.
+    val quiet = Seq(100L, 98L, 102L, 99L, 101L, 100L, 100L, 102L, 98L, 100L, 99L, 101L)
+      .zipWithIndex.map { case (n, i) => (day(i + 1), n) }.toDF("d", "n")
+    val q = Funnel.cusumShift(quiet, "d", "n", hMads = 5)
+      .as[(java.sql.Date, Long, Long, Long, Boolean)].collect()
+    assert(q.forall(!_._5))
+  }
+
   test("winnowKernel matches the Column rollingHashes+winnow path") {
     val df = Seq((1L, "The quick brown fox jumps over the lazy dog again and again"),
       (2L, "short"), (3L, "tiny"), (4L, "abcdefgh"), (5L, "中文字符混合 text 测试串流"))
