@@ -1019,6 +1019,99 @@ object Dedup {
     } finally classified.unpersist()
   }
 
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * prune documents whose EMBEDDINGS are near-identical — paraphrases,
+    * templated boilerplate, machine translations — that no lexical
+    * method (MinHash/SimHash/n-gram) can see. The paper's recipe,
+    * re-expressed Spark-first:
+    *
+    *   1. Assign every vector to its nearest trained centroid
+    *      (broadcast argmax over k cells — the [[Similarity.ivfAssign]]
+    *      shape, all-double rounded-6dp cosine with lowest-centroid-id
+    *      tie-break, `sim_c` = the winning similarity captured in the
+    *      SAME aggregate, no second pass).
+    *   2. Within each cell only, score all pairs (the equi-join on
+    *      `cell` — NEVER corpus all-pairs; the cluster count k is the
+    *      knob that bounds the quadratic: sizing k ∝ corpus keeps
+    *      Σ|cell|² ≈ N·(N/k) linear in N, exactly how the paper runs
+    *      32 TB of LAION). Pairs at rounded-6dp cosine ≥ `minCosine`
+    *      are semantic duplicates.
+    *   3. Duplicate GROUPS are the connected components of the pair
+    *      graph ([[dedupClusters]] — min-label, checkpoint-cut rounds).
+    *   4. Keep ONE representative per group: the member with the
+    *      LOWEST similarity to its centroid (the paper's
+    *      diversity-preserving choice — keep the outlier, drop the
+    *      redundant core; ties break to the lower id).
+    *
+    * Returns one row per vector that belongs to some duplicate group:
+    * (`id`, `cell`, `cluster_rep`, `sim_c`, `keep` ∈ {0, 1}) — the
+    * removal list is `keep = 0`; vectors in no group are implicitly
+    * kept and don't appear (their "group" is themselves).
+    *
+    * Exactness contract: `centroids` are [[Similarity.kmeansFit]]
+    * output (6-dp decimal means, ~9 significant digits), so every
+    * cosine here runs the all-double
+    * [[graft.functions.VectorFunctions.cosineFastD]] path — the same
+    * expression the training loop assigns by — and an all-double
+    * oracle replays bit-identically; `keep` is an integer, not a
+    * boolean, per the engine-portability house rule.
+    *
+    * Scale: the assignment is one broadcast (k × dim) crossJoin +
+    * corpus-cardinality argmax; the member frame is checkpoint-cut
+    * ONCE (it feeds both self-join sides AND the output re-attach —
+    * the branch re-execution idiom); the pair join shuffles on `cell`
+    * (k keys — pick k ≥ shuffle parallelism at scale, which the
+    * k ∝ corpus sizing gives for free); CC is edge-cardinality; the
+    * keep rule is one component-cardinality aggregate joined back on
+    * its own unique key. The corpus vectors ride only the
+    * within-cell pair join, nothing corpus² ever materializes.
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val cents = broadcast(centroids.select(col("c_id"),
+      col("c_vec").cast("array<double>").as("c_vec")))
+    val assigned = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+      .crossJoin(cents)
+      .select(col("id"), col("vec"), col("c_id"),
+        round(VectorFunctions.cosineFastD(col("vec"), col("c_vec")), 6).as("sim"))
+      .groupBy("id")
+      .agg(
+        max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
+        // max(sim) IS the winning cell's similarity — argmax and max
+        // from one aggregate, no re-join against the centroid table.
+        max(col("sim")).as("sim_c"),
+        first(col("vec")).as("vec"))
+    // One materialization, three readers (both pair-join sides + the
+    // output re-attach) — uncut, the whole assignment (a corpus × k
+    // scoring pass) would re-execute per branch.
+    val members = CheckpointBlocks.cut(assigned)
+    val pairs = members
+      .select(col("id").as("id_a"), col("cell"), col("vec").as("__va"))
+      .join(members.select(col("id").as("id_b"), col("cell").as("__cb"),
+          col("vec").as("__vb")),
+        col("cell") === col("__cb") && col("id_a") < col("id_b"))
+      .filter(round(VectorFunctions.cosineFastD(col("__va"), col("__vb")), 6)
+        >= minCosine)
+      .select(col("id_a"), col("id_b"))
+    val groups = dedupClusters(pairs)
+    val out = groups
+      .join(members.select(col("id"), col("cell"), col("sim_c")), Seq("id"))
+    // Keep the member FARTHEST from its centroid (min sim_c, tie → min
+    // id): one row per component, joined back on the component key.
+    val keepers = out.groupBy(col("cluster_rep"))
+      .agg(min_by(col("id"), struct(col("sim_c"), col("id"))).as("__keep_id"))
+    out.join(keepers, Seq("cluster_rep"))
+      .select(col("id"), col("cell"), col("cluster_rep"), col("sim_c"),
+        (col("id") === col("__keep_id")).cast("int").as("keep"))
+  }
+
   /** LSH band-configuration tuning curve: for a FIXED `numHashes`-long
     * MinHash signature, measure what each (bands × rowsPerBand) split
     * buys — candidate-pair recall and precision against exact-Jaccard

@@ -5307,6 +5307,111 @@ object PipelineQueries {
          |UNION ALL SELECT * FROM trec16""".stripMargin
     })
 
+  /** SEMANTIC dedup over the clustered manifold fixture — the SemDeDup
+    * recipe end to end ([[Dedup.semDedup]]): [[Similarity.kmeansInit]]
+    * hash-picks 16 seeds, [[Similarity.kmeansFit]] refines them with
+    * 2 Lloyd iterations (the `ann_ivf_cells_trained` training contract
+    * verbatim), then within-cell pairwise cosine at θ = 0.6 →
+    * connected components → keep-the-outlier representative per group.
+    *
+    * θ = 0.6 is measured, not guessed: on this fixture same-cluster
+    * cosines run median 0.506 / max 0.752 and cross-cluster max 0.538
+    * (corpus-wide all-pairs view: 1,006 pairs at 0.6, every one
+    * same-cluster). Through the cell restriction the query finds 373
+    * of 500 vectors in 33 duplicate groups (sizes 2–32, spread over
+    * all 16 trained cells) and the keep rule drops 340 (68%): the
+    * fixture's planted redundancy is exactly what SemDeDup exists to
+    * reclaim. Real corpora run the same operator at 0.9+ on trained
+    * sentence embeddings.
+    *
+    * The oracle replays EVERYTHING all-double: both Lloyd iterations
+    * (the trained centroids carry ~9 significant digits — the
+    * exactDouble contract), the argmax assignment with its captured
+    * `sim_c`, the within-cell pair scores, the recursive-CTE component
+    * walk, and the windowed keep rule — one flipped assignment or a
+    * single float32 roundoff anywhere hash-fails.
+    */
+  val dedupSemdedup = QueryDef(
+    "dedup_semdedup",
+    (s, dir) => {
+      val emb = manifoldEmb(s, dir)
+      val cents = Similarity.kmeansFit(emb,
+          Similarity.kmeansInit(emb, "vec_id", "embedding", 16),
+          "vec_id", "embedding", iters = 2)
+        .select(col("c_id"), col("c_vec"))
+      Dedup.semDedup(emb, "vec_id", "embedding", cents, minCosine = 0.6)
+    },
+    Some {
+      s"""WITH RECURSIVE e AS ($manifoldSrcSql),
+         |tpos AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS p),
+         |tseed AS (
+         |  SELECT vec_id AS c_id, v AS cv FROM e
+         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+         |  LIMIT 16
+         |),
+         |ta1 AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.v, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+         |    FROM e CROSS JOIN tseed c
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+         |),
+         |tm1 AS (
+         |  SELECT cell, p,
+         |         ROUND(CAST(SUM(CAST(ROUND(v[p], 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(*), 6) AS m
+         |  FROM ta1 CROSS JOIN tpos GROUP BY cell, p
+         |),
+         |tc1 AS (SELECT cell AS c_id, LIST(m ORDER BY p) AS cv FROM tm1 GROUP BY cell),
+         |ta2 AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.v, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+         |    FROM e CROSS JOIN tc1 c
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+         |),
+         |tm2 AS (
+         |  SELECT cell, p,
+         |         ROUND(CAST(SUM(CAST(ROUND(v[p], 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(*), 6) AS m
+         |  FROM ta2 CROSS JOIN tpos GROUP BY cell, p
+         |),
+         |tc2 AS (SELECT cell AS c_id, LIST(m ORDER BY p) AS cv FROM tm2 GROUP BY cell),
+         |assign AS (
+         |  SELECT vec_id, v, c_id AS cell, sim AS sim_c FROM (
+         |    SELECT e.vec_id, e.v, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
+         |    FROM e CROSS JOIN tc2 c
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+         |),
+         |dup AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${cosSql("a.v", "b.v")}, 6) >= 0.6
+         |),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS t FROM dup
+         |  UNION
+         |  SELECT id_b AS s, id_a AS t FROM dup
+         |),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s
+         |),
+         |groups AS (
+         |  SELECT s AS id, least(s, MIN(t)) AS cluster_rep FROM reach GROUP BY s
+         |),
+         |outg AS (
+         |  SELECT g.id, a.cell, g.cluster_rep, a.sim_c
+         |  FROM groups g JOIN assign a ON g.id = a.vec_id
+         |),
+         |keepers AS (
+         |  SELECT cluster_rep, id AS keep_id FROM outg
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_rep ORDER BY sim_c ASC, id ASC) = 1
+         |)
+         |SELECT o.id, o.cell, o.cluster_rep, o.sim_c,
+         |       CAST(o.id = k.keep_id AS INT) AS keep
+         |FROM outg o JOIN keepers k USING (cluster_rep)""".stripMargin
+    })
+
   private def ivfPqBody(emb: DataFrame, rerank: Boolean): DataFrame = {
     val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
     val centroids = emb.filter(col("vec_id") < 8)
@@ -6900,7 +7005,7 @@ object PipelineQueries {
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
-    annKmeans,
+    annKmeans, dedupSemdedup,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,

@@ -569,6 +569,34 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), out.toString)
   }
 
+  test("semDedup: within-cell groups, keep-the-outlier rule, non-members absent") {
+    // Two centroids on axes e1/e2; cell 0 holds a 3-member dup group
+    // {1,2,3} plus doc 4 (assigned to cell 0 but under θ with every
+    // member — must appear in NO row, not as a singleton); cell 1
+    // holds the pair {5,6}. Keep rule: the member with the LOWEST
+    // centroid similarity survives — v3 (0.9578) over v1 (0.9950) /
+    // v2 (0.9929), and v6 over v5 — hand-traced from the exact
+    // geometry, not from running the operator.
+    val docs = Seq(
+      (1L, Seq(1f, 0f, 0.1f, 0f)),
+      (2L, Seq(1f, 0f, 0.12f, 0f)),
+      (3L, Seq(1f, 0f, 0.3f, 0f)),
+      (4L, Seq(1f, 0f, -1f, 0f)),
+      (5L, Seq(0f, 1f, 0.1f, 0f)),
+      (6L, Seq(0f, 1f, 0.3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("c_id", "c_vec")
+    val out = Dedup.semDedup(docs, "vec_id", "embedding", cents, minCosine = 0.9)
+      .select(col("id"), col("cell"), col("cluster_rep"), col("keep"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 1L, 0), (2L, 0L, 1L, 0), (3L, 0L, 1L, 1),
+      (5L, 1L, 5L, 0), (6L, 1L, 5L, 1)), out.toString)
+  }
+
   test("assignToClusters matches a full recompute on a non-bridging batch") {
     // Corpus ids 1-6: clusters {1,2}, {3,4}; 5, 6 singletons. Batch ids
     // 10-15 (arrival order: all > any standing rep). Batch pairs:
