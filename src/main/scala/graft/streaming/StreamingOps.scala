@@ -1088,6 +1088,78 @@ object StreamingOps {
         ((-col("t.ns")).cast("double") / lit(1000000.0)).as("score"))
   }
 
+  /** Per-period count for [[cusumShiftStream]]: `key` names the
+    * monitored series (source id, pipeline stage, …), `d` the period
+    * as any monotone integer (epoch day), `n` the period's count.
+    */
+  final case class CusumPoint(key: Long, d: Long, n: Long)
+
+  /** Keyed state for [[cusumShiftStream]]: the two one-sided
+    * statistics and the last period already folded (the monotone
+    * fence that drops late/duplicate periods).
+    */
+  final case class CusumState(sp: Long, sn: Long, lastD: Long)
+
+  /** One scored period out of [[cusumShiftStream]]. */
+  final case class CusumAlarm(
+      key: Long, d: Long, n: Long, cusumPos: Long, cusumNeg: Long, isShift: Boolean)
+
+  /** CUSUM drift detection over a LIVE per-period count stream — the
+    * serving twin of [[graft.operators.Funnel.cusumShift]], same
+    * offline-calibrate/online-serve split as [[lmScoreStream]]'s
+    * frozen fences: a stream cannot take the series median/MAD (they
+    * are corpus statistics), so `med`/`mad` arrive FROZEN from the
+    * batch calibration run and the stream maintains only the two
+    * one-sided sums per monitored series:
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (n_t − med − mad))
+    *   S⁻_t = max(0, S⁻_{t−1} + (med − n_t − mad))
+    *
+    * alarming when either exceeds `hMads`·max(mad, 1) — all exact
+    * integer arithmetic, identical to the batch fold, so parity is
+    * row-for-row (spec-pinned across micro-batch splits).
+    *
+    * State per series is THREE longs — thousands of monitored series
+    * cost kilobytes, and the recursion's sequential nature lives
+    * entirely inside one key (the packSequences sequential-unit
+    * contract: parallel across series, sequential within). CUSUM is
+    * order-dependent, so a period at or before the last folded one
+    * is DROPPED, not folded out of order (the monotone-advance
+    * contract — replaying history through a corrupted recursion
+    * would silently wrong every later statistic; a gap-tolerant
+    * deployment replays from the batch path instead). Within one
+    * micro-batch, rows fold in period order.
+    */
+  def cusumShiftStream(
+      points: Dataset[CusumPoint],
+      med: Long,
+      mad: Long,
+      hMads: Int = 5): Dataset[CusumAlarm] = {
+    require(hMads >= 1, s"hMads must be >= 1, got $hMads")
+    implicit val stateEnc = Encoders.product[CusumState]
+    implicit val outEnc = Encoders.product[CusumAlarm]
+    implicit val longEnc = Encoders.scalaLong
+    val h = hMads.toLong * math.max(mad, 1L)
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, Long.MinValue))
+          val out = Seq.newBuilder[CusumAlarm]
+          rows.toSeq.sortBy(_.d).foreach { p =>
+            if (p.d > st.lastD) {
+              val sp = math.max(0L, st.sp + (p.n - med - mad))
+              val sn = math.max(0L, st.sn + (med - p.n - mad))
+              st = CusumState(sp, sn, p.d)
+              out += CusumAlarm(key, p.d, p.n, sp, sn, sp > h || sn > h)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** [[sessionize]]'s state transition, factored out so the
     * timeout-expiry path is a DETERMINISTIC unit test through Spark's
     * public `TestGroupState` harness (round-10 verdict ask #6 — the

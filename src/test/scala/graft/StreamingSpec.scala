@@ -698,6 +698,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("cusumShiftStream matches the batch fold across micro-batch splits; late periods drop") {
+    implicit val sql = spark.sqlContext
+    import StreamingOps.{CusumPoint, CusumAlarm}
+    import graft.operators.Funnel
+    // The batch unit fixture verbatim: jitter ±2 around 100 for six
+    // days, then a sustained 115 — self-calibrated med = 102, MAD = 4.
+    // The stream serves with those numbers FROZEN, so parity with the
+    // self-calibrating batch fold is row-for-row by construction.
+    val ns = Seq(100L, 98L, 102L, 99L, 101L, 100L, 115L, 115L, 115L, 115L, 115L, 115L)
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+    val batch = Funnel.cusumShift(
+      ns.zipWithIndex.map { case (n, i) => (day(i + 1), n) }.toDF("d", "n"),
+      "d", "n", hMads = 5)
+      .as[(java.sql.Date, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1.toLocalDate.getDayOfMonth.toLong, r._2, r._3, r._4, r._5)).toSet
+    val ms = MemoryStream[CusumPoint]
+    val dir = Files.createTempDirectory("graft_stream_cusum").toString
+    val out = StreamingOps.cusumShiftStream(ms.toDS(), med = 102L, mad = 4L, hMads = 5)
+    val q = out.writeStream.format("memory").queryName("cusum_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      def pt(i: Int) = CusumPoint(7L, i.toLong, ns(i - 1))
+      ms.addData(pt(1), pt(2), pt(3), pt(4))
+      q.processAllAvailable()
+      // out-of-order WITHIN a batch folds in period order; the re-sent
+      // day 3 is behind the state fence and must vanish, not re-fold.
+      ms.addData(pt(6), pt(5), pt(3), pt(7), pt(8))
+      q.processAllAvailable()
+      ms.addData(pt(9), pt(10), pt(11), pt(12))
+      q.processAllAvailable()
+      val got = spark.table("cusum_test").as[CusumAlarm].collect()
+      assert(got.length == 12, s"12 periods scored once each, got ${got.length}")
+      assert(got.map(a => (a.d, a.n, a.cusumPos, a.cusumNeg, a.isShift)).toSet
+        == batch, "stream twin diverged from the batch fold")
+      // Hand trace: S+ crosses 20 on day 9 (27), alarm stays on after.
+      assert(got.filter(_.isShift).map(_.d).sorted.toSeq == Seq(9L, 10L, 11L, 12L))
+    } finally q.stop()
+  }
+
   test("abandonedFunnelStream: event-time timers flag stalled funnels, completed ones stay silent") {
     implicit val sql = spark.sqlContext
     import StreamingOps.{TimedFunnelEvent, FunnelAbandoned}
