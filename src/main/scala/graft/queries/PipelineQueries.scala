@@ -1174,6 +1174,75 @@ object PipelineQueries {
          |  FROM (SELECT freq, unnest(s) AS t FROM st$BpeMerges) GROUP BY 1
          |)""".stripMargin))
 
+  /** Tokenizer COMPRESSION-RETURNS curve — corpus fertility
+    * (BPE tokens per word) and vocabulary size as a function of merge
+    * count, k ∈ {0, 5, 10, 20}: the table a deployment reads to
+    * decide how many merges a vocabulary budget buys (every token is
+    * sequence length, and sequence length is quadratic attention
+    * compute — the T18i scaling bench priced training COST per merge;
+    * this prices the training RETURN). One 20-round training pass
+    * serves all four arms: BPE merges are greedy-sequential, so the
+    * rank-≤ k PREFIX of the 20-round merge table IS the k-merge
+    * tokenizer (the same prefix property the byte-fallback rollout
+    * relies on), replayed per arm over the distinct-word frame —
+    * corpus touched ONCE for word counts (cut: four arms × two
+    * aggregates read it), everything after is vocabulary-cardinality.
+    * k=0 anchors the curve at the character split (fertility = mean
+    * word length, vocabulary = alphabet).
+    *
+    * Measured at sf0.01: vocab 24 → 29/33/37 as k climbs 0 → 5/10/20
+    * while fertility falls 4.51 → 3.94/3.61/3.26 tokens/word — the
+    * first five merges buy ~0.11 tokens/word each, the last ten only
+    * ~0.035 — the diminishing-returns shape that justifies stopping
+    * a production vocabulary at the knee. The oracle reads the SAME
+    * numbers straight off its training chain's intermediate states
+    * (st0/st5/st10/st20), so the prefix-replay claim is itself what
+    * the hash verifies.
+    */
+  val textBpeMergeCurve = QueryDef(
+    "text_bpe_merge_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val docs = Tables.documents(s, dir)
+      val (mergeTable, _) =
+        graft.operators.Bpe.train(docs, "text", merges = BpeMerges)
+      val wc = CheckpointBlocks.cut(graft.operators.Bpe.wordCounts(docs, "text"))
+      def arm(k: Int): DataFrame = {
+        val ms = broadcast(graft.operators.Bpe.mergesArray(
+          mergeTable.filter(col("merge_rank") <= k)))
+        val seg = CheckpointBlocks.cut(wc.crossJoin(ms)
+          .select(col("freq"),
+            graft.operators.Bpe.applyMerges(col("w"), col("__merges")).as("s")))
+        val totals = seg.agg(
+          sum(col("freq")).cast("long").as("n_words"),
+          sum(col("freq") * size(col("s"))).cast("long").as("n_bpe_tokens"))
+        val vocab = seg.select(explode(col("s")).as("t"))
+          .agg(countDistinct(col("t")).as("vocab_size"))
+        totals.crossJoin(vocab)
+          .select(lit(k).as("k_merges"), col("vocab_size"), col("n_words"),
+            col("n_bpe_tokens"),
+            round(col("n_bpe_tokens").cast("double") /
+              col("n_words").cast("double"), 4).as("tokens_per_word"))
+      }
+      Seq(0, 5, 10, BpeMerges).map(arm).reduce(_.unionByName(_))
+    },
+    Some {
+      def arm(k: Int) =
+        s"""SELECT $k AS k_merges,
+           |       (SELECT CAST(COUNT(DISTINCT t) AS BIGINT)
+           |        FROM (SELECT unnest(s) AS t FROM st$k)) AS vocab_size,
+           |       CAST(SUM(freq) AS BIGINT) AS n_words,
+           |       CAST(SUM(freq * len(s)) AS BIGINT) AS n_bpe_tokens,
+           |       ROUND(SUM(freq * len(s))::DOUBLE / SUM(freq)::DOUBLE, 4)
+           |         AS tokens_per_word
+           |FROM st$k""".stripMargin
+      s"""WITH ${bpeChainSql(BpeMerges)}
+         |${arm(0)}
+         |UNION ALL ${arm(5)}
+         |UNION ALL ${arm(10)}
+         |UNION ALL ${arm(BpeMerges)}""".stripMargin
+    })
+
   /** The tokenizer's SERVING output ([[graft.operators.Bpe.encodeIds]]):
     * per-document token-ID sequences — train, build the vocabulary
     * artifact, segment every word by merge replay, map each symbol to
@@ -6997,7 +7066,7 @@ object PipelineQueries {
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
-    textBpeEncodeOov, textBpeVocab, textBpeTokenIds, textBpeTokenIdsBytes,
+    textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
     textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
