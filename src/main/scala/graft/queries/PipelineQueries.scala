@@ -1490,6 +1490,82 @@ object PipelineQueries {
            |SELECT bigram, n FROM c
            |QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) <= 20""".stripMargin))
 
+  /** PMI-ranked collocations (Church & Hanks 1990) — the association
+    * upgrade of [[textTopBigrams]]: raw counts surface whatever is
+    * frequent ("of the"); pointwise mutual information
+    * ln(p(w1,w2) / (p(w1)·p(w2))) surfaces pairs that co-occur MORE
+    * than their marginals predict — the collocation/phrase-mining
+    * kernel (and the same log-ratio statistic DSIR scores with,
+    * applied to pair-vs-independence instead of target-vs-raw).
+    *
+    * Exactness: all counts come from ONE bigram aggregate (cut — the
+    * marginals, the total, and the scored rows all read it; left/right
+    * marginals are SUMS of the pair frame, no second corpus pass);
+    * PMI evaluates as ln((c12·N)/(cl·cr)) with every factor cast to
+    * double BEFORE multiplying — written identically on both engines,
+    * so the one ln call rounds identically — and lands as integer
+    * micro-nats (the library-wide idiom). Min support c12 ≥ 5: PMI
+    * famously explodes on hapax pairs (c12 = 1 maximizes the
+    * statistic), so unsupported pairs are gated before ranking, and
+    * the top-20 cut is TakeOrdered on (pmi_u, w1, w2) — a bounded
+    * heap, never a vocabulary sort.
+    *
+    * Scale: bigram explode → map-side-combined pair aggregate
+    * (pair-vocabulary cardinality); marginal joins shuffle on the
+    * word keys, AQE free to broadcast the smaller side; the 1-row
+    * total rides a broadcast.
+    */
+  val textPmiCollocations = QueryDef(
+    "text_pmi_collocations",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val toks = Tables.documents(s, dir)
+        .select(filter(TextAnalysis.tokens(lower(coalesce(col("text"), lit("")))),
+          t => t =!= "").as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = CheckpointBlocks.cut(
+        toks.select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))"))
+          .as("g"))
+          .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12")))
+      val leftM = pairs.groupBy(col("w1")).agg(sum(col("c12")).as("cl"))
+      val rightM = pairs.groupBy(col("w2")).agg(sum(col("c12")).as("cr"))
+      val tot = pairs.agg(sum(col("c12")).as("n"))
+      pairs.filter(col("c12") >= 5)
+        .join(leftM, Seq("w1"))
+        .join(rightM, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12").cast("double") * col("n").cast("double")) /
+            (col("cl").cast("double") * col("cr").cast("double"))) * lit(1000000.0), 0)
+            .cast("bigint").as("pmi_u"))
+        .orderBy(col("pmi_u").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+           |  SELECT list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |bg AS (
+           |  SELECT t[i] AS w1, t[i + 1] AS w2
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+           |  WHERE len(t) >= 2
+           |),
+           |p AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+           |l AS (SELECT w1, SUM(c12) AS cl FROM p GROUP BY 1),
+           |r AS (SELECT w2, SUM(c12) AS cr FROM p GROUP BY 1),
+           |tt AS (SELECT SUM(c12) AS n FROM p)
+           |SELECT p.w1, p.w2, p.c12,
+           |       CAST(ROUND(ln((p.c12::DOUBLE * tt.n::DOUBLE)
+           |                     / (l.cl::DOUBLE * r.cr::DOUBLE)) * 1000000.0, 0)
+           |         AS BIGINT) AS pmi_u
+           |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt
+           |WHERE p.c12 >= 5
+           |QUALIFY ROW_NUMBER() OVER (ORDER BY pmi_u DESC, p.w1 ASC, p.w2 ASC) <= 20""".stripMargin))
+
   /** Sentence segmentation, oracle-checked ([[TextAnalysis.sentences]]):
     * the fixture's word-salad text carries no punctuation, so the
     * query INJECTS it deterministically (the PII-oracle precedent) —
@@ -7067,7 +7143,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
