@@ -1693,6 +1693,106 @@ object PipelineQueries {
             |)
             |SELECT doc_id, $qualityExprSql AS quality FROM base""".stripMargin))
 
+  /** Population Stability Index of the quality gate's distributional
+    * footprint — the monitoring artifact that answers "what did my
+    * filter DO to the corpus?": bin documents by REFERENCE deciles of
+    * `n_chars` (percentile_disc fences over the pre-filter corpus —
+    * the qcut idiom, a 1-row broadcast), count each bin before and
+    * after the `quality ≥ 0.5` gate, and score
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i) per bin in integer micro-nats
+    * (+1/+10 Laplace smoothing so an emptied bin stays finite —
+    * each term is ≥ 0 by construction). The credit-risk-monitoring
+    * statistic (PSI > 0.25 = "population changed, re-examine")
+    * applied to the corpus pipeline: a length-correlated quality
+    * gate SHOULD shift the length distribution, and this measures
+    * exactly how much, bin by bin.
+    *
+    * Both cohorts come from ONE aggregate: the gated cohort is a
+    * subset of the reference, so `n_cur` is a conditional sum beside
+    * `n_ref`'s count — one corpus pass over the cut (doc, n_chars,
+    * quality) frame, which also feeds the fence aggregate (the
+    * branch re-execution idiom). Everything after is 10-row work;
+    * the total row (-1) re-sums the per-bin INTEGER contributions,
+    * so total = Σ bins exactly, order-free. All multiplications cast
+    * each factor to double first, written identically on both
+    * engines, so the one ln rounds identically.
+    *
+    * Measured at sf0.01: the 0.5 gate keeps 348/500 docs and the
+    * short-length bins empty hardest (bin 0: 50 → 1 survivor —
+    * quality's 0.4-weight length term; bins ≥ 5 keep everything,
+    * the term saturates at 100 tokens), total PSI ≈ 0.50 — far past
+    * the 0.25 "investigate" fence, quantifying that this gate is
+    * NOT distribution-neutral on length (by design — that is the
+    * lesson the artifact exists to surface).
+    */
+  val pipelineFilterPsi = QueryDef(
+    "pipeline_filter_psi",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val docs = CheckpointBlocks.cut(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars"),
+          TextAnalysis.qualityScore(col("text")).as("q")))
+      val fences = broadcast(docs.agg(
+        expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars)").as("f1"),
+        (2 to 9).map(k =>
+          expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY n_chars)").as(s"f$k")): _*))
+      val perBin = CheckpointBlocks.cut(docs.crossJoin(fences)
+        .select(col("q"),
+          (1 to 9).map(k => when(col("n_chars") > col(s"f$k"), 1).otherwise(0))
+            .reduce(_ + _).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_ref"),
+          sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_cur")))
+      val tot = broadcast(perBin.agg(
+        sum(col("n_ref")).as("np"), sum(col("n_cur")).as("nq")))
+      val scored = perBin.crossJoin(tot)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(lit(1000000.0) *
+            ((col("n_ref") + 1).cast("double") / (col("np") + 10).cast("double") -
+              (col("n_cur") + 1).cast("double") / (col("nq") + 10).cast("double")) *
+            log(((col("n_ref") + 1).cast("double") * (col("nq") + 10).cast("double")) /
+              ((col("n_cur") + 1).cast("double") * (col("np") + 10).cast("double"))), 0)
+            .cast("bigint").as("psi_u"))
+      scored.unionByName(scored.agg(
+        sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        sum(col("psi_u")).as("psi_u"))
+        .select(lit(-1).as("bin"), col("n_ref"), col("n_cur"), col("psi_u")))
+    },
+    Some {
+      val fenceCols = (1 to 9).map(k => s"quantile_disc(n_chars, 0.$k) AS f$k").mkString(", ")
+      val binExpr = (1 to 9).map(k => s"CASE WHEN n_chars > f$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars, text, toks, CAST(len(toks) AS DOUBLE) AS n
+         |  FROM (SELECT doc_id, n_chars, text,
+         |               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+         |        FROM documents)
+         |),
+         |qd AS (SELECT doc_id, n_chars, $qualityExprSql AS q FROM base),
+         |f AS (SELECT $fenceCols FROM qd),
+         |b AS (SELECT q, ($binExpr) AS bin FROM qd CROSS JOIN f),
+         |pb AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref,
+         |         CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |  FROM b GROUP BY 1
+         |),
+         |tt AS (SELECT SUM(n_ref) AS np, SUM(n_cur) AS nq FROM pb),
+         |sc AS (
+         |  SELECT bin, n_ref, n_cur,
+         |         CAST(ROUND(1000000.0 *
+         |           ((n_ref + 1)::DOUBLE / (np + 10)::DOUBLE
+         |            - (n_cur + 1)::DOUBLE / (nq + 10)::DOUBLE) *
+         |           ln(((n_ref + 1)::DOUBLE * (nq + 10)::DOUBLE)
+         |              / ((n_cur + 1)::DOUBLE * (np + 10)::DOUBLE)), 0) AS BIGINT) AS psi_u
+         |  FROM pb CROSS JOIN tt
+         |)
+         |SELECT bin, n_ref, n_cur, psi_u FROM sc
+         |UNION ALL
+         |SELECT -1 AS bin, CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+         |       CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+         |       CAST(SUM(psi_u) AS BIGINT) AS psi_u
+         |FROM sc""".stripMargin
+    })
+
   /** Per-source corpus curation report — the "which sources do we
     * keep / reweight / drop" table every corpus curation pass starts
     * from (the Common-Crawl-derived pipelines publish exactly this
@@ -7139,7 +7239,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate,
-    textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pretrainPrep,
+    textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
