@@ -1035,6 +1035,80 @@ object StreamingOps {
         (col("logw_u").cast("double") / lit(1000000.0)).as("log_w"))
   }
 
+  /** STREAMING PSI drift monitor — the serving twin of the
+    * `pipeline_filter_psi` artifact, turned toward ARRIVALS: per
+    * event-time window, how far has the incoming feature
+    * distribution drifted from a FROZEN reference? (ingest-pipeline
+    * change detection — a new source, a scraper regression, a
+    * seasonal shift — caught as one number per window against the
+    * 0.25 "investigate" fence.) The reference — decile fences AND
+    * per-bin reference counts — is a 1-row offline artifact
+    * (`Sink.saveIndex`/`Load.loadIndex`), the lmScoreStream
+    * frozen-fences contract: a stream cannot take corpus
+    * percentiles.
+    *
+    * `ref` rows: (`bin` int, `n_ref` long) — one per reference bin;
+    * `fences`: 1 row holding the ordered `fences array<long>` (bin =
+    * count of fences strictly below the value, so |bins| = |fences|
+    * + 1). Smoothing is +1 per bin / +B per cohort, identical to the
+    * batch artifact.
+    *
+    * Shape: binning is a stateless HOF fold over the broadcast fence
+    * array; the ONLY stateful operator is the per-(window, bin)
+    * count; the per-window PSI then folds over the BOUNDED bin
+    * domain — fanned from the reference side, so a bin the window
+    * never saw still contributes its smoothed term (dropping it
+    * would understate drift exactly when drift is worst) — inside
+    * one `aggregate` HOF on a bin-count map, no second stateful
+    * stage and no stream-stream join. Integer micro-nat rounding
+    * per bin, summed — bit-identical to the batch formula per bin.
+    * Output per window: (`window_start`, `n_docs`, `psi_u`,
+    * `psi` double).
+    */
+  def psiDriftStream(
+      docs: DataFrame,
+      featureCol: String,
+      tsCol: String,
+      fences: DataFrame,
+      ref: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val refAgg = broadcast(ref.agg(
+      array_sort(collect_list(struct(col("bin"), col("n_ref")))).as("__bins"),
+      sum(col("n_ref")).as("__np"),
+      count(lit(1)).as("__nb")))
+    val f = broadcast(fences.select(col("fences").as("__fences")))
+    val binned = docs
+      .select(col(featureCol).cast("long").as("__v"), col(tsCol).as("__ts"))
+      .crossJoin(f)
+      .select(col("__ts"), aggregate(col("__fences"), lit(0),
+        (acc, fe) => acc + when(col("__v") > fe, 1).otherwise(0)).as("bin"))
+    binned
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), windowDur))
+      .agg(sum(col("n")).as("n_docs"),
+        map_from_entries(collect_list(struct(col("bin"), col("n")))).as("__m"))
+      .select(col("window.start").as("window_start"),
+        col("n_docs"), col("__m"))
+      .crossJoin(refAgg)
+      .select(col("window_start"), col("n_docs"),
+        aggregate(col("__bins"), lit(0L), (acc, b) => {
+          val cp = b.getField("n_ref") + lit(1L)
+          val cq = coalesce(element_at(col("__m"), b.getField("bin")), lit(0L)) + lit(1L)
+          val np = col("__np") + col("__nb")
+          val nq = col("n_docs") + col("__nb")
+          acc + round(lit(1000000.0) *
+            (cp.cast("double") / np.cast("double") -
+              cq.cast("double") / nq.cast("double")) *
+            log((cp.cast("double") * nq.cast("double")) /
+              (cq.cast("double") * np.cast("double"))), 0).cast("bigint")
+        }).as("psi_u"))
+      .select(col("window_start"), col("n_docs"), col("psi_u"),
+        (col("psi_u").cast("double") / lit(1000000.0)).as("psi"))
+  }
+
   /** STREAMING BM25 retrieval serving — the online half of the T20
     * contract (how a search service actually runs: the scored
     * postings index [[graft.operators.TextAnalysis.bm25Index]] is

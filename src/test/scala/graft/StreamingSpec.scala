@@ -379,6 +379,65 @@ class StreamingSpec extends AnyFunSuite {
       "bm25TopKStream lost its watermark — unbounded state")
   }
 
+  test("psiDriftStream: frozen reference, per-window PSI incl. the emptied-bin smoothing path") {
+    implicit val sql = spark.sqlContext
+    // Frozen artifact: fences [100, 200] -> 3 bins; reference counts
+    // (4, 4, 2), np = 10, B = 3 — round-tripped through
+    // saveIndex/loadIndex like every serving twin.
+    val dir = Files.createTempDirectory("graft_stream_psi").toString
+    graft.sources.Sink.saveIndex(
+      Seq((0, 4L), (1, 4L), (2, 2L)).toDF("bin", "n_ref"),
+      s"$dir/ref", Map("family" -> "psi", "feature" -> "n_chars"))
+    val (ref, params) = graft.sources.Load.loadIndex(spark, s"$dir/ref")
+    assert(params("family") == "psi")
+    val fences = Seq(Tuple1(Seq(100L, 200L))).toDF("fences")
+    // Mirror of the operator's per-bin integer micro-nat term (the
+    // batch pipeline_filter_psi formula), rounded HALF_UP like Spark's
+    // round(col, 0) — the expectation is computed HERE, not by
+    // running the operator.
+    def psiU(cur: Seq[Long]): Long = {
+      val refN = Seq(4L, 4L, 2L); val np = 13.0; val nq = cur.sum + 3.0
+      refN.indices.map { b =>
+        val cp = refN(b) + 1.0; val cq = cur(b) + 1.0
+        val x = 1000000.0 * (cp / np - cq / nq) * math.log((cp * nq) / (cq * np))
+        java.math.BigDecimal.valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      }.sum
+    }
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:10:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    // Window 1 tracks the reference shape loosely: bins (1, 1, 2).
+    // Window 2 is ALL drift: bins (0, 0, 3) — two bins emptied, the
+    // smoothed terms must still contribute (dropping them would
+    // understate drift exactly when it is worst).
+    ms.addData((50L, t0), (150L, t0), (250L, t0), (250L, t0))
+    ms.addData((250L, t1), (250L, t1), (300L, t1))
+    val out = StreamingOps.psiDriftStream(
+      ms.toDF.toDF("n_chars", "ts"), "n_chars", "ts", fences, ref)
+    val q = out.writeStream.format("memory").queryName("psi_stream_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData((1L, late))
+      q.processAllAvailable()
+      ms.addData((2L, late))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("psi_stream_test")
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+      .filter(_._1.before(late)).map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(got == Set(
+      (t0, 4L, psiU(Seq(1L, 1L, 2L)), psiU(Seq(1L, 1L, 2L)).toDouble / 1000000.0),
+      (t1, 3L, psiU(Seq(0L, 0L, 3L)), psiU(Seq(0L, 0L, 3L)).toDouble / 1000000.0)),
+      s"got $got")
+    // The drifted window must read as the louder one.
+    assert(psiU(Seq(0L, 0L, 3L)) > psiU(Seq(1L, 1L, 2L)))
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "psiDriftStream lost its watermark — unbounded state")
+  }
+
   test("dsirScoreStream: frozen llr artifact, batch parity on pool docs + full-domain floor for novel grams") {
     implicit val sql = spark.sqlContext
     import graft.operators.Sampling
