@@ -1581,6 +1581,110 @@ object PipelineQueries {
            |WHERE p.c12 >= 5
            |QUALIFY ROW_NUMBER() OVER (ORDER BY pmi_u DESC, p.w1 ASC, p.w2 ASC) <= 20""".stripMargin))
 
+  /** Heaps'-law vocabulary growth curve (`V(N) ≈ K·N^β`, Heaps 1978)
+    * — the scaling artifact behind every tokenizer-budget decision:
+    * open vocabulary grows as a POWER of corpus size (β ≈ 0.4–0.6 on
+    * natural text), which is why a fixed word vocabulary can never
+    * close coverage and subword tokenizers exist at all. Four nested
+    * corpus prefixes (hash-bucket < 10/25/50/100 of 100 — the
+    * deterministicSample idiom, so prefixes are engine-portable and
+    * properly nested), each row carrying docs, token occurrences,
+    * distinct-word count, and the measured β against the PREVIOUS
+    * arm (ln(V_i/V_{i−1}) / ln(N_i/N_{i−1}), integer micro-units —
+    * the observable that tells "flattening" from "still growing").
+    *
+    * ONE corpus pass serves all four arms: the (bucket, word) count
+    * frame is cut, then V(pct) = |words whose MIN bucket < pct| and
+    * N(pct) = Σ tokens over buckets < pct — nesting turns the
+    * four-scan shape into two vocabulary-/100-row-sized aggregates
+    * per arm (no window anywhere; β comes from crossJoining the
+    * neighbor arm's 1-row totals).
+    *
+    * Measured at sf0.01: the 31-word closed synthetic vocabulary
+    * saturates by the 10% prefix — β = 0 at every step, the honest
+    * null (a CLOSED vocabulary is exactly the world where word-level
+    * tokenization would suffice); on open text the same query reads
+    * ~0.5. The null is the fixture lesson; the operator's value is
+    * the curve shape it would show on real data.
+    */
+  val textVocabGrowth = QueryDef(
+    "text_vocab_growth",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val docs = Tables.documents(s, dir)
+      val tokC = CheckpointBlocks.cut(docs
+        .select(Sampling.hashBucket(col("doc_id"), 100).as("b"),
+          explode(filter(TextAnalysis.tokens(lower(coalesce(col("text"), lit("")))),
+            t => t =!= "")).as("w"))
+        .groupBy(col("b"), col("w"))
+        .agg(count(lit(1)).as("n")))
+      val perWord = CheckpointBlocks.cut(
+        tokC.groupBy(col("w")).agg(min(col("b")).as("min_b")))
+      val perBucket = CheckpointBlocks.cut(
+        tokC.groupBy(col("b")).agg(sum(col("n")).as("nt")))
+      val perDoc = CheckpointBlocks.cut(docs
+        .groupBy(Sampling.hashBucket(col("doc_id"), 100).as("b"))
+        .agg(count(lit(1)).as("nd")))
+      def totals(pct: Int): DataFrame =
+        perDoc.filter(col("b") < pct).agg(sum(col("nd")).as("n_docs"))
+          .crossJoin(perBucket.filter(col("b") < pct)
+            .agg(sum(col("nt")).as("n_tokens")))
+          .crossJoin(perWord.filter(col("min_b") < pct)
+            .agg(count(lit(1)).as("n_vocab")))
+      def arm(pct: Int, prev: Option[Int]): DataFrame = prev match {
+        case None =>
+          totals(pct).select(lit(pct).as("pct"), col("n_docs"), col("n_tokens"),
+            col("n_vocab"), lit(0L).as("beta_u"))
+        case Some(p) =>
+          totals(pct).crossJoin(totals(p)
+            .select(col("n_tokens").as("__ntp"), col("n_vocab").as("__nvp")))
+            .select(lit(pct).as("pct"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+              round(lit(1000000.0) *
+                log(col("n_vocab").cast("double") / col("__nvp").cast("double")) /
+                log(col("n_tokens").cast("double") / col("__ntp").cast("double")), 0)
+                .cast("bigint").as("beta_u"))
+      }
+      arm(10, None).unionByName(arm(25, Some(10)))
+        .unionByName(arm(50, Some(25))).unionByName(arm(100, Some(50)))
+    },
+    Some {
+      def tot(pct: Int) =
+        s"""t$pct AS (
+           |  SELECT (SELECT CAST(SUM(nd) AS BIGINT) FROM pd WHERE b < $pct) AS n_docs,
+           |         (SELECT CAST(SUM(nt) AS BIGINT) FROM pb WHERE b < $pct) AS n_tokens,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM pw WHERE min_b < $pct) AS n_vocab
+           |)""".stripMargin
+      def arm(pct: Int, prev: Option[Int]) = prev match {
+        case None =>
+          s"SELECT $pct AS pct, n_docs, n_tokens, n_vocab, CAST(0 AS BIGINT) AS beta_u FROM t$pct"
+        case Some(p) =>
+          s"""SELECT $pct AS pct, c.n_docs, c.n_tokens, c.n_vocab,
+             |       CAST(ROUND(1000000.0
+             |         * ln(c.n_vocab::DOUBLE / q.n_vocab::DOUBLE)
+             |         / ln(c.n_tokens::DOUBLE / q.n_tokens::DOUBLE), 0) AS BIGINT) AS beta_u
+             |FROM t$pct c CROSS JOIN t$p q""".stripMargin
+      }
+      s"""WITH tok AS (
+         |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+         |         unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |                            x -> x <> '')) AS w
+         |  FROM documents
+         |),
+         |tc AS (SELECT b, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+         |pw AS (SELECT w, MIN(b) AS min_b FROM tc GROUP BY 1),
+         |pb AS (SELECT b, SUM(n) AS nt FROM tc GROUP BY 1),
+         |pd AS (
+         |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+         |         COUNT(*) AS nd
+         |  FROM documents GROUP BY 1
+         |),
+         |${tot(10)}, ${tot(25)}, ${tot(50)}, ${tot(100)}
+         |${arm(10, None)}
+         |UNION ALL ${arm(25, Some(10))}
+         |UNION ALL ${arm(50, Some(25))}
+         |UNION ALL ${arm(100, Some(50))}""".stripMargin
+    })
+
   /** Sentence segmentation, oracle-checked ([[TextAnalysis.sentences]]):
     * the fixture's word-salad text carries no punctuation, so the
     * query INJECTS it deterministically (the PII-oracle precedent) —
@@ -7369,7 +7473,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
