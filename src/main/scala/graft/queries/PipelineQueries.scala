@@ -3834,6 +3834,87 @@ object PipelineQueries {
            |      < CAST(c.u AS HUGEINT) * m.n_m * 1000000
            |GROUP BY 1""".stripMargin))
 
+  /** Token-budget mixture PLAN — the table a multilingual pretraining
+    * run signs off before it launches (the mT5/LLaMA data-mixing
+    * sheet): given per-stratum available tokens and the α = 1/2
+    * temperature rule (weight ∝ √avail — the same correctly-rounded-√
+    * exactness argument as `sample_temperature`), how many tokens of
+    * a LITERAL 60k budget does each language contribute, and — the
+    * column that decides feasibility — how many EPOCHS of that
+    * stratum is that? Epochs > ~4 is the Muennighoff et al. 2022
+    * repeated-data cliff; temperature buys balance at exactly the
+    * price this column shows: smoothing toward small strata repeats
+    * them.
+    *
+    * Exactness: per-stratum √avail rounds to integer micro-units
+    * BEFORE the normalizing sum (summing doubles across strata would
+    * be accumulation-order-dependent; summing longs is exact and
+    * order-free), the budget split divides the integer pair once, and
+    * epochs_x100 derives from the already-rounded integer target —
+    * every column either integer or one rounded division of two
+    * exact integers, replayed by the oracle term-for-term.
+    *
+    * Measured at sf0.01: en holds 43.3% of tokens but gets 30.4% of
+    * the budget; the four small strata rise from ~13-15% token
+    * shares to ~17% each — and their epochs_x100 read 261-282 vs
+    * en's 155: the rebalance is paid for in small-stratum repetition,
+    * quantified per stratum before any training tokens are spent.
+    *
+    * Scale: one corpus token-count aggregate (stratum-cardinality
+    * output); everything after is 5-row arithmetic with the 1-row
+    * total on a broadcast.
+    */
+  val sampleBudgetPlan = QueryDef(
+    "sample_budget_plan",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val counts = CheckpointBlocks.cut(Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(filter(TextAnalysis.tokens(lower(coalesce(col("text"), lit("")))),
+            t => t =!= "")).as("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens")))
+      val su = counts.select(col("lang"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")) * lit(1000000.0), 0)
+          .cast("bigint").as("__su"))
+      val tot = broadcast(su.agg(sum(col("__su")).as("__stot")))
+      su.crossJoin(tot)
+        .select(col("lang"), col("n_tokens"),
+          round(lit(1000000.0) * col("__su").cast("double") /
+            col("__stot").cast("double"), 0).cast("bigint").as("weight_ppm"),
+          round(lit(60000.0) * col("__su").cast("double") /
+            col("__stot").cast("double"), 0).cast("bigint").as("tokens_target"))
+        .select(col("lang"), col("n_tokens"), col("weight_ppm"), col("tokens_target"),
+          round(col("tokens_target").cast("double") * lit(100.0) /
+            col("n_tokens").cast("double"), 0).cast("bigint").as("epochs_x100"))
+    },
+    Some("""WITH c AS (
+           |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM (
+           |    SELECT lang,
+           |           unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                              x -> x <> '')) AS w
+           |    FROM documents
+           |  ) GROUP BY 1
+           |),
+           |su AS (
+           |  SELECT lang, n_tokens,
+           |         CAST(ROUND(sqrt(n_tokens::DOUBLE) * 1000000.0, 0) AS BIGINT) AS su
+           |  FROM c
+           |),
+           |tt AS (SELECT SUM(su) AS stot FROM su),
+           |t AS (
+           |  SELECT lang, n_tokens,
+           |         CAST(ROUND(1000000.0 * su::DOUBLE / stot::DOUBLE, 0) AS BIGINT)
+           |           AS weight_ppm,
+           |         CAST(ROUND(60000.0 * su::DOUBLE / stot::DOUBLE, 0) AS BIGINT)
+           |           AS tokens_target
+           |  FROM su CROSS JOIN tt
+           |)
+           |SELECT lang, n_tokens, weight_ppm, tokens_target,
+           |       CAST(ROUND(tokens_target::DOUBLE * 100.0 / n_tokens::DOUBLE, 0) AS BIGINT)
+           |         AS epochs_x100
+           |FROM t""".stripMargin))
+
   /** Temperature-smoothed mixture at α = 1/2
     * ([[Sampling.temperatureSample]] — the mT5 mixing rule, rate ∝
     * √n_s, rarest stratum kept whole): per-language kept counts plus
@@ -7483,7 +7564,7 @@ object PipelineQueries {
     annKmeans, dedupSemdedup,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
+    sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsCusumShift, pretrainPrepBpe, pretrainPrepLm,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
