@@ -5754,20 +5754,22 @@ object PipelineQueries {
 
   /** SEMANTIC dedup over the clustered manifold fixture — the SemDeDup
     * recipe end to end ([[Dedup.semDedup]]): [[Similarity.kmeansInit]]
-    * hash-picks 16 seeds, [[Similarity.kmeansFit]] refines them with
-    * 2 Lloyd iterations (the `ann_ivf_cells_trained` training contract
-    * verbatim), then within-cell pairwise cosine at θ = 0.6 →
-    * connected components → keep-the-outlier representative per group.
+    * hash-picks k = max(16, ⌊√N⌋) seeds (22 at sf0.01 — see the
+    * balance-point comment below), [[Similarity.kmeansFit]] refines
+    * them with 2 Lloyd iterations (the `ann_ivf_cells_trained`
+    * training contract verbatim), then within-cell pairwise cosine at
+    * θ = 0.6 → connected components → keep-the-outlier representative
+    * per group.
     *
     * θ = 0.6 is measured, not guessed: on this fixture same-cluster
     * cosines run median 0.506 / max 0.752 and cross-cluster max 0.538
     * (corpus-wide all-pairs view: 1,006 pairs at 0.6, every one
-    * same-cluster). Through the cell restriction the query finds 373
+    * same-cluster). Through the cell restriction the query finds 368
     * of 500 vectors in 33 duplicate groups (sizes 2–32, spread over
-    * all 16 trained cells) and the keep rule drops 340 (68%): the
-    * fixture's planted redundancy is exactly what SemDeDup exists to
-    * reclaim. Real corpora run the same operator at 0.9+ on trained
-    * sentence embeddings.
+    * 20 of the 22 trained cells) and the keep rule drops 335 (68%):
+    * the fixture's planted redundancy is exactly what SemDeDup exists
+    * to reclaim. Real corpora run the same operator at 0.9+ on
+    * trained sentence embeddings.
     *
     * The oracle replays EVERYTHING all-double: both Lloyd iterations
     * (the trained centroids carry ~9 significant digits — the
@@ -5780,8 +5782,16 @@ object PipelineQueries {
     "dedup_semdedup",
     (s, dir) => {
       val emb = manifoldEmb(s, dir)
+      // k ∝ √N is the BALANCE POINT of SemDeDup's two corpus-sized
+      // stages: assignment costs N·k, within-cell pairs cost ~N²/k —
+      // k = √N puts both at N^1.5 (fixed k leaves pairs at N²; k ∝ N
+      // makes assignment the N² stage instead). Derived from the
+      // corpus itself (one count — planning-time work, the AQE
+      // posture), floor(√N) in both engines, 16 floor for tiny runs.
+      val k = math.max(16,
+        math.floor(math.sqrt(emb.count().toDouble)).toInt)
       val cents = Similarity.kmeansFit(emb,
-          Similarity.kmeansInit(emb, "vec_id", "embedding", 16),
+          Similarity.kmeansInit(emb, "vec_id", "embedding", k),
           "vec_id", "embedding", iters = 2)
         .select(col("c_id"), col("c_vec"))
       Dedup.semDedup(emb, "vec_id", "embedding", cents, minCosine = 0.6)
@@ -5789,10 +5799,17 @@ object PipelineQueries {
     Some {
       s"""WITH RECURSIVE e AS ($manifoldSrcSql),
          |tpos AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS p),
+         |kk AS (
+         |  SELECT GREATEST(16, CAST(FLOOR(sqrt(COUNT(*)::DOUBLE)) AS BIGINT)) AS k FROM e
+         |),
          |tseed AS (
-         |  SELECT vec_id AS c_id, v AS cv FROM e
-         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
-         |  LIMIT 16
+         |  SELECT c_id, cv FROM (
+         |    SELECT vec_id AS c_id, v AS cv,
+         |           ROW_NUMBER() OVER (
+         |             ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+         |                      vec_id) AS rn
+         |    FROM e
+         |  ) CROSS JOIN kk WHERE rn <= kk.k
          |),
          |ta1 AS (
          |  SELECT vec_id, v, c_id AS cell FROM (

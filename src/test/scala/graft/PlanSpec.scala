@@ -513,7 +513,7 @@ class PlanSpec extends AnyFunSuite {
       "ann_ivf_cells_trained" -> "centroids: k-row checkpointed kmeans output (8/16 cells) + literal seed/query filters",
       "ann_ivfpq_residual_lloyd_manifold" -> "residual codebooks (Lloyd checkpoints) + centroids + probes + per-(query,cell) tables: codeword/|Q|-bounded",
       "ann_kmeans" -> "centroid table: k rows (checkpointed Lloyd output)",
-      "dedup_semdedup" -> "centroids: 16-row checkpointed kmeans output (the ann_ivf_cells_trained bound)",
+      "dedup_semdedup" -> "centroids: max(16, floor(sqrt(N)))-row checkpointed kmeans output — k*dim values, the ann_ivf_cells_trained bound at the N^1.5 balance point",
       "ann_dim_recall_curve" -> "query side: literal vec_id filter (10 vectors) in each of the five slice arms; shared truth: |Q| x k <= 100 rows (checkpoint-cut TakeOrdered output)",
       "dedup_incr_embed" -> "batch-side signatures: incremental-batch contract (batch << corpus)",
       "dedup_decontaminate" -> "eval-set grams: eval benchmark cardinality by contract",
