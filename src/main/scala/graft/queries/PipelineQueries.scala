@@ -107,6 +107,63 @@ object PipelineQueries {
         shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4),
     Some(minhashOracle(wordShingle3Sql, 0.4)))
 
+  /** EXACT near-dup join via prefix filtering
+    * ([[Dedup.prefixFilterPairs]] — AllPairs/PPJoin) at the
+    * `dedup_minhash` operating point (3-word shingles, jac ≥ 2/5):
+    * the recall-1.0 reference beside the probabilistic family. Same
+    * similarity space as `dedup_minhash`'s verify stage (distinct
+    * word-shingle sets; the md5 hashing there is injective in
+    * practice), so the two registered outputs are directly
+    * comparable: at sf0.01 BOTH find the same 25 pairs — measuring
+    * that minhash's 4×4 banding missed nothing on THIS corpus, which
+    * D24's curve says it can (recall 0.96 at 2×8); where they
+    * diverge, the exact join is the truth by construction. The
+    * threshold runs as the rational 2/5 in pure integer arithmetic
+    * end to end (prefix length AND verify test) — no floating
+    * comparison anywhere.
+    *
+    * Pruning measured at sf0.01: 2,111 candidate pairs from prefix
+    * postings vs 11,533 from the FULL inverted index (5.5× fewer
+    * exact verifies) while indexing 61% of postings (15,985 of
+    * 26,136) — lossless pruning, no cap, recall 1.0.
+    *
+    * The oracle replays the df order, the integer prefix slice, the
+    * posting self-join, and the integer verify; PropertySpec fuzzes
+    * the completeness theorem against brute force at four thresholds.
+    */
+  val dedupPrefixJoin = QueryDef(
+    "dedup_prefix_join",
+    (s, dir) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, tNum = 2, tDen = 5),
+    Some(s"""WITH docs AS (
+            |  SELECT doc_id AS id, $wordShingle3Sql AS sh FROM documents
+            |),
+            |ex AS (SELECT id, unnest(sh) AS s FROM docs WHERE len(sh) > 0),
+            |dfq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY 1),
+            |orderd AS (
+            |  SELECT id, LIST(s ORDER BY df, s) AS osh
+            |  FROM ex JOIN dfq USING (s) GROUP BY id
+            |),
+            |pref AS (
+            |  SELECT id, osh,
+            |         osh[1 : len(osh) - CAST((2 * len(osh) + 4) // 5 AS INT) + 1] AS pre
+            |  FROM orderd
+            |),
+            |post AS (SELECT id, unnest(pre) AS s FROM pref),
+            |cand AS (
+            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            |  FROM post a JOIN post b ON a.s = b.s AND a.id < b.id
+            |),
+            |ver AS (
+            |  SELECT id_a, id_b,
+            |         CAST(len(list_intersect(x.osh, y.osh)) AS BIGINT) AS i,
+            |         CAST(len(x.osh) + len(y.osh) AS BIGINT) AS ab
+            |  FROM cand JOIN pref x ON cand.id_a = x.id JOIN pref y ON cand.id_b = y.id
+            |)
+            |SELECT id_a, id_b, ROUND(i::DOUBLE / (ab - i)::DOUBLE, 6) AS jac
+            |FROM ver WHERE i * 5 >= (ab - i) * 2 AND (ab - i) > 0""".stripMargin))
+
   /** Near-dup via MinHash+LSH over character 5-grams (n-gram Jaccard). */
   val dedupNgram = QueryDef(
     "dedup_ngram",
@@ -7564,7 +7621,7 @@ object PipelineQueries {
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
+    dedupExact, dedupMinhash, dedupPrefixJoin, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,

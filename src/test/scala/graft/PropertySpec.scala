@@ -474,6 +474,40 @@ class Round10PropertySpec extends AnyFunSuite {
     assert(rows.last._5 > 0, s"the 16x1 split must catch the planted near-dups: ${rows.toSeq}")
   }
 
+  test("prefixFilterPairs equals the brute-force jaccard join at every threshold") {
+    // The pigeonhole completeness argument in the scaladoc,
+    // machine-checked: for arbitrary small corpora and several
+    // rational thresholds, the prefix-filtered join must produce
+    // EXACTLY the all-pairs integer-jaccard result — a missing pair
+    // falsifies completeness, an extra one falsifies the verify.
+    val wordGen = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+    val docGen = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, wordGen))
+    val caseGen = for {
+      docs <- Gen.listOfN(10, docGen)
+      t <- Gen.oneOf((1, 3), (2, 5), (1, 2), (3, 4))
+    } yield (docs, t)
+    run(Prop.forAll(caseGen) { case (docs, (tNum, tDen)) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .prefixFilterPairs(df, "doc_id", "text", shingleK = 3, tNum, tDen)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      def sh(ws: List[String]): Set[String] =
+        if (ws.size < 3) Set.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      val sets = docs.map(sh).zipWithIndex
+      val want = (for {
+        (sa, a) <- sets; (sb, b) <- sets
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        i = (sa & sb).size.toLong
+        u = (sa | sb).size.toLong
+        if u > 0 && i * tDen >= u * tNum
+      } yield (a.toLong, b.toLong)).toSet
+      got == want
+    })
+  }
+
   test("deletionVariants2 Column matches the Scala reference set") {
     // The codegen'd nested-transform expression and the obvious
     // recursive definition must produce the same SET of keys — this is
