@@ -89,15 +89,20 @@ object PipelineQueries {
     s"""WITH ${minhashPairsCtes(shinglesSql, threshold)}
        |SELECT id_a, id_b, jac FROM mpairs""".stripMargin
 
+  /** The distinct k-word-shingle expression ([[Dedup.wordShingles]]'
+    * DuckDB mirror) over `string_split_regex(trim(lower(text)))`.
+    */
+  private def wordShingleSql(k: Int): String =
+    s"""CASE WHEN len(toks) >= $k
+       |     THEN list_distinct([array_to_string(toks[i+1:i+$k], ' ')
+       |                         FOR i IN generate_series(0, len(toks) - $k)])
+       |     ELSE [] END""".stripMargin
+      .replace("toks", "string_split_regex(trim(lower(text)), '\\s+')")
+
   /** The `dedup_minhash` 3-word-shingle expression, shared with the
     * composing oracles (`sample_group_kfold`).
     */
-  private val wordShingle3Sql: String =
-    """CASE WHEN len(toks) >= 3
-      |     THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
-      |                         FOR i IN generate_series(0, len(toks) - 3)])
-      |     ELSE [] END""".stripMargin
-      .replace("toks", "string_split_regex(trim(lower(text)), '\\s+')")
+  private val wordShingle3Sql: String = wordShingleSql(3)
 
   /** Near-dup via MinHash+LSH over 3-word shingles. */
   val dedupMinhash = QueryDef(
@@ -674,6 +679,86 @@ object PipelineQueries {
            |FROM g c JOIN g e ON c.gram = e.gram
            |WHERE c.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
            |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin))
+
+  /** Decontamination n-gram ORDER sensitivity curve — the tuning
+    * table behind `dedup_decontaminate`'s fixed n = 3 (the D24/T18j
+    * pattern applied to eval-set hygiene): GPT-3 ran 13-gram overlap,
+    * PaLM 8-gram, and the choice decides both error directions —
+    * short grams flag shared PHRASING as contamination (false
+    * positives that throw away clean data), long grams miss
+    * REWORDED leakage. One row per n ∈ {2, 3, 5, 8}: flagged
+    * (corpus, eval) pairs and flagged corpus docs at ANY overlap and
+    * at the ≥ 5-shared-grams operating point.
+    *
+    * Measured at sf0.01: any-overlap is useless at short n — ALL 450
+    * corpus docs flag at n = 2 and 426 still at n = 3 (shared
+    * bigrams/trigrams are just shared vocabulary) — but the ≥ 5 gate
+    * at n = 3 already isolates 6 docs, and THE SAME 6 persist
+    * through n = 5 and n = 8 (≥ 5 shared 8-grams cannot happen by
+    * chance in this vocabulary): the curve separates the
+    * false-positive cliff (gone by n = 5 even at any-overlap: 7
+    * docs) from the genuine planted leakage that survives every
+    * setting. No count-distinct beside sums anywhere: each arm
+    * cascades doc-level maxima from the cut pair frame (the
+    * sourceReport no-Expand idiom).
+    *
+    * Scale: per arm one gram explode + the eval-set broadcast join
+    * (the `dedup_decontaminate` contract); arms share nothing but
+    * the scan, and the aggregates are pair-/doc-cardinality.
+    */
+  val dedupDecontamCurve = QueryDef(
+    "dedup_decontam_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      def arm(n: Int): DataFrame = {
+        val pairs = CheckpointBlocks.cut(Dedup.decontaminate(
+          corpus, evalSet, "doc_id", "text", shingleK = n, minShared = 1))
+        val pairAgg = pairs.agg(
+          count(lit(1)).as("n_pairs_any"),
+          sum(when(col("n_shared") >= 5, 1L).otherwise(0L)).as("n_pairs_ge5"))
+        val docAgg = pairs.groupBy(col("doc_id"))
+          .agg(max(col("n_shared")).as("__mx"))
+          .agg(count(lit(1)).as("n_docs_any"),
+            sum(when(col("__mx") >= 5, 1L).otherwise(0L)).as("n_docs_ge5"))
+        pairAgg.crossJoin(docAgg)
+          .select(lit(n).as("n_gram"), col("n_pairs_any"), col("n_docs_any"),
+            col("n_pairs_ge5"), col("n_docs_ge5"))
+      }
+      Seq(2, 3, 5, 8).map(arm).reduce(_.unionByName(_))
+    },
+    Some {
+      def arm(n: Int) =
+        s"""g$n AS (
+           |  SELECT doc_id,
+           |         unnest(CASE WHEN len(toks) >= $n
+           |                THEN list_distinct([array_to_string(toks[i+1:i+$n], ' ')
+           |                                    FOR i IN generate_series(0, len(toks) - $n)])
+           |                ELSE [] END) AS gram
+           |  FROM (SELECT doc_id,
+           |               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+           |        FROM documents)
+           |),
+           |p$n AS (
+           |  SELECT c.doc_id, COUNT(*) AS n_shared
+           |  FROM g$n c JOIN g$n e ON c.gram = e.gram
+           |  WHERE c.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+           |  GROUP BY c.doc_id, e.doc_id
+           |),
+           |d$n AS (SELECT doc_id, MAX(n_shared) AS mx FROM p$n GROUP BY 1),
+           |r$n AS (
+           |  SELECT $n AS n_gram,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM p$n) AS n_pairs_any,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM d$n) AS n_docs_any,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM p$n WHERE n_shared >= 5) AS n_pairs_ge5,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM d$n WHERE mx >= 5) AS n_docs_ge5
+           |)""".stripMargin
+      s"""WITH ${arm(2)}, ${arm(3)}, ${arm(5)}, ${arm(8)}
+         |SELECT * FROM r2 UNION ALL SELECT * FROM r3
+         |UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r8""".stripMargin
+    })
 
   /** PII redaction ([[TextAnalysis.redactPii]]): deterministic PII is
     * INJECTED (email when `doc_id % 3 = 0`, IPv4 when `% 5`, E.164
@@ -7623,7 +7708,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
-    dedupDecontaminate,
+    dedupDecontaminate, dedupDecontamCurve,
     textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
