@@ -4673,6 +4673,75 @@ object PipelineQueries {
            |SELECT dev.d, dev.n_events, dev.med_wd, dev.dv > 3 * mad.mad_wd AS is_anomaly
            |FROM dev JOIN mad USING (wd)""".stripMargin))
 
+  /** Classical seasonal DECOMPOSITION of daily event volume — the
+    * trend / weekday / residual split (the two-pass moving-average
+    * method STL descends from) that turns W13's gate and W14's
+    * detector into an EXPLAINED series: trend = centered 7-row
+    * moving average of daily counts, weekday effect = mean detrended
+    * value per weekday (epoch-day mod 7 — the W13 idiom that
+    * sidesteps the engines' dayofweek disagreement), residual =
+    * what neither explains — the series an anomaly detector SHOULD
+    * run on (a Sunday dip is seasonality, not an incident).
+    *
+    * Everything lives in ×100 fixed point: the two divisions (trend,
+    * weekday mean) are ROUND(sum·100 / count) — the micro-nat
+    * family's negative-safe HALF-AWAY rounding, mirrored
+    * term-for-term — and the residual is pure integer subtraction,
+    * so trend + weekday + residual ≡ 100·n EXACTLY by construction
+    * (the oracle's hash enforces the identity row by row).
+    *
+    * Plan: the corpus-sized work is ONE day-keyed count (cut — the
+    * trend window, the weekday means, and the output all read it);
+    * the trend window is partition-less BY CONSTRUCTION over the
+    * ~31-row daily aggregate (whitelisted with exactly that
+    * argument, the capped-history precedent); weekday means ride a
+    * 7-row broadcast back.
+    */
+  val eventsSeasonalDecomp = QueryDef(
+    "events_seasonal_decomp",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      import org.apache.spark.sql.expressions.Window
+      val daily = CheckpointBlocks.cut(Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n")))
+      val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+      val trended = CheckpointBlocks.cut(daily
+        .select(col("d"), col("n"),
+          pmod(datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))), lit(7))
+            .as("wd"),
+          round(sum(col("n")).over(w).cast("double") * lit(100.0) /
+            count(lit(1)).over(w).cast("double"), 0).cast("bigint").as("trend_x100"))
+        .withColumn("__det", col("n") * 100L - col("trend_x100")))
+      val wdEffect = broadcast(trended.groupBy(col("wd"))
+        .agg(round(sum(col("__det")).cast("double") /
+          count(lit(1)).cast("double"), 0).cast("bigint").as("weekday_x100")))
+      trended.join(wdEffect, Seq("wd"))
+        .select(col("d"), col("n").as("n_events"), col("trend_x100"),
+          col("weekday_x100"),
+          (col("n") * 100L - col("trend_x100") - col("weekday_x100"))
+            .as("residual_x100"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+           |),
+           |tr AS (
+           |  SELECT d, n, (d - DATE '1970-01-01') % 7 AS wd,
+           |         CAST(ROUND(SUM(n) OVER w::DOUBLE * 100.0
+           |                    / COUNT(*) OVER w::DOUBLE, 0) AS BIGINT) AS trend_x100
+           |  FROM daily
+           |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           |),
+           |det AS (SELECT *, n * 100 - trend_x100 AS dt FROM tr),
+           |wde AS (
+           |  SELECT wd, CAST(ROUND(SUM(dt)::DOUBLE / COUNT(*)::DOUBLE, 0) AS BIGINT)
+           |           AS weekday_x100
+           |  FROM det GROUP BY 1
+           |)
+           |SELECT det.d, det.n AS n_events, det.trend_x100, wde.weekday_x100,
+           |       det.n * 100 - det.trend_x100 - wde.weekday_x100 AS residual_x100
+           |FROM det JOIN wde USING (wd)""".stripMargin))
+
   /** CUSUM mean-shift detection over daily event volume — the
     * sequential drift detector that catches what
     * `events_anomaly_days`' pointwise gate cannot: a SUSTAINED small
@@ -7724,6 +7793,6 @@ object PipelineQueries {
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
-    sampleWeighted, basketLift, eventsAnomalyDays, eventsCusumShift, pretrainPrepBpe, pretrainPrepLm,
+    sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, pretrainPrepBpe, pretrainPrepLm,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
