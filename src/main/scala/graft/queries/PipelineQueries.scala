@@ -2572,6 +2572,57 @@ object PipelineQueries {
             |  WHERE s.avg_logprob > f.t_low
             |)${packTailSql("cleanlm")}""".stripMargin))
 
+  /** SEMANTICALLY-deduplicated pretraining prep — the modern
+    * (2023+) corpus chain: stages 1-4 ([[pretrainCleanDocs]]: score →
+    * gate → exact dedup → decontaminate), then the D25 SemDeDup gate
+    * — drop every clean candidate whose EMBEDDING sits in a semantic
+    * duplicate group without being its keeper (`keep = 0` in
+    * [[Dedup.semDedup]]'s output; embeddings align to documents by
+    * id) — then the whitespace pack. Lexical dedup (stage 3 + the
+    * minhash family) cannot see paraphrase/template redundancy; this
+    * arm removes it where an embedding exists and passes docs
+    * without one through untouched (the honest production semantics:
+    * semantic dedup removes only what it can see). The delta between
+    * this pack table and `pipeline_pretrain_prep`'s is exactly the
+    * semantic gate's footprint.
+    *
+    * Plan: the stage-1-4 clean frame is cut (pack join + the gate's
+    * anti-join read it); the SemDeDup side is the D25 chain verbatim
+    * (√N trained cells, within-cell pairs, CC, keep-the-outlier);
+    * the gate is a LEFT ANTI join on doc_id — at scale a
+    * removal-list-sized frame the planner may broadcast. The oracle
+    * composes the stage CTEs, the FULL SemDeDup replay
+    * ([[semDedupCtes]] — both Lloyd iterations, the recursive
+    * components, the keep window), the anti-join, and the recursive
+    * packing fold: one flipped cell assignment anywhere moves a pack
+    * boundary and hash-fails.
+    */
+  val pretrainPrepSem = QueryDef(
+    "pipeline_pretrain_prep_sem",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val docs = Tables.documents(s, dir)
+      val clean = CheckpointBlocks.cut(pretrainCleanDocs(docs))
+      val emb = manifoldEmb(s, dir)
+      val k = math.max(16, math.floor(math.sqrt(emb.count().toDouble)).toInt)
+      val cents = Similarity.kmeansFit(emb,
+          Similarity.kmeansInit(emb, "vec_id", "embedding", k),
+          "vec_id", "embedding", iters = 2)
+        .select(col("c_id"), col("c_vec"))
+      val drops = Dedup.semDedup(emb, "vec_id", "embedding", cents, minCosine = 0.6)
+        .filter(col("keep") === 0)
+        .select(col("id").as("doc_id"))
+      packedSummary(clean.join(drops, Seq("doc_id"), "left_anti"))
+    },
+    Some(s"""WITH RECURSIVE $pretrainStagesSql,
+            |$semDedupCtes,
+            |semdrop AS (SELECT id FROM semout WHERE keep = 0),
+            |cleans AS (
+            |  SELECT c.doc_id, c.bucket, c.n_tok
+            |  FROM clean c
+            |  WHERE NOT EXISTS (SELECT 1 FROM semdrop s WHERE s.id = c.doc_id)
+            |)${packTailSql("cleans")}""".stripMargin))
+
   /** Positional inverted index + exact phrase search
     * ([[TextAnalysis.invertedIndex]] / [[phraseSearchBigram]]) — the
     * IR class: build postings, find the corpus's most frequent word
@@ -5168,7 +5219,7 @@ object PipelineQueries {
     * into the same oracle chains the float fixture uses (kept on one
     * line: the templates run stripMargin after interpolation).
     */
-  private val manifoldSrcSql: String =
+  private lazy val manifoldSrcSql: String =
     "SELECT vec_id, [CAST(" +
       "((('0x' || substr(md5('mc' || CAST(vec_id % 16 AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) + " +
       "(('0x' || substr(md5('mn' || CAST(vec_id AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000)) " +
@@ -6008,7 +6059,17 @@ object PipelineQueries {
       Dedup.semDedup(emb, "vec_id", "embedding", cents, minCosine = 0.6)
     },
     Some {
-      s"""WITH RECURSIVE e AS ($manifoldSrcSql),
+      s"""WITH RECURSIVE $semDedupCtes
+         |SELECT id, cell, cluster_rep, sim_c, keep FROM semout""".stripMargin
+    })
+
+  /** The full `dedup_semdedup` replay as a bare CTE LIST ending in
+    * `semout` (id, cell, cluster_rep, sim_c, keep) — the withViews
+    * composition rule, so `pipeline_pretrain_prep_sem` chains it
+    * after the pipeline stages. Caller supplies WITH RECURSIVE.
+    */
+  private lazy val semDedupCtes: String =
+      s"""e AS ($manifoldSrcSql),
          |tpos AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS p),
          |kk AS (
          |  SELECT GREATEST(16, CAST(FLOOR(sqrt(COUNT(*)::DOUBLE)) AS BIGINT)) AS k FROM e
@@ -6079,11 +6140,12 @@ object PipelineQueries {
          |keepers AS (
          |  SELECT cluster_rep, id AS keep_id FROM outg
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_rep ORDER BY sim_c ASC, id ASC) = 1
-         |)
-         |SELECT o.id, o.cell, o.cluster_rep, o.sim_c,
-         |       CAST(o.id = k.keep_id AS INT) AS keep
-         |FROM outg o JOIN keepers k USING (cluster_rep)""".stripMargin
-    })
+         |),
+         |semout AS (
+         |  SELECT o.id, o.cell, o.cluster_rep, o.sim_c,
+         |         CAST(o.id = k.keep_id AS INT) AS keep
+         |  FROM outg o JOIN keepers k USING (cluster_rep)
+         |)""".stripMargin
 
   private def ivfPqBody(emb: DataFrame, rerank: Boolean): DataFrame = {
     val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
@@ -7793,6 +7855,6 @@ object PipelineQueries {
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
-    sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, pretrainPrepBpe, pretrainPrepLm,
+    sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
