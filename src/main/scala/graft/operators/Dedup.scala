@@ -1072,33 +1072,12 @@ object Dedup {
       vecCol: String,
       centroids: DataFrame,
       minCosine: Double): DataFrame = {
-    import graft.functions.VectorFunctions
-    val cents = broadcast(centroids.select(col("c_id"),
-      col("c_vec").cast("array<double>").as("c_vec")))
-    val assigned = emb
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .filter(col("vec").isNotNull)
-      .crossJoin(cents)
-      .select(col("id"), col("vec"), col("c_id"),
-        round(VectorFunctions.cosineFastD(col("vec"), col("c_vec")), 6).as("sim"))
-      .groupBy("id")
-      .agg(
-        max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
-        // max(sim) IS the winning cell's similarity — argmax and max
-        // from one aggregate, no re-join against the centroid table.
-        max(col("sim")).as("sim_c"),
-        first(col("vec")).as("vec"))
     // One materialization, three readers (both pair-join sides + the
     // output re-attach) — uncut, the whole assignment (a corpus × k
-    // scoring pass) would re-execute per branch.
-    val members = CheckpointBlocks.cut(assigned)
-    val pairs = members
-      .select(col("id").as("id_a"), col("cell"), col("vec").as("__va"))
-      .join(members.select(col("id").as("id_b"), col("cell").as("__cb"),
-          col("vec").as("__vb")),
-        col("cell") === col("__cb") && col("id_a") < col("id_b"))
-      .filter(round(VectorFunctions.cosineFastD(col("__va"), col("__vb")), 6)
-        >= minCosine)
+    // scoring pass, with max(sim) = the winning cell's similarity
+    // captured in the same aggregate) would re-execute per branch.
+    val members = semDedupMembers(emb, idCol, vecCol, centroids)
+    val pairs = semDedupScoredPairs(members, minCosine)
       .select(col("id_a"), col("id_b"))
     val groups = dedupClusters(pairs)
     val out = groups
@@ -1110,6 +1089,53 @@ object Dedup {
     out.join(keepers, Seq("cluster_rep"))
       .select(col("id"), col("cell"), col("cluster_rep"), col("sim_c"),
         (col("id") === col("__keep_id")).cast("int").as("keep"))
+  }
+
+  /** The within-cell scored pair join shared by [[semDedup]] and the
+    * θ tuning curve: `members` is an assigned (id, cell, vec) frame
+    * (cut by the caller — BOTH join sides read it); emits
+    * `(id_a, id_b, cos)` for within-cell pairs at rounded-6dp cosine
+    * ≥ `minCosine`. The filter compares the SAME rounded value the
+    * column carries, so a curve computed once at its loosest θ and
+    * re-filtered per arm is bit-identical to running each arm alone.
+    */
+  private[graft] def semDedupScoredPairs(
+      members: DataFrame,
+      minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    members
+      .select(col("id").as("id_a"), col("cell"), col("vec").as("__va"))
+      .join(members.select(col("id").as("id_b"), col("cell").as("__cb"),
+          col("vec").as("__vb")),
+        col("cell") === col("__cb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosineFastD(col("__va"), col("__vb")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  /** [[semDedup]]'s assignment stage, factored for the θ curve: one
+    * broadcast argmax pass over `centroids`, emitting the CUT
+    * (id, cell, sim_c, vec) member frame.
+    */
+  private[graft] def semDedupMembers(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    val cents = broadcast(centroids.select(col("c_id"),
+      col("c_vec").cast("array<double>").as("c_vec")))
+    CheckpointBlocks.cut(emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+      .crossJoin(cents)
+      .select(col("id"), col("vec"), col("c_id"),
+        round(VectorFunctions.cosineFastD(col("vec"), col("c_vec")), 6).as("sim"))
+      .groupBy("id")
+      .agg(
+        max_by(col("c_id"), struct(col("sim"), (col("c_id") * -1).as("tb"))).as("cell"),
+        max(col("sim")).as("sim_c"),
+        first(col("vec")).as("vec")))
   }
 
   /** EXACT similarity self-join with prefix filtering (the AllPairs /

@@ -6069,6 +6069,101 @@ object PipelineQueries {
     * after the pipeline stages. Caller supplies WITH RECURSIVE.
     */
   private lazy val semDedupCtes: String =
+    s"""$semDedupAssignCtes,
+       |dup AS (""".stripMargin + semDedupTailCtes
+
+  /** SemDeDup θ TUNING CURVE — D25's deployment table, the D24/N19
+    * pattern (the paper sweeps exactly this knob; ε in its notation):
+    * at θ ∈ {0.5, 0.6, 0.7}, how many within-cell pairs qualify, how
+    * many docs fall into duplicate groups, how many groups form, and
+    * — the number a data budget reads — how many docs the keep rule
+    * would DROP. One trained-cell assignment and ONE scored pair
+    * pass at the loosest θ serve all three arms (pairs at 0.6/0.7
+    * are filters of the 0.5 set over the SAME rounded cosine column,
+    * bit-identical to running each arm alone — the
+    * [[Dedup.semDedupScoredPairs]] contract); each arm then runs its
+    * own connected components (tighter θ ⇒ sparser graph ⇒ groups
+    * FRAGMENT — n_groups is not monotone even though pairs are).
+    *
+    * Measured at sf0.01: θ=0.5 sweeps 486/500 docs into 22 groups
+    * (464 dropped, 93% — the fixture's 16 planted clusters nearly
+    * fuse); 0.6 → 368 docs / 33 groups / 335 dropped (the D25
+    * operating point — MORE groups than 0.5 because fusion breaks
+    * up); 0.7 → 58 docs / 16 groups / 42 dropped. The curve is the
+    * evidence that θ IS the aggressiveness dial (kept fraction 7% →
+    * 33% → 92% across three ticks), and that the paper's "pick ε by
+    * kept-fraction" procedure has the data it needs.
+    *
+    * The oracle replays training + assignment once
+    * ([[semDedupAssignCtes]]) and walks three recursive-CTE
+    * component passes, one per θ.
+    */
+  val dedupSemdedupCurve = QueryDef(
+    "dedup_semdedup_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val emb = manifoldEmb(s, dir)
+      val k = math.max(16, math.floor(math.sqrt(emb.count().toDouble)).toInt)
+      val cents = Similarity.kmeansFit(emb,
+          Similarity.kmeansInit(emb, "vec_id", "embedding", k),
+          "vec_id", "embedding", iters = 2)
+        .select(col("c_id"), col("c_vec"))
+      val members = Dedup.semDedupMembers(emb, "vec_id", "embedding", cents)
+      val scored = CheckpointBlocks.cut(
+        Dedup.semDedupScoredPairs(members, minCosine = 0.5))
+      def arm(t10: Int): DataFrame = {
+        val pairs = scored.filter(col("cos") >= t10 / 10.0)
+          .select(col("id_a"), col("id_b"))
+        val gstats = Dedup.dedupClusters(pairs)
+          .groupBy(col("cluster_rep")).agg(count(lit(1)).as("__sz"))
+          .agg(count(lit(1)).as("n_groups"), sum(col("__sz")).as("n_docs"))
+        pairs.agg(count(lit(1)).as("n_pairs")).crossJoin(gstats)
+          .select(lit(t10).as("theta_x10"), col("n_pairs"), col("n_docs"),
+            col("n_groups"), (col("n_docs") - col("n_groups")).as("n_dropped"))
+      }
+      Seq(5, 6, 7).map(arm).reduce(_.unionByName(_))
+    },
+    Some {
+      def arm(t10: Int) = {
+        val th = s"0.$t10"
+        s"""ed$t10 AS (
+           |  SELECT id_a AS s, id_b AS t FROM dupc WHERE cos >= $th
+           |  UNION
+           |  SELECT id_b AS s, id_a AS t FROM dupc WHERE cos >= $th
+           |),
+           |re$t10(s, t) AS (
+           |  SELECT s, t FROM ed$t10
+           |  UNION
+           |  SELECT r.s, e2.t FROM re$t10 r JOIN ed$t10 e2 ON r.t = e2.s
+           |),
+           |gr$t10 AS (SELECT s AS id, least(s, MIN(t)) AS rep FROM re$t10 GROUP BY s),
+           |row$t10 AS (
+           |  SELECT $t10 AS theta_x10,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dupc WHERE cos >= $th) AS n_pairs,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM gr$t10) AS n_docs,
+           |         (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM gr$t10) AS n_groups
+           |)""".stripMargin
+      }
+      s"""WITH RECURSIVE $semDedupAssignCtes,
+         |dupc AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ROUND(${cosSql("a.v", "b.v")}, 6) AS cos
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${cosSql("a.v", "b.v")}, 6) >= 0.5
+         |),
+         |${arm(5)}, ${arm(6)}, ${arm(7)}
+         |SELECT theta_x10, n_pairs, n_docs, n_groups, n_docs - n_groups AS n_dropped
+         |FROM row5
+         |UNION ALL SELECT theta_x10, n_pairs, n_docs, n_groups, n_docs - n_groups
+         |FROM row6
+         |UNION ALL SELECT theta_x10, n_pairs, n_docs, n_groups, n_docs - n_groups
+         |FROM row7""".stripMargin
+    })
+
+  /** [[semDedupCtes]]' training + assignment half (e … assign) — the
+    * θ curve reuses it and swaps its own pair/CC tail in.
+    */
+  private lazy val semDedupAssignCtes: String =
       s"""e AS ($manifoldSrcSql),
          |tpos AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS p),
          |kk AS (
@@ -6114,8 +6209,13 @@ object PipelineQueries {
          |    SELECT e.vec_id, e.v, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
          |    FROM e CROSS JOIN tc2 c
          |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
-         |),
-         |dup AS (
+         |)""".stripMargin
+
+  /** [[semDedupCtes]]' pair/CC/keep tail (dup … semout), appended
+    * after the `dup AS (` opener built by the composer.
+    */
+  private lazy val semDedupTailCtes: String =
+      s"""
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE ROUND(${cosSql("a.v", "b.v")}, 6) >= 0.6
@@ -7851,7 +7951,7 @@ object PipelineQueries {
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
-    annKmeans, dedupSemdedup,
+    annKmeans, dedupSemdedup, dedupSemdedupCurve,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
