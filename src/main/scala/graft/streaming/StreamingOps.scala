@@ -459,6 +459,80 @@ object StreamingOps {
       .select(col("id_b"), col("id_c"), col("cos"))
   }
 
+  /** SEMANTIC-dup admission gate over a vector stream — the serving
+    * twin of [[graft.operators.Dedup.semDedup]] (D25), the
+    * centroid-ROUTED sibling of [[embedNearDupStream]]'s LSH routing:
+    * each arriving embedding is checked against the standing corpus
+    * before admission, but candidates come from the trained cell
+    * structure (assign to nearest frozen centroid, compare only
+    * within that cell) instead of sign-LSH buckets — the same
+    * candidate discipline the offline pass used, so online and
+    * offline agree on WHERE duplicates can hide.
+    *
+    * `centroids` are the FROZEN kmeans artifact
+    * (`Sink.saveIndex`/`Load.loadIndex` — a stream cannot retrain);
+    * `members` is the offline-assigned corpus
+    * ([[graft.operators.Dedup.semDedupMembers]] output, or its
+    * parquet round-trip). The in-row argmax over the broadcast
+    * centroid ARRAY is stateless narrow (the ivfTopKStream idiom —
+    * a streaming groupBy argmax would be a second stateful stage);
+    * candidates ride one stream-static equi-join on `cell`; the
+    * cosine verify runs BEFORE the stateful stage so state holds
+    * only verified duplicates (the embedNearDupStream contract).
+    * All-double cosine end to end — trained centroids carry ~9
+    * significant digits (the exactDouble contract), and batch parity
+    * is exact (spec-pinned against
+    * [[graft.operators.Dedup.semDedupScoredPairs]]).
+    *
+    * Emits one row per (window, arrival) WITH at least one semantic
+    * dup: (`id_b`, `cell`, `n_dups`, `best_id`, `best_cos` —
+    * highest-cosine standing match, ties to the lower id). Absence =
+    * admit.
+    */
+  def semDedupStream(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      centroids: DataFrame,
+      members: DataFrame,
+      minCosine: Double,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.functions.VectorFunctions
+    val centsArr = broadcast(centroids.agg(collect_list(
+      struct(col("c_id").cast("long").as("c_id"),
+        col("c_vec").cast("array<double>").as("c_vec"))).as("__cents")))
+    val assigned = vecs
+      .select(col(idCol).as("id_b"), col(tsCol).as("__ts"),
+        col(vecCol).cast("array<double>").as("__vec"))
+      .filter(col("__vec").isNotNull)
+      .crossJoin(centsArr)
+      .withColumn("__best",
+        slice(array_sort(filter(
+          transform(col("__cents"), c => struct(
+            (-round(VectorFunctions.cosineFastD(col("__vec"), c.getField("c_vec")), 6))
+              .as("ns"),
+            c.getField("c_id").as("c_id"))),
+          s => s.getField("ns").isNotNull)), 1, 1))
+      .drop("__cents")
+      .select(col("id_b"), col("__ts"), col("__vec"),
+        explode(col("__best.c_id")).as("cell"))
+    val scored = assigned
+      .join(members.select(col("id").as("id_c"), col("cell"),
+        col("vec").as("__cv")), Seq("cell"))
+      .filter(col("id_b") =!= col("id_c"))
+      .select(col("id_b"), col("__ts"), col("cell"), col("id_c"),
+        round(VectorFunctions.cosineFastD(col("__vec"), col("__cv")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+    scored.withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("id_b"), col("cell"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(struct(col("cos"), (-col("id_c")).as("__ni"))).as("__b"))
+      .select(col("id_b"), col("cell"), col("n_dups"),
+        (-col("__b.__ni")).as("best_id"), col("__b.cos").as("best_cos"))
+  }
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

@@ -379,6 +379,67 @@ class StreamingSpec extends AnyFunSuite {
       "bm25TopKStream lost its watermark — unbounded state")
   }
 
+  test("semDedupStream: frozen centroids, cell-routed admission, exact batch parity") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Dedup
+    // The semDedup unit fixture: centroids on axes e1/e2, corpus docs
+    // 1-6 (cell 0: {1,2,3} near-dups + outlier 4; cell 1: {5,6}).
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0.1f, 0f)), (2L, Seq(1f, 0f, 0.12f, 0f)),
+      (3L, Seq(1f, 0f, 0.3f, 0f)), (4L, Seq(1f, 0f, -1f, 0f)),
+      (5L, Seq(0f, 1f, 0.1f, 0f)), (6L, Seq(0f, 1f, 0.3f, 0f)))
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("c_id", "c_vec")
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val members = Dedup.semDedupMembers(corpusDf, "vec_id", "embedding", cents)
+    // Arrivals: 100 duplicates the cell-0 group, 101 lands in cell 0
+    // under θ (admitted ⇒ NO row), 102 duplicates the cell-1 pair.
+    val arrivals = Seq(
+      (100L, Seq(1f, 0f, 0.11f, 0f)),
+      // e4 component keeps 101 under θ against EVERY cell-0 member
+      // (cos ≤ 0.43 even vs the outlier v4) while still routing to
+      // cell 0 (cos 0.30 vs centroid 0, 0 vs centroid 1).
+      (101L, Seq(1f, 0f, -1f, 3f)),
+      (102L, Seq(0f, 1f, 0.2f, 0f)))
+    // Batch reference: assign corpus + arrivals together, take the
+    // scored pairs touching an arrival (arrival ids sort above the
+    // corpus ids, so they sit on the id_b side).
+    val batchRef = Dedup.semDedupScoredPairs(
+        Dedup.semDedupMembers(
+          (corpus ++ arrivals).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", cents),
+        minCosine = 0.9)
+      .filter($"id_b" >= 100L)
+      .groupBy($"id_b")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_dups"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct($"cos", (-$"id_a").as("ni"))).as("b"))
+      .select($"id_b", $"n_dups", (-$"b.ni").as("best_id"), $"b.cos".as("best_cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    ms.addData(arrivals.map { case (id, v) => (id, t0, v) }: _*)
+    val out = StreamingOps.semDedupStream(
+      ms.toDF.toDF("vec_id", "ts", "embedding"),
+      "vec_id", "embedding", "ts", cents, members, minCosine = 0.9)
+    val dir = Files.createTempDirectory("graft_stream_semdedup").toString
+    val q = out.writeStream.format("memory").queryName("semdedup_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("semdedup_stream_test")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3, r._4, r._5)).toSet
+    assert(got == batchRef, s"stream $got vs batch $batchRef")
+    assert(!got.exists(_._1 == 101L), "the admitted arrival must be absent")
+    // Hand check: 100 dups all three cell-0 members; 102 dups both
+    // cell-1 members; best = highest cosine.
+    assert(got.map(r => r._1 -> r._2).toMap == Map(100L -> 3L, 102L -> 2L))
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "semDedupStream lost its watermark — unbounded state")
+  }
+
   test("psiDriftStream: frozen reference, per-window PSI incl. the emptied-bin smoothing path") {
     implicit val sql = spark.sqlContext
     // Frozen artifact: fences [100, 200] -> 3 bins; reference counts
