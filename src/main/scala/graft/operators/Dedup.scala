@@ -1138,6 +1138,42 @@ object Dedup {
         first(col("vec")).as("vec")))
   }
 
+  /** Incremental SEMANTIC near-dup — [[semDedup]]'s arrival-time
+    * sibling, completing the incremental family (SimHash
+    * [[newAgainstCorpus]], embedding-LSH
+    * [[Similarity.nearDupsAgainstCorpusEmbed]], and now the
+    * centroid-routed semantic modality): batch vectors that
+    * semantically duplicate something in the STANDING corpus, as
+    * `(id_b, id_c, cos)` pairs at rounded-6dp cosine ≥ `minCosine`.
+    * `centroids` is the frozen training artifact and `members` the
+    * offline-assigned corpus ([[semDedupMembers]] output or its
+    * parquet round-trip) — arrival-time checking never re-trains and
+    * never pays a corpus self-join: the batch assigns with one
+    * broadcast argmax pass and candidates come from the cell
+    * equi-join, batch-assignment-row × cell-occupancy work. Same
+    * candidate discipline as the offline pass, so online and offline
+    * agree on where duplicates can hide; the streaming twin is
+    * [[graft.streaming.StreamingOps.semDedupStream]]. All-double
+    * scoring (the trained-centroid exactDouble contract).
+    */
+  def semDedupAgainstCorpus(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      members: DataFrame,
+      minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val b = semDedupMembers(batch, idCol, vecCol, centroids)
+    b.select(col("id").as("id_b"), col("cell"), col("vec").as("__vb"))
+      .join(members.select(col("id").as("id_c"), col("cell").as("__cc"),
+          col("vec").as("__vc")),
+        col("cell") === col("__cc") && col("id_b") =!= col("id_c"))
+      .select(col("id_b"), col("id_c"),
+        round(VectorFunctions.cosineFastD(col("__vb"), col("__vc")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** EXACT similarity self-join with prefix filtering (the AllPairs /
     * PPJoin candidate rule — Bayardo et al. WWW'07, Xiao et al.
     * ICDE'08): the recall-1.0 complement of MinHash banding. Order

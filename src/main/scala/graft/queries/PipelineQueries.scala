@@ -6069,7 +6069,7 @@ object PipelineQueries {
     * after the pipeline stages. Caller supplies WITH RECURSIVE.
     */
   private lazy val semDedupCtes: String =
-    s"""$semDedupAssignCtes,
+    s"""${semDedupAssignCtes()},
        |dup AS (""".stripMargin + semDedupTailCtes
 
   /** SemDeDup θ TUNING CURVE — D25's deployment table, the D24/N19
@@ -6144,7 +6144,7 @@ object PipelineQueries {
            |         (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM gr$t10) AS n_groups
            |)""".stripMargin
       }
-      s"""WITH RECURSIVE $semDedupAssignCtes,
+      s"""WITH RECURSIVE ${semDedupAssignCtes()},
          |dupc AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         ROUND(${cosSql("a.v", "b.v")}, 6) AS cos
@@ -6160,14 +6160,64 @@ object PipelineQueries {
          |FROM row7""".stripMargin
     })
 
+  /** Incremental SEMANTIC dedup ([[Dedup.semDedupAgainstCorpus]]) —
+    * the arrival-time member of the D25 family beside the SimHash and
+    * LSH incremental paths: the standing corpus is vec_id ≥ 20
+    * (trained + assigned offline — √N cells fit on the CORPUS only,
+    * as a real deployment would), the batch is vec_id < 20, and every
+    * (arrival, standing) semantic pair at θ = 0.6 comes out with its
+    * cosine. The batch never joins itself and the corpus never
+    * re-trains — candidates are the cell equi-join, one broadcast
+    * argmax pass for the arrivals (the D25c serving shape, here with
+    * the full DuckDB replay a stream cannot have: training on the
+    * filtered corpus, both Lloyd iterations, corpus assignment, batch
+    * assignment against the trained cells, and every pair cosine).
+    *
+    * Fixture reading: arrivals 0–19 cover every planted cluster
+    * (vec_id mod 16) plus four second-members — each finds its
+    * cluster's standing cohort at 0.6 where the cell routing agrees,
+    * the same regime the batch query measures.
+    */
+  val dedupIncrSemdedup = QueryDef(
+    "dedup_incr_semdedup",
+    (s, dir) => {
+      val emb = manifoldEmb(s, dir)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val batch = emb.filter(col("vec_id") < 20)
+      val k = math.max(16, math.floor(math.sqrt(corpus.count().toDouble)).toInt)
+      val cents = Similarity.kmeansFit(corpus,
+          Similarity.kmeansInit(corpus, "vec_id", "embedding", k),
+          "vec_id", "embedding", iters = 2)
+        .select(col("c_id"), col("c_vec"))
+      val members = Dedup.semDedupMembers(corpus, "vec_id", "embedding", cents)
+      Dedup.semDedupAgainstCorpus(batch, "vec_id", "embedding", cents, members,
+        minCosine = 0.6)
+    },
+    Some {
+      s"""WITH ${semDedupAssignCtes("WHERE vec_id >= 20")},
+         |eb AS (SELECT * FROM e WHERE vec_id < 20),
+         |bassign AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT eb.vec_id, eb.v, c.c_id, ROUND(${cosSql("eb.v", "cv")}, 6) AS sim
+         |    FROM eb CROSS JOIN tc2 c
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
+         |)
+         |SELECT id_b, id_c, cos FROM (
+         |  SELECT b.vec_id AS id_b, a.vec_id AS id_c,
+         |         ROUND(${cosSql("b.v", "a.v")}, 6) AS cos
+         |  FROM bassign b JOIN assign a ON b.cell = a.cell AND b.vec_id <> a.vec_id
+         |) WHERE cos >= 0.6""".stripMargin
+    })
+
   /** [[semDedupCtes]]' training + assignment half (e … assign) — the
     * θ curve reuses it and swaps its own pair/CC tail in.
     */
-  private lazy val semDedupAssignCtes: String =
+  private def semDedupAssignCtes(corpusWhere: String = ""): String =
       s"""e AS ($manifoldSrcSql),
+         |ec AS (SELECT * FROM e $corpusWhere),
          |tpos AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS p),
          |kk AS (
-         |  SELECT GREATEST(16, CAST(FLOOR(sqrt(COUNT(*)::DOUBLE)) AS BIGINT)) AS k FROM e
+         |  SELECT GREATEST(16, CAST(FLOOR(sqrt(COUNT(*)::DOUBLE)) AS BIGINT)) AS k FROM ec
          |),
          |tseed AS (
          |  SELECT c_id, cv FROM (
@@ -6175,13 +6225,13 @@ object PipelineQueries {
          |           ROW_NUMBER() OVER (
          |             ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
          |                      vec_id) AS rn
-         |    FROM e
+         |    FROM ec
          |  ) CROSS JOIN kk WHERE rn <= kk.k
          |),
          |ta1 AS (
          |  SELECT vec_id, v, c_id AS cell FROM (
-         |    SELECT e.vec_id, e.v, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
-         |    FROM e CROSS JOIN tseed c
+         |    SELECT ec.vec_id, ec.v, c.c_id, ROUND(${cosSql("ec.v", "cv")}, 6) AS sim
+         |    FROM ec CROSS JOIN tseed c
          |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
          |),
          |tm1 AS (
@@ -6193,8 +6243,8 @@ object PipelineQueries {
          |tc1 AS (SELECT cell AS c_id, LIST(m ORDER BY p) AS cv FROM tm1 GROUP BY cell),
          |ta2 AS (
          |  SELECT vec_id, v, c_id AS cell FROM (
-         |    SELECT e.vec_id, e.v, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
-         |    FROM e CROSS JOIN tc1 c
+         |    SELECT ec.vec_id, ec.v, c.c_id, ROUND(${cosSql("ec.v", "cv")}, 6) AS sim
+         |    FROM ec CROSS JOIN tc1 c
          |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
          |),
          |tm2 AS (
@@ -6206,8 +6256,8 @@ object PipelineQueries {
          |tc2 AS (SELECT cell AS c_id, LIST(m ORDER BY p) AS cv FROM tm2 GROUP BY cell),
          |assign AS (
          |  SELECT vec_id, v, c_id AS cell, sim AS sim_c FROM (
-         |    SELECT e.vec_id, e.v, c.c_id, ROUND(${cosSql("e.v", "cv")}, 6) AS sim
-         |    FROM e CROSS JOIN tc2 c
+         |    SELECT ec.vec_id, ec.v, c.c_id, ROUND(${cosSql("ec.v", "cv")}, 6) AS sim
+         |    FROM ec CROSS JOIN tc2 c
          |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) = 1
          |)""".stripMargin
 
@@ -7951,7 +8001,7 @@ object PipelineQueries {
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
-    annKmeans, dedupSemdedup, dedupSemdedupCurve,
+    annKmeans, dedupSemdedup, dedupSemdedupCurve, dedupIncrSemdedup,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
