@@ -188,23 +188,74 @@ object Bench {
     * purpose — the map is flat name->number, the file is repo-committed
     * (trusted shape), and a parse failure must degrade to "no ref"
     * (empty map), never fail the bench.
+    *
+    * WHITESPACE-TOLERANT by hard lesson (round 14): the original
+    * parser matched only Bench's own compact one-line output
+    * (`"queries":{` + `"name":1.23`). A mid-round tooling refresh
+    * committed the ref PRETTY-PRINTED; `indexOf` returned −1, the
+    * loader silently degraded to `Map.empty`, and the plausibility
+    * check — the round's headline feature — certified nothing for the
+    * rest of the round (official BENCH_r14.json: `n_ref: 0`, ten
+    * storm-inflated values untagged). Both the map locator and the
+    * entry regex now tolerate arbitrary whitespace, and the map body
+    * ends at the first `}` AFTER the locator match (the map is flat —
+    * no nested objects — so that brace is its close in either format).
+    * `private[graft]` so BenchRefSpec can pin the parser against the
+    * ACTUAL committed file (the test that was missing in round 14).
     */
-  private def loadQuietRef(path: String): Map[String, Double] =
+  private[graft] def loadQuietRef(path: String): Map[String, Double] =
     try {
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      val start = text.indexOf("\"queries\":{")
-      if (start < 0) Map.empty
-      else {
-        val body = text.substring(start + "\"queries\":{".length,
-          text.indexOf('}', start))
-        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 >= 0) // a failed ref entry (-1) anchors nothing
-          .toMap
+      val locator = "\"queries\"\\s*:\\s*\\{".r
+      locator.findFirstMatchIn(text) match {
+        case None => Map.empty
+        case Some(m) =>
+          val body = text.substring(m.end, text.indexOf('}', m.end))
+          "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(body)
+            .map(g => g.group(1) -> g.group(2).toDouble)
+            .filter(_._2 >= 0) // a failed ref entry (-1) anchors nothing
+            .toMap
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** Min-merge several bench artifacts' `queries` maps into a fresh
+    * quiet-reference file, written in Bench's OWN compact format — the
+    * round-14 postmortem's structural fix: the ref is now produced by
+    * the same code that consumes it, so tooling format drift cannot
+    * disarm the plausibility check again. Invoked as
+    * `runMain graft.Bench merge-ref <out.json> <in1.json> [in2...]`;
+    * needs no Spark session. A query's merged value is the MIN over
+    * every input that carries it (a quiet measurement is a quiet
+    * measurement regardless of which tour produced it); inputs that
+    * fail to parse contribute nothing but are reported on stderr.
+    */
+  private def mergeRef(out: String, ins: Seq[String]): Unit = {
+    val maps = ins.map { p =>
+      val m = loadQuietRef(p)
+      System.err.println(s"[bench] merge-ref: $p -> ${m.size} entries")
+      m
+    }
+    val merged = maps.flatten
+      .groupMapReduce(_._1)(_._2)(math.min)
+    require(merged.nonEmpty, s"merge-ref: no entries parsed from $ins")
+    val total = merged.values.sum
+    val qs = merged.toSeq.sortBy(_._1)
+      .map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
+    val json =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{$qs}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Closed loop: the file this just wrote must round-trip through the
+    // consumer. A ref that can't be re-read is a bug HERE, not at the
+    // next bench run.
+    val back = loadQuietRef(out)
+    require(back.size == merged.size,
+      s"merge-ref: wrote ${merged.size} entries but re-parsed ${back.size}")
+    System.err.println(
+      s"[bench] merge-ref: wrote ${merged.size} entries to $out (round-trip ok)")
+  }
 
   def main(args: Array[String]): Unit = {
     // All JSON below is formatted with f"" (= String.format with the
@@ -212,6 +263,11 @@ object Bench {
     // render "1,234" and the emitted line would be invalid JSON. Pin
     // ROOT once — this main owns the process.
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    if (args.headOption.contains("merge-ref")) {
+      require(args.length >= 3, "usage: merge-ref <out.json> <in1.json> [in2...]")
+      mergeRef(args(1), args.drop(2).toSeq)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
@@ -224,8 +280,24 @@ object Bench {
     val quietRefPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_REF", "bench_quiet_ref.json")
     val quietRef = loadQuietRef(quietRefPath)
-    System.err.println(s"[bench] quiet reference: ${quietRef.size} entries " +
-      s"from $quietRefPath")
+    // A ref file that EXISTS but parses to zero entries is a broken
+    // parse or a broken file, never a quiet host — round 14 shipped an
+    // official artifact with the check silently disarmed exactly this
+    // way. Scream on stderr AND stamp the artifact (`"error":
+    // "unparsed"` below) so an empty ref can never be mistaken for a
+    // clean bill of health. Still degrade rather than abort: a bench
+    // number with a visibly-dead check beats no number.
+    val refUnparsed =
+      quietRef.isEmpty && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(quietRefPath))
+    if (refUnparsed)
+      System.err.println(
+        s"[bench] ERROR: quiet ref $quietRefPath EXISTS but parsed to 0 " +
+          "entries — the plausibility check is DISARMED for this run; " +
+          "the artifact carries quiet_ref.error=unparsed")
+    else
+      System.err.println(s"[bench] quiet reference: ${quietRef.size} entries " +
+        s"from $quietRefPath")
     def selected(name: String): Boolean =
       filter.isEmpty || filter.exists(t => name == t || name.startsWith(t))
     val spark = GraftSession.local(appName = "graft-bench")
@@ -522,7 +594,7 @@ object Bench {
     val weatherJson = weatherSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calJson = calSeries.map(s => f"$s%.3f").mkString("[", ",", "]")
     val resultJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"default_stat":"min","stall_suspect":$suspectJson,"weather_suspect":$weatherJson,"quiet_ref":{"file":"$quietRefPath","n_ref":${quietRef.size}},"calibration":{"floor":$calFloor%.3f,"series":$calJson},"wall_sec":$elapsed%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"default_stat":"min","stall_suspect":$suspectJson,"weather_suspect":$weatherJson,"quiet_ref":{"file":"$quietRefPath","n_ref":${quietRef.size}${if (refUnparsed) ",\"error\":\"unparsed\"" else ""}},"calibration":{"floor":$calFloor%.3f,"series":$calJson},"wall_sec":$elapsed%.1f}"""
     // The driver captures a BOUNDED tail of stdout; with 86+ queries the
     // one-line JSON outgrew it and round 5's official artifact lost its
     // first ~10 values to head-truncation (parsed: null). The file copy
