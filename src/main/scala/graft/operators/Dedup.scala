@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CheckpointBlocks
 
@@ -1065,19 +1066,24 @@ object Dedup {
     * keep rule is one component-cardinality aggregate joined back on
     * its own unique key. The corpus vectors ride only the
     * within-cell pair join, nothing corpus² ever materializes.
+    * `maxCell > 0` additionally bounds any single DEGENERATE cell's
+    * |cell|² term by rank-splitting over-cap cells into sub-cells —
+    * see [[semDedupScoredPairs]] for the split rule and its recall
+    * contract, [[hotCellStats]] for the audit.
     */
   def semDedup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
-      minCosine: Double): DataFrame = {
+      minCosine: Double,
+      maxCell: Int = 0): DataFrame = {
     // One materialization, three readers (both pair-join sides + the
     // output re-attach) — uncut, the whole assignment (a corpus × k
     // scoring pass, with max(sim) = the winning cell's similarity
     // captured in the same aggregate) would re-execute per branch.
     val members = semDedupMembers(emb, idCol, vecCol, centroids)
-    val pairs = semDedupScoredPairs(members, minCosine)
+    val pairs = semDedupScoredPairs(members, minCosine, maxCell)
       .select(col("id_a"), col("id_b"))
     val groups = dedupClusters(pairs)
     val out = groups
@@ -1098,19 +1104,68 @@ object Dedup {
     * ≥ `minCosine`. The filter compares the SAME rounded value the
     * column carries, so a curve computed once at its loosest θ and
     * re-filtered per arm is bit-identical to running each arm alone.
+    *
+    * `maxCell > 0` arms the HOT-CELL occupancy cap (the round-14
+    * watch item): k ∝ √N bounds Σ|cell|² only when occupancy is
+    * roughly balanced — one degenerate cell (a boilerplate embedding
+    * crowd, a zero-vector sink) re-quadratizes its own |cell|² term
+    * regardless of k. Over-cap cells are SPLIT, not dropped (the
+    * [[capBuckets]] drop posture would forfeit exactly the dups a hot
+    * cell concentrates): members rank within their cell by
+    * (`sim_c` asc, id asc) — the SAME total order the keep rule uses,
+    * deterministic and oracle-replayable — and consecutive rank
+    * chunks of `maxCell` become sub-cells; pairs are scored within
+    * (cell, sub-cell) only. Candidates per cell drop from |c|² to
+    * ⌈|c|/cap⌉·cap², linear in |c| at fixed cap. The recall trade is
+    * principled: near-duplicate vectors have near-equal centroid
+    * similarity (cos(a,c) and cos(b,c) differ by at most the angular
+    * diameter of the dup pair), so dup groups sit CONTIGUOUS in the
+    * sim_c ranking and only groups straddling a chunk boundary lose
+    * pairs — the same lossy-by-decree class as [[capBuckets]], but
+    * split-not-drop keeps every member eligible within its chunk.
+    * The rank is one sort-based window partitioned BY CELL (occupancy-
+    * sized partitions, spillable — the honest linear cost that
+    * replaces the quadratic join). Default 0 = off: the uncapped plan
+    * is byte-identical to round 14's.
     */
   private[graft] def semDedupScoredPairs(
       members: DataFrame,
-      minCosine: Double): DataFrame = {
+      minCosine: Double,
+      maxCell: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions
-    members
-      .select(col("id").as("id_a"), col("cell"), col("vec").as("__va"))
-      .join(members.select(col("id").as("id_b"), col("cell").as("__cb"),
-          col("vec").as("__vb")),
-        col("cell") === col("__cb") && col("id_a") < col("id_b"))
+    val left =
+      if (maxCell <= 0) members
+      else members.withColumn("__sub",
+        ((row_number().over(Window.partitionBy(col("cell"))
+          .orderBy(col("sim_c"), col("id"))) - 1) / maxCell).cast("long"))
+    val a = left.select(Seq(col("id").as("id_a"), col("cell"),
+      col("vec").as("__va")) ++
+      (if (maxCell > 0) Seq(col("__sub").as("__sa")) else Nil): _*)
+    val b = left.select(Seq(col("id").as("id_b"), col("cell").as("__cb"),
+      col("vec").as("__vb")) ++
+      (if (maxCell > 0) Seq(col("__sub").as("__sb")) else Nil): _*)
+    val cond0 = col("cell") === col("__cb") && col("id_a") < col("id_b")
+    val cond = if (maxCell > 0) cond0 && col("__sa") === col("__sb") else cond0
+    a.join(b, cond)
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosineFastD(col("__va"), col("__vb")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
+  }
+
+  /** (cells over `maxCell`, largest cell) for an assigned member
+    * frame — [[hotBucketStats]]' semantic-family twin, the
+    * observability half of the hot-cell cap: audits what
+    * `semDedupScoredPairs(maxCell)` would split without running the
+    * join. One map-side-combinable aggregate at cell cardinality.
+    */
+  def hotCellStats(members: DataFrame, maxCell: Int): (Long, Long) = {
+    val row = members.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > maxCell, 1L).otherwise(0L)).as("n_hot"),
+        max(col("n")).as("max_n"))
+      .head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   /** [[semDedup]]'s assignment stage, factored for the θ curve: one
@@ -1162,9 +1217,22 @@ object Dedup {
       vecCol: String,
       centroids: DataFrame,
       members: DataFrame,
+      minCosine: Double): DataFrame =
+    semDedupCorpusPairs(
+      semDedupMembers(batch, idCol, vecCol, centroids), members, minCosine)
+
+  /** The batch-assigned × standing-members scored cell join shared by
+    * [[semDedupAgainstCorpus]] and [[semDedupAdmit]]: `b` is an
+    * assigned batch frame ([[semDedupMembers]] output — already cut,
+    * both callers read it once here), `members` the standing corpus
+    * assignment; emits `(id_b, id_c, cos)` at rounded-6dp cosine ≥
+    * `minCosine`.
+    */
+  private def semDedupCorpusPairs(
+      b: DataFrame,
+      members: DataFrame,
       minCosine: Double): DataFrame = {
     import graft.functions.VectorFunctions
-    val b = semDedupMembers(batch, idCol, vecCol, centroids)
     b.select(col("id").as("id_b"), col("cell"), col("vec").as("__vb"))
       .join(members.select(col("id").as("id_c"), col("cell").as("__cc"),
           col("vec").as("__vc")),
@@ -1173,6 +1241,59 @@ object Dedup {
         round(VectorFunctions.cosineFastD(col("__vb"), col("__vc")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** The ADMITTED rows of an arrival batch, as member rows ready to
+    * join the standing corpus: assign the batch once (one broadcast
+    * argmax — the [[semDedupAgainstCorpus]] discipline), find
+    * arrivals with a standing semantic dup via the cell equi-join,
+    * and return the batch-member rows (`id`, `cell`, `sim_c`, `vec`)
+    * that matched NOTHING. Within-batch duplicates are admitted
+    * TOGETHER by contract — the arrival gate checks the STANDING
+    * corpus only (exactly what [[semDedupAgainstCorpus]] and the
+    * streaming twin verify), and intra-batch redundancy is resolved
+    * by the next full offline [[semDedup]] — the [[assignToClusters]]
+    * "merges deferred to the next full rebuild" posture, stated
+    * rather than hidden.
+    *
+    * Scale: the batch assigns once (cut inside [[semDedupMembers]] —
+    * the pair join and the anti-join both read the same blocks);
+    * candidates ride the cell equi-join at batch × cell-occupancy
+    * cardinality; the anti-join is batch-sized. The corpus is never
+    * re-trained, never self-joined.
+    */
+  def semDedupAdmit(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      members: DataFrame,
+      minCosine: Double): DataFrame = {
+    val b = semDedupMembers(batch, idCol, vecCol, centroids)
+    val dupIds = semDedupCorpusPairs(b, members, minCosine)
+      .select(col("id_b").as("id")).distinct()
+    b.join(dupIds, Seq("id"), "left_anti")
+  }
+
+  /** Complete the D25d ingest loop: the standing `members` frame plus
+    * the batch's [[semDedupAdmit]]ted rows — the semantic family's
+    * [[assignToClusters]] analog (corpus maintenance without
+    * retraining or recomputing anything corpus-sized). Because
+    * assignment is per-row under FROZEN centroids, folding is exact:
+    * fold(members(C), B) ≡ members(C ∪ admitted(B)) — a full rebuild
+    * over the grown corpus, unit-pinned. Persistence of the grown
+    * frame is [[graft.streaming.StreamingOps.upsertBatch]] on key
+    * `id` (admitted ids are new, so the merge is a pure append) —
+    * the D20 write-then-swap posture, idempotent under replays.
+    */
+  def semDedupFoldBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      members: DataFrame,
+      minCosine: Double): DataFrame =
+    members.unionByName(
+      semDedupAdmit(batch, idCol, vecCol, centroids, members, minCosine))
 
   /** EXACT similarity self-join with prefix filtering (the AllPairs /
     * PPJoin candidate rule — Bayardo et al. WWW'07, Xiao et al.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Kernel output row for [[TextAnalysis.winnowKernel]]. */
@@ -509,6 +510,76 @@ object TextAnalysis {
       .select(col("term"), col("doc_id"), col("tf"), col("contrib_u"))
   }
 
+  /** Impact-ordered static index pruning (Carmel et al. SIGIR'01 /
+    * Anh & Moffat's impact ordering): keep only each term's top
+    * `maxPostings` postings by `(contrib_u DESC, doc_id ASC)` — the
+    * classic serving-cost dial. A term's tail postings (low tf, long
+    * docs) contribute least to any score it appears in, so truncating
+    * the posting list bounds per-term serving work at a MEASURED
+    * recall cost — `text_bm25_eval` prices exactly this knob, the
+    * N4/N19 recall-ladder pattern applied to the IR family.
+    *
+    * Rank is attached (`posting_rank`) rather than filtered away, so
+    * one scored pass serves a whole pruning CURVE: filtering the
+    * returned frame at `posting_rank <= p` for any p ≤ maxPostings is
+    * bit-identical to pruning at p directly (the
+    * [[graft.operators.Dedup.semDedupScoredPairs]] shared-pass
+    * contract). Pass `Int.MaxValue` to rank without pruning.
+    *
+    * Scale: [[bm25Index]] + one sort-based window partitioned BY TERM
+    * (posting-list-sized partitions — the same per-key linear cost an
+    * index builder pays to impact-order its lists on disk anyway).
+    * One degenerate stopword list is the hot partition; production
+    * builders drop stopwords first ([[stopwords]] is the gate).
+    */
+  def bm25IndexPruned(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    bm25Index(docs, idCol, textCol)
+      .withColumn("posting_rank",
+        row_number().over(Window.partitionBy(col("term"))
+          .orderBy(col("contrib_u").desc, col("doc_id"))).cast("long"))
+      .filter(col("posting_rank") <= maxPostings)
+  }
+
+  /** Serve a query workload from a PERSISTED scored-postings index —
+    * the batch twin of [[graft.streaming.StreamingOps.bm25TopKStream]]
+    * (same artifact, same summation), and the serving half of the
+    * pruning eval: `index` is [[bm25Index]] / [[bm25IndexPruned]]
+    * output (or its `Load.loadIndex` round-trip). Scoring sums the
+    * loaded `contrib_u` per (query, doc) over the query's DISTINCT
+    * terms (set semantics, the [[bm25TopKBatch]] contract) and cuts
+    * top-k with the bounded CollectTopK heap. Against an unpruned
+    * index this reproduces [[bm25TopKBatch]] exactly (same integer
+    * micro-units, same (score_u DESC, doc_id ASC) key).
+    *
+    * Scale: the workload broadcast is |Q|-bounded; the index-side
+    * join is the planner's choice (posting lists stream, never
+    * collect); the heap keeps ≤ k rows per (partition × query).
+    */
+  def bm25TopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = struct((-col("score_u")).as("ns"), col("doc_id").as("doc_id"),
+      col("n_terms").as("n_terms"))
+    index.select(col("term"), col("doc_id"), col("contrib_u"))
+      .join(broadcast(queries.select(col("query_id"), col("term")).distinct()),
+        Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_u")).as("score_u"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.smallestK(key, k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.doc_id").as("doc_id"),
+        col("t.n_terms").as("n_terms"),
+        ((-col("t.ns")).cast("double") / lit(1000000.0)).as("score"))
+  }
+
   /** BATCH BM25 retrieval — [[bm25TopK]] generalized from one literal
     * query to a TABLE of queries `(query_id, term)`, the shape a
     * retrieval deployment actually runs: score the whole query
@@ -566,7 +637,14 @@ object TextAnalysis {
           ((lit(22L) * col("tf") * col("t_tokens")).cast("double") /
             (lit(10L) * col("tf") * col("t_tokens") + lit(3L) * col("t_tokens") +
               lit(9L) * col("dl") * col("n_docs")).cast("double")), 0).cast("bigint"))
-      .join(broadcast(queries), Seq("term"))
+      // SET semantics on the workload (ADVICE r14): a repeated
+      // (query_id, term) row — easy to produce upstream of a real
+      // serving tier — would double-count that term's contrib_u and
+      // inflate n_terms, silently reordering results. BM25 queries
+      // are term SETS (classic BM25 has no query-side tf term), so
+      // dedupe the fan-out; the broadcast stays |Q|-bounded.
+      .join(broadcast(queries.select(col("query_id"), col("term")).distinct()),
+        Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib_u")).as("score_u"))
       .groupBy(col("query_id"))
@@ -841,6 +919,76 @@ object TextAnalysis {
               sequence(lit(1), size(col("t")) - (spanTokens - 1), lit(stride)),
               i => md5(concat_ws(" ", slice(col("t"), i, lit(spanTokens))))))
             .otherwise(expr("array()").cast("array<string>"))).as("span_hash"))
+  }
+
+  /** Line-level boilerplate removal — the CCNet line-dedup tier
+    * (Wenzek 2020 §4.1: drop lines whose normalized hash repeats
+    * across documents — headers, nav bars, cookie banners, license
+    * footers) that span-level dedup ([[duplicateSpans]], T10) cannot
+    * see: boilerplate lines are usually SHORTER than a span window
+    * and repeat at line boundaries, not at arbitrary token offsets.
+    * (Reference scope: the reference app has no text pipeline; this
+    * extends the §2.12 training-data surface.)
+    *
+    * Contract: split each document on newline; a NON-BLANK line whose
+    * normalization (`trim . lower`) appears in ≥ `minDocs` DISTINCT
+    * documents is boilerplate and dropped; every other line —
+    * including blank lines, which structure paragraphs and are never
+    * counted — is kept, and each document is re-assembled in original
+    * line order. Output: one row per input document,
+    * `(doc_id, n_lines, n_lines_kept, clean_text)` — a doc whose
+    * every line was boilerplate survives with `clean_text = ''`
+    * (removal never drops documents; the quality gate downstream
+    * decides that).
+    *
+    * Scale shape (CCNet runs this on Common Crawl): the explode and
+    * the normalization hash are narrow codegen; finding boilerplate
+    * is TWO map-side-combinable aggregates over 32-char hashes —
+    * (line_fp, doc_id) collapses within-doc repeats before the first
+    * shuffle, (line_fp) counts distinct docs after the second (the
+    * exact [[duplicateSpans]] shape, so the wire carries hashes,
+    * never text). Membership is a LEFT join on `line_fp` — left
+    * UNHINTED on purpose: at 100 TB the cross-doc-repeated line set
+    * is itself web-scale (CCNet shards it by hash), so the hash-
+    * partitioned shuffle join IS the scalable plan and AQE will
+    * broadcast the boiler side whenever a smaller corpus leaves it
+    * under the threshold. Reassembly is one doc_id shuffle with
+    * collect_list pruned to (line_no, line) pairs. Three linear
+    * shuffles total; no self-join, no window.
+    */
+  def removeBoilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 10): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
+      .select(col("doc_id"), col("pos").as("line_no"), col("col").as("line"),
+        // Blank lines never count toward boilerplate (every doc has
+        // them; dropping them would reflow every paragraph).
+        when(trim(col("col")) =!= "", md5(trim(lower(col("col")))))
+          .as("line_fp"))
+    val boiler = lines.filter(col("line_fp").isNotNull)
+      .groupBy(col("line_fp"), col("doc_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("line_fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line_fp"), lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("line_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("is_boiler").isNull, 1)).as("n_lines_kept"),
+        // collect_list skips nulls, so the when() drops boilerplate
+        // lines from the reassembly while they still count above.
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull,
+                struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
   }
 
   /** Sliding-window document chunking: split each document into

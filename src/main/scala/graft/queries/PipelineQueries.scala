@@ -1101,6 +1101,82 @@ object PipelineQueries {
            |         AS shard_pos
            |FROM keyed""".stripMargin))
 
+  /** Curriculum ordering export ([[Sampling.curriculumOrder]], SA12):
+    * the SA8 packed sequences get an easy-to-hard per-epoch READ
+    * schedule — band = tot_tok DIV 64 (5 coarse length bands; token
+    * length is the classic curriculum difficulty proxy), two epoch
+    * arms (`e1`, `e2`) sharing the identical UNSALTED shard layout
+    * and band structure while the within-band order reshuffles per
+    * epoch. The within-shard ORDER itself is hashed (`curriculum_pos`
+    * is a full-rank column — the SA8 strictest-pin posture): the
+    * oracle replays the recursive packing fold, the shard hash, and
+    * both epochs' (band, md5(salt#key), key) rank. One packed frame
+    * is cut once and read by both epoch arms.
+    */
+  val sampleCurriculum = QueryDef(
+    "sample_curriculum",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val sized = Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("doc_id DIV 50").as("bucket"),
+        TextAnalysis.tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("n_tok"))
+      val packed = TextAnalysis.packSequences(sized, "doc_id", "n_tok", "bucket",
+        maxTokens = 256L)
+      val seqs = CheckpointBlocks.cut(packed.groupBy(col("bucket"), col("seq"))
+        .agg(sum(col("n_tok")).cast("long").as("tot_tok"))
+        .withColumn("seq_key",
+          concat(col("bucket").cast("string"), lit("#"), col("seq").cast("string")))
+        .withColumn("band", expr("tot_tok DIV 64")))
+      def epoch(salt: String): DataFrame =
+        Sampling.curriculumOrder(seqs, "seq_key", "band", nShards = 8,
+            epochSalt = salt)
+          .select(lit(salt).as("epoch"), col("bucket"), col("seq"),
+            col("tot_tok"), col("band"), col("shard"), col("shard_pos"),
+            col("curriculum_pos"))
+      epoch("e1").unionByName(epoch("e2"))
+    },
+    Some {
+      def epoch(salt: String) =
+        s"""SELECT '$salt' AS epoch, bucket, seq, tot_tok, band, shard, shard_pos,
+           |       CAST(ROW_NUMBER() OVER (
+           |         PARTITION BY shard
+           |         ORDER BY band,
+           |                  ('0x' || substr(md5('$salt' || '#' || seq_key), 1, 15))::BIGINT,
+           |                  seq_key) - 1 AS BIGINT) AS curriculum_pos
+           |FROM base""".stripMargin
+      s"""WITH RECURSIVE ord AS (
+         |  SELECT doc_id, doc_id // 50 AS bucket,
+         |         len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS n_tok,
+         |         row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id) AS rn
+         |  FROM documents
+         |), pack AS (
+         |  SELECT bucket, doc_id, n_tok, rn, 0 AS seq, n_tok AS cur FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.bucket, o.doc_id, o.n_tok, o.rn,
+         |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN p.seq + 1 ELSE p.seq END,
+         |         CASE WHEN p.cur + o.n_tok > 256 AND p.cur > 0 THEN o.n_tok ELSE p.cur + o.n_tok END
+         |  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+         |), seqs AS (
+         |  SELECT bucket, seq, CAST(SUM(n_tok) AS BIGINT) AS tot_tok
+         |  FROM pack GROUP BY 1, 2
+         |), keyed AS (
+         |  SELECT bucket, seq, tot_tok, tot_tok // 64 AS band,
+         |         CAST(bucket AS VARCHAR) || '#' || CAST(seq AS VARCHAR) AS seq_key,
+         |         ('0x' || substr(md5(CAST(bucket AS VARCHAR) || '#' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM seqs
+         |), base AS (
+         |  SELECT bucket, seq, tot_tok, band, seq_key,
+         |         CAST(h % 8 AS INT) AS shard,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, seq_key) - 1 AS BIGINT)
+         |           AS shard_pos
+         |  FROM keyed
+         |)
+         |${epoch("e1")}
+         |UNION ALL
+         |${epoch("e2")}""".stripMargin
+    })
+
   /** The shared BPE CTE chain (see [[graft.operators.Bpe]]): tokens →
     * word counts → char symbols, then `k` UNROLLED merge rounds —
     * each round is pair counts → (count DESC, lhs ASC, rhs ASC) best
@@ -2826,6 +2902,64 @@ object PipelineQueries {
            |FROM per_doc p LEFT JOIN dup d USING (span_hash)
            |GROUP BY 1""".stripMargin))
 
+  /** Line-level boilerplate removal
+    * ([[TextAnalysis.removeBoilerplateLines]]) — the CCNet line-dedup
+    * tier. The fixture's word-salad text has no line structure, so the
+    * query INJECTS it deterministically (the PII/sentence-injection
+    * precedent — one expression both engines apply identically): a
+    * per-group nav header (`doc_id % 4` → each variant in ~125 of 500
+    * docs), a BLANK line (must survive — blanks are never boilerplate),
+    * the body re-flowed to one line per 7 tokens (unique word salad —
+    * must survive), and a universal rights footer (in every doc). At
+    * `minDocs = 20` both injected boilerplate lines are dropped and
+    * every body line is kept; the re-assembled `clean_text` itself is
+    * hashed (the T18f strictest pin — the oracle replays the split,
+    * the normalized-line distinct-doc count, the drop, and the
+    * line-order reassembly in DuckDB).
+    */
+  val textLineBoiler = QueryDef(
+    "text_line_boiler",
+    (s, dir) => {
+      val injected = concat(
+        lit("nav menu home about section "), pmod(col("doc_id"), lit(4)),
+        lit("\n\n"),
+        regexp_replace(coalesce(col("text"), lit("")),
+          lit("((\\S+ ){6}\\S+) "), lit("$1\n")),
+        lit("\nall rights reserved example corp"))
+      TextAnalysis.removeBoilerplateLines(
+        Tables.documents(s, dir).withColumn("text", injected),
+        "doc_id", "text", minDocs = 20)
+    },
+    Some("""WITH inj AS (
+           |  SELECT doc_id,
+           |         'nav menu home about section ' || (doc_id % 4) || chr(10) || chr(10) ||
+           |         replace(regexp_replace(coalesce(text, ''), '((\S+ ){6}\S+) ', '\1@NL@', 'g'),
+           |                 '@NL@', chr(10)) ||
+           |         chr(10) || 'all rights reserved example corp' AS text
+           |  FROM documents
+           |),
+           |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM inj),
+           |lines AS (
+           |  SELECT doc_id, p - 1 AS line_no, l[p] AS line,
+           |         CASE WHEN trim(l[p]) <> '' THEN md5(trim(lower(l[p]))) END AS line_fp
+           |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS p FROM ls)
+           |),
+           |boiler AS (
+           |  SELECT line_fp FROM (
+           |    SELECT line_fp, COUNT(DISTINCT doc_id) AS n_docs
+           |    FROM lines WHERE line_fp IS NOT NULL GROUP BY 1)
+           |  WHERE n_docs >= 20
+           |),
+           |kept AS (
+           |  SELECT k.doc_id, k.line_no, k.line, b.line_fp IS NOT NULL AS is_boiler
+           |  FROM lines k LEFT JOIN boiler b ON k.line_fp = b.line_fp
+           |)
+           |SELECT doc_id, COUNT(*) AS n_lines,
+           |       COUNT(*) FILTER (WHERE NOT is_boiler) AS n_lines_kept,
+           |       coalesce(string_agg(line, chr(10) ORDER BY line_no)
+           |                  FILTER (WHERE NOT is_boiler), '') AS clean_text
+           |FROM kept GROUP BY 1""".stripMargin))
+
   /** Sliding-window chunking ([[TextAnalysis.chunkDocs]]): 40-token
     * windows advancing by 20 with a tail-aligned final window — the
     * pre-embedding segmenter. Pure narrow codegen'd array work; the
@@ -3098,6 +3232,135 @@ object PipelineQueries {
            |SELECT query_id, doc_id, n_terms, score_u::DOUBLE / 1000000.0 AS score FROM agg
            |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
            |                           ORDER BY score_u DESC, doc_id ASC) <= 10""".stripMargin))
+
+  /** Retrieval EVAL artifact — per-query recall@10 of impact-PRUNED
+    * BM25 serving ([[TextAnalysis.bm25IndexPruned]] +
+    * [[TextAnalysis.bm25TopKFromIndex]]) against exact
+    * [[TextAnalysis.bm25TopKBatch]] truth, the N4/N19 recall-ladder
+    * pattern applied to the IR family (r14 verdict ask #4): the T20
+    * family had scoring and serving but no number saying what a
+    * serving-cost optimization COSTS. Arms prune each term's posting
+    * list to its top {3, 10, 500} postings; p = 500 ≥ |corpus| is the
+    * recall-1.0 sanity arm (pruning nothing must reproduce exact
+    * truth — the arm that certifies the harness itself). ONE ranked
+    * index pass serves every arm (filtering `posting_rank <= p` is
+    * bit-identical to pruning at p — the shared-pass operator
+    * contract); index and truth are each cut once, read per arm.
+    *
+    * Recall is PER QUERY because the lesson is per-term-class
+    * (measured on this corpus before choosing the workload): impact
+    * pruning assumes POSITIVE impacts. Query 2 (`dup`, df 25/500 —
+    * the corpus's one discriminative term, idf > 0) prunes cleanly:
+    * its top-10 IS its 10 best postings, so recall walks 0.3 → 1.0
+    * → 1.0 up the ladder. Query 1 (`spark table vector`, df ≈ 380/500
+    * each — stopword-class, idf < 0) INVERTS under pruning: dropping
+    * a doc's negative posting RAISES its visible score, promoting
+    * exactly the wrong docs (recall stays ~0 until the index is
+    * whole). Query 3 mixes one of each. This is WHY production
+    * engines stoplist before impact-ordering — here that folk rule
+    * is a measured number, not lore.
+    *
+    * The oracle replays the workload VALUES table, the scored
+    * postings, the per-term impact ranking, the per-arm top-10, and
+    * the per-query recall join.
+    */
+  val textBm25Eval = QueryDef(
+    "text_bm25_eval",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val q = Seq(
+        (1L, "spark"), (1L, "table"), (1L, "vector"),
+        (2L, "dup"),
+        (3L, "dup"), (3L, "merge"))
+        .toDF("query_id", "term")
+      val docs = Tables.documents(s, dir)
+      val truth = CheckpointBlocks.cut(
+        TextAnalysis.bm25TopKBatch(docs, "doc_id", "text", q, k = 10)
+          .select(col("query_id"), col("doc_id")))
+      val ranked = CheckpointBlocks.cut(
+        TextAnalysis.bm25IndexPruned(docs, "doc_id", "text", Int.MaxValue))
+      val arms = Seq(3, 10, 500).map { p =>
+        val approx = TextAnalysis.bm25TopKFromIndex(
+            ranked.filter(col("posting_rank") <= p), q, k = 10)
+          .select(col("query_id"), col("doc_id"), lit(1).as("__hit"))
+        truth.join(approx, Seq("query_id", "doc_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hits"))
+          .select(lit(p.toLong).as("p"), col("query_id"), col("n_truth"),
+            col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_truth").cast("double"),
+              4).as("recall"))
+      }
+      arms.reduce(_ unionByName _)
+    },
+    Some {
+      def arm(p: Int) =
+        s"""arm$p AS (
+           |  SELECT query_id, doc_id FROM (
+           |    SELECT q.query_id, r.doc_id, CAST(SUM(r.contrib_u) AS BIGINT) AS score_u
+           |    FROM ranked r JOIN q USING (term) WHERE r.pr <= $p
+           |    GROUP BY 1, 2
+           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+           |                              ORDER BY score_u DESC, doc_id ASC) <= 10
+           |),
+           |r$p AS (
+           |  SELECT CAST($p AS BIGINT) AS p, t.query_id,
+           |         CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |         CAST(COUNT(a.doc_id) AS BIGINT) AS n_hits,
+           |         ROUND(COUNT(a.doc_id)::DOUBLE / COUNT(*)::DOUBLE, 4) AS recall
+           |  FROM truth t LEFT JOIN arm$p a
+           |    ON t.query_id = a.query_id AND t.doc_id = a.doc_id
+           |  GROUP BY t.query_id
+           |)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+         |  FROM (VALUES (1, 'spark'), (1, 'table'), (1, 'vector'),
+         |               (2, 'dup'),
+         |               (3, 'dup'), (3, 'merge')) AS v(query_id, term)
+         |),
+         |toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |                     x -> x <> '') AS t
+         |  FROM documents
+         |),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w AS term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+         |  WHERE w IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY 1, 2
+         |),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         CAST(ROUND(
+         |           CAST(ROUND(LN((2 * tot.n_docs - 2 * dft.df + 1)::DOUBLE
+         |                         / (2 * dft.df + 1)::DOUBLE) * 1000000.0, 0) AS BIGINT)::DOUBLE
+         |           * ((22 * tf.tf * tot.t_tokens)::DOUBLE
+         |              / (10 * tf.tf * tot.t_tokens + 3 * tot.t_tokens
+         |                 + 9 * dl.dl * tot.n_docs)::DOUBLE), 0) AS BIGINT) AS contrib_u
+         |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+         |),
+         |ranked AS (
+         |  SELECT doc_id, term, contrib_u,
+         |         ROW_NUMBER() OVER (PARTITION BY term
+         |                            ORDER BY contrib_u DESC, doc_id ASC) AS pr
+         |  FROM sc
+         |),
+         |truth AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT q.query_id, sc.doc_id, CAST(SUM(sc.contrib_u) AS BIGINT) AS score_u
+         |    FROM sc JOIN q USING (term) GROUP BY 1, 2
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY score_u DESC, doc_id ASC) <= 10
+         |),
+         |${arm(3)}, ${arm(10)}, ${arm(500)}
+         |SELECT * FROM r3 UNION ALL SELECT * FROM r10
+         |UNION ALL SELECT * FROM r500""".stripMargin
+    })
 
   /** Shared DuckDB CTE block for the Kneser-Ney queries: the bigram
     * stream, the even-half model with context/continuation/type/
@@ -7994,7 +8257,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
@@ -8004,7 +8267,7 @@ object PipelineQueries {
     annKmeans, dedupSemdedup, dedupSemdedupCurve, dedupIncrSemdedup,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
-    sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
+    sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }

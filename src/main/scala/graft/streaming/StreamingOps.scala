@@ -485,9 +485,13 @@ object StreamingOps {
     * [[graft.operators.Dedup.semDedupScoredPairs]]).
     *
     * Emits one row per (window, arrival) WITH at least one semantic
-    * dup: (`id_b`, `cell`, `n_dups`, `best_id`, `best_cos` —
-    * highest-cosine standing match, ties to the lower id). Absence =
-    * admit.
+    * dup: (`window_start`, `id_b`, `cell`, `n_dups`, `best_id`,
+    * `best_cos` — highest-cosine standing match, ties to the lower
+    * id). Absence = admit. `window_start` is emitted (the
+    * psiDriftStream posture) so the same arrival re-checked in two
+    * windows stays attributable downstream — without it the contract
+    * "one row per (window, arrival)" would not be representable in
+    * the output.
     */
   def semDedupStream(
       vecs: DataFrame,
@@ -529,7 +533,8 @@ object StreamingOps {
       .groupBy(window(col("__ts"), windowDur), col("id_b"), col("cell"))
       .agg(count(lit(1)).as("n_dups"),
         max(struct(col("cos"), (-col("id_c")).as("__ni"))).as("__b"))
-      .select(col("id_b"), col("cell"), col("n_dups"),
+      .select(col("window.start").as("window_start"), col("id_b"),
+        col("cell"), col("n_dups"),
         (-col("__b.__ni")).as("best_id"), col("__b.cos").as("best_cos"))
   }
 
@@ -1222,8 +1227,12 @@ object StreamingOps {
     val key = struct((-col("score_u")).as("ns"), col("doc_id").as("doc_id"),
       col("n_terms").as("n_terms"))
     queries
+      // SET semantics on the term array (ADVICE r14, mirrors the
+      // bm25TopKBatch distinct): a term repeated in one query's array
+      // would double-count its contrib_u and inflate n_terms.
+      // array_distinct is stateless narrow — dedup BEFORE the explode.
       .select(col(qidCol).as("q_id"), col(tsCol).as("__ts"),
-        explode(col(termsCol)).as("term"))
+        explode(array_distinct(col(termsCol))).as("term"))
       .withWatermark("__ts", watermark)
       .join(index.select(col("term"), col("doc_id"), col("contrib_u")), Seq("term"))
       .groupBy(window(col("__ts"), windowDur), col("q_id"), col("doc_id"))

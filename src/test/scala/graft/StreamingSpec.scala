@@ -340,7 +340,11 @@ class StreamingSpec extends AnyFunSuite {
     // NO posting (absent from both sides, and its arrival still
     // advances the watermark — the source-side watermark contract).
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "d d d d")).toDF("doc_id", "text")
-    val qs = Seq((1L, Seq("a", "b")), (2L, Seq("a")), (3L, Seq("zzz")))
+    // Query 2's array repeats `a` on purpose (ADVICE r14): the stream
+    // must apply SET semantics (array_distinct before the explode), so
+    // the duplicate neither double-counts contrib_u nor inflates
+    // n_terms — parity below is against the DEDUPED batch workload.
+    val qs = Seq((1L, Seq("a", "b")), (2L, Seq("a", "a")), (3L, Seq("zzz")))
     val qdf = qs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
       .toDF("query_id", "term")
     val batchRows = TextAnalysis.bm25TopKBatch(docs, "doc_id", "text", qdf, k = 3)
@@ -429,10 +433,17 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
     try q.processAllAvailable() finally q.stop()
     val got = spark.table("semdedup_stream_test")
-      .as[(Long, Long, Long, Long, Double)].collect()
-      .map(r => (r._1, r._3, r._4, r._5)).toSet
+      .select($"id_b", $"n_dups", $"best_id", $"best_cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == batchRef, s"stream $got vs batch $batchRef")
     assert(!got.exists(_._1 == 101L), "the admitted arrival must be absent")
+    // The window column (ADVICE r14): all three arrivals share one
+    // event-time window, and the rows must say WHICH.
+    val ws = spark.table("semdedup_stream_test")
+      .select($"window_start").distinct()
+      .as[java.sql.Timestamp].collect()
+    assert(ws.length == 1 && ws.head == t0,
+      s"window_start should be the single 10:00 window, got ${ws.toSeq}")
     // Hand check: 100 dups all three cell-0 members; 102 dups both
     // cell-1 members; best = highest cosine.
     assert(got.map(r => r._1 -> r._2).toMap == Map(100L -> 3L, 102L -> 2L))
