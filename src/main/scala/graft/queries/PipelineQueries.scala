@@ -3260,9 +3260,24 @@ object PipelineQueries {
     * engines stoplist before impact-ordering — here that folk rule
     * is a measured number, not lore.
     *
+    * Beside set recall, each row carries TRUNCATED RANK-BIASED
+    * OVERLAP (Webber et al. TOIS'10) at p_rbo = 9/10, depth 10 —
+    * the rank-aware agreement measure (recall@k is blind to ORDER
+    * inside the top-k; RBO weights rank 1 most). Computed EXACTLY in
+    * integers: a doc matched at truth-rank r_t / approx-rank r_a
+    * first enters both prefixes at depth m = max(r_t, r_a) and
+    * contributes the suffix sum S(m) = Σ_{d=m..10} (2520/d)·9^(d−1)·
+    * 10^(10−d) (2520 = lcm(1..10) clears every /d; the whole table
+    * fits bigint at ~6·10¹²), so `rbo_u` = Σ S(max(r_t, r_a)) over
+    * matched docs is an exact integer both engines agree on by
+    * arithmetic identity; `rbo` normalizes by D = Σ_r S(r) =
+    * 16,413,303,309,480 (identical rankings → 1.0; D/(2520·10¹⁰) =
+    * 1 − 0.9¹⁰, the truncation's mass — checked). No pow(), no
+    * float accumulation anywhere.
+    *
     * The oracle replays the workload VALUES table, the scored
-    * postings, the per-term impact ranking, the per-arm top-10, and
-    * the per-query recall join.
+    * postings, the per-term impact ranking, the per-arm ranked
+    * top-10, the recall join, and the S(m) lookup.
     */
   val textBm25Eval = QueryDef(
     "text_bm25_eval",
@@ -3274,43 +3289,66 @@ object PipelineQueries {
         (2L, "dup"),
         (3L, "dup"), (3L, "merge"))
         .toDF("query_id", "term")
+      // Suffix sums S(1..10) of (2520/d)·9^(d-1)·10^(10-d), and their
+      // total D — derivation in the scaladoc; exact integers.
+      val rboS = Seq(5932493265528L, 3412493265528L, 2278493265528L,
+        1598093265528L, 1138823265528L, 808148865528L, 560143065528L,
+        368824305528L, 218160782028L, 97629963228L)
+      val rboD = 16413303309480L
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
       val docs = Tables.documents(s, dir)
       val truth = CheckpointBlocks.cut(
         TextAnalysis.bm25TopKBatch(docs, "doc_id", "text", q, k = 10)
-          .select(col("query_id"), col("doc_id")))
+          .withColumn("rt", row_number().over(rankW).cast("long"))
+          .select(col("query_id"), col("doc_id"), col("rt")))
       val ranked = CheckpointBlocks.cut(
         TextAnalysis.bm25IndexPruned(docs, "doc_id", "text", Int.MaxValue))
       val arms = Seq(3, 10, 500).map { p =>
         val approx = TextAnalysis.bm25TopKFromIndex(
             ranked.filter(col("posting_rank") <= p), q, k = 10)
-          .select(col("query_id"), col("doc_id"), lit(1).as("__hit"))
+          .withColumn("ra", row_number().over(rankW).cast("long"))
+          .select(col("query_id"), col("doc_id"), col("ra"))
         truth.join(approx, Seq("query_id", "doc_id"), "left")
           .groupBy(col("query_id"))
-          .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hits"))
+          .agg(count(lit(1)).as("n_truth"), count(col("ra")).as("n_hits"),
+            sum(when(col("ra").isNotNull,
+              element_at(array(rboS.map(lit): _*),
+                greatest(col("rt"), col("ra")).cast("int")))
+              .otherwise(0L)).as("rbo_u"))
           .select(lit(p.toLong).as("p"), col("query_id"), col("n_truth"),
             col("n_hits"),
             round(col("n_hits").cast("double") / col("n_truth").cast("double"),
-              4).as("recall"))
+              4).as("recall"),
+            col("rbo_u"),
+            round(col("rbo_u").cast("double") / lit(rboD.toDouble), 6).as("rbo"))
       }
       arms.reduce(_ unionByName _)
     },
     Some {
       def arm(p: Int) =
         s"""arm$p AS (
-           |  SELECT query_id, doc_id FROM (
-           |    SELECT q.query_id, r.doc_id, CAST(SUM(r.contrib_u) AS BIGINT) AS score_u
+           |  SELECT query_id, doc_id, rn AS ra FROM (
+           |    SELECT q.query_id, r.doc_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |                              ORDER BY SUM(r.contrib_u) DESC, r.doc_id ASC) AS rn
            |    FROM ranked r JOIN q USING (term) WHERE r.pr <= $p
-           |    GROUP BY 1, 2
-           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-           |                              ORDER BY score_u DESC, doc_id ASC) <= 10
+           |    GROUP BY q.query_id, r.doc_id
+           |  ) WHERE rn <= 10
            |),
            |r$p AS (
            |  SELECT CAST($p AS BIGINT) AS p, t.query_id,
            |         CAST(COUNT(*) AS BIGINT) AS n_truth,
            |         CAST(COUNT(a.doc_id) AS BIGINT) AS n_hits,
-           |         ROUND(COUNT(a.doc_id)::DOUBLE / COUNT(*)::DOUBLE, 4) AS recall
-           |  FROM truth t LEFT JOIN arm$p a
-           |    ON t.query_id = a.query_id AND t.doc_id = a.doc_id
+           |         ROUND(COUNT(a.doc_id)::DOUBLE / COUNT(*)::DOUBLE, 4) AS recall,
+           |         CAST(COALESCE(SUM(s.sv), 0) AS BIGINT) AS rbo_u,
+           |         ROUND(COALESCE(SUM(s.sv), 0)::DOUBLE / 16413303309480.0, 6) AS rbo
+           |  FROM truth t
+           |  LEFT JOIN arm$p a ON t.query_id = a.query_id AND t.doc_id = a.doc_id
+           |  -- NULL-guarded: DuckDB GREATEST SKIPS nulls (returns rt for an
+           |  -- unmatched doc), so the miss case must be excluded explicitly.
+           |  LEFT JOIN rbos s ON a.ra IS NOT NULL AND s.m = GREATEST(t.rt, a.ra)
            |  GROUP BY t.query_id
            |)""".stripMargin
       s"""WITH q AS (
@@ -3351,11 +3389,19 @@ object PipelineQueries {
          |  FROM sc
          |),
          |truth AS (
-         |  SELECT query_id, doc_id FROM (
-         |    SELECT q.query_id, sc.doc_id, CAST(SUM(sc.contrib_u) AS BIGINT) AS score_u
-         |    FROM sc JOIN q USING (term) GROUP BY 1, 2
-         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-         |                              ORDER BY score_u DESC, doc_id ASC) <= 10
+         |  SELECT query_id, doc_id, rn AS rt FROM (
+         |    SELECT q.query_id, sc.doc_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |                              ORDER BY SUM(sc.contrib_u) DESC, sc.doc_id ASC) AS rn
+         |    FROM sc JOIN q USING (term) GROUP BY q.query_id, sc.doc_id
+         |  ) WHERE rn <= 10
+         |),
+         |rbos AS (
+         |  SELECT m, CAST(sv AS BIGINT) AS sv
+         |  FROM (VALUES (1, 5932493265528), (2, 3412493265528), (3, 2278493265528),
+         |               (4, 1598093265528), (5, 1138823265528), (6, 808148865528),
+         |               (7, 560143065528), (8, 368824305528), (9, 218160782028),
+         |               (10, 97629963228)) AS v(m, sv)
          |),
          |${arm(3)}, ${arm(10)}, ${arm(500)}
          |SELECT * FROM r3 UNION ALL SELECT * FROM r10
@@ -6326,6 +6372,74 @@ object PipelineQueries {
          |SELECT id, cell, cluster_rep, sim_c, keep FROM semout""".stripMargin
     })
 
+  /** `dedup_semdedup` with the D25e HOT-CELL CAP armed (maxCell = 24 —
+    * the fixture's largest cell runs past 24 members, so the cap
+    * genuinely splits on this data): over-cap cells rank by
+    * (sim_c asc, id asc) and chunk into sub-cells of ≤ 24; pairs
+    * score within (cell, sub) only, then the usual CC + keep rule.
+    * Registered BESIDE the uncapped `dedup_semdedup` (which stays the
+    * exact-recall pin) so the cap's behavior under the full oracle —
+    * the rank window, the integer chunk split, the fragmented groups
+    * — is hash-checked, not just unit-pinned: the DuckDB replay adds
+    * one ROW_NUMBER window and an integer division to the full
+    * two-Lloyd-iteration machinery and must agree on every boundary.
+    */
+  val dedupSemdedupCapped = QueryDef(
+    "dedup_semdedup_capped",
+    (s, dir) => {
+      val emb = manifoldEmb(s, dir)
+      val k = math.max(16,
+        math.floor(math.sqrt(emb.count().toDouble)).toInt)
+      val cents = Similarity.kmeansFit(emb,
+          Similarity.kmeansInit(emb, "vec_id", "embedding", k),
+          "vec_id", "embedding", iters = 2)
+        .select(col("c_id"), col("c_vec"))
+      Dedup.semDedup(emb, "vec_id", "embedding", cents, minCosine = 0.6,
+        maxCell = 24)
+    },
+    Some {
+      s"""WITH RECURSIVE ${semDedupAssignCtes()},
+         |subassign AS (
+         |  SELECT vec_id, v, cell, sim_c,
+         |         (ROW_NUMBER() OVER (PARTITION BY cell
+         |                             ORDER BY sim_c ASC, vec_id ASC) - 1) // 24 AS sub
+         |  FROM assign
+         |),
+         |dup AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM subassign a JOIN subassign b
+         |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${cosSql("a.v", "b.v")}, 6) >= 0.6
+         |),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS t FROM dup
+         |  UNION
+         |  SELECT id_b AS s, id_a AS t FROM dup
+         |),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s
+         |),
+         |groups AS (
+         |  SELECT s AS id, least(s, MIN(t)) AS cluster_rep FROM reach GROUP BY s
+         |),
+         |outg AS (
+         |  SELECT g.id, a.cell, g.cluster_rep, a.sim_c
+         |  FROM groups g JOIN assign a ON g.id = a.vec_id
+         |),
+         |keepers AS (
+         |  SELECT cluster_rep, id AS keep_id FROM outg
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_rep ORDER BY sim_c ASC, id ASC) = 1
+         |),
+         |semout AS (
+         |  SELECT o.id, o.cell, o.cluster_rep, o.sim_c,
+         |         CAST(o.id = k.keep_id AS INT) AS keep
+         |  FROM outg o JOIN keepers k USING (cluster_rep)
+         |)
+         |SELECT id, cell, cluster_rep, sim_c, keep FROM semout""".stripMargin
+    })
+
   /** The full `dedup_semdedup` replay as a bare CTE LIST ending in
     * `semout` (id, cell, cluster_rep, sim_c, keep) — the withViews
     * composition rule, so `pipeline_pretrain_prep_sem` chains it
@@ -8264,7 +8378,7 @@ object PipelineQueries {
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
-    annKmeans, dedupSemdedup, dedupSemdedupCurve, dedupIncrSemdedup,
+    annKmeans, dedupSemdedup, dedupSemdedupCapped, dedupSemdedupCurve, dedupIncrSemdedup,
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
