@@ -961,19 +961,8 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       minDocs: Int = 10): DataFrame = {
-    val lines = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
-      .select(col("doc_id"), col("pos").as("line_no"), col("col").as("line"),
-        // Blank lines never count toward boilerplate (every doc has
-        // them; dropping them would reflow every paragraph).
-        when(trim(col("col")) =!= "", md5(trim(lower(col("col")))))
-          .as("line_fp"))
-    val boiler = lines.filter(col("line_fp").isNotNull)
-      .groupBy(col("line_fp"), col("doc_id")).agg(count(lit(1)).as("n"))
-      .groupBy(col("line_fp"))
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
+    val lines = explodeLines(docs, idCol, textCol)
+    val boiler = boilerplateLineIndex(docs, idCol, textCol, minDocs)
       .select(col("line_fp"), lit(true).as("is_boiler"))
     lines.join(boiler, Seq("line_fp"), "left")
       .groupBy(col("doc_id"))
@@ -990,6 +979,50 @@ object TextAnalysis {
             x => x.getField("line")),
           "\n").as("clean_text"))
   }
+
+  /** [[removeBoilerplateLines]]' line explode: one row per line,
+    * `(doc_id, line_no, line, line_fp)` — `line_fp` is the
+    * normalized-line hash, NULL for blank lines (blanks structure
+    * paragraphs; they never count toward boilerplate and are never
+    * dropped). Pure narrow posexplode + codegen'd hash.
+    */
+  private[graft] def explodeLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
+      .select(col("doc_id"), col("pos").as("line_no"), col("col").as("line"),
+        when(trim(col("col")) =!= "", md5(trim(lower(col("col")))))
+          .as("line_fp"))
+
+  /** The boilerplate-line SET as a persistable serving artifact —
+    * one `line_fp` row per normalized non-blank line appearing in ≥
+    * `minDocs` distinct documents. This is the frame a production
+    * pipeline computes ONCE over the standing corpus and
+    * `Sink.saveIndex`es (the bm25Index posture): the batch cleaner
+    * ([[removeBoilerplateLines]]) derives it in-query, and the
+    * streaming admission twin
+    * ([[graft.streaming.StreamingOps.lineBoilerStream]]) consumes
+    * the LOADED frame — a stream cannot count cross-document line
+    * frequencies (they are corpus statistics), the same
+    * offline-calibrate/online-serve split as the LM fences and the
+    * PSI reference counts. Two map-side-combinable aggregates over
+    * 32-char hashes; output is repeated-line-vocabulary-sized.
+    */
+  def boilerplateLineIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 10): DataFrame =
+    explodeLines(docs, idCol, textCol)
+      .filter(col("line_fp").isNotNull)
+      .groupBy(col("line_fp"), col("doc_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("line_fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line_fp"))
 
   /** Sliding-window document chunking: split each document into
     * overlapping windows of `chunkTokens` whitespace tokens advancing

@@ -538,6 +538,63 @@ object StreamingOps {
         (-col("__b.__ni")).as("best_id"), col("__b.cos").as("best_cos"))
   }
 
+  /** STREAMING line-boilerplate scrubber — the serving twin of
+    * [[graft.operators.TextAnalysis.removeBoilerplateLines]] (T22):
+    * a stream cannot count cross-document line frequencies (corpus
+    * statistics), so the boilerplate-line set arrives FROZEN —
+    * [[graft.operators.TextAnalysis.boilerplateLineIndex]] computed
+    * offline and `Sink.saveIndex`/`Load.loadIndex` round-tripped —
+    * the same offline-calibrate/online-serve split as the LM fences,
+    * PSI reference counts and BM25 postings. Arriving docs explode
+    * to lines (stateless narrow; watermark at the SOURCE so a
+    * fully-boilerplate doc still advances it), boilerplate lines
+    * drop via a stream-static LEFT ANTI on the 32-char hash (blank
+    * lines carry a NULL fp and always survive — the batch blank
+    * rule), and ONE stateful windowed aggregate re-assembles each
+    * doc in line order.
+    *
+    * Emits `(window_start, doc_id, n_lines_kept, clean_text)`.
+    * Divergence from the batch twin, stated: a doc whose EVERY line
+    * is boilerplate has no surviving rows and is ABSENT from the
+    * output (the batch operator emits it with empty text) — in an
+    * admission pipeline absence IS the verdict; spec-pinned.
+    *
+    * State is one in-flight (window, doc) row holding the kept
+    * lines — bounded by doc length × window arrivals,
+    * watermark-evicted; the anti-join is the planner's choice
+    * (broadcast while the index is small, shuffled when web-scale).
+    * Batch parity on (doc_id, n_lines_kept, clean_text) is exact
+    * (StreamingSpec, incl. the blank line and the absent all-boiler
+    * arrival).
+    */
+  def lineBoilerStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      boilerIndex: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
+      .select(col("doc_id"), col("__ts"), col("pos").as("line_no"),
+        col("col").as("line"),
+        when(trim(col("col")) =!= "", md5(trim(lower(col("col")))))
+          .as("line_fp"))
+      .withWatermark("__ts", watermark)
+    lines.join(boilerIndex.select(col("line_fp")), Seq("line_fp"), "left_anti")
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_lines_kept"), col("clean_text"))
+  }
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

@@ -451,6 +451,58 @@ class StreamingSpec extends AnyFunSuite {
       "semDedupStream lost its watermark — unbounded state")
   }
 
+  test("lineBoilerStream: frozen line index, blank survives, all-boiler doc absent, batch parity (T22)") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // Corpus: 5 docs sharing a nav header and a rights footer around
+    // unique bodies; at minDocs = 3 exactly those two lines are
+    // boilerplate.
+    val corpus = (1L to 5L)
+      .map(i => (i, s"NAV HOME\nunique corpus body $i\nALL RIGHTS"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_stream_lineboiler").toString
+    graft.sources.Sink.saveIndex(
+      TextAnalysis.boilerplateLineIndex(corpus, "doc_id", "text", minDocs = 3),
+      s"$dir/idx", Map("family" -> "line_boiler", "min_docs" -> "3"))
+    val (idx, params) = graft.sources.Load.loadIndex(spark, s"$dir/idx")
+    assert(params("family") == "line_boiler")
+    // Arrivals: 100 mixes boiler + blank + novel body (blank and body
+    // survive, in line order); 101 is ALL boilerplate (absent from the
+    // output — the stated divergence from the batch twin); 102 carries
+    // no boilerplate at all.
+    val arrivals = Seq(
+      (100L, "NAV HOME\n\nnovel arrival body\nALL RIGHTS"),
+      (101L, "NAV HOME\nALL RIGHTS"),
+      (102L, "totally novel\ncontent"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(arrivals.map { case (id, tx) => (id, t0, tx) }: _*)
+    val out = StreamingOps.lineBoilerStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", idx)
+    val q = out.writeStream.format("memory").queryName("lineboiler_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("lineboiler_stream_test")
+      .select($"doc_id", $"n_lines_kept", $"clean_text")
+      .as[(Long, Long, String)].collect().toSet
+    // Batch parity: the batch operator over corpus + arrivals derives
+    // the SAME boiler set (header/footer now in 7 docs, bodies unique);
+    // arrival rows must match, minus the all-boiler doc the stream
+    // deliberately omits.
+    val batch = TextAnalysis.removeBoilerplateLines(
+        corpus.unionByName(arrivals.toDF("doc_id", "text")),
+        "doc_id", "text", minDocs = 3)
+      .filter($"doc_id" >= 100L)
+      .select($"doc_id", $"n_lines_kept", $"clean_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(batch.map(_._1) == Set(100L, 101L, 102L))
+    assert(got == batch.filterNot(_._1 == 101L), s"stream $got vs batch $batch")
+    assert(got.find(_._1 == 100L).get._3 == "\nnovel arrival body",
+      "blank line must survive in order; boiler lines must drop")
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "lineBoilerStream lost its watermark — unbounded state")
+  }
+
   test("psiDriftStream: frozen reference, per-window PSI incl. the emptied-bin smoothing path") {
     implicit val sql = spark.sqlContext
     // Frozen artifact: fences [100, 200] -> 3 bins; reference counts
