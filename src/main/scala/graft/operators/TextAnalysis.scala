@@ -317,6 +317,66 @@ object TextAnalysis {
         - lit(127.5)) / lit(127.5)).cast("float"))
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) —
+    * the published heuristic gate production pretraining pipelines
+    * run before model-based filters, as per-document integer flags:
+    *
+    *   - `f_word_count`: 50 ≤ words ≤ 100,000
+    *   - `f_mean_len`: mean word length in [3, 10] chars
+    *   - `f_symbol`: symbol-to-word ratio ≤ 0.1 (`#` chars and
+    *     non-overlapping `...` runs — the paper's symbol set)
+    *   - `f_alpha`: ≥ 80% of words contain an alphabetic character
+    *   - `f_stop`: ≥ 2 DISTINCT words from the paper's 8-word stop
+    *     list (the, be, to, of, and, that, have, with)
+    *
+    * plus `pass` = all five. Every ratio threshold is an integer
+    * CROSS-MULTIPLICATION (3·words ≤ chars ≤ 10·words; 10·symbols ≤
+    * words; 5·alpha_words ≥ 4·words) — no float division anywhere, so
+    * both engines agree by arithmetic identity, the house rule. The
+    * paper's two LINE-level rules (bullet-start, ellipsis-end
+    * fractions) belong to the line tier ([[removeBoilerplateLines]]'
+    * domain — this fixture has no native line structure) and are
+    * deliberately out of scope here.
+    *
+    * Scale: ONE narrow codegen'd projection — token array HOFs
+    * (aggregate/filter/array_intersect) compute every statistic
+    * in-row; zero shuffle, zero join, zero window. The quality gate
+    * over 100 TB costs exactly one scan, which is why pipelines run
+    * it FIRST.
+    */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val txt = coalesce(col(textCol), lit(""))
+    val t = filter(tokens(lower(txt)), x => x =!= "")
+    docs.select(col(idCol).as("doc_id"), txt.as("__txt"), t.as("__t"))
+      .select(
+        col("doc_id"),
+        size(col("__t")).cast("long").as("n_words"),
+        aggregate(transform(col("__t"), w => length(w)), lit(0L),
+          (acc, x) => acc + x).as("n_chars"),
+        (length(col("__txt")) - length(regexp_replace(col("__txt"), "#", "")) +
+          size(regexp_extract_all(col("__txt"), lit("\\.\\.\\."), lit(0))))
+          .cast("long").as("n_symbols"),
+        size(filter(col("__t"), w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(col("__t")),
+          array(gopherStops.map(lit): _*))).cast("long").as("n_stop"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_chars"), col("n_symbols"),
+        col("n_alpha"), col("n_stop"),
+        (col("n_words") >= 50 && col("n_words") <= 100000L)
+          .cast("int").as("f_word_count"),
+        (col("n_chars") >= lit(3L) * col("n_words") &&
+          col("n_chars") <= lit(10L) * col("n_words"))
+          .cast("int").as("f_mean_len"),
+        (lit(10L) * col("n_symbols") <= col("n_words")).cast("int").as("f_symbol"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).cast("int").as("f_alpha"),
+        (col("n_stop") >= 2).cast("int").as("f_stop"))
+      .withColumn("pass",
+        (col("f_word_count") === 1 && col("f_mean_len") === 1 &&
+          col("f_symbol") === 1 && col("f_alpha") === 1 && col("f_stop") === 1)
+          .cast("int"))
+  }
+
   /** Sentence segmentation — the unit between token and document that
     * sentence-level dedup, citation extraction, and window packing
     * key on: split on runs of sentence punctuation ([.!?]+) followed
@@ -488,13 +548,50 @@ object TextAnalysis {
     * postings-cardinality — the index a production system lands in
     * its object store.
     */
-  def bm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "").as("t"))
-    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
-    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bm25ScoreIndex(bm25DocLens(docs, idCol, textCol), bm25Tf(docs, idCol, textCol))
+
+  /** The UNSCORED document-length layer of the BM25 index:
+    * `(doc_id, dl)` — one row per document, INCLUDING zero-token docs
+    * (they carry no postings but count in `n_docs`/avgdl, so the raw
+    * layer must remember them). Pure tokenize + narrow projection.
+    */
+  def bm25DocLens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+
+  /** The UNSCORED term-frequency layer: `(term, doc_id, tf)` — the
+    * raw postings a tokenizer pays for ONCE per document. Together
+    * with [[bm25DocLens]] this is the INCREMENTAL half of the index:
+    * both layers fold by pure append (a new batch tokenizes only its
+    * own docs), while every SCORED contribution is global-statistics-
+    * dependent (df, n_docs, avgdl all move with every ingest) and is
+    * recomputed from the raw layers by [[bm25ScoreIndex]] — linear in
+    * postings, zero re-tokenization. That split is the honest answer
+    * to "incremental BM25": tf facts are incremental, idf is not, so
+    * persist the facts and re-derive the scores (what Lucene's
+    * per-segment stats + query-time idf do in effect).
+    */
+  def bm25Tf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "").as("t"))
+      .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Score the raw layers into the serving index — [[bm25Index]]'s
+    * second half, exposed so an INCREMENTAL ingest can rebuild scores
+    * from appended raw layers without re-tokenizing the corpus:
+    * `bm25ScoreIndex(docLens(C)+docLens(B), tf(C)+tf(B))` ≡
+    * `bm25Index(C ∪ B)` exactly (unit-pinned — fold = rebuild, the
+    * semDedupFoldBatch posture). df is one vocabulary-cardinality
+    * aggregate over the postings, totals a 1-row broadcast; cost is
+    * linear in postings, the floor for any global-idf scheme.
+    */
+  def bm25ScoreIndex(docLens: DataFrame, tfPostings: DataFrame): DataFrame = {
+    val dl = docLens.select(col("doc_id"), col("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val tf = tfPostings.select(col("doc_id"), col("term"), col("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(dfT, Seq("term"))
       .join(dl, Seq("doc_id"))

@@ -2019,6 +2019,49 @@ object PipelineQueries {
             |) GROUP BY lang, lang_pred""".stripMargin))
 
   /** Per-document heuristic quality score. */
+  /** Gopher rules ([[TextAnalysis.gopherQualityFlags]], Rae 2021
+    * A1.1): the five doc-level published heuristics as integer flags
+    * with CROSS-MULTIPLIED thresholds (no float division anywhere),
+    * one narrow codegen pass. On this fixture the word-count floor
+    * (50) and the 2-stopword rule do the gating (the 31-word vocab
+    * holds only `the` from the paper's stop list — Gopher's rules
+    * were tuned for web English, and the artifact shows which rules
+    * bite on which corpus). The oracle replays every counter with
+    * DuckDB list HOFs and the same integer comparisons.
+    */
+  val textQualityGopher = QueryDef(
+    "text_quality_gopher",
+    (s, dir) =>
+      TextAnalysis.gopherQualityFlags(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH t AS (
+           |  SELECT doc_id, coalesce(text, '') AS txt,
+           |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |), stats AS (
+           |  SELECT doc_id,
+           |         CAST(len(t) AS BIGINT) AS n_words,
+           |         CAST(coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0) AS BIGINT) AS n_chars,
+           |         CAST(length(txt) - length(replace(txt, '#', ''))
+           |              + len(regexp_extract_all(txt, '\.\.\.')) AS BIGINT) AS n_symbols,
+           |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+           |         CAST(len(list_intersect(list_distinct(t),
+           |              ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+           |  FROM t
+           |)
+           |SELECT doc_id, n_words, n_chars, n_symbols, n_alpha, n_stop,
+           |       CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS f_word_count,
+           |       CAST(n_chars >= 3 * n_words AND n_chars <= 10 * n_words AS INT) AS f_mean_len,
+           |       CAST(10 * n_symbols <= n_words AS INT) AS f_symbol,
+           |       CAST(5 * n_alpha >= 4 * n_words AS INT) AS f_alpha,
+           |       CAST(n_stop >= 2 AS INT) AS f_stop,
+           |       CAST(n_words >= 50 AND n_words <= 100000
+           |            AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+           |            AND 10 * n_symbols <= n_words
+           |            AND 5 * n_alpha >= 4 * n_words
+           |            AND n_stop >= 2 AS INT) AS pass
+           |FROM stats""".stripMargin))
+
   val textQuality = QueryDef(
     "text_quality",
     (s, dir) =>
@@ -8367,7 +8410,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
-    textStats, textLangid, textQuality, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,

@@ -220,6 +220,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       "duplicate (query_id, term) rows changed BM25 scores/ranks")
   }
 
+  test("bm25 raw-layer fold = full rebuild (T20e): append tf/dl, re-score, never re-tokenize") {
+    // Corpus includes a ZERO-token doc (4): it carries no postings but
+    // counts in n_docs/avgdl, so the docLens layer must remember it —
+    // losing it would shift every contribution after a fold.
+    val corpus = Seq((1L, "a a b"), (2L, "a c"), (3L, "d d d d"), (4L, ""))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "a b e"), (11L, "e e")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("term"), col("doc_id"), col("tf"), col("contrib_u"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    val folded = TextAnalysis.bm25ScoreIndex(
+      TextAnalysis.bm25DocLens(corpus, "doc_id", "text")
+        .unionByName(TextAnalysis.bm25DocLens(batch, "doc_id", "text")),
+      TextAnalysis.bm25Tf(corpus, "doc_id", "text")
+        .unionByName(TextAnalysis.bm25Tf(batch, "doc_id", "text")))
+    val rebuilt = TextAnalysis.bm25Index(
+      corpus.unionByName(batch), "doc_id", "text")
+    assert(rows(folded) == rows(rebuilt), "fold must equal a from-scratch rebuild")
+    // And scores are GLOBAL-statistics-dependent: the corpus-only index
+    // gives ('b', doc 1) a different contribution than the grown one
+    // (df(b) 1→2, n_docs 4→6, avgdl moves) — which is exactly why the
+    // scored layer re-derives and only the raw layers fold
+    // incrementally. (Term 'a' is deliberately NOT the probe: its idf
+    // is ln(5/5) = 0 before AND ln(7/7) = 0 after — a fixture
+    // coincidence that would vacuously pass.)
+    val before = rows(TextAnalysis.bm25Index(corpus, "doc_id", "text"))
+    def contribB1(s: Set[(String, Long, Long, Long)]) =
+      s.find(r => r._1 == "b" && r._2 == 1L).get._4
+    assert(contribB1(before) != contribB1(rows(folded)),
+      "idf must move with the ingest — a frozen scored index would be stale")
+  }
+
   test("calibrationBins: sigmoid micro-units, bin edges, saturation clamps (T19d)") {
     // Hand-derived: σ(0)=0.5 → p_u 500000 → bin 5; σ(ln 3)=0.75 →
     // 750000 → bin 7; σ(-100) underflows → p_u 0 → bin 0; σ(100)

@@ -67,6 +67,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("text_quality_gopher is one narrow codegen pass: no shuffle, no join (T23)") {
+    val p = plan("text_quality_gopher")
+    assert(!p.contains("Exchange"), "the Gopher gate must not shuffle:\n" + p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+    assert(!p.contains("Window"), p.take(600))
+  }
+
+  test("text_line_boiler: hash-keyed joins only, no cartesian, no window (T22)") {
+    val p = plan("text_line_boiler")
+    // Line explode is a Generate; counting and membership ride the
+    // 32-char hash — never a nested-loop or cartesian anywhere, and
+    // reassembly is an aggregate, not a corpus window sort.
+    assert(p.contains("Generate"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("Window"), "reassembly must be collect_list agg, not a window:\n" + p.take(600))
+  }
+
+  test("text_bm25_eval: k-heap per arm, impact rank windows partitioned by term (T20d)") {
+    val exec = SparkEntry.queries("text_bm25_eval")(spark, dir).queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("collect_top_k"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // Every window in the plan is partitioned (posting rank BY TERM,
+    // truth/approx rank BY QUERY) — no global sort anywhere.
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "found a partition-less window in the eval plan:\n" + p.take(800))
+  }
+
   test("a7_a8_argmax uses constant-state max_by, not collect_list") {
     val p = plan("a7_a8_argmax")
     assert(p.contains("max_by"))
