@@ -377,6 +377,50 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** LINE-tier quality rules — [[gopherQualityFlags]]' companion for
+    * the rules that need line structure (deliberately out of scope
+    * there): Gopher A1.1's two line fractions and C4's per-line
+    * census (Raffel et al. 2020 §2.2):
+    *
+    *   - `f_bullet` (Gopher): ≤ 90% of lines start with a bullet
+    *     (`- ` / `* ` / `• `)
+    *   - `f_ellipsis` (Gopher): ≤ 30% of lines end with `...`
+    *   - `n_terminal` (C4): lines ending in terminal punctuation
+    *     (. ! ? " ') — C4 KEEPS only these
+    *   - `n_ge5w` (C4): lines with ≥ 5 words
+    *
+    * Fractions are integer cross-multiplications (10·bullet ≤
+    * 9·lines; 10·ellipsis ≤ 3·lines) — no float thresholds. Counts
+    * are emitted raw beside the flags so a caller can compose its own
+    * C4 keep-rule census. Denominators count ALL lines including
+    * blanks (neither rule's numerator matches a blank).
+    *
+    * Scale: like [[gopherQualityFlags]], ONE narrow codegen pass —
+    * the line split and every census are in-row array HOFs (nested:
+    * the ≥5-words test tokenizes each line inside the filter lambda);
+    * zero shuffle, zero join, zero explode.
+    */
+  def lineQualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val l = split(coalesce(col(textCol), lit("")), "\n")
+    docs.select(
+        col(idCol).as("doc_id"),
+        size(l).cast("long").as("n_lines"),
+        size(filter(l, x => trim(x).startsWith("- ") ||
+          trim(x).startsWith("* ") || trim(x).startsWith("• ")))
+          .cast("long").as("n_bullet"),
+        size(filter(l, x => x.endsWith("..."))).cast("long").as("n_ellipsis"),
+        size(filter(l, x => x.rlike("[.!?\"']$"))).cast("long").as("n_terminal"),
+        size(filter(l, x =>
+          size(filter(split(x, "\\s+"), w => w =!= "")) >= 5))
+          .cast("long").as("n_ge5w"))
+      .select(col("doc_id"), col("n_lines"), col("n_bullet"),
+        col("n_ellipsis"), col("n_terminal"), col("n_ge5w"),
+        (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"))
+          .cast("int").as("f_bullet"),
+        (lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines"))
+          .cast("int").as("f_ellipsis"))
+  }
+
   /** Sentence segmentation — the unit between token and document that
     * sentence-level dedup, citation extraction, and window packing
     * key on: split on runs of sentence punctuation ([.!?]+) followed

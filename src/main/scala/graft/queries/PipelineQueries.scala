@@ -2062,6 +2062,69 @@ object PipelineQueries {
            |            AND n_stop >= 2 AS INT) AS pass
            |FROM stats""".stripMargin))
 
+  /** Line-tier quality rules ([[TextAnalysis.lineQualityStats]] —
+    * Gopher's bullet/ellipsis line fractions + C4's per-line census,
+    * the rules `text_quality_gopher` explicitly deferred): line
+    * structure is INJECTED deterministically (the T22 precedent) with
+    * planted rule-triggers — an 80-line bullet WALL every 50th doc
+    * (those docs fail the ≤90%-bullet rule exactly when their body is
+    * short enough), four `...` teasers every 7th doc (most of those
+    * fail the ≤30%-ellipsis rule), two bullet items every 3rd doc
+    * (passes — the rule only catches bullet-dominated docs), 7-token
+    * body lines (no terminal punctuation — C4 would drop them), and a
+    * `The End.` footer (C4 keeps it). The flags are integer
+    * cross-multiplications; the oracle replays the injection, the
+    * line split, and every nested-HOF census.
+    */
+  val textQualityLines = QueryDef(
+    "text_quality_lines",
+    (s, dir) => {
+      val injected = concat(
+        when(pmod(col("doc_id"), lit(50)) === 0,
+          org.apache.spark.sql.functions.repeat(lit("- bullet wall\n"), 80))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("teaser one...\nteaser two...\nteaser three...\nteaser four...\n"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("- first item\n- second item\n")).otherwise(lit("")),
+        regexp_replace(coalesce(col("text"), lit("")),
+          lit("((\\S+ ){6}\\S+) "), lit("$1\n")),
+        lit("\nThe End."))
+      TextAnalysis.lineQualityStats(
+        Tables.documents(s, dir).withColumn("text", injected),
+        "doc_id", "text")
+    },
+    Some("""WITH inj AS (
+           |  SELECT doc_id,
+           |         replace(
+           |           CASE WHEN doc_id % 50 = 0 THEN repeat('- bullet wall@NL@', 80) ELSE '' END ||
+           |           CASE WHEN doc_id % 7 = 0
+           |                THEN 'teaser one...@NL@teaser two...@NL@teaser three...@NL@teaser four...@NL@'
+           |                ELSE '' END ||
+           |           CASE WHEN doc_id % 3 = 0 THEN '- first item@NL@- second item@NL@' ELSE '' END ||
+           |           regexp_replace(coalesce(text, ''), '((\S+ ){6}\S+) ', '\1@NL@', 'g') ||
+           |           '@NL@The End.',
+           |           '@NL@', chr(10)) AS text
+           |  FROM documents
+           |),
+           |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM inj),
+           |stats AS (
+           |  SELECT doc_id,
+           |         CAST(len(l) AS BIGINT) AS n_lines,
+           |         CAST(len(list_filter(l, x -> starts_with(trim(x), '- ')
+           |              OR starts_with(trim(x), '* ') OR starts_with(trim(x), '• '))) AS BIGINT) AS n_bullet,
+           |         CAST(len(list_filter(l, x -> ends_with(x, '...'))) AS BIGINT) AS n_ellipsis,
+           |         CAST(len(list_filter(l, x -> regexp_matches(x, '[.!?"'']$'))) AS BIGINT) AS n_terminal,
+           |         CAST(len(list_filter(l, x ->
+           |              len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5)) AS BIGINT) AS n_ge5w
+           |  FROM ls
+           |)
+           |SELECT doc_id, n_lines, n_bullet, n_ellipsis, n_terminal, n_ge5w,
+           |       CAST(10 * n_bullet <= 9 * n_lines AS INT) AS f_bullet,
+           |       CAST(10 * n_ellipsis <= 3 * n_lines AS INT) AS f_ellipsis
+           |FROM stats""".stripMargin))
+
   val textQuality = QueryDef(
     "text_quality",
     (s, dir) =>
@@ -8410,7 +8473,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
-    textStats, textLangid, textQuality, textQualityGopher, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
