@@ -421,6 +421,81 @@ object TextAnalysis {
           .cast("int").as("f_ellipsis"))
   }
 
+  /** Duplicate-n-gram CHARACTER COVERAGE — the exact Gopher A1.1
+    * repetition metric ("fraction of characters inside duplicated
+    * n-grams", thresholds 0.15 at n=5 … 0.10 at n=10) that
+    * [[repetitionStats]]' count-weighted fractions approximate:
+    * occurrences of within-doc duplicated n-grams OVERLAP, so summing
+    * count·length over-counts shared characters — the published
+    * metric is the length of the interval UNION. Computed exactly
+    * over the whitespace-normalized string (tokens joined by single
+    * spaces — the tokenizer contract; offsets are then a pure
+    * function of token lengths):
+    *
+    *   - token p is covered iff some duplicated occurrence start i
+    *     satisfies i ≤ p ≤ i+n−1;
+    *   - the separator between tokens p, p+1 is covered iff one
+    *     occurrence spans BOTH (i ≤ p < p+1 ≤ i+n−1) — adjacent
+    *     occurrences that merely touch do not fuse their spans.
+    *
+    * `covered_chars` = Σ covered token lengths + covered separators;
+    * `total_chars` = Σ lengths + (L−1). Both integers — a threshold
+    * test cross-multiplies, never divides.
+    *
+    * Scale: ONE narrow codegen pass, zero shuffle — duplicate
+    * detection and the interval union are in-row array HOFs. The
+    * per-row cost is O(L²) gram comparisons (each position's gram is
+    * counted against the doc's own gram list), the honest price of
+    * the EXACT within-doc metric without a shuffle; documents at
+    * pipeline scale are length-bounded upstream ([[chunkDocs]] is the
+    * gate), which bounds L by contract. Docs shorter than n tokens
+    * have no n-grams: coverage 0.
+    */
+  def dupNgramCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    docs.select(col(idCol).as("doc_id"), t.as("__t"))
+      .select(col("doc_id"), col("__t"),
+        // Spark sequence(a, b) DESCENDS when a > b — every series
+        // below is guarded to empty instead.
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => concat_ws(" ", slice(col("__t"), i, lit(n)))))
+          .otherwise(expr("array()").cast("array<string>")).as("__g"))
+      .select(col("doc_id"), col("__t"),
+        when(size(col("__g")) >= 1,
+          filter(sequence(lit(1), size(col("__g"))),
+            i => size(filter(col("__g"),
+              g => g === element_at(col("__g"), i))) >= 2))
+          .otherwise(expr("array()").cast("array<int>")).as("__dup"))
+      .select(
+        col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (aggregate(transform(col("__t"), w => length(w)), lit(0L),
+          (acc, x) => acc + x) +
+          greatest(size(col("__t")).cast("long") - 1L, lit(0L)))
+          .as("total_chars"),
+        (aggregate(
+          when(size(col("__t")) >= 1, sequence(lit(1), size(col("__t"))))
+            .otherwise(expr("array()").cast("array<int>")),
+          lit(0L),
+          (acc, p) => acc + when(
+            exists(col("__dup"), i => i <= p && p <= i + (n - 1)),
+            length(element_at(col("__t"), p)).cast("long")).otherwise(0L)) +
+          aggregate(
+            when(size(col("__t")) >= 2, sequence(lit(1), size(col("__t")) - 1))
+              .otherwise(expr("array()").cast("array<int>")),
+            lit(0L),
+            (acc, p) => acc + when(
+              exists(col("__dup"), i => i <= p && p + 1 <= i + (n - 1)),
+              lit(1L)).otherwise(0L)))
+          .as("covered_chars"))
+  }
+
   /** Sentence segmentation — the unit between token and document that
     * sentence-level dedup, citation extraction, and window packing
     * key on: split on runs of sentence punctuation ([.!?]+) followed

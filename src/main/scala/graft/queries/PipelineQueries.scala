@@ -2125,6 +2125,95 @@ object PipelineQueries {
            |       CAST(10 * n_ellipsis <= 3 * n_lines AS INT) AS f_ellipsis
            |FROM stats""".stripMargin))
 
+  /** Duplicate-n-gram char coverage
+    * ([[TextAnalysis.dupNgramCoverage]]) — Gopher A1.1's EXACT
+    * repetition metric at its n=5 (≤15%) and n=10 (≤10%) operating
+    * points. The corpus has ZERO natural within-doc duplicate
+    * 5-grams (measured before choosing the fixture), so repetition is
+    * INJECTED deterministically: every 9th doc appends one 5-gram
+    * phrase twice (trips n=5 coverage, NOT n=10 — the ten-token
+    * concatenation occurs once), every 25th appends an 8× repeat of a
+    * 6-word phrase (period-6 stream: both 5- and 10-grams duplicate
+    * heavily, and the short-doc cases trip both thresholds). The
+    * oracle replays the interval-union semantics RELATIONALLY
+    * (positions → dup starts → DISTINCT covered token/separator
+    * positions) against Spark's in-row HOF fold — two entirely
+    * different evaluation strategies agreeing on every char count is
+    * the strongest kind of pin.
+    */
+  val textRepetitionDupgram = QueryDef(
+    "text_repetition_dupgram",
+    (s, dir) => {
+      val injected = concat(
+        coalesce(col("text"), lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          lit(" quick brown fox jumps over quick brown fox jumps over"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(25)) === 0,
+          org.apache.spark.sql.functions.repeat(lit(" lazy dog sat on the mat"), 8))
+          .otherwise(lit("")))
+      val docs = Tables.documents(s, dir).withColumn("text", injected)
+      def arm(n: Int, num: Int, den: Int): DataFrame =
+        TextAnalysis.dupNgramCoverage(docs, "doc_id", "text", n)
+          .select(lit(n.toLong).as("n_gram"), col("doc_id"), col("n_tokens"),
+            col("total_chars"), col("covered_chars"),
+            (lit(den.toLong) * col("covered_chars") <=
+              lit(num.toLong) * col("total_chars")).cast("int").as("f_dup"))
+      arm(5, 3, 20).unionByName(arm(10, 1, 10))
+    },
+    Some {
+      def arm(n: Int, num: Int, den: Int) =
+        s"""g$n AS (
+           |  SELECT doc_id, i, array_to_string(t[i:i+${n - 1}], ' ') AS gram
+           |  FROM base, LATERAL (SELECT unnest(generate_series(1, GREATEST(L - ${n - 1}, 0))) AS i)
+           |),
+           |dup$n AS (
+           |  SELECT doc_id, i FROM (
+           |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY doc_id, gram) AS c FROM g$n
+           |  ) WHERE c >= 2
+           |),
+           |tokcov$n AS (
+           |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${n - 1})) AS p FROM dup$n
+           |),
+           |ctc$n AS (
+           |  SELECT tc.doc_id, CAST(SUM(length(b.t[tc.p])) AS BIGINT) AS chars
+           |  FROM tokcov$n tc JOIN base b USING (doc_id) GROUP BY 1
+           |),
+           |gapcov$n AS (
+           |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${n - 2})) AS p FROM dup$n
+           |),
+           |cgc$n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gaps FROM gapcov$n GROUP BY 1),
+           |r$n AS (
+           |  SELECT CAST($n AS BIGINT) AS n_gram, b.doc_id, b.L AS n_tokens, b.total_chars,
+           |         CAST(coalesce(c.chars, 0) + coalesce(g.gaps, 0) AS BIGINT) AS covered_chars,
+           |         CAST($den * (coalesce(c.chars, 0) + coalesce(g.gaps, 0))
+           |              <= $num * b.total_chars AS INT) AS f_dup
+           |  FROM base b LEFT JOIN ctc$n c USING (doc_id) LEFT JOIN cgc$n g USING (doc_id)
+           |)""".stripMargin
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |         coalesce(text, '') ||
+         |         CASE WHEN doc_id % 9 = 0
+         |              THEN ' quick brown fox jumps over quick brown fox jumps over' ELSE '' END ||
+         |         CASE WHEN doc_id % 25 = 0
+         |              THEN repeat(' lazy dog sat on the mat', 8) ELSE '' END AS text
+         |  FROM documents
+         |),
+         |toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM inj
+         |),
+         |base AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS L,
+         |         CAST(coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)
+         |              + GREATEST(len(t) - 1, 0) AS BIGINT) AS total_chars
+         |  FROM toks
+         |),
+         |${arm(5, 3, 20)}, ${arm(10, 1, 10)}
+         |SELECT * FROM r5 UNION ALL SELECT * FROM r10""".stripMargin
+    })
+
   val textQuality = QueryDef(
     "text_quality",
     (s, dir) =>
@@ -8473,7 +8562,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
-    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,

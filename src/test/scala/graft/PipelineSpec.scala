@@ -252,6 +252,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       "idf must move with the ingest — a frozen scored index would be stale")
   }
 
+  test("dupNgramCoverage: hand-traced interval union, separator rule, short docs") {
+    // "a b c a b c x" (13 chars normalized). Dup bigram starts:
+    // {1,2,4,5} ("a b" and "b c" twice each). Covered tokens 1-6
+    // (6 chars), covered separators {1,2,4,5} (4 chars) — the
+    // separator after position 3 ("c a" occurs once) and the one
+    // before x stay uncovered even though their endpoints are: spans
+    // [0..4] and [6..10] of the string, union 10 of 13. Hand-traced
+    // from the string, not from running the operator.
+    val docs = Seq(
+      (1L, "a b c a b c x"),
+      (2L, "all distinct words here"), // no dup grams -> coverage 0
+      (3L, "tiny"))                    // shorter than n -> no grams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramCoverage(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((7L, 13L, 10L)), out(1L).toString)
+    assert(out(2L) == ((4L, 23L, 0L)))
+    assert(out(3L) == ((1L, 4L, 0L)))
+  }
+
   test("calibrationBins: sigmoid micro-units, bin edges, saturation clamps (T19d)") {
     // Hand-derived: σ(0)=0.5 → p_u 500000 → bin 5; σ(ln 3)=0.75 →
     // 750000 → bin 7; σ(-100) underflows → p_u 0 → bin 0; σ(100)
