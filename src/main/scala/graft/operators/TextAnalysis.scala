@@ -496,6 +496,44 @@ object TextAnalysis {
           .as("covered_chars"))
   }
 
+  /** C4 line-level cleaner (Raffel et al. 2020 §2.2) — APPLY the
+    * keep-rules [[lineQualityStats]] measures: keep only lines that
+    * end in terminal punctuation (. ! ? " ') AND have ≥ 5 words;
+    * re-assemble the survivors in line order; then the paper's
+    * doc-level drops as flags beside the cleaned text — `f_lorem`
+    * (contains "lorem ipsum" case-insensitively), `f_brace` (contains
+    * `{` — C4 drops anything that looks like code), `f_min_lines`
+    * (≥ 3 kept lines, the paper's ≥-3-sentence floor applied at its
+    * own line granularity). `pass` = all three; the cleaned TEXT
+    * ships regardless (the caller composes drops — same posture as
+    * [[removeBoilerplateLines]]).
+    *
+    * Scale: ONE narrow codegen pass — keep-test, reassembly
+    * (filter + array_join IN ORDER, no sort needed: filter preserves
+    * array order), and the flags are in-row HOFs; zero shuffle. C4
+    * ran this over Common Crawl for exactly that reason.
+    */
+  def c4CleanLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val l = split(coalesce(col(textCol), lit("")), "\n")
+    val kept = filter(l, x => x.rlike("[.!?\"']$") &&
+      size(filter(split(x, "\\s+"), w => w =!= "")) >= 5)
+    docs.select(
+        col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("__txt"),
+        size(l).cast("long").as("n_lines"),
+        kept.as("__kept"))
+      .select(
+        col("doc_id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        (!lower(col("__txt")).contains("lorem ipsum")).cast("int").as("f_lorem"),
+        (!col("__txt").contains("{")).cast("int").as("f_brace"),
+        (size(col("__kept")) >= 3).cast("int").as("f_min_lines"))
+      .withColumn("pass",
+        (col("f_lorem") === 1 && col("f_brace") === 1 &&
+          col("f_min_lines") === 1).cast("int"))
+  }
+
   /** Sentence segmentation — the unit between token and document that
     * sentence-level dedup, citation extraction, and window packing
     * key on: split on runs of sentence punctuation ([.!?]+) followed

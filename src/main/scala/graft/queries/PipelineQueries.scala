@@ -2214,6 +2214,59 @@ object PipelineQueries {
          |SELECT * FROM r5 UNION ALL SELECT * FROM r10""".stripMargin
     })
 
+  /** C4 line-level CLEANING applied ([[TextAnalysis.c4CleanLines]] —
+    * the rules `text_quality_lines` measures, now executing): body
+    * reflowed to 7-token lines each TERMINATED with `.` (kept: ≥5
+    * words + terminal punct), an unpunctuated short trailer (dropped
+    * by both rules), a `lorem ipsum …` line every 11th doc (the LINE
+    * survives the keep-rules — five words, ends in `.` — but the DOC
+    * flags `f_lorem`, exactly C4's split between line cleaning and
+    * document drops), a brace-bearing code line every 13th (dropped
+    * by the keep-rules AND flags `f_brace`), and short docs fail the
+    * ≥3-kept-lines floor. The re-assembled `clean_text` is hashed
+    * (strictest pin); flags ride beside it.
+    */
+  val textCleanC4 = QueryDef(
+    "text_clean_c4",
+    (s, dir) => {
+      val injected = concat(
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("lorem ipsum dolor sit amet.\n")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("function f() { return 1; }\n")).otherwise(lit("")),
+        regexp_replace(coalesce(col("text"), lit("")),
+          lit("((\\S+ ){6}\\S+) "), lit("$1.\n")),
+        lit("\nshort trailer"))
+      TextAnalysis.c4CleanLines(
+        Tables.documents(s, dir).withColumn("text", injected),
+        "doc_id", "text")
+    },
+    Some("""WITH inj AS (
+           |  SELECT doc_id,
+           |         replace(
+           |           CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.@NL@' ELSE '' END ||
+           |           CASE WHEN doc_id % 13 = 0 THEN 'function f() { return 1; }@NL@' ELSE '' END ||
+           |           regexp_replace(coalesce(text, ''), '((\S+ ){6}\S+) ', '\1.@NL@', 'g') ||
+           |           '@NL@short trailer',
+           |           '@NL@', chr(10)) AS text
+           |  FROM documents
+           |),
+           |ls AS (SELECT doc_id, text AS txt, string_split(text, chr(10)) AS l FROM inj),
+           |k AS (
+           |  SELECT doc_id, txt, CAST(len(l) AS BIGINT) AS n_lines,
+           |         list_filter(l, x -> regexp_matches(x, '[.!?"'']$')
+           |           AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5) AS kept
+           |  FROM ls
+           |)
+           |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+           |       array_to_string(kept, chr(10)) AS clean_text,
+           |       CAST(NOT contains(lower(txt), 'lorem ipsum') AS INT) AS f_lorem,
+           |       CAST(NOT contains(txt, '{') AS INT) AS f_brace,
+           |       CAST(len(kept) >= 3 AS INT) AS f_min_lines,
+           |       CAST(NOT contains(lower(txt), 'lorem ipsum')
+           |            AND NOT contains(txt, '{') AND len(kept) >= 3 AS INT) AS pass
+           |FROM k""".stripMargin))
+
   val textQuality = QueryDef(
     "text_quality",
     (s, dir) =>
@@ -8562,7 +8615,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
-    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
