@@ -2947,6 +2947,127 @@ object PipelineQueries {
             |  WHERE NOT EXISTS (SELECT 1 FROM semdrop s WHERE s.id = c.doc_id)
             |)${packTailSql("cleans")}""".stripMargin))
 
+  /** E2E-9: LINE-TIER pretraining prep
+    * (`pipeline_pretrain_prep_lines`) — the cleaning cascade a CCNet/
+    * C4-lineage pipeline actually runs, stages chained in production
+    * order over ONE injected corpus: cross-doc line boilerplate out
+    * FIRST ([[TextAnalysis.removeBoilerplateLines]], minDocs=20 —
+    * removes the nav headers and the rights footer), then C4's
+    * line keep-rules + document drops ([[TextAnalysis.c4CleanLines]]
+    * — the planted lorem/brace banners are DOC-UNIQUE here precisely
+    * so stage A cannot eat them and stage B's content flags do real
+    * work; a cross-doc lorem banner would be line-boilerplate, the
+    * measured interplay), then the Gopher doc gate
+    * ([[TextAnalysis.gopherQualityFlags]]) with the 2-stopword rule
+    * ABLATED (measured corpus-inapplicable in `text_quality_gopher` —
+    * the FineWeb-style per-corpus rule tuning, stated not hidden),
+    * then next-fit packing. The oracle replays the injection, the
+    * line-boiler hash counts, the C4 censuses, the Gopher counters,
+    * and the recursive packing fold — a single surviving/dropped line
+    * anywhere moves a pack boundary and hash-fails.
+    */
+  val pretrainPrepLines = QueryDef(
+    "pipeline_pretrain_prep_lines",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val injected = concat(
+        lit("nav menu home about section "), pmod(col("doc_id"), lit(4)),
+        lit("\n\n"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit("lorem ipsum dolor sit amet case "), col("doc_id"), lit(".\n")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit("function f"), col("doc_id"), lit("() { return 1; }\n")))
+          .otherwise(lit("")),
+        regexp_replace(coalesce(col("text"), lit("")),
+          lit("((\\S+ ){6}\\S+) "), lit("$1.\n")),
+        lit("\nall rights reserved example corp"))
+      val docs = Tables.documents(s, dir).withColumn("text", injected)
+      val boiled = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
+          minDocs = 20)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      // Cut: the C4-cleaned survivors feed BOTH the Gopher flag pass
+      // and the size/pack re-attach.
+      val c4 = CheckpointBlocks.cut(
+        TextAnalysis.c4CleanLines(boiled, "doc_id", "text")
+          .filter(col("pass") === 1)
+          .select(col("doc_id"), col("clean_text").as("text")))
+      val gop = TextAnalysis.gopherQualityFlags(c4, "doc_id", "text")
+        .filter(col("f_word_count") === 1 && col("f_mean_len") === 1 &&
+          col("f_symbol") === 1 && col("f_alpha") === 1)
+        .select(col("doc_id"))
+      val sized = c4.join(gop, Seq("doc_id"))
+        .select(col("doc_id"), expr("doc_id DIV 50").as("bucket"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      packedSummary(sized)
+    },
+    Some(s"""WITH RECURSIVE inj AS (
+            |  SELECT doc_id, replace(
+            |    'nav menu home about section ' || (doc_id % 4) || '@NL@@NL@' ||
+            |    CASE WHEN doc_id % 11 = 0
+            |         THEN 'lorem ipsum dolor sit amet case ' || doc_id || '.@NL@' ELSE '' END ||
+            |    CASE WHEN doc_id % 13 = 0
+            |         THEN 'function f' || doc_id || '() { return 1; }@NL@' ELSE '' END ||
+            |    regexp_replace(coalesce(text, ''), '((\\S+ ){6}\\S+) ', '\\1.@NL@', 'g') ||
+            |    '@NL@all rights reserved example corp', '@NL@', chr(10)) AS text
+            |  FROM documents
+            |),
+            |lls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM inj),
+            |llines AS (
+            |  SELECT doc_id, p - 1 AS line_no, l[p] AS line,
+            |         CASE WHEN trim(l[p]) <> '' THEN md5(trim(lower(l[p]))) END AS line_fp
+            |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS p FROM lls)
+            |),
+            |lboiler AS (
+            |  SELECT line_fp FROM (
+            |    SELECT line_fp, COUNT(DISTINCT doc_id) AS n
+            |    FROM llines WHERE line_fp IS NOT NULL GROUP BY 1)
+            |  WHERE n >= 20
+            |),
+            |bdocs AS (
+            |  SELECT k.doc_id,
+            |         coalesce(string_agg(k.line, chr(10) ORDER BY k.line_no)
+            |                    FILTER (WHERE b.line_fp IS NULL), '') AS text
+            |  FROM llines k LEFT JOIN lboiler b ON k.line_fp = b.line_fp
+            |  GROUP BY 1
+            |),
+            |cls AS (SELECT doc_id, text AS txt, string_split(text, chr(10)) AS l FROM bdocs),
+            |ck AS (
+            |  SELECT doc_id, txt,
+            |         list_filter(l, x -> regexp_matches(x, '[.!?"'']$$')
+            |           AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 5) AS kept
+            |  FROM cls
+            |),
+            |c4docs AS (
+            |  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+            |  FROM ck
+            |  WHERE NOT contains(lower(txt), 'lorem ipsum')
+            |    AND NOT contains(txt, '{') AND len(kept) >= 3
+            |),
+            |gt AS (
+            |  SELECT doc_id, text AS txt,
+            |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+            |  FROM c4docs
+            |),
+            |gs AS (
+            |  SELECT doc_id,
+            |         CAST(len(t) AS BIGINT) AS n_words,
+            |         CAST(coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0) AS BIGINT) AS n_chars,
+            |         CAST(length(txt) - length(replace(txt, '#', ''))
+            |              + len(regexp_extract_all(txt, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+            |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
+            |  FROM gt
+            |),
+            |survivors AS (
+            |  SELECT c.doc_id, c.doc_id // 50 AS bucket,
+            |         CAST(len(string_split_regex(trim(c.text), '\\s+')) AS BIGINT) AS n_tok
+            |  FROM c4docs c JOIN gs g ON c.doc_id = g.doc_id
+            |  WHERE g.n_words >= 50 AND g.n_words <= 100000
+            |    AND g.n_chars >= 3 * g.n_words AND g.n_chars <= 10 * g.n_words
+            |    AND 10 * g.n_symbols <= g.n_words AND 5 * g.n_alpha >= 4 * g.n_words
+            |)${packTailSql("survivors")}""".stripMargin)
+  )
+
   /** Positional inverted index + exact phrase search
     * ([[TextAnalysis.invertedIndex]] / [[phraseSearchBigram]]) — the
     * IR class: build postings, find the corpus's most frequent word
@@ -8617,7 +8738,7 @@ object PipelineQueries {
     dedupDecontaminate, dedupDecontamCurve,
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
-    pipelinePackEfficiency, pipelinePackPolicy, textBpeTrain, textBpeEncode,
+    pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
     textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
