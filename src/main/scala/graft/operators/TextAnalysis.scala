@@ -534,6 +534,54 @@ object TextAnalysis {
           col("f_min_lines") === 1).cast("int"))
   }
 
+  /** Within-doc duplicate-LINE statistics — Gopher A1.1's remaining
+    * repetition pair (duplicate line fraction ≤ 0.30, duplicate line
+    * CHARACTER fraction ≤ 0.20), completing the repetition tiers:
+    * cross-document lines are [[removeBoilerplateLines]]' (T22),
+    * within-doc n-grams [[dupNgramCoverage]]'s (T23c), within-doc
+    * LINES here. A line is a duplicate iff a STRICTLY EARLIER line in
+    * the same document has the same normalization (trim · lower) —
+    * the first occurrence is never counted (the paper's "fraction of
+    * lines that are duplicates" — removing flagged lines keeps one
+    * copy); blank lines never count. Char fractions weigh by RAW line
+    * length over the total raw line chars (separators excluded — a
+    * line metric, not a string metric). Flags integer-cross-multiply
+    * (10·dup ≤ 3·lines; 5·dup_chars ≤ total_chars).
+    *
+    * Scale: ONE narrow codegen pass; the earlier-occurrence test is
+    * an in-row O(L²) HOF over line pairs (the [[dupNgramCoverage]]
+    * price, bounded by doc length). Zero shuffle.
+    */
+  def dupLineStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val l = split(coalesce(col(textCol), lit("")), "\n")
+    docs.select(col(idCol).as("doc_id"), l.as("__l"))
+      .select(col("doc_id"), col("__l"),
+        // 1-based positions of duplicate lines (non-blank, equal to an
+        // earlier line under trim-lower normalization).
+        when(size(col("__l")) >= 2,
+          filter(sequence(lit(2), size(col("__l"))), i =>
+            trim(element_at(col("__l"), i)) =!= "" &&
+              exists(sequence(lit(1), i - 1), j =>
+                lower(trim(element_at(col("__l"), j))) ===
+                  lower(trim(element_at(col("__l"), i))))))
+          .otherwise(expr("array()").cast("array<int>")).as("__dup"))
+      .select(
+        col("doc_id"),
+        size(col("__l")).cast("long").as("n_lines"),
+        size(col("__dup")).cast("long").as("n_dup_lines"),
+        aggregate(col("__dup"), lit(0L),
+          (acc, i) => acc + length(element_at(col("__l"), i)).cast("long"))
+          .as("dup_line_chars"),
+        aggregate(transform(col("__l"), x => length(x)), lit(0L),
+          (acc, x) => acc + x).as("total_line_chars"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        col("dup_line_chars"), col("total_line_chars"),
+        (lit(10L) * col("n_dup_lines") <= lit(3L) * col("n_lines"))
+          .cast("int").as("f_dup_lines"),
+        (lit(5L) * col("dup_line_chars") <= col("total_line_chars"))
+          .cast("int").as("f_dup_chars"))
+  }
+
   /** Sentence segmentation — the unit between token and document that
     * sentence-level dedup, citation extraction, and window packing
     * key on: split on runs of sentence punctuation ([.!?]+) followed

@@ -2267,6 +2267,74 @@ object PipelineQueries {
            |            AND NOT contains(txt, '{') AND len(kept) >= 3 AS INT) AS pass
            |FROM k""".stripMargin))
 
+  /** Within-doc duplicate-line stats ([[TextAnalysis.dupLineStats]] —
+    * Gopher A1.1's dup-line fraction ≤0.30 / dup-line char fraction
+    * ≤0.20): planted repetition (no natural line structure exists):
+    * a newsletter banner 3× every 6th doc (2 duplicates — passes both
+    * thresholds against a normal body) and a 12× repeated teaser
+    * every 17th doc (11 duplicates — trips BOTH). First occurrences
+    * never count (removing flagged lines keeps one copy — the
+    * dedup-compatible reading). The oracle replays the strictly-
+    * earlier-occurrence rule relationally (self-join on b.p < a.p and
+    * normalized equality) against Spark's in-row HOF — two strategies,
+    * one hash.
+    */
+  val textDupLines = QueryDef(
+    "text_dup_lines",
+    (s, dir) => {
+      val injected = concat(
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit("subscribe to our newsletter\nsubscribe to our newsletter\nsubscribe to our newsletter\n"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          org.apache.spark.sql.functions.repeat(lit("breaking news update\n"), 12))
+          .otherwise(lit("")),
+        regexp_replace(coalesce(col("text"), lit("")),
+          lit("((\\S+ ){6}\\S+) "), lit("$1\n")))
+      TextAnalysis.dupLineStats(
+        Tables.documents(s, dir).withColumn("text", injected),
+        "doc_id", "text")
+    },
+    Some("""WITH inj AS (
+           |  SELECT doc_id,
+           |         replace(
+           |           CASE WHEN doc_id % 6 = 0
+           |                THEN 'subscribe to our newsletter@NL@subscribe to our newsletter@NL@subscribe to our newsletter@NL@'
+           |                ELSE '' END ||
+           |           CASE WHEN doc_id % 17 = 0 THEN repeat('breaking news update@NL@', 12) ELSE '' END ||
+           |           regexp_replace(coalesce(text, ''), '((\S+ ){6}\S+) ', '\1@NL@', 'g'),
+           |           '@NL@', chr(10)) AS text
+           |  FROM documents
+           |),
+           |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM inj),
+           |pos AS (
+           |  SELECT doc_id, p, l[p] AS line, trim(lower(l[p])) AS norm
+           |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS p FROM ls)
+           |),
+           |dup AS (
+           |  SELECT DISTINCT a.doc_id, a.p, a.line
+           |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p < a.p AND b.norm = a.norm
+           |  WHERE trim(a.line) <> ''
+           |),
+           |tot AS (
+           |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+           |         CAST(coalesce(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0) AS BIGINT)
+           |           AS total_line_chars
+           |  FROM ls
+           |),
+           |d AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_lines,
+           |         CAST(SUM(length(line)) AS BIGINT) AS dup_line_chars
+           |  FROM dup GROUP BY 1
+           |)
+           |SELECT t.doc_id, t.n_lines,
+           |       CAST(coalesce(d.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+           |       CAST(coalesce(d.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+           |       t.total_line_chars,
+           |       CAST(10 * coalesce(d.n_dup_lines, 0) <= 3 * t.n_lines AS INT) AS f_dup_lines,
+           |       CAST(5 * coalesce(d.dup_line_chars, 0) <= t.total_line_chars AS INT) AS f_dup_chars
+           |FROM tot t LEFT JOIN d USING (doc_id)""".stripMargin))
+
   val textQuality = QueryDef(
     "text_quality",
     (s, dir) =>
@@ -8736,7 +8804,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
-    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
