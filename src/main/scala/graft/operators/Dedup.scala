@@ -1478,4 +1478,110 @@ object Dedup {
       } finally CheckpointBlocks.release(truthCut)
     } finally sigs.unpersist()
   }
+
+  /** Cross-document EXACT-SUBSTRING dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr variant): CUT from every document each token
+    * span that also appears VERBATIM in another document, keeping
+    * one canonical copy corpus-wide. This is the dedup tier the
+    * fuzzy family (MinHash D2, SimHash D7, SemDeDup D25) cannot
+    * express — those drop or cluster whole DOCUMENTS; production
+    * pipelines additionally excise repeated passages (licenses,
+    * quoted boilerplate, syndicated paragraphs) from documents that
+    * are otherwise unique, which the paper shows measurably improves
+    * the trained LM.
+    *
+    * The paper builds one corpus-wide suffix array — a single-machine
+    * data structure with no distributed equivalent. The Spark-native
+    * re-expression indexes every n-token window by a 128-bit md5
+    * fingerprint of its space-joined tokens (case-SENSITIVE — "exact"
+    * means exact; whitespace runs normalize to single spaces, the
+    * [[TextAnalysis.dupNgramCoverage]] tokenizer contract, so output
+    * text is whitespace-normalized BY CONTRACT even for untouched
+    * docs):
+    *
+    *   1. gram windows: one (doc_id, pos, fp) row per n-token window
+    *      (in-row transform over the token array, then ONE explode —
+    *      the token array never rides the exploded rows);
+    *   2. gram index: fp → (n_docs, keep_doc=min doc_id) via the
+    *      two-step distinct-doc count (rows of the (fp, doc) frame
+    *      ARE distinct docs — no count-distinct Expand), filtered to
+    *      n_docs ≥ 2;
+    *   3. flagged windows: windows equi-join the index on fp where
+    *      doc_id > keep_doc — every occurrence OUTSIDE the gram's
+    *      minimum doc is removed, so exactly the copy in the
+    *      globally-first document survives (the paper's
+    *      keep-one-occurrence rule with doc_id as the total order).
+    *      Within-doc repeats of a doc's OWN text are not touched —
+    *      that is T23c's within-doc metric, a different knob;
+    *   4. per-doc interval UNION: token p is cut iff some flagged
+    *      start i satisfies i ≤ p ≤ i+n−1. Maximal duplicated spans
+    *      LONGER than n fall out by construction — every length-n
+    *      window inside them is flagged and the union excises the
+    *      whole span, the suffix-array outcome at granularity n.
+    *      Kept tokens re-join with single spaces in document order.
+    *
+    * Determinism: both engines group/join on the SAME md5 hex of the
+    * SAME gram string, so results agree bit-for-bit by construction;
+    * a 128-bit collision (≈ |grams|²·2⁻¹²⁸, vanishing at any corpus
+    * size) would change both engines identically.
+    *
+    * Scale shape (the reason this beats a literal suffix-array port):
+    * the gram explode is narrow (recomputed per reader from the scan
+    * — cheaper than checkpointing a corpus×n frame); the index
+    * aggregate is partial-aggregatable (min + count combine
+    * map-side), so a boilerplate gram in 10⁶ docs is ONE index row —
+    * and the flag join fans each window row to AT MOST ONE row.
+    * Unlike LSH bucket self-joins there is NO posting-list n² term
+    * anywhere, hence no hot-gram cap is needed. The only per-doc
+    * materialization is the flagged-starts list, bounded by
+    * tokens-per-doc (length-bounded upstream — the
+    * [[TextAnalysis.chunkDocs]] gate contract).
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text) — one row per
+    * input doc; docs shorter than n tokens (or with null/empty text)
+    * pass through uncut with their whitespace normalized.
+    */
+  def exactSubstrDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val t = filter(TextAnalysis.tokens(coalesce(col(textCol), lit(""))),
+      x => x =!= "")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"), t.as("__t"))
+    val grams = toks
+      .select(col("doc_id"),
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => struct(i.as("pos"),
+              md5(concat_ws(" ", slice(col("__t"), i, lit(n)))).as("fp"))))
+          .otherwise(expr("array()").cast("array<struct<pos:int,fp:string>>"))
+          .as("__g"))
+      .select(col("doc_id"), explode(col("__g")).as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.fp").as("fp"))
+    val idx = grams
+      .groupBy(col("fp"), col("doc_id")).agg(count(lit(1)).as("__m"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("fp"), col("keep_doc"))
+    val flagged = grams.join(idx, Seq("fp"))
+      .filter(col("doc_id") > col("keep_doc"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    toks.join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__t"),
+        coalesce(col("__starts"), expr("array()").cast("array<int>"))
+          .as("__s"))
+      .withColumn("__kept",
+        filter(col("__t"), (tok, i0) => !exists(col("__s"),
+          st => st <= i0 + 1 && i0 + 1 <= st + (n - 1))))
+      .select(
+        col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
 }

@@ -169,6 +169,57 @@ object PipelineQueries {
             |SELECT id_a, id_b, ROUND(i::DOUBLE / (ab - i)::DOUBLE, 6) AS jac
             |FROM ver WHERE i * 5 >= (ab - i) * 2 AND (ab - i) > 0""".stripMargin))
 
+  /** Cross-document exact-substring removal
+    * ([[Dedup.exactSubstrDedup]], Lee et al. 2022 ExactSubstr): cut
+    * every verbatim 8-token span that also appears in an earlier
+    * document, keeping the copy in the gram's minimum doc_id — the
+    * span-granular dedup tier the whole-document fuzzy family cannot
+    * express. Measured at sf0.01: 24 docs cut, 1,254 of 29,921
+    * tokens removed (three docs excised entirely — exact duplicates
+    * of an earlier doc, the D1 case falling out of the span rule).
+    * The re-assembled clean TEXT is hashed (the T18f strictest-pin
+    * posture); the oracle replays the md5 gram index, the
+    * keep-minimum-doc rule, and the per-doc interval union.
+    */
+  val dedupExactSubstr = QueryDef(
+    "dedup_exact_substr",
+    (s, dir) =>
+      Dedup.exactSubstrDedup(Tables.documents(s, dir), "doc_id", "text",
+        n = 8),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |g AS (
+           |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i + 7], ' ')) AS fp
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+           |        FROM toks WHERE len(t) >= 8)
+           |),
+           |pd AS (SELECT fp, doc_id FROM g GROUP BY 1, 2),
+           |idx AS (
+           |  SELECT fp, MIN(doc_id) AS keep_doc FROM pd GROUP BY 1
+           |  HAVING COUNT(*) >= 2
+           |),
+           |fs AS (
+           |  SELECT g.doc_id, list_sort(list(g.pos)) AS starts
+           |  FROM g JOIN idx USING (fp) WHERE g.doc_id > idx.keep_doc
+           |  GROUP BY 1
+           |),
+           |cut AS (
+           |  SELECT toks.doc_id, t, coalesce(starts, []) AS st,
+           |         list_transform(
+           |           list_filter(generate_series(1, len(t)),
+           |             p -> len(list_filter(st, i -> i <= p AND p <= i + 7)) = 0),
+           |           p -> t[p]) AS kept
+           |  FROM toks LEFT JOIN fs ON toks.doc_id = fs.doc_id
+           |)
+           |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           |       coalesce(array_to_string(kept, ' '), '') AS clean_text
+           |FROM cut""".stripMargin))
+
   /** Near-dup via MinHash+LSH over character 5-grams (n-gram Jaccard). */
   val dedupNgram = QueryDef(
     "dedup_ngram",
@@ -8801,7 +8852,7 @@ object PipelineQueries {
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupPrefixJoin, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
+    dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,

@@ -494,6 +494,39 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("graft.lsh.logHotBuckets", "false")
   }
 
+  test("exactSubstrDedup cuts cross-doc spans, keeps first doc, ignores within-doc repeats") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g h tail one"),        // keeper: first doc wins
+      (2L, "x y  a b c d z w q r"),            // shares "a b c d" (+ double space)
+      (3L, "hello there"),                     // shorter than n: untouched
+      (4L, null.asInstanceOf[String]),         // null text: empty out
+      (5L, "a b c d e f g h tail one"),        // exact copy: fully excised
+      (6L, "p q r s p q r s")                  // within-doc repeat only: kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 10L, 0L, "a b c d e f g h tail one")))
+    // doc 2: the flagged window [3,6] is cut; whitespace normalized.
+    assert(out(1) == ((2L, 10L, 4L, "x y z w q r")))
+    assert(out(2) == ((3L, 2L, 0L, "hello there")))
+    assert(out(3) == ((4L, 0L, 0L, "")))
+    assert(out(4) == ((5L, 10L, 10L, "")))
+    assert(out(5) == ((6L, 8L, 0L, "p q r s p q r s")))
+  }
+
+  test("exactSubstrDedup overlapping flagged windows union into one maximal span") {
+    import graft.operators.Dedup
+    // doc 2 contains a 6-token run shared with doc 1 -> three
+    // overlapping 4-windows flag; the union removes exactly 6 tokens.
+    val docs = Seq(
+      (1L, "m1 m2 m3 m4 m5 m6 u v"),
+      (2L, "pre m1 m2 m3 m4 m5 m6 post")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(1) == ((2L, 8L, 6L, "pre post")))
+  }
+
   test("duplicateSpans finds the shared window, skips doc-local repeats and short docs") {
     import graft.operators.TextAnalysis
     val shared = (1 to 10).map(i => s"w$i").mkString(" ")
