@@ -2228,4 +2228,88 @@ object TextAnalysis {
         ((col("s_u") + col("prior_u")).cast("double") / lit(1000000.0)).as("log_odds"),
         ((col("s_u") + col("prior_u")) > 0L).as("pred"))
   }
+
+  /** TextRank corpus keyword salience (Mihalcea & Tarau 2004, the
+    * PageRank family): rank every vocabulary term by a damped random
+    * walk over the word co-occurrence graph — the classic
+    * unsupervised keyword extractor, run at CORPUS granularity (the
+    * paper runs per document; the corpus graph is the same
+    * construction summed over docs and is the distributable shape:
+    * one graph, vocabulary-sized, instead of millions of
+    * driver-invisible per-doc graphs — per-doc salience composes
+    * downstream as tf × corpus-rank, the tf-idf posture).
+    *
+    * Graph: nodes = lowercased whitespace tokens; undirected edges
+    * between tokens co-occurring within `window` positions in a doc
+    * (self-loops dropped), weight = corpus co-occurrence count. The
+    * walk runs `iters` rounds of the weighted PageRank recurrence
+    *
+    *   r_{k+1}(v) = (1−d) + d · Σ_{u→v} r_k(u) · w(u,v) / wout(u)
+    *
+    * in mean-1 micro-units and PURE INTEGERS: ranks start at 10⁶,
+    * each edge contribution is the bigint floor division
+    * (dampNum·r·w) DIV (100·wout) — Spark `DIV` and DuckDB `//`
+    * truncate identically on non-negatives — and the damping base
+    * (100−dampNum)·10⁴ adds back exactly. No floating point touches
+    * the recurrence, so both engines agree bit-for-bit at every
+    * iteration; the floor loses < 1 micro-unit per in-edge per round
+    * (bounded, documented — resolution is the 10⁶ dial).
+    *
+    * Scale shape: the edge frame is a corpus AGGREGATE (bounded by
+    * distinct co-occurring pairs, not corpus size) built from one
+    * narrow in-row pair explode + one groupBy; it is checkpoint-cut
+    * once and re-read by all `iters` rounds (the semDedup
+    * one-cut/N-readers posture). Each round is ONE equi-join of the
+    * vocabulary-sized rank frame against the cut edges + ONE groupBy
+    * — iters is a constant, so the whole walk is a fixed-depth plan
+    * with no driver-side data movement. Every node of the symmetric
+    * graph has an in-edge, so the groupBy covers the node set.
+    *
+    * Output: (term, w_degree, rank_u) — weighted degree and the
+    * iteration-`iters` rank in micro-units; terms that never
+    * co-occur (single-token docs) have no edges and are absent, the
+    * graph's own domain.
+    */
+  def textRank(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2,
+      iters: Int = 5,
+      dampNum: Int = 85): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum >= 0 && dampNum <= 100, s"dampNum in [0,100], got $dampNum")
+    import org.apache.spark.sql.graft.CheckpointBlocks
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    val pairs = docs
+      .select(t.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => transform(
+          sequence(i + 1, least(i + window, size(col("__t")))),
+          j => struct(element_at(col("__t"), i).as("a"),
+            element_at(col("__t"), j).as("b")))))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val edgesW = CheckpointBlocks.cut(e.join(wout, Seq("src")))
+    val base = (100L - dampNum) * 10000L
+    var ranks = edgesW.select(col("src")).distinct()
+      .select(col("src"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edgesW.join(ranks, Seq("src"))
+        .withColumn("__c",
+          expr(s"($dampNum * r * w) DIV (100 * wout)"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__cin"))
+        .select(col("dst").as("src"), (lit(base) + col("__cin")).as("r"))
+    }
+    ranks.join(edgesW.groupBy(col("src")).agg(first(col("wout")).as("w_degree")),
+        Seq("src"))
+      .select(col("src").as("term"), col("w_degree"), col("r").as("rank_u"))
+  }
 }

