@@ -1190,4 +1190,62 @@ object Similarity {
       .filter(col("cos") >= minCosine)
     (keys, pairs)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09) —
+    * fuse the per-query TOP-K lists of several retrieval systems
+    * (sparse BM25, dense cosine, …) into one ranking:
+    *
+    *   rrf(q, d) = Σ_systems 1 / (k0 + rank_system(q, d))
+    *
+    * computed in PURE integer micro-units — each vote contributes
+    * 10⁶ DIV (k0 + rank), a bigint floor division both engines
+    * truncate identically, so no floating point touches the fusion
+    * and cross-engine agreement is arithmetic identity (the RRF
+    * ordering is unchanged: x ↦ 10⁶ DIV x is monotone over the
+    * bounded rank domain and distinct ranks ≤ k0+k keep distinct
+    * contributions for any k ≤ ~940 at k0=60). RRF needs no score
+    * calibration between systems — only ranks — which is exactly why
+    * it is the production default for hybrid sparse+dense retrieval.
+    *
+    * Input contract: `ranked` holds ONE ROW PER SYSTEM'S VOTE —
+    * (queryCol, docCol, rankCol) with rank 1-based within each
+    * (system, query) list; the union of the systems' top-k outputs.
+    * Each (query, doc) pair may appear once per system; `n_systems`
+    * counts the votes.
+    *
+    * Scale shape: the input is workload-bounded by construction
+    * (|queries| × k × systems — top-k lists, never corpora), so the
+    * fusion aggregate is tiny regardless of corpus size; the final
+    * per-query cut still uses the bounded [[graft.functions.TopK]]
+    * k-heap rather than a window, the same posture as every ranked
+    * cut in this module.
+    *
+    * Output: (query_id, doc_id, n_systems, rrf_u) — top `k` per
+    * query by (rrf_u desc, doc_id asc).
+    */
+  def rrfFuse(
+      ranked: DataFrame,
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      k: Int,
+      k0: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    import graft.functions.TopK
+    val fused = ranked
+      .select(col(queryCol).as("query_id"), col(docCol).as("doc_id"),
+        expr(s"CAST(1000000 AS BIGINT) DIV CAST($k0 + `$rankCol` AS BIGINT)")
+          .as("__c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_systems"),
+        sum(col("__c")).as("rrf_u"))
+    fused.groupBy(col("query_id"))
+      .agg(TopK.smallestK(
+        struct((-col("rrf_u")).as("nr"), col("doc_id").as("d"),
+          col("n_systems").as("ns")), k).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t.d").as("doc_id"),
+        col("__t.ns").as("n_systems"), (-col("__t.nr")).as("rrf_u"))
+  }
 }

@@ -4569,6 +4569,119 @@ object PipelineQueries {
     * heuristic (T2/T4) → LM perplexity (T13/T13c) → TRAINED
     * classifier (here).
     */
+  /** Hybrid sparse+dense retrieval via reciprocal-rank fusion
+    * ([[Similarity.rrfFuse]], Cormack et al. SIGIR'09): BM25 top-10
+    * (the `text_bm25_batch` query workload) fused with dense cosine
+    * top-10 (query-by-example on the matching vec_ids) at k0 = 60 —
+    * the production hybrid-retrieval default, needing NO score
+    * calibration between the two systems (rank-only fusion). Each
+    * vote contributes 10⁶ DIV (60 + rank) in pure bigints, so the
+    * fusion is cross-engine exact by arithmetic identity; per-system
+    * ranks derive from the systems' own deterministic orderings
+    * (score_u desc / rounded cos desc, doc asc). Windows here rank
+    * ≤ 10-row per-query partitions (top-k outputs — workload-bounded
+    * by construction); the final cut is the bounded k-heap. The
+    * oracle replays both retrieval chains end to end plus the
+    * integer fusion.
+    */
+  val textHybridRrf = QueryDef(
+    "text_hybrid_rrf",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val q = Seq(
+        (1L, "spark"), (1L, "table"), (1L, "vector"),
+        (2L, "table"), (2L, "join"),
+        (3L, "merge"), (3L, "window"), (3L, "zzzunseen"))
+        .toDF("query_id", "term")
+      val bm = TextAnalysis.bm25TopKBatch(
+        Tables.documents(s, dir), "doc_id", "text", q, k = 10)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dn = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), emb,
+        "vec_id", "embedding", k = 10)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("n_id"))))
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rank"))
+      Similarity.rrfFuse(bm.unionByName(dn), "query_id", "doc_id", "rank",
+        k = 10, k0 = 60)
+    },
+    Some(s"""WITH q AS (
+            |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+            |  FROM (VALUES (1, 'spark'), (1, 'table'), (1, 'vector'),
+            |               (2, 'table'), (2, 'join'),
+            |               (3, 'merge'), (3, 'window'), (3, 'zzzunseen')) AS v(query_id, term)
+            |),
+            |toks AS (
+            |  SELECT doc_id,
+            |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+            |                     x -> x <> '') AS t
+            |  FROM documents
+            |),
+            |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+            |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+            |tf AS (
+            |  SELECT doc_id, w AS term, COUNT(*) AS tf
+            |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+            |  WHERE w IN (SELECT DISTINCT term FROM q)
+            |  GROUP BY 1, 2
+            |),
+            |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            |sc AS (
+            |  SELECT tf.doc_id, tf.term,
+            |         CAST(ROUND(
+            |           CAST(ROUND(LN((2 * tot.n_docs - 2 * dft.df + 1)::DOUBLE
+            |                         / (2 * dft.df + 1)::DOUBLE) * 1000000.0, 0) AS BIGINT)::DOUBLE
+            |           * ((22 * tf.tf * tot.t_tokens)::DOUBLE
+            |              / (10 * tf.tf * tot.t_tokens + 3 * tot.t_tokens
+            |                 + 9 * dl.dl * tot.n_docs)::DOUBLE), 0) AS BIGINT) AS contrib_u
+            |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+            |),
+            |agg AS (
+            |  SELECT q.query_id, sc.doc_id, CAST(SUM(sc.contrib_u) AS BIGINT) AS score_u
+            |  FROM sc JOIN q USING (term)
+            |  GROUP BY 1, 2
+            |),
+            |bmtop AS (
+            |  SELECT query_id, doc_id,
+            |         ROW_NUMBER() OVER (PARTITION BY query_id
+            |                            ORDER BY score_u DESC, doc_id ASC) AS rank
+            |  FROM agg
+            |  QUALIFY rank <= 10
+            |),
+            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+            |scored AS (
+            |  SELECT q_id, e.vec_id AS n_id, ROUND(${cosSql("qv", "v")}, 6) AS cos
+            |  FROM qv CROSS JOIN e WHERE e.vec_id <> q_id
+            |),
+            |dntop AS (
+            |  SELECT q_id AS query_id, n_id AS doc_id,
+            |         ROW_NUMBER() OVER (PARTITION BY q_id
+            |                            ORDER BY cos DESC, n_id ASC) AS rank
+            |  FROM scored
+            |  QUALIFY rank <= 10
+            |),
+            |votes AS (
+            |  SELECT query_id, doc_id, CAST(1000000 AS BIGINT) // (60 + rank) AS c FROM bmtop
+            |  UNION ALL
+            |  SELECT query_id, doc_id, CAST(1000000 AS BIGINT) // (60 + rank) AS c FROM dntop
+            |),
+            |f AS (
+            |  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+            |         CAST(SUM(c) AS BIGINT) AS rrf_u
+            |  FROM votes GROUP BY 1, 2
+            |)
+            |SELECT query_id, doc_id, n_systems, rrf_u FROM f
+            |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            |                           ORDER BY rrf_u DESC, doc_id ASC) <= 10""".stripMargin))
+
   val textNbClassifier = QueryDef(
     "text_nb_classifier",
     (s, dir) => {
@@ -8905,7 +9018,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

@@ -494,6 +494,23 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("graft.lsh.logHotBuckets", "false")
   }
 
+  test("rrfFuse: two-system consensus beats a single #1; integer contributions; top-k cut") {
+    import graft.operators.Similarity
+    // System A ranks: d1=1, d2=2, d3=3.  System B ranks: d2=1, d3=2, d9=3.
+    // d2 (ranks 2+1) must beat d1 (rank 1 in one system only):
+    //   d2: 1e6 DIV 62 + 1e6 DIV 61 = 16129 + 16393 = 32522
+    //   d1: 1e6 DIV 61             = 16393
+    val votes = Seq(
+      (7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3),
+      (7L, 2L, 1), (7L, 3L, 2), (7L, 9L, 3)).toDF("q", "d", "rank")
+    val out = Similarity.rrfFuse(votes, "q", "d", "rank", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(-_._4)
+    assert(out.length == 3)
+    assert(out(0) == ((7L, 2L, 2L, 32522L)))
+    assert(out(1) == ((7L, 3L, 2L, 32002L)))   // 15873 + 16129
+    assert(out(2) == ((7L, 1L, 1L, 16393L)))   // d9 (15873) cut by k=3
+  }
+
   test("textRank: two-node graph is the exact fixed point; star hub outranks leaves") {
     import graft.operators.TextAnalysis
     // x <-> y with unit weights: contribution (85*1e6*1) DIV (100*1)
