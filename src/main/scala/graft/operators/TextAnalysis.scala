@@ -2229,6 +2229,131 @@ object TextAnalysis {
         ((col("s_u") + col("prior_u")) > 0L).as("pred"))
   }
 
+  /** Hashed bag-of-words features for the linear-classifier family:
+    * one (doc_id, b, m) row per document × feature bucket, where
+    * b = md5-bucket(token) over `buckets` buckets (the hashing
+    * trick — the fastText/DSIR featurization; collisions are the
+    * method, keeping the model a fixed-size vector regardless of
+    * vocabulary) and m the token count. Narrow explode + one
+    * aggregate; docs with no tokens emit no rows (they score z = 0 —
+    * the unjudgeable-doc posture, stated at the scorer).
+    */
+  def lrHashedFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    docs.select(col(idCol).cast("long").as("doc_id"), explode(t).as("__w"))
+      .select(col("doc_id"),
+        graft.functions.Hashing.md5Bucket(col("__w"), buckets.toLong).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m"))
+  }
+
+  /** LOGISTIC-REGRESSION quality classifier, trained in-engine by
+    * fixed-iteration full-batch gradient descent over hashed
+    * bag-of-words features — the GPT-3/WebText-style trained quality
+    * gate, completing the classifier family beside naive Bayes
+    * (T19): NB is the closed-form generative member; this is the
+    * discriminative member with the SAME featurization idea the
+    * production filters use (fastText is exactly a hashed linear
+    * model).
+    *
+    * Determinism contract (the calibration-curve posture, compounded
+    * across iterations): weights live in integer micro-units. Each
+    * iteration computes per-doc logits z_u = Σ_b m·w_u exactly
+    * (bigint), takes ONE rounded sigmoid per doc
+    * (p_u = round(10⁶·σ(z_u/10⁶)) — the only float op; 6-dp rounding
+    * absorbs libm-vs-JVM exp ulp noise except measure-zero knife
+    * edges, the documented micro-nat posture), then the residual
+    * r = y_u − p_u, the per-bucket gradient g_b = Σ m·r, and the
+    * update w_u += g_b DIV (etaDen·N) run in PURE bigints — Spark
+    * `DIV` and DuckDB `//` both truncate toward zero on signed
+    * values (verified), so the oracle replays every iteration as an
+    * unrolled CTE chain bit-for-bit. Step size 1/etaDen of the mean
+    * gradient: the mean (not sum) makes the step scale-free in
+    * corpus size, and etaDen = 32 keeps |Δw| ≤ ~3·10⁴ micro-units
+    * per iteration at count-scale features — logits stay O(1), the
+    * sigmoid never saturates during training.
+    *
+    * Scale shape: the feature frame is built ONCE and checkpoint-cut
+    * (one tokenize of the corpus; `iters` readers — the semDedup
+    * one-cut/N-readers posture). Each iteration is two bounded
+    * shuffles (per-doc logit aggregate; per-bucket gradient
+    * aggregate) plus a `buckets`-row broadcast of the weight vector
+    * — iters and buckets are constants, so the whole trainer is a
+    * fixed-depth plan, no driver-side iteration over data.
+    *
+    * Returns the model: (b, w_u) — one row per feature bucket seen
+    * in training.
+    */
+  def lrTrain(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int = 64,
+      iters: Int = 3,
+      etaDen: Int = 32): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(etaDen >= 1, s"etaDen must be >= 1, got $etaDen")
+    import org.apache.spark.sql.graft.CheckpointBlocks
+    val xs = CheckpointBlocks.cut(
+      lrHashedFeatures(train, idCol, textCol, buckets))
+    val lab = train.select(col(idCol).cast("long").as("doc_id"),
+      when(col(labelCol), lit(1000000L)).otherwise(lit(0L)).as("y_u"))
+    val nT = lab.agg(count(lit(1)).cast("bigint").as("n_train"))
+    var w = xs.select(col("b")).distinct()
+      .select(col("b"), lit(0L).as("w_u"))
+    for (_ <- 1 to iters) {
+      val z = xs.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id")).agg(sum(col("m") * col("w_u")).as("z_u"))
+      val resid = lab.join(z, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("y_u") - round(lit(1000000.0) /
+            (lit(1.0) + exp(-(coalesce(col("z_u"), lit(0L)).cast("double")
+              / lit(1000000.0)))), 0).cast("long")).as("r"))
+      val g = xs.join(resid, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("m") * col("r")).as("g"))
+      w = w.join(g, Seq("b"), "left").crossJoin(broadcast(nT))
+        .select(col("b"),
+          (col("w_u") + expr(
+            s"coalesce(g, CAST(0 AS BIGINT)) DIV ($etaDen * n_train)"))
+            .as("w_u"))
+    }
+    w
+  }
+
+  /** Score documents against an [[lrTrain]] model: exact-bigint
+    * logit z_u = Σ_b m·w_u (buckets unseen in training contribute 0
+    * via the left join), shipped as the raw quotient z = z_u/10⁶
+    * (identical integers → identical double, no final round) with
+    * the integer-threshold decision `pred` = z_u > 0 — the decision
+    * boundary is bit-identical cross-engine, the nbScore contract.
+    * Docs with no tokens score z = 0, pred = false (no evidence —
+    * the unjudgeable-doc posture). One narrow featurize + one
+    * aggregate; the model rides a `buckets`-row broadcast.
+    */
+  def lrScore(
+      model: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    val xs = lrHashedFeatures(docs, idCol, textCol, buckets)
+    val zs = xs.join(broadcast(model), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast("bigint").as("n_tok"),
+        sum(col("m") * coalesce(col("w_u"), lit(0L))).as("z_u"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(zs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        (coalesce(col("z_u"), lit(0L)).cast("double") / lit(1000000.0)).as("z"),
+        (coalesce(col("z_u"), lit(0L)) > 0L).as("pred"))
+  }
+
   /** TextRank corpus keyword salience (Mihalcea & Tarau 2004, the
     * PageRank family): rank every vocabulary term by a damped random
     * walk over the word co-occurrence graph — the classic

@@ -4556,19 +4556,6 @@ object PipelineQueries {
       .select(col("doc_id"), col("y"), col("text"))
   }
 
-  /** Trained text classifier — the fastText-style linear bag-of-words
-    * model (the CCNet/GPT-3 pipelines' third gate after heuristics
-    * and LM perplexity; multinomial naive Bayes IS linear in log
-    * space): trained IN-ENGINE on doc_id % 5 ≠ 0 over the
-    * [[nbMarkedDocs]] two-class fixture, scoring the DISJOINT
-    * held-out fifth — so the smoothing floors fire on real unseen
-    * words and accuracy measures generalization, not memorization.
-    * Per-doc output joined back with the true label the oracle pins;
-    * the integer micro-nat `pred` makes the decision boundary
-    * bit-identical cross-engine. Completes the quality ladder:
-    * heuristic (T2/T4) → LM perplexity (T13/T13c) → TRAINED
-    * classifier (here).
-    */
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion
     * ([[Similarity.rrfFuse]], Cormack et al. SIGIR'09): BM25 top-10
     * (the `text_bm25_batch` query workload) fused with dense cosine
@@ -4682,6 +4669,19 @@ object PipelineQueries {
             |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
             |                           ORDER BY rrf_u DESC, doc_id ASC) <= 10""".stripMargin))
 
+  /** Trained text classifier — the fastText-style linear bag-of-words
+    * model (the CCNet/GPT-3 pipelines' third gate after heuristics
+    * and LM perplexity; multinomial naive Bayes IS linear in log
+    * space): trained IN-ENGINE on doc_id % 5 ≠ 0 over the
+    * [[nbMarkedDocs]] two-class fixture, scoring the DISJOINT
+    * held-out fifth — so the smoothing floors fire on real unseen
+    * words and accuracy measures generalization, not memorization.
+    * Per-doc output joined back with the true label the oracle pins;
+    * the integer micro-nat `pred` makes the decision boundary
+    * bit-identical cross-engine. Completes the quality ladder:
+    * heuristic (T2/T4) → LM perplexity (T13/T13c) → TRAINED
+    * classifier (here).
+    */
   val textNbClassifier = QueryDef(
     "text_nb_classifier",
     (s, dir) => {
@@ -4892,6 +4892,159 @@ object PipelineQueries {
             |  FROM pu
             |)
             |SELECT n, ece, brier FROM ece CROSS JOIN br""".stripMargin))
+
+  /** Shared oracle body for the logistic-regression classifier: the
+    * [[nbMarkedDocs]] fixture, hashed 64-bucket features, and the
+    * full 3-iteration batch-gradient-descent replay as unrolled CTEs
+    * (the two-Lloyd-iteration precedent applied to a trained
+    * discriminative model) — one rounded sigmoid per doc per
+    * iteration, everything else pure bigints incl. the
+    * truncate-toward-zero update division both engines share.
+    * Ends at `lrperdoc` (held-out per-doc scores + label).
+    */
+  private val lrPerDocSql = {
+    val head =
+      """marked AS (
+        |  SELECT doc_id, (doc_id % 2 = 1) AS y,
+        |         CASE WHEN doc_id % 2 = 1
+        |              THEN regexp_replace(regexp_replace(coalesce(text, ''),
+        |                       '\btable\b', 'tabelle', 'g'),
+        |                       '\brow\b', 'zeile', 'g')
+        |              ELSE coalesce(text, '') END AS text
+        |  FROM documents
+        |),
+        |toks AS (
+        |  SELECT doc_id, y,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM marked
+        |),
+        |tw AS (SELECT doc_id, y, unnest(t) AS w FROM toks),
+        |xs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM tw WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+        |),
+        |lab AS (
+        |  SELECT doc_id, CASE WHEN y THEN CAST(1000000 AS BIGINT)
+        |                      ELSE CAST(0 AS BIGINT) END AS y_u
+        |  FROM toks WHERE doc_id % 5 <> 0
+        |),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM lab),
+        |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w_u FROM xs)""".stripMargin
+    val iterations = (1 to 3).map { k =>
+      s"""z$k AS (
+         |  SELECT xs.doc_id, CAST(SUM(xs.m * w.w_u) AS BIGINT) AS z_u
+         |  FROM xs JOIN w${k - 1} w USING (b) GROUP BY 1
+         |),
+         |r$k AS (
+         |  SELECT lab.doc_id,
+         |         lab.y_u - CAST(ROUND(1000000.0 /
+         |           (1.0 + EXP(-(COALESCE(z$k.z_u, 0)::DOUBLE / 1000000.0))), 0)
+         |           AS BIGINT) AS r
+         |  FROM lab LEFT JOIN z$k USING (doc_id)
+         |),
+         |g$k AS (
+         |  SELECT xs.b, CAST(SUM(xs.m * r$k.r) AS BIGINT) AS g
+         |  FROM xs JOIN r$k USING (doc_id) GROUP BY 1
+         |),
+         |w$k AS (
+         |  SELECT w.b,
+         |         CAST(w.w_u + (COALESCE(g$k.g, 0) // (32 * nt.n_train))
+         |              AS BIGINT) AS w_u
+         |  FROM w${k - 1} w LEFT JOIN g$k USING (b) CROSS JOIN nt
+         |)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      """hxs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM tw WHERE doc_id % 5 = 0 GROUP BY 1, 2
+        |),
+        |hz AS (
+        |  SELECT hxs.doc_id, CAST(SUM(hxs.m) AS BIGINT) AS n_tok,
+        |         CAST(SUM(hxs.m * COALESCE(w3.w_u, 0)) AS BIGINT) AS z_u
+        |  FROM hxs LEFT JOIN w3 USING (b) GROUP BY 1
+        |),
+        |lrperdoc AS (
+        |  SELECT t.doc_id, COALESCE(hz.n_tok, 0) AS n_tok,
+        |         COALESCE(hz.z_u, 0)::DOUBLE / 1000000.0 AS z,
+        |         COALESCE(hz.z_u, 0) > 0 AS pred, t.y AS label
+        |  FROM (SELECT doc_id, y FROM toks WHERE doc_id % 5 = 0) t
+        |  LEFT JOIN hz USING (doc_id)
+        |)""".stripMargin
+    s"$head,\n$iterations,\n$tail"
+  }
+
+  /** Trained LOGISTIC-REGRESSION quality classifier
+    * ([[TextAnalysis.lrTrain]]/[[TextAnalysis.lrScore]]) — the
+    * discriminative member of the classifier family beside naive
+    * Bayes (`text_nb_classifier`), trained in-engine by 3 iterations
+    * of full-batch gradient descent over hashed 64-bucket
+    * bag-of-words features (the fastText featurization) on the SAME
+    * fixture, split, and evidence surface as NB — so the two
+    * families are directly comparable artifact-for-artifact. One
+    * rounded sigmoid per doc per iteration; everything else pure
+    * bigints (the update division truncates toward zero identically
+    * on both engines); the oracle unrolls all three iterations.
+    */
+  val textLrClassifier = QueryDef(
+    "text_lr_classifier",
+    (s, dir) => {
+      val docs = nbMarkedDocs(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      TextAnalysis.lrScore(
+          TextAnalysis.lrTrain(train, "doc_id", "text", "y",
+            buckets = 64, iters = 3, etaDen = 32),
+          heldOut, "doc_id", "text", buckets = 64)
+        .join(heldOut.select(col("doc_id"), col("y").as("label")), Seq("doc_id"))
+    },
+    Some(s"WITH $lrPerDocSql\nSELECT doc_id, n_tok, z, pred, label FROM lrperdoc"))
+
+  /** The LR classifier's ROC AUC on the held-out fifth — the direct
+    * head-to-head against `text_nb_auc` (same fixture, same split,
+    * same exact Mann-Whitney computation over the raw-quotient
+    * logit): the number that says whether 3 GD iterations of the
+    * discriminative model beat the closed-form generative one here.
+    * The cumulation window runs over the per-distinct-score
+    * aggregate (≤ held-out cohort rows — the text_nb_auc cardinality
+    * argument, whitelisted the same way).
+    */
+  val textLrAuc = QueryDef(
+    "text_lr_auc",
+    (s, dir) => {
+      val docs = nbMarkedDocs(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val perDoc = TextAnalysis.lrScore(
+          TextAnalysis.lrTrain(train, "doc_id", "text", "y",
+            buckets = 64, iters = 3, etaDen = 32),
+          heldOut, "doc_id", "text", buckets = 64)
+        .join(heldOut.select(col("doc_id"), col("y").as("label")), Seq("doc_id"))
+      TextAnalysis.binaryAuc(perDoc, "z", "label")
+    },
+    Some(s"""WITH $lrPerDocSql,
+            |kbx AS (
+            |  SELECT z AS k,
+            |         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+            |         CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nn
+            |  FROM lrperdoc GROUP BY 1
+            |),
+            |cumx AS (
+            |  SELECT np, nn,
+            |         COALESCE(SUM(nn) OVER (ORDER BY k
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nnb
+            |  FROM kbx
+            |),
+            |aggx AS (
+            |  SELECT CAST(SUM(np * (2 * nnb + nn)) AS BIGINT) AS s2,
+            |         CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nn) AS BIGINT) AS tn
+            |  FROM cumx
+            |)
+            |SELECT tp AS n_pos, tn AS n_neg,
+            |       s2::DOUBLE / (2 * tp * tn)::DOUBLE AS auc
+            |FROM aggx""".stripMargin))
 
   /** Chunk-granular exact dedup — the RAG/embedding prep composite:
     * [[TextAnalysis.chunkDocs]] → md5 fingerprint per chunk → keep
@@ -9018,7 +9171,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

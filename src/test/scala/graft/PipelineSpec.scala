@@ -494,6 +494,30 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("graft.lsh.logHotBuckets", "false")
   }
 
+  test("lrTrain/lrScore: separable classes get correct signs; empty doc scores 0; deterministic") {
+    import graft.operators.TextAnalysis
+    val docs = (
+      (1L to 8L).map(i => (i, "good good good", true)) ++
+      (11L to 18L).map(i => (i, "bad bad bad", false)) :+
+      ((99L, "", false))).toDF("doc_id", "text", "y")
+    val model = TextAnalysis.lrTrain(docs, "doc_id", "text", "y",
+      buckets = 64, iters = 3, etaDen = 32)
+    val scored = TextAnalysis.lrScore(model, docs, "doc_id", "text", buckets = 64)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // Positive docs: z > 0, pred true; negative: z < 0, pred false.
+    scored.filter(r => r._1 <= 8L).foreach(r => assert(r._3 > 0 && r._4, r.toString))
+    scored.filter(r => r._1 >= 11L && r._1 <= 18L)
+      .foreach(r => assert(r._3 < 0 && !r._4, r.toString))
+    // The tokenless doc has no feature evidence: z = 0, pred false.
+    assert(scored.find(_._1 == 99L).get == ((99L, 0L, 0.0, false)))
+    // Training is a pure function of its inputs: a second run is equal.
+    val again = TextAnalysis.lrScore(
+      TextAnalysis.lrTrain(docs, "doc_id", "text", "y", 64, 3, 32),
+      docs, "doc_id", "text", 64)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(scored.toSeq == again.toSeq)
+  }
+
   test("rrfFuse: two-system consensus beats a single #1; integer contributions; top-k cut") {
     import graft.operators.Similarity
     // System A ranks: d1=1, d2=2, d3=3.  System B ranks: d2=1, d3=2, d9=3.

@@ -417,10 +417,13 @@ class PlanSpec extends AnyFunSuite {
     //     per-DISTINCT-SCORE aggregate (≤ held-out cohort rows here;
     //     the binned arm bounds it at score-range × scale by
     //     construction — the operator's documented scale rule).
+    //   text_lr_auc: the SAME binaryAuc cumulation over the LR
+    //     classifier's held-out scores (≤ held-out cohort rows —
+    //     the text_nb_auc cardinality argument verbatim).
     val ok = Set("abc_classify", "pipeline_ep2", "u_delta_semanas",
       "events_funnel_summary", "j1_inner_join_abc", "j5_left_join_default",
       "text_bpe_vocab", "text_bpe_token_ids", "text_bpe_token_ids_bytes",
-      "text_nb_auc")
+      "text_nb_auc", "text_lr_auc")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok(name)) None
       else {
