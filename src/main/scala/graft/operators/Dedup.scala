@@ -1548,19 +1548,8 @@ object Dedup {
       textCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
-    val t = filter(TextAnalysis.tokens(coalesce(col(textCol), lit(""))),
-      x => x =!= "")
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"), t.as("__t"))
-    val grams = toks
-      .select(col("doc_id"),
-        when(size(col("__t")) >= n,
-          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-            i => struct(i.as("pos"),
-              md5(concat_ws(" ", slice(col("__t"), i, lit(n)))).as("fp"))))
-          .otherwise(expr("array()").cast("array<struct<pos:int,fp:string>>"))
-          .as("__g"))
-      .select(col("doc_id"), explode(col("__g")).as("__w"))
-      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.fp").as("fp"))
+    val toks = substrToks(docs, idCol, textCol)
+    val grams = substrGrams(toks, n)
     val idx = grams
       .groupBy(col("fp"), col("doc_id")).agg(count(lit(1)).as("__m"))
       .groupBy(col("fp"))
@@ -1571,6 +1560,38 @@ object Dedup {
       .filter(col("doc_id") > col("keep_doc"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    substrCut(toks, flagged, n)
+  }
+
+  /** [[exactSubstrDedup]]'s tokenizer: (doc_id, token array). */
+  private[graft] def substrToks(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = filter(TextAnalysis.tokens(coalesce(col(textCol), lit(""))),
+      x => x =!= "")
+    docs.select(col(idCol).cast("long").as("doc_id"), t.as("__t"))
+  }
+
+  /** [[exactSubstrDedup]]'s gram windows: one (doc_id, pos, fp) row
+    * per n-token window — in-row transform then ONE explode, the
+    * token array never rides the exploded rows.
+    */
+  private[graft] def substrGrams(toks: DataFrame, n: Int): DataFrame =
+    toks
+      .select(col("doc_id"),
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => struct(i.as("pos"),
+              md5(concat_ws(" ", slice(col("__t"), i, lit(n)))).as("fp"))))
+          .otherwise(expr("array()").cast("array<struct<pos:int,fp:string>>"))
+          .as("__g"))
+      .select(col("doc_id"), explode(col("__g")).as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.fp").as("fp"))
+
+  /** [[exactSubstrDedup]]'s interval-union cut: remove every token
+    * covered by a flagged window start, re-join survivors.
+    */
+  private[graft] def substrCut(
+      toks: DataFrame, flagged: DataFrame, n: Int): DataFrame =
     toks.join(flagged, Seq("doc_id"), "left")
       .select(col("doc_id"), col("__t"),
         coalesce(col("__starts"), expr("array()").cast("array<int>"))
@@ -1583,5 +1604,49 @@ object Dedup {
         size(col("__t")).cast("long").as("n_tokens"),
         (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("__kept")).as("clean_text"))
+
+  /** The standing corpus's distinct gram-fingerprint index — the
+    * persistable artifact [[exactSubstrAgainstCorpus]] and the
+    * streaming scrubber serve against (`Sink.saveIndex` /
+    * `Load.loadIndex` round-trip, the frozen-artifact posture of the
+    * LM fences / PSI reference / BM25 postings).
+    */
+  def substrGramIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame =
+    substrGrams(substrToks(corpus, idCol, textCol), n)
+      .select(col("fp")).distinct()
+
+  /** Incremental EXACT-SUBSTRING scrub — the arrival-time member of
+    * the D28 family (the D9/D21/D25d incremental-ingest posture
+    * applied to the span tier): cut from each BATCH document every
+    * n-token span that appears verbatim anywhere in the STANDING
+    * CORPUS. The corpus never self-joins and never re-tokenizes per
+    * batch when the index is persisted ([[substrGramIndex]]);
+    * candidates ride one equi-join of batch windows against the
+    * distinct-fp index, so work scales with the batch, not the
+    * corpus². Unlike the full [[exactSubstrDedup]] there is no
+    * keep-first rule to arbitrate — the corpus copy IS the keeper by
+    * definition (it is already ingested); batch-internal duplication
+    * is the next full pass's job (the semDedupAdmit "merges
+    * deferred" posture, stated).
+    *
+    * Output: the [[exactSubstrDedup]] shape over the batch docs.
+    */
+  def exactSubstrAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val bToks = substrToks(batch, idCol, textCol)
+    val flagged = substrGrams(bToks, n)
+      .join(substrGramIndex(corpus, idCol, textCol, n), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    substrCut(bToks, flagged, n)
   }
 }

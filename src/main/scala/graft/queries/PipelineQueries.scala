@@ -220,6 +220,58 @@ object PipelineQueries {
            |       coalesce(array_to_string(kept, ' '), '') AS clean_text
            |FROM cut""".stripMargin))
 
+  /** Incremental exact-substring scrub
+    * ([[Dedup.exactSubstrAgainstCorpus]] — the arrival-time member
+    * of the D28 family, the D9/D21/D25d ingest posture at span
+    * granularity): batch docs (doc_id < 20) lose every verbatim
+    * 8-token span already present in the standing corpus
+    * (doc_id ≥ 20); the corpus never self-joins, candidates ride one
+    * equi-join of batch windows against the corpus's distinct-fp
+    * gram index. Measured at sf0.01: one arrival (doc 8, a planted
+    * near-dup of a corpus doc) has 76 windows flagged and 83 of its
+    * 83 tokens cut; the other 19 pass through whitespace-normalized.
+    * Re-assembled TEXT hashed.
+    */
+  val dedupIncrSubstr = QueryDef(
+    "dedup_incr_substr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactSubstrAgainstCorpus(
+        docs.filter(col("doc_id") < 20),
+        docs.filter(col("doc_id") >= 20),
+        "doc_id", "text", n = 8)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+           |                     x -> x <> '') AS t
+           |  FROM documents
+           |),
+           |g AS (
+           |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i + 7], ' ')) AS fp
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+           |        FROM toks WHERE len(t) >= 8)
+           |),
+           |ci AS (SELECT DISTINCT fp FROM g WHERE doc_id >= 20),
+           |fs AS (
+           |  SELECT g.doc_id, list_sort(list(g.pos)) AS starts
+           |  FROM g JOIN ci USING (fp) WHERE g.doc_id < 20
+           |  GROUP BY 1
+           |),
+           |cut AS (
+           |  SELECT toks.doc_id, t, coalesce(starts, []) AS st,
+           |         list_transform(
+           |           list_filter(generate_series(1, len(t)),
+           |             p -> len(list_filter(st, i -> i <= p AND p <= i + 7)) = 0),
+           |           p -> t[p]) AS kept
+           |  FROM toks LEFT JOIN fs ON toks.doc_id = fs.doc_id
+           |  WHERE toks.doc_id < 20
+           |)
+           |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           |       coalesce(array_to_string(kept, ' '), '') AS clean_text
+           |FROM cut""".stripMargin))
+
   /** Near-dup via MinHash+LSH over character 5-grams (n-gram Jaccard). */
   val dedupNgram = QueryDef(
     "dedup_ngram",
@@ -9164,7 +9216,7 @@ object PipelineQueries {
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
+    dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupIncrSubstr, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,

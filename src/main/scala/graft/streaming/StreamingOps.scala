@@ -595,6 +595,82 @@ object StreamingOps {
         col("n_lines_kept"), col("clean_text"))
   }
 
+  /** STREAMING exact-substring scrubber — the serving twin of
+    * [[graft.operators.Dedup.exactSubstrAgainstCorpus]] (D28): a
+    * stream cannot hold the corpus-wide gram statistics, so the
+    * standing corpus's distinct gram-fingerprint index arrives
+    * FROZEN ([[graft.operators.Dedup.substrGramIndex]], saveIndex /
+    * loadIndex round-tripped — the offline-calibrate/online-serve
+    * split of the LM fences, PSI reference and BM25 postings).
+    * Arriving docs explode to TOKEN rows (stateless narrow; O(L)
+    * bytes per doc ride the shuffle — each row carries one token
+    * plus the md5 of the n-gram STARTING at it, null past the last
+    * window), the frozen index marks flagged starts via one
+    * stream-static left join, and ONE stateful windowed aggregate
+    * collects the doc's rows so the interval union and re-assembly
+    * run as in-row HOFs on the aggregated array (the lineBoilerStream
+    * re-assembly idiom; per-doc state bounded by tokens-per-doc, the
+    * chunkDocs length-bound contract).
+    *
+    * Emits `(window_start, doc_id, n_tokens, n_removed, clean_text)`.
+    * Divergences from the batch twin, stated: a doc with NO tokens
+    * has no rows and is ABSENT from the output (the batch operator
+    * emits it with empty text — the lineBoilerStream absence-is-the-
+    * verdict posture), while a fully-duplicated doc still emits with
+    * `clean_text` empty; spec-pinned.
+    */
+  def exactSubstrStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      gramIndex: DataFrame,
+      n: Int = 8,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val t = filter(
+      graft.operators.TextAnalysis.tokens(coalesce(col(textCol), lit(""))),
+      x => x =!= "")
+    val tokRows = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), t.as("__t"))
+      .select(col("doc_id"), col("__ts"),
+        // sequence(1, 0) DESCENDS (the documented Spark pitfall) —
+        // guard the tokenless doc to an empty series instead.
+        explode(transform(
+          when(size(col("__t")) >= 1, sequence(lit(1), size(col("__t"))))
+            .otherwise(expr("array()").cast("array<int>")),
+          p => struct(p.as("p"),
+            element_at(col("__t"), p).as("tok"),
+            when(p <= size(col("__t")) - (n - 1),
+              md5(concat_ws(" ", slice(col("__t"), p, lit(n))))).as("fp"))))
+          .as("__r"))
+      .select(col("doc_id"), col("__ts"), col("__r.p").as("p"),
+        col("__r.tok").as("tok"), col("__r.fp").as("fp"))
+      .withWatermark("__ts", watermark)
+    val marked = tokRows
+      .join(gramIndex.select(col("fp"), lit(1).as("__hit")), Seq("fp"), "left")
+      .select(col("doc_id"), col("__ts"), col("p"), col("tok"),
+        (col("fp").isNotNull && col("__hit").isNotNull).as("flag"))
+    marked
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"))
+      .agg(array_sort(collect_list(
+        struct(col("p"), col("tok"), col("flag")))).as("__rows"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("__rows"),
+        filter(col("__rows"), r => r.getField("flag"))
+          .getField("p").as("__starts"))
+      .select(col("window_start"), col("doc_id"),
+        size(col("__rows")).cast("long").as("n_tokens"),
+        filter(col("__rows"), r => !exists(col("__starts"),
+          st => st <= r.getField("p") &&
+            r.getField("p") <= st + (n - 1))).as("__kept"))
+      .select(col("window_start"), col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__kept"), r => r.getField("tok")), " ")
+          .as("clean_text"))
+  }
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
 

@@ -451,6 +451,49 @@ class StreamingSpec extends AnyFunSuite {
       "semDedupStream lost its watermark — unbounded state")
   }
 
+  test("exactSubstrStream: frozen gram index, span cut, empty-doc absent, batch parity (D28)") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Dedup
+    // Standing corpus: doc 1 holds an 8-token license blurb.
+    val blurb = "this text is licensed under the example license"
+    val corpus = Seq(
+      (1L, s"corpus body one $blurb trailing words"),
+      (2L, "a completely different corpus document body here")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_stream_substr").toString
+    graft.sources.Sink.saveIndex(
+      Dedup.substrGramIndex(corpus, "doc_id", "text", n = 8),
+      s"$dir/idx", Map("family" -> "exact_substr", "n" -> "8"))
+    val (idx, params) = graft.sources.Load.loadIndex(spark, s"$dir/idx")
+    assert(params("family") == "exact_substr")
+    // Arrivals: 100 embeds the blurb (span cut), 101 is novel
+    // (untouched), 102 is empty (absent from the stream output).
+    val arrivals = Seq(
+      (100L, s"arrival preamble $blurb and a tail"),
+      (101L, "wholly novel arrival content with enough tokens here"),
+      (102L, ""))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(arrivals.map { case (id, tx) => (id, t0, tx) }: _*)
+    val out = StreamingOps.exactSubstrStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", idx, n = 8)
+    val q = out.writeStream.format("memory").queryName("substr_stream_test")
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("substr_stream_test")
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = Dedup.exactSubstrAgainstCorpus(
+        arrivals.toDF("doc_id", "text"), corpus, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(batch.map(_._1) == Set(100L, 101L, 102L))
+    // Stream parity minus the tokenless doc the stream deliberately omits.
+    assert(got == batch.filterNot(_._1 == 102L), s"stream $got vs batch $batch")
+    val cut = got.find(_._1 == 100L).get
+    assert(cut._3 == 8L && !cut._4.contains("licensed"), cut.toString)
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "exactSubstrStream lost its watermark — unbounded state")
+  }
+
   test("lineBoilerStream: frozen line index, blank survives, all-boiler doc absent, batch parity (T22)") {
     implicit val sql = spark.sqlContext
     import graft.operators.TextAnalysis
