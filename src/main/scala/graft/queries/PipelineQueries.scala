@@ -1864,38 +1864,90 @@ object PipelineQueries {
     * neighbor), which is the walk seeing second-order structure that
     * a count cannot.
     */
+  /** Shared oracle body for the TextRank family: co-occurrence graph
+    * (window 2) + the 5 unrolled integer PageRank iterations; ends at
+    * `r5` (term → rank_u) with `wo` (term → weighted degree) in scope.
+    */
+  private val textRankSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents
+      |),
+      |pr AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      |       FROM toks WHERE len(t) >= 2),
+      |p0 AS (
+      |  SELECT t[i] AS a, t[j] AS b
+      |  FROM (SELECT t, i, unnest(generate_series(i + 1, least(i + 2, len(t)))) AS j
+      |        FROM pr)
+      |  WHERE t[i] <> t[j]
+      |),
+      |ed AS (SELECT a AS src, b AS dst FROM p0
+      |       UNION ALL SELECT b AS src, a AS dst FROM p0),
+      |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM ed GROUP BY 1, 2),
+      |wo AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+      |ew AS (SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)),
+      |r0 AS (SELECT src AS term, CAST(1000000 AS BIGINT) AS r FROM wo)
+      |""".stripMargin +
+      (1 to 5).map(k =>
+        s""",r$k AS (SELECT ew.dst AS term,
+           |  CAST(150000 + SUM((85 * r.r * ew.w) // (100 * ew.wout)) AS BIGINT) AS r
+           |  FROM ew JOIN r${k - 1} r ON ew.src = r.term GROUP BY 1)""".stripMargin)
+        .mkString("\n")
+
   val textTextrank = QueryDef(
     "text_textrank",
     (s, dir) =>
       TextAnalysis.textRank(Tables.documents(s, dir), "doc_id", "text",
         window = 2, iters = 5),
-    Some(("""WITH toks AS (
-           |  SELECT list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
-           |                     x -> x <> '') AS t
-           |  FROM documents
-           |),
-           |pr AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
-           |       FROM toks WHERE len(t) >= 2),
-           |p0 AS (
-           |  SELECT t[i] AS a, t[j] AS b
-           |  FROM (SELECT t, i, unnest(generate_series(i + 1, least(i + 2, len(t)))) AS j
-           |        FROM pr)
-           |  WHERE t[i] <> t[j]
-           |),
-           |ed AS (SELECT a AS src, b AS dst FROM p0
-           |       UNION ALL SELECT b AS src, a AS dst FROM p0),
-           |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM ed GROUP BY 1, 2),
-           |wo AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
-           |ew AS (SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)),
-           |r0 AS (SELECT src AS term, CAST(1000000 AS BIGINT) AS r FROM wo)
-           |""".stripMargin +
-      (1 to 5).map(k =>
-        s""",r$k AS (SELECT ew.dst AS term,
-           |  CAST(150000 + SUM((85 * r.r * ew.w) // (100 * ew.wout)) AS BIGINT) AS r
-           |  FROM ew JOIN r${k - 1} r ON ew.src = r.term GROUP BY 1)""".stripMargin)
-        .mkString("\n") + "\n" +
-      """SELECT r5.term, wo.wout AS w_degree, r5.r AS rank_u
-        |FROM r5 JOIN wo ON r5.term = wo.src""".stripMargin)))
+    Some(s"""WITH $textRankSql
+            |SELECT r5.term, wo.wout AS w_degree, r5.r AS rank_u
+            |FROM r5 JOIN wo ON r5.term = wo.src""".stripMargin))
+
+  /** Per-document keyword extraction (`text_keywords`) — the
+    * extractor T24's corpus salience enables: score each (doc, term)
+    * by tf × corpus TextRank rank (the tf-idf composition shape with
+    * the walk's salience in idf's seat — both factors exact bigints,
+    * so the score is cross-engine exact), keep each doc's top 3 by
+    * (score_u desc, term asc) via the bounded TopK k-heap (never a
+    * corpus window). The rank frame rides an equi-join on term —
+    * vocabulary-sized, NOT broadcast-forced (vocab is corpus-scale
+    * in general; Catalyst may still choose to broadcast it when
+    * small).
+    */
+  val textKeywords = QueryDef(
+    "text_keywords",
+    (s, dir) => {
+      import graft.functions.TopK
+      val ranks = TextAnalysis.textRank(Tables.documents(s, dir),
+        "doc_id", "text", window = 2, iters = 5)
+        .select(col("term"), col("rank_u"))
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(filter(TextAnalysis.tokens(
+          lower(coalesce(col("text"), lit("")))), x => x =!= "")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("m"))
+      tf.join(ranks, Seq("term"))
+        .select(col("doc_id"), col("term"),
+          (col("m") * col("rank_u")).as("score_u"))
+        .groupBy(col("doc_id"))
+        .agg(TopK.smallestK(
+          struct((-col("score_u")).as("ns"), col("term").as("t")), 3)
+          .as("__top"))
+        .select(col("doc_id"), explode(col("__top")).as("__k"))
+        .select(col("doc_id"), col("__k.t").as("term"),
+          (-col("__k.ns")).as("score_u"))
+    },
+    Some(s"""WITH $textRankSql,
+            |tf AS (
+            |  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS m
+            |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+            |  GROUP BY 1, 2
+            |)
+            |SELECT doc_id, term, CAST(m * r5.r AS BIGINT) AS score_u
+            |FROM tf JOIN r5 USING (term)
+            |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+            |                           ORDER BY m * r5.r DESC, term ASC) <= 3""".stripMargin))
 
   val textPmiCollocations = QueryDef(
     "text_pmi_collocations",
@@ -5097,6 +5149,46 @@ object PipelineQueries {
             |SELECT tp AS n_pos, tn AS n_neg,
             |       s2::DOUBLE / (2 * tp * tn)::DOUBLE AS auc
             |FROM aggx""".stripMargin))
+
+  /** The LR classifier's reliability curve — completing its evidence
+    * trio (per-doc scores → `text_lr_classifier`, AUC →
+    * `text_lr_auc`, calibration here) with the SAME
+    * [[TextAnalysis.calibrationBins]] machinery as NB: one rounded
+    * sigmoid per held-out doc over the raw-quotient logit, then pure
+    * integers. Directly comparable bin-for-bin with
+    * `text_nb_calibration`.
+    */
+  val textLrCalibration = QueryDef(
+    "text_lr_calibration",
+    (s, dir) => {
+      val docs = nbMarkedDocs(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      TextAnalysis.calibrationBins(
+        TextAnalysis.lrScore(
+            TextAnalysis.lrTrain(train, "doc_id", "text", "y",
+              buckets = 64, iters = 3, etaDen = 32),
+            heldOut, "doc_id", "text", buckets = 64)
+          .join(heldOut.select(col("doc_id"), col("y").as("label")), Seq("doc_id")),
+        "z", "label", bins = 10)
+    },
+    Some(s"""WITH $lrPerDocSql,
+            |pu AS (
+            |  SELECT label,
+            |         CAST(ROUND(1000000.0 / (1 + EXP(-z)), 0) AS BIGINT) AS p_u
+            |  FROM lrperdoc
+            |),
+            |binned AS (
+            |  SELECT LEAST(CAST(FLOOR((p_u * 10)::DOUBLE / 1000000.0) AS BIGINT), 9) AS bin,
+            |         label, p_u
+            |  FROM pu
+            |)
+            |SELECT bin, COUNT(*) AS n,
+            |       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            |       (SUM(p_u)::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS mean_p,
+            |       ROUND(SUM(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+            |             / COUNT(*)::DOUBLE, 6) AS frac_pos
+            |FROM binned GROUP BY 1""".stripMargin))
 
   /** Chunk-granular exact dedup — the RAG/embedding prep composite:
     * [[TextAnalysis.chunkDocs]] → md5 fingerprint per chunk → keep
@@ -9223,7 +9315,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textKeywords, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
