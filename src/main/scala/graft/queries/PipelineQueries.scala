@@ -2963,6 +2963,15 @@ object PipelineQueries {
        |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_id = d.doc_id)
        |)""".stripMargin
 
+  /** [[pretrainStagesSql]] re-pointed at any documents-shaped CTE
+    * (doc_id, lang, text) — the chain references no other table, so
+    * the substitution is total by construction (used by the
+    * substr-scrubbed composite, whose stage 0 rewrites the corpus
+    * text before the standard stages run).
+    */
+  private def pretrainStagesSqlFrom(src: String): String =
+    pretrainStagesSql.replace("FROM documents", s"FROM $src")
+
   /** The packing tail (ord → recursive pack → per-(bucket, seq)
     * summary) over any clean-shaped CTE `(doc_id, bucket, n_tok)`.
     */
@@ -3336,6 +3345,67 @@ object PipelineQueries {
             |    AND 10 * g.n_symbols <= g.n_words AND 5 * g.n_alpha >= 4 * g.n_words
             |)${packTailSql("survivors")}""".stripMargin)
   )
+
+  /** E2E-10: SPAN-SCRUBBED pretraining prep
+    * (`pipeline_pretrain_prep_substr`) — the Lee et al. 2022 result
+    * as a composite: cross-document EXACT-SUBSTRING removal (D28,
+    * 8-token grams) runs FIRST, rewriting the corpus text, and the
+    * standard stages 1-4 (score → gate → exact dedup →
+    * decontaminate) plus next-fit packing run over the CUT text.
+    * The ordering is the point: span removal changes every
+    * downstream stage's inputs — fully-excised duplicates arrive
+    * EMPTY and die at the quality/entropy gates instead of the
+    * fingerprint dedup, partially-cut docs re-fingerprint and
+    * re-tokenize (their pack sizes shrink by exactly the removed
+    * spans) — so one flipped window start anywhere moves a pack
+    * boundary and hash-fails. The oracle prepends the full D28
+    * replay as CTEs and re-points the stage chain at the rewritten
+    * corpus ([[pretrainStagesSqlFrom]]).
+    */
+  val pretrainPrepSubstr = QueryDef(
+    "pipeline_pretrain_prep_substr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = Dedup.exactSubstrDedup(docs, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      packedSummary(pretrainCleanDocs(cut))
+    },
+    Some(s"""WITH RECURSIVE stoks AS (
+            |  SELECT doc_id,
+            |         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+            |                     x -> x <> '') AS t
+            |  FROM documents
+            |),
+            |sgr AS (
+            |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i + 7], ' ')) AS fp
+            |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            |        FROM stoks WHERE len(t) >= 8)
+            |),
+            |spd AS (SELECT fp, doc_id FROM sgr GROUP BY 1, 2),
+            |sidx AS (
+            |  SELECT fp, MIN(doc_id) AS keep_doc FROM spd GROUP BY 1
+            |  HAVING COUNT(*) >= 2
+            |),
+            |sfs AS (
+            |  SELECT sgr.doc_id, list_sort(list(sgr.pos)) AS starts
+            |  FROM sgr JOIN sidx USING (fp) WHERE sgr.doc_id > sidx.keep_doc
+            |  GROUP BY 1
+            |),
+            |scut AS (
+            |  SELECT stoks.doc_id,
+            |         list_transform(
+            |           list_filter(generate_series(1, len(t)),
+            |             p -> len(list_filter(coalesce(starts, []),
+            |                                  i -> i <= p AND p <= i + 7)) = 0),
+            |           p -> t[p]) AS kept
+            |  FROM stoks LEFT JOIN sfs ON stoks.doc_id = sfs.doc_id
+            |),
+            |cutdocs AS (
+            |  SELECT c.doc_id, d.lang,
+            |         coalesce(array_to_string(c.kept, ' '), '') AS text
+            |  FROM scut c JOIN documents d USING (doc_id)
+            |),
+            |${pretrainStagesSqlFrom("cutdocs")}${packTailSql("clean")}""".stripMargin))
 
   /** Positional inverted index + exact phrase search
     * ([[TextAnalysis.invertedIndex]] / [[phraseSearchBigram]]) — the
@@ -9313,7 +9383,7 @@ object PipelineQueries {
     dedupDecontaminate, dedupDecontamCurve,
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
-    pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, textBpeTrain, textBpeEncode,
+    pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
     textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textKeywords, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
