@@ -557,6 +557,7 @@ class PlanSpec extends AnyFunSuite {
       "pipeline_rag_search" -> "query side: literal query rows",
       "pipeline_pretrain_prep" -> "eval grams (eval-set contract) + per-source stats (enum domain)",
       "pipeline_pretrain_prep_bpe" -> "same frames as pipeline_pretrain_prep (shared stage builder); BPE merges array is a 1-row agg",
+      "pipeline_pretrain_prep_substr" -> "same frames as pipeline_pretrain_prep (shared stage builder over the span-cut corpus)",
       "pipeline_pretrain_prep_lm" -> "same frames as pipeline_pretrain_prep (shared stage builder); the LM totals and tertile fences are 1-row aggs (the lmHeldOutFilter contract)",
       "pipeline_ep2" -> "pendentes dim keys: week-snapshot key sets (weekly batch contract)",
       "compat_report" -> "dim key sets: product-dimension cardinality (J2 contract)",
@@ -567,7 +568,11 @@ class PlanSpec extends AnyFunSuite {
       "text_phrase_search" -> "phrase postings: one row per phrase term (literal phrase)",
       "text_tfidf" -> "corpus doc-count: 1-row agg (plus df frame at vocab cardinality)",
       "text_lm_score" -> "LM totals: 1-row aggregates over term tables",
-      "text_lm2_score" -> "LM totals: 1-row aggregates over term tables")
+      "text_lm2_score" -> "LM totals: 1-row aggregates over term tables",
+      "text_hybrid_rrf" -> "dense query side: literal vec_id isin filter (3 vectors, the ann_cosine_topk bound); bm25 term frames ride the literal query table",
+      "text_lr_classifier" -> "LR weight vector: <= 64 rows by construction (md5 pmod the literal bucket space — the sample_dsir bound)",
+      "text_lr_auc" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)",
+      "text_lr_calibration" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok.contains(name)) None
       else {
