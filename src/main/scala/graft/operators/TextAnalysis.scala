@@ -2437,4 +2437,70 @@ object TextAnalysis {
         Seq("src"))
       .select(col("src").as("term"), col("w_degree"), col("r").as("rank_u"))
   }
+
+  /** [[textRank]]'s CONVERGENCE curve — per-iteration L1 and max
+    * rank movement Σ|r_k − r_{k−1}| / max|r_k − r_{k−1}| in
+    * micro-units, the diagnostic that answers "how many damped-walk
+    * rounds does THIS corpus need" with a number instead of a
+    * convention (the damping factor bounds the contraction at ~0.85
+    * per round; the measured curve shows the actual rate). Same
+    * integer recurrence as [[textRank]] — identical arithmetic,
+    * identical cut-edge frame, one extra vocabulary-sized aggregate
+    * per round. The per-round delta uses the tag-union-group idiom
+    * (next and previous ranks union with a tag, one groupBy
+    * re-pairs them) rather than a self-join — the rank frames share
+    * lineage and a direct join would trip DetectAmbiguousSelfJoin.
+    *
+    * Output: (iter, l1_delta_u, max_delta_u), one row per iteration
+    * 1..iters.
+    */
+  def textRankConvergence(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2,
+      iters: Int = 5,
+      dampNum: Int = 85): DataFrame = {
+    require(window >= 1 && iters >= 1 && dampNum >= 0 && dampNum <= 100,
+      s"bad args ($window, $iters, $dampNum)")
+    import org.apache.spark.sql.graft.CheckpointBlocks
+    val t = filter(tokens(lower(coalesce(col(textCol), lit("")))), x => x =!= "")
+    val pairs = docs
+      .select(t.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => transform(
+          sequence(i + 1, least(i + window, size(col("__t")))),
+          j => struct(element_at(col("__t"), i).as("a"),
+            element_at(col("__t"), j).as("b")))))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val edgesW = CheckpointBlocks.cut(e.join(wout, Seq("src")))
+    val base = (100L - dampNum) * 10000L
+    var ranks = edgesW.select(col("src")).distinct()
+      .select(col("src"), lit(1000000L).as("r"))
+    val rows = (1 to iters).map { k =>
+      val next = edgesW.join(ranks, Seq("src"))
+        .withColumn("__c", expr(s"($dampNum * r * w) DIV (100 * wout)"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__cin"))
+        .select(col("dst").as("src"), (lit(base) + col("__cin")).as("r"))
+      val u = next.select(col("src"), col("r").as("rv"), lit(1L).as("__isn"))
+        .unionByName(
+          ranks.select(col("src"), col("r").as("rv"), lit(0L).as("__isn")))
+      val delta = u.groupBy(col("src"))
+        .agg(sum(when(col("__isn") === 1L, col("rv"))).as("rn"),
+          sum(when(col("__isn") === 0L, col("rv"))).as("rp"))
+        .agg(lit(k).as("iter"),
+          sum(abs(col("rn") - col("rp"))).cast("long").as("l1_delta_u"),
+          max(abs(col("rn") - col("rp"))).cast("long").as("max_delta_u"))
+      ranks = next
+      delta
+    }
+    rows.reduce(_.unionByName(_))
+  }
 }

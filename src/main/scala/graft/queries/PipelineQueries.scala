@@ -1905,6 +1905,27 @@ object PipelineQueries {
             |SELECT r5.term, wo.wout AS w_degree, r5.r AS rank_u
             |FROM r5 JOIN wo ON r5.term = wo.src""".stripMargin))
 
+  /** TextRank convergence curve
+    * ([[TextAnalysis.textRankConvergence]]): per-iteration L1 and
+    * max rank movement in micro-units — "how many damped-walk rounds
+    * does THIS corpus need" measured (the damping factor bounds the
+    * contraction at ~0.85/round; the curve shows the actual rate).
+    * Same integer recurrence as `text_textrank`; oracle joins the
+    * shared unrolled CTE chain's consecutive iterations.
+    */
+  val textTextrankConvergence = QueryDef(
+    "text_textrank_convergence",
+    (s, dir) =>
+      TextAnalysis.textRankConvergence(Tables.documents(s, dir),
+        "doc_id", "text", window = 2, iters = 5),
+    Some(s"""WITH $textRankSql
+            |${(1 to 5).map(k =>
+               s"""SELECT $k AS iter,
+                  |  CAST(SUM(ABS(r$k.r - r${k - 1}.r)) AS BIGINT) AS l1_delta_u,
+                  |  CAST(MAX(ABS(r$k.r - r${k - 1}.r)) AS BIGINT) AS max_delta_u
+                  |FROM r$k JOIN r${k - 1} USING (term)""".stripMargin)
+              .mkString("\nUNION ALL\n")}""".stripMargin))
+
   /** Per-document keyword extraction (`text_keywords`) — the
     * extractor T24's corpus salience enables: score each (doc, term)
     * by tf × corpus TextRank rank (the tf-idf composition shape with
@@ -2579,6 +2600,142 @@ object PipelineQueries {
     * NOT distribution-neutral on length (by design — that is the
     * lesson the artifact exists to surface).
     */
+  /** Quality-SIGNAL correlation matrix (`pipeline_signal_corr`) —
+    * the signal-redundancy audit a pipeline designer reads before
+    * choosing gates at 100 TB: pairwise Pearson r between the four
+    * per-doc quality signals the filter stages consume (heuristic
+    * quality score, nonempty token count, char entropy, dup-word
+    * fraction), over docs with ≥ 1 token (the judgeable domain —
+    * every signal is total there). Two strongly-correlated signals
+    * gate the same docs twice; a near-zero pair is independent
+    * evidence. The a19 exact-moments posture: each signal quantizes
+    * ONCE to integer micro-units (floor(x·10⁶ + 0.5) of
+    * identically-computed doubles), all five raw moments per pair
+    * accumulate exactly in decimal(38,0) (HUGEINT on the oracle
+    * side) inside ONE map-side-combinable aggregate over the cut
+    * signal frame, and r evaluates in identical IEEE steps from
+    * identical integers. One corpus pass; the 6-row matrix explodes
+    * from the single moment row.
+    */
+  val pipelineSignalCorr = QueryDef(
+    "pipeline_signal_corr",
+    (s, dir) => {
+      val d38 = "decimal(38,0)"
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"),
+          floor(TextAnalysis.qualityScore(col("text")) * 1000000 + lit(0.5))
+            .cast("long").as("q"),
+          size(filter(TextAnalysis.tokens(coalesce(col("text"), lit(""))),
+            x => x =!= "")).cast("long").as("ntok"))
+        .filter(col("ntok") >= 1)
+      val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          floor(col("entropy") * 1000000 + lit(0.5)).cast("long").as("ent"))
+      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          floor(col("dup_word_frac") * 1000000 + lit(0.5)).cast("long").as("dup"))
+      val sig = base.join(ent, Seq("doc_id")).join(rep, Seq("doc_id"))
+      val names = Seq("q", "ntok", "ent", "dup")
+      val pairs = for {
+        i <- names.indices; j <- (i + 1) until names.size
+      } yield (names(i), names(j))
+      val cols =
+        count(lit(1)).cast(d38).as("n") +:
+          (names.map(a => sum(col(a).cast(d38)).as(s"s_$a")) ++
+            names.map(a => sum((col(a) * col(a)).cast(d38)).as(s"ss_$a")) ++
+            pairs.map { case (a, b) =>
+              sum((col(a) * col(b)).cast(d38)).as(s"sp_${a}_$b") })
+      val moments = sig.agg(cols.head, cols.tail: _*)
+      def corr2(a: String, b: String) = {
+        val n = col("n")
+        val vx = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+        val vy = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+        val cxy = n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+        when(vx === 0 || vy === 0, lit(null).cast("double"))
+          .otherwise(round(cxy.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+      }
+      moments.select(col("n").cast("bigint").as("n_docs"),
+          explode(array(pairs.map { case (a, b) =>
+            struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+              corr2(a, b).as("corr"))
+          }: _*)).as("__r"))
+        .select(col("__r.sig_a").as("sig_a"), col("__r.sig_b").as("sig_b"),
+          col("n_docs"), col("__r.corr").as("corr"))
+    },
+    Some(s"""WITH b0 AS (
+            |$docsBaseSql
+            |),
+            |qf AS (
+            |  SELECT doc_id,
+            |         CAST(floor(($qualityExprSql) * 1000000 + 0.5) AS BIGINT) AS q,
+            |         CAST(len(list_filter(toks, x -> x <> '')) AS BIGINT) AS ntok
+            |  FROM b0
+            |),
+            |chc AS (
+            |  SELECT doc_id, c, COUNT(*) AS nc
+            |  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+            |        FROM documents)
+            |  WHERE c <> '' GROUP BY 1, 2
+            |),
+            |entf AS (
+            |  SELECT doc_id,
+            |         CAST(floor(
+            |           (SUM(nc) * CAST(ROUND(1000000 * ln(SUM(nc))) AS BIGINT)
+            |            - SUM(nc * CAST(ROUND(1000000 * ln(nc)) AS BIGINT)))::DOUBLE
+            |           / (SUM(nc) * 1000000)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS ent
+            |  FROM chc GROUP BY 1
+            |),
+            |pwc AS (
+            |  SELECT doc_id, w, COUNT(*) AS cnt
+            |  FROM (SELECT doc_id, unnest(list_filter(toks, x -> x <> '')) AS w FROM b0)
+            |  GROUP BY 1, 2
+            |),
+            |wf AS (
+            |  SELECT doc_id,
+            |         CAST(floor(ROUND(COALESCE(
+            |           CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(w) END) AS DOUBLE)
+            |             / CAST(SUM(cnt * length(w)) AS DOUBLE), 0.0), 6) * 1000000 + 0.5)
+            |           AS BIGINT) AS dup
+            |  FROM pwc GROUP BY 1
+            |),
+            |sig AS (
+            |  SELECT qf.doc_id, qf.q, qf.ntok, entf.ent, wf.dup
+            |  FROM qf JOIN entf USING (doc_id) JOIN wf USING (doc_id)
+            |  WHERE qf.ntok >= 1
+            |),
+            |m AS (
+            |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+            |         CAST(SUM(q) AS HUGEINT) AS s_q, CAST(SUM(ntok) AS HUGEINT) AS s_ntok,
+            |         CAST(SUM(ent) AS HUGEINT) AS s_ent, CAST(SUM(dup) AS HUGEINT) AS s_dup,
+            |         CAST(SUM(q::HUGEINT * q) AS HUGEINT) AS ss_q,
+            |         CAST(SUM(ntok::HUGEINT * ntok) AS HUGEINT) AS ss_ntok,
+            |         CAST(SUM(ent::HUGEINT * ent) AS HUGEINT) AS ss_ent,
+            |         CAST(SUM(dup::HUGEINT * dup) AS HUGEINT) AS ss_dup,
+            |         CAST(SUM(q::HUGEINT * ntok) AS HUGEINT) AS sp_q_ntok,
+            |         CAST(SUM(q::HUGEINT * ent) AS HUGEINT) AS sp_q_ent,
+            |         CAST(SUM(q::HUGEINT * dup) AS HUGEINT) AS sp_q_dup,
+            |         CAST(SUM(ntok::HUGEINT * ent) AS HUGEINT) AS sp_ntok_ent,
+            |         CAST(SUM(ntok::HUGEINT * dup) AS HUGEINT) AS sp_ntok_dup,
+            |         CAST(SUM(ent::HUGEINT * dup) AS HUGEINT) AS sp_ent_dup
+            |  FROM sig
+            |)
+            |SELECT v.sig_a, v.sig_b, CAST(m.n AS BIGINT) AS n_docs,
+            |       CASE WHEN (m.n * ss_a - s_a * s_a) = 0 OR (m.n * ss_b - s_b * s_b) = 0
+            |            THEN NULL
+            |            ELSE ROUND((m.n * sp_ab - s_a * s_b)::DOUBLE /
+            |                 (sqrt((m.n * ss_a - s_a * s_a)::DOUBLE)
+            |                  * sqrt((m.n * ss_b - s_b * s_b)::DOUBLE)), 6)
+            |       END AS corr
+            |FROM m, LATERAL (VALUES
+            |  ('q', 'ntok', m.s_q, m.s_ntok, m.ss_q, m.ss_ntok, m.sp_q_ntok),
+            |  ('q', 'ent',  m.s_q, m.s_ent,  m.ss_q, m.ss_ent,  m.sp_q_ent),
+            |  ('q', 'dup',  m.s_q, m.s_dup,  m.ss_q, m.ss_dup,  m.sp_q_dup),
+            |  ('ntok', 'ent', m.s_ntok, m.s_ent, m.ss_ntok, m.ss_ent, m.sp_ntok_ent),
+            |  ('ntok', 'dup', m.s_ntok, m.s_dup, m.ss_ntok, m.ss_dup, m.sp_ntok_dup),
+            |  ('ent', 'dup',  m.s_ent, m.s_dup, m.ss_ent, m.ss_dup, m.sp_ent_dup))
+            |  AS v(sig_a, sig_b, s_a, s_b, ss_a, ss_b, sp_ab)""".stripMargin))
+
   val pipelineFilterPsi = QueryDef(
     "pipeline_filter_psi",
     (s, dir) => {
@@ -9381,11 +9538,11 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupIncrSubstr, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
-    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textKeywords, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
