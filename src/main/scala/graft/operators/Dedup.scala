@@ -1619,6 +1619,26 @@ object Dedup {
     substrGrams(substrToks(corpus, idCol, textCol), n)
       .select(col("fp")).distinct()
 
+  /** Fold a scrubbed-and-admitted batch into the standing
+    * [[substrGramIndex]] — the D28 ingest loop's maintenance step
+    * (the D20/D25f posture at span granularity): the index is a
+    * DISTINCT fp set, so the fold is union + distinct and
+    * fold(index(C), B) ≡ rebuild(index(C ∪ B)) exactly — distinct
+    * sets compose associatively, no global statistic to refresh
+    * (unlike BM25's scored layer). Re-folding the same batch is a
+    * no-op by the same identity. Unit-pinned (fold = rebuild +
+    * idempotent replay).
+    */
+  def foldSubstrIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame =
+    index.select(col("fp"))
+      .unionByName(substrGramIndex(batch, idCol, textCol, n))
+      .distinct()
+
   /** Incremental EXACT-SUBSTRING scrub — the arrival-time member of
     * the D28 family (the D9/D21/D25d incremental-ingest posture
     * applied to the span tier): cut from each BATCH document every

@@ -1199,6 +1199,51 @@ object StreamingOps {
         ((col("s_u") + col("prior_u")) > 0L).as("pred"))
   }
 
+  /** LOGISTIC-REGRESSION scoring over a document stream — the
+    * discriminative member of the scorer-serving family (LM
+    * perplexity, NB, DSIR, and now LR): arriving docs score against
+    * the FROZEN trained weight vector
+    * ([[graft.operators.TextAnalysis.lrTrain]]'s (b, w_u) artifact —
+    * ≤ `buckets` rows by the pmod construction, saveIndex /
+    * loadIndex round-trippable), the offline-train/online-serve
+    * split every production quality gate runs. Plan shape: hashed
+    * featurize stateless-narrow (identical md5-bucket key to batch),
+    * weights ride a stream-static LEFT join (buckets unseen in
+    * training contribute 0 — the [[TextAnalysis.lrScore]] contract),
+    * and the ONLY stateful operator is the watermarked per-(window,
+    * doc) exact-bigint logit sum — two longs per in-flight doc.
+    * Emits `(doc_id, n_tok, z, pred)` matching the batch scorer
+    * row-for-row on tokened docs (spec-pinned); tokenless docs have
+    * no rows and are absent (the admission posture — batch emits
+    * them with z = 0).
+    */
+  def lrScoreStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      model: DataFrame,
+      buckets: Int,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val t = filter(TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))),
+      x => x =!= "")
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), explode(t).as("__w"))
+      .select(col("doc_id"), col("__ts"),
+        graft.functions.Hashing.md5Bucket(col("__w"), buckets.toLong).as("b"))
+      .join(model.select(col("b"), col("w_u")), Seq("b"), "left")
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_tok"),
+        sum(coalesce(col("w_u"), lit(0L))).as("z_u"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("z_u").cast("double") / lit(1000000.0)).as("z"),
+        (col("z_u") > 0L).as("pred"))
+  }
+
   /** DSIR importance scoring over a document stream — the third
     * member of the scorer-serving family (LM perplexity, NB
     * classifier, and now the importance weight): arriving docs score

@@ -574,6 +574,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5) == ((6L, 8L, 0L, "p q r s p q r s")))
   }
 
+  test("foldSubstrIndex: fold equals rebuild; replaying the same batch is a no-op") {
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val batch = Seq((2L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val idx = Dedup.substrGramIndex(corpus, "doc_id", "text", n = 8)
+    val folded = Dedup.foldSubstrIndex(idx, batch, "doc_id", "text", n = 8)
+      .as[String].collect().sorted.toSeq
+    val rebuilt = Dedup.substrGramIndex(
+        corpus.unionByName(batch), "doc_id", "text", n = 8)
+      .as[String].collect().sorted.toSeq
+    assert(folded == rebuilt && folded.size == 6) // 3 windows per doc
+    val replayed = Dedup.foldSubstrIndex(
+        Dedup.foldSubstrIndex(idx, batch, "doc_id", "text", n = 8)
+          .toDF("fp"), batch, "doc_id", "text", n = 8)
+      .as[String].collect().sorted.toSeq
+    assert(replayed == folded)
+  }
+
   test("exactSubstrDedup overlapping flagged windows union into one maximal span") {
     import graft.operators.Dedup
     // doc 2 contains a 6-token run shared with doc 1 -> three

@@ -451,6 +451,40 @@ class StreamingSpec extends AnyFunSuite {
       "semDedupStream lost its watermark — unbounded state")
   }
 
+  test("lrScoreStream: frozen trained weights, row-for-row batch parity incl. unseen buckets (T19f)") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val train = (
+      (1L to 8L).map(i => (i, "good good good", true)) ++
+      (11L to 18L).map(i => (i, "bad bad bad", false))).toDF("doc_id", "text", "y")
+    val model = TextAnalysis.lrTrain(train, "doc_id", "text", "y",
+      buckets = 64, iters = 3, etaDen = 32)
+    // Arrivals: one positive-marker doc, one negative, one with a
+    // NOVEL word (unseen bucket contributes 0 — the left-join floor).
+    val arrivals = Seq(
+      (100L, "good good unseenword"),
+      (101L, "bad bad bad bad"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(arrivals.map { case (id, tx) => (id, t0, tx) }: _*)
+    val out = StreamingOps.lrScoreStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      model, buckets = 64)
+    val q = out.writeStream.format("memory").queryName("lr_stream_test")
+      .outputMode("update").option("checkpointLocation",
+        Files.createTempDirectory("graft_lr_stream").toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("lr_stream_test")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val batch = TextAnalysis.lrScore(model,
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", buckets = 64)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.find(_._1 == 100L).get._4 && !got.find(_._1 == 101L).get._4)
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "lrScoreStream lost its watermark — unbounded state")
+  }
+
   test("exactSubstrStream: frozen gram index, span cut, empty-doc absent, batch parity (D28)") {
     implicit val sql = spark.sqlContext
     import graft.operators.Dedup
