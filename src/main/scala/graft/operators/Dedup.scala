@@ -1549,6 +1549,10 @@ object Dedup {
       n: Int = 8): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     val toks = substrToks(docs, idCol, textCol)
+    // Two readers (index aggregate, flag join) RECOMPUTE the gram
+    // explode on purpose: a checkpoint cut was measured cost-neutral
+    // at sf1 (6.7 vs 6.9 s) and at 100 TB it would materialize a
+    // corpus x tokens x 44-byte frame — recompute is the scale call.
     val grams = substrGrams(toks, n)
     val idx = grams
       .groupBy(col("fp"), col("doc_id")).agg(count(lit(1)).as("__m"))

@@ -3522,9 +3522,16 @@ object PipelineQueries {
   val pretrainPrepSubstr = QueryDef(
     "pipeline_pretrain_prep_substr",
     (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
       val docs = Tables.documents(s, dir)
-      val cut = Dedup.exactSubstrDedup(docs, "doc_id", "text", n = 8)
-        .select(col("doc_id"), col("clean_text").as("text"))
+      // Cut: the span-scrubbed corpus feeds EVERY stage reader
+      // (quality score, repetition, entropy, decontaminate both
+      // sides) — uncut, each reader re-runs the whole D28 chain
+      // (measured 3.9x slope at sf1; cut it reads like the plain
+      // composite).
+      val cut = CheckpointBlocks.cut(
+        Dedup.exactSubstrDedup(docs, "doc_id", "text", n = 8)
+          .select(col("doc_id"), col("clean_text").as("text")))
       packedSummary(pretrainCleanDocs(cut))
     },
     Some(s"""WITH RECURSIVE stoks AS (
