@@ -1436,6 +1436,35 @@ object ParityQueries {
         |FROM fact WHERE year(dt_entrada) = 1997
         |GROUP BY 1, 2""".stripMargin)))
 
+  /** S8: ORC sink round-trip — the second native columnar format
+    * beside parquet (Spark ships the ORC reader/writer in core; a
+    * warehouse migrating between the two needs both legs of the
+    * bridge). Exercises the SAME year-partitioned sink
+    * ([[Sink.saveFactByYear]]) with `format = "orc"`, reads back
+    * through the ORC scan, and aggregates typed columns (count +
+    * rounded decimal sum) — the oracle is the direct SQL over the
+    * source parquet, so any type or value corruption in the ORC
+    * round-trip (timestamps, decimals, strings) hash-fails. DuckDB
+    * cannot read ORC, which is exactly why the round-trip-to-
+    * aggregate shape is the right oracle here (the s6_c13 posture).
+    */
+  val orcRoundtrip = QueryDef(
+    "s8_orc_roundtrip",
+    (s, dir) => {
+      val path = s"${tmpPath(dir, "graft_s8_orc")}/fact_19960101_000000"
+      Sink.saveFactByYear(Tables.analiseComercial(s, dir), path, format = "orc")
+      s.read.orc(path)
+        .filter(col("ano") === 1996)
+        .groupBy("ano", "status_processo")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("valor_orcado"), 2).as("valor_total"))
+    },
+    Some(withViews(
+      """SELECT CAST(year(dt_entrada) AS INT) AS ano, status_processo,
+        |       COUNT(*) AS n_rows, ROUND(SUM(valor_orcado), 2) AS valor_total
+        |FROM fact WHERE year(dt_entrada) = 1996
+        |GROUP BY 1, 2""".stripMargin)))
+
   /** Salted-join semantics proof: [[Skew.saltedJoin]] must be
     * row-identical to the plain join it replaces — the oracle IS the
     * plain SQL join, so any salt-induced row loss/duplication fails
@@ -1677,5 +1706,5 @@ object ParityQueries {
     coerceFill, ffill, fuzzyNames, fuzzyNamesEd2, corrGeo, olsGeo, sketchReuse, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, groupingSets, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
-    schemaRoundtrip, bucketedJoin, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)
+    schemaRoundtrip, bucketedJoin, orcRoundtrip, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)
 }
