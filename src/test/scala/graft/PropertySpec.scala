@@ -524,4 +524,43 @@ class Round10PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  /** Independent reference for [[graft.operators.Dedup.exactSubstrDedup]]:
+    * brute-force over token lists — for every doc, flag position p iff
+    * the n-gram at p equals some n-gram of a STRICTLY SMALLER doc_id
+    * (the keep-minimum-doc rule), then interval-union and re-join.
+    */
+  private def exactSubstrRef(
+      docs: List[(Long, String)], n: Int): Map[Long, (Long, Long, String)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> Option(t).getOrElse("").trim.split("\\s+").filter(_.nonEmpty).toVector
+    }.toMap
+    def grams(id: Long): Set[Seq[String]] =
+      toks(id).sliding(n).filter(_.size == n).map(_.toSeq).toSet
+    docs.map { case (id, _) =>
+      val earlier = docs.map(_._1).filter(_ < id).flatMap(grams).toSet
+      val t = toks(id)
+      val starts = (0 to t.size - n).filter(p => earlier.contains(t.slice(p, p + n)))
+      val covered = starts.flatMap(p => p until p + n).toSet
+      val kept = t.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      id -> ((t.size.toLong, (t.size - kept.size).toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("exactSubstrDedup matches the brute-force keep-first reference on random corpora") {
+    import graft.operators.Dedup
+    // Tiny alphabet + short docs force plenty of genuine cross-doc
+    // n-gram collisions; n = 3 keeps the reference cheap.
+    val docGen = Gen.listOfN(8,
+      Gen.chooseNum(0, 11).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+    run(Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.exactSubstrDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      got == exactSubstrRef(docs, 3)
+    })
+  }
 }
