@@ -272,6 +272,74 @@ object PipelineQueries {
            |       coalesce(array_to_string(kept, ' '), '') AS clean_text
            |FROM cut""".stripMargin))
 
+  /** Dedup TIER overlap (`dedup_tier_overlap`) — what each tier
+    * uniquely catches, measured: docs touched by whole-document
+    * fuzzy dedup (the `dedup_minhash` operating point, jac ≥ 0.4)
+    * vs docs cut by span-level exact-substring removal (D28,
+    * verbatim 8-grams), classified both / minhash_only /
+    * substr_only. The two tiers are NOT ordered by strictness —
+    * fuzzy catches paraphrase-level whole-doc similarity below any
+    * verbatim-span threshold, span removal catches a single quoted
+    * passage inside an otherwise-unique doc that no whole-doc
+    * Jaccard reaches — and this query prices the difference on the
+    * corpus instead of asserting it. Oracle composes the shared
+    * minhash CTE chain with the D28 flag chain (docs only — no cut
+    * replay needed).
+    */
+  val dedupTierOverlap = QueryDef(
+    "dedup_tier_overlap",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mh = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4)
+      val mdocs = mh.select(col("id_a").as("doc_id"))
+        .unionByName(mh.select(col("id_b").as("doc_id"))).distinct()
+        .select(col("doc_id"), lit(true).as("mh"))
+      val sdocs = Dedup.exactSubstrDedup(docs, "doc_id", "text", n = 8)
+        .filter(col("n_removed") > 0)
+        .select(col("doc_id"), lit(true).as("ss"))
+      mdocs.join(sdocs, Seq("doc_id"), "full_outer")
+        .select(
+          when(coalesce(col("mh"), lit(false)) &&
+            coalesce(col("ss"), lit(false)), lit("both"))
+            .when(coalesce(col("mh"), lit(false)), lit("minhash_only"))
+            .otherwise(lit("substr_only")).as("tier"))
+        .groupBy(col("tier")).agg(count(lit(1)).as("n_docs"))
+    },
+    Some(s"""WITH ${minhashPairsCtes(wordShingle3Sql, 0.4)},
+            |mdocs AS (SELECT id_a AS doc_id FROM mpairs
+            |          UNION SELECT id_b AS doc_id FROM mpairs),
+            |stoks AS (
+            |  SELECT doc_id,
+            |         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+            |                     x -> x <> '') AS t
+            |  FROM documents
+            |),
+            |sgr AS (
+            |  SELECT doc_id, md5(array_to_string(t[i:i + 7], ' ')) AS fp
+            |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            |        FROM stoks WHERE len(t) >= 8)
+            |),
+            |spd AS (SELECT fp, doc_id FROM sgr GROUP BY 1, 2),
+            |sidx AS (
+            |  SELECT fp, MIN(doc_id) AS keep_doc FROM spd GROUP BY 1
+            |  HAVING COUNT(*) >= 2
+            |),
+            |sdocs AS (
+            |  SELECT DISTINCT sgr.doc_id
+            |  FROM sgr JOIN sidx USING (fp) WHERE sgr.doc_id > sidx.keep_doc
+            |),
+            |u AS (
+            |  SELECT coalesce(m.doc_id, s2.doc_id) AS doc_id,
+            |         m.doc_id IS NOT NULL AS mh, s2.doc_id IS NOT NULL AS ss
+            |  FROM mdocs m FULL JOIN sdocs s2 ON m.doc_id = s2.doc_id
+            |)
+            |SELECT CASE WHEN mh AND ss THEN 'both'
+            |            WHEN mh THEN 'minhash_only'
+            |            ELSE 'substr_only' END AS tier,
+            |       CAST(COUNT(*) AS BIGINT) AS n_docs
+            |FROM u GROUP BY 1""".stripMargin))
+
   /** Near-dup via MinHash+LSH over character 5-grams (n-gram Jaccard). */
   val dedupNgram = QueryDef(
     "dedup_ngram",
@@ -9542,7 +9610,7 @@ object PipelineQueries {
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupIncrSubstr, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
+    dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, pretrainPrep,
