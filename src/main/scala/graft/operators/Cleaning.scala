@@ -358,4 +358,30 @@ object Cleaning {
       val cond = byCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
       df.join(broadcast(sr), cond).drop(byCols.map(c => s"__k_$c"): _*)
     }
+
+  /** k-ANONYMITY audit over a quasi-identifier column set — the
+    * release-readiness check beside PII redaction (a training corpus
+    * published with per-doc metadata re-identifies individuals when
+    * a quasi-identifier combination isolates fewer than k rows —
+    * Sweeney 2002; k = 10 is the common disclosure-review floor).
+    * One aggregate at equivalence-class cardinality, then a 1-row
+    * summary: class count, classes under k, rows at risk (the rows
+    * a suppress-or-generalize pass must touch), and the minimum
+    * class size (the table's ACTUAL k-anonymity level). Null
+    * quasi-identifier values form their own class (groupBy
+    * semantics) — null is a value to a linkage attacker.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_classes"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).cast("bigint")
+          .as("n_small_classes"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).cast("bigint")
+          .as("n_rows_at_risk"),
+        min(col("__n")).cast("bigint").as("k_actual"))
+  }
 }

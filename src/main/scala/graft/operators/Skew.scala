@@ -71,11 +71,15 @@ object Skew {
   }
 
   /** Diagnostic: rows per key, descending — the quick way to see
-    * whether a join key needs salting at all.
+    * whether a join key needs salting at all. Ties at the cut break
+    * on the key columns ascending, so the top-N is deterministic
+    * across runs, partitionings, and engines (an orderBy on count
+    * alone leaves the cut boundary to shuffle order). Plans as
+    * TakeOrdered over the aggregate — never a full sort.
     */
   def keyHistogram(df: DataFrame, key: Seq[String], topN: Int = 20): DataFrame =
     df.groupBy(key.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
-      .orderBy(col("n_rows").desc)
+      .orderBy(col("n_rows").desc +: key.map(col): _*)
       .limit(topN)
 }

@@ -1465,6 +1465,22 @@ object ParityQueries {
         |FROM fact WHERE year(dt_entrada) = 1996
         |GROUP BY 1, 2""".stripMargin)))
 
+  /** Join-key skew audit ([[Skew.keyHistogram]]): top-20 heaviest
+    * fact join keys with deterministic tie-break — the number read
+    * BEFORE deciding whether `j_salted_skew`'s salting is worth its
+    * shuffle overhead; plans as TakeOrdered over the key aggregate,
+    * never a full sort.
+    */
+  val skewHistogram = QueryDef(
+    "j_skew_histogram",
+    (s, dir) =>
+      Skew.keyHistogram(Tables.analiseComercial(s, dir),
+        Seq("codigo_produto"), topN = 20),
+    Some(withViews(
+      """SELECT codigo_produto, COUNT(*) AS n_rows
+        |FROM fact GROUP BY 1
+        |ORDER BY n_rows DESC, codigo_produto ASC LIMIT 20""".stripMargin)))
+
   /** Salted-join semantics proof: [[Skew.saltedJoin]] must be
     * row-identical to the plain join it replaces — the oracle IS the
     * plain SQL join, so any salt-induced row loss/duplication fails
@@ -1706,5 +1722,5 @@ object ParityQueries {
     coerceFill, ffill, fuzzyNames, fuzzyNamesEd2, corrGeo, olsGeo, sketchReuse, iqrTrim, madTrim, madTrimApprox, qcutBins, schemaAlign, sortParam, tuplaDisplay, compatReport, normalizeKeys,
     topKGroup, rolling7d, percentiles, percentilesApprox, approxSketches, rollupGeo, cubeStatus, groupingSets, pivotStatus, meltStatus, deltaSemanas,
     sinkRoundtrip, csvRoundtrip, jsonRoundtrip,
-    schemaRoundtrip, bucketedJoin, orcRoundtrip, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)
+    schemaRoundtrip, bucketedJoin, orcRoundtrip, skewHistogram, saltedSkewJoin, sqlEscapeHatch, pipelineEp2)
 }

@@ -2668,6 +2668,31 @@ object PipelineQueries {
     * NOT distribution-neutral on length (by design — that is the
     * lesson the artifact exists to surface).
     */
+  /** k-ANONYMITY audit ([[Cleaning.kAnonymityAudit]], Sweeney 2002)
+    * over the documents table's quasi-identifiers (lang, source) at
+    * the k = 10 disclosure-review floor — the release-readiness
+    * check beside T15's PII redaction: redaction scrubs content,
+    * this audits whether the METADATA still isolates individuals.
+    * One equivalence-class aggregate → 1-row summary (classes,
+    * classes under k, rows at risk, the table's actual k).
+    */
+  val privacyKAnon = QueryDef(
+    "privacy_k_anon",
+    (s, dir) =>
+      Cleaning.kAnonymityAudit(Tables.documents(s, dir),
+        Seq("lang", "source"), k = 10),
+    Some("""WITH cls AS (
+           |  SELECT lang, source, COUNT(*) AS n
+           |  FROM documents GROUP BY 1, 2
+           |)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           |       CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_small_classes,
+           |       CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+           |         AS n_rows_at_risk,
+           |       CAST(MIN(n) AS BIGINT) AS k_actual
+           |FROM cls""".stripMargin))
+
   /** Quality-SIGNAL correlation matrix (`pipeline_signal_corr`) —
     * the signal-redundancy audit a pipeline designer reads before
     * choosing gates at 100 TB: pairwise Pearson r between the four
@@ -9613,7 +9638,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
-    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
