@@ -384,4 +384,35 @@ object Cleaning {
           .as("n_rows_at_risk"),
         min(col("__n")).cast("bigint").as("k_actual"))
   }
+
+  /** The [[kAnonymityAudit]] FIX: suppress the quasi-identifier
+    * values of every row in an under-k equivalence class (all
+    * `quasiCols` of the row replace with `masked` — full-tuple
+    * suppression, the conservative generalization). The suppressed
+    * rows then share ONE class, so the output is k-anonymous
+    * whenever (rows at risk) ≥ k or (rows at risk) = 0 — the one
+    * residual case (0 < at-risk < k suppressed rows forming their
+    * own small class) is the caller's drop-or-widen decision and is
+    * exactly what re-running the audit surfaces. Implementation is
+    * the IQR-fences shape: the class-size aggregate joins back
+    * null-safe on the quasi columns ([[joinGroupStats]] — a plain
+    * USING join would silently pass every null-keyed row
+    * unsuppressed), then a per-row conditional projection; no
+    * second pass, no window.
+    */
+  def kAnonymize(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Int,
+      masked: String = "*"): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__class_n"))
+    val joined = joinGroupStats(df, sizes, quasiCols)
+    quasiCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c,
+        when(col("__class_n") < k, lit(masked)).otherwise(col(c)))
+    }.drop("__class_n")
+  }
 }

@@ -2693,6 +2693,41 @@ object PipelineQueries {
            |       CAST(MIN(n) AS BIGINT) AS k_actual
            |FROM cls""".stripMargin))
 
+  /** The audit's FIX, proven by re-audit ([[Cleaning.kAnonymize]]):
+    * suppress the quasi-identifier tuple of every under-k row, then
+    * run the SAME audit on the result — the output row IS the proof
+    * the pass worked (at sf0.01 the 328 at-risk rows collapse into
+    * one suppressed class and k_actual rises 1 → ≥ 10). Oracle
+    * replays the null-safe class join, the conditional suppression,
+    * and the re-audit.
+    */
+  val privacyKAnonymize = QueryDef(
+    "privacy_k_anonymize",
+    (s, dir) =>
+      Cleaning.kAnonymityAudit(
+        Cleaning.kAnonymize(Tables.documents(s, dir),
+          Seq("lang", "source"), k = 10),
+        Seq("lang", "source"), k = 10),
+    Some("""WITH cls AS (
+           |  SELECT lang, source, COUNT(*) AS n
+           |  FROM documents GROUP BY 1, 2
+           |),
+           |sup AS (
+           |  SELECT CASE WHEN cls.n < 10 THEN '*' ELSE d.lang END AS lang,
+           |         CASE WHEN cls.n < 10 THEN '*' ELSE d.source END AS source
+           |  FROM documents d JOIN cls
+           |    ON d.lang IS NOT DISTINCT FROM cls.lang
+           |   AND d.source IS NOT DISTINCT FROM cls.source
+           |),
+           |cls2 AS (SELECT lang, source, COUNT(*) AS n FROM sup GROUP BY 1, 2)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           |       CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_small_classes,
+           |       CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+           |         AS n_rows_at_risk,
+           |       CAST(MIN(n) AS BIGINT) AS k_actual
+           |FROM cls2""".stripMargin))
+
   /** Quality-SIGNAL correlation matrix (`pipeline_signal_corr`) —
     * the signal-redundancy audit a pipeline designer reads before
     * choosing gates at 100 TB: pairwise Pearson r between the four
@@ -9638,7 +9673,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve,
-    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,

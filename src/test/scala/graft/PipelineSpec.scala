@@ -574,6 +574,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5) == ((6L, 8L, 0L, "p q r s p q r s")))
   }
 
+  test("kAnonymize: suppresses under-k tuples incl. null keys; residual class surfaces on re-audit") {
+    import graft.operators.Cleaning
+    val df = (
+      (1 to 10).map(i => (i.toLong, "en", "web")) ++          // big class: kept
+      Seq((20L, "de", "book"), (21L, "de", "book")) ++        // small: suppressed
+      Seq((30L, null.asInstanceOf[String], "rare"))           // null QI: suppressed too
+    ).toDF("id", "lang", "source")
+    val fixed = Cleaning.kAnonymize(df, Seq("lang", "source"), k = 3)
+    val byId = fixed.as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) == (("en", "web")))
+    assert(byId(20L) == (("*", "*")) && byId(30L) == (("*", "*")))
+    // 3 suppressed rows meet k = 3: the re-audit certifies the fix.
+    val audit = Cleaning.kAnonymityAudit(fixed, Seq("lang", "source"), k = 3)
+      .as[(Long, Long, Long, Long)].head()
+    assert(audit == ((2L, 0L, 0L, 3L)), audit.toString)
+    // Residual case: at k = 5 the 3 suppressed rows are STILL a small
+    // class — the re-audit must surface it, not mask it.
+    val audit5 = Cleaning.kAnonymityAudit(
+        Cleaning.kAnonymize(df, Seq("lang", "source"), k = 5),
+        Seq("lang", "source"), k = 5)
+      .as[(Long, Long, Long, Long)].head()
+    assert(audit5 == ((2L, 1L, 3L, 3L)), audit5.toString)
+  }
+
   test("foldSubstrIndex: fold equals rebuild; replaying the same batch is a no-op") {
     import graft.operators.Dedup
     val corpus = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
