@@ -1973,6 +1973,82 @@ object PipelineQueries {
             |SELECT r5.term, wo.wout AS w_degree, r5.r AS rank_u
             |FROM r5 JOIN wo ON r5.term = wo.src""".stripMargin))
 
+  /** Zipf rank-frequency fit (`text_zipf_fit`) — T21's companion
+    * corpus-statistics diagnostic (Heaps measures vocabulary GROWTH,
+    * Zipf measures the frequency DECAY; open text reads slope ≈ −1):
+    * OLS of ln(freq) on ln(rank) over the term-count table, both
+    * logs rounded once to integer micro-nats, the five raw moments
+    * exact in decimal(38,0)/HUGEINT, slope and intercept evaluated
+    * in identical IEEE steps from identical integers (the a21
+    * exact-moments posture). The rank window is partition-less BUT
+    * runs over the VOCABULARY aggregate (the text_bpe_vocab bound —
+    * 31 rows here, vocab-cardinality in general, never corpus rows;
+    * whitelisted with exactly that argument). Expected on this
+    * fixture: the 31-word closed vocabulary is near-uniform, so the
+    * measured slope is far ABOVE −1 — the Heaps-β=0 honest null's
+    * decay-side twin, the pair that together says "this corpus has
+    * no long tail".
+    */
+  val textZipfFit = QueryDef(
+    "text_zipf_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = "decimal(38,0)"
+      val counts = Tables.documents(s, dir)
+        .select(explode(filter(TextAnalysis.tokens(
+          lower(coalesce(col("text"), lit("")))), x => x =!= "")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val ranked = counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+        .select(
+          round(log(col("rank").cast("double")) * 1000000).cast("long").as("x"),
+          round(log(col("cnt").cast("double")) * 1000000).cast("long").as("y"))
+      ranked.agg(
+          count(lit(1)).cast(d38).as("n"),
+          sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"))
+        .select(
+          col("n").cast("bigint").as("n_terms"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("zipf_slope"),
+          round(((col("sy").cast("double") -
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * col("sx").cast("double"))
+            / col("n").cast("double")) / lit(1000000.0), 6)
+            .as("intercept_ln"))
+    },
+    Some("""WITH counts AS (
+           |  SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(list_filter(
+           |          string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           |          x -> x <> '')) AS w
+           |        FROM documents)
+           |  GROUP BY 1
+           |),
+           |ranked AS (
+           |  SELECT CAST(ROUND(LN(CAST(ROW_NUMBER() OVER
+           |           (ORDER BY cnt DESC, term ASC) AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+           |         CAST(ROUND(LN(cnt::DOUBLE) * 1000000) AS BIGINT) AS y
+           |  FROM counts
+           |),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           |         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+           |         CAST(SUM(x::HUGEINT * y) AS HUGEINT) AS sxy,
+           |         CAST(SUM(x::HUGEINT * x) AS HUGEINT) AS sxx
+           |  FROM ranked
+           |)
+           |SELECT CAST(n AS BIGINT) AS n_terms,
+           |       ROUND((n * sxy - sx * sy)::DOUBLE
+           |             / (n * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope,
+           |       ROUND(((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+           |                / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+           |              / n::DOUBLE) / 1000000.0, 6) AS intercept_ln
+           |FROM m""".stripMargin))
+
   /** TextRank convergence curve
     * ([[TextAnalysis.textRankConvergence]]): per-iteration L1 and
     * max rank movement in micro-units — "how many damped-walk rounds
@@ -9677,7 +9753,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textZipfFit, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

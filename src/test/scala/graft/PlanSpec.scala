@@ -423,7 +423,11 @@ class PlanSpec extends AnyFunSuite {
     val ok = Set("abc_classify", "pipeline_ep2", "u_delta_semanas",
       "events_funnel_summary", "j1_inner_join_abc", "j5_left_join_default",
       "text_bpe_vocab", "text_bpe_token_ids", "text_bpe_token_ids_bytes",
-      "text_nb_auc", "text_lr_auc")
+      "text_nb_auc", "text_lr_auc",
+      // text_zipf_fit: the rank window runs over the VOCABULARY
+      // aggregate (term-count table — the text_bpe_vocab bound,
+      // never corpus rows).
+      "text_zipf_fit")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok(name)) None
       else {
