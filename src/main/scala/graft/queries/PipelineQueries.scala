@@ -6610,12 +6610,14 @@ object PipelineQueries {
     * list below is generated from the same function, so the two
     * engines cannot drift).
     */
-  private val lshPlanesValues: String =
-    (0 until 6).flatMap { b =>
-      graft.functions.VectorFunctions.planeIndices(b, 12, 64).zipWithIndex.map {
+  private def lshPlanesValuesFor(nBands: Int, bits: Int): String =
+    (0 until nBands).flatMap { b =>
+      graft.functions.VectorFunctions.planeIndices(b, bits, 64).zipWithIndex.map {
         case (idx, i) => s"($b,${i + 1},$idx)"
       }
     }.mkString(", ")
+
+  private val lshPlanesValues: String = lshPlanesValuesFor(6, 12)
 
   val annBucketed = QueryDef(
     "ann_lsh_bucket",
@@ -9481,6 +9483,68 @@ object PipelineQueries {
             |  FROM cand JOIN e eb ON cand.id_b = eb.vec_id JOIN e ec ON cand.id_c = ec.vec_id
             |) WHERE cos >= 0.2""".stripMargin))
 
+  /** SEMANTIC decontamination (`dedup_decontam_sem`) — the
+    * embedding-space tier of the decontamination family (n-gram
+    * overlap D22 + its order curve D27 catch VERBATIM leakage; a
+    * paraphrased eval item shares no 8-gram but sits next to its
+    * source in embedding space): flag TRAIN docs whose embedding is
+    * within cosine θ = 0.4 of any EVAL doc (the vec_id % 10 = 0
+    * split, the D22 convention), via the SAME banded batch×corpus
+    * sign-LSH machinery as `dedup_incr_embed` — train never
+    * self-joins, candidates scale with the eval set's buckets.
+    * Banded recall < 1 at low cosines is the priced trade (the
+    * N-family ladders measure it); the oracle replays the identical
+    * planes/bands/cap, so the hash pins the machinery, not a recall
+    * claim. Per-doc verdict: (doc_id, n_eval_matches, max_cos).
+    */
+  val dedupDecontamSem = QueryDef(
+    "dedup_decontam_sem",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.nearDupsAgainstCorpusEmbed(
+          emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+          "vec_id", "embedding",
+          dim = 64, nBands = 16, bitsPerBand = 4, minCosine = 0.4)
+        .groupBy(col("id_b"))
+        .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
+        .select(col("id_b").as("doc_id"), col("n_eval_matches"), col("max_cos"))
+    },
+    Some(s"""WITH planes(band, j, idx) AS (VALUES ${lshPlanesValuesFor(16, 4)}),
+            |e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+            |),
+            |keys AS (
+            |  SELECT e.vec_id, p.band,
+            |         CAST(SUM(CASE WHEN e.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
+            |              AS BIGINT) AS key
+            |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
+            |),
+            |ck AS (SELECT * FROM keys WHERE vec_id % 10 = 0),
+            |bk AS (SELECT * FROM keys WHERE vec_id % 10 <> 0),
+            |hot AS (
+            |  SELECT band, key FROM ck GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |),
+            |capped AS (
+            |  SELECT vec_id, band, key FROM ck k
+            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |),
+            |cand AS (
+            |  SELECT DISTINCT b.vec_id AS id_b, c.vec_id AS id_c
+            |  FROM bk b JOIN capped c ON b.band = c.band AND b.key = c.key
+            |),
+            |hits AS (
+            |  SELECT id_b, id_c, cos FROM (
+            |    SELECT id_b, id_c, ROUND(${cosSql("eb.v", "ec.v")}, 6) AS cos
+            |    FROM cand JOIN e eb ON cand.id_b = eb.vec_id
+            |              JOIN e ec ON cand.id_c = ec.vec_id
+            |  ) WHERE cos >= 0.4
+            |)
+            |SELECT id_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+            |       MAX(cos) AS max_cos
+            |FROM hits GROUP BY 1""".stripMargin))
+
   /** The funnel's at-least-stage summary ([[Funnel.summary]]): users
     * reaching stage >= s, a suffix sum over the k+1-row stage
     * histogram (the partition-less window is free at that
@@ -9748,7 +9812,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
-    dedupDecontaminate, dedupDecontamCurve,
+    dedupDecontaminate, dedupDecontamCurve, dedupDecontamSem,
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, textBpeTrain, textBpeEncode,
