@@ -164,4 +164,80 @@ object Funnel {
         (col("r.sp") > lit(hMads.toLong) * greatest(col("mad"), lit(1L)) ||
           col("r.sn") > lit(hMads.toLong) * greatest(col("mad"), lit(1L))).as("is_shift"))
   }
+
+  /** Holt LINEAR-TREND forecast (double exponential smoothing) over a
+    * daily count series — the PREDICTIVE member beside the
+    * descriptive pair (seasonal decomposition W16 explains the past;
+    * CUSUM W14 detects a shift after it happens; Holt says what
+    * tomorrow should look like, which is what capacity planning and
+    * anomaly thresholds consume):
+    *
+    *   forecast_t = l_{t−1} + b_{t−1}   (one step ahead)
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * with α = 1/alphaDen, β = 1/betaDen run EXACTLY in centi-unit
+    * integers: l, b, forecast carry ×100 fixed point and each
+    * smoothing step is ONE truncate-toward-zero integer division
+    * (both engines truncate identically on signed values — the LR
+    * update contract), so the oracle replays the recursion as a
+    * recursive CTE bit-for-bit. Init: l₁ = y₁·100, b₁ = 0 (trend is
+    * LEARNED through β rather than seeded from y₂−y₁ — one fewer
+    * special case, documented); forecast₁ ≡ y₁ so err₁ = 0 by
+    * construction.
+    *
+    * Scale shape: the corpus collapses to ONE day-keyed count
+    * aggregate; the sequential fold runs in-row over the
+    * day-cardinality array (the cusumShift idiom — thousands of days
+    * cost kilobytes) and never sees corpus rows.
+    *
+    * Output: (d, n_events, forecast_c, level_c, trend_c, err_c) —
+    * centi-units throughout; err_c = y·100 − forecast_c.
+    */
+  def holtForecast(
+      series: DataFrame,
+      dCol: String,
+      nCol: String,
+      alphaDen: Int = 5,
+      betaDen: Int = 10): DataFrame = {
+    require(alphaDen >= 2 && betaDen >= 2,
+      s"alphaDen/betaDen must be >= 2, got $alphaDen/$betaDen")
+    def tdiv(a: Column, d: Long): Column =
+      when(a >= 0, floor(a.cast("double") / d))
+        .otherwise(-floor((-a).cast("double") / d)).cast("long")
+    val daily = series.select(col(dCol).as("d"), col(nCol).cast("long").as("n"))
+    val acc0 = struct(
+      expr("array()").cast(
+        s"array<struct<d:${daily.schema("d").dataType.sql},n:bigint,f:bigint,l:bigint,b:bigint>>")
+        .as("rows"),
+      lit(0L).as("l"), lit(0L).as("b"), lit(0).as("started"))
+    daily
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("ds"))
+      .select(explode(aggregate(
+        col("ds"), acc0,
+        (acc, x) => {
+          val y100 = x.getField("n") * 100L
+          val f = when(acc.getField("started") === 0, y100)
+            .otherwise(acc.getField("l") + acc.getField("b"))
+          val l1 = when(acc.getField("started") === 0, y100)
+            .otherwise(tdiv(y100 + lit((alphaDen - 1).toLong) *
+              (acc.getField("l") + acc.getField("b")), alphaDen.toLong))
+          val b1 = when(acc.getField("started") === 0, lit(0L))
+            .otherwise(tdiv((l1 - acc.getField("l")) +
+              lit((betaDen - 1).toLong) * acc.getField("b"), betaDen.toLong))
+          struct(
+            concat(acc.getField("rows"),
+              array(struct(x.getField("d").as("d"), x.getField("n").as("n"),
+                f.cast("bigint").as("f"), l1.cast("bigint").as("l"),
+                b1.cast("bigint").as("b")))).as("rows"),
+            l1.cast("bigint").as("l"), b1.cast("bigint").as("b"),
+            lit(1).as("started"))
+        },
+        acc => acc.getField("rows"))).as("r"))
+      .select(col("r.d").as("d"), col("r.n").as("n_events"),
+        col("r.f").as("forecast_c"), col("r.l").as("level_c"),
+        col("r.b").as("trend_c"),
+        (col("r.n") * 100L - col("r.f")).as("err_c"))
+  }
 }

@@ -6509,6 +6509,45 @@ object PipelineQueries {
     * fences ride 1-row broadcasts. Oracle = a recursive CTE
     * replaying the fold row by row.
     */
+  /** Holt linear-trend forecast ([[Funnel.holtForecast]], α = 1/5,
+    * β = 1/10) over daily event volume — the PREDICTIVE member
+    * beside seasonal decomposition (describes) and CUSUM (detects):
+    * one-step-ahead forecast + error per day in exact centi-unit
+    * integers (one truncate-toward-zero division per smoothing
+    * step, identical on both engines); the oracle replays the
+    * recursion as a recursive CTE. Corpus work is ONE day-keyed
+    * count; the fold runs in-row over the day-cardinality array.
+    */
+  val eventsHoltForecast = QueryDef(
+    "events_holt_forecast",
+    (s, dir) => Funnel.holtForecast(
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n")),
+      "d", "n", alphaDen = 5, betaDen = 10),
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1
+           |),
+           |ord AS (SELECT d, n, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily),
+           |hw AS (
+           |  SELECT d, n, rn,
+           |         CAST(n * 100 AS BIGINT) AS f,
+           |         CAST(n * 100 AS BIGINT) AS l,
+           |         CAST(0 AS BIGINT) AS b
+           |  FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.d, o.n, o.rn,
+           |         CAST(h.l + h.b AS BIGINT),
+           |         CAST((o.n * 100 + 4 * (h.l + h.b)) // 5 AS BIGINT),
+           |         CAST((((o.n * 100 + 4 * (h.l + h.b)) // 5) - h.l + 9 * h.b) // 10
+           |              AS BIGINT)
+           |  FROM hw h JOIN ord o ON o.rn = h.rn + 1
+           |)
+           |SELECT d, n AS n_events, f AS forecast_c, l AS level_c, b AS trend_c,
+           |       CAST(n * 100 - f AS BIGINT) AS err_c
+           |FROM hw""".stripMargin))
+
   val eventsCusumShift = QueryDef(
     "events_cusum_shift",
     (s, dir) => Funnel.cusumShift(
@@ -9828,6 +9867,6 @@ object PipelineQueries {
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
-    sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,
+    sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }
