@@ -556,6 +556,8 @@ class PlanSpec extends AnyFunSuite {
       "dedup_semdedup" -> "centroids: max(16, floor(sqrt(N)))-row checkpointed kmeans output — k*dim values, the ann_ivf_cells_trained bound at the N^1.5 balance point",
       "ann_dim_recall_curve" -> "query side: literal vec_id filter (10 vectors) in each of the five slice arms; shared truth: |Q| x k <= 100 rows (checkpoint-cut TakeOrdered output)",
       "dedup_incr_embed" -> "batch-side signatures: incremental-batch contract (batch << corpus)",
+      "dedup_decontam_sem" -> "eval-side band index: eval-benchmark cardinality by contract (the dedup_decontaminate bound applied to embeddings)",
+      "privacy_k_anonymize" -> "class-size join-back: quasi-identifier equivalence-class cardinality (enum-domain product, the sample_mixture bound)",
       "dedup_decontaminate" -> "eval-set grams: eval benchmark cardinality by contract",
       "mm_phash_pairs" -> "hot-bucket cap frame: aggregate of over-cap buckets (cap contract)",
       "pipeline_rag_search" -> "query side: literal query rows",
