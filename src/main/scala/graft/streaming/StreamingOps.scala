@@ -1439,6 +1439,68 @@ object StreamingOps {
   final case class CusumAlarm(
       key: Long, d: Long, n: Long, cusumPos: Long, cusumNeg: Long, isShift: Boolean)
 
+  /** Keyed state for [[holtForecastStream]]: level + trend in
+    * centi-units, a started flag (0 until the first period seeds the
+    * level), and the monotone period fence.
+    */
+  final case class HoltState(l: Long, b: Long, started: Int, lastD: Long)
+
+  /** One forecast row out of [[holtForecastStream]]. */
+  final case class HoltRow(
+      key: Long, d: Long, n: Long, forecastC: Long, levelC: Long,
+      trendC: Long, errC: Long)
+
+  /** Holt linear-trend forecasting over a LIVE per-period count
+    * stream — the serving twin of
+    * [[graft.operators.Funnel.holtForecast]] and the [[cusumShiftStream]]
+    * sibling in the time-series serving family: unlike CUSUM there is
+    * NOTHING to freeze (α, β are design constants and the level/trend
+    * ARE the state), so the stream carries the full model — two
+    * centi-unit longs per monitored series plus the monotone period
+    * fence that drops late/duplicate periods rather than corrupting
+    * the recursion (the cusumShiftStream honest answer to
+    * order-dependence, stated). The integer recursion is the batch
+    * fold verbatim (one truncate-toward-zero division per smoothing
+    * step), so parity is row-for-row across any micro-batch split
+    * (spec-pinned). Thousands of series cost kilobytes; sequential
+    * within a key, parallel across keys.
+    */
+  def holtForecastStream(
+      points: Dataset[CusumPoint],
+      alphaDen: Int = 5,
+      betaDen: Int = 10): Dataset[HoltRow] = {
+    require(alphaDen >= 2 && betaDen >= 2,
+      s"alphaDen/betaDen must be >= 2, got $alphaDen/$betaDen")
+    implicit val stateEnc = Encoders.product[HoltState]
+    implicit val outEnc = Encoders.product[HoltRow]
+    implicit val longEnc = Encoders.scalaLong
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, 0, Long.MinValue))
+          val out = Seq.newBuilder[HoltRow]
+          rows.toSeq.sortBy(_.d).foreach { p =>
+            if (p.d > st.lastD) {
+              val y100 = p.n * 100L
+              if (st.started == 0) {
+                st = HoltState(y100, 0L, 1, p.d)
+                out += HoltRow(key, p.d, p.n, y100, y100, 0L, 0L)
+              } else {
+                val f = st.l + st.b
+                val l1 = (y100 + (alphaDen - 1) * (st.l + st.b)) / alphaDen
+                val b1 = ((l1 - st.l) + (betaDen - 1) * st.b) / betaDen
+                st = HoltState(l1, b1, 1, p.d)
+                out += HoltRow(key, p.d, p.n, f, l1, b1, y100 - f)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** CUSUM drift detection over a LIVE per-period count stream — the
     * serving twin of [[graft.operators.Funnel.cusumShift]], same
     * offline-calibrate/online-serve split as [[lmScoreStream]]'s
