@@ -272,6 +272,66 @@ object PipelineQueries {
            |       coalesce(array_to_string(kept, ' '), '') AS clean_text
            |FROM cut""".stripMargin))
 
+  /** Exact-substring LENGTH-threshold curve
+    * (`dedup_exact_substr_curve` — the D27 pattern applied to D28's
+    * one knob; Lee et al. run 50 BPE tokens ≈ 35–40 words, PaLM-era
+    * pipelines shorter): corpus cut footprint at n ∈ {5, 8, 12}
+    * whitespace tokens. Shorter n flags MORE (any shared 5-run
+    * implies shared 5-windows inside every shared 8-run, so docs_cut
+    * and tokens_removed are monotone non-increasing in n BY
+    * CONSTRUCTION — the curve measures how fast, which is the
+    * false-positive-vs-miss dial a deployment sets). Three
+    * independent arms (different window sets — nothing shareable),
+    * each one D28 chain summarized to a row; the oracle replays all
+    * three.
+    */
+  val dedupExactSubstrCurve = QueryDef(
+    "dedup_exact_substr_curve",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Seq(5, 8, 12).map { n =>
+        Dedup.exactSubstrDedup(docs, "doc_id", "text", n = n)
+          .agg(
+            lit(n).as("n"),
+            sum(when(col("n_removed") > 0, 1L).otherwise(0L)).cast("bigint")
+              .as("n_docs_cut"),
+            sum(col("n_removed")).cast("bigint").as("n_tokens_removed"),
+            sum(col("n_tokens")).cast("bigint").as("n_tokens_total"))
+      }.reduce(_.unionByName(_))
+    },
+    Some(Seq(5, 8, 12).map { n =>
+      s"""SELECT $n AS n,
+         |       CAST(COUNT(*) FILTER (WHERE rem > 0) AS BIGINT) AS n_docs_cut,
+         |       CAST(SUM(rem) AS BIGINT) AS n_tokens_removed,
+         |       CAST(SUM(tot) AS BIGINT) AS n_tokens_total
+         |FROM (
+         |  WITH toks AS (
+         |    SELECT doc_id,
+         |           list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+         |                       x -> x <> '') AS t
+         |    FROM documents
+         |  ),
+         |  g AS (
+         |    SELECT doc_id, i AS pos, md5(array_to_string(t[i:i + ${n - 1}], ' ')) AS fp
+         |    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+         |          FROM toks WHERE len(t) >= $n)
+         |  ),
+         |  pd AS (SELECT fp, doc_id FROM g GROUP BY 1, 2),
+         |  idx AS (SELECT fp, MIN(doc_id) AS keep_doc FROM pd GROUP BY 1
+         |          HAVING COUNT(*) >= 2),
+         |  fs AS (
+         |    SELECT g.doc_id, list(g.pos) AS starts
+         |    FROM g JOIN idx USING (fp) WHERE g.doc_id > idx.keep_doc
+         |    GROUP BY 1
+         |  )
+         |  SELECT toks.doc_id, len(t) AS tot,
+         |         len(list_filter(generate_series(1, len(t)),
+         |           p -> len(list_filter(coalesce(starts, []),
+         |                                i -> i <= p AND p <= i + ${n - 1})) > 0)) AS rem
+         |  FROM toks LEFT JOIN fs ON toks.doc_id = fs.doc_id
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")))
+
   /** Dedup TIER overlap (`dedup_tier_overlap`) — what each tier
     * uniquely catches, measured: docs touched by whole-document
     * fuzzy dedup (the `dedup_minhash` operating point, jac ≥ 0.4)
@@ -9849,7 +9909,7 @@ object PipelineQueries {
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
+    dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupExactSubstrCurve, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve, dedupDecontamSem,
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
