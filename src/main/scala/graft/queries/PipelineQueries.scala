@@ -5504,7 +5504,7 @@ object PipelineQueries {
     * truncate-toward-zero update division both engines share.
     * Ends at `lrperdoc` (held-out per-doc scores + label).
     */
-  private val lrPerDocSql = {
+  private def lrPerDocSqlFor(buckets: Int): String = {
     val head =
       """marked AS (
         |  SELECT doc_id, (doc_id % 2 = 1) AS y,
@@ -5523,7 +5523,7 @@ object PipelineQueries {
         |),
         |tw AS (SELECT doc_id, y, unnest(t) AS w FROM toks),
         |xs AS (
-        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b,
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % __BUCKETS__ AS b,
         |         CAST(COUNT(*) AS BIGINT) AS m
         |  FROM tw WHERE doc_id % 5 <> 0 GROUP BY 1, 2
         |),
@@ -5559,7 +5559,7 @@ object PipelineQueries {
     }.mkString(",\n")
     val tail =
       """hxs AS (
-        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b,
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % __BUCKETS__ AS b,
         |         CAST(COUNT(*) AS BIGINT) AS m
         |  FROM tw WHERE doc_id % 5 = 0 GROUP BY 1, 2
         |),
@@ -5575,8 +5575,60 @@ object PipelineQueries {
         |  FROM (SELECT doc_id, y FROM toks WHERE doc_id % 5 = 0) t
         |  LEFT JOIN hz USING (doc_id)
         |)""".stripMargin
-    s"$head,\n$iterations,\n$tail"
+    s"$head,\n$iterations,\n$tail".replace("__BUCKETS__", buckets.toString)
   }
+
+  private val lrPerDocSql = lrPerDocSqlFor(64)
+
+  /** LR hash-CAPACITY curve (`text_lr_capacity_curve` — the SA9c
+    * DSIR bucket-count pattern applied to the trained classifier):
+    * held-out AUC at buckets ∈ {16, 64, 256}, the measured answer to
+    * "does more feature-hashing capacity close the gap to NB's
+    * exact-word 0.998?" Each arm trains its own 3-iteration GD model
+    * over its own bucket space (nothing shareable across arms — the
+    * featurization IS the variable); the oracle replays all three
+    * full training chains + the Mann-Whitney AUC.
+    */
+  val textLrCapacityCurve = QueryDef(
+    "text_lr_capacity_curve",
+    (s, dir) => {
+      val docs = nbMarkedDocs(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      Seq(16, 64, 256).map { b =>
+        TextAnalysis.binaryAuc(
+          TextAnalysis.lrScore(
+              TextAnalysis.lrTrain(train, "doc_id", "text", "y",
+                buckets = b, iters = 3, etaDen = 32),
+              heldOut, "doc_id", "text", buckets = b)
+            .join(heldOut.select(col("doc_id"), col("y").as("label")),
+              Seq("doc_id")),
+          "z", "label")
+          .select(lit(b).as("buckets"), col("n_pos"), col("n_neg"), col("auc"))
+      }.reduce(_.unionByName(_))
+    },
+    Some(Seq(16, 64, 256).map { b =>
+      s"""SELECT $b AS buckets, tp AS n_pos, tn AS n_neg,
+         |       s2::DOUBLE / (2 * tp * tn)::DOUBLE AS auc
+         |FROM (
+         |  WITH ${lrPerDocSqlFor(b)},
+         |  kbx AS (
+         |    SELECT z AS k,
+         |           CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |           CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |    FROM lrperdoc GROUP BY 1
+         |  ),
+         |  cumx AS (
+         |    SELECT np, nn,
+         |           COALESCE(SUM(nn) OVER (ORDER BY k
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nnb
+         |    FROM kbx
+         |  )
+         |  SELECT CAST(SUM(np * (2 * nnb + nn)) AS BIGINT) AS s2,
+         |         CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nn) AS BIGINT) AS tn
+         |  FROM cumx
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")))
 
   /** Trained LOGISTIC-REGRESSION quality classifier
     * ([[TextAnalysis.lrTrain]]/[[TextAnalysis.lrScore]]) — the
@@ -9916,7 +9968,7 @@ object PipelineQueries {
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
-    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textZipfFit, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, chunkPrep,
+    textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textZipfFit, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, textLrCapacityCurve, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
     annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,

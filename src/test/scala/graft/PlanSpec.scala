@@ -424,6 +424,10 @@ class PlanSpec extends AnyFunSuite {
       "events_funnel_summary", "j1_inner_join_abc", "j5_left_join_default",
       "text_bpe_vocab", "text_bpe_token_ids", "text_bpe_token_ids_bytes",
       "text_nb_auc", "text_lr_auc",
+      // text_lr_capacity_curve: three binaryAuc cumulations, each over
+      // a per-distinct-score aggregate (≤ held-out cohort rows — the
+      // text_nb_auc argument per arm).
+      "text_lr_capacity_curve",
       // text_zipf_fit: the rank window runs over the VOCABULARY
       // aggregate (term-count table — the text_bpe_vocab bound,
       // never corpus rows).
@@ -578,6 +582,7 @@ class PlanSpec extends AnyFunSuite {
       "text_hybrid_rrf" -> "dense query side: literal vec_id isin filter (3 vectors, the ann_cosine_topk bound); bm25 term frames ride the literal query table",
       "text_lr_classifier" -> "LR weight vector: <= 64 rows by construction (md5 pmod the literal bucket space — the sample_dsir bound)",
       "text_lr_auc" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)",
+      "text_lr_capacity_curve" -> "three LR weight vectors: <= 16/64/256 rows by md5-pmod construction (the text_lr_classifier bound per arm)",
       "text_lr_calibration" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok.contains(name)) None
