@@ -1423,6 +1423,50 @@ object StreamingOps {
         ((-col("t.ns")).cast("double") / lit(1000000.0)).as("score"))
   }
 
+  /** Per-document KEYWORD extraction over a document stream — the
+    * serving twin of the `text_keywords` composition (tf × corpus
+    * TextRank salience): the corpus rank table arrives FROZEN
+    * ([[graft.operators.TextAnalysis.textRank]] output, vocabulary-
+    * sized, saveIndex round-trippable — a stream cannot run the
+    * corpus walk), and each arriving doc's top-`k` terms emerge from
+    * the [[bm25TopKStream]] chained-stateful shape: tokens explode
+    * stateless-narrow, the rank table rides a stream-static inner
+    * join (unranked terms have no corpus salience and cannot be
+    * keywords — the batch composition's inner-join contract), the
+    * FIRST stateful aggregate counts per (window, doc, term) and
+    * carries the term's rank via min (constant within a term), the
+    * SECOND cuts the per-(window, doc) top-k on the exact bigint
+    * score m·rank_u with the bounded k-heap, append-mode-chained on
+    * `window_time`. Emits (doc_id, term, score_u) — batch-parity
+    * with the registered composition on arriving docs, spec-pinned.
+    */
+  def keywordsStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      ranks: DataFrame,
+      k: Int = 3,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.operators.TextAnalysis
+    val t = filter(TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))),
+      x => x =!= "")
+    val key = struct((-(col("m") * col("rank_u"))).as("ns"), col("term").as("term"))
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"), explode(t).as("term"))
+      .withWatermark("__ts", watermark)
+      .join(ranks.select(col("term"), col("rank_u")), Seq("term"))
+      .groupBy(window(col("__ts"), windowDur), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("m"), min(col("rank_u")).as("rank_u"))
+      .groupBy(window(window_time(col("window")), windowDur), col("doc_id"))
+      .agg(graft.functions.TopK.smallestK(key, k).as("top"))
+      .select(col("doc_id"), explode(col("top")).as("t"))
+      .select(col("doc_id"), col("t.term").as("term"),
+        (-col("t.ns")).as("score_u"))
+  }
+
   /** Per-period count for [[cusumShiftStream]]: `key` names the
     * monitored series (source id, pipeline stage, …), `d` the period
     * as any monotone integer (epoch day), `n` the period's count.

@@ -383,6 +383,64 @@ class StreamingSpec extends AnyFunSuite {
       "bm25TopKStream lost its watermark — unbounded state")
   }
 
+  test("keywordsStream: frozen rank table, chained-agg top-k, batch-composition parity (T24b)") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.TextAnalysis
+    import graft.functions.TopK
+    // Corpus with clear co-occurrence structure trains the rank table.
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "alpha beta delta gamma beta"),
+      (3L, "gamma delta alpha beta gamma")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_stream_kw").toString
+    graft.sources.Sink.saveIndex(
+      TextAnalysis.textRank(corpus, "doc_id", "text", window = 2, iters = 5)
+        .select($"term", $"rank_u"),
+      s"$dir/idx", Map("family" -> "textrank", "window" -> "2"))
+    val (ranks, params) = graft.sources.Load.loadIndex(spark, s"$dir/idx")
+    assert(params("family") == "textrank")
+    // Arrivals: 100 mixes ranked terms with an UNRANKED novel word
+    // (cannot be a keyword — inner-join contract); 101 is all-novel
+    // (absent from output but still advances the watermark).
+    val arrivals = Seq(
+      (100L, "alpha alpha beta novelword gamma"),
+      (101L, "wholly novel content"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(arrivals.map { case (id, tx) => (id, t0, tx) }: _*)
+    val out = StreamingOps.keywordsStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", ranks, k = 3)
+    val q = out.writeStream.format("memory").queryName("kw_stream_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData((99L, late, "sentinel"))
+      q.processAllAvailable()
+      ms.addData((98L, late, "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kw_stream_test")
+      .as[(Long, String, Long)].collect().toSet
+    // Batch composition over the arrivals against the SAME rank table.
+    val batch = arrivals.toDF("doc_id", "text")
+      .select($"doc_id", explode(org.apache.spark.sql.functions.filter(
+        TextAnalysis.tokens(lower($"text")), x => x =!= "")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("m"))
+      .join(ranks, Seq("term"))
+      .select($"doc_id", $"term", ($"m" * $"rank_u").as("score_u"))
+      .groupBy($"doc_id")
+      .agg(TopK.smallestK(struct((-$"score_u").as("ns"), $"term".as("t")), 3).as("top"))
+      .select($"doc_id", explode($"top").as("k"))
+      .select($"doc_id", $"k.t", -$"k.ns")
+      .as[(Long, String, Long)].collect().toSet
+    assert(batch.map(_._1) == Set(100L))
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(!streamed.exists(_._2 == "novelword"), "unranked terms cannot be keywords")
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "keywordsStream lost its watermark — unbounded state")
+  }
+
   test("semDedupStream: frozen centroids, cell-routed admission, exact batch parity") {
     implicit val sql = spark.sqlContext
     import graft.operators.Dedup
