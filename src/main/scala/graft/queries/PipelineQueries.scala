@@ -6660,6 +6660,113 @@ object PipelineQueries {
            |       CAST(n * 100 - f AS BIGINT) AS err_c
            |FROM hw""".stripMargin))
 
+  /** Anomaly-detector ENSEMBLE overlap (`events_anomaly_ensemble`) —
+    * the dedup_tier_overlap posture applied to the time-series
+    * family: per-day verdicts from the three standing detectors
+    * (weekday-MAD envelope W13, CUSUM shift W14, Holt forecast
+    * residual vs 5× its own MAD — W18 turned into a detector) joined
+    * into the 2³ decision table (one row per verdict combination +
+    * day count). The detectors answer DIFFERENT questions — the
+    * envelope sees pointwise outliers, CUSUM sees sustained small
+    * shifts the envelope never trips on, the forecast residual sees
+    * trend breaks — and this prices their overlap on the corpus
+    * instead of asserting it. One day-keyed count cut once feeds all
+    * three chains; every stat is exact-integer.
+    */
+  val eventsAnomalyEnsemble = QueryDef(
+    "events_anomaly_ensemble",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val daily = CheckpointBlocks.cut(
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n_events")))
+      // Weekday-MAD envelope (the events_anomaly_days chain).
+      val wdd = daily.withColumn("wd",
+        pmod(datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))), lit(7)))
+      val med = wdd.groupBy(col("wd"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+          .cast("long").as("med_wd"))
+      val withMed = wdd.join(broadcast(med), Seq("wd"))
+        .withColumn("__dev", abs(col("n_events") - col("med_wd")))
+      val mad = withMed.groupBy(col("wd"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)")
+          .cast("long").as("mad_wd"))
+      val madFlag = withMed.join(broadcast(mad), Seq("wd"))
+        .select(col("d"), (col("__dev") > col("mad_wd") * 3).as("mad_flag"))
+      val cusumFlag = Funnel.cusumShift(daily, "d", "n_events", hMads = 5)
+        .select(col("d"), col("is_shift").as("cusum_flag"))
+      val holt = CheckpointBlocks.cut(
+        Funnel.holtForecast(daily, "d", "n_events", alphaDen = 5, betaDen = 10))
+      val madErr = holt
+        .withColumn("__ae", abs(col("err_c")))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __ae)")
+          .cast("long").as("mad_err"))
+      val holtFlag = holt.crossJoin(broadcast(madErr))
+        .select(col("d"),
+          (abs(col("err_c")) > lit(5L) * greatest(col("mad_err"), lit(1L)))
+            .as("holt_flag"))
+      madFlag.join(cusumFlag, Seq("d")).join(holtFlag, Seq("d"))
+        .groupBy(col("mad_flag"), col("cusum_flag"), col("holt_flag"))
+        .agg(count(lit(1)).as("n_days"))
+    },
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+           |  FROM events GROUP BY 1
+           |),
+           |wdd AS (SELECT d, n_events, (d - DATE '1970-01-01') % 7 AS wd FROM daily),
+           |med AS (SELECT wd, quantile_disc(n_events, 0.5) AS med_wd FROM wdd GROUP BY 1),
+           |dev AS (
+           |  SELECT w.d, w.n_events, w.wd, abs(w.n_events - m.med_wd) AS dv
+           |  FROM wdd w JOIN med m USING (wd)
+           |),
+           |madw AS (SELECT wd, quantile_disc(dv, 0.5) AS mad_wd FROM dev GROUP BY 1),
+           |madf AS (
+           |  SELECT dev.d, dev.dv > 3 * madw.mad_wd AS mad_flag
+           |  FROM dev JOIN madw USING (wd)
+           |),
+           |cmed AS (SELECT quantile_disc(n_events, 0.5) AS med FROM daily),
+           |cmad AS (SELECT quantile_disc(abs(n_events - med), 0.5) AS mad
+           |         FROM daily CROSS JOIN cmed),
+           |ord AS (SELECT d, n_events AS n, ROW_NUMBER() OVER (ORDER BY d) AS rn
+           |        FROM daily),
+           |cus AS (
+           |  SELECT o.rn, o.d, GREATEST(o.n - m.med - a.mad, 0) AS sp,
+           |         GREATEST(m.med - o.n - a.mad, 0) AS sn
+           |  FROM ord o CROSS JOIN cmed m CROSS JOIN cmad a WHERE o.rn = 1
+           |  UNION ALL
+           |  SELECT o.rn, o.d, GREATEST(c.sp + (o.n - m.med - a.mad), 0),
+           |         GREATEST(c.sn + (m.med - o.n - a.mad), 0)
+           |  FROM cus c JOIN ord o ON o.rn = c.rn + 1
+           |       CROSS JOIN cmed m CROSS JOIN cmad a
+           |),
+           |cusf AS (
+           |  SELECT c.d, (c.sp > 5 * GREATEST(a.mad, 1)
+           |               OR c.sn > 5 * GREATEST(a.mad, 1)) AS cusum_flag
+           |  FROM cus c CROSS JOIN cmad a
+           |),
+           |hw AS (
+           |  SELECT d, n, rn, CAST(n * 100 AS BIGINT) AS f,
+           |         CAST(n * 100 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+           |  FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.d, o.n, o.rn, CAST(h.l + h.b AS BIGINT),
+           |         CAST((o.n * 100 + 4 * (h.l + h.b)) // 5 AS BIGINT),
+           |         CAST((((o.n * 100 + 4 * (h.l + h.b)) // 5) - h.l + 9 * h.b) // 10
+           |              AS BIGINT)
+           |  FROM hw h JOIN ord o ON o.rn = h.rn + 1
+           |),
+           |herr AS (SELECT d, CAST(n * 100 - f AS BIGINT) AS err_c FROM hw),
+           |hmad AS (SELECT quantile_disc(abs(err_c), 0.5) AS mad_err FROM herr),
+           |holtf AS (
+           |  SELECT h.d, abs(h.err_c) > 5 * GREATEST(m.mad_err, 1) AS holt_flag
+           |  FROM herr h CROSS JOIN hmad m
+           |)
+           |SELECT m.mad_flag, c.cusum_flag, h.holt_flag,
+           |       CAST(COUNT(*) AS BIGINT) AS n_days
+           |FROM madf m JOIN cusf c USING (d) JOIN holtf h USING (d)
+           |GROUP BY 1, 2, 3""".stripMargin))
+
   val eventsCusumShift = QueryDef(
     "events_cusum_shift",
     (s, dir) => Funnel.cusumShift(
@@ -9979,6 +10086,6 @@ object PipelineQueries {
     eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
-    sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,
+    sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, eventsAnomalyEnsemble, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,
     mmMediaMeta, mmDecode, mmFramesResize, mmPhashPairs, mmPhashClusters)
 }

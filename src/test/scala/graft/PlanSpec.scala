@@ -521,6 +521,7 @@ class PlanSpec extends AnyFunSuite {
       "c_mad_trim" -> "MAD stats: one row per l_returnflag (3-value domain)",
       "c_mad_trim_approx" -> "MAD stats: one row per l_returnflag (3-value domain)",
       "events_anomaly_days" -> "weekday med/MAD envelopes: exactly 7 rows (epoch-day mod 7)",
+      "events_anomaly_ensemble" -> "the same 7-row weekday envelopes + 1-row CUSUM/Holt calibration aggs (the events_anomaly_days bound)",
       "events_seasonal_decomp" -> "weekday-effect means: exactly 7 rows (epoch-day mod 7, the anomaly-days bound)",
       "c_qcut_bins" -> "quantile cut points: n_bins rows per group key (literal bins, 3-value returnflag)",
       "sample_mixture" -> "per-source quantile fences: one row per source (enum domain)",
