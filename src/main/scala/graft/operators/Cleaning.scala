@@ -351,12 +351,14 @@ object Cleaning {
   private def joinGroupStats(
       df: DataFrame,
       stats: DataFrame,
-      byCols: Seq[String]): DataFrame =
+      byCols: Seq[String],
+      broadcastStats: Boolean = true): DataFrame =
     if (byCols.isEmpty) df.crossJoin(broadcast(stats))
     else {
       val sr = byCols.foldLeft(stats)((acc, c) => acc.withColumnRenamed(c, s"__k_$c"))
       val cond = byCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
-      df.join(broadcast(sr), cond).drop(byCols.map(c => s"__k_$c"): _*)
+      val rhs = if (broadcastStats) broadcast(sr) else sr
+      df.join(rhs, cond).drop(byCols.map(c => s"__k_$c"): _*)
     }
 
   /** k-ANONYMITY audit over a quasi-identifier column set — the
@@ -409,7 +411,14 @@ object Cleaning {
     require(k >= 2, s"k must be >= 2, got $k")
     val sizes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__class_n"))
-    val joined = joinGroupStats(df, sizes, quasiCols)
+    // NOT broadcast (unlike the bounded-stats callers above): the
+    // class-size frame's cardinality is the distinct quasi-identifier
+    // tuple count, which approaches ROW count exactly for the
+    // high-cardinality QIs a k-anonymization pass targets — a forced
+    // broadcast would OOM on the inputs this operator exists for. A
+    // plain shuffle join on the (null-safe) quasi key is the honest
+    // scale shape; AQE still broadcasts it when it measures small.
+    val joined = joinGroupStats(df, sizes, quasiCols, broadcastStats = false)
     quasiCols.foldLeft(joined) { (acc, c) =>
       acc.withColumn(c,
         when(col("__class_n") < k, lit(masked)).otherwise(col(c)))

@@ -202,9 +202,18 @@ object Funnel {
       betaDen: Int = 10): DataFrame = {
     require(alphaDen >= 2 && betaDen >= 2,
       s"alphaDen/betaDen must be >= 2, got $alphaDen/$betaDen")
+    // Truncate-toward-zero division, PURE INTEGER: subtracting the
+    // dividend-signed remainder (Spark `%` takes the dividend's sign)
+    // makes the numerator exactly divisible, and the decimal(38,0)
+    // quotient of an exact division is the exact integer — no double
+    // floor, so the result stays aligned with the DuckDB oracle's
+    // bigint `//` (and holtForecastStream's Long `/`) even once the
+    // centi-unit numerator exceeds 2^53 at extreme daily volumes.
+    // (expr("a DIV d") can't be used here: tdiv runs on the
+    // aggregate() HOF's lambda variables, which string expr can't
+    // resolve.)
     def tdiv(a: Column, d: Long): Column =
-      when(a >= 0, floor(a.cast("double") / d))
-        .otherwise(-floor((-a).cast("double") / d)).cast("long")
+      ((a - (a % d)).cast("decimal(38,0)") / d).cast("long")
     val daily = series.select(col(dCol).as("d"), col(nCol).cast("long").as("n"))
     val acc0 = struct(
       expr("array()").cast(

@@ -73,10 +73,10 @@ object Fuzzy {
     * Scale: each side explodes to `len+1` (ed1) or `~len²/2` (ed2)
     * variant keys — still linear in ROWS, never the all-pairs cross
     * join; the equi-join on the variant string is an ordinary hash
-    * join; `capBuckets` drops degenerate hot variants (with the
-    * completeness caveat that implies — same contract as the LSH dedup
-    * family, and the ed2 double-deletion keys are shorter and hence
-    * hotter, which is exactly what the cap bounds); the verify is one
+    * join; degenerate hot variants are rank-chunk split and routed
+    * ([[Dedup.splitBucketsWithRouting]] — same contract as the LSH
+    * dedup family, and the ed2 double-deletion keys are shorter and
+    * hence hotter, which is exactly what the cap bounds); the verify is one
     * codegen'd levenshtein per candidate; pairs dedup at match
     * cardinality.
     */
@@ -93,15 +93,23 @@ object Fuzzy {
       "deletion-neighborhood candidates are complete only for maxEdit in {1, 2}")
     val variants: Column => Column =
       if (maxEdit == 1) deletionVariants else deletionVariants2
-    def banded(df: DataFrame, id: String, str: String, outId: String, outStr: String) =
-      Dedup.capBuckets(
-        df.select(col(id).as(outId), col(str).as(outStr),
-            explode(variants(col(str))).as("key"))
-          .withColumn("band", lit(0)),
-        maxBucket)
-    val l = banded(left, idL, strL, "id_l", "name_l")
-    val r = banded(right, idR, strR, "id_r", "name_r")
-    l.join(r, Seq("band", "key"))
+    def keyed(df: DataFrame, id: String, str: String, outId: String, outStr: String) =
+      df.select(col(id).as(outId), col(str).as(outStr),
+          explode(variants(col(str))).as("key"))
+        .withColumn("band", lit(0))
+    // Hot variants are rank-chunk SPLIT on the right side and the left
+    // side ROUTES to one chunk per variant key (the batch×corpus
+    // posture of [[Dedup.splitBucketsWithRouting]] — a left↔right
+    // variant join is two different frames, so a self-join-style
+    // two-sided split has no shared chunk index). Per-left-row
+    // fan-out into a degenerate hot variant is bounded by the cap,
+    // and — unlike the round-15 drop — every right row stays
+    // reachable through its other (rarer) deletion variants AND by
+    // the 1/nchunks routing odds on the hot one.
+    val (r, hotR) = Dedup.splitBucketsWithRouting(
+      keyed(right, idR, strR, "id_r", "name_r"), maxBucket, idCol = "id_r")
+    val l = Dedup.routeToChunks(keyed(left, idL, strL, "id_l", "name_l"), hotR, "id_l")
+    l.join(r, Seq("band", "key", "__sub"))
       .select(col("id_l"), col("id_r"), col("name_l"), col("name_r"))
       .distinct()
       .withColumn("dist", levenshtein(col("name_l"), col("name_r")))

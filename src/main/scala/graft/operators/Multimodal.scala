@@ -142,11 +142,11 @@ object Multimodal {
       .select(col("id"), col("sim"),
         explode(Dedup.simhashBandKeys(col("sim"), bands, bitsPerBand)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val capped = Dedup.capBuckets(banded, maxBucket)
+    val capped = Dedup.splitBuckets(banded, maxBucket)
     capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+          col("a.__sub") === col("b.__sub") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
       .distinct()

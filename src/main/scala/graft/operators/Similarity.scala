@@ -1102,14 +1102,19 @@ object Similarity {
       dim: Int,
       nBands: Int,
       bitsPerBand: Int,
-      maxBucket: Int): (DataFrame, DataFrame) = {
+      maxBucket: Int): (DataFrame, DataFrame, DataFrame) = {
     val c = corpus
       .select(col(idCol).as("id_c"), col(vecCol).as("id_c_vec"))
       .filter(col("id_c_vec").isNotNull && size(col("id_c_vec")) >= dim)
     val keys = c.select(col("id_c"),
         explode(VectorFunctions.bandSignKeys(col("id_c_vec"), dim, nBands, bitsPerBand)).as("bk"))
       .select(col("id_c"), col("bk.band").as("band"), col("bk.key").as("key"))
-    (Dedup.capBuckets(keys, maxBucket), c)
+    // Hot corpus buckets are rank-chunk SPLIT, not dropped (the
+    // round-15 posture change — see [[Dedup.splitBucketsWithRouting]]);
+    // probes route to one chunk per band via [[Dedup.routeToChunks]]
+    // on the hot frame returned here.
+    val (split, hot) = Dedup.splitBucketsWithRouting(keys, maxBucket, idCol = "id_c")
+    (split, hot, c)
   }
 
   def nearDupsAgainstCorpusEmbed(
@@ -1130,9 +1135,9 @@ object Similarity {
         explode(VectorFunctions.bandSignKeys(col(s"${outId}_vec"), dim, nBands, bitsPerBand)).as("bk"))
       .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
     val b = proj(batch, "id_b")
-    val (ck, c) = embedBandIndex(corpus, idCol, vecCol, dim, nBands, bitsPerBand, maxBucket)
-    val cand = keysOf(b, "id_b")
-      .join(ck, Seq("band", "key"))
+    val (ck, hot, c) = embedBandIndex(corpus, idCol, vecCol, dim, nBands, bitsPerBand, maxBucket)
+    val cand = Dedup.routeToChunks(keysOf(b, "id_b"), hot, "id_b")
+      .join(ck, Seq("band", "key", "__sub"))
       .select(col("id_b"), col("id_c"))
       .distinct()
     cand
@@ -1170,16 +1175,16 @@ object Similarity {
         explode(VectorFunctions.bandSignKeys(col("vec"), dim, nBands, bitsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Hot-bucket cap ([[Dedup.capBuckets]]): for sign-LSH a hot key is
-    // a dense direction cluster (or the all-zeros region of sparse
-    // vectors) — same quadratic self-join exposure as text LSH.
-    val capped = Dedup.capBuckets(keys, maxBucket)
+    // Hot-bucket SPLIT ([[Dedup.splitBuckets]]): for sign-LSH a hot
+    // key is a dense direction cluster (or the all-zeros region of
+    // sparse vectors) — same quadratic self-join exposure as text LSH.
+    val capped = Dedup.splitBuckets(keys, maxBucket)
     // A pair colliding in several bands must verify once, not once per
     // band: distinct at candidate cardinality, before any vector rides.
     val cand = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+          col("a.__sub") === col("b.__sub") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val pairs = cand
@@ -1235,7 +1240,16 @@ object Similarity {
     import graft.functions.TopK
     val fused = ranked
       .select(col(queryCol).as("query_id"), col(docCol).as("doc_id"),
-        expr(s"CAST(1000000 AS BIGINT) DIV CAST($k0 + `$rankCol` AS BIGINT)")
+        // 1-based-rank input contract enforced LOUDLY: a rank < 1 is a
+        // caller bug (a 0-based list, or rank = -k0 which makes the DIV
+        // divide by zero), and its NULL contribution would be silently
+        // dropped by sum() — a quietly wrong fused score. raise_error
+        // costs nothing on the valid path (workload-bounded input).
+        when(col(rankCol) < 1,
+          raise_error(concat(lit(s"rrfFuse: `$rankCol` must be a 1-based rank >= 1, got "),
+            col(rankCol).cast("string"))).cast("long"))
+          .otherwise(
+            expr(s"CAST(1000000 AS BIGINT) DIV CAST($k0 + `$rankCol` AS BIGINT)"))
           .as("__c"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("n_systems"),

@@ -2429,7 +2429,14 @@ object TextAnalysis {
     for (_ <- 1 to iters) {
       ranks = edgesW.join(ranks, Seq("src"))
         .withColumn("__c",
-          expr(s"($dampNum * r * w) DIV (100 * wout)"))
+          // The edge product rides decimal(38,0): r (micro-units) × w
+          // (corpus-wide co-occurrence count) × dampNum can exceed
+          // bigint for hub terms at large corpus scale, where Spark's
+          // non-ANSI bigint would WRAP silently while the DuckDB
+          // oracle promotes to HUGEINT — decimal(38,0) keeps the two
+          // engines bit-aligned up to 38 digits (the house
+          // exact-integer posture; see the OLS/moment oracles).
+          expr(s"(CAST($dampNum AS DECIMAL(38,0)) * r * w) DIV (100 * wout)"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__cin"))
         .select(col("dst").as("src"), (lit(base) + col("__cin")).as("r"))
     }
@@ -2486,7 +2493,9 @@ object TextAnalysis {
       .select(col("src"), lit(1000000L).as("r"))
     val rows = (1 to iters).map { k =>
       val next = edgesW.join(ranks, Seq("src"))
-        .withColumn("__c", expr(s"($dampNum * r * w) DIV (100 * wout)"))
+        // decimal(38,0) product — same overflow argument as [[textRank]].
+        .withColumn("__c",
+          expr(s"(CAST($dampNum AS DECIMAL(38,0)) * r * w) DIV (100 * wout)"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__cin"))
         .select(col("dst").as("src"), (lit(base) + col("__cin")).as("r"))
       val u = next.select(col("src"), col("r").as("rv"), lit(1L).as("__isn"))

@@ -534,11 +534,22 @@ object ParityQueries {
            |            FOR i IN generate_series(1, greatest(length(name_r), 1))], name_r))) AS key
            |  FROM r
            |),
-           |lc AS (SELECT * FROM lv QUALIFY COUNT(*) OVER (PARTITION BY key) <= 2000),
-           |rc AS (SELECT * FROM rv QUALIFY COUNT(*) OVER (PARTITION BY key) <= 2000),
+           |bsz AS (SELECT key, COUNT(*) AS n FROM rv GROUP BY 1),
+           |rc AS (
+           |  SELECT name_r, key,
+           |         CASE WHEN n > 2000
+           |              THEN (ROW_NUMBER() OVER (PARTITION BY key ORDER BY name_r) - 1) // 2000
+           |              ELSE 0 END AS sub
+           |  FROM rv JOIN bsz USING (key)),
+           |lc AS (
+           |  SELECT name_l, key,
+           |         CASE WHEN n > 2000
+           |              THEN ('0x' || substr(md5(name_l), 1, 15))::BIGINT % ((n - 1) // 2000 + 1)
+           |              ELSE 0 END AS sub
+           |  FROM lv JOIN bsz USING (key)),
            |cand AS (
            |  SELECT DISTINCT lc.name_l, rc.name_r
-           |  FROM lc JOIN rc ON lc.key = rc.key
+           |  FROM lc JOIN rc ON lc.key = rc.key AND lc.sub = rc.sub
            |)
            |SELECT name_l, name_r,
            |       CAST(levenshtein(name_l, name_r) AS INT) AS dist
@@ -615,11 +626,22 @@ object ParityQueries {
            |           name_r))) AS key
            |  FROM r
            |),
-           |lc AS (SELECT * FROM lv QUALIFY COUNT(*) OVER (PARTITION BY key) <= 2000),
-           |rc AS (SELECT * FROM rv QUALIFY COUNT(*) OVER (PARTITION BY key) <= 2000),
+           |bsz AS (SELECT key, COUNT(*) AS n FROM rv GROUP BY 1),
+           |rc AS (
+           |  SELECT name_r, key,
+           |         CASE WHEN n > 2000
+           |              THEN (ROW_NUMBER() OVER (PARTITION BY key ORDER BY name_r) - 1) // 2000
+           |              ELSE 0 END AS sub
+           |  FROM rv JOIN bsz USING (key)),
+           |lc AS (
+           |  SELECT name_l, key,
+           |         CASE WHEN n > 2000
+           |              THEN ('0x' || substr(md5(name_l), 1, 15))::BIGINT % ((n - 1) // 2000 + 1)
+           |              ELSE 0 END AS sub
+           |  FROM lv JOIN bsz USING (key)),
            |cand AS (
            |  SELECT DISTINCT lc.name_l, rc.name_r
-           |  FROM lc JOIN rc ON lc.key = rc.key
+           |  FROM lc JOIN rc ON lc.key = rc.key AND lc.sub = rc.sub
            |)
            |SELECT name_l, name_r,
            |       CAST(levenshtein(name_l, name_r) AS INT) AS dist

@@ -41,7 +41,10 @@ object PipelineQueries {
     * continue the list instead of nesting a WITH — the house
     * withViews rule.
     */
-  private def minhashPairsCtes(shinglesSql: String, threshold: Double): String =
+  private def minhashPairsCtes(
+      shinglesSql: String,
+      threshold: Double,
+      cap: Int = Dedup.LshMaxBucket): String =
     s"""docs AS (
        |  SELECT doc_id AS id, $shinglesSql AS sh FROM documents
        |),
@@ -60,16 +63,21 @@ object PipelineQueries {
        |  SELECT id, b AS band, md5(array_to_string(sg[b*4+1:b*4+4], '|')) AS key
        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
        |),
-       |hot AS (
-       |  SELECT band, key FROM banded GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+       |bsz AS (
+       |  SELECT band, key, COUNT(*) AS n FROM banded GROUP BY 1, 2
        |),
        |capped AS (
-       |  SELECT id, band, key FROM banded
-       |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = banded.band AND h.key = banded.key)
+       |  SELECT id, band, key,
+       |         CASE WHEN n > $cap
+       |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) - 1)
+       |                   // $cap
+       |              ELSE 0 END AS sub
+       |  FROM banded JOIN bsz USING (band, key)
        |),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+       |   AND a.sub = b.sub AND a.id < b.id
        |),
        |verified AS (
        |  SELECT id_a, id_b,
@@ -85,19 +93,31 @@ object PipelineQueries {
        |  ) WHERE jac >= $threshold
        |)""".stripMargin
 
-  private def minhashOracle(shinglesSql: String, threshold: Double): String =
-    s"""WITH ${minhashPairsCtes(shinglesSql, threshold)}
+  private def minhashOracle(
+      shinglesSql: String,
+      threshold: Double,
+      cap: Int = Dedup.LshMaxBucket): String =
+    s"""WITH ${minhashPairsCtes(shinglesSql, threshold, cap)}
        |SELECT id_a, id_b, jac FROM mpairs""".stripMargin
 
   /** The distinct k-word-shingle expression ([[Dedup.wordShingles]]'
     * DuckDB mirror) over `string_split_regex(trim(lower(text)))`.
     */
-  private def wordShingleSql(k: Int): String =
+  /** The `dedup_minhash_capped` adversarial crowd text — long enough
+    * for full 3-word shingle diversity, constant so every crowd doc's
+    * signature is identical (the worst-case hot bucket).
+    */
+  private val BoilerText: String =
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt ut labore et dolore magna aliqua " +
+      "standard license header boilerplate template page"
+
+  private def wordShingleSql(k: Int, textSql: String = "text"): String =
     s"""CASE WHEN len(toks) >= $k
        |     THEN list_distinct([array_to_string(toks[i+1:i+$k], ' ')
        |                         FOR i IN generate_series(0, len(toks) - $k)])
        |     ELSE [] END""".stripMargin
-      .replace("toks", "string_split_regex(trim(lower(text)), '\\s+')")
+      .replace("toks", s"string_split_regex(trim(lower($textSql)), '\\s+')")
 
   /** The `dedup_minhash` 3-word-shingle expression, shared with the
     * composing oracles (`sample_group_kfold`).
@@ -111,6 +131,33 @@ object PipelineQueries {
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4),
     Some(minhashOracle(wordShingle3Sql, 0.4)))
+
+  /** ADVERSARIAL hot-key fixture for the rank-chunk bucket SPLIT
+    * (round-15 verdict #1, closing the capBuckets drop flag): every
+    * doc_id % 7 == 3 document's text is replaced by one shared
+    * boilerplate string — the license-header / templated-page crowd
+    * every real web corpus has — so all of them share identical
+    * MinHash signatures and land in ONE (band, key) bucket per band,
+    * far over the deliberately small maxBucket = 20. Under the
+    * round-15 DROP posture this query returned ZERO crowd pairs (the
+    * buckets vanished); under the split it returns each id-ordered
+    * 20-doc chunk's complete within-chunk clique at jac = 1, plus
+    * the corpus's natural near-dups untouched. The oracle replays
+    * the identical chunk rule, so a wrong rank order, chunk width,
+    * or join key anywhere hash-fails.
+    */
+  val dedupMinhashCapped = QueryDef(
+    "dedup_minhash_capped",
+    (s, dir) =>
+      Dedup.minhashPairs(
+        Tables.documents(s, dir).withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 3, lit(BoilerText))
+            .otherwise(col("text"))),
+        "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4, maxBucket = 20),
+    Some(minhashOracle(
+      wordShingleSql(3, s"CASE WHEN doc_id % 7 = 3 THEN '$BoilerText' ELSE text END"),
+      0.4, cap = 20)))
 
   /** EXACT near-dup join via prefix filtering
     * ([[Dedup.prefixFilterPairs]] — AllPairs/PPJoin) at the
@@ -487,18 +534,21 @@ object PipelineQueries {
             |  FROM sig s CROSS JOIN cfg c,
             |       LATERAL (SELECT unnest(generate_series(0, c.bands - 1)) AS b) i
             |),
-            |hot AS (SELECT bands, band, key FROM banded
-            |        GROUP BY 1, 2, 3 HAVING COUNT(*) > ${Dedup.LshMaxBucket}),
+            |bsz AS (SELECT bands, band, key, COUNT(*) AS n FROM banded
+            |        GROUP BY 1, 2, 3),
             |cband AS (
-            |  SELECT bands, rows_per_band, id, band, key FROM banded
-            |  WHERE NOT EXISTS (SELECT 1 FROM hot h
-            |                    WHERE h.bands = banded.bands AND h.band = banded.band
-            |                      AND h.key = banded.key)
+            |  SELECT bands, rows_per_band, id, band, key,
+            |         CASE WHEN n > ${Dedup.LshMaxBucket}
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY bands, band, key ORDER BY id) - 1)
+            |                   // ${Dedup.LshMaxBucket}
+            |              ELSE 0 END AS sub
+            |  FROM banded JOIN bsz USING (bands, band, key)
             |),
             |cand AS (
             |  SELECT DISTINCT a.bands, a.rows_per_band, a.id AS id_a, b.id AS id_b
             |  FROM cband a JOIN cband b
-            |    ON a.bands = b.bands AND a.band = b.band AND a.key = b.key AND a.id < b.id
+            |    ON a.bands = b.bands AND a.band = b.band AND a.key = b.key
+            |   AND a.sub = b.sub AND a.id < b.id
             |),
             |counts AS (
             |  SELECT c.bands, c.rows_per_band,
@@ -546,17 +596,22 @@ object PipelineQueries {
            |  SELECT id, sim, b AS band, (sim >> (b * 15)) % (1::BIGINT << 15) AS key
            |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
            |),
-           |hot AS (
-           |  SELECT band, key FROM banded GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+           |bsz AS (
+           |  SELECT band, key, COUNT(*) AS n FROM banded GROUP BY 1, 2
            |),
            |capped AS (
-           |  SELECT id, sim, band, key FROM banded
-           |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = banded.band AND h.key = banded.key)
+           |  SELECT id, sim, band, key,
+           |         CASE WHEN n > ${Dedup.LshMaxBucket}
+           |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) - 1)
+           |                   // ${Dedup.LshMaxBucket}
+           |              ELSE 0 END AS sub
+           |  FROM banded JOIN bsz USING (band, key)
            |)
            |SELECT id_a, id_b, hamming FROM (
            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            |         CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-           |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+           |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+           |   AND a.sub = b.sub AND a.id < b.id
            |) WHERE hamming <= 6""".stripMargin))
 
   /** Near-dup clusters from the MinHash pairs: (doc, representative =
@@ -690,18 +745,31 @@ object PipelineQueries {
            |corpus_banded AS (
            |  SELECT id, sim, band, key FROM banded WHERE id % 10 < 8
            |),
-           |hot AS (
-           |  SELECT band, key FROM corpus_banded GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+           |bsz AS (
+           |  SELECT band, key, COUNT(*) AS n FROM corpus_banded GROUP BY 1, 2
            |),
            |capped_c AS (
-           |  SELECT id, sim, band, key FROM corpus_banded cb
-           |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = cb.band AND h.key = cb.key)
+           |  SELECT id, sim, band, key,
+           |         CASE WHEN n > ${Dedup.LshMaxBucket}
+           |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) - 1)
+           |                   // ${Dedup.LshMaxBucket}
+           |              ELSE 0 END AS sub
+           |  FROM corpus_banded JOIN bsz USING (band, key)
+           |),
+           |routed_b AS (
+           |  SELECT banded.id, banded.sim, banded.band, banded.key,
+           |         CASE WHEN z.n > ${Dedup.LshMaxBucket}
+           |              THEN ('0x' || substr(md5(CAST(banded.id AS VARCHAR)), 1, 15))::BIGINT
+           |                   % ((z.n - 1) // ${Dedup.LshMaxBucket} + 1)
+           |              ELSE 0 END AS sub
+           |  FROM banded JOIN bsz z USING (band, key)
+           |  WHERE banded.id % 10 >= 8
            |)
            |SELECT id_b, id_c, hamming FROM (
            |  SELECT DISTINCT b.id AS id_b, c.id AS id_c,
            |         CAST(bit_count(xor(b.sim, c.sim)) AS INT) AS hamming
-           |  FROM banded b JOIN capped_c c ON b.band = c.band AND b.key = c.key
-           |  WHERE b.id % 10 >= 8
+           |  FROM routed_b b JOIN capped_c c ON b.band = c.band AND b.key = c.key
+           |   AND b.sub = c.sub
            |) WHERE hamming <= 6""".stripMargin))
 
   /** Incremental cluster assignment ([[Dedup.assignToClusters]]): the
@@ -759,18 +827,23 @@ object PipelineQueries {
            |  SELECT id, sim, b AS band, (sim >> (b * 15)) % (1::BIGINT << 15) AS key
            |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
            |),
-           |hot AS (
-           |  SELECT band, key FROM banded GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+           |bsz AS (
+           |  SELECT band, key, COUNT(*) AS n FROM banded GROUP BY 1, 2
            |),
            |capped AS (
-           |  SELECT id, sim, band, key FROM banded cb
-           |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = cb.band AND h.key = cb.key)
+           |  SELECT id, sim, band, key,
+           |         CASE WHEN n > ${Dedup.LshMaxBucket}
+           |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) - 1)
+           |                   // ${Dedup.LshMaxBucket}
+           |              ELSE 0 END AS sub
+           |  FROM banded JOIN bsz USING (band, key)
            |),
            |pair AS (
            |  SELECT id_a, id_b FROM (
            |    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            |           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-           |    FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+           |    FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+           |     AND a.sub = b.sub AND a.id < b.id
            |  ) WHERE hamming <= 6
            |),
            |cedges AS (
@@ -6894,16 +6967,21 @@ object PipelineQueries {
             |              AS BIGINT) AS key
             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
             |),
-            |hot AS (
-            |  SELECT band, key FROM keys GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |bsz AS (
+            |  SELECT band, key, COUNT(*) AS n FROM keys GROUP BY 1, 2
             |),
             |capped AS (
-            |  SELECT vec_id, band, key FROM keys k
-            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |  SELECT vec_id, band, key,
+            |         CASE WHEN n > ${Dedup.LshMaxBucket}
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) - 1)
+            |                   // ${Dedup.LshMaxBucket}
+            |              ELSE 0 END AS sub
+            |  FROM keys JOIN bsz USING (band, key)
             |),
             |cand AS (
             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+            |   AND a.sub = b.sub AND a.vec_id < b.vec_id
             |)
             |SELECT id_a, id_b, cos FROM (
             |  SELECT id_a, id_b, ROUND(${cosSql("ea.v", "eb.v")}, 6) AS cos
@@ -6946,16 +7024,21 @@ object PipelineQueries {
             |              AS BIGINT) AS key
             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
             |),
-            |hot AS (
-            |  SELECT band, key FROM keys GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |bsz AS (
+            |  SELECT band, key, COUNT(*) AS n FROM keys GROUP BY 1, 2
             |),
             |capped AS (
-            |  SELECT vec_id, band, key FROM keys k
-            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |  SELECT vec_id, band, key,
+            |         CASE WHEN n > ${Dedup.LshMaxBucket}
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) - 1)
+            |                   // ${Dedup.LshMaxBucket}
+            |              ELSE 0 END AS sub
+            |  FROM keys JOIN bsz USING (band, key)
             |),
             |cand AS (
             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+            |   AND a.sub = b.sub AND a.vec_id < b.vec_id
             |),
             |pairs AS (
             |  SELECT id_a, id_b FROM (
@@ -7029,16 +7112,21 @@ object PipelineQueries {
             |              AS BIGINT) AS key
             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
             |),
-            |hot AS (
-            |  SELECT band, key FROM keys GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |bsz AS (
+            |  SELECT band, key, COUNT(*) AS n FROM keys GROUP BY 1, 2
             |),
             |capped AS (
-            |  SELECT vec_id, band, key FROM keys k
-            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |  SELECT vec_id, band, key,
+            |         CASE WHEN n > ${Dedup.LshMaxBucket}
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) - 1)
+            |                   // ${Dedup.LshMaxBucket}
+            |              ELSE 0 END AS sub
+            |  FROM keys JOIN bsz USING (band, key)
             |),
             |cand AS (
             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+            |   AND a.sub = b.sub AND a.vec_id < b.vec_id
             |),
             |lsh AS (
             |  SELECT id_a, id_b FROM (
@@ -9575,14 +9663,19 @@ object PipelineQueries {
             |), banded AS (
             |  SELECT id, sim, band, (sim >> (band * 14)) % 16384 AS key
             |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+            |), bsz AS (
+            |  SELECT band, key, COUNT(*) AS n FROM banded GROUP BY 1, 2
             |), capped AS (
-            |  SELECT * FROM banded
-            |  QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 2000
+            |  SELECT id, sim, band, key,
+            |         CASE WHEN n > 2000
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) - 1) // 2000
+            |              ELSE 0 END AS sub
+            |  FROM banded JOIN bsz USING (band, key)
             |)
             |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
             |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
             |FROM capped a JOIN capped b
-            |  ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            |  ON a.band = b.band AND a.key = b.key AND a.sub = b.sub AND a.id < b.id
             |WHERE bit_count(xor(a.sim, b.sim)) <= 6""".stripMargin))
 
   /** Perceptual-hash media CLUSTERS — [[mmPhashPairs]]'s pair graph
@@ -9629,13 +9722,18 @@ object PipelineQueries {
             |), banded AS (
             |  SELECT id, sim, band, (sim >> (band * 14)) % 16384 AS key
             |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+            |), bsz AS (
+            |  SELECT band, key, COUNT(*) AS n FROM banded GROUP BY 1, 2
             |), capped AS (
-            |  SELECT * FROM banded
-            |  QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 2000
+            |  SELECT id, sim, band, key,
+            |         CASE WHEN n > 2000
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) - 1) // 2000
+            |              ELSE 0 END AS sub
+            |  FROM banded JOIN bsz USING (band, key)
             |), pairs AS (
             |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
             |  FROM capped a JOIN capped b2
-            |    ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id
+            |    ON a.band = b2.band AND a.key = b2.key AND a.sub = b2.sub AND a.id < b2.id
             |  WHERE bit_count(xor(a.sim, b2.sim)) <= 6
             |), edges AS (
             |  SELECT id_a AS s, id_b AS t FROM pairs
@@ -9725,16 +9823,29 @@ object PipelineQueries {
             |),
             |ck AS (SELECT * FROM keys WHERE vec_id % 10 < 8),
             |bk AS (SELECT * FROM keys WHERE vec_id % 10 >= 8),
-            |hot AS (
-            |  SELECT band, key FROM ck GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |bsz AS (
+            |  SELECT band, key, COUNT(*) AS n FROM ck GROUP BY 1, 2
             |),
             |capped AS (
-            |  SELECT vec_id, band, key FROM ck k
-            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |  SELECT vec_id, band, key,
+            |         CASE WHEN n > ${Dedup.LshMaxBucket}
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) - 1)
+            |                   // ${Dedup.LshMaxBucket}
+            |              ELSE 0 END AS sub
+            |  FROM ck JOIN bsz USING (band, key)
+            |),
+            |routed AS (
+            |  SELECT bk.vec_id, bk.band, bk.key,
+            |         CASE WHEN z.n > ${Dedup.LshMaxBucket}
+            |              THEN ('0x' || substr(md5(CAST(bk.vec_id AS VARCHAR)), 1, 15))::BIGINT
+            |                   % ((z.n - 1) // ${Dedup.LshMaxBucket} + 1)
+            |              ELSE 0 END AS sub
+            |  FROM bk JOIN bsz z USING (band, key)
             |),
             |cand AS (
             |  SELECT DISTINCT b.vec_id AS id_b, c.vec_id AS id_c
-            |  FROM bk b JOIN capped c ON b.band = c.band AND b.key = c.key
+            |  FROM routed b JOIN capped c ON b.band = c.band AND b.key = c.key
+            |   AND b.sub = c.sub
             |)
             |SELECT id_b, id_c, cos FROM (
             |  SELECT id_b, id_c, ROUND(${cosSql("eb.v", "ec.v")}, 6) AS cos
@@ -9781,16 +9892,29 @@ object PipelineQueries {
             |),
             |ck AS (SELECT * FROM keys WHERE vec_id % 10 = 0),
             |bk AS (SELECT * FROM keys WHERE vec_id % 10 <> 0),
-            |hot AS (
-            |  SELECT band, key FROM ck GROUP BY 1, 2 HAVING COUNT(*) > ${Dedup.LshMaxBucket}
+            |bsz AS (
+            |  SELECT band, key, COUNT(*) AS n FROM ck GROUP BY 1, 2
             |),
             |capped AS (
-            |  SELECT vec_id, band, key FROM ck k
-            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = k.band AND h.key = k.key)
+            |  SELECT vec_id, band, key,
+            |         CASE WHEN n > ${Dedup.LshMaxBucket}
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) - 1)
+            |                   // ${Dedup.LshMaxBucket}
+            |              ELSE 0 END AS sub
+            |  FROM ck JOIN bsz USING (band, key)
+            |),
+            |routed AS (
+            |  SELECT bk.vec_id, bk.band, bk.key,
+            |         CASE WHEN z.n > ${Dedup.LshMaxBucket}
+            |              THEN ('0x' || substr(md5(CAST(bk.vec_id AS VARCHAR)), 1, 15))::BIGINT
+            |                   % ((z.n - 1) // ${Dedup.LshMaxBucket} + 1)
+            |              ELSE 0 END AS sub
+            |  FROM bk JOIN bsz z USING (band, key)
             |),
             |cand AS (
             |  SELECT DISTINCT b.vec_id AS id_b, c.vec_id AS id_c
-            |  FROM bk b JOIN capped c ON b.band = c.band AND b.key = c.key
+            |  FROM routed b JOIN capped c ON b.band = c.band AND b.key = c.key
+            |   AND b.sub = c.sub
             |),
             |hits AS (
             |  SELECT id_b, id_c, cos FROM (
@@ -10068,7 +10192,7 @@ object PipelineQueries {
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupPrefixJoin, dedupExactSubstr, dedupExactSubstrCurve, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
+    dedupExact, dedupMinhash, dedupMinhashCapped, dedupPrefixJoin, dedupExactSubstr, dedupExactSubstrCurve, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve, dedupDecontamSem,
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,

@@ -438,7 +438,7 @@ object StreamingOps {
       windowDur: String = "10 minutes"): DataFrame = {
     import graft.operators.Similarity
     import graft.functions.VectorFunctions
-    val (ck, cvecs) = Similarity.embedBandIndex(
+    val (ck, hot, cvecs) = Similarity.embedBandIndex(
       corpus, idCol, vecCol, dim, nBands, bitsPerBand, maxBucket)
     val keyed = vecs
       .select(col(idCol).as("id_b"), col(tsCol).as("__ts"), col(vecCol).as("__vec"))
@@ -447,8 +447,12 @@ object StreamingOps {
         explode(VectorFunctions.bandSignKeys(col("__vec"), dim, nBands, bitsPerBand)).as("bk"))
       .select(col("id_b"), col("__ts"), col("__vec"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    keyed
-      .join(ck, Seq("band", "key"))
+    // Stream rows route to one chunk of a split hot bucket exactly as
+    // the batch path does ([[graft.operators.Dedup.routeToChunks]] —
+    // a stream-static broadcast probe, stateless narrow), so online
+    // and offline agree on where duplicates can hide.
+    graft.operators.Dedup.routeToChunks(keyed, hot, "id_b")
+      .join(ck, Seq("band", "key", "__sub"))
       .join(cvecs, Seq("id_c"))
       .select(col("id_b"), col("__ts"), col("id_c"),
         round(VectorFunctions.cosineFast(col("__vec"), col("id_c_vec")), 6).as("cos"))

@@ -659,18 +659,28 @@ class DedupSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 1.0)), 2L -> ((1L, 1L, 1.0)), 3L -> ((1L, 0L, 0.0))), out.toString)
   }
 
-  test("LSH bucket cap drops hot buckets; pairs survive under the default cap") {
-    // Six near-identical docs land in the same band buckets (bucket
-    // size 6). With maxBucket=3 every one of their buckets is over cap
-    // → zero candidates → zero pairs. With the default cap they pair.
+  test("LSH bucket cap SPLITS hot buckets (not drop): subset of uncapped, every member stays paired") {
+    // Six identical docs land in the same band buckets (bucket size
+    // 6). With maxBucket=3 each bucket rank-chunks into {1,2,3} and
+    // {4,5,6} (id order) → within-chunk pairs only: 3+3 = 6 of the 15
+    // uncapped pairs. The round-15 DROP posture emitted ZERO pairs
+    // here — the anti-drop pin is that every doc still appears in at
+    // least one pair.
     val docs = (1L to 6L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
     val capped = Dedup.minhashPairsKernel(docs, "doc_id", "text",
       mode = "word", k = 3, numHashes = 16, bands = 4, threshold = 0.4, maxBucket = 3)
-    assert(capped.count() == 0L, "over-cap buckets must emit no candidate pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)),
+      "over-cap buckets must split into id-ordered rank chunks of maxBucket")
     val uncapped = Dedup.minhashPairsKernel(docs, "doc_id", "text",
       mode = "word", k = 3, numHashes = 16, bands = 4, threshold = 0.4)
-    assert(uncapped.count() == 15L, "default cap must leave small buckets untouched")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 15, "default cap must leave small buckets untouched")
+    assert(capped.subsetOf(uncapped), "split pairs must be a subset of uncapped pairs")
+    val pairedDocs = capped.flatMap(p => Seq(p._1, p._2))
+    assert(pairedDocs == (1L to 6L).toSet,
+      "split-not-drop: every hot-bucket member must remain eligible (drop forfeited all)")
   }
 
   test("charShingles builds real n-grams of the text (round-1 bug regression)") {

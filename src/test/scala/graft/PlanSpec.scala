@@ -136,12 +136,14 @@ class PlanSpec extends AnyFunSuite {
       val p = pairs.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
-      // The hot-bucket cap must apply as a BROADCAST anti-join — a
-      // shuffled (sort-merge) anti would re-shuffle the whole banded
-      // frame just to drop a handful of hot keys.
-      assert(p.contains("LeftAnti"), s"$q lost the hot-bucket cap anti-join:\n" + p.take(600))
-      assert(!p.contains("SortMergeJoin LeftAnti"),
-        s"$q hot-bucket cap planned as a shuffled anti-join:\n" + p.take(600))
+      // The hot-bucket SPLIT's flag attach must be a BROADCAST
+      // left-outer probe (the hot set is ≤ |banded|/cap keys) — a
+      // shuffled (sort-merge) outer would re-shuffle the whole banded
+      // frame just to tag a handful of hot keys; under-cap rows must
+      // stay on the no-shuffle path.
+      assert(p.contains("LeftOuter"), s"$q lost the hot-bucket split flag join:\n" + p.take(600))
+      assert(!p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("LeftOuter")),
+        s"$q hot-bucket split flag planned as a shuffled outer join:\n" + p.take(600))
     } finally (mhCaches ++ shCaches ++ incCaches :+ lshKeys).foreach(_.unpersist())
   }
 
