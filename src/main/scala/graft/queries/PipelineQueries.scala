@@ -10191,6 +10191,274 @@ object PipelineQueries {
            |       COUNT(*) AS n
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  // ------------------------------------------------ unigram tokenizer
+
+  /** Unigram-chain fixed parameters — mirrored verbatim into the
+    * oracle SQL so both engines train the identical artifact.
+    * `UnigramVocabSize` = the 36-char gate alphabet + [[BpeMerges]]
+    * new symbols — the same nominal vocabulary budget the BPE chain
+    * trains, which is what makes the fertility comparison row an
+    * equal-budget comparison.
+    */
+  private val UnigramSeedMulti = 150
+  private val UnigramEmIters = 3
+  private val UnigramVocabSize = 36 + BpeMerges
+
+  /** The Viterbi DP over word `w` under score map `m` — the DuckDB
+    * twin of [[graft.operators.Unigram.viterbiSeg]]. One list_reduce
+    * over positions carrying the full dp table (score, segmentation)
+    * per position. The inner argmax deliberately rides a PLAIN BIGINT
+    * score list — list_max for the best score, list_position for its
+    * FIRST index (ascending j, so ties break to the smallest j
+    * exactly like the engine's strictly-greater scan) — with
+    * single-element list_transform calls as let-bindings: the
+    * straightforward nested-reduce-over-structs formulation trips a
+    * DuckDB 1.0 vectorization bug (nondeterministic lambda results on
+    * multi-row batches; isolated rows compute correctly), where this
+    * scalar-list shape is stable across thread counts and re-runs
+    * (probed 3 trials x 3 thread settings before adoption). A
+    * position whose best is the sentinel (no in-vocabulary candidate)
+    * takes the single-char UNK fallback — the engine's `otherwise`
+    * branch.
+    */
+  private def unigramDpSql(w: String, m: String): String =
+    s"""list_reduce(
+       |      [[{'sc': 0::BIGINT, 'seg': []::VARCHAR[]}]] ||
+       |      [[{'sc': i::BIGINT, 'seg': []::VARCHAR[]}]
+       |       FOR i IN generate_series(1, length($w))],
+       |      (acc, x) -> acc || [list_transform(
+       |        [[CASE WHEN map_extract($m, substr($w, jj, x[1].sc::INT - jj + 1))[1] IS NOT NULL
+       |               THEN acc[jj].sc + map_extract($m, substr($w, jj, x[1].sc::INT - jj + 1))[1]
+       |               ELSE (-9223372036854775807)::BIGINT END
+       |          FOR jj IN generate_series(greatest(x[1].sc::INT - 5, 1), x[1].sc::INT)]],
+       |        scs -> list_transform(
+       |          [CASE WHEN list_max(scs) > (-4611686018427387904)::BIGINT
+       |                THEN greatest(x[1].sc::INT - 5, 1) + list_position(scs, list_max(scs)) - 1
+       |                ELSE 0 END],
+       |          jj -> CASE WHEN jj > 0
+       |                THEN {'sc': acc[jj].sc + map_extract($m, substr($w, jj, x[1].sc::INT - jj + 1))[1],
+       |                      'seg': acc[jj].seg || [substr($w, jj, x[1].sc::INT - jj + 1)]}
+       |                ELSE {'sc': acc[x[1].sc::INT].sc + (-20000000)::BIGINT,
+       |                      'seg': acc[x[1].sc::INT].seg || [substr($w, x[1].sc::INT, 1)]} END
+       |        )[1]
+       |      )[1]]
+       |    )[length($w) + 1].seg""".stripMargin
+
+  /** The unigram TRAINING chain as a CTE list ending in `ufinal`
+    * (token, cnt, score_u, token_id) — seed, `emIters` unrolled
+    * hard-EM rounds, the single-char coverage floor, the final prune.
+    * All CTE names are u-prefixed so the chain composes beside
+    * [[bpeChainSql]] in one WITH (the fertility row).
+    */
+  private def unigramChainSql(emIters: Int, seedMulti: Int, vocabSize: Int): String = {
+    val scoredSql = (src: String) =>
+      s"""SELECT piece, cnt,
+         |         CAST(round(ln(cnt::DOUBLE / t.tot::DOUBLE) * 1000000, 0) AS BIGINT) AS score_u
+         |  FROM $src, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM $src) t""".stripMargin
+    val base =
+      s"""uwc AS MATERIALIZED (
+         |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
+         |    FROM documents)
+         |  WHERE regexp_matches(t, '^[a-z0-9]+$$')
+         |  GROUP BY 1
+         |),
+         |usub AS (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |           unnest(flatten([[substr(w, i, l)
+         |                            FOR l IN generate_series(1, least(6, length(w) - i + 1))]
+         |                           FOR i IN generate_series(1, length(w))])) AS piece
+         |    FROM uwc) GROUP BY 1
+         |),
+         |uv0 AS (
+         |  SELECT piece, cnt FROM usub WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+         |    FROM usub WHERE length(piece) > 1) WHERE rk <= $seedMulti
+         |),
+         |usv0 AS MATERIALIZED (
+         |  ${scoredSql("uv0")}
+         |)""".stripMargin
+    val rounds = (1 to emIters).map { r =>
+      val prev = s"usv${r - 1}"
+      s""",
+         |uvm${r - 1} AS (SELECT map_from_entries(list({'k': piece, 'v': score_u})) AS m FROM $prev),
+         |useg$r AS (
+         |  SELECT w, freq,
+         |    ${unigramDpSql("w", "m")} AS seg
+         |  FROM uwc CROSS JOIN uvm${r - 1}
+         |),
+         |ucnt$r AS (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(seg) AS piece FROM useg$r) GROUP BY 1
+         |),
+         |umem$r AS (
+         |  SELECT piece FROM $prev WHERE length(piece) = 1
+         |  UNION
+         |  SELECT piece FROM ucnt$r
+         |),
+         |uvv$r AS (
+         |  SELECT m.piece, CAST(COALESCE(c.cnt, 1) AS BIGINT) AS cnt
+         |  FROM umem$r m LEFT JOIN ucnt$r c USING (piece)
+         |),
+         |usv$r AS MATERIALIZED (
+         |  ${scoredSql(s"uvv$r")}
+         |)""".stripMargin
+    }.mkString
+    val last = s"usv$emIters"
+    val fin =
+      s""",
+         |uchars AS (SELECT piece, cnt, score_u FROM $last WHERE length(piece) = 1),
+         |umulti AS (
+         |  SELECT piece, cnt, score_u FROM (
+         |    SELECT piece, cnt, score_u,
+         |           ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+         |    FROM $last WHERE length(piece) > 1), (SELECT COUNT(*) AS nc FROM uchars) z
+         |  WHERE rk <= $vocabSize - z.nc
+         |),
+         |ufinal AS MATERIALIZED (
+         |  SELECT piece AS token, cnt, score_u,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS INT) AS token_id
+         |  FROM (SELECT * FROM uchars UNION ALL SELECT * FROM umulti)
+         |)""".stripMargin
+    base + rounds + fin
+  }
+
+  /** Unigram-LM (SentencePiece-family) tokenizer TRAINING
+    * ([[graft.operators.Unigram.train]]) — seed from frequent
+    * substrings, [[UnigramEmIters]] hard-EM rounds in the
+    * exact-integer micro-nat posture, prune to the
+    * [[UnigramVocabSize]] budget. The oracle replays every round as
+    * unrolled CTEs (the T18 20-round-BPE precedent), so a wrong seed
+    * count, DP tie-break, EM count, score rounding, or prune rank
+    * anywhere hash-fails. Round-15 verdict ask #2.
+    */
+  val textUnigramTrain = QueryDef(
+    "text_unigram_train",
+    (s, dir) =>
+      graft.operators.Unigram.train(Tables.documents(s, dir), "text",
+        seedMulti = UnigramSeedMulti, emIters = UnigramEmIters,
+        vocabSize = UnigramVocabSize),
+    Some(
+      s"""WITH ${unigramChainSql(UnigramEmIters, UnigramSeedMulti, UnigramVocabSize)}
+         |SELECT token, cnt, score_u, token_id FROM ufinal""".stripMargin))
+
+  /** Unigram token-ID sequences per document
+    * ([[graft.operators.Unigram.encodeIds]]) — the strictest pin in
+    * the family (the T18f `text_bpe_token_ids` shape): the full
+    * comma-joined id sequence per doc is hashed, so one wrong Viterbi
+    * step in one word of one document fails the query. UNK id 0 for
+    * pieces outside the trained vocabulary.
+    */
+  val textUnigramTokenIds = QueryDef(
+    "text_unigram_token_ids",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val voc = graft.operators.Unigram.train(docs, "text",
+        seedMulti = UnigramSeedMulti, emIters = UnigramEmIters,
+        vocabSize = UnigramVocabSize)
+      graft.operators.Unigram.encodeIds(docs, "doc_id", "text", voc)
+    },
+    Some(
+      s"""WITH ${unigramChainSql(UnigramEmIters, UnigramSeedMulti, UnigramVocabSize)},
+         |ufm AS (SELECT map_from_entries(list({'k': token, 'v': score_u})) AS m FROM ufinal),
+         |dtok AS (
+         |  SELECT doc_id, unnest(toks) AS w,
+         |         unnest(generate_series(1, len(toks))) AS wpos
+         |  FROM (
+         |    SELECT doc_id,
+         |           list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |                       t -> regexp_matches(t, '^[a-z0-9]+$$')) AS toks
+         |    FROM documents)
+         |),
+         |dseg AS (
+         |  SELECT w,
+         |    ${unigramDpSql("w", "m")} AS seg
+         |  FROM (SELECT DISTINCT w FROM dtok) CROSS JOIN ufm
+         |),
+         |dsym AS (
+         |  SELECT d.doc_id, d.wpos, unnest(g.seg) AS token,
+         |         unnest(generate_series(1, len(g.seg))) AS spos
+         |  FROM dtok d JOIN dseg g USING (w)
+         |),
+         |ids AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         array_to_string(LIST(COALESCE(v.token_id, 0) ORDER BY wpos, spos), ',')
+         |           AS token_ids
+         |  FROM dsym LEFT JOIN ufinal v USING (token)
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc.doc_id, COALESCE(i.n_tokens, 0) AS n_tokens,
+         |       COALESCE(i.token_ids, '') AS token_ids
+         |FROM documents doc LEFT JOIN ids i ON doc.doc_id = i.doc_id""".stripMargin))
+
+  /** Fertility (tokens emitted per corpus word) of the two trained
+    * tokenizer families at the SAME nominal vocabulary budget
+    * ([[UnigramVocabSize]] = alphabet + [[BpeMerges]]) — the
+    * comparison row the round-15 verdict asked for beside
+    * `text_bpe_merge_curve`. One row per tokenizer with its MEASURED
+    * shipped vocabulary size (BPE's is data-dependent: symbols still
+    * occurring after the merges), exact bigint token/word counts,
+    * and fertility as the raw double quotient of those identical
+    * integers (bit-portable). Both training chains replay fully in
+    * the oracle.
+    */
+  val textUnigramVsBpeFertility = QueryDef(
+    "text_unigram_vs_bpe_fertility",
+    (s, dir) => {
+      import graft.operators.{Bpe, Unigram}
+      val docs = Tables.documents(s, dir)
+      val words = Bpe.wordCounts(docs, "text")
+      val (_, wordMap) = Bpe.train(docs, "text", merges = BpeMerges)
+      val brow = wordMap
+        .agg(sum(col("freq")).cast("long").as("n_words"),
+          sum(col("freq") * size(col("syms"))).cast("long").as("n_tokens"))
+        .crossJoin(broadcast(
+          Bpe.vocab(wordMap).agg(count(lit(1)).cast("long").as("vocab_size"))))
+        .select(lit("bpe").as("tokenizer"), col("vocab_size"),
+          col("n_words"), col("n_tokens"))
+      val uvoc = Unigram.train(docs, "text",
+        seedMulti = UnigramSeedMulti, emIters = UnigramEmIters,
+        vocabSize = UnigramVocabSize)
+      val urow = Unigram.fertility(words, uvoc)
+        .crossJoin(broadcast(uvoc.agg(count(lit(1)).cast("long").as("vocab_size"))))
+        .select(lit("unigram").as("tokenizer"), col("vocab_size"),
+          col("n_words"), col("n_tokens"))
+      brow.unionByName(urow)
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+    },
+    Some(
+      s"""WITH ${bpeChainSql(BpeMerges)},
+         |${unigramChainSql(UnigramEmIters, UnigramSeedMulti, UnigramVocabSize)},
+         |ufm AS (SELECT map_from_entries(list({'k': token, 'v': score_u})) AS m FROM ufinal),
+         |ufseg AS (
+         |  SELECT freq,
+         |    len(${unigramDpSql("w", "m")}) AS n
+         |  FROM uwc CROSS JOIN ufm
+         |),
+         |brow AS (
+         |  SELECT 'bpe' AS tokenizer,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |            (SELECT DISTINCT unnest(s) FROM st$$BPEK)) AS vocab_size,
+         |         CAST(SUM(freq) AS BIGINT) AS n_words,
+         |         CAST(SUM(freq * len(s)) AS BIGINT) AS n_tokens
+         |  FROM st$$BPEK
+         |),
+         |urow AS (
+         |  SELECT 'unigram' AS tokenizer,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM ufinal) AS vocab_size,
+         |         CAST(SUM(freq) AS BIGINT) AS n_words,
+         |         CAST(SUM(freq * n) AS BIGINT) AS n_tokens
+         |  FROM ufseg
+         |)
+         |SELECT tokenizer, vocab_size, n_words, n_tokens,
+         |       n_tokens::DOUBLE / n_words::DOUBLE AS fertility
+         |FROM (SELECT * FROM brow UNION ALL SELECT * FROM urow)""".stripMargin
+        .replace("$BPEK", BpeMerges.toString)))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupPrefixJoin, dedupExactSubstr, dedupExactSubstrCurve, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
@@ -10198,7 +10466,7 @@ object PipelineQueries {
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, textBpeTrain, textBpeEncode,
-    textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes,
+    textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes, textUnigramTrain, textUnigramTokenIds, textUnigramVsBpeFertility,
     textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textZipfFit, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, textLrCapacityCurve, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,

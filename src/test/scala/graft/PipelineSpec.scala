@@ -2615,3 +2615,73 @@ class XlsxSpec extends AnyFunSuite {
       "over-limit detection must collect one past the cap, not silently truncate")
   }
 }
+
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Unigram
+
+  private def seg(w: String, vocab: Seq[(String, Long)]): Seq[String] = {
+    val vm = vocab.toDF("piece", "score_u")
+    Seq(Tuple1(w)).toDF("w")
+      .crossJoin(broadcast(Unigram.vocabMap(vm)))
+      .select(Unigram.viterbiSeg($"w", $"__vmap", Unigram.MaxPieceLen).as("seg"))
+      .as[Seq[String]].collect().head
+  }
+
+  test("viterbiSeg: max-score path wins; ties break to the smallest j (longest last piece)") {
+    // 'ab'+'c' = -5 ties 'abc' = -5: smallest j at the last position
+    // means the WHOLE word wins the tie.
+    val v = Seq("a" -> -1L, "b" -> -2L, "ab" -> -2L, "abc" -> -5L, "c" -> -3L)
+    assert(seg("abc", v) == Seq("abc"))
+    // strictly better split beats the whole piece
+    assert(seg("abc", Seq("a" -> -1L, "b" -> -1L, "c" -> -1L, "abc" -> -4L))
+      == Seq("a", "b", "c"))
+    // chars only -> char segmentation
+    assert(seg("ba", Seq("a" -> -1L, "b" -> -2L)) == Seq("b", "a"))
+  }
+
+  test("viterbiSeg: UNK fallback emits the raw character; in-vocab neighbors unaffected") {
+    val v = Seq("a" -> -1L, "x" -> -2L)
+    assert(seg("axa", v) == Seq("a", "x", "a"))
+    assert(seg("aqa", v) == Seq("a", "q", "a")) // q not in vocab -> fallback char
+    assert(seg("q", v) == Seq("q"))
+  }
+
+  test("viterbiSeg: pieces longer than MaxPieceLen are out of reach") {
+    // 'abcdefg' (7 chars) in the map must NOT be usable: window is 6.
+    val v = Seq("abcdefg" -> 0L, "a" -> -1L, "b" -> -1L, "c" -> -1L,
+      "d" -> -1L, "e" -> -1L, "f" -> -1L, "g" -> -1L)
+    assert(seg("abcdefg", v) == Seq("a", "b", "c", "d", "e", "f", "g"))
+  }
+
+  test("train: coverage floor keeps every corpus char; prune respects the budget; ids contiguous") {
+    val docs = Seq(
+      (1L, Seq.fill(8)("banana").mkString(" ")),
+      (2L, Seq.fill(4)("bandana").mkString(" ")),
+      (3L, "zq")).toDF("doc_id", "text")
+    val voc = Unigram.train(docs, "text", seedMulti = 10, emIters = 2, vocabSize = 12)
+      .collect()
+    val tokens = voc.map(_.getString(0)).toSet
+    // every corpus character survives, even rare z/q
+    assert(Set("a", "b", "n", "d", "z", "q").subsetOf(tokens))
+    assert(voc.length <= 12)
+    assert(voc.map(_.getInt(3)).sorted.toSeq == (1 to voc.length))
+    // id order = (cnt desc, token asc)
+    val byRank = voc.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getString(0)))
+    assert(byRank.sliding(2).forall { case Array((c1, t1), (c2, t2)) =>
+      c1 > c2 || (c1 == c2 && t1 < t2) })
+  }
+
+  test("encodeIds: OOV chars map to id 0; empty docs emit empty sequences") {
+    val docs = Seq((1L, "banana banana"), (2L, ""), (3L, "qqq")).toDF("doc_id", "text")
+    val voc = Unigram.train(docs.filter($"doc_id" === 1L), "text",
+      seedMulti = 5, emIters = 1, vocabSize = 8)
+    val out = Unigram.encodeIds(docs, "doc_id", "text", voc)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(1).getLong(1) == 0L && out(1).getString(2) == "")
+    // 'qqq' tokens: q is not in the banana vocab -> every piece id 0
+    assert(out(2).getString(2).split(",").forall(_ == "0"))
+  }
+}

@@ -433,7 +433,13 @@ class PlanSpec extends AnyFunSuite {
       // text_zipf_fit: the rank window runs over the VOCABULARY
       // aggregate (term-count table — the text_bpe_vocab bound,
       // never corpus rows).
-      "text_zipf_fit")
+      "text_zipf_fit",
+      // text_unigram_*: the prune + token-id ranking windows run over
+      // the trained unigram VOCABULARY (≤ seedMulti + alphabet rows,
+      // bounded by the seed budget by construction — the
+      // text_bpe_vocab argument; Unigram.train scaladoc).
+      "text_unigram_train", "text_unigram_token_ids",
+      "text_unigram_vs_bpe_fertility")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok(name)) None
       else {
@@ -551,6 +557,7 @@ class PlanSpec extends AnyFunSuite {
       "ann_pq_rerank_manifold" -> "PQ codebooks + shortlist: codewords / top-n per query (k-heap output)",
       "ann_ivfpq_manifold" -> "PQ codebooks + probe table: codewords / |Q| x nprobe rows",
       "text_bpe_token_ids" -> "vocabulary id table: |alphabet| + merges rows (the T18d artifact)",
+      "text_unigram_token_ids" -> "unigram vocabulary id table: <= vocabSize rows by the prune budget (Unigram.train contract — the text_bpe_token_ids bound)",
       "text_bpe_token_ids_bytes" -> "serving vocabulary + byte floor: |alphabet| + merges + <=36 rows; max-id frame: 1-row agg",
       "ann_ivfpq_rerank_manifold" -> "PQ codebooks + probes + shortlist: codewords / |Q| x nprobe / top-n per query",
       "ann_ivfpq_residual_manifold" -> "residual codebooks + normalized centroids + probes + per-(query,cell) tables: all codeword/|Q|-bounded",
