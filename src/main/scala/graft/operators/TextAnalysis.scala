@@ -2229,6 +2229,100 @@ object TextAnalysis {
         ((col("s_u") + col("prior_u")) > 0L).as("pred"))
   }
 
+  // -------------------- trained language-ID (multiclass NB, T2's trained tier)
+
+  /** Character n-gram occurrences of the whitespace-normalized,
+    * case-folded text — the fastText-style language-ID featurization
+    * (char n-grams cross word boundaries, which is where language
+    * signal lives: function-word shapes, affixes, scripts). Empty
+    * array below n chars.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(lower(coalesce(text, lit("")))), "\\s+", " ")
+    when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - n + 1), i => norm.substr(i, lit(n))))
+      .otherwise(expr("cast(array() as array<string>)"))
+  }
+
+  /** TRAINED language-ID model — the round-15 verdict's ask #3: a
+    * multiclass multinomial naive Bayes over HASHED char-trigram
+    * buckets (the hashing trick at 256 buckets, the knee
+    * `text_lr_capacity_curve` measured for this corpus), i.e. the
+    * fastText-classifier shape with NB's closed form instead of
+    * gradient descent — closed-form counts are exact integers, so the
+    * whole artifact stays bit-portable where trained float weights
+    * would not be. The model is ONE frame, (lang, b, c): trigram
+    * bucket counts per class — map-side-combinable aggregate at
+    * (|langs| × buckets) cardinality, persistable via Sink.saveIndex.
+    */
+  def langIdModel(
+      train: DataFrame,
+      textCol: String,
+      labelCol: String,
+      n: Int = 3,
+      buckets: Int = 256): DataFrame =
+    train
+      .select(col(labelCol).as("lang"), explode(charNgrams(col(textCol), n)).as("__g"))
+      .select(col("lang"), graft.functions.Hashing.md5Bucket(col("__g"), buckets.toLong).as("b"))
+      .groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+
+  /** Per-class document priors in integer micro-nats ([[nbPriors]]'
+    * multiclass twin): (lang, prior_u = round(ln(n_lang/N)·10⁶)).
+    */
+  def langIdPriors(train: DataFrame, labelCol: String): DataFrame =
+    train.groupBy(col(labelCol).as("lang"))
+      .agg(count(lit(1)).cast("long").as("__nl"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).cast("long").as("__n"))))
+      .select(col("lang"),
+        round(log(col("__nl").cast("double") / col("__n").cast("double"))
+          * lit(1000000.0), 0).cast("bigint").as("prior_u"))
+
+  /** Score documents against a trained [[langIdModel]]: per doc, the
+    * add-one-smoothed class log-likelihood Σ_b m_b·ln((c_{lang,b}+1)
+    * /(T_lang+buckets)) + prior, every ln rounded to integer
+    * micro-nats FIRST (the [[nbScore]] posture — sums and the argmax
+    * comparison are exact bigints, bit-identical cross-engine). The
+    * argmax ties break lang-ascending via an integer struct min.
+    *
+    * Scale shape: the doc side aggregates to distinct (doc, bucket)
+    * pairs before anything joins; the per-class fan-out is a
+    * broadcast of the |langs|-row (totals × priors) frame (enum
+    * domain); the model joins UNBROADCAST on (b, lang) — at 256
+    * buckets it is tiny and AQE broadcasts it, but the plan does not
+    * force that assumption. Docs with zero n-grams drop (the
+    * unjudgeable-doc posture).
+    *
+    * Output: (doc_id, pred).
+    */
+  def langIdScore(
+      model: DataFrame,
+      priors: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      buckets: Int = 256): DataFrame = {
+    val langs = model.groupBy(col("lang")).agg(sum(col("c")).cast("long").as("t"))
+      .join(priors, Seq("lang"))
+    val db = docs
+      .select(col(idCol).as("doc_id"), explode(charNgrams(col(textCol), n)).as("__g"))
+      .select(col("doc_id"), graft.functions.Hashing.md5Bucket(col("__g"), buckets.toLong).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast("long").as("m"))
+    db.crossJoin(broadcast(langs))
+      .join(model, Seq("b", "lang"), "left")
+      .withColumn("lp_u",
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("t") + lit(buckets.toLong)).cast("double")) * lit(1000000.0), 0)
+          .cast("bigint"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((sum(col("m") * col("lp_u")) + first(col("prior_u"))).as("s_u"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("s_u")).as("ns"), col("lang").as("l"))).as("__b"))
+      .select(col("doc_id"), col("__b").getField("l").as("pred"))
+  }
+
   /** Hashed bag-of-words features for the linear-classifier family:
     * one (doc_id, b, m) row per document × feature bucket, where
     * b = md5-bucket(token) over `buckets` buckets (the hashing

@@ -10459,6 +10459,128 @@ object PipelineQueries {
          |FROM (SELECT * FROM brow UNION ALL SELECT * FROM urow)""".stripMargin
         .replace("$BPEK", BpeMerges.toString)))
 
+  /** The `text_langid_trained` fixture: every document's text gets a
+    * 4-stopword marker of ITS OWN labeled language appended — the
+    * "injected per-language markers" fixture the round-15 verdict
+    * specified (the raw synthetic text is English-ish for every lang
+    * label, so without markers neither classifier has signal; with
+    * them the query measures whether each classifier can LEARN/match
+    * the signal, which is the point).
+    */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the of and to", "es" -> "el la que los",
+    "de" -> "der die und das", "fr" -> "le et les des",
+    "zh" -> "\u7684 \u662f \u5728 \u4e86")
+
+  private def langMarkedDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val markerCase = langMarkers.foldLeft(lit(""): org.apache.spark.sql.Column) {
+      case (e, (l, m)) => when(col("lang") === l, lit(m)).otherwise(e)
+    }
+    Tables.documents(s, dir)
+      .withColumn("text", concat_ws(" ", coalesce(col("text"), lit("")), markerCase))
+  }
+
+  private val langMarkerCaseSql: String =
+    "CASE lang " + langMarkers.map { case (l, m) => s"WHEN '$l' THEN '$m'" }
+      .mkString(" ") + " ELSE '' END"
+
+  /** TRAINED language-ID vs the T2 stopword heuristic
+    * ([[TextAnalysis.langIdModel]]/[[TextAnalysis.langIdScore]] — the
+    * round-15 verdict ask #3): a 5-class naive-Bayes over hashed
+    * char-trigrams (256 buckets) trained on the 4/5 split of the
+    * marker fixture, confusion-matrixed on the held-out fifth BESIDE
+    * the heuristic's confusion on the same eval docs — one artifact,
+    * rows (classifier, label, pred, n, frac). The oracle replays the
+    * marker injection, trigram hashing, both classifiers, and the
+    * integer argmax.
+    */
+  val textLangidTrained = QueryDef(
+    "text_langid_trained",
+    (s, dir) => {
+      val marked = langMarkedDocs(s, dir)
+      val train = marked.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = marked.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val model = TextAnalysis.langIdModel(train, "text", "lang")
+      val priors = TextAnalysis.langIdPriors(train, "lang")
+      val nb = TextAnalysis.langIdScore(model, priors, heldOut, "doc_id", "text")
+        .join(heldOut.select(col("doc_id"), col("lang").as("label")), Seq("doc_id"))
+        .groupBy(col("label"), col("pred")).agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("nb_char3").as("classifier"), col("label"), col("pred"), col("n"))
+      val h = heldOut
+        .select(col("lang").as("label"),
+          TextAnalysis.languageId(col("text")).as("pred"))
+        .groupBy(col("label"), col("pred")).agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("heuristic").as("classifier"), col("label"), col("pred"), col("n"))
+      nb.unionByName(h)
+        .crossJoin(broadcast(heldOut.agg(count(lit(1)).cast("long").as("__te"))))
+        .select(col("classifier"), col("label"), col("pred"), col("n"),
+          round(col("n").cast("double") / col("__te").cast("double"), 6).as("frac"))
+    },
+    Some(s"""WITH marked AS (
+            |  SELECT doc_id, lang,
+            |         concat_ws(' ', coalesce(text, ''), $langMarkerCaseSql) AS text
+            |  FROM documents
+            |),
+            |trainset AS (SELECT * FROM marked WHERE doc_id % 5 <> 0),
+            |evalset AS (SELECT * FROM marked WHERE doc_id % 5 = 0),
+            |tg AS (
+            |  SELECT lang, ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b
+            |  FROM (SELECT lang, unnest([substr(s, i, 3) FOR i IN generate_series(1, length(s) - 2)]) AS g
+            |        FROM (SELECT lang, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+            |              FROM trainset)
+            |        WHERE length(s) >= 3)
+            |),
+            |model AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM tg GROUP BY 1, 2),
+            |tots AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM model GROUP BY 1),
+            |pri AS (
+            |  SELECT lang, CAST(round(ln(COUNT(*)::DOUBLE / tt.n::DOUBLE) * 1000000, 0) AS BIGINT) AS prior_u
+            |  FROM trainset, (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM trainset) tt
+            |  GROUP BY lang, tt.n
+            |),
+            |lt AS (SELECT tots.lang, tots.t, pri.prior_u FROM tots JOIN pri USING (lang)),
+            |db AS (
+            |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b,
+            |         CAST(COUNT(*) AS BIGINT) AS m
+            |  FROM (SELECT doc_id, unnest([substr(s, i, 3) FOR i IN generate_series(1, length(s) - 2)]) AS g
+            |        FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+            |              FROM evalset)
+            |        WHERE length(s) >= 3)
+            |  GROUP BY 1, 2
+            |),
+            |sc AS (
+            |  SELECT d.doc_id, l.lang,
+            |         CAST(SUM(d.m * CAST(round(ln((COALESCE(mo.c, 0) + 1)::DOUBLE / (l.t + 256)::DOUBLE)
+            |                                   * 1000000, 0) AS BIGINT)) AS BIGINT)
+            |         + MAX(l.prior_u) AS s_u
+            |  FROM db d CROSS JOIN lt l
+            |  LEFT JOIN model mo ON mo.b = d.b AND mo.lang = l.lang
+            |  GROUP BY 1, 2
+            |),
+            |prednb AS (
+            |  SELECT doc_id, lang AS pred FROM sc
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s_u DESC, lang ASC) = 1
+            |),
+            |nbrows AS (
+            |  SELECT 'nb_char3' AS classifier, e.lang AS label, p.pred,
+            |         CAST(COUNT(*) AS BIGINT) AS n
+            |  FROM evalset e JOIN prednb p USING (doc_id) GROUP BY 1, 2, 3
+            |),
+            |hbase AS (
+            |  SELECT lang AS label,
+            |         string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+            |  FROM evalset
+            |),
+            |hscored AS (SELECT label, $stopScoresSql FROM hbase),
+            |hrows AS (
+            |  SELECT 'heuristic' AS classifier, label, $langidCaseSql AS pred,
+            |         CAST(COUNT(*) AS BIGINT) AS n
+            |  FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM hscored)
+            |  GROUP BY 1, 2, 3
+            |),
+            |tt2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS te FROM evalset)
+            |SELECT classifier, label, pred, n, ROUND(n::DOUBLE / te::DOUBLE, 6) AS frac
+            |FROM (SELECT * FROM nbrows UNION ALL SELECT * FROM hrows) CROSS JOIN tt2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupPrefixJoin, dedupExactSubstr, dedupExactSubstrCurve, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
@@ -10466,7 +10588,7 @@ object PipelineQueries {
     textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, textBpeTrain, textBpeEncode,
-    textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes, textUnigramTrain, textUnigramTokenIds, textUnigramVsBpeFertility,
+    textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes, textUnigramTrain, textUnigramTokenIds, textUnigramVsBpeFertility, textLangidTrained,
     textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textZipfFit, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, textLrCapacityCurve, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,

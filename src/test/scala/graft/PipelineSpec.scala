@@ -2685,3 +2685,32 @@ class UnigramSpec extends AnyFunSuite {
     assert(out(2).getString(2).split(",").forall(_ == "0"))
   }
 }
+
+class LangIdTrainedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("charNgrams: normalized trigram occurrences; short/empty text empty") {
+    val df = Seq("The  quick", "ab", "", null.asInstanceOf[String]).toDF("t")
+    val out = df.select(TextAnalysis.charNgrams($"t", 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("the", "he ", "e q", " qu", "qui", "uic", "ick"))
+    assert(out(1).isEmpty && out(2).isEmpty && out(3).isEmpty)
+  }
+
+  test("langIdModel + langIdScore: separable two-class fixture classifies perfectly; ties break lang-asc") {
+    val train = Seq(
+      (1L, "aaa aaa aaa", "aa"), (2L, "aaa aaa", "aa"),
+      (3L, "zzz zzz zzz", "zz"), (4L, "zzz zzz", "zz")).toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.langIdModel(train, "text", "lang")
+    val priors = TextAnalysis.langIdPriors(train, "lang")
+    val eval = Seq((10L, "aaa aaa"), (11L, "zzz"), (12L, "qqq")).toDF("doc_id", "text")
+    val preds = TextAnalysis.langIdScore(model, priors, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(10L) == "aa")
+    assert(preds(11L) == "zz")
+    // 'qqq' has zero evidence for either class: identical smoothed
+    // likelihoods and identical priors -> tie -> lang ascending = "aa"
+    assert(preds(12L) == "aa")
+  }
+}

@@ -593,7 +593,8 @@ class PlanSpec extends AnyFunSuite {
       "text_lr_classifier" -> "LR weight vector: <= 64 rows by construction (md5 pmod the literal bucket space — the sample_dsir bound)",
       "text_lr_auc" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)",
       "text_lr_capacity_curve" -> "three LR weight vectors: <= 16/64/256 rows by md5-pmod construction (the text_lr_classifier bound per arm)",
-      "text_lr_calibration" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)")
+      "text_lr_calibration" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)",
+      "text_langid_trained" -> "class totals x priors frame: one row per language label (5-value enum domain — the sample_balanced bound)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok.contains(name)) None
       else {
