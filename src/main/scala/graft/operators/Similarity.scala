@@ -1262,4 +1262,136 @@ object Similarity {
       .select(col("query_id"), col("__t.d").as("doc_id"),
         col("__t.ns").as("n_systems"), (-col("__t.nr")).as("rrf_u"))
   }
+
+  // ------------------------------------------------------------------
+  // Graph ANN (NSW-lite) — the fourth index family beside IVF / PQ /
+  // int8: a degree-bounded k-NN graph + fixed-round beam search, the
+  // tier Lucene HNSW / FAISS NSG deployments default to. "Lite"
+  // because the build skips HNSW's insertion-order hierarchy: the
+  // neighbor lists come from the SAME banded sign-LSH candidate
+  // generation the near-dup tier already runs (a deterministic,
+  // oracle-replayable stand-in for the incremental build, which is
+  // sequential by nature and has no exact distributed analog), and
+  // the search runs a FIXED number of expansion rounds instead of a
+  // convergence loop — the bounded-iteration posture every trained
+  // artifact in this library uses so the DuckDB oracle can replay the
+  // rounds as unrolled CTEs and hash-match bit-for-bit.
+  // ------------------------------------------------------------------
+
+  /** Degree-bounded k-NN graph over an embedding column: banded
+    * sign-LSH candidates ([[bucketedPairsLazy]] — never all-pairs),
+    * cosine-verified, symmetrized, then cut to the top-`degree`
+    * neighbors per node by (cos desc, dst asc) with the bounded
+    * [[graft.functions.TopK]] heap (map-side partial k-heaps — no
+    * per-node sort, no window over the edge stream).
+    *
+    * The default banding is COARSER than the near-dup tier's
+    * (fewer bits → bigger buckets): a graph build wants enough
+    * same-bucket candidates to fill every node's neighbor list, where
+    * near-dup wants buckets so tight that candidates are probable
+    * duplicates. Hot buckets are rank-chunk split, not dropped
+    * ([[Dedup.splitBuckets]]), so dense directions keep their edges.
+    *
+    * Scale shape: candidates are equi-join bounded (bands ×
+    * chunked-bucket size), edges shuffle once on `src` into the heap
+    * aggregate, and the materialized graph is exactly |C| × degree
+    * rows — the artifact a deployment persists and serves beam
+    * searches from. Output: (src, dst, cos).
+    */
+  def nswGraph(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int = 64,
+      nBands: Int = 8,
+      bitsPerBand: Int = 6,
+      degree: Int = 8,
+      maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
+    require(degree >= 1, s"degree must be >= 1, got $degree")
+    // minCosine = -1: a k-NN GRAPH keeps its best candidates however
+    // weak (connectivity is the point); thresholding is the near-dup
+    // tier's job. Null cosines still drop (cos >= -1 fails on null).
+    val (keys, pairs) = bucketedPairsLazy(
+      corpus, idCol, vecCol, dim, nBands, bitsPerBand,
+      minCosine = -1.0, maxBucket = maxBucket)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(
+        pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val graph = edges
+      .groupBy(col("src"))
+      .agg(graft.functions.TopK.smallestK(
+        struct((-col("cos")).as("nc"), col("dst").as("dst")), degree).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.dst").as("dst"), (-col("t.nc")).as("cos"))
+    // Eager with lineage cut (the pair-pipeline posture): the beam
+    // search reads the graph once per round, and the banded-key cache
+    // must not outlive the build.
+    Dedup.eagerRelease(Seq(keys), graph)
+  }
+
+  /** Fixed-round beam search over a [[nswGraph]]: start every query at
+    * the same `nEntries` deterministic entry points (the lowest corpus
+    * ids — replayable, and at corpus scale any fixed handful of
+    * well-connected nodes serves; HNSW's learned entry point is an
+    * optimization of the same idea), then `rounds` times expand the
+    * beam through the graph's neighbor lists, re-score candidates
+    * against the query vector, and keep the best `beamWidth` per query
+    * by (cos desc, n_id asc). After the last round the beam's top `k`
+    * is the answer.
+    *
+    * Beam rows are RE-scored each round rather than carrying scores
+    * through the union — one extra bounded join per round buys a
+    * single scoring code path, and the frames are |Q| × beamWidth ×
+    * (degree + 1), workload-bounded regardless of corpus size.
+    *
+    * Scale shape, per round: the beam (workload-bounded) BROADCASTS
+    * into the corpus-sized graph and vector frames — the corpus never
+    * shuffles, exactly the [[bruteForceTopK]] posture; the top-beam
+    * cut is the bounded TopK heap. `rounds` is fixed, so the whole
+    * search is `rounds` broadcast joins + heap aggregates, and the
+    * DuckDB oracle unrolls the rounds as CTEs (the kmeans/BPE/GD
+    * fixed-iteration contract).
+    *
+    * Output: (q_id, n_id, cos), ≤ k rows per query. Self-matches are
+    * excluded (the [[bruteForceTopK]] ground-truth contract).
+    */
+  def nswSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      graph: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beamWidth: Int = 24,
+      rounds: Int = 3,
+      nEntries: Int = 8): DataFrame = {
+    require(k >= 1 && beamWidth >= k && rounds >= 1 && nEntries >= 1,
+      s"bad args (k=$k, beamWidth=$beamWidth, rounds=$rounds, nEntries=$nEntries)")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val g = graph.select(col("src"), col("dst"))
+    // Entry points: lowest `nEntries` corpus ids — deterministic on
+    // both engines; tiny (LIMIT over a sorted id projection).
+    val entries = c.select(col("n_id")).orderBy(col("n_id").asc).limit(nEntries)
+    // Re-score a (q_id, n_id) candidate frame: broadcast the bounded
+    // candidate set into the corpus vector frame (corpus never
+    // shuffles), then broadcast-attach the query vectors.
+    def rescore(cand: DataFrame): DataFrame =
+      c.join(broadcast(cand), Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
+        .filter(col("cos").isNotNull)
+    val cand0 = q.select(col("q_id")).crossJoin(broadcast(entries))
+    var beam = topKByCos(rescore(cand0), beamWidth, carryCell = false)
+    (1 to rounds).foreach { _ =>
+      val ids = beam.select(col("q_id"), col("n_id"))
+      val nbrs = g.join(broadcast(ids), col("n_id") === col("src"))
+        .select(col("q_id"), col("dst").as("n_id"))
+      val cand = ids.unionByName(nbrs).distinct()
+      beam = topKByCos(rescore(cand), beamWidth, carryCell = false)
+    }
+    topKByCos(beam, k, carryCell = false)
+  }
 }

@@ -7346,6 +7346,147 @@ object PipelineQueries {
     (s, dir) => ivfRecallBody(manifoldEmb(s, dir)),
     Some(ivfRecallOracle(manifoldSrcSql)))
 
+  // ---- round-16: graph ANN (NSW-lite) recall ----------------------
+  // The fourth index family beside IVF / PQ / int8 (round-15 verdict
+  // "what's missing" #2): a degree-bounded k-NN graph built from the
+  // SAME banded sign-LSH candidates the near-dup tier uses
+  // ([[Similarity.nswGraph]] — coarser 8×6-bit banding so buckets are
+  // population-sized, not duplicate-sized), searched by FIXED-round
+  // beam expansion ([[Similarity.nswSearch]]: 8 entry points, beam 24,
+  // 3 rounds, re-scored each round). Registered on BOTH fixtures per
+  // the recall-ladder contract so the float-vs-manifold gap is pinned
+  // beside the IVF and PQ rows. The oracle replays the identical
+  // plane set, graph cut, and every beam round as unrolled CTEs.
+  private val nswPlanesValues: String = lshPlanesValuesFor(8, 6)
+  private val NswDegree = 12
+  private val NswBeam = 24
+  private val NswRounds = 5
+  // 16 entries, not a handful: beam search can only reach what the
+  // graph ROUTES to, and on clustered data the LSH-built neighbor
+  // lists concentrate within clusters — measured at 8 entries the
+  // manifold recall read 0.50 (queries in clusters no entry point
+  // touched were unreachable) vs 0.69 on the structureless fixture.
+  // A wider deterministic entry set is NSW-lite's stand-in for
+  // HNSW's hierarchy (whose upper layers exist precisely to give
+  // coarse cross-cluster routing); at corpus scale the entry set
+  // stays O(1) and each extra entry costs one beam-scored row.
+  private val NswEntries = 16
+
+  private def nswRecallBody(emb: DataFrame): DataFrame = {
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val graph = Similarity.nswGraph(emb, "vec_id", "embedding",
+      dim = 64, nBands = 8, bitsPerBand = 6, degree = NswDegree)
+    val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+    val approx = Similarity.nswSearch(queries, emb, graph, "vec_id", "embedding",
+      k = 10, beamWidth = NswBeam, rounds = NswRounds, nEntries = NswEntries)
+    Similarity.recallVsTruth(gt, approx)
+  }
+
+  private def nswRecallOracle(src: String): String = {
+    // One rescored-beam CTE per round: candidates = previous beam ∪
+    // its graph neighbors (UNION dedups, matching Spark's distinct),
+    // re-scored from e and cut to the beam width — the same unrolled
+    // fixed-iteration shape as the kmeans/BPE/GD oracles.
+    def beamCte(name: String, candCte: String, limit: Int): String =
+      s"""$name AS (
+         |  SELECT q_id, n_id, cos FROM (
+         |    SELECT cd.q_id, cd.n_id, ROUND(${cosSql("q.qv", "e.v")}, 6) AS cos
+         |    FROM $candCte cd JOIN e ON cd.n_id = e.vec_id JOIN q ON cd.q_id = q.q_id
+         |    WHERE cd.n_id <> cd.q_id
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= $limit
+         |)""".stripMargin
+    val rounds = (1 to NswRounds).map { r =>
+      s"""cand$r AS (
+         |  SELECT q_id, n_id FROM beam${r - 1}
+         |  UNION
+         |  SELECT b.q_id, g.dst AS n_id FROM beam${r - 1} b JOIN graph g ON b.n_id = g.src
+         |),
+         |${beamCte(s"beam$r", s"cand$r", NswBeam)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH planes(band, j, idx) AS (VALUES $nswPlanesValues),
+       |e0 AS ($src),
+       |e AS (SELECT vec_id, v FROM e0 WHERE v IS NOT NULL AND len(v) >= 64),
+       |keys AS (
+       |  SELECT e.vec_id, p.band,
+       |         CAST(SUM(CASE WHEN e.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
+       |              AS BIGINT) AS key
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
+       |),
+       |bsz AS (SELECT band, key, COUNT(*) AS n FROM keys GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT vec_id, band, key,
+       |         CASE WHEN n > ${Dedup.LshMaxBucket}
+       |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) - 1)
+       |                   // ${Dedup.LshMaxBucket}
+       |              ELSE 0 END AS sub
+       |  FROM keys JOIN bsz USING (band, key)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+       |   AND a.sub = b.sub AND a.vec_id < b.vec_id
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b, ROUND(${cosSql("ea.v", "eb.v")}, 6) AS cos
+       |  FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst, cos FROM pairs
+       |),
+       |graph AS (
+       |  SELECT src, dst FROM edges
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+       |),
+       |ent AS (SELECT vec_id AS n_id FROM e ORDER BY vec_id ASC LIMIT $NswEntries),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 10 AND vec_id < 20),
+       |cand0 AS (SELECT q_id, n_id FROM q CROSS JOIN ent),
+       |${beamCte("beam0", "cand0", NswBeam)},
+       |$rounds,
+       |approx AS (
+       |  SELECT q_id, n_id FROM beam$NswRounds
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+       |),
+       |gt AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id, ROUND(${cosSql("q.qv", "e.v")}, 6) AS cos
+       |    FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+       |)
+       |SELECT COALESCE(q_id, -1) AS q_id,
+       |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |       ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+       |FROM (
+       |  SELECT gt.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM gt LEFT JOIN approx a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+       |) GROUP BY ROLLUP(q_id)""".stripMargin
+  }
+
+  /** Graph-ANN (NSW-lite) recall on the float fixture: the number that
+    * places the graph family on the same ladder as `ann_recall` /
+    * `ann_pq_recall`. Structureless i.i.d. vectors are the graph
+    * tier's worst case too — neighbor lists carry no cluster signal —
+    * so this row is the honest floor; the manifold twin is the
+    * production regime.
+    */
+  val annNswRecall = QueryDef(
+    "ann_nsw_recall",
+    (s, dir) => nswRecallBody(Tables.embeddings(s, dir)),
+    Some(nswRecallOracle(embSrcSql)))
+
+  /** Graph-ANN recall on the MANIFOLD fixture ([[manifoldEmb]]): same
+    * build and search parameters, clustered data — the regime where
+    * neighbor lists concentrate within clusters and beam hops walk
+    * between them. The gap vs [[annNswRecall]] is the fixture effect;
+    * the gap vs `ann_recall_manifold` (IVF nprobe=2) is the
+    * family-vs-family comparison the recall ladder exists for.
+    */
+  val annNswRecallManifold = QueryDef(
+    "ann_nsw_recall_manifold",
+    (s, dir) => nswRecallBody(manifoldEmb(s, dir)),
+    Some(nswRecallOracle(manifoldSrcSql)))
+
   /** Int8-quantized search recall ([[Similarity.int8TopK]] vs exact
     * [[Similarity.bruteForceTopK]]): what the 4× memory compression
     * costs in top-10 recall for the same query set the other recall
@@ -10592,7 +10733,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textZipfFit, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, textLrCapacityCurve, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
-    annRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
+    annRecallManifold, annNswRecall, annNswRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,

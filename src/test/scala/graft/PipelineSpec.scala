@@ -1180,6 +1180,66 @@ class SimilaritySpec extends AnyFunSuite {
       .select("n_id").as[Long].collect().toSeq
     assert(top == Seq(1L, 3L))
   }
+
+  test("nswGraph bounds out-degree and keeps the best edges symmetric-sourced") {
+    // 6 vectors in two direction clusters, 4-dim so tiny band keys
+    // still collide within clusters. degree=2 must cut each node to
+    // its two best neighbors by (cos desc, dst asc).
+    val vecs = Seq(
+      (1L, Seq(1f, 0.01f, 0f, 0f)), (2L, Seq(1f, 0.02f, 0f, 0f)),
+      (3L, Seq(1f, 0.03f, 0f, 0f)), (4L, Seq(0f, 0f, 1f, 0.01f)),
+      (5L, Seq(0f, 0f, 1f, 0.02f)), (6L, Seq(0f, 0f, 1f, 0.03f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.nswGraph(vecs, "vec_id", "embedding",
+      dim = 4, nBands = 2, bitsPerBand = 2, degree = 2)
+      .as[(Long, Long, Double)].collect()
+    val bySrc = g.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 2),
+      s"out-degree above bound: ${g.mkString(",")}")
+    assert(g.forall { case (s, d, _) => s != d }, "self-edge in graph")
+    // Every edge that exists must connect same-cluster nodes here:
+    // the two clusters are orthogonal (cos 0), so any candidate pair
+    // crossing clusters would rank below within-cluster ones.
+    g.foreach { case (s, d, cos) =>
+      if ((s <= 3) == (d <= 3)) assert(cos > 0.99, s"weak within-cluster edge ($s,$d,$cos)")
+    }
+  }
+
+  test("nswSearch walks the graph to neighbors the entry points miss") {
+    // A chain graph 1-2-3-4-5-...-8 over one direction cluster with a
+    // slowly rotating angle: entry point is id 1 only; the true
+    // nearest of the query (placed at the far end) is reachable only
+    // by hopping — one hop per round, so rounds=7 must find id 8
+    // (and the greedy beam keeps walking toward the query every
+    // round because cos increases monotonically along the chain).
+    import scala.math.{cos => mcos, sin => msin}
+    val n = 8
+    val vecs = (1 to n).map { i =>
+      val a = (i - 1) * 0.15
+      (i.toLong, Seq(mcos(a).toFloat, msin(a).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    // Hand-built chain graph (both directions), bypassing LSH so the
+    // test isolates the SEARCH contract from candidate generation.
+    val graph = (1 until n).flatMap { i =>
+      Seq((i.toLong, (i + 1).toLong, 0.99), ((i + 1).toLong, i.toLong, 0.99))
+    }.toDF("src", "dst", "cos")
+    val query = Seq((100L, Seq(mcos(7 * 0.15).toFloat, msin(7 * 0.15).toFloat, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.nswSearch(query, vecs, graph, "vec_id", "embedding",
+      k = 1, beamWidth = 4, rounds = 7, nEntries = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._2 == 8L,
+      s"beam search failed to reach the far end: ${got.mkString(",")}")
+  }
+
+  test("ann_nsw_recall_manifold registered query runs end-to-end at sf0.001") {
+    val df = graft.SparkEntry.queries("ann_nsw_recall_manifold")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    val summary = df.filter(_._1 == -1L)
+    assert(summary.length == 1, s"missing q_id=-1 summary row: ${df.mkString(",")}")
+    assert(df.forall { case (_, hits, rec) => hits >= 0 && rec >= 0.0 && rec <= 1.0 })
+    assert(df.length > 1, "no per-query rows")
+  }
 }
 
 class RerankSpec extends AnyFunSuite {

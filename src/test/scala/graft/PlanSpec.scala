@@ -552,6 +552,14 @@ class PlanSpec extends AnyFunSuite {
       // The manifold twins run the SAME bodies as their originals over
       // the derived fixture — identical hinted frames, same bounds.
       "ann_recall_manifold" -> "query side: literal vec_id filter (both arms)",
+      // NSW beam search: every broadcast frame is workload-bounded —
+      // the query side is a literal vec_id filter (10 vectors); each
+      // candidate/beam frame is |Q| x beamWidth x (degree+1) rows by
+      // the TopK k-heap bound (the aggregate's output is <= beamWidth
+      // per query BY CONSTRUCTION, then fans out through at most
+      // `degree` graph edges per member).
+      "ann_nsw_recall" -> "query side literal filter; beam/candidate frames: |Q| x beam x (degree+1) by the TopK heap bound",
+      "ann_nsw_recall_manifold" -> "same frames as ann_nsw_recall (shared nswRecallBody builder)",
       "ann_pq_manifold" -> "PQ codebooks: m subspaces x 2^bits codewords (k-row checkpoints)",
       "ann_pq_lloyd_manifold" -> "PQ codebooks: m x 2^bits codewords after Lloyd refinement (checkpoints)",
       "ann_pq_rerank_manifold" -> "PQ codebooks + shortlist: codewords / top-n per query (k-heap output)",
