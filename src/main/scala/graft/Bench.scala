@@ -176,6 +176,27 @@ object Bench {
   private val STALL_ABS_GUARD_SEC = 0.25
   private val CHEAP_SEC = 2.5 // pass-1 back-to-back re-time threshold
   private val RERUN_RESERVE_SEC = 25.0 // budget held back for stall re-runs
+  // Budget held back for the PLAUSIBILITY re-run loop (round-15
+  // verdict ask #5): r15's official artifact shipped 11 tagged
+  // weather_suspect rows because the scheduled passes + stall re-runs
+  // consumed the whole wall budget first, leaving the plausibility
+  // loop — the mechanism that exists to CONVERGE those rows to quiet
+  // values — no fuel. Repairing a tagged row costs only that query's
+  // quiet runtime (the suspect set is ~a dozen queries, tens of
+  // seconds), the cheapest artifact-quality purchase in the run, so
+  // it now holds a first-class reserve: scheduled passes 2..P stop at
+  // budget − stall-reserve − this, stall re-runs stop at budget −
+  // this, and the plausibility loop alone spends the remainder — plus
+  // a bounded OVERDRAFT below for the pass-1-overran case.
+  private val PLAUS_RESERVE_SEC = 50.0
+  // Pass 1 is uncapped by design (coverage beats precision), so on a
+  // slow host `elapsed` can exceed the whole budget before any re-run
+  // loop is reached — exactly r15's shape. The plausibility loop may
+  // overdraft past the budget by this bound: converting a
+  // tagged-but-inflated official artifact into a converged one is
+  // worth a bounded overrun (the driver already tolerates pass-1
+  // overruns far larger than this).
+  private val PLAUS_OVERDRAFT_SEC = 60.0
   private val EST_FACTOR = 1.2 // pass >= 2 gate: elapsed + est*factor must fit
   // Quiet-reference plausibility (see scaladoc): a min over PLAUS_FACTOR x
   // its committed quiet value AND over ref + PLAUS_ABS_GUARD_SEC is a
@@ -478,7 +499,7 @@ object Bench {
           if (log.isEmpty) 0.0 else log.map(_._1).min
         }
       runPass(s"pass$i", remaining,
-        budgetCap = Some(budgetSec - RERUN_RESERVE_SEC))
+        budgetCap = Some(budgetSec - RERUN_RESERVE_SEC - PLAUS_RESERVE_SEC))
     }
 
     // Snapshot pass counts BEFORE any stall re-run: demotions derive
@@ -508,7 +529,7 @@ object Bench {
     }
     var rerunAttempt = 0
     var rerunList = Seq.empty[(String, (SparkSession, String) => DataFrame, Double)]
-    while (rerunAttempt < 3 && elapsed < budgetSec && {
+    while (rerunAttempt < 3 && elapsed < budgetSec - PLAUS_RESERVE_SEC && {
       rerunList = queries.collect {
         case (name, fn) if allSuspect(name) =>
           (name, fn, runLog(name).map(_._1).min)
@@ -522,7 +543,7 @@ object Bench {
       // a flake here must not fail a query that already has valid passes.
       // The rerun spends the FULL budget (its reserve included).
       runPass(s"rerun$rerunAttempt", rerunList.map { case (n, f, _) => (n, f) },
-        budgetCap = Some(budgetSec), recordFailures = false)
+        budgetCap = Some(budgetSec - PLAUS_RESERVE_SEC), recordFailures = false)
     }
 
     // Quiet-reference plausibility loop (see scaladoc): re-run any
@@ -542,7 +563,7 @@ object Bench {
     }
     var plausAttempt = 0
     var plausList = Seq.empty[(String, (SparkSession, String) => DataFrame, Double)]
-    while (plausAttempt < 3 && elapsed < budgetSec && {
+    while (plausAttempt < 3 && elapsed < budgetSec + PLAUS_OVERDRAFT_SEC && {
       plausList = queries.collect {
         case (name, fn) if implausible(name) =>
           (name, fn, runLog(name).map(_._1).min / quietRef(name))
@@ -552,9 +573,9 @@ object Bench {
       plausAttempt += 1
       System.err.println(s"[bench] ${plausList.size} queries implausible vs " +
         s"quiet reference (>${PLAUS_FACTOR}x); re-run attempt $plausAttempt " +
-        "while budget remains")
+        "while budget (+ overdraft) remains")
       runPass(s"plaus$plausAttempt", plausList.map { case (n, f, _) => (n, f) },
-        budgetCap = Some(budgetSec), recordFailures = false)
+        budgetCap = Some(budgetSec + PLAUS_OVERDRAFT_SEC), recordFailures = false)
     }
     val weatherSuspect = queries.collect {
       case (name, _) if implausible(name) => name }
