@@ -2774,3 +2774,36 @@ class LangIdTrainedSpec extends AnyFunSuite {
     assert(preds(12L) == "aa")
   }
 }
+
+class PretrainFullSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("E2E-11 attrition table is monotone and structurally sound at sf0.001") {
+    val rows = graft.SparkEntry.queries("pipeline_pretrain_prep_full")(
+        spark, "/root/testdata/sf0.001")
+      .select("stage_no", "stage", "n_units", "n_tokens", "id_sum")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 to 12), s"missing stages: ${rows.mkString(",")}")
+    val byName = rows.map(r => r._2 -> r).toMap
+    // Document stages (0-9): doc counts never increase, and the
+    // id_sum of a subset can never exceed its superset's.
+    val docStages = rows.filter(_._1 <= 9)
+    docStages.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"doc count grew ${a._2} -> ${b._2}")
+      assert(b._5 <= a._5, s"id_sum grew ${a._2} -> ${b._2}")
+    }
+    // Line boiler keeps every doc but only removes tokens.
+    assert(byName("line_boiler")._3 == byName("raw")._3)
+    assert(byName("line_boiler")._4 <= byName("raw")._4)
+    // Substr scrub keeps the doc set (same id_sum) while cutting tokens.
+    assert(byName("substr_scrub")._5 == byName("gopher")._5)
+    assert(byName("substr_scrub")._4 <= byName("gopher")._4)
+    // Pack conserves the surviving token mass exactly; shard and
+    // curriculum re-describe the same sequences.
+    assert(byName("pack")._4 == byName("lm_gate")._4)
+    assert(byName("shard")._4 == byName("pack")._4)
+    assert(byName("curriculum")._3 == byName("pack")._3)
+    assert(byName("shard")._3 <= 8)
+  }
+}
