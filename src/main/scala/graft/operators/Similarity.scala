@@ -1384,13 +1384,22 @@ object Similarity {
           round(VectorFunctions.cosineFast(col("q_vec"), col("n_vec")), 6).as("cos"))
         .filter(col("cos").isNotNull)
     val cand0 = q.select(col("q_id")).crossJoin(broadcast(entries))
-    var beam = topKByCos(rescore(cand0), beamWidth, carryCell = false)
+    // Each round's beam is checkpoint-CUT: the next round reads it
+    // TWICE (as the expansion seed and as a union member), so an
+    // uncut chain doubles the embedded prior-round plan per round —
+    // 2^rounds re-executions of round 0 (measured: 167 s vs 13 s at
+    // sf0.1 before the cut). Same per-iteration lineage-cut rule as
+    // [[kmeansFit]]'s lloydIteration; the cut frames are tiny
+    // (|Q| × beamWidth rows).
+    var beam = CheckpointBlocks.cut(
+      topKByCos(rescore(cand0), beamWidth, carryCell = false))
     (1 to rounds).foreach { _ =>
       val ids = beam.select(col("q_id"), col("n_id"))
       val nbrs = g.join(broadcast(ids), col("n_id") === col("src"))
         .select(col("q_id"), col("dst").as("n_id"))
       val cand = ids.unionByName(nbrs).distinct()
-      beam = topKByCos(rescore(cand), beamWidth, carryCell = false)
+      beam = CheckpointBlocks.cut(
+        topKByCos(rescore(cand), beamWidth, carryCell = false))
     }
     topKByCos(beam, k, carryCell = false)
   }
