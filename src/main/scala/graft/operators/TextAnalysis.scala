@@ -2263,9 +2263,19 @@ object TextAnalysis {
       buckets: Int = 256): DataFrame =
     train
       .select(col(labelCol).as("lang"), explode(charNgrams(col(textCol), n)).as("__g"))
-      .select(col("lang"), graft.functions.Hashing.md5Bucket(col("__g"), buckets.toLong).as("b"))
+      // Aggregate to (lang, gram) BEFORE hashing: md5 then costs one
+      // call per DISTINCT gram per class — the trigram VOCABULARY,
+      // bounded by the alphabet — instead of one per corpus char
+      // position (measured: the per-occurrence version slope-read
+      // 5.9× at 10× data, pure md5 CPU; this re-aggregation puts the
+      // hash off the per-token path and the first groupBy is
+      // map-side-combinable on short strings).
+      .groupBy(col("lang"), col("__g")).agg(count(lit(1)).cast("long").as("__cg"))
+      .select(col("lang"),
+        graft.functions.Hashing.md5Bucket(col("__g"), buckets.toLong).as("b"),
+        col("__cg"))
       .groupBy(col("lang"), col("b"))
-      .agg(count(lit(1)).cast("long").as("c"))
+      .agg(sum(col("__cg")).cast("long").as("c"))
 
   /** Per-class document priors in integer micro-nats ([[nbPriors]]'
     * multiclass twin): (lang, prior_u = round(ln(n_lang/N)·10⁶)).
@@ -2305,11 +2315,16 @@ object TextAnalysis {
       buckets: Int = 256): DataFrame = {
     val langs = model.groupBy(col("lang")).agg(sum(col("c")).cast("long").as("t"))
       .join(priors, Seq("lang"))
+    // Same distinct-before-hash re-aggregation as [[langIdModel]]:
+    // md5 per distinct (doc, gram), never per occurrence.
     val db = docs
       .select(col(idCol).as("doc_id"), explode(charNgrams(col(textCol), n)).as("__g"))
-      .select(col("doc_id"), graft.functions.Hashing.md5Bucket(col("__g"), buckets.toLong).as("b"))
+      .groupBy(col("doc_id"), col("__g")).agg(count(lit(1)).cast("long").as("__mg"))
+      .select(col("doc_id"),
+        graft.functions.Hashing.md5Bucket(col("__g"), buckets.toLong).as("b"),
+        col("__mg"))
       .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).cast("long").as("m"))
+      .agg(sum(col("__mg")).cast("long").as("m"))
     db.crossJoin(broadcast(langs))
       .join(model, Seq("b", "lang"), "left")
       .withColumn("lp_u",
