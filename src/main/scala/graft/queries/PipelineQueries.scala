@@ -8037,6 +8037,125 @@ object PipelineQueries {
     (s, dir) => nswRecallBody(manifoldEmb(s, dir)),
     Some(nswRecallOracle(manifoldSrcSql)))
 
+  /** NSW ROUNDS tuning curve (`ann_nsw_rounds_curve` — the N19
+    * nprobe-curve pattern applied to the graph tier's latency dial):
+    * mean recall@10 at beam rounds ∈ {1, 3, 5} on the manifold
+    * fixture, from ONE graph build and ONE exact ground truth shared
+    * by the arms (rounds are the variable; each arm pays its own
+    * beam chain — the search under test). Rounds ARE the graph
+    * family's latency/recall dial the way nprobe is IVF's: each
+    * round is one more expansion hop, so the curve prices "how far
+    * does the beam need to walk on clustered data". The oracle
+    * builds beams 0..5 once (they are prefixes) and cuts each arm's
+    * top-10 from its beam — `AS MATERIALIZED` on the shared CTEs,
+    * per the E2E-11 inlining lesson.
+    */
+  private def nswRoundsArms = Seq(1, 3, 5)
+
+  val annNswRoundsCurve = QueryDef(
+    "ann_nsw_rounds_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val emb = manifoldEmb(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val graph = Similarity.nswGraph(emb, "vec_id", "embedding",
+        dim = 64, nBands = 8, bitsPerBand = 6, degree = NswDegree)
+      val gt = CheckpointBlocks.cut(
+        Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10))
+      nswRoundsArms.map { r =>
+        val approx = Similarity.nswSearch(queries, emb, graph, "vec_id", "embedding",
+          k = 10, beamWidth = NswBeam, rounds = r, nEntries = NswEntries)
+        Similarity.recallVsTruth(gt, approx)
+          .filter(col("q_id") === -1L)
+          .select(lit(r).as("rounds"), col("n_hits"), col("recall"))
+      }.reduce(_.unionByName(_))
+    },
+    Some {
+      val maxR = nswRoundsArms.max
+      def beamCte(name: String, candCte: String): String =
+        s"""$name AS MATERIALIZED (
+           |  SELECT q_id, n_id, cos FROM (
+           |    SELECT cd.q_id, cd.n_id, ROUND(${cosSql("q.qv", "e.v")}, 6) AS cos
+           |    FROM $candCte cd JOIN e ON cd.n_id = e.vec_id JOIN q ON cd.q_id = q.q_id
+           |    WHERE cd.n_id <> cd.q_id
+           |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= $NswBeam
+           |)""".stripMargin
+      val rounds = (1 to maxR).map { r =>
+        s"""cand$r AS (
+           |  SELECT q_id, n_id FROM beam${r - 1}
+           |  UNION
+           |  SELECT b.q_id, g.dst AS n_id FROM beam${r - 1} b JOIN graph g ON b.n_id = g.src
+           |),
+           |${beamCte(s"beam$r", s"cand$r")}""".stripMargin
+      }.mkString(",\n")
+      val arms = nswRoundsArms.map { r =>
+        s"""aprx$r AS (
+           |  SELECT q_id, n_id FROM beam$r
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+           |),
+           |rec$r AS (
+           |  SELECT CAST(SUM(hit) AS BIGINT) AS n_hits,
+           |         ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall
+           |  FROM (
+           |    SELECT CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |    FROM gt LEFT JOIN aprx$r a ON gt.q_id = a.q_id AND gt.n_id = a.n_id
+           |  )
+           |)""".stripMargin
+      }.mkString(",\n")
+      val tail = nswRoundsArms.map(r =>
+        s"SELECT $r AS rounds, n_hits, recall FROM rec$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH planes(band, j, idx) AS (VALUES $nswPlanesValues),
+         |e0 AS ($manifoldSrcSql),
+         |e AS MATERIALIZED (SELECT vec_id, v FROM e0 WHERE v IS NOT NULL AND len(v) >= 64),
+         |keys AS (
+         |  SELECT e.vec_id, p.band,
+         |         CAST(SUM(CASE WHEN e.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
+         |              AS BIGINT) AS key
+         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
+         |),
+         |bsz AS (SELECT band, key, COUNT(*) AS n FROM keys GROUP BY 1, 2),
+         |capped AS (
+         |  SELECT vec_id, band, key,
+         |         CASE WHEN n > ${Dedup.LshMaxBucket}
+         |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) - 1)
+         |                   // ${Dedup.LshMaxBucket}
+         |              ELSE 0 END AS sub
+         |  FROM keys JOIN bsz USING (band, key)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+         |   AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |),
+         |pairs AS (
+         |  SELECT id_a, id_b, ROUND(${cosSql("ea.v", "eb.v")}, 6) AS cos
+         |  FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst, cos FROM pairs
+         |),
+         |graph AS MATERIALIZED (
+         |  SELECT src, dst FROM edges
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+         |),
+         |ent AS (SELECT vec_id AS n_id FROM e ORDER BY vec_id ASC LIMIT $NswEntries),
+         |q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 10 AND vec_id < 20),
+         |cand0 AS (SELECT q_id, n_id FROM q CROSS JOIN ent),
+         |${beamCte("beam0", "cand0")},
+         |$rounds,
+         |gt AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id, ROUND(${cosSql("q.qv", "e.v")}, 6) AS cos
+         |    FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+         |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) <= 10
+         |),
+         |$arms
+         |$tail""".stripMargin
+    })
+
   /** Int8-quantized search recall ([[Similarity.int8TopK]] vs exact
     * [[Similarity.bruteForceTopK]]): what the 4× memory compression
     * costs in top-10 recall for the same query set the other recall
@@ -11283,7 +11402,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textZipfFit, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, textLrCapacityCurve, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
-    annRecallManifold, annNswRecall, annNswRecallManifold, annPqManifold, annPqLloydManifold, annPqRerankManifold,
+    annRecallManifold, annNswRecall, annNswRecallManifold, annNswRoundsCurve, annPqManifold, annPqLloydManifold, annPqRerankManifold,
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,

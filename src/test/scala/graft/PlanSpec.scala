@@ -560,6 +560,7 @@ class PlanSpec extends AnyFunSuite {
       // `degree` graph edges per member).
       "ann_nsw_recall" -> "query side literal filter; beam/candidate frames: |Q| x beam x (degree+1) by the TopK heap bound",
       "ann_nsw_recall_manifold" -> "same frames as ann_nsw_recall (shared nswRecallBody builder)",
+      "ann_nsw_rounds_curve" -> "same frames as ann_nsw_recall per arm (shared graph + checkpointed |Q| x k truth)",
       "ann_pq_manifold" -> "PQ codebooks: m subspaces x 2^bits codewords (k-row checkpoints)",
       "ann_pq_lloyd_manifold" -> "PQ codebooks: m x 2^bits codewords after Lloyd refinement (checkpoints)",
       "ann_pq_rerank_manifold" -> "PQ codebooks + shortlist: codewords / top-n per query (k-heap output)",
