@@ -1292,6 +1292,17 @@ object Similarity {
     * duplicates. Hot buckets are rank-chunk split, not dropped
     * ([[Dedup.splitBuckets]]), so dense directions keep their edges.
     *
+    * SIZE `bitsPerBand` WITH THE CORPUS: bucket population is
+    * N / 2^bits, and within-bucket candidates grow with its SQUARE —
+    * at fixed bits the build is quadratic in N (measured: 10× data →
+    * 7× cost at 6 bits). Production rule: bits ≈ log₂(N / b) for a
+    * target bucket of b ≈ 2–4× `degree` (keeps candidates-per-node
+    * constant, the build linear, and neighbor lists full). The
+    * registered fixture queries pin bits = 6 because the DuckDB
+    * oracle's plane set is interpolated statically; a deployment
+    * re-sizes per corpus the way [[Dedup.semDedup]] sizes its √N
+    * cells.
+    *
     * Scale shape: candidates are equi-join bounded (bands ×
     * chunked-bucket size), edges shuffle once on `src` into the heap
     * aggregate, and the materialized graph is exactly |C| × degree
@@ -1317,16 +1328,74 @@ object Similarity {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(
         pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
-    val graph = edges
+    // Eager with lineage cut (the pair-pipeline posture): the beam
+    // search reads the graph once per round, and the banded-key cache
+    // must not outlive the build.
+    Dedup.eagerRelease(Seq(keys), topDegree(edges, degree))
+  }
+
+  /** Shared neighbor-list cut: best `degree` edges per `src` by
+    * (cos desc, dst asc) via the bounded TopK heap — the graph-build
+    * and graph-maintenance ranking rule.
+    */
+  private def topDegree(edges: DataFrame, degree: Int): DataFrame =
+    edges
       .groupBy(col("src"))
       .agg(graft.functions.TopK.smallestK(
         struct((-col("cos")).as("nc"), col("dst").as("dst")), degree).as("top"))
       .select(col("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.dst").as("dst"), (-col("t.nc")).as("cos"))
-    // Eager with lineage cut (the pair-pipeline posture): the beam
-    // search reads the graph once per round, and the banded-key cache
-    // must not outlive the build.
-    Dedup.eagerRelease(Seq(keys), graph)
+
+  /** INCREMENTAL graph maintenance — the arrival-time member of the
+    * index family (the D8/D9/D25c ingest posture applied to the NSW
+    * tier, and what HNSW `add()` does sequentially): insert a batch
+    * of new vectors into a STANDING [[nswGraph]] without rebuilding
+    * it.
+    *
+    *   - Batch nodes get neighbor lists from banded candidates
+    *     against the corpus ([[nearDupsAgainstCorpusEmbed]]'s routed
+    *     band index — the corpus never self-joins) plus banded
+    *     batch-self candidates (a batch is ingest-sized by contract).
+    *   - Corpus nodes that collided with the batch re-rank their
+    *     existing neighbor list against the new reverse edges (the
+    *     bidirectional-link step of the NSW insert algorithm); the
+    *     rest of the corpus graph passes through UNTOUCHED — the
+    *     whole update is batch-bounded, never corpus-rebuilding.
+    *
+    * Output: the updated (src, dst, cos) graph, same contract as
+    * [[nswGraph]]. Ids are assumed distinct across the two frames
+    * (the ingest contract).
+    */
+  def nswInsert(
+      graph: DataFrame,
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int = 64,
+      nBands: Int = 8,
+      bitsPerBand: Int = 6,
+      degree: Int = 12,
+      maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
+    require(degree >= 1, s"degree must be >= 1, got $degree")
+    val bc = nearDupsAgainstCorpusEmbed(corpus, batch, idCol, vecCol,
+      dim, nBands, bitsPerBand, minCosine = -1.0, maxBucket = maxBucket)
+    val (bKeys, bbPairs) = bucketedPairsLazy(batch, idCol, vecCol,
+      dim, nBands, bitsPerBand, minCosine = -1.0, maxBucket = maxBucket)
+    val batchEdges = bc.select(col("id_b").as("src"), col("id_c").as("dst"), col("cos"))
+      .unionByName(bbPairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos")))
+      .unionByName(bbPairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val newLists = topDegree(batchEdges, degree)
+    // Reverse edges: affected corpus nodes re-rank old ∪ new; the
+    // affected id set is batch-candidate-bounded, so the anti-join
+    // side stays small regardless of corpus size.
+    val rev = bc.select(col("id_c").as("src"), col("id_b").as("dst"), col("cos"))
+    val affected = rev.select(col("src")).distinct()
+    val reRanked = topDegree(
+      graph.join(affected, Seq("src")).unionByName(rev), degree)
+    val untouched = graph.join(affected, Seq("src"), "left_anti")
+    Dedup.eagerRelease(Seq(bKeys),
+      untouched.unionByName(reRanked).unionByName(newLists))
   }
 
   /** Fixed-round beam search over a [[nswGraph]]: start every query at

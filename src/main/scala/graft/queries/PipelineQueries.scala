@@ -8037,6 +8037,137 @@ object PipelineQueries {
     (s, dir) => nswRecallBody(manifoldEmb(s, dir)),
     Some(nswRecallOracle(manifoldSrcSql)))
 
+  /** INCREMENTAL NSW graph maintenance (`ann_nsw_incr` —
+    * [[Similarity.nswInsert]], the arrival-time member of the graph
+    * index family beside D8/D9/D25c, and what HNSW `add()` does
+    * sequentially): the standing corpus is vec_id ≥ 20 (graph built
+    * offline by [[Similarity.nswGraph]], as a deployment would), the
+    * batch is vec_id < 20, and the registered artifact is the FULL
+    * updated (src, dst, cos) graph — batch nodes' new neighbor lists,
+    * the re-ranked lists of every corpus node the batch collided
+    * with (the NSW bidirectional-link step), and the untouched rest
+    * passed through — so one wrong edge, rank, or routing decision
+    * anywhere hash-fails. The update is batch-bounded by
+    * construction: corpus candidates come from the routed band index
+    * (the corpus never self-joins on the incremental path), the
+    * re-rank touches only collided nodes, and the untouched graph
+    * rides an anti-join against the batch-bounded affected set.
+    */
+  val annNswIncr = QueryDef(
+    "ann_nsw_incr",
+    (s, dir) => {
+      val emb = manifoldEmb(s, dir)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val batch = emb.filter(col("vec_id") < 20)
+      val standing = Similarity.nswGraph(corpus, "vec_id", "embedding",
+        dim = 64, nBands = 8, bitsPerBand = 6, degree = NswDegree)
+      Similarity.nswInsert(standing, corpus, batch, "vec_id", "embedding",
+        dim = 64, nBands = 8, bitsPerBand = 6, degree = NswDegree)
+    },
+    Some(s"""WITH planes(band, j, idx) AS (VALUES $nswPlanesValues),
+            |e0 AS ($manifoldSrcSql),
+            |e AS MATERIALIZED (SELECT vec_id, v FROM e0 WHERE v IS NOT NULL AND len(v) >= 64),
+            |ec AS (SELECT * FROM e WHERE vec_id >= 20),
+            |eb AS (SELECT * FROM e WHERE vec_id < 20),
+            |kc AS MATERIALIZED (
+            |  SELECT ec.vec_id, p.band,
+            |         CAST(SUM(CASE WHEN ec.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
+            |              AS BIGINT) AS key
+            |  FROM ec CROSS JOIN planes p GROUP BY ec.vec_id, p.band
+            |),
+            |bszc AS (SELECT band, key, COUNT(*) AS n FROM kc GROUP BY 1, 2),
+            |cappedc AS MATERIALIZED (
+            |  SELECT vec_id, band, key,
+            |         CASE WHEN n > ${Dedup.LshMaxBucket}
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) - 1)
+            |                   // ${Dedup.LshMaxBucket}
+            |              ELSE 0 END AS sub
+            |  FROM kc JOIN bszc USING (band, key)
+            |),
+            |candc AS (
+            |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            |  FROM cappedc a JOIN cappedc b ON a.band = b.band AND a.key = b.key
+            |   AND a.sub = b.sub AND a.vec_id < b.vec_id
+            |),
+            |pairsc AS (
+            |  SELECT id_a, id_b, ROUND(${cosSql("ea.v", "eb2.v")}, 6) AS cos
+            |  FROM candc JOIN e ea ON candc.id_a = ea.vec_id JOIN e eb2 ON candc.id_b = eb2.vec_id
+            |),
+            |graph0 AS MATERIALIZED (
+            |  SELECT src, dst, cos FROM (
+            |    SELECT id_a AS src, id_b AS dst, cos FROM pairsc
+            |    UNION ALL
+            |    SELECT id_b AS src, id_a AS dst, cos FROM pairsc
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+            |),
+            |kb AS MATERIALIZED (
+            |  SELECT eb.vec_id, p.band,
+            |         CAST(SUM(CASE WHEN eb.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
+            |              AS BIGINT) AS key
+            |  FROM eb CROSS JOIN planes p GROUP BY eb.vec_id, p.band
+            |),
+            |routedb AS (
+            |  SELECT kb.vec_id, kb.band, kb.key,
+            |         CASE WHEN z.n > ${Dedup.LshMaxBucket}
+            |              THEN ('0x' || substr(md5(CAST(kb.vec_id AS VARCHAR)), 1, 15))::BIGINT
+            |                   % ((z.n - 1) // ${Dedup.LshMaxBucket} + 1)
+            |              ELSE 0 END AS sub
+            |  FROM kb JOIN bszc z USING (band, key)
+            |),
+            |bcand AS (
+            |  SELECT DISTINCT b.vec_id AS id_b, c.vec_id AS id_c
+            |  FROM routedb b JOIN cappedc c ON b.band = c.band AND b.key = c.key
+            |   AND b.sub = c.sub
+            |),
+            |bc AS MATERIALIZED (
+            |  SELECT id_b, id_c, cos FROM (
+            |    SELECT id_b, id_c, ROUND(${cosSql("vb.v", "vc.v")}, 6) AS cos
+            |    FROM bcand JOIN e vb ON bcand.id_b = vb.vec_id
+            |               JOIN e vc ON bcand.id_c = vc.vec_id
+            |  ) WHERE cos >= -1.0
+            |),
+            |bszb AS (SELECT band, key, COUNT(*) AS n FROM kb GROUP BY 1, 2),
+            |cappedb AS (
+            |  SELECT vec_id, band, key,
+            |         CASE WHEN n > ${Dedup.LshMaxBucket}
+            |              THEN (ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) - 1)
+            |                   // ${Dedup.LshMaxBucket}
+            |              ELSE 0 END AS sub
+            |  FROM kb JOIN bszb USING (band, key)
+            |),
+            |candb AS (
+            |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            |  FROM cappedb a JOIN cappedb b ON a.band = b.band AND a.key = b.key
+            |   AND a.sub = b.sub AND a.vec_id < b.vec_id
+            |),
+            |pairsb AS MATERIALIZED (
+            |  SELECT id_a, id_b, ROUND(${cosSql("ea.v", "eb2.v")}, 6) AS cos
+            |  FROM candb JOIN e ea ON candb.id_a = ea.vec_id JOIN e eb2 ON candb.id_b = eb2.vec_id
+            |),
+            |newlists AS (
+            |  SELECT src, dst, cos FROM (
+            |    SELECT id_b AS src, id_c AS dst, cos FROM bc
+            |    UNION ALL
+            |    SELECT id_a AS src, id_b AS dst, cos FROM pairsb
+            |    UNION ALL
+            |    SELECT id_b AS src, id_a AS dst, cos FROM pairsb
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+            |),
+            |affected AS (SELECT DISTINCT id_c AS src FROM bc),
+            |reranked AS (
+            |  SELECT src, dst, cos FROM (
+            |    SELECT g.src, g.dst, g.cos FROM graph0 g JOIN affected a ON g.src = a.src
+            |    UNION ALL
+            |    SELECT id_c AS src, id_b AS dst, cos FROM bc
+            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+            |)
+            |SELECT g.src, g.dst, g.cos FROM graph0 g
+            |WHERE NOT EXISTS (SELECT 1 FROM affected a WHERE a.src = g.src)
+            |UNION ALL
+            |SELECT src, dst, cos FROM reranked
+            |UNION ALL
+            |SELECT src, dst, cos FROM newlists""".stripMargin))
+
   /** NSW ROUNDS tuning curve (`ann_nsw_rounds_curve` — the N19
     * nprobe-curve pattern applied to the graph tier's latency dial):
     * mean recall@10 at beam rounds ∈ {1, 3, 5} on the manifold
@@ -11402,7 +11533,7 @@ object PipelineQueries {
     textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textZipfFit, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, textLrCapacityCurve, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
-    annRecallManifold, annNswRecall, annNswRecallManifold, annNswRoundsCurve, annPqManifold, annPqLloydManifold, annPqRerankManifold,
+    annRecallManifold, annNswRecall, annNswRecallManifold, annNswRoundsCurve, annNswIncr, annPqManifold, annPqLloydManifold, annPqRerankManifold,
     annIvfPqManifold, annIvfPqRerankManifold, annIvfPqResidualManifold,
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,

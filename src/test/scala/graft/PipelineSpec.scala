@@ -1232,6 +1232,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"beam search failed to reach the far end: ${got.mkString(",")}")
   }
 
+  test("nswInsert equals a full rebuild when no bucket is hot (fold = rebuild)") {
+    // Two direction clusters; corpus = 6 nodes, batch = 2 arrivals
+    // (one per cluster). With every bucket under the cap the routed
+    // incremental candidates are exactly the joint build's, so the
+    // updated graph must EQUAL nswGraph over corpus ∪ batch — the
+    // index-fold identity the incremental dedup family pins.
+    val mk = (id: Long, a: Float, b: Float, c: Float, d: Float) =>
+      (id, Seq(a, b, c, d))
+    val corpus = Seq(
+      mk(1L, 1f, 0.01f, 0f, 0f), mk(2L, 1f, 0.02f, 0f, 0f), mk(3L, 1f, 0.03f, 0f, 0f),
+      mk(4L, 0f, 0f, 1f, 0.01f), mk(5L, 0f, 0f, 1f, 0.02f), mk(6L, 0f, 0f, 1f, 0.03f))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(mk(10L, 1f, 0.015f, 0f, 0f), mk(11L, 0f, 0f, 1f, 0.015f))
+      .toDF("vec_id", "embedding")
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val standing = Similarity.nswGraph(corpus, "vec_id", "embedding",
+      dim = 4, nBands = 2, bitsPerBand = 2, degree = 3)
+    val folded = Similarity.nswInsert(standing, corpus, batch, "vec_id", "embedding",
+      dim = 4, nBands = 2, bitsPerBand = 2, degree = 3)
+    val rebuilt = Similarity.nswGraph(corpus.unionByName(batch), "vec_id", "embedding",
+      dim = 4, nBands = 2, bitsPerBand = 2, degree = 3)
+    assert(edges(folded) == edges(rebuilt),
+      s"fold != rebuild:\n folded=${edges(folded)}\n rebuilt=${edges(rebuilt)}")
+  }
+
   test("ann_nsw_recall_manifold registered query runs end-to-end at sf0.001") {
     val df = graft.SparkEntry.queries("ann_nsw_recall_manifold")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Double)].collect()
