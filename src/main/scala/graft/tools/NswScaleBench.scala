@@ -17,8 +17,12 @@ import graft.sources.Tables
   * prices that claim AND its recall side of the trade in one
   * artifact.
   *
-  * Usage: `runMain graft.tools.NswScaleBench <sfDir> [bits1,bits2,...]`
-  * (defaults: /root/testdata/sf0.1 and bits = 6,8,10). Per setting:
+  * Usage: `runMain graft.tools.NswScaleBench <sfDir> [bits1,bits2,...]
+  * [entries,beam,rounds]` (defaults: /root/testdata/sf0.1, bits =
+  * 6,8,10, and the registered 16,24,5 search parameters — pass the
+  * third arg to price how much recall SCALED search parameters buy
+  * back at large N, where the registration-sized beam explores a
+  * vanishing corpus fraction). Per setting:
   * 2 timed builds (nswGraph is eager — the cost lands inside the
   * call), MIN reported (the Bench.scala one-sided-noise argument),
   * then the graph's edge count, mean out-degree (neighbor-list
@@ -41,6 +45,9 @@ object NswScaleBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val bitsList = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
                    else Seq(6, 8, 10)
+    val Seq(nEntries, beamWidth, rounds) =
+      if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
+      else Seq(16, 24, 5)
     val spark = GraftSession.local(appName = "graft-nsw-scale")
     spark.conf.set("graft.load.repartition",
       spark.sparkContext.defaultParallelism.toString)
@@ -65,13 +72,13 @@ object NswScaleBench {
       val sec = math.min(t1, t2)
       val edges = g.count()
       val approx = Similarity.nswSearch(queries, emb, g, "vec_id", "embedding",
-        k = 10, beamWidth = 24, rounds = 5, nEntries = 16)
+        k = 10, beamWidth = beamWidth, rounds = rounds, nEntries = nEntries)
       val recall = Similarity.recallVsTruth(gt, approx)
         .filter(col("q_id") === -1L).select(col("recall")).head().getDouble(0)
       System.err.println(f"[nsw-scale] bits=$bits sec=$sec%.2f edges=$edges recall=$recall%.2f")
       f"""{"bits":$bits,"sec":$sec%.3f,"edges":$edges,"mean_deg":${edges.toDouble / n}%.2f,"recall":$recall%.4f}"""
     }
-    println(s"""{"sf":"$sfDir","n_vec":$n,"runs":[${rows.mkString(",")}]}""")
+    println(s"""{"sf":"$sfDir","n_vec":$n,"search":[$nEntries,$beamWidth,$rounds],"runs":[${rows.mkString(",")}]}""")
     spark.stop()
   }
 }
