@@ -121,6 +121,21 @@ import graft.sources.Tables
   * cold-compile band): it exists to catch the 7-17x storms, not to
   * re-litigate normal variance — a quiet-host run re-runs nothing.
   *
+  * == Wait-out-the-storm (round 17) ==
+  * All loops above OUT-COMPUTE a storm; r16's official artifact
+  * showed the failure mode they can't fix: a storm that outlasts the
+  * budget leaves tagged rows whose re-runs re-measure the same storm
+  * (official total 2.4x the committed quiet ref). When tagged rows
+  * (stall- or weather-suspect) survive the loops, the bench now PARKS
+  * — sleeps on a doubling backoff (15 s → 120 s cap), re-probes, and
+  * re-runs the tagged set only once a probe reads quiet (below the
+  * same suspicion threshold the windows are judged by) — bounded by a
+  * hard wall cap of `SPARK_GRAFT_STORM_WALL_FACTOR` × budget (default
+  * 2×; 0 disables parking). Park probes append to the calibration
+  * series and the artifact records `storm.rounds`/`waited_sec`, so a
+  * record that still ships residual tags carries the probe evidence
+  * that the storm outlasted the cap.
+  *
   * == Harness design (carried from rounds 1-10) ==
   *   - The shared fact/dim views are persisted once up front. Spark's
   *     CacheManager substitutes the cached relation into every query
@@ -577,6 +592,50 @@ object Bench {
       runPass(s"plaus$plausAttempt", plausList.map { case (n, f, _) => (n, f) },
         budgetCap = Some(budgetSec + PLAUS_OVERDRAFT_SEC), recordFailures = false)
     }
+    // Wait-out-the-storm (round 17, r16 verdict ask #2): the two loops
+    // above spend COMPUTE to out-run a storm; when the host is still
+    // degraded after them (tagged rows remain, budget + overdraft
+    // gone), more compute only measures the same storm — r16's
+    // official artifact shipped 2.4x its committed quiet record that
+    // way. Park instead: sleep on a doubling backoff, re-probe, and
+    // only when a probe reads QUIET (below the same suspicion
+    // threshold the windows are judged by) re-run the surviving
+    // tagged rows once. Bounded by a hard WALL cap
+    // (SPARK_GRAFT_STORM_WALL_FACTOR x budget, default 2x; 0 disables
+    // parking) so a permanently degraded host still ends the run —
+    // and every park probe lands in the calibration series, so an
+    // artifact that ships residual tags carries the probe evidence
+    // that the storm outlasted the cap.
+    def taggedNow(): Seq[(String, (SparkSession, String) => DataFrame)] =
+      queries.collect {
+        case (name, fn) if allSuspect(name) || implausible(name) =>
+          (name, fn, runLog(name).map(_._1).min)
+      }.sortBy(-_._3).map { case (n, f, _) => (n, f) }
+    val stormWallCap =
+      sys.env.getOrElse("SPARK_GRAFT_STORM_WALL_FACTOR", "2.0").toDouble * budgetSec
+    var stormWaitedSec = 0.0
+    var stormRounds = 0
+    var parkSec = 15.0
+    while (taggedNow().nonEmpty && elapsed < stormWallCap) {
+      stormRounds += 1
+      System.err.println(f"[bench] storm mode: ${taggedNow().size} tagged rows " +
+        f"remain at elapsed $elapsed%.1f s — parking $parkSec%.0f s " +
+        f"(wall cap $stormWallCap%.0f)")
+      Thread.sleep((parkSec * 1000).toLong)
+      stormWaitedSec += parkSec
+      parkSec = math.min(parkSec * 2, 120.0)
+      val p = probe()
+      calSeries += p
+      if (p <= suspectAbove) {
+        System.err.println(f"[bench] storm probe $p%.3f s quiet " +
+          f"(threshold $suspectAbove%.3f) — re-running tagged rows")
+        runPass(s"storm$stormRounds", taggedNow(),
+          budgetCap = Some(stormWallCap), recordFailures = false)
+      } else
+        System.err.println(f"[bench] storm probe $p%.3f s still above " +
+          f"threshold $suspectAbove%.3f — parking again")
+    }
+
     val weatherSuspect = queries.collect {
       case (name, _) if implausible(name) => name }
 
@@ -615,7 +674,7 @@ object Bench {
     val weatherJson = weatherSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calJson = calSeries.map(s => f"$s%.3f").mkString("[", ",", "]")
     val resultJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"default_stat":"min","stall_suspect":$suspectJson,"weather_suspect":$weatherJson,"quiet_ref":{"file":"$quietRefPath","n_ref":${quietRef.size}${if (refUnparsed) ",\"error\":\"unparsed\"" else ""}},"calibration":{"floor":$calFloor%.3f,"series":$calJson},"wall_sec":$elapsed%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"default_stat":"min","stall_suspect":$suspectJson,"weather_suspect":$weatherJson,"quiet_ref":{"file":"$quietRefPath","n_ref":${quietRef.size}${if (refUnparsed) ",\"error\":\"unparsed\"" else ""}},"calibration":{"floor":$calFloor%.3f,"series":$calJson},"storm":{"rounds":$stormRounds,"waited_sec":$stormWaitedSec%.1f,"wall_cap_sec":$stormWallCap%.0f},"wall_sec":$elapsed%.1f}"""
     // The driver captures a BOUNDED tail of stdout; with 86+ queries the
     // one-line JSON outgrew it and round 5's official artifact lost its
     // first ~10 values to head-truncation (parsed: null). The file copy

@@ -83,6 +83,95 @@ object Pendentes {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** SCD2 history-preserving merge — [[upsertMerge]]'s other half
+    * (U3 is SCD1 latest-row-wins; this closes and appends intervals —
+    * the `MERGE ... WHEN MATCHED THEN UPDATE valid_to / WHEN NOT
+    * MATCHED THEN INSERT` pattern every warehouse dimension table
+    * runs).
+    *
+    * Contract: `base` is an SCD2 table — `keyCols` ++ payload ++
+    * (`valid_from`, `valid_to`), both epoch-like BIGINTs, open row =
+    * null `valid_to`, at most one open row per key. `updates` carries
+    * `keyCols` ++ the same payload ++ `tsCol` (the new version's
+    * effective time).
+    *
+    * Semantics, per key:
+    *   - updates whose (key, ts) equals an EXISTING version's
+    *     `valid_from` are dropped — the REPLAY GUARD: re-applying the
+    *     same batch is a no-op (the D20 idempotency posture, pinned by
+    *     unit test);
+    *   - surviving updates dedupe in-batch on (key, ts) keeping the
+    *     greatest payload struct (deterministic under any arrival
+    *     order);
+    *   - the key's OPEN row and its new versions are CHAINED by
+    *     `valid_from`: each interval closes at the next version's
+    *     start (`lead` over the per-key chain), the last stays open —
+    *     so late-arriving versions slot INTO the history instead of
+    *     corrupting it, and the previously-open row is closed by the
+    *     first newer version;
+    *   - CLOSED history rows and untouched keys pass through verbatim.
+    *
+    * Change-detection (skip updates whose payload equals the current
+    * open row's) is deliberately NOT built in: compose it upstream
+    * with [[snapshotDiff]] (U4 produces exactly the changed-keys
+    * changeset) — the merge stays a mechanical interval operation.
+    *
+    * Scale shape: the update is BATCH-BOUNDED, the [[graft.operators
+    * .Similarity.nswInsert]] posture — touched keys resolve by one
+    * semi/anti join against the update key set, only touched OPEN
+    * rows + the batch enter the chain window (per-key chains, each a
+    * handful of versions), and the closed history never moves except
+    * through those key joins. No join is FORCE-broadcast: an
+    * ingest-sized batch broadcasts via AQE on its own, and a
+    * backfill-sized batch (the registered fixture replays 1/7 of the
+    * fact table) must stay a shuffle join — the plan does not bake in
+    * the small-batch assumption (the langIdScore posture).
+    */
+  def scd2Merge(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    val payload = base.columns.toSeq
+      .filterNot(keyCols.contains).filterNot(Seq(validFromCol, validToCol).contains)
+    val outCols = base.columns.toSeq
+    require(
+      updates.columns.toSet == (keyCols ++ payload :+ tsCol).toSet,
+      s"update schema ${updates.columns.toSeq} must be keys $keyCols + " +
+        s"payload $payload + $tsCol")
+    val u0 = updates.select(
+      (keyCols.map(col) :+ col(tsCol).as(validFromCol)) ++ payload.map(col): _*)
+    // Replay guard: any (key, valid_from) already versioned is a
+    // re-delivery, not a new version.
+    val u1 = u0.join(
+      base.select(keyCols.map(col) :+ col(validFromCol): _*),
+      keyCols :+ validFromCol, "left_anti")
+    // In-batch dedupe on (key, ts): greatest payload struct wins.
+    val u2 = u1
+      .groupBy((keyCols :+ validFromCol).map(col): _*)
+      .agg(max(struct(payload.map(col): _*)).as("__p"))
+      .select((keyCols.map(col) :+ col(validFromCol)) ++
+        payload.map(c => col(s"__p.$c").as(c)): _*)
+    val touched = u2.select(keyCols.map(col): _*).distinct()
+    val baseTouched = base.join(touched, keyCols, "left_semi")
+    val untouched = base.join(touched, keyCols, "left_anti")
+    // Chain = touched keys' open rows + new versions; re-derive every
+    // link's valid_to from the next version's start.
+    val chain = baseTouched.filter(col(validToCol).isNull)
+      .select((keyCols.map(col) :+ col(validFromCol)) ++ payload.map(col): _*)
+      .unionByName(u2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(validFromCol))
+    val chained = chain
+      .withColumn(validToCol, lead(col(validFromCol), 1).over(w))
+      .select(outCols.map(col): _*)
+    untouched
+      .unionByName(baseTouched.filter(col(validToCol).isNotNull))
+      .unionByName(chained)
+  }
+
   /** Row-level snapshot diff — U1/[[deltaSemanas]] tell you the
     * totals moved; this tells you WHICH rows did (the data-diff /
     * reconciliation class: audit a re-delivered extract, review what

@@ -1278,6 +1278,62 @@ object Similarity {
   // rounds as unrolled CTEs and hash-match bit-for-bit.
   // ------------------------------------------------------------------
 
+  /** Sentinel for [[nswGraph]]/[[nswInsert]]'s `bitsPerBand`: compute
+    * the banding from a corpus count ([[nswAutoBits]]) instead of
+    * pinning it.
+    */
+  val NswBitsAuto: Int = 0
+
+  /** Auto-sizing clamp: below [[NswMinBits]] the bands stop
+    * discriminating at all; above [[NswMaxBits]] (2^24 buckets/band)
+    * the hot-bucket SPLIT ([[Dedup.splitBuckets]] — candidates linear
+    * in bucket size) is the remaining guard, so pushing bits further
+    * buys nothing.
+    */
+  val NswMinBits: Int = 4
+  val NswMaxBits: Int = 24
+
+  /** Corpus-sized band width for the NSW graph build: the smallest
+    * `bits` in [[[NswMinBits]], [[NswMaxBits]]] whose floor-shifted
+    * mean bucket population `n >> bits` is ≤ 3 × `degree` — the
+    * middle of the documented 2–4×-degree target band (bucket big
+    * enough to fill every neighbor list, small enough that the
+    * within-bucket self-join stays ~constant per node, making the
+    * whole build LINEAR in n). Deliberately integer-only — shift and
+    * compare, no float log2 — so the DuckDB oracle replays the
+    * identical choice from its own COUNT(*) (`MIN(b) FROM
+    * generate_series WHERE (n >> b) <= 3*degree`) with zero
+    * rounding-boundary risk. Measured (NswScaleBench r16): at
+    * N=20,000 this rule picks bits=10, which builds ~6× cheaper than
+    * the old pinned 6 at equal-or-better recall; at the sf0.1
+    * fixture's N=2,000 it picks the same 6 the fixture was tuned at.
+    */
+  def nswAutoBits(n: Long, degree: Int): Int = {
+    require(degree >= 1, s"degree must be >= 1, got $degree")
+    val target = 3L * degree
+    (NswMinBits to NswMaxBits)
+      .find(b => (n >> b) <= target)
+      .getOrElse(NswMaxBits)
+  }
+
+  /** Resolve the build banding: explicit positive `bitsPerBand` wins
+    * (tests, A/B curves); [[NswBitsAuto]] pays ONE distributed count
+    * of the valid rows (same filter [[bucketedPairsLazy]] applies, so
+    * the n the rule sees is the n the build keys) — the semDedup
+    * √N-posture scalar aggregate. Capped at `dim`: a band cannot
+    * sample more distinct coordinates than the vector has.
+    */
+  private def resolveNswBits(
+      corpus: DataFrame, vecCol: String, dim: Int,
+      bitsPerBand: Int, degree: Int): Int =
+    if (bitsPerBand != NswBitsAuto) bitsPerBand
+    else {
+      val n = corpus
+        .filter(col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+        .count()
+      math.min(dim, nswAutoBits(n, degree))
+    }
+
   /** Degree-bounded k-NN graph over an embedding column: banded
     * sign-LSH candidates ([[bucketedPairsLazy]] — never all-pairs),
     * cosine-verified, symmetrized, then cut to the top-`degree`
@@ -1292,16 +1348,21 @@ object Similarity {
     * duplicates. Hot buckets are rank-chunk split, not dropped
     * ([[Dedup.splitBuckets]]), so dense directions keep their edges.
     *
-    * SIZE `bitsPerBand` WITH THE CORPUS: bucket population is
-    * N / 2^bits, and within-bucket candidates grow with its SQUARE —
-    * at fixed bits the build is quadratic in N (measured: 10× data →
-    * 7× cost at 6 bits). Production rule: bits ≈ log₂(N / b) for a
-    * target bucket of b ≈ 2–4× `degree` (keeps candidates-per-node
-    * constant, the build linear, and neighbor lists full). The
-    * registered fixture queries pin bits = 6 because the DuckDB
-    * oracle's plane set is interpolated statically; a deployment
-    * re-sizes per corpus the way [[Dedup.semDedup]] sizes its √N
-    * cells.
+    * `bitsPerBand` IS SIZED WITH THE CORPUS BY DEFAULT: bucket
+    * population is N / 2^bits, and within-bucket candidates grow with
+    * its SQUARE — at fixed bits the build is quadratic in N (measured
+    * r16: 10× data → 7× cost at pinned 6 bits). The default
+    * ([[NswBitsAuto]]) computes [[nswAutoBits]] from one distributed
+    * count of the valid corpus rows — the [[Dedup.semDedup]] √N
+    * posture — choosing the smallest bits whose floor-shifted bucket
+    * target `N >> bits` is ≤ 3×`degree` (inside the documented 2–4×
+    * band: candidates-per-node stay constant, the build linear, and
+    * neighbor lists full). The rule is INTEGER-ONLY (no float log2)
+    * so the DuckDB oracle replays it bit-for-bit from its own
+    * COUNT(*), and [[graft.functions.VectorFunctions.planeIndices]]
+    * is prefix-stable in bits, so the oracle carries one max-bits
+    * plane set and filters `j <= bits`. Pass an explicit positive
+    * `bitsPerBand` to pin the banding (tests, A/B curves).
     *
     * Scale shape: candidates are equi-join bounded (bands ×
     * chunked-bucket size), edges shuffle once on `src` into the heap
@@ -1315,15 +1376,16 @@ object Similarity {
       vecCol: String,
       dim: Int = 64,
       nBands: Int = 8,
-      bitsPerBand: Int = 6,
+      bitsPerBand: Int = NswBitsAuto,
       degree: Int = 8,
       maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
     require(degree >= 1, s"degree must be >= 1, got $degree")
+    val bits = resolveNswBits(corpus, vecCol, dim, bitsPerBand, degree)
     // minCosine = -1: a k-NN GRAPH keeps its best candidates however
     // weak (connectivity is the point); thresholding is the near-dup
     // tier's job. Null cosines still drop (cos >= -1 fails on null).
     val (keys, pairs) = bucketedPairsLazy(
-      corpus, idCol, vecCol, dim, nBands, bitsPerBand,
+      corpus, idCol, vecCol, dim, nBands, bits,
       minCosine = -1.0, maxBucket = maxBucket)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(
@@ -1334,17 +1396,55 @@ object Similarity {
     Dedup.eagerRelease(Seq(keys), topDegree(edges, degree))
   }
 
-  /** Shared neighbor-list cut: best `degree` edges per `src` by
-    * (cos desc, dst asc) via the bounded TopK heap — the graph-build
-    * and graph-maintenance ranking rule.
+  /** Long-range slice of the neighbor-list budget: the navigable-
+    * small-world construction keeps MOST links near and a FEW far
+    * (Kleinberg's long-range links; HNSW's upper layers serve the
+    * same routing role) — without them a saturated candidate set
+    * yields pure in-cluster k-NN islands and the beam cannot route
+    * between regions (measured on the manifold fixture: all-near
+    * lists at corpus-sized banding strand every query whose cluster
+    * entry point is filtered as a self-match — recall 0.67 vs 1.00
+    * with 2 far links). Two suffice; below degree 6 the budget is too
+    * small to split and the cut stays all-near (which also keeps the
+    * small-candidate unit fixtures byte-identical: when a node has
+    * ≤ degree candidates, near ∪ far is the whole set either way).
     */
-  private def topDegree(edges: DataFrame, degree: Int): DataFrame =
-    edges
-      .groupBy(col("src"))
-      .agg(graft.functions.TopK.smallestK(
-        struct((-col("cos")).as("nc"), col("dst").as("dst")), degree).as("top"))
-      .select(col("src"), explode(col("top")).as("t"))
-      .select(col("src"), col("t.dst").as("dst"), (-col("t.nc")).as("cos"))
+  def nswFarLinks(degree: Int): Int = if (degree >= 6) 2 else 0
+
+  /** Shared neighbor-list cut: best `degree − far` edges per `src` by
+    * (cos desc, dst asc) PLUS the `far` weakest by (cos asc, dst asc)
+    * — the long-range links ([[nswFarLinks]]) — via two bounded TopK
+    * heaps in ONE aggregate (single shuffle, single edge scan;
+    * map-side partial heaps, no window over the edge stream). The
+    * per-src union dedups in-row (`array_distinct` over exploded
+    * struct lists), so a node whose candidates number ≤ degree keeps
+    * exactly its full set once.
+    */
+  private def topDegree(edges: DataFrame, degree: Int): DataFrame = {
+    val far = nswFarLinks(degree)
+    val near = degree - far
+    if (far == 0)
+      edges
+        .groupBy(col("src"))
+        .agg(graft.functions.TopK.smallestK(
+          struct((-col("cos")).as("nc"), col("dst").as("dst")), degree).as("top"))
+        .select(col("src"), explode(col("top")).as("t"))
+        .select(col("src"), col("t.dst").as("dst"), (-col("t.nc")).as("cos"))
+    else
+      edges
+        .groupBy(col("src"))
+        .agg(
+          graft.functions.TopK.smallestK(
+            struct((-col("cos")).as("a"), col("dst").as("b")), near).as("nt"),
+          graft.functions.TopK.smallestK(
+            struct(col("cos").as("a"), col("dst").as("b")), far).as("ft"))
+        .select(col("src"), explode(array_distinct(concat(
+          transform(col("nt"), t =>
+            struct(t.getField("b").as("dst"), (-t.getField("a")).as("cos"))),
+          transform(col("ft"), t =>
+            struct(t.getField("b").as("dst"), t.getField("a").as("cos")))))).as("e"))
+        .select(col("src"), col("e.dst").as("dst"), col("e.cos").as("cos"))
+  }
 
   /** INCREMENTAL graph maintenance — the arrival-time member of the
     * index family (the D8/D9/D25c ingest posture applied to the NSW
@@ -1374,14 +1474,20 @@ object Similarity {
       vecCol: String,
       dim: Int = 64,
       nBands: Int = 8,
-      bitsPerBand: Int = 6,
+      bitsPerBand: Int = NswBitsAuto,
       degree: Int = 12,
       maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
     require(degree >= 1, s"degree must be >= 1, got $degree")
+    // Auto banding resolves from the STANDING corpus count — the same
+    // n the standing [[nswGraph]] sized itself from, so the insert's
+    // band keys match the graph's by construction. A deployment
+    // re-sizes at its rebuild cadence, not per batch (a batch is
+    // ingest-sized by contract and cannot move the bits choice).
+    val bits = resolveNswBits(corpus, vecCol, dim, bitsPerBand, degree)
     val bc = nearDupsAgainstCorpusEmbed(corpus, batch, idCol, vecCol,
-      dim, nBands, bitsPerBand, minCosine = -1.0, maxBucket = maxBucket)
+      dim, nBands, bits, minCosine = -1.0, maxBucket = maxBucket)
     val (bKeys, bbPairs) = bucketedPairsLazy(batch, idCol, vecCol,
-      dim, nBands, bitsPerBand, minCosine = -1.0, maxBucket = maxBucket)
+      dim, nBands, bits, minCosine = -1.0, maxBucket = maxBucket)
     val batchEdges = bc.select(col("id_b").as("src"), col("id_c").as("dst"), col("cos"))
       .unionByName(bbPairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos")))
       .unionByName(bbPairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))

@@ -953,6 +953,92 @@ object PipelineQueries {
            |SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
            |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin))
 
+  /** Heavy-hitter SKETCH beside the exact top-k ([[textTopWords]]'s
+    * scale path — the r16 verdict's Missing #1, in the A16 sketch
+    * posture): a Misra-Gries summary
+    * ([[graft.functions.Sketches.misraGries]], mergeable map-side like
+    * HLL++) replaces the exact vocabulary aggregate whose key frame is
+    * itself web-scale at 100 TB. The raw estimates are merge-order-
+    * dependent and are NOT registered; what IS registered — and what
+    * the algorithm guarantees under ANY partitioning — is, per exact
+    * top-20 word: `hh_guaranteed` (true count > N/(k+1), exact
+    * arithmetic both engines), `in_sketch_ok` (every guaranteed heavy
+    * hitter holds a counter), and `bound_ok` (est ≤ true ≤ est +
+    * N/(k+1), checked in integer form (n−est)·(k+1) ≤ N). The oracle
+    * recomputes the exact side and pins the booleans TRUE. k = 8
+    * against a ~31-word vocabulary forces real evictions and merge
+    * collapses — the sketch runs in its lossy regime here, not the
+    * distinct ≤ k regime where it degenerates to exact. The natural
+    * fixture is near-UNIFORM (every word ~N/31 ≪ N/9), which would
+    * leave the presence guarantee vacuously true — so the stream
+    * plants skew in-query (the manifoldEmb derived-fixture
+    * precedent): `hhplanted` at doc_id%40 copies per doc crosses the
+    * N/(k+1) line (hh_guaranteed TRUE — presence and bound genuinely
+    * exercised), `midplanted` at doc_id%8 copies lands in the top-20
+    * below it.
+    *
+    * Scale shape: the sketch side is ONE scalar aggregate whose
+    * map-side partials are ≤ k counters each — partitions × k rows of
+    * shuffle where the exact twin shuffles the full vocabulary; the
+    * exact top-20 here exists only to CHECK the bounds (at deployment
+    * the sketch replaces it).
+    */
+  private val MgK = 8
+  val textTopkSketch = QueryDef(
+    "text_topk_sketch",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val natural = docs
+        .select(explode(TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))).as("word"))
+        .filter(col("word") =!= "")
+      def plant(w: String, m: Int) = docs.select(
+        explode(array_repeat(lit(w), pmod(col("doc_id"), lit(m)).cast("int"))).as("word"))
+      val words = natural.unionByName(plant("hhplanted", 40)).unionByName(plant("midplanted", 8))
+      val sk = words.agg(
+        graft.functions.Sketches.misraGries(col("word"), MgK).as("sk"),
+        count(lit(1)).as("n_total"))
+      val est = sk.select(explode(col("sk")).as("e"))
+        .select(col("e.word").as("word"), col("e.est").as("est"))
+      val exact = words.groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(20)
+      exact
+        .crossJoin(broadcast(sk.select(col("n_total"))))
+        .join(broadcast(est), Seq("word"), "left")
+        .select(
+          col("word"), col("n"),
+          (col("n") * (MgK + 1) > col("n_total")).as("hh_guaranteed"),
+          (col("n") * (MgK + 1) <= col("n_total") || col("est").isNotNull)
+            .as("in_sketch_ok"),
+          (col("est").isNull ||
+            (col("est") <= col("n") &&
+              (col("n") - col("est")) * (MgK + 1) <= col("n_total")))
+            .as("bound_ok"))
+        .orderBy(col("n").desc, col("word").asc)
+    },
+    Some(s"""WITH w AS (
+            |  SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS word
+            |  FROM documents
+            |),
+            |ww AS (
+            |  SELECT word FROM w WHERE word <> ''
+            |  UNION ALL
+            |  SELECT unnest(['hhplanted' FOR i IN generate_series(1, doc_id % 40)]) AS word
+            |  FROM documents
+            |  UNION ALL
+            |  SELECT unnest(['midplanted' FOR i IN generate_series(1, doc_id % 8)]) AS word
+            |  FROM documents
+            |),
+            |tot AS (SELECT COUNT(*) AS n_total FROM ww),
+            |ex AS (
+            |  SELECT word, COUNT(*) AS n FROM ww GROUP BY word
+            |  ORDER BY n DESC, word ASC LIMIT 20
+            |)
+            |SELECT word, n,
+            |       (n * ${MgK + 1} > n_total) AS hh_guaranteed,
+            |       TRUE AS in_sketch_ok,
+            |       TRUE AS bound_ok
+            |FROM ex, tot ORDER BY n DESC, word ASC""".stripMargin))
+
   /** Benchmark decontamination ([[Dedup.decontaminate]]): corpus docs
     * (`doc_id % 10 <> 0`) sharing ≥ 5 distinct word 3-grams with any
     * eval-set doc (`doc_id % 10 = 0`) — the pretraining hygiene join.
@@ -1530,13 +1616,14 @@ object PipelineQueries {
     * rounds of pair counts → best pair (bp$i) → greedy application
     * ([[bpeApplyRoundSql]]).
     */
-  private def bpeChainSql(k: Int, docWhere: String = ""): String = {
+  private def bpeChainSql(k: Int, docWhere: String = "",
+      src: String = "documents"): String = {
     val where = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
     val base =
       s"""tok AS (
          |  SELECT t AS w FROM (
          |    SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
-         |    FROM documents$where)
+         |    FROM $src$where)
          |  WHERE regexp_matches(t, '^[a-z0-9]+$$')
          |),
          |wc AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
@@ -7900,15 +7987,56 @@ object PipelineQueries {
   // The fourth index family beside IVF / PQ / int8 (round-15 verdict
   // "what's missing" #2): a degree-bounded k-NN graph built from the
   // SAME banded sign-LSH candidates the near-dup tier uses
-  // ([[Similarity.nswGraph]] — coarser 8×6-bit banding so buckets are
-  // population-sized, not duplicate-sized), searched by FIXED-round
-  // beam expansion ([[Similarity.nswSearch]]: 8 entry points, beam 24,
-  // 3 rounds, re-scored each round). Registered on BOTH fixtures per
+  // ([[Similarity.nswGraph]] — 8 bands, width AUTO-sized from the
+  // corpus count since round 17 ([[Similarity.nswAutoBits]]) so
+  // buckets stay population-sized at every N), searched by FIXED-round
+  // beam expansion ([[Similarity.nswSearch]], re-scored each round).
+  // Registered on BOTH fixtures per
   // the recall-ladder contract so the float-vs-manifold gap is pinned
   // beside the IVF and PQ rows. The oracle replays the identical
   // plane set, graph cut, and every beam round as unrolled CTEs.
-  private val nswPlanesValues: String = lshPlanesValuesFor(8, 6)
+  // MAX-bits plane set: [[VectorFunctions.planeIndices]] is
+  // prefix-stable in bits (a LinkedHashSet scan — the first b distinct
+  // indices are the same for every bits >= b), so the oracle carries
+  // the widest set once and filters `j <= bits` against the
+  // corpus-computed choice below. The r16 pinned-6 set is this set's
+  // prefix, byte for byte.
+  private val nswPlanesValues: String =
+    lshPlanesValuesFor(8, Similarity.NswMaxBits)
   private val NswDegree = 12
+
+  /** The oracle's replay of [[Similarity.nswAutoBits]]: smallest bits
+    * in [min, max] with `COUNT(*) >> bits <= 3*degree` — integer
+    * shift-and-compare on both engines, zero rounding-boundary risk.
+    * `countFrom` names the CTE whose row count sizes the build (the
+    * full valid frame for a build, the standing-corpus frame for an
+    * insert). Emits the `bb` + filtered `planes` CTEs; the VALUES
+    * list above is bound as `planes0`.
+    */
+  private def nswBitsCtes(countFrom: String): String =
+    s"""bb AS (
+       |  SELECT COALESCE((SELECT MIN(t.b)
+       |                   FROM generate_series(${Similarity.NswMinBits}, ${Similarity.NswMaxBits}) t(b)
+       |                   WHERE ((SELECT COUNT(*) FROM $countFrom) >> t.b) <= ${3 * NswDegree}),
+       |                  ${Similarity.NswMaxBits}) AS bits
+       |),
+       |planes AS (SELECT p.band, p.j, p.idx FROM planes0 p, bb WHERE p.j <= bb.bits)""".stripMargin
+
+  /** The oracle's replay of the near/far neighbor-list cut
+    * ([[Similarity.nswFarLinks]]): best `near` by (cos desc, dst asc)
+    * plus the `far` weakest by (cos asc, dst asc) — one scan, two
+    * row-number windows, OR'd (a row kept by both appears once, same
+    * as the Spark side's in-row `array_distinct`).
+    */
+  private val NswFar = Similarity.nswFarLinks(NswDegree)
+  private val NswNear = NswDegree - NswFar
+  private def nswCutSql(select: String, fromBody: String): String =
+    s"""SELECT $select FROM (
+       |  SELECT src, dst, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnn,
+       |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos ASC, dst ASC) AS rnf
+       |  FROM $fromBody
+       |) WHERE rnn <= $NswNear OR rnf <= $NswFar""".stripMargin
   private val NswBeam = 24
   private val NswRounds = 5
   // 16 entries, not a handful: beam search can only reach what the
@@ -7924,8 +8052,11 @@ object PipelineQueries {
 
   private def nswRecallBody(emb: DataFrame): DataFrame = {
     val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    // bitsPerBand defaults to auto: sized from this corpus's valid
+    // count by [[Similarity.nswAutoBits]]; the oracle replays the
+    // same count → same bits choice ([[nswBitsCtes]]).
     val graph = Similarity.nswGraph(emb, "vec_id", "embedding",
-      dim = 64, nBands = 8, bitsPerBand = 6, degree = NswDegree)
+      dim = 64, nBands = 8, degree = NswDegree)
     val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
     val approx = Similarity.nswSearch(queries, emb, graph, "vec_id", "embedding",
       k = 10, beamWidth = NswBeam, rounds = NswRounds, nEntries = NswEntries)
@@ -7953,9 +8084,10 @@ object PipelineQueries {
          |),
          |${beamCte(s"beam$r", s"cand$r", NswBeam)}""".stripMargin
     }.mkString(",\n")
-    s"""WITH planes(band, j, idx) AS (VALUES $nswPlanesValues),
+    s"""WITH planes0(band, j, idx) AS (VALUES $nswPlanesValues),
        |e0 AS ($src),
-       |e AS (SELECT vec_id, v FROM e0 WHERE v IS NOT NULL AND len(v) >= 64),
+       |e AS MATERIALIZED (SELECT vec_id, v FROM e0 WHERE v IS NOT NULL AND len(v) >= 64),
+       |${nswBitsCtes("e")},
        |keys AS (
        |  SELECT e.vec_id, p.band,
        |         CAST(SUM(CASE WHEN e.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
@@ -7986,8 +8118,7 @@ object PipelineQueries {
        |  SELECT id_b AS src, id_a AS dst, cos FROM pairs
        |),
        |graph AS (
-       |  SELECT src, dst FROM edges
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+       |  ${nswCutSql("src, dst", "edges")}
        |),
        |ent AS (SELECT vec_id AS n_id FROM e ORDER BY vec_id ASC LIMIT $NswEntries),
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 10 AND vec_id < 20),
@@ -8059,16 +8190,20 @@ object PipelineQueries {
       val emb = manifoldEmb(s, dir)
       val corpus = emb.filter(col("vec_id") >= 20)
       val batch = emb.filter(col("vec_id") < 20)
+      // Both the standing build and the insert auto-size from the
+      // STANDING corpus count (the insert contract: a batch cannot
+      // move the bits choice) — the oracle counts the same ec frame.
       val standing = Similarity.nswGraph(corpus, "vec_id", "embedding",
-        dim = 64, nBands = 8, bitsPerBand = 6, degree = NswDegree)
+        dim = 64, nBands = 8, degree = NswDegree)
       Similarity.nswInsert(standing, corpus, batch, "vec_id", "embedding",
-        dim = 64, nBands = 8, bitsPerBand = 6, degree = NswDegree)
+        dim = 64, nBands = 8, degree = NswDegree)
     },
-    Some(s"""WITH planes(band, j, idx) AS (VALUES $nswPlanesValues),
+    Some(s"""WITH planes0(band, j, idx) AS (VALUES $nswPlanesValues),
             |e0 AS ($manifoldSrcSql),
             |e AS MATERIALIZED (SELECT vec_id, v FROM e0 WHERE v IS NOT NULL AND len(v) >= 64),
-            |ec AS (SELECT * FROM e WHERE vec_id >= 20),
+            |ec AS MATERIALIZED (SELECT * FROM e WHERE vec_id >= 20),
             |eb AS (SELECT * FROM e WHERE vec_id < 20),
+            |${nswBitsCtes("ec")},
             |kc AS MATERIALIZED (
             |  SELECT ec.vec_id, p.band,
             |         CAST(SUM(CASE WHEN ec.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
@@ -8094,11 +8229,12 @@ object PipelineQueries {
             |  FROM candc JOIN e ea ON candc.id_a = ea.vec_id JOIN e eb2 ON candc.id_b = eb2.vec_id
             |),
             |graph0 AS MATERIALIZED (
-            |  SELECT src, dst, cos FROM (
-            |    SELECT id_a AS src, id_b AS dst, cos FROM pairsc
-            |    UNION ALL
-            |    SELECT id_b AS src, id_a AS dst, cos FROM pairsc
-            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+            |  ${nswCutSql("src, dst, cos",
+                 """(
+                   |    SELECT id_a AS src, id_b AS dst, cos FROM pairsc
+                   |    UNION ALL
+                   |    SELECT id_b AS src, id_a AS dst, cos FROM pairsc
+                   |  )""".stripMargin)}
             |),
             |kb AS MATERIALIZED (
             |  SELECT eb.vec_id, p.band,
@@ -8145,21 +8281,23 @@ object PipelineQueries {
             |  FROM candb JOIN e ea ON candb.id_a = ea.vec_id JOIN e eb2 ON candb.id_b = eb2.vec_id
             |),
             |newlists AS (
-            |  SELECT src, dst, cos FROM (
-            |    SELECT id_b AS src, id_c AS dst, cos FROM bc
-            |    UNION ALL
-            |    SELECT id_a AS src, id_b AS dst, cos FROM pairsb
-            |    UNION ALL
-            |    SELECT id_b AS src, id_a AS dst, cos FROM pairsb
-            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+            |  ${nswCutSql("src, dst, cos",
+                 """(
+                   |    SELECT id_b AS src, id_c AS dst, cos FROM bc
+                   |    UNION ALL
+                   |    SELECT id_a AS src, id_b AS dst, cos FROM pairsb
+                   |    UNION ALL
+                   |    SELECT id_b AS src, id_a AS dst, cos FROM pairsb
+                   |  )""".stripMargin)}
             |),
             |affected AS (SELECT DISTINCT id_c AS src FROM bc),
             |reranked AS (
-            |  SELECT src, dst, cos FROM (
-            |    SELECT g.src, g.dst, g.cos FROM graph0 g JOIN affected a ON g.src = a.src
-            |    UNION ALL
-            |    SELECT id_c AS src, id_b AS dst, cos FROM bc
-            |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+            |  ${nswCutSql("src, dst, cos",
+                 """(
+                   |    SELECT g.src, g.dst, g.cos FROM graph0 g JOIN affected a ON g.src = a.src
+                   |    UNION ALL
+                   |    SELECT id_c AS src, id_b AS dst, cos FROM bc
+                   |  )""".stripMargin)}
             |)
             |SELECT g.src, g.dst, g.cos FROM graph0 g
             |WHERE NOT EXISTS (SELECT 1 FROM affected a WHERE a.src = g.src)
@@ -8190,7 +8328,7 @@ object PipelineQueries {
       val emb = manifoldEmb(s, dir)
       val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       val graph = Similarity.nswGraph(emb, "vec_id", "embedding",
-        dim = 64, nBands = 8, bitsPerBand = 6, degree = NswDegree)
+        dim = 64, nBands = 8, degree = NswDegree)
       val gt = CheckpointBlocks.cut(
         Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10))
       nswRoundsArms.map { r =>
@@ -8236,9 +8374,10 @@ object PipelineQueries {
       val tail = nswRoundsArms.map(r =>
         s"SELECT $r AS rounds, n_hits, recall FROM rec$r")
         .mkString("\nUNION ALL ")
-      s"""WITH planes(band, j, idx) AS (VALUES $nswPlanesValues),
+      s"""WITH planes0(band, j, idx) AS (VALUES $nswPlanesValues),
          |e0 AS ($manifoldSrcSql),
          |e AS MATERIALIZED (SELECT vec_id, v FROM e0 WHERE v IS NOT NULL AND len(v) >= 64),
+         |${nswBitsCtes("e")},
          |keys AS (
          |  SELECT e.vec_id, p.band,
          |         CAST(SUM(CASE WHEN e.v[p.idx] >= 0 THEN (1::BIGINT << (p.j - 1)) ELSE 0::BIGINT END)
@@ -8269,8 +8408,7 @@ object PipelineQueries {
          |  SELECT id_b AS src, id_a AS dst, cos FROM pairs
          |),
          |graph AS MATERIALIZED (
-         |  SELECT src, dst FROM edges
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) <= $NswDegree
+         |  ${nswCutSql("src, dst", "edges")}
          |),
          |ent AS (SELECT vec_id AS n_id FROM e ORDER BY vec_id ASC LIMIT $NswEntries),
          |q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 10 AND vec_id < 20),
@@ -11065,6 +11203,75 @@ object PipelineQueries {
            |) QUALIFY ROW_NUMBER() OVER (
            |    PARTITION BY event_id ORDER BY version DESC, prio DESC) = 1""".stripMargin))
 
+  /** SCD2 history-preserving merge ([[Pendentes.scd2Merge]] — U3's
+    * interval-closing other half, the r16 verdict's Missing #2): a
+    * synthetic dimension (one open row per user, valid_from = 0,
+    * sentinel payload) absorbs every 7th event as a new version at its
+    * epoch-micros timestamp. The registered artifact is the FULL
+    * merged history — every user's chain of [valid_from, valid_to)
+    * intervals with exactly one open row — so a wrong close, a
+    * dropped version, or a replay duplicate anywhere hash-fails. The
+    * oracle re-derives the chain independently (replay-guard
+    * anti-join, in-batch dedupe, LEAD over the per-key chain).
+    * Idempotent-replay and late-arrival slotting are unit-pinned
+    * (the D20 posture).
+    */
+  val scd2MergeEvents = QueryDef(
+    "u5_scd2_merge",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val base = ev.select(col("user_id")).distinct()
+        .select(
+          col("user_id"),
+          lit(-1.0).as("value"),
+          lit(0L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+      val updates = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("user_id"), round(col("value"), 2).as("value"),
+          Tables.tsMicros(col("ts")).as("eff_ts"))
+      Pendentes.scd2Merge(base, updates, Seq("user_id"), "eff_ts")
+    },
+    Some("""WITH base AS (
+           |  SELECT DISTINCT user_id, -1.0 AS value,
+           |         0::BIGINT AS valid_from, NULL::BIGINT AS valid_to
+           |  FROM events
+           |),
+           |upd AS (
+           |  SELECT user_id, ROUND(value, 2) AS value, epoch_us(ts) AS valid_from
+           |  FROM events WHERE event_id % 7 = 0
+           |),
+           |u1 AS (
+           |  SELECT u.* FROM upd u
+           |  WHERE NOT EXISTS (SELECT 1 FROM base b
+           |                    WHERE b.user_id = u.user_id
+           |                      AND b.valid_from = u.valid_from)
+           |),
+           |u2 AS (
+           |  SELECT user_id, valid_from, MAX(value) AS value
+           |  FROM u1 GROUP BY 1, 2
+           |),
+           |touched AS (SELECT DISTINCT user_id FROM u2),
+           |chain AS (
+           |  SELECT b.user_id, b.value, b.valid_from
+           |  FROM base b JOIN touched t USING (user_id)
+           |  WHERE b.valid_to IS NULL
+           |  UNION ALL
+           |  SELECT user_id, value, valid_from FROM u2
+           |),
+           |chained AS (
+           |  SELECT user_id, value, valid_from,
+           |         LEAD(valid_from) OVER (
+           |           PARTITION BY user_id ORDER BY valid_from) AS valid_to
+           |  FROM chain
+           |)
+           |SELECT b.user_id, b.value, b.valid_from, b.valid_to FROM base b
+           |WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.user_id = b.user_id)
+           |UNION ALL
+           |SELECT b.user_id, b.value, b.valid_from, b.valid_to FROM base b
+           |JOIN touched t USING (user_id) WHERE b.valid_to IS NOT NULL
+           |UNION ALL
+           |SELECT user_id, value, valid_from, valid_to FROM chained""".stripMargin))
+
   /** Row-level snapshot diff ([[Pendentes.snapshotDiff]]): the events
     * table against a deterministically perturbed re-extract — every
     * 13th row dropped (removed), every 5th surviving value corrected
@@ -11191,7 +11398,8 @@ object PipelineQueries {
     * All CTE names are u-prefixed so the chain composes beside
     * [[bpeChainSql]] in one WITH (the fertility row).
     */
-  private def unigramChainSql(emIters: Int, seedMulti: Int, vocabSize: Int): String = {
+  private def unigramChainSql(emIters: Int, seedMulti: Int, vocabSize: Int,
+      docsSrc: String = "documents"): String = {
     val scoredSql = (src: String) =>
       s"""SELECT piece, cnt,
          |         CAST(round(ln(cnt::DOUBLE / t.tot::DOUBLE) * 1000000, 0) AS BIGINT) AS score_u
@@ -11200,7 +11408,7 @@ object PipelineQueries {
       s"""uwc AS MATERIALIZED (
          |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
          |    SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
-         |    FROM documents)
+         |    FROM $docsSrc)
          |  WHERE regexp_matches(t, '^[a-z0-9]+$$')
          |  GROUP BY 1
          |),
@@ -11400,6 +11608,103 @@ object PipelineQueries {
          |FROM (SELECT * FROM brow UNION ALL SELECT * FROM urow)""".stripMargin
         .replace("$BPEK", BpeMerges.toString)))
 
+  // ---- round-17: tokenizer A/B on an OPEN vocabulary --------------
+  // The saturated fixture (31 words) caps both tokenizer families at
+  // near-trivial fertility (r16 verdict ask #6: "both arms
+  // near-trivial — re-run where merges/pieces actually compete").
+  // This fixture is derived IN-QUERY from doc_ids (the manifoldEmb
+  // precedent — deterministic, seed-pinned, no new file): 30 words
+  // per doc, each word = 4-hex-char root (40 roots) ⊕ 3-hex-char
+  // suffix (8 suffixes), both md5-derived — a 320-word MORPHOLOGICAL
+  // vocabulary over a 16-char alphabet, the regime subword tokenizers
+  // exist for (BPE must assemble morphemes greedily bottom-up;
+  // unigram prunes a substring lattice top-down by EM likelihood —
+  // at small piece budgets the two measurably diverge).
+  private val OpenWordsPerDoc = 30
+  private def openTextSql: String = {
+    def h60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+    val root = s"substr(md5('or' || CAST(${h60("'w' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)")} % 40 AS VARCHAR)), 1, 4)"
+    val suf = s"substr(md5('os' || CAST(${h60("'x' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)")} % 8 AS VARCHAR)), 1, 3)"
+    s"""(SELECT doc_id,
+       |        array_to_string([$root || $suf
+       |                         FOR i IN generate_series(1, $OpenWordsPerDoc)], ' ') AS text
+       | FROM documents) odoc""".stripMargin
+  }
+  private def openVocabDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    def h60(c: Column) = Hashing.md5Bits60(c)
+    def part(tag: String, salt: String, mod: Int, len: Int)(i: Column) =
+      substring(md5(concat(lit(tag),
+        (h60(concat(lit(salt), col("doc_id").cast("string"), lit("_"),
+          i.cast("string"))) % mod).cast("string"))), 1, len)
+    org.apache.spark.sql.graft.CheckpointBlocks.cut(
+      Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(OpenWordsPerDoc)), i =>
+          concat(part("or", "w", 40, 4)(i), part("os", "x", 8, 3)(i)))).as("text")))
+  }
+
+  /** One open-vocabulary A/B arm: both tokenizers trained at the same
+    * nominal piece budget (16-char hex alphabet + `m` learned units),
+    * fertility measured on the training corpus — the
+    * [[textUnigramVsBpeFertility]] row shape, oracle chains sourced
+    * from the derived fixture.
+    */
+  private def openAbArm(m: Int) = QueryDef(
+    s"text_tok_ab_open$m",
+    (s, dir) => {
+      import graft.operators.{Bpe, Unigram}
+      val docs = openVocabDocs(s, dir)
+      val words = Bpe.wordCounts(docs, "text")
+      val (_, wordMap) = Bpe.train(docs, "text", merges = m)
+      val brow = wordMap
+        .agg(sum(col("freq")).cast("long").as("n_words"),
+          sum(col("freq") * size(col("syms"))).cast("long").as("n_tokens"))
+        .crossJoin(broadcast(
+          Bpe.vocab(wordMap).agg(count(lit(1)).cast("long").as("vocab_size"))))
+        .select(lit("bpe").as("tokenizer"), col("vocab_size"),
+          col("n_words"), col("n_tokens"))
+      val uvoc = Unigram.train(docs, "text",
+        seedMulti = UnigramSeedMulti, emIters = UnigramEmIters,
+        vocabSize = 16 + m)
+      val urow = Unigram.fertility(words, uvoc)
+        .crossJoin(broadcast(uvoc.agg(count(lit(1)).cast("long").as("vocab_size"))))
+        .select(lit("unigram").as("tokenizer"), col("vocab_size"),
+          col("n_words"), col("n_tokens"))
+      brow.unionByName(urow)
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+    },
+    Some(
+      s"""WITH ${bpeChainSql(m, src = openTextSql)},
+         |${unigramChainSql(UnigramEmIters, UnigramSeedMulti, 16 + m, docsSrc = openTextSql)},
+         |ufm AS (SELECT map_from_entries(list({'k': token, 'v': score_u})) AS m FROM ufinal),
+         |ufseg AS (
+         |  SELECT freq,
+         |    len(${unigramDpSql("w", "m")}) AS n
+         |  FROM uwc CROSS JOIN ufm
+         |),
+         |brow AS (
+         |  SELECT 'bpe' AS tokenizer,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |            (SELECT DISTINCT unnest(s) FROM st$m)) AS vocab_size,
+         |         CAST(SUM(freq) AS BIGINT) AS n_words,
+         |         CAST(SUM(freq * len(s)) AS BIGINT) AS n_tokens
+         |  FROM st$m
+         |),
+         |urow AS (
+         |  SELECT 'unigram' AS tokenizer,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM ufinal) AS vocab_size,
+         |         CAST(SUM(freq) AS BIGINT) AS n_words,
+         |         CAST(SUM(freq * n) AS BIGINT) AS n_tokens
+         |  FROM ufseg
+         |)
+         |SELECT tokenizer, vocab_size, n_words, n_tokens,
+         |       n_tokens::DOUBLE / n_words::DOUBLE AS fertility
+         |FROM (SELECT * FROM brow UNION ALL SELECT * FROM urow)""".stripMargin))
+
+  val textTokAbOpen8 = openAbArm(8)
+  val textTokAbOpen32 = openAbArm(32)
+
   /** The `text_langid_trained` fixture: every document's text gets a
     * 4-stopword marker of ITS OWN labeled language appended — the
     * "injected per-language markers" fixture the round-15 verdict
@@ -11526,10 +11831,10 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupPrefixJoin, dedupExactSubstr, dedupExactSubstrCurve, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve, dedupDecontamSem,
-    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTopkSketch, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, pretrainPrepFull, textBpeTrain, textBpeEncode,
-    textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes, textUnigramTrain, textUnigramTokenIds, textUnigramVsBpeFertility, textLangidTrained,
+    textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes, textUnigramTrain, textUnigramTokenIds, textUnigramVsBpeFertility, textTokAbOpen8, textTokAbOpen32, textLangidTrained,
     textWinnow, textDupSpans, textDupSpanFrac, textLineBoiler, textEntropy, textSentences, textTopBigrams, textPmiCollocations, textTextrank, textTextrankConvergence, textKeywords, textZipfFit, textVocabGrowth, textPhraseSearch, ragSearch, textChunks, textLmScore, textLm2Score, textLmHeldOut, textLmKn, textLmMkn, textLmKn3, textLmOrderCurve, textLmKnVsAddone, textBm25, textBm25Batch, textBm25Eval, textHybridRrf, textNbClassifier, textNbConfusion, textNbAuc, textNbCalibration, textNbEce, textLrClassifier, textLrAuc, textLrCalibration, textLrCapacityCurve, chunkPrep,
     annTopK, annFiltered, annBucketed, dedupEmbed, annLshRecall, annIvf, annIvfProbed, annRecall,
     annInt8Recall, annInt8Rerank, annIvfInt8, annPqRecall, annPqLloyd, annPqRerank,
@@ -11538,7 +11843,7 @@ object PipelineQueries {
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
     annKmeans, dedupSemdedup, dedupSemdedupCapped, dedupSemdedupCurve, dedupIncrSemdedup,
-    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, snapshotDiffEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, eventsAnomalyEnsemble, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,

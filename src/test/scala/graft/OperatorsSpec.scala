@@ -347,6 +347,46 @@ class UpsertSpec extends AnyFunSuite {
       .select($"k", $"v").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "a2", 2L -> "b2", 3L -> "c", 4L -> "d"))
   }
+
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"k", $"v", $"valid_from", $"valid_to")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+
+  test("scd2Merge: closes the open row, chains new versions, passes closed history through") {
+    val base = Seq(
+      (1L, "a0", 0L, Some(10L)),  // closed history — must pass through verbatim
+      (1L, "a1", 10L, None),      // open row — closed by the first newer version
+      (2L, "b0", 0L, None)        // untouched key — verbatim
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq((1L, "a2", 20L), (1L, "a3", 30L)).toDF("k", "v", "ts")
+    val out = scd2Rows(graft.operators.Pendentes.scd2Merge(base, upd, Seq("k"), "ts"))
+    assert(out == Set(
+      (1L, "a0", 0L, 10L), (1L, "a1", 10L, 20L),
+      (1L, "a2", 20L, 30L), (1L, "a3", 30L, -1L),
+      (2L, "b0", 0L, -1L)))
+  }
+
+  test("scd2Merge replay is a no-op (idempotent), and a late version slots into the chain") {
+    val base = Seq((1L, "a0", 10L, Option.empty[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq((1L, "a1", 30L), (1L, "late", 5L)).toDF("k", "v", "ts")
+    val once = graft.operators.Pendentes.scd2Merge(base, upd, Seq("k"), "ts")
+    // Late version (ts 5) slots BEFORE the open row: 5→10→30.
+    assert(scd2Rows(once) == Set(
+      (1L, "late", 5L, 10L), (1L, "a0", 10L, 30L), (1L, "a1", 30L, -1L)))
+    val twice = graft.operators.Pendentes.scd2Merge(once, upd, Seq("k"), "ts")
+    assert(scd2Rows(twice) == scd2Rows(once), "replaying the same batch changed the table")
+  }
+
+  test("scd2Merge dedupes in-batch duplicates on (key, ts) deterministically") {
+    val base = Seq((1L, "a0", 0L, Option.empty[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq((1L, "x1", 10L), (1L, "x9", 10L)).toDF("k", "v", "ts")
+    val out = scd2Rows(graft.operators.Pendentes.scd2Merge(base, upd, Seq("k"), "ts"))
+    // Greatest payload struct wins the tie: "x9" > "x1".
+    assert(out == Set((1L, "a0", 0L, 10L), (1L, "x9", 10L, -1L)))
+  }
 }
 
 class MomentsSpec extends AnyFunSuite {

@@ -1232,6 +1232,53 @@ class SimilaritySpec extends AnyFunSuite {
       s"beam search failed to reach the far end: ${got.mkString(",")}")
   }
 
+  test("nswAutoBits: smallest bits with N>>bits <= 3*degree, clamped to [4,24]") {
+    // The documented sizing rule, integer-only so DuckDB replays it:
+    // the three fixture points the r16 bench measured, the clamps,
+    // and monotonicity (more data never narrows the bands).
+    assert(Similarity.nswAutoBits(500L, 12) == 4)
+    assert(Similarity.nswAutoBits(2000L, 12) == 6)   // = the sf0.1 tuning point
+    assert(Similarity.nswAutoBits(20000L, 12) == 10) // = NswScaleBench's 6x-cheaper point
+    assert(Similarity.nswAutoBits(0L, 12) == 4)
+    assert(Similarity.nswAutoBits(1000000000L, 12) == 24) // clamp; hot-bucket split guards past here
+    val seq = (1 to 30).map(i => Similarity.nswAutoBits(1L << i, 12))
+    assert(seq == seq.sorted, s"not monotone in n: $seq")
+    // Exact boundary: n >> 4 == 36 stays at 4; one more row crosses.
+    assert(Similarity.nswAutoBits(36L << 4, 12) == 4)
+    assert(Similarity.nswAutoBits((36L << 4) + 16, 12) == 5)
+  }
+
+  test("nswGraph default banding equals an explicit nswAutoBits(n) build") {
+    val vecs = (1L to 40L).map { i =>
+      (i, (0 until 64).map(d => if (((i + d) % 3) == 0) 1f else -1f))
+    }.toDF("vec_id", "embedding")
+    val auto = Similarity.nswGraph(vecs, "vec_id", "embedding", degree = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    val pinned = Similarity.nswGraph(vecs, "vec_id", "embedding",
+      bitsPerBand = Similarity.nswAutoBits(40L, 6), degree = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == pinned, "auto-sized build differs from the rule's explicit build")
+  }
+
+  test("nswGraph reserves two long-range (weakest) links when candidates exceed degree") {
+    // 8 vectors fanning 0..1.4 rad in one plane, all coordinates
+    // positive so a 1-band/1-bit key puts EVERY pair in one bucket:
+    // node 1 sees 7 candidates, degree 6 must keep the 4 nearest
+    // (ids 2..5) plus the 2 FARTHEST (ids 7, 8 — the navigable-small-
+    // world long-range links), and drop the middle (id 6).
+    import scala.math.{cos => mcos, sin => msin}
+    val vecs = (1 to 8).map { i =>
+      val a = (i - 1) * 0.2
+      (i.toLong, Seq(mcos(a).toFloat, msin(a).toFloat + 0.001f, 0.1f, 0.1f))
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.nswGraph(vecs, "vec_id", "embedding",
+      dim = 4, nBands = 1, bitsPerBand = 1, degree = 6)
+      .as[(Long, Long, Double)].collect()
+    val n1 = g.filter(_._1 == 1L).map(_._2).toSet
+    assert(n1 == Set(2L, 3L, 4L, 5L, 7L, 8L),
+      s"expected 4 near + 2 far links for node 1, got $n1")
+  }
+
   test("nswInsert equals a full rebuild when no bucket is hot (fold = rebuild)") {
     // Two direction clusters; corpus = 6 nodes, batch = 2 arrivals
     // (one per cluster). With every bucket under the cap the routed
@@ -2831,5 +2878,69 @@ class PretrainFullSpec extends AnyFunSuite {
     assert(byName("shard")._4 == byName("pack")._4)
     assert(byName("curriculum")._3 == byName("pack")._3)
     assert(byName("shard")._3 <= 8)
+  }
+}
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.functions.Sketches
+
+  private def summarize(words: Seq[String], k: Int, parts: Int): Map[String, Long] =
+    words.toDF("word").repartition(parts)
+      .agg(Sketches.misraGries(col("word"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.word"), col("e.est"))
+      .as[(String, Long)].collect().toMap
+
+  test("misraGries is exact when distinct values fit the counter budget") {
+    val words = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val got = summarize(scala.util.Random.shuffle(words), k = 8, parts = 4)
+    assert(got == Map("a" -> 7L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("misraGries guarantees heavy hitters present and estimates within N/(k+1), across partitions and merges") {
+    // Skewed stream: two heavy values over a long noise tail, far more
+    // distinct values than counters, spread over many partitions so
+    // both the update eviction AND the merge collapse fire.
+    val heavy = Seq.fill(400)("hh1") ++ Seq.fill(250)("hh2")
+    val noise = (1 to 300).flatMap(i => Seq.fill(1 + i % 3)(s"w$i"))
+    val words = scala.util.Random.shuffle(heavy ++ noise)
+    val n = words.size.toLong
+    val k = 8
+    val exact = words.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    val got = summarize(words, k, parts = 16)
+    assert(got.size <= k, s"summary exceeded k: ${got.size}")
+    val bound = n / (k + 1)
+    // Presence: every true heavy hitter (count > N/(k+1)) has a counter.
+    exact.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { w =>
+      assert(got.contains(w), s"guaranteed heavy hitter $w missing (bound $bound)")
+    }
+    // Bounds: est <= true <= est + N/(k+1), for every kept counter.
+    got.foreach { case (w, est) =>
+      val t = exact(w)
+      assert(est <= t, s"$w overestimated: est $est > true $t")
+      assert(t <= est + bound, s"$w under bound: true $t > est $est + $bound")
+    }
+  }
+
+  test("misraGries grouped: per-group budgets and bounds hold independently") {
+    val rows = (Seq.fill(50)(("g1", "x")) ++ (1 to 40).map(i => ("g1", s"a$i")) ++
+      Seq.fill(30)(("g2", "y")) ++ (1 to 20).map(i => ("g2", s"b$i")))
+    val got = scala.util.Random.shuffle(rows).toDF("g", "word").repartition(8)
+      .groupBy("g").agg(Sketches.misraGries(col("word"), 4).as("sk"))
+      .select(col("g"), explode(col("sk")).as("e"))
+      .select(col("g"), col("e.word"), col("e.est"))
+      .as[(String, String, Long)].collect()
+    val byG = got.groupBy(_._1)
+    assert(byG.values.forall(_.length <= 4))
+    // g1: N=90, bound 18; x has true 50 > 18 -> present, est in [32, 50].
+    val x = byG("g1").find(_._2 == "x")
+    assert(x.isDefined, "heavy hitter x missing from g1 summary")
+    assert(x.get._3 <= 50L && x.get._3 >= 50L - 90L / 5)
+    // g2: N=50, bound 10; y true 30 -> present, est in [20, 30].
+    val y = byG("g2").find(_._2 == "y")
+    assert(y.isDefined, "heavy hitter y missing from g2 summary")
+    assert(y.get._3 <= 30L && y.get._3 >= 30L - 50L / 5)
   }
 }

@@ -439,7 +439,13 @@ class PlanSpec extends AnyFunSuite {
       // bounded by the seed budget by construction — the
       // text_bpe_vocab argument; Unigram.train scaladoc).
       "text_unigram_train", "text_unigram_token_ids",
-      "text_unigram_vs_bpe_fertility")
+      "text_unigram_vs_bpe_fertility",
+      // text_tok_ab_open*: the same two tokenizer training chains as
+      // text_unigram_vs_bpe_fertility, over the DERIVED 320-word
+      // morphological fixture — every ranking window runs at trained-
+      // vocabulary cardinality (≤ seedMulti + alphabet rows), never
+      // corpus rows (the text_bpe_vocab argument verbatim).
+      "text_tok_ab_open8", "text_tok_ab_open32")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (ok(name)) None
       else {

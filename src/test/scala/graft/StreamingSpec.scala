@@ -1339,3 +1339,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class NswStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("nswTopKStream: frozen graph + corpus, chained beam rounds, batch parity incl. entry-unreachable neighbor (N25e)") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Similarity
+    import scala.math.{cos => mcos, sin => msin}
+    // The nswSearch chain fixture: corpus 1..8 rotating 0.15 rad/step,
+    // hand-built chain graph, single entry point (lowest id = 1). The
+    // query sits at the FAR end: its true neighbor (id 8) is
+    // unreachable from the entry without walking the graph — rounds=7
+    // must hop there, exactly the batch unit's contract.
+    val n = 8
+    val corpus = (1 to n).map { i =>
+      val a = (i - 1) * 0.15
+      (i.toLong, Seq(mcos(a).toFloat, msin(a).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val graphDf = (1 until n).flatMap { i =>
+      Seq((i.toLong, (i + 1).toLong, 0.99), ((i + 1).toLong, i.toLong, 0.99))
+    }.toDF("src", "dst", "cos")
+    val queries = Seq(
+      (100L, Seq(mcos(7 * 0.15).toFloat, msin(7 * 0.15).toFloat, 0f, 0f)), // far end
+      (101L, Seq(mcos(0.05).toFloat, msin(0.05).toFloat, 0f, 0f)))         // near entry
+      .toDF("vec_id", "embedding")
+    val batchRows = Similarity.nswSearch(queries, corpus, graphDf,
+      "vec_id", "embedding", k = 2, beamWidth = 4, rounds = 7, nEntries = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchRows.exists { case (q, nid, _) => q == 100L && nid == 8L },
+      "batch fixture lost its unreachable-without-walking property")
+    // Offline-build/online-serve: the graph round-trips saveIndex.
+    val dir = Files.createTempDirectory("graft_stream_nsw").toString
+    graft.sources.Sink.saveIndex(graphDf, s"$dir/idx",
+      Map("family" -> "nsw", "degree" -> "2"))
+    val (frozen, params) = graft.sources.Load.loadIndex(spark, s"$dir/idx")
+    assert(params("family") == "nsw")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    ms.addData(
+      (100L, t0, Seq(mcos(7 * 0.15).toFloat, msin(7 * 0.15).toFloat, 0f, 0f)),
+      (101L, t0, Seq(mcos(0.05).toFloat, msin(0.05).toFloat, 0f, 0f)))
+    val out = StreamingOps.nswTopKStream(
+      ms.toDF.toDF("vec_id", "ts", "embedding"), "vec_id", "embedding", "ts",
+      corpus, frozen, k = 2, beamWidth = 4, rounds = 7, nEntries = 1)
+    val q = out.writeStream.format("memory").queryName("nsw_stream_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData((99L, late, Seq(1f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+      ms.addData((98L, late, Seq(1f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("nsw_stream_test")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batchRows, s"stream $streamed vs batch $batchRows")
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "nswTopKStream lost its watermark — unbounded state")
+  }
+}
