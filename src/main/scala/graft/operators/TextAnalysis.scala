@@ -2244,6 +2244,59 @@ object TextAnalysis {
       .otherwise(expr("cast(array() as array<string>)"))
   }
 
+  /** The [[charNgrams]] normalization as a standalone column (shared
+    * by the kernel path so the two stay definitionally identical). */
+  private def charNgramNorm(text: Column): Column =
+    regexp_replace(trim(lower(coalesce(text, lit("")))), "\\s+", " ")
+
+  /** mapPartitions KERNEL for per-key distinct char-n-gram counts —
+    * the language-ID hot path's measured fix (round 17; the
+    * minhash-signature/winnowing kernel posture: measurement-
+    * justified, bit-parity-pinned against the Column twin below).
+    *
+    * The Column path (`explode(charNgrams(...))` → groupBy) is
+    * codegen'd but MATERIALIZES one row per char position — one
+    * n-char substring allocation plus one hash-aggregate probe per
+    * corpus character; the r16 sf1 tour measured the trained
+    * language-ID at 23.6 s, ~all of it this stage. This kernel folds
+    * the per-occurrence counting into a tight per-row loop (one
+    * HashMap per document, one substring per occurrence, NO
+    * per-occurrence row), emitting only the per-(key, gram) DISTINCT
+    * counts — the exact frame the downstream md5-bucket hashing
+    * needs. Grams are sliced by CODE POINT (what both Spark's
+    * `substr` and DuckDB's `substr` count), so parity holds beyond
+    * ASCII; the normalization runs as the shared codegen'd Column
+    * BEFORE the kernel.
+    *
+    * Output: (key, __g, __cg) — one row per distinct (key, gram).
+    */
+  private[graft] def charNgramCountsKernel(
+      df: DataFrame, keyCol: Column, textCol: Column, n: Int): DataFrame = {
+    val src = df.select(keyCol.cast("string").as("__k"),
+      charNgramNorm(textCol).as("__s"))
+    src.as(Encoders.product[(String, String)]).mapPartitions { it =>
+      it.flatMap { case (k, s) =>
+        // Char offsets of each code-point boundary: gram i spans
+        // offsets(i) until offsets(i + n) in UTF-16 space.
+        val L = s.length
+        val offs = new scala.collection.mutable.ArrayBuffer[Int](L + 1)
+        var o = 0
+        while (o < L) { offs += o; o += Character.charCount(s.codePointAt(o)) }
+        offs += L
+        val cps = offs.length - 1
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i + n <= cps) {
+          val g = s.substring(offs(i), offs(i + n))
+          m.update(g, m.getOrElse(g, 0L) + 1L)
+          i += 1
+        }
+        m.iterator.map { case (g, c) => (k, g, c) }
+      }
+    }(Encoders.product[(String, String, Long)])
+      .toDF("__k", "__g", "__cg")
+  }
+
   /** TRAINED language-ID model — the round-15 verdict's ask #3: a
     * multiclass multinomial naive Bayes over HASHED char-trigram
     * buckets (the hashing trick at 256 buckets, the knee
@@ -2261,16 +2314,16 @@ object TextAnalysis {
       labelCol: String,
       n: Int = 3,
       buckets: Int = 256): DataFrame =
-    train
-      .select(col(labelCol).as("lang"), explode(charNgrams(col(textCol), n)).as("__g"))
-      // Aggregate to (lang, gram) BEFORE hashing: md5 then costs one
-      // call per DISTINCT gram per class — the trigram VOCABULARY,
-      // bounded by the alphabet — instead of one per corpus char
-      // position (measured: the per-occurrence version slope-read
-      // 5.9× at 10× data, pure md5 CPU; this re-aggregation puts the
-      // hash off the per-token path and the first groupBy is
-      // map-side-combinable on short strings).
-      .groupBy(col("lang"), col("__g")).agg(count(lit(1)).cast("long").as("__cg"))
+    // Per-(class, gram) counts via the mapPartitions kernel
+    // ([[charNgramCountsKernel]] — round 17, replacing the
+    // per-char-position explode): md5 costs one call per DISTINCT
+    // gram per class (the r16 fix, kept), and the per-occurrence
+    // counting now never materializes rows at all. Kernel rows are
+    // per-(train DOC, gram); the groupBy below folds docs into the
+    // class — map-side-combinable at distinct-gram cardinality.
+    charNgramCountsKernel(train, col(labelCol), col(textCol), n)
+      .groupBy(col("__k").as("lang"), col("__g"))
+      .agg(sum(col("__cg")).cast("long").as("__cg"))
       .select(col("lang"),
         graft.functions.Hashing.md5Bucket(col("__g"), buckets.toLong).as("b"),
         col("__cg"))
@@ -2315,14 +2368,14 @@ object TextAnalysis {
       buckets: Int = 256): DataFrame = {
     val langs = model.groupBy(col("lang")).agg(sum(col("c")).cast("long").as("t"))
       .join(priors, Seq("lang"))
-    // Same distinct-before-hash re-aggregation as [[langIdModel]]:
-    // md5 per distinct (doc, gram), never per occurrence.
-    val db = docs
-      .select(col(idCol).as("doc_id"), explode(charNgrams(col(textCol), n)).as("__g"))
-      .groupBy(col("doc_id"), col("__g")).agg(count(lit(1)).cast("long").as("__mg"))
-      .select(col("doc_id"),
+    // Same kernel + distinct-before-hash shape as [[langIdModel]]:
+    // per-(doc, gram) counts in-row, md5 per distinct (doc, gram),
+    // never per occurrence. The kernel stringifies the key; longs
+    // round-trip the cast exactly.
+    val db = charNgramCountsKernel(docs, col(idCol), col(textCol), n)
+      .select(col("__k").cast("long").as("doc_id"),
         graft.functions.Hashing.md5Bucket(col("__g"), buckets.toLong).as("b"),
-        col("__mg"))
+        col("__cg").as("__mg"))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(col("__mg")).cast("long").as("m"))
     db.crossJoin(broadcast(langs))

@@ -2831,6 +2831,24 @@ class LangIdTrainedSpec extends AnyFunSuite {
     assert(out(1).isEmpty && out(2).isEmpty && out(3).isEmpty)
   }
 
+  test("charNgramCountsKernel bit-parity with the Column twin, incl. code points beyond ASCII") {
+    // The kernel posture's contract: same distinct (key, gram, count)
+    // frame as explode(charNgrams) -> groupBy, with grams sliced by
+    // CODE POINT. The fixture plants a surrogate-pair emoji, combining
+    // text, the \s+ collapse, and an empty/short tail.
+    val df = Seq(
+      (1L, "The  quick\tbrown"), (2L, "ab"), (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "café 🎉x café")).toDF("doc_id", "t")
+    val twin = df
+      .select(col("doc_id"), explode(TextAnalysis.charNgrams(col("t"), 3)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .as[(Long, String, Long)].collect().toSet
+    val kernel = TextAnalysis.charNgramCountsKernel(df, col("doc_id"), col("t"), 3)
+      .select(col("__k").cast("long"), col("__g"), col("__cg"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(kernel == twin, s"kernel ${kernel.diff(twin)} vs twin ${twin.diff(kernel)}")
+  }
+
   test("langIdModel + langIdScore: separable two-class fixture classifies perfectly; ties break lang-asc") {
     val train = Seq(
       (1L, "aaa aaa aaa", "aa"), (2L, "aaa aaa", "aa"),
