@@ -256,6 +256,23 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** The `sf` the quiet ref was recorded at (basename, e.g. "sf0.1"),
+    * when the file carries one. Quiet values are only comparable to a
+    * run at the SAME scale — r17 measured an sf1 tour burning 225 s of
+    * storm-mode parking on a "weather" tag that was really the sf0.1
+    * ref disagreeing with sf1 data — so [[main]] DISARMS the
+    * plausibility check on mismatch instead of mis-tagging. Absent
+    * field (pre-r17 refs) = no check, full back-compat.
+    */
+  private[graft] def loadQuietRefSf(path: String): Option[String] =
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text)
+        .map(m => new java.io.File(m.group(1)).getName)
+    } catch { case _: Throwable => None }
+
   /** Min-merge several bench artifacts' `queries` maps into a fresh
     * quiet-reference file, written in Bench's OWN compact format — the
     * round-14 postmortem's structural fix: the ref is now produced by
@@ -267,7 +284,7 @@ object Bench {
     * measurement regardless of which tour produced it); inputs that
     * fail to parse contribute nothing but are reported on stderr.
     */
-  private def mergeRef(out: String, ins: Seq[String]): Unit = {
+  private[graft] def mergeRef(out: String, ins: Seq[String]): Unit = {
     val maps = ins.map { p =>
       val m = loadQuietRef(p)
       System.err.println(s"[bench] merge-ref: $p -> ${m.size} entries")
@@ -276,11 +293,17 @@ object Bench {
     val merged = maps.flatten
       .groupMapReduce(_._1)(_._2)(math.min)
     require(merged.nonEmpty, s"merge-ref: no entries parsed from $ins")
+    // Stamp the scale the values were measured at (first input that
+    // carries one): quiet values anchor only same-scale runs, and the
+    // consumer disarms on mismatch instead of mis-tagging (see
+    // loadQuietRefSf).
+    val sf = ins.flatMap(loadQuietRefSf).headOption
+    val sfField = sf.map(s => s""","sf":"$s"""").getOrElse("")
     val total = merged.values.sum
     val qs = merged.toSeq.sortBy(_._1)
       .map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
     val json =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{$qs}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$sfField,"queries":{$qs}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Closed loop: the file this just wrote must round-trip through the
@@ -315,7 +338,16 @@ object Bench {
       .map(_.trim).filter(_.nonEmpty).toSeq
     val quietRefPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_REF", "bench_quiet_ref.json")
-    val quietRef = loadQuietRef(quietRefPath)
+    val quietRefRaw = loadQuietRef(quietRefPath)
+    // Same-scale guard (see loadQuietRefSf): a ref measured at another
+    // sf anchors nothing — disarm rather than mis-tag.
+    val refSf = loadQuietRefSf(quietRefPath)
+    val sfMismatch = refSf.exists(_ != new java.io.File(sfDir).getName)
+    if (sfMismatch)
+      System.err.println(s"[bench] quiet ref $quietRefPath was recorded at " +
+        s"${refSf.get} but this run is at $sfDir — plausibility check DISARMED " +
+        "(values are not comparable across scales)")
+    val quietRef = if (sfMismatch) Map.empty[String, Double] else quietRefRaw
     // A ref file that EXISTS but parses to zero entries is a broken
     // parse or a broken file, never a quiet host — round 14 shipped an
     // official artifact with the check silently disarmed exactly this
@@ -324,7 +356,7 @@ object Bench {
     // clean bill of health. Still degrade rather than abort: a bench
     // number with a visibly-dead check beats no number.
     val refUnparsed =
-      quietRef.isEmpty && java.nio.file.Files.exists(
+      !sfMismatch && quietRefRaw.isEmpty && java.nio.file.Files.exists(
         java.nio.file.Paths.get(quietRefPath))
     if (refUnparsed)
       System.err.println(
@@ -674,7 +706,7 @@ object Bench {
     val weatherJson = weatherSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calJson = calSeries.map(s => f"$s%.3f").mkString("[", ",", "]")
     val resultJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"default_stat":"min","stall_suspect":$suspectJson,"weather_suspect":$weatherJson,"quiet_ref":{"file":"$quietRefPath","n_ref":${quietRef.size}${if (refUnparsed) ",\"error\":\"unparsed\"" else ""}},"calibration":{"floor":$calFloor%.3f,"series":$calJson},"storm":{"rounds":$stormRounds,"waited_sec":$stormWaitedSec%.1f,"wall_cap_sec":$stormWallCap%.0f},"wall_sec":$elapsed%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson,"budget_demoted":$demotedJson,"default_stat":"min","stall_suspect":$suspectJson,"weather_suspect":$weatherJson,"quiet_ref":{"file":"$quietRefPath","n_ref":${quietRef.size}${if (refUnparsed) ",\"error\":\"unparsed\"" else ""}${if (sfMismatch) ",\"error\":\"sf_mismatch\"" else ""}},"calibration":{"floor":$calFloor%.3f,"series":$calJson},"storm":{"rounds":$stormRounds,"waited_sec":$stormWaitedSec%.1f,"wall_cap_sec":$stormWallCap%.0f},"wall_sec":$elapsed%.1f}"""
     // The driver captures a BOUNDED tail of stdout; with 86+ queries the
     // one-line JSON outgrew it and round 5's official artifact lost its
     // first ~10 values to head-truncation (parsed: null). The file copy

@@ -1039,6 +1039,111 @@ object PipelineQueries {
             |       TRUE AS bound_ok
             |FROM ex, tot ORDER BY n DESC, word ASC""".stripMargin))
 
+  /** Count-Min sketch beside the Misra-Gries tier
+    * ([[textTopkSketch]]) — the heavy-hitter class's other canonical
+    * summary (Cormode & Muthukrishnan 2005), included because the two
+    * fail in OPPOSITE directions and a pipeline picks by which error
+    * it can afford: MG keeps ≤ k counters and UNDERestimates (drop
+    * risk — but guarantees presence of true heavy hitters); CMS keeps
+    * a fixed depth × width count matrix and OVERestimates (collision
+    * inflation — but never misses a key, any key is point-queryable).
+    *
+    * Spark-first contrast with MG: CMS needs NO custom aggregate — it
+    * IS a fixed-cardinality groupBy ((depth × width) cells, each row
+    * exploding to `depth` salted md5 buckets), mergeable by
+    * construction (counts add), so the whole sketch is deterministic
+    * under any partitioning and the oracle replays it EXACTLY —
+    * estimates included, not just error-bound booleans (strictly
+    * stronger than the A16 posture, possible here because nothing is
+    * merge-order-dependent). Registered, per exact-top-20 word of the
+    * planted-skew stream: the exact count, the CMS point estimate
+    * (min over depth rows of the word's bucket count), the guaranteed
+    * `no_undercount` boolean, and the deterministic inflation —
+    * plus a `__total__` row pinning N. depth 3 × width 64 on a
+    * ~33-word vocabulary forces real collisions (the lossy regime).
+    *
+    * Scale shape: the sketch aggregate's shuffle is ≤ depth × width
+    * rows regardless of input; point queries are a broadcast join of
+    * the (tiny) query set against the (tiny) sketch.
+    */
+  private val CmsDepth = 3
+  private val CmsWidth = 64L
+  private def cmsBucket(word: Column, d: Column): Column =
+    graft.functions.Hashing.md5Bucket(
+      concat(lit("cms"), d.cast("string"), lit("_"), word), CmsWidth)
+  val textTopkCms = QueryDef(
+    "text_topk_cms",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val natural = docs
+        .select(explode(TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))).as("word"))
+        .filter(col("word") =!= "")
+      def plant(w: String, m: Int) = docs.select(
+        explode(array_repeat(lit(w), pmod(col("doc_id"), lit(m)).cast("int"))).as("word"))
+      val words = natural.unionByName(plant("hhplanted", 40)).unionByName(plant("midplanted", 8))
+      val cms = words
+        .select(explode(transform(sequence(lit(0), lit(CmsDepth - 1)), d =>
+          struct(d.as("d"), cmsBucket(col("word"), d).as("b")))).as("db"))
+        .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val exact = words.groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(20)
+      val probes = exact
+        .select(col("word"), col("n"),
+          explode(transform(sequence(lit(0), lit(CmsDepth - 1)), d =>
+            struct(d.as("d"), cmsBucket(col("word"), d).as("b")))).as("db"))
+        .select(col("word"), col("n"), col("db.d").as("d"), col("db.b").as("b"))
+      val est = probes.join(broadcast(cms), Seq("d", "b"))
+        .groupBy(col("word"), col("n")).agg(min(col("c")).as("est"))
+      val rows = est.select(col("word"), col("n"), col("est"),
+        (col("est") >= col("n")).as("no_undercount"),
+        (col("est") - col("n")).as("inflation"))
+      rows.unionByName(
+        words.agg(count(lit(1)).as("n"))
+          .select(lit("__total__").as("word"), col("n"), col("n").as("est"),
+            lit(true).as("no_undercount"), lit(0L).as("inflation")))
+        .orderBy(col("n").desc, col("word").asc)
+    },
+    Some(s"""WITH w AS (
+            |  SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS word
+            |  FROM documents
+            |),
+            |ww AS (
+            |  SELECT word FROM w WHERE word <> ''
+            |  UNION ALL
+            |  SELECT unnest(['hhplanted' FOR i IN generate_series(1, doc_id % 40)]) AS word
+            |  FROM documents
+            |  UNION ALL
+            |  SELECT unnest(['midplanted' FOR i IN generate_series(1, doc_id % 8)]) AS word
+            |  FROM documents
+            |),
+            |cms AS (
+            |  SELECT d, ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || '_' || word), 1, 15))::BIGINT % $CmsWidth AS b,
+            |         COUNT(*) AS c
+            |  FROM ww, generate_series(0, ${CmsDepth - 1}) t(d)
+            |  GROUP BY 1, 2
+            |),
+            |ex AS (
+            |  SELECT word, COUNT(*) AS n FROM ww GROUP BY word
+            |  ORDER BY n DESC, word ASC LIMIT 20
+            |),
+            |probes AS (
+            |  SELECT ex.word, ex.n, t.d,
+            |         ('0x' || substr(md5('cms' || CAST(t.d AS VARCHAR) || '_' || ex.word), 1, 15))::BIGINT % $CmsWidth AS b
+            |  FROM ex CROSS JOIN generate_series(0, ${CmsDepth - 1}) t(d)
+            |),
+            |est AS (
+            |  SELECT p.word, p.n, MIN(c.c) AS est
+            |  FROM probes p JOIN cms c ON c.d = p.d AND c.b = p.b
+            |  GROUP BY 1, 2
+            |)
+            |SELECT word, n, est, est >= n AS no_undercount, est - n AS inflation FROM est
+            |UNION ALL
+            |SELECT '__total__' AS word, COUNT(*) AS n, COUNT(*) AS est,
+            |       TRUE AS no_undercount, 0::BIGINT AS inflation
+            |FROM ww
+            |ORDER BY n DESC, word ASC""".stripMargin))
+
   /** Benchmark decontamination ([[Dedup.decontaminate]]): corpus docs
     * (`doc_id % 10 <> 0`) sharing ≥ 5 distinct word 3-grams with any
     * eval-set doc (`doc_id % 10 = 0`) — the pretraining hygiene join.
@@ -11831,7 +11936,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupPrefixJoin, dedupExactSubstr, dedupExactSubstrCurve, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve, dedupDecontamSem,
-    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTopkSketch, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTopkSketch, textTopkCms, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, pretrainPrepFull, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes, textUnigramTrain, textUnigramTokenIds, textUnigramVsBpeFertility, textTokAbOpen8, textTokAbOpen32, textLangidTrained,

@@ -57,6 +57,11 @@ object NswScaleBench {
     val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
     val gt = org.apache.spark.sql.graft.CheckpointBlocks.cut(
       Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10))
+    // Unmeasured warm-up build: the FIRST setting otherwise pays the
+    // whole JIT/codegen warm-up (measured r17: the lead position read
+    // 1.3-2x its warm cost, inverting bits comparisons).
+    Similarity.nswGraph(emb, "vec_id", "embedding",
+      dim = 64, nBands = 8, bitsPerBand = bitsList.head, degree = 12).count()
     val rows = bitsList.map { bits =>
       def once(): (Double, org.apache.spark.sql.DataFrame) = {
         val t0 = System.nanoTime()

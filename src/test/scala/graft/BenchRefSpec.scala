@@ -66,4 +66,26 @@ class BenchRefSpec extends AnyFunSuite {
     assert(parse("{}").isEmpty)          // no queries map -> no ref
     assert(Bench.loadQuietRef("/nonexistent/path.json").isEmpty) // missing file -> no ref
   }
+
+  test("merge-ref stamps the scale factor; loadQuietRefSf reads it back (sf-mismatch disarm)") {
+    // The consumer disarms the plausibility check when the ref was
+    // recorded at another scale (r17: an sf1 tour burned 225 s of
+    // storm parking on a tag that was the sf0.1 ref disagreeing with
+    // sf1 data). merge-ref carries the sf from its inputs; a ref
+    // without one (pre-r17) parses to None and changes nothing.
+    val dir = java.nio.file.Files.createTempDirectory("graft_refsf")
+    val in = dir.resolve("in.json")
+    java.nio.file.Files.write(in,
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1":0.500},"sf":"/root/testdata/sf0.1"}"""
+        .getBytes("UTF-8"))
+    val out = dir.resolve("out.json").toString
+    Bench.mergeRef(out, Seq(in.toString))
+    assert(Bench.loadQuietRefSf(out).contains("sf0.1"))
+    assert(Bench.loadQuietRef(out) == Map("q1" -> 0.5))
+    assert(Bench.loadQuietRefSf("/nonexistent/path.json").isEmpty)
+    val noSf = dir.resolve("nosf.json")
+    java.nio.file.Files.write(noSf,
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1":0.500}}""".getBytes("UTF-8"))
+    assert(Bench.loadQuietRefSf(noSf.toString).isEmpty)
+  }
 }
