@@ -14,6 +14,17 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Every registered query's frame, built ONCE and shared by the
+    * full-registry structural sweeps (three sweeps each re-building
+    * 247 queries triples the cost of the EAGER builders — the
+    * tokenizer-training arms run driver-side jobs during frame
+    * CONSTRUCTION; measured r17: the open-vocab A/B arms alone added
+    * minutes per sweep). QueryExecution memoizes analyzed/executed
+    * plans on the frame, so each sweep reads its view for free.
+    */
+  private lazy val builtQueries: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) => (n, fn(spark, dir)) }
+
   test("o4_paginate plans as TakeOrdered with offset, not a global window") {
     val p = plan("o4_paginate")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
@@ -384,8 +395,8 @@ class PlanSpec extends AnyFunSuite {
     // fallback that reads |L|×|R| at scale. (BroadcastNestedLoopJoin
     // with a provably-small broadcast side is legitimate and used by
     // the ANN family; CartesianProduct never is.)
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val p = fn(spark, dir).queryExecution.executedPlan.toString
+    val offenders = builtQueries.flatMap { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
       if (p.contains("CartesianProduct")) Some(name) else None
     }
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
@@ -446,10 +457,10 @@ class PlanSpec extends AnyFunSuite {
       // vocabulary cardinality (≤ seedMulti + alphabet rows), never
       // corpus rows (the text_bpe_vocab argument verbatim).
       "text_tok_ab_open8", "text_tok_ab_open32")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val offenders = builtQueries.flatMap { case (name, df) =>
       if (ok(name)) None
       else {
-        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val p = df.queryExecution.executedPlan.toString
         if (partitionless.findFirstIn(p).isDefined) Some(name) else None
       }
     }
@@ -609,11 +620,12 @@ class PlanSpec extends AnyFunSuite {
       "text_lr_auc" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)",
       "text_lr_capacity_curve" -> "three LR weight vectors: <= 16/64/256 rows by md5-pmod construction (the text_lr_classifier bound per arm)",
       "text_lr_calibration" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)",
-      "text_langid_trained" -> "class totals x priors frame: one row per language label (5-value enum domain — the sample_balanced bound)")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      "text_langid_trained" -> "class totals x priors frame: one row per language label (5-value enum domain — the sample_balanced bound)",
+      "text_topk_cms" -> "the CMS count matrix: <= depth x width = 3 x 64 = 192 rows by md5-pmod construction regardless of input size (the text_lr_classifier bound) — being a tiny fixed-size summary is the sketch's entire point")
+    val offenders = builtQueries.flatMap { case (name, df) =>
       if (ok.contains(name)) None
       else {
-        val bad = fn(spark, dir).queryExecution.analyzed.collect {
+        val bad = df.queryExecution.analyzed.collect {
           case h: ResolvedHint if !bounded(h.child) && touchesFactOrUnknown(h.child) =>
             h.child.nodeName
         }
