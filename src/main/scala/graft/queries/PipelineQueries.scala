@@ -11321,61 +11321,95 @@ object PipelineQueries {
     * Idempotent-replay and late-arrival slotting are unit-pinned
     * (the D20 posture).
     */
+  private def scd2Merged(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev.select(col("user_id")).distinct()
+      .select(
+        col("user_id"),
+        lit(-1.0).as("value"),
+        lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+    val updates = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+      .select(col("user_id"), round(col("value"), 2).as("value"),
+        Tables.tsMicros(col("ts")).as("eff_ts"))
+    Pendentes.scd2Merge(base, updates, Seq("user_id"), "eff_ts")
+  }
+
+  private val scd2OracleCtes =
+    """base AS (
+      |  SELECT DISTINCT user_id, -1.0 AS value,
+      |         0::BIGINT AS valid_from, NULL::BIGINT AS valid_to
+      |  FROM events
+      |),
+      |upd AS (
+      |  SELECT user_id, ROUND(value, 2) AS value, epoch_us(ts) AS valid_from
+      |  FROM events WHERE event_id % 7 = 0
+      |),
+      |u1 AS (
+      |  SELECT u.* FROM upd u
+      |  WHERE NOT EXISTS (SELECT 1 FROM base b
+      |                    WHERE b.user_id = u.user_id
+      |                      AND b.valid_from = u.valid_from)
+      |),
+      |u2 AS (
+      |  SELECT user_id, valid_from, MAX(value) AS value
+      |  FROM u1 GROUP BY 1, 2
+      |),
+      |touched AS (SELECT DISTINCT user_id FROM u2),
+      |chain AS (
+      |  SELECT b.user_id, b.value, b.valid_from
+      |  FROM base b JOIN touched t USING (user_id)
+      |  WHERE b.valid_to IS NULL
+      |  UNION ALL
+      |  SELECT user_id, value, valid_from FROM u2
+      |),
+      |chained AS (
+      |  SELECT user_id, value, valid_from,
+      |         LEAD(valid_from) OVER (
+      |           PARTITION BY user_id ORDER BY valid_from) AS valid_to
+      |  FROM chain
+      |),
+      |merged AS (
+      |  SELECT b.user_id, b.value, b.valid_from, b.valid_to FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.user_id = b.user_id)
+      |  UNION ALL
+      |  SELECT b.user_id, b.value, b.valid_from, b.valid_to FROM base b
+      |  JOIN touched t USING (user_id) WHERE b.valid_to IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, value, valid_from, valid_to FROM chained
+      |)""".stripMargin
+
   val scd2MergeEvents = QueryDef(
     "u5_scd2_merge",
-    (s, dir) => {
-      val ev = Tables.events(s, dir)
-      val base = ev.select(col("user_id")).distinct()
-        .select(
-          col("user_id"),
-          lit(-1.0).as("value"),
-          lit(0L).as("valid_from"),
-          lit(null).cast("long").as("valid_to"))
-      val updates = ev.filter(pmod(col("event_id"), lit(7)) === 0)
-        .select(col("user_id"), round(col("value"), 2).as("value"),
-          Tables.tsMicros(col("ts")).as("eff_ts"))
-      Pendentes.scd2Merge(base, updates, Seq("user_id"), "eff_ts")
-    },
-    Some("""WITH base AS (
-           |  SELECT DISTINCT user_id, -1.0 AS value,
-           |         0::BIGINT AS valid_from, NULL::BIGINT AS valid_to
-           |  FROM events
-           |),
-           |upd AS (
-           |  SELECT user_id, ROUND(value, 2) AS value, epoch_us(ts) AS valid_from
-           |  FROM events WHERE event_id % 7 = 0
-           |),
-           |u1 AS (
-           |  SELECT u.* FROM upd u
-           |  WHERE NOT EXISTS (SELECT 1 FROM base b
-           |                    WHERE b.user_id = u.user_id
-           |                      AND b.valid_from = u.valid_from)
-           |),
-           |u2 AS (
-           |  SELECT user_id, valid_from, MAX(value) AS value
-           |  FROM u1 GROUP BY 1, 2
-           |),
-           |touched AS (SELECT DISTINCT user_id FROM u2),
-           |chain AS (
-           |  SELECT b.user_id, b.value, b.valid_from
-           |  FROM base b JOIN touched t USING (user_id)
-           |  WHERE b.valid_to IS NULL
-           |  UNION ALL
-           |  SELECT user_id, value, valid_from FROM u2
-           |),
-           |chained AS (
-           |  SELECT user_id, value, valid_from,
-           |         LEAD(valid_from) OVER (
-           |           PARTITION BY user_id ORDER BY valid_from) AS valid_to
-           |  FROM chain
-           |)
-           |SELECT b.user_id, b.value, b.valid_from, b.valid_to FROM base b
-           |WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.user_id = b.user_id)
-           |UNION ALL
-           |SELECT b.user_id, b.value, b.valid_from, b.valid_to FROM base b
-           |JOIN touched t USING (user_id) WHERE b.valid_to IS NOT NULL
-           |UNION ALL
-           |SELECT user_id, value, valid_from, valid_to FROM chained""".stripMargin))
+    (s, dir) => scd2Merged(s, dir),
+    Some(s"""WITH $scd2OracleCtes
+            |SELECT user_id, value, valid_from, valid_to FROM merged""".stripMargin))
+
+  /** Point-in-time (AS-OF) read over the SCD2 history — the standard
+    * CONSUMER of U5's merge (every warehouse dimension read is
+    * "version active at t"): one interval predicate
+    * `valid_from <= t < coalesce(valid_to, +inf)` over the merged
+    * table, exactly one row per key that existed at t. The registered
+    * t is mid-fixture (2024-01-15T00:00Z in epoch micros), so the
+    * artifact mixes users still on the sentinel version with users
+    * mid-chain — a wrong close or slot anywhere upstream moves WHICH
+    * version is active and hash-fails here too.
+    *
+    * Scale shape: one codegen'd filter over the history scan — no
+    * join, no window; at a partitioned-by-valid_from layout the
+    * predicate prunes files.
+    */
+  private val Scd2AsOfMicros = 1705276800000000L
+  val scd2AsOfEvents = QueryDef(
+    "u5b_scd2_asof",
+    (s, dir) => scd2Merged(s, dir)
+      .filter(col("valid_from") <= Scd2AsOfMicros &&
+        (col("valid_to").isNull || col("valid_to") > Scd2AsOfMicros))
+      .select(col("user_id"), col("value"), col("valid_from"), col("valid_to")),
+    Some(s"""WITH $scd2OracleCtes
+            |SELECT user_id, value, valid_from, valid_to FROM merged
+            |WHERE valid_from <= $Scd2AsOfMicros
+            |  AND (valid_to IS NULL OR valid_to > $Scd2AsOfMicros)""".stripMargin))
 
   /** Row-level snapshot diff ([[Pendentes.snapshotDiff]]): the events
     * table against a deterministically perturbed re-extract — every
@@ -11948,7 +11982,7 @@ object PipelineQueries {
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
     annKmeans, dedupSemdedup, dedupSemdedupCapped, dedupSemdedupCurve, dedupIncrSemdedup,
-    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, snapshotDiffEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, eventsAnomalyEnsemble, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,
