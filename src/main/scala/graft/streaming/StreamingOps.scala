@@ -1605,6 +1605,43 @@ object StreamingOps {
       }
   }
 
+  /** STREAMING heavy-hitter summary — the sketch tier's online half
+    * (batch half: [[graft.functions.Sketches.misraGries]] /
+    * `text_topk_sketch`; completes the every-family-has-a-serving-twin
+    * matrix for the r17 sketch tier): per event-time window, one
+    * Misra-Gries summary of the arriving word stream. The aggregate
+    * IS the state — ≤ k counters per in-flight window, serialized
+    * between micro-batches by the TypedImperativeAggregate contract
+    * and watermark-evicted; contrast the exact streaming top-k, whose
+    * state is the window's full vocabulary. Emits
+    * (window_start, word, est) rows, est-desc/word-asc within the
+    * window by the aggregate's output contract. MG guarantees hold
+    * per window under any micro-batch arrival split (mergeable
+    * summaries): every word with count > N_w/(k+1) present,
+    * est ≤ true ≤ est + N_w/(k+1) — and when a window's distinct
+    * words fit the budget the summary is EXACT, which is the
+    * deterministic spec pin.
+    */
+  def topWordsSketchStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      k: Int,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.operators.TextAnalysis
+    docs
+      .select(col(tsCol).as("__ts"),
+        explode(TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))).as("word"))
+      .filter(col("word") =!= "")
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur))
+      .agg(graft.functions.Sketches.misraGries(col("word"), k).as("sk"))
+      .select(col("window.start").as("window_start"), explode(col("sk")).as("e"))
+      .select(col("window_start"), col("e.word").as("word"), col("e.est").as("est"))
+  }
+
   /** STREAMING graph-ANN serving — the online half of the NSW tier
     * ([[graft.operators.Similarity.nswSearch]] is the batch half;
     * completes the serving matrix beside [[ivfTopKStream]] /

@@ -1340,6 +1340,75 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class SketchStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("topWordsSketchStream: exact when distinct fits the budget, bounded + heavy-hitter-present when it doesn't (T5c streaming)") {
+    implicit val sql = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    // One window, two micro-batches (forces a state-store round-trip
+    // through the aggregate's serialize/deserialize): vocabulary of 3
+    // fits k=8, so the summary must be EXACT — the deterministic pin.
+    val dir = Files.createTempDirectory("graft_stream_mg").toString
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    ms.addData((t0, "a a b"), (t0, "a c"))
+    val out = StreamingOps.topWordsSketchStream(
+      ms.toDF.toDF("ts", "text"), "text", "ts", k = 8)
+    val q = out.writeStream.format("memory").queryName("mg_stream_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData((t0, "a b b"))
+      q.processAllAvailable()
+      ms.addData((late, "sentinel"))
+      q.processAllAvailable()
+      ms.addData((late, "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mg_stream_test")
+      .filter($"window_start" === t0.toInstant.toString.replace("Z", "").replace("T", " "))
+      .select($"word", $"est").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 4L, "b" -> 3L, "c" -> 1L),
+      s"exact-regime summary wrong: $got")
+  }
+
+  test("topWordsSketchStream: eviction regime keeps <= k counters with MG bounds per window") {
+    implicit val sql = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-02 10:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-02 12:00:00")
+    val dir = Files.createTempDirectory("graft_stream_mg2").toString
+    // 30 distinct noise words + one heavy word against k=4: the heavy
+    // word's count (20) > N/(k+1) = 50/5 = 10, so it MUST survive.
+    val noise = (1 to 30).map(i => s"w$i").grouped(5).map(_.mkString(" ")).toSeq
+    val heavy = Seq.fill(4)("hh hh hh hh hh")
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    ms.addData(noise.map(t => (t0, t)): _*)
+    val out = StreamingOps.topWordsSketchStream(
+      ms.toDF.toDF("ts", "text"), "text", "ts", k = 4)
+    val q = out.writeStream.format("memory").queryName("mg_stream_test2")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(heavy.map(t => (t0, t)): _*)
+      q.processAllAvailable()
+      ms.addData((late, "sentinel"))
+      q.processAllAvailable()
+      ms.addData((late, "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mg_stream_test2")
+      .select($"word", $"est").as[(String, Long)].collect().toMap
+    assert(got.size <= 4, s"summary exceeded k: $got")
+    assert(got.contains("hh"), s"guaranteed heavy hitter missing: $got")
+    assert(got("hh") <= 20L && got("hh") >= 20L - 50L / 5,
+      s"hh estimate outside MG bounds: ${got("hh")}")
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "topWordsSketchStream lost its watermark — unbounded state")
+  }
+}
+
 class NswStreamSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
