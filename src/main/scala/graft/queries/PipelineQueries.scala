@@ -1039,6 +1039,82 @@ object PipelineQueries {
             |       TRUE AS bound_ok
             |FROM ex, tot ORDER BY n DESC, word ASC""".stripMargin))
 
+  /** GROUPED Misra-Gries ([[textTopkSketch]]'s per-key form — what a
+    * production pipeline actually runs: heavy hitters PER language /
+    * per source / per shard, one bounded summary per group riding a
+    * single aggregate): `groupBy(lang).agg(misraGries(word, k))`, so
+    * per-group state is ≤ k counters and the guarantees hold
+    * group-locally against each group's own N. Each language gets its
+    * own planted heavy word (`hh<lang>` at doc_id%40 copies) so the
+    * per-group presence guarantee is exercised in every group, not
+    * just globally. Registered, per (lang, exact-top-5 word): the
+    * group-relative A16 booleans; the oracle recomputes each group's
+    * exact side and pins them TRUE.
+    */
+  val textTopkSketchByLang = QueryDef(
+    "text_topk_sketch_by_lang",
+    (s, dir) => {
+      val MgGk = 8
+      val docs = Tables.documents(s, dir)
+      val natural = docs
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))).as("word"))
+        .filter(col("word") =!= "")
+      val planted = docs.select(col("lang"),
+        explode(array_repeat(concat(lit("hh"), col("lang")),
+          pmod(col("doc_id"), lit(40)).cast("int"))).as("word"))
+      val words = natural.unionByName(planted)
+      val sk = words.groupBy("lang").agg(
+        graft.functions.Sketches.misraGries(col("word"), MgGk).as("sk"),
+        count(lit(1)).as("n_total"))
+      val est = sk.select(col("lang"), explode(col("sk")).as("e"))
+        .select(col("lang"), col("e.word").as("word"), col("e.est").as("est"))
+      val exact = words.groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.TopK.smallestK(
+          struct((-col("n")).as("nn"), col("word").as("word")), 5).as("top"))
+        .select(col("lang"), explode(col("top")).as("t"))
+        .select(col("lang"), col("t.word").as("word"), (-col("t.nn")).as("n"))
+      exact
+        .join(sk.select(col("lang"), col("n_total")), Seq("lang"))
+        .join(est, Seq("lang", "word"), "left")
+        .select(
+          col("lang"), col("word"), col("n"),
+          (col("n") * (MgGk + 1) > col("n_total")).as("hh_guaranteed"),
+          (col("n") * (MgGk + 1) <= col("n_total") || col("est").isNotNull)
+            .as("in_sketch_ok"),
+          (col("est").isNull ||
+            (col("est") <= col("n") &&
+              (col("n") - col("est")) * (MgGk + 1) <= col("n_total")))
+            .as("bound_ok"))
+        .orderBy(col("lang").asc, col("n").desc, col("word").asc)
+    },
+    Some("""WITH w AS (
+           |  SELECT lang,
+           |         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS word
+           |  FROM documents
+           |),
+           |ww AS (
+           |  SELECT lang, word FROM w WHERE word <> ''
+           |  UNION ALL
+           |  SELECT lang, unnest(['hh' || lang FOR i IN generate_series(1, doc_id % 40)]) AS word
+           |  FROM documents
+           |),
+           |tot AS (SELECT lang, COUNT(*) AS n_total FROM ww GROUP BY 1),
+           |ex AS (
+           |  SELECT lang, word, n FROM (
+           |    SELECT lang, word, COUNT(*) AS n FROM ww GROUP BY 1, 2
+           |  ) QUALIFY ROW_NUMBER() OVER (
+           |      PARTITION BY lang ORDER BY n DESC, word ASC) <= 5
+           |)
+           |SELECT ex.lang, ex.word, ex.n,
+           |       (ex.n * 9 > t.n_total) AS hh_guaranteed,
+           |       TRUE AS in_sketch_ok,
+           |       TRUE AS bound_ok
+           |FROM ex JOIN tot t USING (lang)
+           |ORDER BY lang ASC, n DESC, word ASC""".stripMargin))
+
   /** Count-Min sketch beside the Misra-Gries tier
     * ([[textTopkSketch]]) — the heavy-hitter class's other canonical
     * summary (Cormode & Muthukrishnan 2005), included because the two
@@ -11970,7 +12046,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupPrefixJoin, dedupExactSubstr, dedupExactSubstrCurve, dedupIncrSubstr, dedupTierOverlap, dedupNgram, dedupLshBandCurve, dedupSimhash, dedupClusters,
     dedupKeepBest, dedupIncremental, dedupBloomPrefilter, dedupIncrNear, dedupIncrEmbed, dedupIncrAssign,
     dedupDecontaminate, dedupDecontamCurve, dedupDecontamSem,
-    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTopkSketch, textTopkCms, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
+    textStats, textLangid, textQuality, textQualityGopher, textQualityLines, textRepetitionDupgram, textDupLines, textCleanC4, textTopWords, textTopkSketch, textTopkSketchByLang, textTopkCms, textTfidf, textTrending, corpusPrep, sourceReport, pipelineFilterPsi, pipelineSignalCorr, privacyKAnon, privacyKAnonymize, pretrainPrep,
     textRedactPii, textRepetition, textPackSequences, pipelineShardExport,
     pipelinePackEfficiency, pipelinePackPolicy, pretrainPrepLines, pretrainPrepSubstr, pretrainPrepFull, textBpeTrain, textBpeEncode,
     textBpeEncodeOov, textBpeVocab, textBpeMergeCurve, textBpeTokenIds, textBpeTokenIdsBytes, textUnigramTrain, textUnigramTokenIds, textUnigramVsBpeFertility, textTokAbOpen8, textTokAbOpen32, textLangidTrained,
