@@ -1220,6 +1220,82 @@ object PipelineQueries {
             |FROM ww
             |ORDER BY n DESC, word ASC""".stripMargin))
 
+  /** CMS sketch REUSE rollup (`events_cms_reuse` — the A22 pattern
+    * applied to FREQUENCIES: A22 merges daily HLL user sketches into
+    * a range distinct-count; this merges daily Count-Min matrices
+    * into a range frequency sketch, answering "how often did key X
+    * appear in any date range" from a tiny daily-sketch table with NO
+    * event rescan — CMS cells ADD, so the merge is a groupBy-sum over
+    * (depth × width) rows per day). The daily frame (day, d, b, c) is
+    * what a deployment persists; the range merge and every point
+    * estimate are deterministic (md5-salted buckets), so the oracle
+    * replays the ESTIMATES exactly, the text_topk_cms posture.
+    * Registered: the range's exact top-10 users beside their
+    * merged-sketch estimates, the guaranteed no-undercount boolean,
+    * and the deterministic inflation.
+    */
+  val eventsCmsReuse = QueryDef(
+    "events_cms_reuse",
+    (s, dir) => {
+      val (d1, d2) = (19727L, 19737L) // 2024-01-05 .. 2024-01-15 in epoch days
+      val ev = Tables.events(s, dir).select(
+        expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG)").as("day"),
+        col("user_id").cast("string").as("uid"))
+      val daily = ev
+        .select(col("day"), explode(transform(sequence(lit(0), lit(CmsDepth - 1)), d =>
+          struct(d.as("d"), cmsBucket(col("uid"), d).as("b")))).as("db"))
+        .groupBy(col("day"), col("db.d").as("d"), col("db.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val rangeCms = daily.filter(col("day").between(d1, d2))
+        .groupBy(col("d"), col("b")).agg(sum(col("c")).as("c"))
+      val inRange = ev.filter(col("day").between(d1, d2))
+      val exact = inRange.groupBy("uid").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("uid").asc).limit(10)
+      val probes = exact
+        .select(col("uid"), col("n"),
+          explode(transform(sequence(lit(0), lit(CmsDepth - 1)), d =>
+            struct(d.as("d"), cmsBucket(col("uid"), d).as("b")))).as("db"))
+        .select(col("uid"), col("n"), col("db.d").as("d"), col("db.b").as("b"))
+      probes.join(broadcast(rangeCms), Seq("d", "b"))
+        .groupBy(col("uid"), col("n")).agg(min(col("c")).as("est"))
+        .select(col("uid"), col("n"), col("est"),
+          (col("est") >= col("n")).as("no_undercount"),
+          (col("est") - col("n")).as("inflation"))
+        .orderBy(col("n").desc, col("uid").asc)
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT epoch_us(ts) // 86400000000 AS day,
+            |         CAST(user_id AS VARCHAR) AS uid
+            |  FROM events
+            |),
+            |daily AS (
+            |  SELECT day, d,
+            |         ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || '_' || uid), 1, 15))::BIGINT % $CmsWidth AS b,
+            |         COUNT(*) AS c
+            |  FROM ev, generate_series(0, ${CmsDepth - 1}) t(d)
+            |  GROUP BY 1, 2, 3
+            |),
+            |rng AS (
+            |  SELECT d, b, CAST(SUM(c) AS BIGINT) AS c FROM daily
+            |  WHERE day BETWEEN 19727 AND 19737 GROUP BY 1, 2
+            |),
+            |ex AS (
+            |  SELECT uid, COUNT(*) AS n FROM ev
+            |  WHERE day BETWEEN 19727 AND 19737 GROUP BY 1
+            |  ORDER BY n DESC, uid ASC LIMIT 10
+            |),
+            |probes AS (
+            |  SELECT ex.uid, ex.n, t.d,
+            |         ('0x' || substr(md5('cms' || CAST(t.d AS VARCHAR) || '_' || ex.uid), 1, 15))::BIGINT % $CmsWidth AS b
+            |  FROM ex CROSS JOIN generate_series(0, ${CmsDepth - 1}) t(d)
+            |)
+            |SELECT p.uid, p.n, MIN(r.c) AS est,
+            |       MIN(r.c) >= p.n AS no_undercount,
+            |       MIN(r.c) - p.n AS inflation
+            |FROM probes p JOIN rng r ON r.d = p.d AND r.b = p.b
+            |GROUP BY 1, 2
+            |ORDER BY n DESC, uid ASC""".stripMargin))
+
   /** Benchmark decontamination ([[Dedup.decontaminate]]): corpus docs
     * (`doc_id % 10 <> 0`) sharing ≥ 5 distinct word 3-grams with any
     * eval-set doc (`doc_id % 10 = 0`) — the pretraining hygiene join.
@@ -12058,7 +12134,7 @@ object PipelineQueries {
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
     annKmeans, dedupSemdedup, dedupSemdedupCapped, dedupSemdedupCurve, dedupIncrSemdedup,
-    eventsJson, eventsVariant, eventsDaily, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsCmsReuse, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, eventsAnomalyEnsemble, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,
