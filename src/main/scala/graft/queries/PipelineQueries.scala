@@ -1296,6 +1296,279 @@ object PipelineQueries {
             |GROUP BY 1, 2
             |ORDER BY n DESC, uid ASC""".stripMargin))
 
+  /** Range-quantile sketch parameters, frozen at sketch-BUILD time
+    * and mirrored verbatim into the oracle SQL (the CmsDepth/CmsWidth
+    * posture). Values quantize to exact integer cents
+    * (`floor(value·100 + 0.5)` — the W11 rounding contract), and the
+    * bin domain is fixed when the daily job first ships: [lo, hi)
+    * covers the instrumented value range with headroom (observed max
+    * ≈ 52,016 cents across every SF incl. the sf1 scale-up, whose
+    * generator keeps event values; hi = 100,000 leaves ~2×).
+    * Out-of-range values CLAMP into the end bins — inside the frozen
+    * bounds the rank-error guarantee is exact (see the query
+    * scaladoc); a value beyond them would surface as a violated
+    * `within_width` boolean, never silently.
+    */
+  private val QrBins = 256
+  private val QrLoCents = 0L
+  private val QrHiCents = 100000L
+  private val QrWidthCents = (QrHiCents - QrLoCents + QrBins - 1) / QrBins
+
+  /** QUANTILE sketch-REUSE rollup (`events_quantile_reuse`) — the
+    * fourth and last cell of the mergeable-summary matrix (distinct =
+    * A22's daily HLL union, frequency = the `events_cms_reuse` daily
+    * CMS sum, top-k = T5c's Misra-Gries merge, quantile = THIS):
+    * per-day equi-width histograms over integer cents persist as a
+    * (day, bin, c) table — days × ≤ [[QrBins]] rows REGARDLESS of
+    * event count — and any date range's p50/p90/p99 answers from a
+    * groupBy-SUM merge of those daily rows with NO event rescan,
+    * because equi-width bin counts ADD (the CMS-cell argument
+    * verbatim).
+    *
+    * Extraction: rank k = ⌈q·N⌉ computed as exact integer
+    * `(N·qnum + qden − 1) div qden` (q carried as a rational, never a
+    * float), estimate = lower edge of the FIRST bin whose cumulative
+    * count reaches k. Because bin order is value order, that bin
+    * CONTAINS the rank-k element, so the guarantee is structural:
+    * `est ≤ exact < est + width` — registered as the `within_width`
+    * boolean AND as the raw integer `err_cents`, and since every step
+    * is deterministic integer arithmetic the ESTIMATES themselves are
+    * oracle-replayed exactly (the T5d strictest posture, stronger
+    * than A16's bound-booleans). The exact side rescans the range
+    * through `percentile_disc` (Spark) vs an independent
+    * row_number-rank formulation (DuckDB) — the T13c cume-dist
+    * contract (value at rank ⌈q·N⌉), deliberately NOT DuckDB's
+    * `quantile_disc` whose indexing convention T13c found
+    * unportable; it exists to PROVE the bound, production reads only
+    * the sketch.
+    *
+    * Scale: the daily build is one map-side-combinable aggregate over
+    * the day's events; the range merge + cumulative walk run at
+    * ≤ [[QrBins]] rows (the partition-less window is whitelisted in
+    * PlanSpec with that literal-bound argument); the 3-row estimate ×
+    * 3-row exact join is AQE-trivial. At 100 TB the daily-sketch
+    * table for a YEAR is 365 × 256 rows — the whole point.
+    */
+  val eventsQuantileReuse = QueryDef(
+    "events_quantile_reuse",
+    (s, dir) => {
+      val (d1, d2) = (19727L, 19737L) // 2024-01-05 .. 2024-01-15, the events_cms_reuse range
+      val ev = Tables.events(s, dir).select(
+        expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG)").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      val daily = ev
+        .select(col("day"),
+          least(greatest(expr(s"(cents - $QrLoCents) DIV $QrWidthCents"), lit(0L)),
+            lit(QrBins - 1L)).as("bin"))
+        .groupBy("day", "bin").agg(count(lit(1)).as("c"))
+      val merged = daily.filter(col("day").between(d1, d2))
+        .groupBy("bin").agg(sum("c").as("c"))
+      val cum = merged.select(col("bin"),
+        expr("sum(c) OVER (ORDER BY bin)").as("cum"),
+        expr("sum(c) OVER ()").as("n"))
+      val est = cum
+        .select(col("bin"), col("cum"), col("n"),
+          explode(expr(
+            "array(named_struct('q', 'p50', 'qnum', 1L, 'qden', 2L), " +
+              "named_struct('q', 'p90', 'qnum', 9L, 'qden', 10L), " +
+              "named_struct('q', 'p99', 'qnum', 99L, 'qden', 100L))")).as("qq"))
+        .select(col("bin"), col("cum"), col("n"), col("qq.q").as("q"),
+          expr("(n * qq.qnum + qq.qden - 1) DIV qq.qden").as("rnk"))
+        .filter(col("cum") >= col("rnk"))
+        .groupBy(col("q"), col("n"), col("rnk"))
+        .agg(min(col("bin")).as("bin"))
+        .select(col("q"), col("n").as("n_range"), col("rnk"), col("bin"),
+          (lit(QrLoCents) + col("bin") * QrWidthCents).as("est_cents"))
+      val exact = ev.filter(col("day").between(d1, d2)).agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p50"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p90"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p99"))
+        .select(explode(expr(
+          "array(named_struct('q', 'p50', 'exact_cents', p50), " +
+            "named_struct('q', 'p90', 'exact_cents', p90), " +
+            "named_struct('q', 'p99', 'exact_cents', p99))")).as("e"))
+        .select(col("e.q").as("q"), col("e.exact_cents").as("exact_cents"))
+      est.join(exact, Seq("q"))
+        .select(col("q"), col("n_range"), col("rnk"), col("bin"), col("est_cents"),
+          col("exact_cents"),
+          (col("exact_cents") - col("est_cents")).as("err_cents"),
+          (col("exact_cents") >= col("est_cents") &&
+            col("exact_cents") < col("est_cents") + QrWidthCents).as("within_width"))
+        .orderBy("q")
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT epoch_us(ts) // 86400000000 AS day,
+            |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            |  FROM events
+            |),
+            |daily AS (
+            |  SELECT day,
+            |         least(greatest((cents - $QrLoCents) // $QrWidthCents, 0), ${QrBins - 1}) AS bin,
+            |         COUNT(*) AS c
+            |  FROM ev GROUP BY 1, 2
+            |),
+            |merged AS (
+            |  SELECT bin, CAST(SUM(c) AS BIGINT) AS c FROM daily
+            |  WHERE day BETWEEN 19727 AND 19737 GROUP BY 1
+            |),
+            |cum AS (
+            |  SELECT bin, CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum,
+            |         CAST(SUM(c) OVER () AS BIGINT) AS n
+            |  FROM merged
+            |),
+            |qq AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) t(q, qnum, qden)),
+            |est AS (
+            |  SELECT q, n, (n * qnum + qden - 1) // qden AS rnk, MIN(bin) AS bin
+            |  FROM cum CROSS JOIN qq
+            |  WHERE cum >= (n * qnum + qden - 1) // qden
+            |  GROUP BY 1, 2, 3
+            |),
+            |ranked AS (
+            |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS r,
+            |         COUNT(*) OVER () AS n
+            |  FROM ev WHERE day BETWEEN 19727 AND 19737
+            |),
+            |ex AS (
+            |  SELECT qq.q, CAST(MIN(ranked.cents) AS BIGINT) AS exact_cents
+            |  FROM ranked CROSS JOIN qq
+            |  WHERE ranked.r >= (ranked.n * qq.qnum + qq.qden - 1) // qq.qden
+            |  GROUP BY 1
+            |)
+            |SELECT e.q, e.n AS n_range, e.rnk, e.bin,
+            |       ($QrLoCents + e.bin * $QrWidthCents) AS est_cents,
+            |       x.exact_cents,
+            |       x.exact_cents - ($QrLoCents + e.bin * $QrWidthCents) AS err_cents,
+            |       x.exact_cents >= $QrLoCents + e.bin * $QrWidthCents
+            |         AND x.exact_cents < $QrLoCents + e.bin * $QrWidthCents + $QrWidthCents AS within_width
+            |FROM est e JOIN ex x USING (q)
+            |ORDER BY q""".stripMargin))
+
+  /** Quantile-sketch RESOLUTION curve (`events_quantile_bins_curve`
+    * — the D24/T18j decision-table pattern applied to the A25
+    * rollup's one tunable): bin count decides BOTH the persisted
+    * sketch's size (days × ≤ bins rows) and the guaranteed error
+    * ceiling (one bin width), and the trade is measured, not
+    * asserted — one row per (bins ∈ {16, 64, 256}, q ∈ {p50, p90,
+    * p99}) with the arm's width, its daily-sketch row count over the
+    * range (what a deployment actually stores), the estimate, the
+    * exact value, and the realized error beside the `within_width`
+    * guarantee. Every arm rebuilds its daily table from the same
+    * scan shape; the exact side is computed ONCE and checkpoint-cut
+    * (three arms would otherwise re-sort the range three times).
+    * All integer arithmetic — the estimates replay exactly (the A25
+    * posture). The measured reading at sf0.01: 16 bins store 57
+    * daily rows for the 11-day range at a 62.50-real error ceiling
+    * (realized errs 3461/5216/3541 cents), 64 bins 179 rows at
+    * 15.63 (335/525/409), 256 bins 525 rows at 3.91 (333/127/4) —
+    * the knob is a pure storage-for-precision dial, every realized
+    * error under its arm's ceiling.
+    */
+  val eventsQuantileBinsCurve = QueryDef(
+    "events_quantile_bins_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val (d1, d2) = (19727L, 19737L)
+      val ev = Tables.events(s, dir).select(
+        expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG)").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      val exact = CheckpointBlocks.cut(
+        ev.filter(col("day").between(d1, d2)).agg(
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p50"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p90"),
+          expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p99"))
+          .select(explode(expr(
+            "array(named_struct('q', 'p50', 'exact_cents', p50), " +
+              "named_struct('q', 'p90', 'exact_cents', p90), " +
+              "named_struct('q', 'p99', 'exact_cents', p99))")).as("e"))
+          .select(col("e.q").as("q"), col("e.exact_cents").as("exact_cents")))
+      def arm(bins: Int): DataFrame = {
+        val width = (QrHiCents - QrLoCents + bins - 1) / bins
+        val daily = ev
+          .select(col("day"),
+            least(greatest(expr(s"(cents - $QrLoCents) DIV $width"), lit(0L)),
+              lit(bins - 1L)).as("bin"))
+          .groupBy("day", "bin").agg(count(lit(1)).as("c"))
+          .filter(col("day").between(d1, d2))
+        val rows = daily.agg(count(lit(1)).as("daily_rows"))
+        val est = daily
+          .groupBy("bin").agg(sum("c").as("c"))
+          .select(col("bin"),
+            expr("sum(c) OVER (ORDER BY bin)").as("cum"),
+            expr("sum(c) OVER ()").as("n"))
+          .select(col("bin"), col("cum"), col("n"),
+            explode(expr(
+              "array(named_struct('q', 'p50', 'qnum', 1L, 'qden', 2L), " +
+                "named_struct('q', 'p90', 'qnum', 9L, 'qden', 10L), " +
+                "named_struct('q', 'p99', 'qnum', 99L, 'qden', 100L))")).as("qq"))
+          .select(col("bin"), col("cum"), col("qq.q").as("q"),
+            expr("(n * qq.qnum + qq.qden - 1) DIV qq.qden").as("rnk"))
+          .filter(col("cum") >= col("rnk"))
+          .groupBy(col("q")).agg(min(col("bin")).as("bin"))
+          .select(col("q"), (lit(QrLoCents) + col("bin") * width).as("est_cents"))
+        est.join(exact, Seq("q")).crossJoin(rows)
+          .select(lit(bins.toLong).as("n_bins"), lit(width).as("width_cents"),
+            col("daily_rows"), col("q"), col("est_cents"), col("exact_cents"),
+            (col("exact_cents") - col("est_cents")).as("err_cents"),
+            (col("exact_cents") >= col("est_cents") &&
+              col("exact_cents") < col("est_cents") + width).as("within_width"))
+      }
+      Seq(16, 64, 256).map(arm).reduce(_.unionByName(_)).orderBy("n_bins", "q")
+    },
+    Some {
+      def armSql(bins: Int) = {
+        val width = (QrHiCents - QrLoCents + bins - 1) / bins
+        s"""daily$bins AS (
+           |  SELECT day,
+           |         least(greatest((cents - $QrLoCents) // $width, 0), ${bins - 1}) AS bin,
+           |         COUNT(*) AS c
+           |  FROM ev GROUP BY 1, 2 HAVING day BETWEEN 19727 AND 19737
+           |),
+           |rows$bins AS (SELECT CAST(COUNT(*) AS BIGINT) AS daily_rows FROM daily$bins),
+           |cum$bins AS (
+           |  SELECT bin, CAST(SUM(sc) OVER (ORDER BY bin) AS BIGINT) AS cum,
+           |         CAST(SUM(sc) OVER () AS BIGINT) AS n
+           |  FROM (SELECT bin, SUM(c) AS sc FROM daily$bins GROUP BY 1)
+           |),
+           |est$bins AS (
+           |  SELECT q, MIN(bin) AS bin
+           |  FROM cum$bins CROSS JOIN qq
+           |  WHERE cum >= (n * qnum + qden - 1) // qden
+           |  GROUP BY 1
+           |),
+           |r$bins AS (
+           |  SELECT CAST($bins AS BIGINT) AS n_bins, CAST($width AS BIGINT) AS width_cents,
+           |         rows$bins.daily_rows, e.q,
+           |         ($QrLoCents + e.bin * $width) AS est_cents, x.exact_cents,
+           |         x.exact_cents - ($QrLoCents + e.bin * $width) AS err_cents,
+           |         x.exact_cents >= $QrLoCents + e.bin * $width
+           |           AND x.exact_cents < $QrLoCents + e.bin * $width + $width AS within_width
+           |  FROM est$bins e JOIN ex x USING (q) CROSS JOIN rows$bins
+           |)""".stripMargin
+      }
+      s"""WITH ev AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events
+         |),
+         |qq AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) t(q, qnum, qden)),
+         |ranked AS (
+         |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS r,
+         |         COUNT(*) OVER () AS n
+         |  FROM ev WHERE day BETWEEN 19727 AND 19737
+         |),
+         |ex AS (
+         |  SELECT qq.q, CAST(MIN(ranked.cents) AS BIGINT) AS exact_cents
+         |  FROM ranked CROSS JOIN qq
+         |  WHERE ranked.r >= (ranked.n * qq.qnum + qq.qden - 1) // qq.qden
+         |  GROUP BY 1
+         |),
+         |${armSql(16)},
+         |${armSql(64)},
+         |${armSql(256)}
+         |SELECT * FROM r16 UNION ALL SELECT * FROM r64 UNION ALL SELECT * FROM r256
+         |ORDER BY n_bins, q""".stripMargin
+    })
+
   /** Benchmark decontamination ([[Dedup.decontaminate]]): corpus docs
     * (`doc_id % 10 <> 0`) sharing ≥ 5 distinct word 3-grams with any
     * eval-set doc (`doc_id % 10 = 0`) — the pretraining hygiene join.
@@ -12134,7 +12407,7 @@ object PipelineQueries {
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
     annKmeans, dedupSemdedup, dedupSemdedupCapped, dedupSemdedupCurve, dedupIncrSemdedup,
-    eventsJson, eventsVariant, eventsDaily, eventsCmsReuse, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsCmsReuse, eventsQuantileReuse, eventsQuantileBinsCurve, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, eventsAnomalyEnsemble, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,

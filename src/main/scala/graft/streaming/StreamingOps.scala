@@ -1642,6 +1642,79 @@ object StreamingOps {
       .select(col("window_start"), col("e.word").as("word"), col("e.est").as("est"))
   }
 
+  /** STREAMING windowed-quantile serving — the serving twin of the
+    * `events_quantile_reuse` batch rollup, completing the mergeable-
+    * summary matrix's serving COLUMN (distinct → the A22 family,
+    * frequency → CMS, top-k → [[topWordsSketchStream]], quantile →
+    * THIS): per event-time window, p50/p90/p99 of an integer-unit
+    * value column from an equi-width histogram whose bin domain
+    * (`loUnit`/`widthUnit`/`bins`) is FROZEN at sketch-build time —
+    * the [[psiDriftStream]] frozen-fences contract: a stream cannot
+    * take corpus percentiles, and frozen bins are what make window
+    * states mergeable with the persisted daily table downstream.
+    *
+    * Shape: bin assignment is a stateless codegen'd clamp (out-of-
+    * range values land in the end bins — inside the frozen bounds
+    * the estimate's rank-error guarantee `est ≤ exact < est + width`
+    * is structural, the batch op's argument verbatim); the ONLY
+    * per-value stateful operator is the (window, bin) count — state
+    * ≤ `bins` rows per in-flight window REGARDLESS of arrival rate —
+    * and the chained `window_time` aggregation (the documented
+    * two-stage idiom) collects the ≤ `bins` sorted entries and folds
+    * them ONCE into all three lower-edge estimates with the batch
+    * op's exact integer rank arithmetic (rank = ⌈q·N⌉ as
+    * `(N·qnum + qden − 1) div qden`; the fold carries the running
+    * cumulative and latches the first bin reaching each rank). No
+    * second per-value shuffle, no window function, no float until
+    * never. Append mode; watermark-evicted. Output per window:
+    * (`window_start`, `n_events`, `p50_est`, `p90_est`, `p99_est`)
+    * in the input's integer units.
+    */
+  def quantileSketchStream(
+      events: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      loUnit: Long,
+      widthUnit: Long,
+      bins: Int,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(widthUnit >= 1 && bins >= 1, s"bad args (widthUnit=$widthUnit, bins=$bins)")
+    events
+      .select(col(tsCol).as("__ts"), col(valueCol).cast("long").as("__v"))
+      .select(col("__ts"),
+        least(greatest(expr(s"(__v - $loUnit) DIV $widthUnit"), lit(0L)),
+          lit(bins - 1L)).as("bin"))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), windowDur))
+      .agg(sum(col("n")).as("n_events"),
+        array_sort(collect_list(struct(col("bin"), col("n")))).as("__bins"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("__bins"),
+        expr("(n_events * 1 + 1) DIV 2").as("__r50"),
+        expr("(n_events * 9 + 9) DIV 10").as("__r90"),
+        expr("(n_events * 99 + 99) DIV 100").as("__r99"))
+      .select(col("window_start"), col("n_events"),
+        aggregate(col("__bins"),
+          struct(lit(0L).as("cum"), lit(-1L).as("b50"),
+            lit(-1L).as("b90"), lit(-1L).as("b99")),
+          (acc, e) => {
+            val cum = acc.getField("cum") + e.getField("n")
+            def latch(prev: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+              when(prev >= 0L, prev)
+                .otherwise(when(cum >= r, e.getField("bin")).otherwise(lit(-1L)))
+            struct(cum.as("cum"),
+              latch(acc.getField("b50"), col("__r50")).as("b50"),
+              latch(acc.getField("b90"), col("__r90")).as("b90"),
+              latch(acc.getField("b99"), col("__r99")).as("b99"))
+          }).as("__f"))
+      .select(col("window_start"), col("n_events"),
+        (lit(loUnit) + col("__f.b50") * widthUnit).as("p50_est"),
+        (lit(loUnit) + col("__f.b90") * widthUnit).as("p90_est"),
+        (lit(loUnit) + col("__f.b99") * widthUnit).as("p99_est"))
+  }
+
   /** STREAMING graph-ANN serving — the online half of the NSW tier
     * ([[graft.operators.Similarity.nswSearch]] is the batch half;
     * completes the serving matrix beside [[ivfTopKStream]] /

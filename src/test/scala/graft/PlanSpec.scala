@@ -456,7 +456,16 @@ class PlanSpec extends AnyFunSuite {
       // morphological fixture — every ranking window runs at trained-
       // vocabulary cardinality (≤ seedMulti + alphabet rows), never
       // corpus rows (the text_bpe_vocab argument verbatim).
-      "text_tok_ab_open8", "text_tok_ab_open32")
+      "text_tok_ab_open8", "text_tok_ab_open32",
+      // events_quantile_reuse: the cumulative walk runs over the
+      // MERGED range histogram — ≤ QrBins (256, a literal) rows by
+      // construction, never event rows (the daily sketch table is
+      // days × ≤ 256 rows and the merge is a groupBy on bin).
+      "events_quantile_reuse",
+      // events_quantile_bins_curve: the same cumulative walk per arm,
+      // each over its own merged histogram — ≤ 256 literal rows (the
+      // largest arm), never event rows.
+      "events_quantile_bins_curve")
     val offenders = builtQueries.flatMap { case (name, df) =>
       if (ok(name)) None
       else {
@@ -621,7 +630,8 @@ class PlanSpec extends AnyFunSuite {
       "text_lr_capacity_curve" -> "three LR weight vectors: <= 16/64/256 rows by md5-pmod construction (the text_lr_classifier bound per arm)",
       "text_lr_calibration" -> "same LR weight vector as text_lr_classifier (shared lrTrain builder)",
       "text_langid_trained" -> "class totals x priors frame: one row per language label (5-value enum domain — the sample_balanced bound)",
-      "text_topk_cms" -> "the CMS count matrix: <= depth x width = 3 x 64 = 192 rows by md5-pmod construction regardless of input size (the text_lr_classifier bound) — being a tiny fixed-size summary is the sketch's entire point")
+      "text_topk_cms" -> "the CMS count matrix: <= depth x width = 3 x 64 = 192 rows by md5-pmod construction regardless of input size (the text_lr_classifier bound) — being a tiny fixed-size summary is the sketch's entire point",
+      "events_cms_reuse" -> "the range-merged CMS matrix: <= depth x width = 3 x 64 = 192 rows by md5-pmod construction regardless of how many daily sketches merged in (the text_topk_cms bound — the merge is a groupBy on (d, b), whose domain the literals fix)")
     val offenders = builtQueries.flatMap { case (name, df) =>
       if (ok.contains(name)) None
       else {

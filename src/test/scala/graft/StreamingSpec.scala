@@ -1407,6 +1407,46 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
       "topWordsSketchStream lost its watermark — unbounded state")
   }
+
+  test("quantileSketchStream: frozen bins, exact-integer rank extraction, clamp + n=1 edges (A25 streaming)") {
+    implicit val sql = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-03 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-03 10:10:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-03 12:00:00")
+    val dir = Files.createTempDirectory("graft_stream_qr").toString
+    // Frozen domain: lo=0, width=10, 8 bins ([0,80) + clamp). Window 1
+    // (split across two micro-batches — a forced state round-trip):
+    // sorted units 0,5,12,23,34,45,67,79,999,999 with the 999s
+    // CLAMPED into the top bin. n=10 → ranks ceil(qN): r50=5 → 34 →
+    // bin 3 → est 30; r90=9 → 999 → bin 7 → est 70; r99=10 → 999 →
+    // est 70. Window 2 is the n=1 edge: every rank is 1 → 42 → bin 4
+    // → est 40. In-bounds guarantee holds: exact p50 34 ∈ [30, 40).
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    ms.addData(Seq(0L, 5L, 12L, 23L, 34L).map(v => (t0, v)): _*)
+    val out = StreamingOps.quantileSketchStream(
+      ms.toDF.toDF("ts", "v"), "v", "ts", loUnit = 0L, widthUnit = 10L, bins = 8)
+    val q = out.writeStream.format("memory").queryName("qr_stream_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(Seq(45L, 67L, 79L, 999L, 999L).map(v => (t0, v)): _*)
+      q.processAllAvailable()
+      ms.addData((t1, 42L))
+      q.processAllAvailable()
+      ms.addData((late, 0L))
+      q.processAllAvailable()
+      ms.addData((late, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("qr_stream_test")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect()
+      .filter(_._1.before(late)).toSet
+    assert(got == Set(
+      (t0, 10L, 30L, 70L, 70L),
+      (t1, 1L, 40L, 40L, 40L)), s"got $got")
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "quantileSketchStream lost its watermark — unbounded state")
+  }
 }
 
 class NswStreamSpec extends AnyFunSuite {
