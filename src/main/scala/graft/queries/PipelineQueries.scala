@@ -1569,6 +1569,219 @@ object PipelineQueries {
          |ORDER BY n_bins, q""".stripMargin
     })
 
+  // ------------------------------------------------ theta/KMV sketch
+
+  /** The 60-bit hash space size, shared by every KMV estimator term
+    * and mirrored into the oracle ([[graft.functions.Hashing
+    * .md5Bits60]] draws uniformly from [0, 2^60)). */
+  private val ThetaSpace = 1152921504606846976L // 2^60
+
+  /** Distinct segment elements for the theta sketch: element =
+    * (user, day) hashed ONCE — the same element must hash identically
+    * in every segment or intersections are structurally empty. One
+    * distinct shuffle at segment-member cardinality (the W10
+    * distinct-first posture: far below event rows at 100 TB).
+    */
+  private def thetaElements(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_type").as("t"),
+      graft.functions.Hashing.md5Bits60(concat(lit("kmv"),
+        col("user_id").cast("string"), lit("_"),
+        expr("CAST(CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG) AS STRING)"))).as("h"))
+      .distinct()
+
+  /** Per-pair KMV estimates at budget `k` from distinct elements:
+    * bottom-k per segment via the bounded [[graft.functions.TopK]]
+    * heap, ALL segments collected into one row (group-less aggregate
+    * — segment-enum cardinality), unordered pairs expanded IN-ROW
+    * (no non-equi self-join for the planner to nested-loop), then
+    * θ = k-th smallest of the merged bottom-k and the standard KMV
+    * estimators in exact integer arithmetic: est_union =
+    * (k−1)·2^60 div θ, est_inter = c·2^60 div θ with c = merged
+    * survivors present in BOTH sketches. Products ride DECIMAL(38,0)
+    * ((k−1)·2^60 ≈ 7.3e19 overflows BIGINT at k = 64 already).
+    */
+  private def thetaPairEst(el: DataFrame, k: Int): DataFrame =
+    el.groupBy("t").agg(graft.functions.TopK.smallestK(col("h"), k).as("ks"))
+      .agg(collect_list(struct(col("t"), col("ks"))).as("segs"))
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(segs, a ->
+          |    transform(segs, b ->
+          |      named_struct('ta', a.t, 'tb', b.t, 'ka', a.ks, 'kb', b.ks)))),
+          |  p -> p.ta < p.tb)""".stripMargin)).as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
+        slice(array_sort(array_distinct(concat(col("p.ka"), col("p.kb")))), 1, k).as("mu"),
+        col("p.ka").as("ka"), col("p.kb").as("kb"))
+      .select(col("ta"), col("tb"), element_at(col("mu"), k).as("theta"),
+        size(filter(col("mu"), x =>
+          array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+          .cast("long").as("cc"))
+      .select(col("ta"), col("tb"), col("theta"), col("cc"),
+        expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($ThetaSpace AS DECIMAL(38,0))) DIV CAST(theta AS DECIMAL(38,0)) AS BIGINT)").as("est_union"),
+        expr(s"CAST((CAST(cc AS DECIMAL(38,0)) * CAST($ThetaSpace AS DECIMAL(38,0))) DIV CAST(theta AS DECIMAL(38,0)) AS BIGINT)").as("est_inter"))
+
+  /** Exact per-pair set sizes — the INSTRUMENT the sketch is checked
+    * against (at 100 TB you run only the KMV chain; THIS join over
+    * the full element frames is exactly what the sketch replaces).
+    */
+  private def thetaExact(el: DataFrame): DataFrame = {
+    val nseg = el.groupBy("t").agg(count(lit(1)).as("n"))
+    val ea = el.select(col("t").as("ta"), col("h"))
+    val eb = el.select(col("t").as("tb"), col("h").as("hb"))
+    ea.join(eb, col("h") === col("hb") && col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+      .join(nseg.select(col("t").as("ta"), col("n").as("n_a")), Seq("ta"))
+      .join(nseg.select(col("t").as("tb"), col("n").as("n_b")), Seq("tb"))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b") - col("exact_inter")).as("exact_union"),
+        col("exact_inter"))
+  }
+
+  /** The oracle's shared element/exact CTEs (mirror of
+    * [[thetaElements]]/[[thetaExact]]). */
+  private val thetaSharedSql =
+    s"""el AS (
+       |  SELECT DISTINCT event_type AS t,
+       |    ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR) || '_' ||
+       |       CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events
+       |),
+       |nseg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM el GROUP BY t),
+       |x AS (
+       |  SELECT a.t AS ta, b.t AS tb, na.n AS n_a, nb.n AS n_b,
+       |         na.n + nb.n - CAST(COUNT(*) AS BIGINT) AS exact_union,
+       |         CAST(COUNT(*) AS BIGINT) AS exact_inter
+       |  FROM el a JOIN el b ON a.h = b.h AND a.t < b.t
+       |  JOIN nseg na ON na.t = a.t JOIN nseg nb ON nb.t = b.t
+       |  GROUP BY a.t, b.t, na.n, nb.n
+       |)""".stripMargin
+
+  /** One oracle arm: per-pair KMV estimates at budget `k` (mirror of
+    * [[thetaPairEst]] — the oracle may use the plain self-join the
+    * engine avoids; only values must match). */
+  private def thetaArmSql(k: Int): String =
+    s"""kmv$k AS (SELECT t, list_sort(list(h))[1:$k] AS ks FROM el GROUP BY t),
+       |m$k AS (
+       |  SELECT a.t AS ta, b.t AS tb,
+       |    list_sort(list_distinct(a.ks || b.ks))[1:$k] AS mu, a.ks AS ka, b.ks AS kb
+       |  FROM kmv$k a JOIN kmv$k b ON a.t < b.t
+       |),
+       |e$k AS (
+       |  SELECT ta, tb, mu[$k] AS theta,
+       |    CAST(len(list_filter(mu, q -> list_contains(ka, q) AND list_contains(kb, q))) AS BIGINT) AS cc,
+       |    CAST((${k - 1}::HUGEINT * $ThetaSpace::HUGEINT) // mu[$k]::HUGEINT AS BIGINT) AS est_union,
+       |    CAST((len(list_filter(mu, q -> list_contains(ka, q) AND list_contains(kb, q)))::HUGEINT
+       |          * $ThetaSpace::HUGEINT) // mu[$k]::HUGEINT AS BIGINT) AS est_inter
+       |  FROM m$k
+       |)""".stripMargin
+
+  /** THETA/KMV set-operation sketch (`events_theta_overlap` — the
+    * question HLL structurally cannot answer: distinct-count of an
+    * INTERSECTION. A22's HLL union merges "distinct users in any
+    * range", but "active (user, day)s in segment A AND segment B"
+    * needs a sketch whose summaries support set algebra — the
+    * Datasketches theta family, here as the deterministic KMV
+    * (k-minimum-values) bottom-k form, Beyer et al. 2007 / the
+    * DataSketches theta-sketch design): per segment keep the k = 64
+    * smallest 60-bit element hashes (the bounded [[graft.functions
+    * .TopK]] heap — partitions × k rows shuffle regardless of
+    * segment size); for any pair, the k smallest of the UNION of two
+    * sketches is a uniform sample of A ∪ B at rate θ/2^60, so
+    * est_union = (k−1)·2^60/θ and est_inter = c·2^60/θ with c = the
+    * union sample's members present in both sketches. Every step is
+    * md5-deterministic, so the oracle replays the ESTIMATES exactly
+    * (the T5d posture) beside the exact sizes and realized signed
+    * errors. Measured at sf0.01 (segments ~1,600 elements, Jaccard
+    * ≈ 0.22): union errors within ±7.5%, intersection −42%..+18% —
+    * the honest 1/√c law (c as low as 8 of 64), which is exactly
+    * what the k-curve twin prices.
+    *
+    * Scale: ONE distinct shuffle at segment-member cardinality +
+    * the bounded heap; pair expansion happens IN-ROW from a
+    * group-less segment-enum aggregate (never a non-equi self-join
+    * the planner could nested-loop over corpus-sized frames); the
+    * exact element join is the instrument the sketch replaces.
+    */
+  val eventsThetaOverlap = QueryDef(
+    "events_theta_overlap",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val el = CheckpointBlocks.cut(thetaElements(s, dir))
+      thetaPairEst(el, 64)
+        .join(thetaExact(el), Seq("ta", "tb"))
+        .select(col("ta").as("seg_a"), col("tb").as("seg_b"),
+          col("n_a"), col("n_b"), col("exact_union"), col("exact_inter"),
+          col("est_union"), col("est_inter"), col("cc"),
+          round(lit(100.0) * (col("est_union") - col("exact_union")) / col("exact_union"), 1).as("union_err_pct"),
+          round(lit(100.0) * (col("est_inter") - col("exact_inter")) / col("exact_inter"), 1).as("inter_err_pct"))
+        .orderBy("seg_a", "seg_b")
+    },
+    Some(s"""WITH $thetaSharedSql,
+            |${thetaArmSql(64)}
+            |SELECT e.ta AS seg_a, e.tb AS seg_b, x.n_a, x.n_b,
+            |       x.exact_union, x.exact_inter, e.est_union, e.est_inter, e.cc,
+            |       ROUND(100.0 * (e.est_union - x.exact_union) / x.exact_union, 1) AS union_err_pct,
+            |       ROUND(100.0 * (e.est_inter - x.exact_inter) / x.exact_inter, 1) AS inter_err_pct
+            |FROM e64 e JOIN x ON x.ta = e.ta AND x.tb = e.tb
+            |ORDER BY seg_a, seg_b""".stripMargin))
+
+  /** Theta-sketch BUDGET curve (`events_theta_k_curve` — the
+    * resolution dial for the set-operation sketch, the
+    * events_quantile_bins_curve pattern): k ∈ {64, 256, 1024}, one
+    * row per arm with the exact-weighted absolute errors over all 10
+    * segment pairs. The measured law at sf0.01: union MAPE 4.0% →
+    * 2.7% → 1.0%, intersection 16.0% → 5.7% → 4.9% — intersection
+    * error is the budget's real customer (σ ≈ 1/√c, and c ≈ k·J), and
+    * the flattening at k = 1024 is the sketch saturating ~1,600-
+    * element segments (past |segment|, KMV IS the exact set — the
+    * budget rule is k ≳ 9/(J²·MAPE²) against the SMALL side's
+    * Jaccard, not a universal constant). Arms share one checkpointed
+    * element frame and one exact pass.
+    */
+  val eventsThetaKCurve = QueryDef(
+    "events_theta_k_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val el = CheckpointBlocks.cut(thetaElements(s, dir))
+      val exact = CheckpointBlocks.cut(thetaExact(el))
+      def arm(k: Int): DataFrame =
+        thetaPairEst(el, k).join(exact, Seq("ta", "tb"))
+          .agg(
+            sum(abs(col("est_union") - col("exact_union"))).as("sum_abs_err_union"),
+            sum(abs(col("est_inter") - col("exact_inter"))).as("sum_abs_err_inter"),
+            sum(col("exact_union")).as("sum_exact_union"),
+            sum(col("exact_inter")).as("sum_exact_inter"))
+          .select(lit(k.toLong).as("k"),
+            col("sum_abs_err_union"), col("sum_abs_err_inter"),
+            col("sum_exact_union"), col("sum_exact_inter"),
+            round(lit(100.0) * col("sum_abs_err_union") / col("sum_exact_union"), 1).as("mape_union_pct"),
+            round(lit(100.0) * col("sum_abs_err_inter") / col("sum_exact_inter"), 1).as("mape_inter_pct"))
+      Seq(64, 256, 1024).map(arm).reduce(_.unionByName(_)).orderBy("k")
+    },
+    Some {
+      def armSelect(k: Int) =
+        s"""r$k AS (
+           |  SELECT CAST($k AS BIGINT) AS k,
+           |    CAST(SUM(abs(e.est_union - x.exact_union)) AS BIGINT) AS sum_abs_err_union,
+           |    CAST(SUM(abs(e.est_inter - x.exact_inter)) AS BIGINT) AS sum_abs_err_inter,
+           |    CAST(SUM(x.exact_union) AS BIGINT) AS sum_exact_union,
+           |    CAST(SUM(x.exact_inter) AS BIGINT) AS sum_exact_inter,
+           |    ROUND(100.0 * SUM(abs(e.est_union - x.exact_union)) / SUM(x.exact_union), 1) AS mape_union_pct,
+           |    ROUND(100.0 * SUM(abs(e.est_inter - x.exact_inter)) / SUM(x.exact_inter), 1) AS mape_inter_pct
+           |  FROM e$k e JOIN x ON x.ta = e.ta AND x.tb = e.tb
+           |)""".stripMargin
+      s"""WITH $thetaSharedSql,
+         |${thetaArmSql(64)},
+         |${thetaArmSql(256)},
+         |${thetaArmSql(1024)},
+         |${armSelect(64)},
+         |${armSelect(256)},
+         |${armSelect(1024)}
+         |SELECT * FROM r64 UNION ALL SELECT * FROM r256 UNION ALL SELECT * FROM r1024
+         |ORDER BY k""".stripMargin
+    })
+
   /** Benchmark decontamination ([[Dedup.decontaminate]]): corpus docs
     * (`doc_id % 10 <> 0`) sharing ≥ 5 distinct word 3-grams with any
     * eval-set doc (`doc_id % 10 = 0`) — the pretraining hygiene join.
@@ -12407,7 +12620,7 @@ object PipelineQueries {
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
     annKmeans, dedupSemdedup, dedupSemdedupCapped, dedupSemdedupCurve, dedupIncrSemdedup,
-    eventsJson, eventsVariant, eventsDaily, eventsCmsReuse, eventsQuantileReuse, eventsQuantileBinsCurve, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsCmsReuse, eventsQuantileReuse, eventsQuantileBinsCurve, eventsThetaOverlap, eventsThetaKCurve, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, eventsAnomalyEnsemble, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,
