@@ -1582,7 +1582,7 @@ object PipelineQueries {
     * distinct shuffle at segment-member cardinality (the W10
     * distinct-first posture: far below event rows at 100 TB).
     */
-  private def thetaElements(s: SparkSession, dir: String): DataFrame =
+  private[graft] def thetaElements(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("event_type").as("t"),
       graft.functions.Hashing.md5Bits60(concat(lit("kmv"),
@@ -1601,7 +1601,7 @@ object PipelineQueries {
     * survivors present in BOTH sketches. Products ride DECIMAL(38,0)
     * ((k−1)·2^60 ≈ 7.3e19 overflows BIGINT at k = 64 already).
     */
-  private def thetaPairEst(el: DataFrame, k: Int): DataFrame =
+  private[graft] def thetaPairEst(el: DataFrame, k: Int): DataFrame =
     el.groupBy("t").agg(graft.functions.TopK.smallestK(col("h"), k).as("ks"))
       .agg(collect_list(struct(col("t"), col("ks"))).as("segs"))
       .select(explode(expr(
@@ -1675,6 +1675,147 @@ object PipelineQueries {
        |          * $ThetaSpace::HUGEINT) // mu[$k]::HUGEINT AS BIGINT) AS est_inter
        |  FROM m$k
        |)""".stripMargin
+
+  /** Per-day per-segment KMV sketches — the artifact a deployment
+    * PERSISTS for the reuse rollup (day, t, ks array): the A22/T5g
+    * daily-table posture applied to the theta tier. Merging is exact
+    * by construction: every element among the RANGE's k smallest is
+    * among its own day's k smallest (fewer than k elements in the
+    * whole range are below it), so bottom-k of the flattened daily
+    * arrays ≡ bottom-k of the range's raw elements — the fold =
+    * rebuild identity [[graft.PipelineSpec]] pins.
+    */
+  private[graft] def thetaDaily(s: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.events(s, dir).select(
+      expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG)").as("day"),
+      col("event_type").as("t"),
+      graft.functions.Hashing.md5Bits60(concat(lit("kmv"),
+        col("user_id").cast("string"), lit("_"),
+        expr("CAST(CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG) AS STRING)"))).as("h"))
+      .distinct()
+      .groupBy("day", "t")
+      .agg(graft.functions.TopK.smallestK(col("h"), k).as("ks"))
+
+  /** Merge a date range of persisted daily KMV sketches into one
+    * sketch per segment: flatten + distinct + sort + slice-k, all
+    * in-row after a segment-keyed collect of the range's ≤ days
+    * arrays. NO event rescan — the rollup reads days × segments
+    * rows of k hashes each.
+    */
+  private[graft] def thetaMergeRange(daily: DataFrame, d1: Long, d2: Long, k: Int): DataFrame =
+    daily.filter(col("day").between(d1, d2))
+      .groupBy("t")
+      .agg(flatten(collect_list(col("ks"))).as("__flat"))
+      .select(col("t"),
+        slice(array_sort(array_distinct(col("__flat"))), 1, k).as("ks"))
+
+  /** THETA sketch-REUSE rollup (`events_theta_reuse` — the A22/T5g
+    * daily-table axis for the set-operation tier, closing the
+    * matrix's last open cell: any date range's segment-overlap
+    * estimates from a tiny persisted (day, segment, bottom-k) table
+    * with NO event rescan). The merge is EXACT, not approximate-on-
+    * approximate: bottom-k arrays are order-ideal under union (see
+    * [[thetaDaily]]), so the merged sketch is bit-identical to one
+    * built from the range's raw elements — the estimates this query
+    * registers are exactly what the direct A26 chain would produce
+    * on the range, and PipelineSpec pins that identity (the D20
+    * fold = rebuild posture). Registered per pair: merged-sketch
+    * union/intersection estimates beside the range's exact sizes
+    * and realized errors — all md5-deterministic, oracle-replayed
+    * exactly.
+    *
+    * Scale: the rollup's inputs are days × segments rows; the pair
+    * algebra is in-row over ≤ 2k-hash arrays; only the EXACT
+    * instrument re-touches the range's elements (at 100 TB you run
+    * the merged chain alone — that is the point of persisting daily
+    * sketches).
+    */
+  val eventsThetaReuse = QueryDef(
+    "events_theta_reuse",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBlocks
+      val (d1, d2) = (19727L, 19737L) // the events_cms_reuse range
+      val k = 64
+      val merged = thetaMergeRange(thetaDaily(s, dir, k), d1, d2, k)
+      val est = merged
+        .agg(collect_list(struct(col("t"), col("ks"))).as("segs"))
+        .select(explode(expr(
+          """filter(
+            |  flatten(transform(segs, a ->
+            |    transform(segs, b ->
+            |      named_struct('ta', a.t, 'tb', b.t, 'ka', a.ks, 'kb', b.ks)))),
+            |  p -> p.ta < p.tb)""".stripMargin)).as("p"))
+        .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
+          slice(array_sort(array_distinct(concat(col("p.ka"), col("p.kb")))), 1, k).as("mu"),
+          col("p.ka").as("ka"), col("p.kb").as("kb"))
+        .select(col("ta"), col("tb"), element_at(col("mu"), k).as("theta"),
+          size(filter(col("mu"), x =>
+            array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+            .cast("long").as("cc"))
+        .select(col("ta"), col("tb"), col("cc"),
+          expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($ThetaSpace AS DECIMAL(38,0))) DIV CAST(theta AS DECIMAL(38,0)) AS BIGINT)").as("est_union"),
+          expr(s"CAST((CAST(cc AS DECIMAL(38,0)) * CAST($ThetaSpace AS DECIMAL(38,0))) DIV CAST(theta AS DECIMAL(38,0)) AS BIGINT)").as("est_inter"))
+      val el = CheckpointBlocks.cut(
+        Tables.events(s, dir)
+          .filter(expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG)")
+            .between(d1, d2))
+          .select(col("event_type").as("t"),
+            graft.functions.Hashing.md5Bits60(concat(lit("kmv"),
+              col("user_id").cast("string"), lit("_"),
+              expr("CAST(CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG) AS STRING)"))).as("h"))
+          .distinct())
+      est.join(thetaExact(el), Seq("ta", "tb"))
+        .select(col("ta").as("seg_a"), col("tb").as("seg_b"),
+          col("n_a"), col("n_b"), col("exact_union"), col("exact_inter"),
+          col("est_union"), col("est_inter"), col("cc"),
+          round(lit(100.0) * (col("est_union") - col("exact_union")) / col("exact_union"), 1).as("union_err_pct"),
+          round(lit(100.0) * (col("est_inter") - col("exact_inter")) / col("exact_inter"), 1).as("inter_err_pct"))
+        .orderBy("seg_a", "seg_b")
+    },
+    Some(s"""WITH el AS (
+            |  SELECT DISTINCT event_type AS t,
+            |    ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR) || '_' ||
+            |       CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 15))::BIGINT AS h,
+            |    epoch_us(ts) // 86400000000 AS day
+            |  FROM events
+            |),
+            |daily AS (
+            |  SELECT day, t, list_sort(list(h))[1:64] AS ks
+            |  FROM el GROUP BY day, t
+            |),
+            |merged AS (
+            |  SELECT t, list_sort(list_distinct(flatten(list(ks))))[1:64] AS ks
+            |  FROM daily WHERE day BETWEEN 19727 AND 19737 GROUP BY t
+            |),
+            |m AS (
+            |  SELECT a.t AS ta, b.t AS tb,
+            |    list_sort(list_distinct(a.ks || b.ks))[1:64] AS mu, a.ks AS ka, b.ks AS kb
+            |  FROM merged a JOIN merged b ON a.t < b.t
+            |),
+            |e AS (
+            |  SELECT ta, tb, mu[64] AS theta,
+            |    CAST(len(list_filter(mu, q -> list_contains(ka, q) AND list_contains(kb, q))) AS BIGINT) AS cc,
+            |    CAST((63::HUGEINT * $ThetaSpace::HUGEINT) // mu[64]::HUGEINT AS BIGINT) AS est_union,
+            |    CAST((len(list_filter(mu, q -> list_contains(ka, q) AND list_contains(kb, q)))::HUGEINT
+            |          * $ThetaSpace::HUGEINT) // mu[64]::HUGEINT AS BIGINT) AS est_inter
+            |  FROM m
+            |),
+            |rel AS (SELECT t, h FROM el WHERE day BETWEEN 19727 AND 19737),
+            |nseg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM rel GROUP BY t),
+            |x AS (
+            |  SELECT a.t AS ta, b.t AS tb, na.n AS n_a, nb.n AS n_b,
+            |         na.n + nb.n - CAST(COUNT(*) AS BIGINT) AS exact_union,
+            |         CAST(COUNT(*) AS BIGINT) AS exact_inter
+            |  FROM rel a JOIN rel b ON a.h = b.h AND a.t < b.t
+            |  JOIN nseg na ON na.t = a.t JOIN nseg nb ON nb.t = b.t
+            |  GROUP BY a.t, b.t, na.n, nb.n
+            |)
+            |SELECT e.ta AS seg_a, e.tb AS seg_b, x.n_a, x.n_b,
+            |       x.exact_union, x.exact_inter, e.est_union, e.est_inter, e.cc,
+            |       ROUND(100.0 * (e.est_union - x.exact_union) / x.exact_union, 1) AS union_err_pct,
+            |       ROUND(100.0 * (e.est_inter - x.exact_inter) / x.exact_inter, 1) AS inter_err_pct
+            |FROM e JOIN x ON x.ta = e.ta AND x.tb = e.tb
+            |ORDER BY seg_a, seg_b""".stripMargin))
 
   /** THETA/KMV set-operation sketch (`events_theta_overlap` — the
     * question HLL structurally cannot answer: distinct-count of an
@@ -12620,7 +12761,7 @@ object PipelineQueries {
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
     annKmeans, dedupSemdedup, dedupSemdedupCapped, dedupSemdedupCurve, dedupIncrSemdedup,
-    eventsJson, eventsVariant, eventsDaily, eventsCmsReuse, eventsQuantileReuse, eventsQuantileBinsCurve, eventsThetaOverlap, eventsThetaKCurve, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsCmsReuse, eventsQuantileReuse, eventsQuantileBinsCurve, eventsThetaOverlap, eventsThetaKCurve, eventsThetaReuse, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, eventsAnomalyEnsemble, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,

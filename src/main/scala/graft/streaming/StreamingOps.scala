@@ -1715,6 +1715,82 @@ object StreamingOps {
         (lit(loUnit) + col("__f.b99") * widthUnit).as("p99_est"))
   }
 
+  /** STREAMING theta/KMV segment-overlap serving — the serving twin
+    * of `events_theta_overlap` (live "distinct elements in segment A
+    * AND B this window" — the intersection question HLL-style window
+    * state cannot answer): per event-time window, per segment, the
+    * k smallest 60-bit element hashes, then every unordered segment
+    * pair's union/intersection estimates from the merged bottom-k in
+    * the batch op's exact DECIMAL integer arithmetic.
+    *
+    * Shape — three CHAINED stateful operators, append mode (the
+    * documented multi-stateful idiom, one past [[bm25TopKStream]]'s
+    * two): (1) per-(window, segment, hash) DEDUP — KMV is a sketch
+    * of a SET, so multiplicity must die before the heap or repeats
+    * of a small hash evict real values (state: distinct in-window
+    * elements, watermark-evicted — the one data-sized state, exactly
+    * what the batch op's `.distinct()` pays); (2) the bounded
+    * [[graft.functions.TopK]] k-heap per (window, segment) — ≤ k
+    * hashes of state per segment; (3) the chained `window_time`
+    * collect of the ≤ |segments| sketch rows. Pair expansion and the
+    * estimator algebra are stateless in-row HOFs over ≤ 2k-hash
+    * arrays, `explode`d AFTER the final aggregation. Output per
+    * window: (`window_start`, `seg_a`, `seg_b`, `theta`, `cc`,
+    * `est_union`, `est_inter`), one row per unordered pair.
+    * Row-for-row batch parity with the `thetaPairEst` chain is
+    * spec-pinned, including a duplicated-element stream (the dedup
+    * stage's reason to exist) and the watermark.
+    */
+  def thetaOverlapStream(
+      events: DataFrame,
+      segCol: String,
+      elemCol: String,
+      tsCol: String,
+      k: Int,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val space = 1152921504606846976L // 2^60, the md5Bits60 hash space
+    events
+      .select(col(tsCol).as("__ts"), col(segCol).as("t"),
+        graft.functions.Hashing.md5Bits60(col(elemCol).cast("string")).as("h"))
+      .withWatermark("__ts", watermark)
+      .select(window(col("__ts"), windowDur).as("window"), col("t"), col("h"))
+      .dropDuplicates("window", "t", "h")
+      .groupBy(col("window"), col("t"))
+      .agg(graft.functions.TopK.smallestK(col("h"), k).as("ks"))
+      .groupBy(window(window_time(col("window")), windowDur))
+      .agg(collect_list(struct(col("t"), col("ks"))).as("segs"))
+      .select(col("window.start").as("window_start"),
+        explode(expr(
+          """filter(
+            |  flatten(transform(segs, a ->
+            |    transform(segs, b ->
+            |      named_struct('ta', a.t, 'tb', b.t, 'ka', a.ks, 'kb', b.ks)))),
+            |  p -> p.ta < p.tb)""".stripMargin)).as("p"))
+      .select(col("window_start"), col("p.ta").as("seg_a"), col("p.tb").as("seg_b"),
+        slice(array_sort(array_distinct(concat(col("p.ka"), col("p.kb")))), 1, k).as("__mu"),
+        col("p.ka").as("__ka"), col("p.kb").as("__kb"))
+      .select(col("window_start"), col("seg_a"), col("seg_b"),
+        // Unsaturated window (union < k distinct elements): the
+        // sketch IS the exact set — the DataSketches theta = 1.0
+        // convention, here theta = the full 2^60 space so the
+        // estimators below degrade to exact counts.
+        when(size(col("__mu")) >= k, element_at(col("__mu"), k))
+          .otherwise(lit(space)).as("theta"),
+        size(col("__mu")).cast("long").as("__nu"),
+        size(filter(col("__mu"), x =>
+          array_contains(col("__ka"), x) && array_contains(col("__kb"), x)))
+          .cast("long").as("cc"))
+      .select(col("window_start"), col("seg_a"), col("seg_b"), col("theta"), col("cc"),
+        when(col("__nu") >= k,
+          expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($space AS DECIMAL(38,0))) DIV CAST(theta AS DECIMAL(38,0)) AS BIGINT)"))
+          .otherwise(col("__nu")).as("est_union"),
+        when(col("__nu") >= k,
+          expr(s"CAST((CAST(cc AS DECIMAL(38,0)) * CAST($space AS DECIMAL(38,0))) DIV CAST(theta AS DECIMAL(38,0)) AS BIGINT)"))
+          .otherwise(col("cc")).as("est_inter"))
+  }
+
   /** STREAMING graph-ANN serving — the online half of the NSW tier
     * ([[graft.operators.Similarity.nswSearch]] is the batch half;
     * completes the serving matrix beside [[ivfTopKStream]] /

@@ -2961,4 +2961,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(y.isDefined, "heavy hitter y missing from g2 summary")
     assert(y.get._3 <= 30L && y.get._3 >= 30L - 50L / 5)
   }
+
+  test("theta KMV daily-sketch merge == direct rebuild of the range sketch (A26c fold=rebuild)") {
+    // The events_theta_reuse contract: bottom-k arrays are order-ideal
+    // under union, so merging persisted per-day sketches over a range
+    // must be BIT-IDENTICAL to building one sketch from the range's
+    // raw distinct elements. Pinned per segment at the registered
+    // range and k, on real sf0.001 data.
+    import graft.queries.PipelineQueries
+    val dir = "/root/testdata/sf0.001"
+    val (d1, d2, k) = (19727L, 19737L, 64)
+    val merged = PipelineQueries.thetaMergeRange(
+        PipelineQueries.thetaDaily(spark, dir, k), d1, d2, k)
+      .as[(String, Seq[Long])].collect().toMap
+    val direct = PipelineQueries.thetaDaily(spark, dir, k)
+      .filter(col("day").between(d1, d2))
+      .select(col("t"), explode(col("ks")).as("h")).distinct()
+      .groupBy("t").agg(graft.functions.TopK.smallestK(col("h"), k).as("ks"))
+      .as[(String, Seq[Long])].collect().toMap
+    // `direct` here rebuilds from the union of daily sketch CONTENTS;
+    // the stronger rebuild-from-raw-elements identity:
+    val raw = graft.sources.Tables.events(spark, dir).select(
+        expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG)").as("day"),
+        col("event_type").as("t"),
+        graft.functions.Hashing.md5Bits60(concat(lit("kmv"),
+          col("user_id").cast("string"), lit("_"),
+          expr("CAST(CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS LONG) AS STRING)"))).as("h"))
+      .filter(col("day").between(d1, d2))
+      .select("t", "h").distinct()
+      .groupBy("t").agg(graft.functions.TopK.smallestK(col("h"), k).as("ks"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged.keySet == raw.keySet, s"segment sets differ: ${merged.keySet} vs ${raw.keySet}")
+    merged.keySet.foreach { t =>
+      assert(merged(t) == raw(t), s"merged != raw rebuild for segment $t")
+      assert(merged(t) == direct(t), s"merged != sketch-content rebuild for segment $t")
+      assert(merged(t) == merged(t).sorted && merged(t).distinct == merged(t),
+        s"merged sketch not a sorted distinct bottom-k for $t")
+    }
+  }
 }

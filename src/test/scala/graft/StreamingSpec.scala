@@ -1447,6 +1447,82 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
       "quantileSketchStream lost its watermark — unbounded state")
   }
+
+  test("thetaOverlapStream: exact regime under duplication — dedup stage kills multiplicity (A26 streaming)") {
+    implicit val sql = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-04 10:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-04 12:00:00")
+    val dir = Files.createTempDirectory("graft_stream_theta").toString
+    // Segments A: e1..e6, B: e4..e9 -> union 9, intersection 3. Every
+    // row is sent TWICE across two micro-batches (a forced state
+    // round-trip), plus extra e1 repeats — without the dedup stage the
+    // duplicate hashes would crowd the k-heap and the "exact when
+    // unsaturated" claim would break. k = 16 > union: theta = 2^60 and
+    // the estimates must BE the exact counts.
+    val rows = (1 to 6).map(i => ("A", s"e$i")) ++ (4 to 9).map(i => ("B", s"e$i"))
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    ms.addData((rows ++ Seq.fill(5)(("A", "e1"))).map { case (t, e) => (t0, t, e) }: _*)
+    val out = StreamingOps.thetaOverlapStream(
+      ms.toDF.toDF("ts", "seg", "elem"), "seg", "elem", "ts", k = 16)
+    val q = out.writeStream.format("memory").queryName("theta_stream_test")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(rows.map { case (t, e) => (t0, t, e) }: _*) // exact repeats
+      q.processAllAvailable()
+      ms.addData((late, "A", "sentinel"))
+      q.processAllAvailable()
+      ms.addData((late, "A", "sentinel2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("theta_stream_test")
+      .as[(java.sql.Timestamp, String, String, Long, Long, Long, Long)].collect()
+      .filter(_._1.before(late))
+    assert(got.length == 1, s"expected one pair row, got ${got.toSeq}")
+    val (_, sa, sb, theta, cc, estU, estI) = got.head
+    assert((sa, sb) == ("A", "B"))
+    assert(theta == 1152921504606846976L, s"unsaturated window must carry theta = 2^60, got $theta")
+    assert(estU == 9L && estI == 3L && cc == 3L,
+      s"exact-regime estimates wrong: union $estU inter $estI cc $cc")
+    assert(out.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "thetaOverlapStream lost its watermark — unbounded state")
+  }
+
+  test("thetaOverlapStream: saturated regime matches the batch thetaPairEst chain row-for-row") {
+    implicit val sql = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    val dir = Files.createTempDirectory("graft_stream_theta2").toString
+    // 20 elements per segment, 8 shared, k = 4 << union: the real
+    // estimator path. Expectation = the BATCH chain on the same
+    // distinct rows (PipelineQueries.thetaPairEst — the dsirScoreStream
+    // batch-parity posture), not hand-derived.
+    val rows = (1 to 20).map(i => ("A", s"x$i")) ++ (13 to 32).map(i => ("B", s"x$i"))
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    ms.addData(rows.map { case (t, e) => (t0, t, e) }: _*)
+    val out = StreamingOps.thetaOverlapStream(
+      ms.toDF.toDF("ts", "seg", "elem"), "seg", "elem", "ts", k = 4)
+    val q = out.writeStream.format("memory").queryName("theta_stream_test2")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      ms.addData((late, "A", "sentinel"))
+      q.processAllAvailable()
+      ms.addData((late, "A", "sentinel2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("theta_stream_test2")
+      .as[(java.sql.Timestamp, String, String, Long, Long, Long, Long)].collect()
+      .filter(_._1.before(late))
+      .map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSet
+    val el = rows.toDF("t", "elem")
+      .select(col("t"), graft.functions.Hashing.md5Bits60(col("elem").cast("string")).as("h"))
+      .distinct()
+    val want = graft.queries.PipelineQueries.thetaPairEst(el, 4)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet
+    assert(got == want, s"stream vs batch estimates differ:\n  got  $got\n  want $want")
+  }
 }
 
 class NswStreamSpec extends AnyFunSuite {
