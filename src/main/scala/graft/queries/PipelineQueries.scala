@@ -1923,6 +1923,223 @@ object PipelineQueries {
          |ORDER BY k""".stripMargin
     })
 
+  // --------------------------------------------------- graph centrality
+
+  /** PageRank iteration budget — mirrored into the unrolled oracle
+    * chain. Five rounds on a 40-node damped graph sits well inside
+    * the convergence knee (`graph_pagerank_conv` measures the resid
+    * collapsing per round); production graphs run the same chain to
+    * a delta threshold. */
+  private val PrIters = 5
+  private val PrDomains = 40
+
+  /** The derived DOMAIN LINK GRAPH (the manifoldEmb in-query fixture
+    * precedent — the corpus has no link table, so one derives
+    * deterministically from doc ids): every document belongs to
+    * domain `doc_id mod 40` and emits 1 + (doc_id mod 3) links whose
+    * targets are md5-derived — organic in- and out-degree spread,
+    * engine-portable, no new file. Self-links dropped (the PageRank
+    * convention), parallel links collapse to an edge WEIGHT.
+    */
+  private[graft] def prEdges(s: SparkSession, dir: String): DataFrame =
+    prEdgesWhere(s, dir, lit(true))
+
+  private[graft] def prEdgesWhere(s: SparkSession, dir: String, cond: Column): DataFrame =
+    Tables.documents(s, dir)
+      .filter(cond)
+      .select(pmod(col("doc_id"), lit(PrDomains)).cast("long").as("src"),
+        explode(sequence(lit(0), pmod(col("doc_id"), lit(3)).cast("int"))).as("i"),
+        col("doc_id"))
+      .select(col("src"),
+        pmod(graft.functions.Hashing.md5Bits60(concat(lit("pr"),
+          col("doc_id").cast("string"), lit("_"), col("i").cast("string"))),
+          lit(PrDomains.toLong)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  private def prNodes(s: SparkSession): DataFrame =
+    s.range(0, PrDomains).select(col("id").as("node"))
+
+  /** The oracle's unrolled PageRank chain pieces: edge/out-weight
+    * CTEs per edge set, one (contrib, dangling, rank) CTE triple per
+    * iteration — the Lloyd-unroll posture applied to the fixpoint
+    * family, parameterized by CTE-name prefix so the incremental
+    * query composes THREE chains (standing, warm, cold) in one
+    * oracle. Teleport 150000 = (100−85)·10^6 div 100, N = 40, both
+    * literals the Spark side computes from the same parameters. */
+  private def prEdgesCteSql(name: String, whereSql: String): String =
+    s"""$name AS (
+       |  SELECT src, dst, COUNT(*) AS w FROM (
+       |    SELECT doc_id % $PrDomains AS src,
+       |           unnest([('0x' || substr(md5('pr' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % $PrDomains
+       |                   FOR i IN generate_series(0, doc_id % 3)]) AS dst
+       |    FROM documents$whereSql)
+       |  WHERE src <> dst GROUP BY 1, 2
+       |),
+       |${name}_outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM $name GROUP BY 1)""".stripMargin
+
+  private val prNodesCteSql =
+    s"nodes AS (SELECT CAST(i AS BIGINT) AS node FROM generate_series(0, ${PrDomains - 1}) t(i))"
+
+  private def prUniformInitSql(cte: String): String =
+    s"$cte AS (SELECT node, 1000000::BIGINT AS rank_u FROM nodes)"
+
+  private def prIterCtesSql(pfx: String, init: String, edges: String, iters: Int): String =
+    (1 to iters).map { k =>
+      val prev = if (k == 1) init else s"$pfx${k - 1}"
+      s""",
+         |${pfx}c$k AS (
+         |  SELECT e.dst AS node, CAST(SUM((r.rank_u * e.w) // o.w_out) AS BIGINT) AS inflow
+         |  FROM $edges e JOIN ${edges}_outw o ON o.src = e.src JOIN $prev r ON r.node = e.src
+         |  GROUP BY 1
+         |),
+         |${pfx}d$k AS (
+         |  SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dang
+         |  FROM $prev r LEFT JOIN ${edges}_outw o ON o.src = r.node WHERE o.src IS NULL
+         |),
+         |$pfx$k AS (
+         |  SELECT n.node,
+         |         CAST(150000 + (85 * (COALESCE(c.inflow, 0) + d.dang // $PrDomains)) // 100 AS BIGINT) AS rank_u
+         |  FROM nodes n LEFT JOIN ${pfx}c$k c ON c.node = n.node CROSS JOIN ${pfx}d$k d
+         |)""".stripMargin
+    }.mkString
+
+  private def prChainSql(iters: Int): String =
+    s"""${prEdgesCteSql("edges", "")},
+       |$prNodesCteSql,
+       |${prUniformInitSql("r0")}${prIterCtesSql("r", "r0", "edges", iters)}""".stripMargin
+
+  /** GRAPH CENTRALITY tier (`graph_pagerank` — [[graft.operators
+    * .Rank.pageRank]]): the iterative-fixpoint class the clusters
+    * family (connected components) does not cover, and the published
+    * DOMAIN-QUALITY signal pretraining pipelines weight documents by
+    * (Common Crawl publishes centrality-ranked domain lists; CCNet-
+    * lineage corpora gate on them — Page et al. 1999). Exact integer
+    * micro-unit ranks, so the whole 5-iteration fixpoint chain —
+    * per-edge `rank·w div w_out` shares, dangling redistribution,
+    * 85/100 damping — replays in the oracle as unrolled CTEs, bit-
+    * exact (the Lloyd posture applied to graph iteration). Run over
+    * the derived 40-domain link graph ([[prEdges]]).
+    *
+    * Scale: per iteration one src-keyed join + one dst-keyed
+    * map-side-combinable sum + a 1-row dangling aggregate fanned by
+    * crossJoin — the Pregel shuffle shape; every iterate checkpoint-
+    * cut so the final plan is iteration-count-independent (the
+    * kmeansFit lineage contract, unit-pinned in OperatorsSpec).
+    */
+  val graphPagerank = QueryDef(
+    "graph_pagerank",
+    (s, dir) =>
+      graft.operators.Rank.pageRank(prEdges(s, dir), prNodes(s), PrIters)
+        .orderBy("node"),
+    Some(s"""WITH ${prChainSql(PrIters)}
+            |SELECT node, rank_u FROM r$PrIters ORDER BY node""".stripMargin))
+
+  /** PageRank CONVERGENCE curve (`graph_pagerank_conv` — the
+    * iteration dial, the D24 decision-table pattern): per round the
+    * L1 residual Σ|r_k − r_{k−1}| and the total mass. The geometric
+    * collapse (each round's residual ≈ d × the previous — the power-
+    * iteration contraction) is the measured argument for the fixed
+    * 5-round budget, and total mass stays ≈ N·10^6 minus the
+    * documented truncation bleed. One chain serves every row
+    * ([[graft.operators.Rank.pageRankChain]] exposes the iterates;
+    * consecutive pairs join at node cardinality).
+    */
+  val graphPagerankConv = QueryDef(
+    "graph_pagerank_conv",
+    (s, dir) => {
+      val chain = graft.operators.Rank.pageRankChain(prEdges(s, dir), prNodes(s), PrIters)
+      chain.sliding(2).zipWithIndex.map { case (pair, idx) =>
+        val (prev, cur) = (pair.head, pair.last)
+        prev.select(col("node"), col("rank_u").as("__prev"))
+          .join(cur, Seq("node"))
+          .agg(sum(abs(col("rank_u") - col("__prev"))).as("delta_l1"),
+            sum(col("rank_u")).as("total_mass"))
+          .select(lit((idx + 1).toLong).as("iter"), col("delta_l1"), col("total_mass"))
+      }.reduce(_.unionByName(_)).orderBy("iter")
+    },
+    Some {
+      def row(k: Int) =
+        s"""SELECT CAST($k AS BIGINT) AS iter,
+           |       CAST(SUM(abs(a.rank_u - b.rank_u)) AS BIGINT) AS delta_l1,
+           |       CAST(SUM(a.rank_u) AS BIGINT) AS total_mass
+           |FROM r$k a JOIN r${k - 1} b ON b.node = a.node""".stripMargin
+      s"""WITH ${prChainSql(PrIters)}
+         |${(1 to PrIters).map(row).mkString("\nUNION ALL\n")}
+         |ORDER BY iter""".stripMargin
+    })
+
+  /** INCREMENTAL PageRank — warm restart after an edge-batch fold
+    * (`graph_pagerank_incr`, the D12/nswInsert incremental posture
+    * applied to the fixpoint family): a standing rank table was
+    * computed on yesterday's graph; today's batch folds in (edge
+    * weights ADD, so fold ≡ re-derive — deriving the full graph
+    * directly equals union + groupBy-sum of the parts, unit-pinned);
+    * instead of re-running the full budget from uniform, restart the
+    * SAME per-iteration chain from the standing ranks. Power
+    * iteration contracts from ANY positive start, and the post-fold
+    * fixpoint is near the pre-fold one, so the warm chain spends its
+    * rounds on the delta. At web scale each round's shuffle is
+    * identical — the saving IS the round count, which is what this
+    * artifact measures.
+    *
+    * Three arms against the converged 5-round full-graph reference:
+    * `standing5` (yesterday's fixpoint — how far the fold moved the
+    * answer: L1 1.50M micro-units at sf0.01, a tenth of the docs
+    * shifts the rank surface measurably, so restarting is NOT
+    * skippable), `cold2` (2 rounds from uniform — the same compute
+    * budget spent cold: 149.1k), `warm2` (2 rounds from standing:
+    * 59.7k — 2.5× closer on the same budget, and the margin grows
+    * with graphs that mix slower than this deliberately-well-mixed
+    * fixture, where even cold chains contract at ≈ 0.15/round). The
+    * standing split (doc_id mod 10 ≠ 0 — the decontamination split)
+    * makes the batch a 10% edge fold. All exact integers; the
+    * oracle unrolls all THREE chains (12 iterations of CTEs) and
+    * replays every arm bit-exact.
+    */
+  val graphPagerankIncr = QueryDef(
+    "graph_pagerank_incr",
+    (s, dir) => {
+      val nodes = prNodes(s)
+      val standing = graft.operators.Rank.pageRank(
+        prEdgesWhere(s, dir, pmod(col("doc_id"), lit(10)) =!= 0), nodes, PrIters)
+      val fullEdges = prEdges(s, dir)
+      val fullChain = graft.operators.Rank.pageRankChain(fullEdges, nodes, PrIters)
+      val ref = fullChain(PrIters)
+      val cold2 = fullChain(2)
+      val warm2 = graft.operators.Rank.pageRankChain(
+        fullEdges, nodes, 2, init = Some(standing)).last
+      def arm(name: String, df: DataFrame): DataFrame =
+        df.select(col("node"), col("rank_u").as("__r"))
+          .join(ref.select(col("node"), col("rank_u").as("__ref")), Seq("node"))
+          .agg(sum(abs(col("__r") - col("__ref"))).as("l1_to_ref"),
+            sum(col("__r")).as("total_mass"))
+          .select(lit(name).as("arm"), col("l1_to_ref"), col("total_mass"))
+      arm("cold2", cold2)
+        .unionByName(arm("standing5", standing))
+        .unionByName(arm("warm2", warm2))
+        .orderBy("arm")
+    },
+    Some {
+      def armSql(name: String, cte: String) =
+        s"""SELECT '$name' AS arm,
+           |       CAST(SUM(abs(a.rank_u - f$PrIters.rank_u)) AS BIGINT) AS l1_to_ref,
+           |       CAST(SUM(a.rank_u) AS BIGINT) AS total_mass
+           |FROM $cte a JOIN f$PrIters ON f$PrIters.node = a.node""".stripMargin
+      s"""WITH ${prEdgesCteSql("sedges", " WHERE doc_id % 10 <> 0")},
+         |${prEdgesCteSql("edges", "")},
+         |$prNodesCteSql,
+         |${prUniformInitSql("s0")}${prIterCtesSql("s", "s0", "sedges", PrIters)},
+         |w0 AS (SELECT node, rank_u FROM s$PrIters)${prIterCtesSql("w", "w0", "edges", 2)},
+         |${prUniformInitSql("f0")}${prIterCtesSql("f", "f0", "edges", PrIters)}
+         |${armSql("cold2", "f2")}
+         |UNION ALL
+         |${armSql("standing5", s"s$PrIters")}
+         |UNION ALL
+         |${armSql("warm2", "w2")}
+         |ORDER BY arm""".stripMargin
+    })
+
   /** Benchmark decontamination ([[Dedup.decontaminate]]): corpus docs
     * (`doc_id % 10 <> 0`) sharing ≥ 5 distinct word 3-grams with any
     * eval-set doc (`doc_id % 10 = 0`) — the pretraining hygiene join.
@@ -12761,7 +12978,7 @@ object PipelineQueries {
     annIvfPqResidualLloydManifold, annIvfPqResidualRerankManifold,
     annIvfNprobeCurve, annIvfNcellsCurve, annIvfCellsTrained, annDimRecallCurve,
     annKmeans, dedupSemdedup, dedupSemdedupCapped, dedupSemdedupCurve, dedupIncrSemdedup,
-    eventsJson, eventsVariant, eventsDaily, eventsCmsReuse, eventsQuantileReuse, eventsQuantileBinsCurve, eventsThetaOverlap, eventsThetaKCurve, eventsThetaReuse, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
+    eventsJson, eventsVariant, eventsDaily, eventsCmsReuse, eventsQuantileReuse, eventsQuantileBinsCurve, eventsThetaOverlap, eventsThetaKCurve, eventsThetaReuse, graphPagerank, graphPagerankConv, graphPagerankIncr, eventsSessionize, eventsSessionNative, eventsGaps, eventsFunnel, eventsFunnelSummary, eventsRetention, eventsDauWau, eventsTwap, upsertEvents, scd2MergeEvents, scd2AsOfEvents, snapshotDiffEvents, eventsHistogram,
     asofEvents, rangeEvents, overlapEvents,
     sampleSplit, sampleKfold, sampleGroupKfold, sampleNegatives, sampleBalanced, sampleMixture, sampleBudgetPlan, sampleCurriculum, sampleTemperature, sampleDsir, sampleDsirShift, sampleDsirBuckets, sampleDsirFeatures,
     sampleWeighted, basketLift, eventsAnomalyDays, eventsSeasonalDecomp, eventsCusumShift, eventsHoltForecast, eventsAnomalyEnsemble, pretrainPrepBpe, pretrainPrepLm, pretrainPrepSem,

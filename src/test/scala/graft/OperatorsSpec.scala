@@ -540,4 +540,46 @@ class SnapshotDiffSpec extends AnyFunSuite {
       4L -> "changed",   // "d" -> null too
       5L -> "added"))    // k=1 unchanged: absent
   }
+
+  test("pageRank: exact-integer fixpoint on a hand-derived 2-node graph; plan iteration-count-independent") {
+    import spark.implicits._
+    // nodes {0, 1}, one edge 0 -> 1. Hand-unrolled (unit 10^6,
+    // teleport 150000, d = 85/100, N = 2):
+    //   iter 1: inflow(1) = 10^6; dangling = r(1) = 10^6, share 500000
+    //     r1(0) = 150000 + 85*500000 div 100           = 575000
+    //     r1(1) = 150000 + 85*(10^6 + 500000) div 100  = 1425000
+    //   iter 2: inflow(1) = 575000; dangling share = 1425000 div 2
+    //     r2(0) = 150000 + 85*712500 div 100           = 755625
+    //     r2(1) = 150000 + 85*(575000+712500) div 100  = 1244375
+    val edges = Seq((0L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(0L, 1L).toDF("node")
+    val got = graft.operators.Rank.pageRank(edges, nodes, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 755625L, 1L -> 1244375L), s"got $got")
+    // Lineage-cut contract (the kmeansFit pin): the final plan is a
+    // flat checkpoint scan whose size does not track iterations.
+    def planLen(iters: Int): Int = graft.operators.Rank
+      .pageRank(edges, nodes, iters)
+      .queryExecution.executedPlan.toString.length
+    val p2 = planLen(2)
+    val p5 = planLen(5)
+    assert(p2 < 2000 && p5 < 2000, s"pageRank plan is not a flat scan: $p2 / $p5 chars")
+    assert(math.abs(p5 - p2) < 200, s"pageRank plan grows with iterations: $p2 -> $p5")
+  }
+
+  test("pageRank edge fold == rebuild: deriving the full graph equals union + weight-sum of split parts") {
+    // The graph_pagerank_incr contract: edge weights ADD, so folding
+    // a batch's edges into a standing edge table is identical to
+    // re-deriving from the union of documents. Pinned on sf0.001.
+    import graft.queries.PipelineQueries
+    import org.apache.spark.sql.functions.{pmod, sum => fsum}
+    val dir = "/root/testdata/sf0.001"
+    val full = PipelineQueries.prEdges(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val folded = PipelineQueries.prEdgesWhere(spark, dir, pmod(col("doc_id"), lit(10)) =!= 0)
+      .unionByName(PipelineQueries.prEdgesWhere(spark, dir, pmod(col("doc_id"), lit(10)) === 0))
+      .groupBy("src", "dst").agg(fsum("w").as("w"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(full == folded, "edge fold diverged from rebuild")
+  }
 }
