@@ -139,9 +139,24 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
-    var words = CheckpointBlocks.cut(
+    // Cut CADENCE (round 17): the loop used to materialize TWO frames
+    // per round (the best pair AND the merged word table), i.e. two
+    // scheduled jobs per merge — at 32 merges the job latency alone
+    // dominated the wall (r17 Diag: text_tok_ab_open32 warm = 213
+    // stages, 34 task-seconds over 10.6 s — 3 of 32 cores busy). The
+    // word table is now kept as a LAZY fold chain on top of the last
+    // cut and re-materialized only every CUT_EVERY rounds: the per-
+    // round best-pair job simply re-executes up to CUT_EVERY-1 narrow
+    // vocabulary-cardinality merge folds (each a broadcast of a cut
+    // 1-row best frame — cheap by construction), which costs far less
+    // than the extra scheduled job did. Results are identical: the
+    // fold chain is the same deterministic computation whether read
+    // from checkpoint blocks or re-executed.
+    val CutEvery = 4
+    var base = CheckpointBlocks.cut(
       wordCounts(docs, textCol).withColumn("syms",
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+    var words = base
     val bests = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to merges) {
       val best = CheckpointBlocks.cut(
@@ -153,12 +168,17 @@ object Bpe {
       require(!best.isEmpty,
         s"Bpe.train: pair vocabulary exhausted at round $i of $merges")
       bests += best
-      val next = CheckpointBlocks.cut(
-        words.crossJoin(broadcast(best.select(col("l"), col("r"))))
-          .withColumn("syms", mergeFold(col("syms"), col("l"), col("r")))
-          .select(col("w"), col("freq"), col("syms")))
-      CheckpointBlocks.release(words)
-      words = next
+      words = words.crossJoin(broadcast(best.select(col("l"), col("r"))))
+        .withColumn("syms", mergeFold(col("syms"), col("l"), col("r")))
+        .select(col("w"), col("freq"), col("syms"))
+      // The returned word map (i == merges) is always cut — callers
+      // read a materialized frame exactly as before.
+      if (i % CutEvery == 0 || i == merges) {
+        val nb = CheckpointBlocks.cut(words)
+        CheckpointBlocks.release(base)
+        base = nb
+        words = nb
+      }
     }
     val mergeTable = bests.zipWithIndex.map { case (b, i) =>
       b.select(lit(i + 1).as("merge_rank"), col("l").as("lhs"),

@@ -513,7 +513,15 @@ object Similarity {
     // (standard Lloyd), and the fit's eager per-iteration checkpoint
     // makes this branch partially eager at build time — the dedup-
     // pipeline pattern, priced inside the timed region at the bench.
-    val codebooks = (0 until m).map { j =>
+    //
+    // The m subspace fits are INDEPENDENT (each reads its own slice of
+    // the shared normalized corpus), so they run CONCURRENTLY
+    // ([[Par.seq]] — guide §2.6): run sequentially, each fit's eager
+    // per-iteration cut left most cores idle through m × iters small
+    // jobs (r17 Diag: ann_pq_lloyd warm = 73 stages, top stages far
+    // under full-width). Overlapping them packs the same jobs into
+    // ~1/m of the wall with identical per-fit plans and results.
+    val codebooks = Par.seq((0 until m).map { j => () =>
       val seedsJ = seeds.select(col("c_id"),
         slice(col("c_vec"), j * subDim + 1, subDim).as("c_vec"))
       val cbJ =
@@ -523,7 +531,7 @@ object Similarity {
             seedsJ, "id", "sv", lloydIters, metric = "l2")
         else seedsJ
       broadcast(cbJ.select(col("c_id"), col("c_vec").as("cw")))
-    }
+    })
 
     // Encode: per subspace, nearest codeword by (rounded dist, c_id).
     val enc = (0 until m).map { j =>
@@ -680,7 +688,10 @@ object Similarity {
     // residual means).
     val seeds = kmeansInit(
       res.select(col("id").as(idCol), col("r").as(vecCol)), idCol, vecCol, ks)
-    val codebooks = (0 until m).map { j =>
+    // Independent per-subspace fits run concurrently — same §2.6
+    // overlap as [[pqMachinery]]'s codebooks (identical plans, packed
+    // submission).
+    val codebooks = Par.seq((0 until m).map { j => () =>
       val seedsJ = seeds.select(col("c_id"),
         slice(col("c_vec"), j * subDim + 1, subDim).as("c_vec"))
       val cbJ =
@@ -690,7 +701,7 @@ object Similarity {
             seedsJ, "id", "sv", lloydIters, metric = "l2")
         else seedsJ
       broadcast(cbJ.select(col("c_id"), col("c_vec").as("cw")))
-    }
+    })
     val enc = (0 until m).map { j =>
       res.crossJoin(codebooks(j))
         .select(col("id"), col("cell"),
@@ -1539,9 +1550,37 @@ object Similarity {
       k: Int,
       beamWidth: Int = 24,
       rounds: Int = 3,
-      nEntries: Int = 8): DataFrame = {
-    require(k >= 1 && beamWidth >= k && rounds >= 1 && nEntries >= 1,
-      s"bad args (k=$k, beamWidth=$beamWidth, rounds=$rounds, nEntries=$nEntries)")
+      nEntries: Int = 8): DataFrame =
+    nswSearchTrace(queries, corpus, graph, idCol, vecCol,
+      k, beamWidth, Seq(rounds), nEntries).head
+
+  /** [[nswSearch]] with the beam chain's INTERMEDIATE answers exposed:
+    * one output frame per requested round count, all cut from ONE
+    * shared chain. Beams at increasing round counts are PREFIXES of
+    * the same deterministic computation (round r's beam depends only
+    * on round r−1's), so a rounds-tuning curve that runs
+    * `nswSearch(rounds = 1)`, `(3)`, `(5)` separately re-executes the
+    * shared prefix 3× — 1+3+5 = 9 round jobs plus 3 entry beams where
+    * max(rounds) + 1 suffice (guide §1.2: don't compute things you
+    * throw away). Each returned frame is byte-identical to the
+    * separate-search result by construction: same entry beam, same
+    * per-round expansion, same top-k cut.
+    */
+  def nswSearchTrace(
+      queries: DataFrame,
+      corpus: DataFrame,
+      graph: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beamWidth: Int,
+      roundsWanted: Seq[Int],
+      nEntries: Int): Seq[DataFrame] = {
+    require(roundsWanted.nonEmpty && roundsWanted == roundsWanted.sorted.distinct
+      && roundsWanted.head >= 1,
+      s"roundsWanted must be ascending distinct positives, got $roundsWanted")
+    require(k >= 1 && beamWidth >= k && nEntries >= 1,
+      s"bad args (k=$k, beamWidth=$beamWidth, nEntries=$nEntries)")
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val g = graph.select(col("src"), col("dst"))
@@ -1568,14 +1607,17 @@ object Similarity {
     // (|Q| × beamWidth rows).
     var beam = CheckpointBlocks.cut(
       topKByCos(rescore(cand0), beamWidth, carryCell = false))
-    (1 to rounds).foreach { _ =>
+    val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    (1 to roundsWanted.max).foreach { r =>
       val ids = beam.select(col("q_id"), col("n_id"))
       val nbrs = g.join(broadcast(ids), col("n_id") === col("src"))
         .select(col("q_id"), col("dst").as("n_id"))
       val cand = ids.unionByName(nbrs).distinct()
       beam = CheckpointBlocks.cut(
         topKByCos(rescore(cand), beamWidth, carryCell = false))
+      if (roundsWanted.contains(r))
+        out += topKByCos(beam, k, carryCell = false)
     }
-    topKByCos(beam, k, carryCell = false)
+    out.toSeq
   }
 }

@@ -283,7 +283,69 @@ object TextAnalysis {
     * doc-keyed shuffles, no join, no window. Docs with no characters
     * are absent from the output (no distribution to score).
     */
-  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    charEntropyKernel(docs, idCol, textCol)
+
+  /** mapPartitions KERNEL for [[charEntropy]] — the
+    * [[charNgramCountsKernel]] posture applied to the entropy gate
+    * (round 17): the Column twin below MATERIALIZES one row per corpus
+    * character (explode → hash-agg probe per char — the same
+    * per-char-position class the trained language-ID retired at 5.7×),
+    * where the per-doc character distribution is ROW-LOCAL by
+    * definition. The kernel folds it into one per-doc HashMap loop and
+    * emits the finished (doc_id, n_chars, n_distinct_chars, entropy)
+    * row — ZERO shuffle (the twin paid a (doc, char) exchange), zero
+    * per-char rows.
+    *
+    * Bit parity with the Column twin (EntropyKernelSpec pins it on
+    * non-ASCII/surrogate/empty fixtures):
+    *   - chars = CODE POINTS, matching `split(text, "")` (Java's empty
+    *     regex advances by code point since JDK 8) with the `c != ""`
+    *     filter (empty text → no row, like the twin's explode of []).
+    *   - ln rounds via the exact arithmetic Spark's `round(log(x)*1e6)`
+    *     performs: java.math.BigDecimal.valueOf(Math.log(x)*1e6)
+    *     .setScale(0, HALF_UP) — Catalyst's Round on DoubleType is
+    *     BigDecimal-HALF_UP on the same double.
+    *   - sums are exact longs; the final entropy is the identical
+    *     long-quotient-to-double expression.
+    */
+  private[graft] def charEntropyKernel(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val src = docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(col(textCol), lit("")).as("__s"))
+    def lnMicro(x: Long): Long =
+      java.math.BigDecimal.valueOf(Math.log(x.toDouble) * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    src.as(Encoders.product[(Long, String)]).mapPartitions { it =>
+      it.flatMap { case (id, s) =>
+        val m = scala.collection.mutable.HashMap.empty[Int, Long]
+        var o = 0
+        var n = 0L
+        while (o < s.length) {
+          val cp = s.codePointAt(o)
+          m.update(cp, m.getOrElse(cp, 0L) + 1L)
+          n += 1L
+          o += Character.charCount(cp)
+        }
+        if (n == 0L) Iterator.empty
+        else {
+          var sMicro = 0L
+          val vs = m.valuesIterator
+          while (vs.hasNext) { val nc = vs.next(); sMicro += nc * lnMicro(nc) }
+          Iterator.single((id, n, m.size.toLong,
+            (n * lnMicro(n) - sMicro).toDouble / (n * 1000000L).toDouble))
+        }
+      }
+    }(Encoders.product[(Long, Long, Long, Double)])
+      .toDF("doc_id", "n_chars", "n_distinct_chars", "entropy")
+  }
+
+  /** The Column-expression twin [[charEntropyKernel]] is
+    * bit-parity-pinned against (kept as the oracle-shaped reference
+    * implementation; not on any hot path).
+    */
+  private[graft] def charEntropyColumns(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cc = docs
       .select(col(idCol).as("doc_id"),
         explode(split(coalesce(col(textCol), lit("")), "")).as("c"))
@@ -2468,6 +2530,16 @@ object TextAnalysis {
     val nT = lab.agg(count(lit(1)).cast("bigint").as("n_train"))
     var w = xs.select(col("b")).distinct()
       .select(col("b"), lit(0L).as("w_u"))
+    // Each iteration's weight frame is CUT (buckets rows — tiny):
+    // iteration i's lazy plan referenced w_{i-1} TWICE (inside z and
+    // in the update join), and the two references canonicalize
+    // differently (broadcast vs join input), so ReuseExchange could
+    // not dedupe them — the uncut chain re-executed each prior
+    // iteration's whole subtree ~2× per level (r17 Diag:
+    // text_lr_capacity_curve warm ran 167 stages for 9 logical
+    // iterations). The cut makes iteration i read k rows of
+    // checkpoint blocks instead — the kmeansFit loop posture.
+    var wCut: DataFrame = null
     for (_ <- 1 to iters) {
       val z = xs.join(broadcast(w), Seq("b"))
         .groupBy(col("doc_id")).agg(sum(col("m") * col("w_u")).as("z_u"))
@@ -2478,11 +2550,18 @@ object TextAnalysis {
               / lit(1000000.0)))), 0).cast("long")).as("r"))
       val g = xs.join(resid, Seq("doc_id"))
         .groupBy(col("b")).agg(sum(col("m") * col("r")).as("g"))
-      w = w.join(g, Seq("b"), "left").crossJoin(broadcast(nT))
-        .select(col("b"),
-          (col("w_u") + expr(
-            s"coalesce(g, CAST(0 AS BIGINT)) DIV ($etaDen * n_train)"))
-            .as("w_u"))
+      val next = CheckpointBlocks.cut(
+        w.join(g, Seq("b"), "left").crossJoin(broadcast(nT))
+          .select(col("b"),
+            (col("w_u") + expr(
+              s"coalesce(g, CAST(0 AS BIGINT)) DIV ($etaDen * n_train)"))
+              .as("w_u")))
+      // Superseded iterations' blocks free eagerly; the LAST cut is
+      // the returned model and outlives the call (GC frees it — the
+      // Bpe.train lifecycle).
+      if (wCut != null) CheckpointBlocks.release(wCut)
+      wCut = next
+      w = next
     }
     w
   }

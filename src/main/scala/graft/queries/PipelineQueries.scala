@@ -398,14 +398,20 @@ object PipelineQueries {
     "dedup_tier_overlap",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val mh = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4)
+      // The MinHash pair pipeline (eager kernel) and the
+      // exact-substring tier (lazy chain) are independent — cut the
+      // substr flags in a parallel thread while the minhash kernel
+      // runs (Par, guide §2.6).
+      val (mh, sdocs) = graft.operators.Par.par2(
+        () => Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4),
+        () => org.apache.spark.sql.graft.CheckpointBlocks.cut(
+          Dedup.exactSubstrDedup(docs, "doc_id", "text", n = 8)
+            .filter(col("n_removed") > 0)
+            .select(col("doc_id"), lit(true).as("ss"))))
       val mdocs = mh.select(col("id_a").as("doc_id"))
         .unionByName(mh.select(col("id_b").as("doc_id"))).distinct()
         .select(col("doc_id"), lit(true).as("mh"))
-      val sdocs = Dedup.exactSubstrDedup(docs, "doc_id", "text", n = 8)
-        .filter(col("n_removed") > 0)
-        .select(col("doc_id"), lit(true).as("ss"))
       mdocs.join(sdocs, Seq("doc_id"), "full_outer")
         .select(
           when(coalesce(col("mh"), lit(false)) &&
@@ -2219,7 +2225,10 @@ object PipelineQueries {
           .select(lit(n).as("n_gram"), col("n_pairs_any"), col("n_docs_any"),
             col("n_pairs_ge5"), col("n_docs_ge5"))
       }
-      Seq(2, 3, 5, 8).map(arm).reduce(_.unionByName(_))
+      // Each arm cuts its own pair frame (eager) — independent
+      // shingle orders, overlap them (Par, guide §2.6).
+      graft.operators.Par.seq(Seq(2, 3, 5, 8).map(n => () => arm(n)))
+        .reduce(_.unionByName(_))
     },
     Some {
       def arm(n: Int) =
@@ -2950,7 +2959,11 @@ object PipelineQueries {
             round(col("n_bpe_tokens").cast("double") /
               col("n_words").cast("double"), 4).as("tokens_per_word"))
       }
-      Seq(0, 5, 10, BpeMerges).map(arm).reduce(_.unionByName(_))
+      // Each arm cuts its own re-segmented frame (eager) off the
+      // shared merge table and word-count cut — independent,
+      // overlap them (Par, guide §2.6).
+      graft.operators.Par.seq(Seq(0, 5, 10, BpeMerges).map(k => () => arm(k)))
+        .reduce(_.unionByName(_))
     },
     Some {
       def arm(k: Int) =
@@ -4743,11 +4756,18 @@ object PipelineQueries {
     "pipeline_pretrain_prep_bpe",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val (mergeTable, _) =
-        graft.operators.Bpe.train(docs, "text", merges = BpeMerges)
+      // The BPE training loop (eager, per-merge jobs) and the cleaning
+      // cascade are independent until the final count join — overlap
+      // them (Par, guide §2.6): the cascade is cut in its own thread
+      // while the merge rounds run, instead of serializing ~4 s of
+      // cleaning behind ~3 s of training.
+      val ((mergeTable, _), cleanCut) = graft.operators.Par.par2(
+        () => graft.operators.Bpe.train(docs, "text", merges = BpeMerges),
+        () => org.apache.spark.sql.graft.CheckpointBlocks.cut(
+          pretrainCleanDocs(docs)))
       val bpe = graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", mergeTable)
         .select(col("doc_id"), col("n_bpe_tokens"))
-      val clean = pretrainCleanDocs(docs)
+      val clean = cleanCut
         .join(bpe, Seq("doc_id"))
         .select(col("doc_id"), col("bucket"), col("n_bpe_tokens").as("n_tok"))
       packedSummary(clean)
@@ -4887,16 +4907,22 @@ object PipelineQueries {
     (s, dir) => {
       import org.apache.spark.sql.graft.CheckpointBlocks
       val docs = Tables.documents(s, dir)
-      val clean = CheckpointBlocks.cut(pretrainCleanDocs(docs))
-      val emb = manifoldEmb(s, dir)
-      val k = math.max(16, math.floor(math.sqrt(emb.count().toDouble)).toInt)
-      val cents = Similarity.kmeansFit(emb,
-          Similarity.kmeansInit(emb, "vec_id", "embedding", k),
-          "vec_id", "embedding", iters = 2)
-        .select(col("c_id"), col("c_vec"))
-      val drops = Dedup.semDedup(emb, "vec_id", "embedding", cents, minCosine = 0.6)
-        .filter(col("keep") === 0)
-        .select(col("id").as("doc_id"))
+      // The 4-stage text clean and the SemDeDup chain (count → kmeans
+      // iterations → within-cell pairs) are independent until the
+      // final anti-join — overlap them (Par, guide §2.6).
+      val (clean, drops) = graft.operators.Par.par2(
+        () => CheckpointBlocks.cut(pretrainCleanDocs(docs)),
+        () => {
+          val emb = manifoldEmb(s, dir)
+          val k = math.max(16, math.floor(math.sqrt(emb.count().toDouble)).toInt)
+          val cents = Similarity.kmeansFit(emb,
+              Similarity.kmeansInit(emb, "vec_id", "embedding", k),
+              "vec_id", "embedding", iters = 2)
+            .select(col("c_id"), col("c_vec"))
+          Dedup.semDedup(emb, "vec_id", "embedding", cents, minCosine = 0.6)
+            .filter(col("keep") === 0)
+            .select(col("id").as("doc_id"))
+        })
       packedSummary(clean.join(drops, Seq("doc_id"), "left_anti"))
     },
     Some(s"""WITH RECURSIVE $pretrainStagesSql,
@@ -5205,43 +5231,67 @@ object PipelineQueries {
             col("n_units"), col("n_tokens"), col("id_sum"))
 
       val s0 = withTok(inj)
-      val s1 = ccut(withTok(
-        TextAnalysis.removeBoilerplateLines(inj, "doc_id", "text", minDocs = 20)
-          .select(col("doc_id"), col("clean_text").as("text"))))
-      val s2 = ccut(withTok(
-        TextAnalysis.c4CleanLines(s1, "doc_id", "text")
-          .filter(col("pass") === 1)
-          .select(col("doc_id"), col("clean_text").as("text"))))
-      val gop = TextAnalysis.gopherQualityFlags(s2, "doc_id", "text")
-        .filter(col("f_word_count") === 1 && col("f_mean_len") === 1 &&
-          col("f_symbol") === 1 && col("f_alpha") === 1)
-        .select(col("doc_id"))
-      val s3 = ccut(s2.join(gop, Seq("doc_id")))
-      val s4 = ccut(withTok(
-        Dedup.exactSubstrDedup(s3, "doc_id", "text", n = 8)
-          .select(col("doc_id"), col("clean_text").as("text"))))
-      val clusters = Dedup.dedupClusters(
-        Dedup.minhashPairs(s4, "doc_id", "text",
-          shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4))
-      val keepIds = s4
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
-        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("q"),
-          coalesce(col("cluster_rep"), col("doc_id")).as("grp"))
-        .groupBy("grp")
-        .agg(max_by(col("doc_id"),
-          struct(col("q"), (col("doc_id") * -1).as("tb"))).as("doc_id"))
-        .select("doc_id")
-      val s5 = ccut(s4.join(keepIds, Seq("doc_id")))
-      val emb = manifoldEmb(s, dir)
-      val k = math.max(16, math.floor(math.sqrt(emb.count().toDouble)).toInt)
-      val cents = Similarity.kmeansFit(emb,
-          Similarity.kmeansInit(emb, "vec_id", "embedding", k),
-          "vec_id", "embedding", iters = 2)
-        .select(col("c_id"), col("c_vec"))
-      val semdrop = Dedup.semDedup(emb, "vec_id", "embedding", cents, minCosine = 0.6)
-        .filter(col("keep") === 0)
-        .select(col("id").as("doc_id"))
+      // Three independent chains overlap (Par, guide §2.6): the text
+      // cascade (s1..s5), the manifold-embedding SemDeDup chain
+      // (consumed only at s6), and the float-embedding decontam LSH
+      // (consumed only at s8). Serializing them left the semantic
+      // chains' many small jobs (kmeans iterations, CC rounds, banded
+      // joins) running on an otherwise idle scheduler AFTER the text
+      // cascade instead of beside it. Each stage frame is the
+      // identical computation — only submission order changes.
+      val (textChain, semdrop, semcontam) = graft.operators.Par.par3(
+        () => {
+          val s1 = ccut(withTok(
+            TextAnalysis.removeBoilerplateLines(inj, "doc_id", "text", minDocs = 20)
+              .select(col("doc_id"), col("clean_text").as("text"))))
+          val s2 = ccut(withTok(
+            TextAnalysis.c4CleanLines(s1, "doc_id", "text")
+              .filter(col("pass") === 1)
+              .select(col("doc_id"), col("clean_text").as("text"))))
+          val gop = TextAnalysis.gopherQualityFlags(s2, "doc_id", "text")
+            .filter(col("f_word_count") === 1 && col("f_mean_len") === 1 &&
+              col("f_symbol") === 1 && col("f_alpha") === 1)
+            .select(col("doc_id"))
+          val s3 = ccut(s2.join(gop, Seq("doc_id")))
+          val s4 = ccut(withTok(
+            Dedup.exactSubstrDedup(s3, "doc_id", "text", n = 8)
+              .select(col("doc_id"), col("clean_text").as("text"))))
+          val clusters = Dedup.dedupClusters(
+            Dedup.minhashPairs(s4, "doc_id", "text",
+              shingleK = 3, numHashes = 16, bands = 4, threshold = 0.4))
+          val keepIds = s4
+            .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+            .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+            .select(col("doc_id"), col("q"),
+              coalesce(col("cluster_rep"), col("doc_id")).as("grp"))
+            .groupBy("grp")
+            .agg(max_by(col("doc_id"),
+              struct(col("q"), (col("doc_id") * -1).as("tb"))).as("doc_id"))
+            .select("doc_id")
+          val s5 = ccut(s4.join(keepIds, Seq("doc_id")))
+          (s1, s2, s3, s4, s5)
+        },
+        () => {
+          val emb = manifoldEmb(s, dir)
+          val k = math.max(16, math.floor(math.sqrt(emb.count().toDouble)).toInt)
+          val cents = Similarity.kmeansFit(emb,
+              Similarity.kmeansInit(emb, "vec_id", "embedding", k),
+              "vec_id", "embedding", iters = 2)
+            .select(col("c_id"), col("c_vec"))
+          ccut(Dedup.semDedup(emb, "vec_id", "embedding", cents, minCosine = 0.6)
+            .filter(col("keep") === 0)
+            .select(col("id").as("doc_id")))
+        },
+        () => {
+          val embF = Tables.embeddings(s, dir)
+          ccut(Similarity.nearDupsAgainstCorpusEmbed(
+              embF.filter(pmod(col("vec_id"), lit(10)) === 0),
+              embF.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+              "vec_id", "embedding",
+              dim = 64, nBands = 16, bitsPerBand = 4, minCosine = 0.4)
+            .select(col("id_b").as("doc_id")).distinct())
+        })
+      val (s1, s2, s3, s4, s5) = textChain
       val s6 = ccut(s5.join(semdrop, Seq("doc_id"), "left_anti"))
       val cand = s6.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val contaminated = Dedup.decontaminate(
@@ -5249,13 +5299,6 @@ object PipelineQueries {
           "doc_id", "text", shingleK = 3, minShared = 5)
         .select(col("doc_id")).distinct()
       val s7 = ccut(cand.join(contaminated, Seq("doc_id"), "left_anti"))
-      val embF = Tables.embeddings(s, dir)
-      val semcontam = Similarity.nearDupsAgainstCorpusEmbed(
-          embF.filter(pmod(col("vec_id"), lit(10)) === 0),
-          embF.filter(pmod(col("vec_id"), lit(10)) =!= 0),
-          "vec_id", "embedding",
-          dim = 64, nBands = 16, bitsPerBand = 4, minCosine = 0.4)
-        .select(col("id_b").as("doc_id")).distinct()
       val s8 = ccut(s7.join(semcontam, Seq("doc_id"), "left_anti"))
       val kept = TextAnalysis.lmHeldOutFilter(
           inj.filter(pmod(col("doc_id"), lit(10)) === 0), s8, "doc_id", "text")
@@ -7406,7 +7449,10 @@ object PipelineQueries {
       val docs = nbMarkedDocs(s, dir)
       val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       val heldOut = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-      Seq(16, 64, 256).map { b =>
+      // Each arm's 3-iteration GD chain is eager (per-iteration cuts,
+      // [[TextAnalysis.lrTrain]]) and the arms share nothing — the
+      // featurization is the variable — so they overlap (Par, §2.6).
+      graft.operators.Par.seq(Seq(16, 64, 256).map { b => () =>
         TextAnalysis.binaryAuc(
           TextAnalysis.lrScore(
               TextAnalysis.lrTrain(train, "doc_id", "text", "y",
@@ -7416,7 +7462,7 @@ object PipelineQueries {
               Seq("doc_id")),
           "z", "label")
           .select(lit(b).as("buckets"), col("n_pos"), col("n_neg"), col("auc"))
-      }.reduce(_.unionByName(_))
+      }).reduce(_.unionByName(_))
     },
     Some(Seq(16, 64, 256).map { b =>
       s"""SELECT $b AS buckets, tp AS n_pos, tn AS n_neg,
@@ -7955,7 +8001,10 @@ object PipelineQueries {
             col("avg_logw_all"), col("avg_logw_sampled"),
             (col("avg_logw_sampled") - col("avg_logw_all")).as("shift"))
       }
-      Seq(256, 1024, 4096).map(arm).reduce(_.unionByName(_))
+      // Each arm cuts its own scored frame (eager) off the shared
+      // gram cut — independent chains, overlap them (Par, §2.6).
+      graft.operators.Par.seq(Seq(256, 1024, 4096).map(b => () => arm(b)))
+        .reduce(_.unionByName(_))
     },
     Some {
       def arm(b: Int, p: String) =
@@ -9156,9 +9205,15 @@ object PipelineQueries {
     // bitsPerBand defaults to auto: sized from this corpus's valid
     // count by [[Similarity.nswAutoBits]]; the oracle replays the
     // same count → same bits choice ([[nswBitsCtes]]).
-    val graph = Similarity.nswGraph(emb, "vec_id", "embedding",
-      dim = 64, nBands = 8, degree = NswDegree)
-    val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+    // The graph build (eager pair pipeline) and the exact ground
+    // truth are independent — the gt is cut in its own thread while
+    // the build runs (Par, guide §2.6) instead of riding the final
+    // recall job after the sequential beam rounds.
+    val (graph, gt) = graft.operators.Par.par2(
+      () => Similarity.nswGraph(emb, "vec_id", "embedding",
+        dim = 64, nBands = 8, degree = NswDegree),
+      () => org.apache.spark.sql.graft.CheckpointBlocks.cut(
+        Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)))
     val approx = Similarity.nswSearch(queries, emb, graph, "vec_id", "embedding",
       k = 10, beamWidth = NswBeam, rounds = NswRounds, nEntries = NswEntries)
     Similarity.recallVsTruth(gt, approx)
@@ -9428,13 +9483,20 @@ object PipelineQueries {
       import org.apache.spark.sql.graft.CheckpointBlocks
       val emb = manifoldEmb(s, dir)
       val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
-      val graph = Similarity.nswGraph(emb, "vec_id", "embedding",
-        dim = 64, nBands = 8, degree = NswDegree)
-      val gt = CheckpointBlocks.cut(
-        Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10))
-      nswRoundsArms.map { r =>
-        val approx = Similarity.nswSearch(queries, emb, graph, "vec_id", "embedding",
-          k = 10, beamWidth = NswBeam, rounds = r, nEntries = NswEntries)
+      // The graph build and the exact ground truth are independent
+      // eager chains — overlap them (Par, guide §2.6).
+      val (graph, gt) = graft.operators.Par.par2(
+        () => Similarity.nswGraph(emb, "vec_id", "embedding",
+          dim = 64, nBands = 8, degree = NswDegree),
+        () => CheckpointBlocks.cut(
+          Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)))
+      // The three arms are PREFIXES of one beam chain — computed once
+      // ([[Similarity.nswSearchTrace]], round 17): max(rounds) + 1
+      // beam jobs instead of Σ(rounds) + |arms|, byte-identical arm
+      // results by construction.
+      val arms = Similarity.nswSearchTrace(queries, emb, graph, "vec_id", "embedding",
+        k = 10, beamWidth = NswBeam, roundsWanted = nswRoundsArms, nEntries = NswEntries)
+      nswRoundsArms.zip(arms).map { case (r, approx) =>
         Similarity.recallVsTruth(gt, approx)
           .filter(col("q_id") === -1L)
           .select(lit(r).as("rounds"), col("n_hits"), col("recall"))
@@ -10126,9 +10188,13 @@ object PipelineQueries {
             Similarity.kmeansInit(emb, "vec_id", "embedding", k),
             "vec_id", "embedding", iters = 2)
           .select(col("c_id"), col("c_vec"))
+      // The two Lloyd chains (k=8, k=16) are independent eager
+      // iteration pipelines — overlap them (Par, guide §2.6).
+      val (cells8, cells16) = graft.operators.Par.par2(
+        () => trainedCells(8), () => trainedCells(16))
       point("seed_8", seed8, exact = false)
-        .unionByName(point("trained_8", trainedCells(8), exact = true))
-        .unionByName(point("trained_16", trainedCells(16), exact = true))
+        .unionByName(point("trained_8", cells8, exact = true))
+        .unionByName(point("trained_16", cells16, exact = true))
     },
     Some {
       def lloyd(k: Int): String =
@@ -10408,7 +10474,12 @@ object PipelineQueries {
           .select(lit(t10).as("theta_x10"), col("n_pairs"), col("n_docs"),
             col("n_groups"), (col("n_docs") - col("n_groups")).as("n_dropped"))
       }
-      Seq(5, 6, 7).map(arm).reduce(_.unionByName(_))
+      // Each arm runs its own eager connected-components chain
+      // ([[Dedup.dedupClusters]] label-propagation rounds) over its
+      // filter of the shared scored-pair cut — independent, overlap
+      // them (Par, guide §2.6).
+      graft.operators.Par.seq(Seq(5, 6, 7).map(t => () => arm(t)))
+        .reduce(_.unionByName(_))
     },
     Some {
       def arm(t10: Int) = {
@@ -12692,10 +12763,16 @@ object PipelineQueries {
   val textUnigramVsBpeFertility = QueryDef(
     "text_unigram_vs_bpe_fertility",
     (s, dir) => {
-      import graft.operators.{Bpe, Unigram}
+      import graft.operators.{Bpe, Par, Unigram}
       val docs = Tables.documents(s, dir)
       val words = Bpe.wordCounts(docs, "text")
-      val (_, wordMap) = Bpe.train(docs, "text", merges = BpeMerges)
+      // The two tokenizer trainings are independent eager chains over
+      // the same corpus — overlap them (Par, guide §2.6).
+      val ((_, wordMap), uvoc) = Par.par2(
+        () => Bpe.train(docs, "text", merges = BpeMerges),
+        () => Unigram.train(docs, "text",
+          seedMulti = UnigramSeedMulti, emIters = UnigramEmIters,
+          vocabSize = UnigramVocabSize))
       val brow = wordMap
         .agg(sum(col("freq")).cast("long").as("n_words"),
           sum(col("freq") * size(col("syms"))).cast("long").as("n_tokens"))
@@ -12703,9 +12780,6 @@ object PipelineQueries {
           Bpe.vocab(wordMap).agg(count(lit(1)).cast("long").as("vocab_size"))))
         .select(lit("bpe").as("tokenizer"), col("vocab_size"),
           col("n_words"), col("n_tokens"))
-      val uvoc = Unigram.train(docs, "text",
-        seedMulti = UnigramSeedMulti, emIters = UnigramEmIters,
-        vocabSize = UnigramVocabSize)
       val urow = Unigram.fertility(words, uvoc)
         .crossJoin(broadcast(uvoc.agg(count(lit(1)).cast("long").as("vocab_size"))))
         .select(lit("unigram").as("tokenizer"), col("vocab_size"),
@@ -12787,10 +12861,16 @@ object PipelineQueries {
   private def openAbArm(m: Int) = QueryDef(
     s"text_tok_ab_open$m",
     (s, dir) => {
-      import graft.operators.{Bpe, Unigram}
+      import graft.operators.{Bpe, Par, Unigram}
       val docs = openVocabDocs(s, dir)
       val words = Bpe.wordCounts(docs, "text")
-      val (_, wordMap) = Bpe.train(docs, "text", merges = m)
+      // Independent training arms overlap (Par, guide §2.6) — the A/B
+      // comparison IS two disjoint eager chains by construction.
+      val ((_, wordMap), uvoc) = Par.par2(
+        () => Bpe.train(docs, "text", merges = m),
+        () => Unigram.train(docs, "text",
+          seedMulti = UnigramSeedMulti, emIters = UnigramEmIters,
+          vocabSize = 16 + m))
       val brow = wordMap
         .agg(sum(col("freq")).cast("long").as("n_words"),
           sum(col("freq") * size(col("syms"))).cast("long").as("n_tokens"))
@@ -12798,9 +12878,6 @@ object PipelineQueries {
           Bpe.vocab(wordMap).agg(count(lit(1)).cast("long").as("vocab_size"))))
         .select(lit("bpe").as("tokenizer"), col("vocab_size"),
           col("n_words"), col("n_tokens"))
-      val uvoc = Unigram.train(docs, "text",
-        seedMulti = UnigramSeedMulti, emIters = UnigramEmIters,
-        vocabSize = 16 + m)
       val urow = Unigram.fertility(words, uvoc)
         .crossJoin(broadcast(uvoc.agg(count(lit(1)).cast("long").as("vocab_size"))))
         .select(lit("unigram").as("tokenizer"), col("vocab_size"),

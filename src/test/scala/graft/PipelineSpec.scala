@@ -420,6 +420,30 @@ class EntropySpec extends AnyFunSuite {
     assert(out(3L)._4 > 2.0 && out(3L)._4 < 3.5)
     assert(!out.contains(4L))
   }
+
+  test("charEntropyKernel bit-parity with the Column twin, incl. surrogates and ln rounding") {
+    // The kernel contract: same (doc_id, n_chars, n_distinct_chars,
+    // entropy) rows as the explode -> two-level aggregate twin, chars
+    // counted by CODE POINT and ln rounded via the identical
+    // BigDecimal-HALF_UP micro arithmetic. The fixture plants a
+    // surrogate-pair emoji (one code point, two UTF-16 chars),
+    // combining accents, a flood (count large enough to exercise the
+    // rounding path beyond ln 1 = 0), empty and null.
+    val df = Seq(
+      (1L, "aaaaaaaaaabbbbbcc"),
+      (2L, "café 🎉🎉 café"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "x" * 1000 + "yz")).toDF("doc_id", "text")
+    val twin = TextAnalysis.charEntropyColumns(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val kernel = TextAnalysis.charEntropyKernel(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(kernel == twin, s"kernel-only ${kernel.diff(twin)} vs twin-only ${twin.diff(kernel)}")
+    // The surrogate pair must count as ONE character.
+    val m = kernel.map(r => r._1 -> r).toMap
+    assert(m(2L)._2 == 12L && m(2L)._3 == 6L)
+  }
 }
 
 class PhraseSearchSpec extends AnyFunSuite {
@@ -1230,6 +1254,18 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(got.length == 1 && got.head._2 == 8L,
       s"beam search failed to reach the far end: ${got.mkString(",")}")
+
+    // Trace parity (round 17): one shared chain's arm at round r is
+    // byte-identical to a separate rounds=r search — the contract the
+    // rounds-curve registration rides on.
+    val arms = Similarity.nswSearchTrace(query, vecs, graph, "vec_id", "embedding",
+      k = 1, beamWidth = 4, roundsWanted = Seq(2, 7), nEntries = 1)
+    val sep = Seq(2, 7).map(r =>
+      Similarity.nswSearch(query, vecs, graph, "vec_id", "embedding",
+        k = 1, beamWidth = 4, rounds = r, nEntries = 1)
+        .as[(Long, Long, Double)].collect().toSet)
+    val traced = arms.map(_.as[(Long, Long, Double)].collect().toSet)
+    assert(traced == sep, s"trace arms $traced != separate searches $sep")
   }
 
   test("nswAutoBits: smallest bits with N>>bits <= 3*degree, clamped to [4,24]") {
