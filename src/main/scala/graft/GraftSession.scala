@@ -22,6 +22,19 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE sizes post-shuffle partitions by BYTES, which is the wrong
+      // proxy when the stage downstream of the exchange multiplies
+      // work per byte — a doc-cardinality dedup survivor frame is
+      // ~1 MB here, so the default 1 MB floor coalesced it to ONE
+      // partition and the n-gram explode + broadcast-join feeding
+      // every decontamination gate ran single-threaded (measured
+      // round 17: 2.3 s of the pretrain composites' wall in one task;
+      // 64k floor → 32-way, ~0.1 s). Parameterized: at the 100 TB
+      // tier post-shuffle partitions are advisory-sized anyway and a
+      // larger floor (the default) is fine — set
+      // SPARK_GRAFT_AQE_MIN_PARTITION to taste cluster-side.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       // ObjectHashAggregate (collect_list/collect_set/percentile — the
       // a9 history family) falls back to sort-based aggregation after
       // 128 distinct keys per task. For the history workload that is

@@ -152,7 +152,7 @@ object Bpe {
     // than the extra scheduled job did. Results are identical: the
     // fold chain is the same deterministic computation whether read
     // from checkpoint blocks or re-executed.
-    val CutEvery = 4
+    val CutEvery = sys.props.getOrElse("graft.bpe.cutEvery", "4").toInt
     var base = CheckpointBlocks.cut(
       wordCounts(docs, textCol).withColumn("syms",
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))

@@ -949,10 +949,23 @@ object Dedup {
       .select(col(idCol).as(outId),
         explode(wordShingles(
           TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))), shingleK)).as("gram"))
+    // The eval side is PRE-AGGREGATED to (gram, eval_id, multiplicity)
+    // before the broadcast (round 17, guide §2.3 "aggregate before you
+    // shuffle" / §3.3 "explode before a join multiplies"): joining raw
+    // occurrence rows multiplied the matched-pair frame by the eval
+    // side's within-doc gram multiplicity and broadcast one relation
+    // row per eval occurrence. n_shared is unchanged — the occurrence-
+    // pair count equals Σ_gram (corpus occurrences × eval multiplicity),
+    // which the sum below computes exactly (probed: the decontaminate
+    // noop dropped 3.7 s → ~1 s warm at sf0.1 and every pretrain
+    // composite carries this node).
+    val evalGramCounts = grams(evalSet, "eval_id")
+      .groupBy(col("gram"), col("eval_id"))
+      .agg(count(lit(1)).as("__me"))
     grams(corpus, "doc_id")
-      .join(broadcast(grams(evalSet, "eval_id")), Seq("gram"))
+      .join(broadcast(evalGramCounts), Seq("gram"))
       .groupBy(col("doc_id"), col("eval_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(sum(col("__me")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 

@@ -64,4 +64,12 @@ private[graft] object Par {
     val r = seq[Any](Seq(a, b, c))
     (r(0).asInstanceOf[A], r(1).asInstanceOf[B], r(2).asInstanceOf[C])
   }
+
+  /** Four heterogeneous arms. */
+  def par4[A, B, C, D](
+      a: () => A, b: () => B, c: () => C, d: () => D): (A, B, C, D) = {
+    val r = seq[Any](Seq(a, b, c, d))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B],
+      r(2).asInstanceOf[C], r(3).asInstanceOf[D])
+  }
 }

@@ -1640,8 +1640,24 @@ object TextAnalysis {
       train: DataFrame,
       score: DataFrame,
       idCol: String,
+      textCol: String): DataFrame =
+    lmHeldOutFilterWith(lmBigramModel(train, idCol, textCol),
+      score, idCol, textCol)
+
+  /** [[lmHeldOutFilter]] over a PRE-BUILT count model `c2` (the
+    * [[lmBigramModel]] frame) — the production seam: a deployment
+    * trains the model once (or loads a persisted one) and scores many
+    * candidate sets against it. Callers whose model side is
+    * independent of their score side can cut the model in a parallel
+    * thread (Par, guide §2.6) — the frame is identical either way, so
+    * results don't move.
+    */
+  def lmHeldOutFilterWith(
+      model: DataFrame,
+      score: DataFrame,
+      idCol: String,
       textCol: String): DataFrame = {
-    val c2 = lmBigramModel(train, idCol, textCol)
+    val c2 = model
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
     val totals = c2.agg(countDistinct(col("w2")).as("v"))
     val scored = bigramStream(score, idCol, textCol)

@@ -4822,10 +4822,19 @@ object PipelineQueries {
       // stage-1-4 chain 3-4× (measured 3.1× sf1 slope; 2.0× after
       // the cut, the family norm). This is the "land the cleaned
       // table, then score it" shape a real pipeline has anyway.
-      val clean = org.apache.spark.sql.graft.CheckpointBlocks.cut(
-        pretrainCleanDocs(docs))
-      val scoredClean = TextAnalysis.lmHeldOutFilter(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      // The LM count model trains on the held-out split only —
+      // independent of the clean chain — so the two cuts overlap
+      // (Par, guide §2.6); the pre-cut model also stops the scored
+      // plan re-deriving the gram aggregate for each of its three
+      // internal readers (c1, totals, the score join).
+      val (clean, model) = graft.operators.Par.par2(
+        () => org.apache.spark.sql.graft.CheckpointBlocks.cut(
+          pretrainCleanDocs(docs)),
+        () => org.apache.spark.sql.graft.CheckpointBlocks.cut(
+          TextAnalysis.lmBigramModel(
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")))
+      val scoredClean = TextAnalysis.lmHeldOutFilterWith(
+        model,
         docs.join(clean.select(col("doc_id")), Seq("doc_id")),
         "doc_id", "text")
       val kept = scoredClean.filter(col("bucket") =!= "tail").select(col("doc_id"))
@@ -5239,7 +5248,7 @@ object PipelineQueries {
       // joins) running on an otherwise idle scheduler AFTER the text
       // cascade instead of beside it. Each stage frame is the
       // identical computation — only submission order changes.
-      val (textChain, semdrop, semcontam) = graft.operators.Par.par3(
+      val (textChain, semdrop, semcontam, lmModel) = graft.operators.Par.par4(
         () => {
           val s1 = ccut(withTok(
             TextAnalysis.removeBoilerplateLines(inj, "doc_id", "text", minDocs = 20)
@@ -5290,7 +5299,12 @@ object PipelineQueries {
               "vec_id", "embedding",
               dim = 64, nBands = 16, bitsPerBand = 4, minCosine = 0.4)
             .select(col("id_b").as("doc_id")).distinct())
-        })
+        },
+        // The LM gate's count model trains on the held-out split of
+        // the injected corpus only — independent of every cascade
+        // stage, so it lands as a fourth overlapped arm.
+        () => ccut(TextAnalysis.lmBigramModel(
+          inj.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")))
       val (s1, s2, s3, s4, s5) = textChain
       val s6 = ccut(s5.join(semdrop, Seq("doc_id"), "left_anti"))
       val cand = s6.filter(pmod(col("doc_id"), lit(10)) =!= 0)
@@ -5300,8 +5314,7 @@ object PipelineQueries {
         .select(col("doc_id")).distinct()
       val s7 = ccut(cand.join(contaminated, Seq("doc_id"), "left_anti"))
       val s8 = ccut(s7.join(semcontam, Seq("doc_id"), "left_anti"))
-      val kept = TextAnalysis.lmHeldOutFilter(
-          inj.filter(pmod(col("doc_id"), lit(10)) === 0), s8, "doc_id", "text")
+      val kept = TextAnalysis.lmHeldOutFilterWith(lmModel, s8, "doc_id", "text")
         .filter(col("bucket") =!= "tail")
         .select(col("doc_id"))
       val s9 = ccut(s8.join(kept, Seq("doc_id")))
